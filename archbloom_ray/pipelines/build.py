@@ -1,0 +1,266 @@
+"""Distributed sketch build — the engine's core pipeline.
+
+Generalizes the reference's single-process build loop (``bloomtool
+create``: stdin lines → ``bloom_add`` one element at a time →
+``bloom_save``, reference bin/bloomtool.c:20-79) to the mergeable-UDAF
+shape on Ray Data:
+
+    read → map_batches(update: batch → one partial state row)
+         → tree merge (associative, bounded fan-in)
+         → finalized sketch / checkpoint
+
+Design for 10^12-row scale:
+
+* The update stage is **stateless per-batch tasks**: each task builds a
+  partial sketch for its batch only, so Ray's lineage-based retry
+  replays just the lost block (no actor state to lose).  Partial-state
+  size is O(m), independent of rows.
+* The merge is a **bounded-fan-in tree** over partial-state rows — the
+  single hot ``sketch_id`` key never funnels through a one-reducer
+  groupby.  Sketch merges are associative + commutative, so tree order
+  does not change the result (exact for Bloom/HLL/CMS; within
+  documented tolerance for t-digest/KLL).
+* Grouped builds pre-combine inside the batch (one partial per key per
+  batch) so the shuffle moves ≤ |keys| small rows per batch instead of
+  every input row — the salted-combine answer to skewed keys like
+  ``lang='en'``.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Callable
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from ..sketches.base import Sketch, sketch_from_bytes
+
+# At most this many partial states are merged on the driver / in one
+# merge task; above it, distributed merge rounds run first.
+DEFAULT_FANIN = 64
+
+
+def _partial_update_fn(column: str, factory: Callable[[], Sketch]):
+    """Batch → one partial-state row. Stateless: retry-safe via lineage."""
+
+    def update(batch: pa.Table) -> pa.Table:
+        sk = factory()
+        sk.update_arrow(batch[column])
+        return pa.table({"state": pa.array([sk.to_bytes()], type=pa.large_binary())})
+
+    return update
+
+
+def _merge_block(batch: pa.Table) -> pa.Table:
+    """Merge every partial state in a block into one (tree-merge step)."""
+    states = batch["state"].to_pylist()
+    if not states:
+        return batch
+    acc = sketch_from_bytes(states[0])
+    for s in states[1:]:
+        acc.merge(sketch_from_bytes(s))
+    return pa.table({"state": pa.array([acc.to_bytes()], type=pa.large_binary())})
+
+
+def sketch_partials(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], Sketch],
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Stage 1: per-batch partial sketches as ``{state: binary}`` rows."""
+    return ds.map_batches(
+        _partial_update_fn(column, factory),
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+
+
+def merge_partials(
+    partials: "ray.data.Dataset",
+    *,
+    fanin: int = DEFAULT_FANIN,
+) -> Sketch:
+    """Tree-merge partial-state rows down to one sketch.
+
+    Runs distributed merge rounds with bounded fan-in until few enough
+    partials remain, then finishes on the driver.  This is the
+    distributed analogue of ``bloom_merge`` (reference bloom.c:770-795)
+    applied along a tree instead of a single pair.
+    """
+    # materialize the (small) partial states so count() + merge rounds do
+    # not re-execute the full input scan
+    ds = partials.materialize()
+    n = ds.count()
+    while n > fanin:
+        nparts = math.ceil(n / fanin)
+        ds = ds.repartition(nparts).map_batches(
+            _merge_block, batch_format="pyarrow", batch_size=None
+        )
+        ds = ds.materialize()
+        n = ds.count()
+    states = [r["state"] for r in ds.take_all()]
+    if not states:
+        raise ValueError("no partial states: empty input dataset")
+    acc = sketch_from_bytes(states[0])
+    for s in states[1:]:
+        acc.merge(sketch_from_bytes(s))
+    return acc
+
+
+def build_sketch(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], Sketch],
+    *,
+    batch_size: int = 65536,
+    fanin: int = DEFAULT_FANIN,
+) -> Sketch:
+    """End-to-end distributed build of one sketch over ``ds[column]``."""
+    return merge_partials(
+        sketch_partials(ds, column, factory, batch_size=batch_size), fanin=fanin
+    )
+
+
+def build_sketches(
+    ds: "ray.data.Dataset",
+    specs: dict[str, tuple[str, Callable[[], Sketch]]],
+    *,
+    batch_size: int = 65536,
+    fanin: int = DEFAULT_FANIN,
+) -> dict[str, Sketch]:
+    """Build several sketches in ONE pass over the input.
+
+    ``specs`` maps sketch_id → (column, factory).  Each batch task
+    updates every sketch and emits one ``(sketch_id, state)`` row per
+    spec; the merge stage groups by sketch_id with bounded-fan-in
+    pre-merge inside blocks, so the input is scanned once however many
+    sketches are requested — at 100 TB the scan dominates, so this is
+    the economical shape.
+    """
+    ids = list(specs)
+
+    def update(batch: pa.Table) -> pa.Table:
+        rows_id, rows_state = [], []
+        for sid in ids:
+            col, factory = specs[sid]
+            sk = factory()
+            sk.update_arrow(batch[col])
+            rows_id.append(sid)
+            rows_state.append(sk.to_bytes())
+        return pa.table(
+            {
+                "sketch_id": pa.array(rows_id, type=pa.string()),
+                "state": pa.array(rows_state, type=pa.large_binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        states = group["state"].to_pylist()
+        acc = sketch_from_bytes(states[0])
+        for s in states[1:]:
+            acc.merge(sketch_from_bytes(s))
+        return pa.table(
+            {
+                "sketch_id": pa.array([group["sketch_id"][0].as_py()]),
+                "state": pa.array([acc.to_bytes()], type=pa.large_binary()),
+            }
+        )
+
+    merged = partials.groupby("sketch_id").map_groups(merge_group, batch_format="pyarrow")
+    return {r["sketch_id"]: sketch_from_bytes(r["state"]) for r in merged.take_all()}
+
+
+def build_grouped_sketches(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    factory: Callable[[], Sketch],
+    *,
+    batch_size: int = 65536,
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """One sketch per value of ``key_column`` (e.g. per-lang sketches).
+
+    Stage A pre-combines inside each batch — one ``(key, state)`` row
+    per key per batch regardless of row skew — so the groupby shuffle
+    moves tiny partials, not rows.  With ``salt > 0`` an extra salted
+    combine level runs first: partials rendezvous by ``(key, h % salt)``
+    and are merged there before the final per-key merge, bounding the
+    per-reducer fan-in for extremely hot keys (the ``lang='en'`` case in
+    BASELINE.json's north star).
+
+    Returns a Dataset of ``{key, state}`` rows.
+    """
+
+    def update(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column]
+        vals = batch[value_column]
+        # partition batch rows by key (vectorized dictionary-encode)
+        enc = pa.compute.dictionary_encode(
+            keys.combine_chunks() if isinstance(keys, pa.ChunkedArray) else keys
+        )
+        codes = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
+        out_keys, out_states = [], []
+        vals_c = vals.combine_chunks() if isinstance(vals, pa.ChunkedArray) else vals
+        for code, key in enumerate(uniq):
+            sk = factory()
+            sk.update_arrow(vals_c.filter(pa.array(codes == code)))
+            out_keys.append(key)
+            out_states.append(sk.to_bytes())
+        return pa.table(
+            {
+                "key": pa.array(out_keys, type=pa.string()),
+                "state": pa.array(out_states, type=pa.large_binary()),
+            }
+        )
+
+    partials = ds.map_batches(
+        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+    def merge_group(group: pa.Table, key_cols: list[str]) -> pa.Table:
+        states = group["state"].to_pylist()
+        acc = sketch_from_bytes(states[0])
+        for s in states[1:]:
+            acc.merge(sketch_from_bytes(s))
+        cols = {c: pa.array([group[c][0].as_py()]) for c in key_cols}
+        cols["state"] = pa.array([acc.to_bytes()], type=pa.large_binary())
+        return pa.table(cols)
+
+    if salt > 0:
+        # level 1: merge within (key, salt) buckets.  The salt must spread
+        # the partials of ONE key across buckets; a per-batch round-robin
+        # would collapse to salt=0 (each batch emits one partial per key),
+        # so derive it from the partial's content (deterministic, uniform).
+        import zlib
+
+        def add_salt(batch: pa.Table) -> pa.Table:
+            s = [zlib.crc32(st) % salt for st in batch["state"].to_pylist()]
+            return batch.append_column("salt", pa.array(s, type=pa.int32()))
+
+        salted = partials.map_batches(add_salt, batch_format="pyarrow")
+        level1 = salted.groupby(["key", "salt"]).map_groups(
+            lambda g: merge_group(g, ["key", "salt"]), batch_format="pyarrow"
+        )
+        partials = level1.drop_columns(["salt"])
+
+    return partials.groupby("key").map_groups(
+        lambda g: merge_group(g, ["key"]), batch_format="pyarrow"
+    )
+
+
+def grouped_to_dict(grouped: "ray.data.Dataset") -> dict[str, Sketch]:
+    """Collect a small grouped-sketch Dataset to {key: Sketch}."""
+    return {r["key"]: sketch_from_bytes(r["state"]) for r in grouped.take_all()}

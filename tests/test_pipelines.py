@@ -1,0 +1,118 @@
+"""E2E Ray Data pipeline tests: read → update → tree merge → query.
+
+Mirrors the reference's CLI lifecycle (``bloomtool create`` then
+``bloomtool query``, reference bin/bloomtool.c:20-105) as a distributed
+pipeline over real parquet input.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from archbloom_ray.sketches import BloomFilter
+from archbloom_ray.pipelines import (
+    build_sketch,
+    build_sketches,
+    build_grouped_sketches,
+    grouped_to_dict,
+    membership,
+)
+
+from conftest import SF_DIR
+
+DOCS = f"{SF_DIR}/documents.parquet"
+
+
+@pytest.fixture(scope="module")
+def docs_ds(ray_session):
+    import ray.data
+
+    return ray.data.read_parquet(DOCS, columns=["doc_id", "text", "lang"])
+
+
+def _local_oracle_bloom(expected):
+    texts = pq.read_table(DOCS, columns=["text"])["text"]
+    bf = BloomFilter(expected, 0.01)
+    bf.update_arrow(texts)
+    return bf, texts
+
+
+class TestBuild:
+    def test_distributed_equals_local(self, ray_session, docs_ds):
+        """Distributed tree-merged build == single-pass local build."""
+        n = docs_ds.count()
+        sk = build_sketch(
+            docs_ds, "text", lambda: BloomFilter(n, 0.01), batch_size=64
+        )
+        local, texts = _local_oracle_bloom(n)
+        assert np.array_equal(sk.bitmap, local.bitmap)
+        assert sk.lookup_batch(texts).all()
+
+    def test_multi_sketch_single_pass(self, ray_session, docs_ds):
+        out = build_sketches(
+            docs_ds,
+            {
+                "bloom_small": ("text", lambda: BloomFilter(500, 0.01)),
+                "bloom_big": ("text", lambda: BloomFilter(5000, 0.001)),
+            },
+            batch_size=128,
+        )
+        assert set(out) == {"bloom_small", "bloom_big"}
+        texts = pq.read_table(DOCS, columns=["text"])["text"]
+        assert out["bloom_small"].lookup_batch(texts).all()
+        assert out["bloom_big"].lookup_batch(texts).all()
+
+    def test_grouped_build(self, ray_session, docs_ds):
+        grouped = build_grouped_sketches(
+            docs_ds, "lang", "text", lambda: BloomFilter(500, 0.01), batch_size=64
+        )
+        sketches = grouped_to_dict(grouped)
+        tbl = pq.read_table(DOCS, columns=["text", "lang"])
+        langs = set(tbl["lang"].to_pylist())
+        assert set(sketches) == langs
+        # per-lang: every text of that lang present in that lang's sketch
+        for lang in langs:
+            mask = pa.compute.equal(tbl["lang"], lang)
+            texts = tbl.filter(mask)["text"]
+            assert sketches[lang].lookup_batch(texts).all(), lang
+
+    def test_grouped_build_salted_equals_unsalted(self, ray_session, docs_ds):
+        a = grouped_to_dict(
+            build_grouped_sketches(
+                docs_ds, "lang", "text", lambda: BloomFilter(500, 0.01), batch_size=64
+            )
+        )
+        b = grouped_to_dict(
+            build_grouped_sketches(
+                docs_ds,
+                "lang",
+                "text",
+                lambda: BloomFilter(500, 0.01),
+                batch_size=64,
+                salt=4,
+            )
+        )
+        assert set(a) == set(b)
+        for k in a:
+            assert np.array_equal(a[k].bitmap, b[k].bitmap), k
+
+
+class TestQuery:
+    def test_membership_probe(self, ray_session, docs_ds):
+        n = docs_ds.count()
+        sk = build_sketch(docs_ds, "text", lambda: BloomFilter(n, 0.01))
+        probed = membership(docs_ds, sk, "text", concurrency=2).take_all()
+        assert all(r["present"] for r in probed)
+
+    def test_membership_absent(self, ray_session):
+        import ray.data
+
+        sk = BloomFilter(1000, 0.001)
+        sk.update_arrow(pa.array([f"in-{i}" for i in range(1000)]))
+        probe = ray.data.from_arrow(
+            pa.table({"key": [f"out-{i}" for i in range(5000)]})
+        )
+        out = membership(probe, sk, "key", concurrency=2).take_all()
+        fpr = sum(r["present"] for r in out) / len(out)
+        assert fpr < 0.01  # design p=0.001, generous slack
