@@ -1,9 +1,27 @@
 from .base import Sketch, SketchError, sketch_from_bytes
 from .bloom import BloomFilter
+from .cbloom import CountingBloomFilter
+from .tdbloom import TimeDecayingBloomFilter
+from .tdcbloom import TimeDecayingCountingBloomFilter
+from .hll import HyperLogLog
+from .cms import CountMinSketch
+from .tdigest import TDigest
+from .kll import KLLSketch
+from .cuckoo import CuckooFilter
+from .gaussiannb import GaussianNB
 
 __all__ = [
     "Sketch",
     "SketchError",
     "sketch_from_bytes",
     "BloomFilter",
+    "CountingBloomFilter",
+    "TimeDecayingBloomFilter",
+    "TimeDecayingCountingBloomFilter",
+    "HyperLogLog",
+    "CountMinSketch",
+    "TDigest",
+    "KLLSketch",
+    "CuckooFilter",
+    "GaussianNB",
 ]

@@ -1,0 +1,261 @@
+"""Counting Bloom filter — vectorized, mergeable, deletion-capable.
+
+Reference semantics (reference src/cbloom.c):
+
+* sizing: same ``ideal_size`` as Bloom, but ``k = trunc((m // n)*ln 2
+  + 0.5)`` — *rounds*, unlike Bloom's truncation (cbloom.c:73).
+* counter widths 4/8/16/32/64-bit; writes saturate at the width's max
+  (cbloom.c:186-216).  The 4-bit width is stored logically as uint8
+  (max 15) and nibble-packed only at serialization; the reference's
+  ``countermap_size = (m+1)/2`` is reported for parity (cbloom.c:81).
+* ``count`` = min over the k counters (cbloom.c:257-293) — the same
+  conservative estimator as count-min sketch.
+* ``remove`` decrements only if ALL k counters are nonzero — guarded,
+  unlike tdcbloom's unguarded decrement (cbloom.c:556-576).
+* merge is absent from the reference; counting Bloom filters merge by
+  element-wise saturating counter addition (sound because add is a
+  counter increment), which we add as the UDAF combine step.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_128_batch, make_hashes_batch
+from .base import Sketch, SketchError, register
+from .bloom import ideal_size
+
+COUNTER_WIDTHS = {4: np.uint8, 8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+
+def _counter_max(width: int) -> int:
+    return 15 if width == 4 else (1 << width) - 1
+
+
+@register
+class CountingBloomFilter(Sketch):
+    MAGIC = b"!cbloom!"
+
+    def __init__(self, expected: int, accuracy: float = 0.01, width: int = 8,
+                 name: str = "DEFAULT"):
+        if expected <= 0:
+            raise SketchError("expected must be > 0")
+        if width not in COUNTER_WIDTHS:
+            raise SketchError(f"invalid counter width {width} (4/8/16/32/64)")
+        self.expected = int(expected)
+        self.accuracy = float(accuracy)
+        self.width = int(width)
+        self.size = ideal_size(expected, accuracy)
+        # cbloom.c:73 — rounds via +0.5, unlike bloom's truncation
+        self.hashcount = int((self.size // expected) * math.log(2.0) + 0.5)
+        if self.hashcount < 1:
+            self.hashcount = 1
+        self.name = name
+        self.counters = np.zeros(self.size, dtype=COUNTER_WIDTHS[width])
+
+    @property
+    def countermap_size(self) -> int:
+        """Reference-reported byte size (cbloom.c:80-96)."""
+        if self.width == 4:
+            return (self.size + 1) // 2
+        return self.size * (self.width // 8)
+
+    @property
+    def _max(self) -> int:
+        return _counter_max(self.width)
+
+    # -- positions ----------------------------------------------------
+    def _positions(self, arr) -> np.ndarray:
+        h1, h2 = mmh3_128_batch(arr)
+        return (make_hashes_batch(h1, h2, self.hashcount) % np.uint64(self.size)).astype(np.int64)
+
+    # -- update -------------------------------------------------------
+    def update_arrow(self, arr) -> None:
+        """Vectorized ``cbloom_add`` (cbloom.c:419-437): +1 on k counters
+        per element, saturating at the width max."""
+        if len(arr) == 0:
+            return
+        flat = self._positions(arr).ravel()
+        uniq, cnt = np.unique(flat, return_counts=True)
+        vals = self.counters[uniq].astype(np.int64) if self.width < 64 else self.counters[uniq].astype(object)
+        new = np.minimum(vals + cnt, self._max)
+        self.counters[uniq] = new.astype(self.counters.dtype) if self.width < 64 else new
+
+    # -- queries ------------------------------------------------------
+    def count_batch(self, arr) -> np.ndarray:
+        """Vectorized ``cbloom_count`` (cbloom.c:257-274): min over k."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(arr)
+        return self.counters[pos].min(axis=0).astype(np.int64)
+
+    def count(self, element: bytes | str) -> int:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return int(self.count_batch(pa.array([element], type=typ))[0])
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        """``cbloom_lookup`` (cbloom.c:372-392): all k counters > 0."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        pos = self._positions(arr)
+        return (self.counters[pos] > 0).all(axis=0)
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def lookup_or_add(self, element: bytes | str) -> bool:
+        """``cbloom_lookup_or_add`` (cbloom.c:506-524): single hash pass,
+        ALWAYS increments, returns was-present."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        arr = pa.array([element], type=typ)
+        pos = self._positions(arr)[:, 0]
+        present = bool((self.counters[pos] > 0).all())
+        self._inc_positions(pos)
+        return present
+
+    def add_if_not_present(self, element: bytes | str) -> bool:
+        """``cbloom_add_if_not_present`` (cbloom.c:461-468): does NOT
+        increment when present.  Returns True if it was already present."""
+        if self.lookup(element):
+            return True
+        self.add(element)
+        return False
+
+    def _inc_positions(self, pos: np.ndarray) -> None:
+        uniq, cnt = np.unique(pos, return_counts=True)
+        vals = self.counters[uniq].astype(np.int64) if self.width < 64 else self.counters[uniq].astype(object)
+        self.counters[uniq] = np.minimum(vals + cnt, self._max).astype(self.counters.dtype)
+
+    # -- removal / maintenance ---------------------------------------
+    def remove(self, element: bytes | str) -> bool:
+        """Guarded decrement (cbloom.c:556-576 via 733-735): only if all
+        k counters are nonzero.  Returns True if decremented."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        if not (self.counters[pos] > 0).all():
+            return False
+        uniq, cnt = np.unique(pos, return_counts=True)
+        vals = self.counters[uniq].astype(np.int64)
+        self.counters[uniq] = np.maximum(vals - cnt, 0).astype(self.counters.dtype)
+        return True
+
+    def remove_batch(self, arr) -> np.ndarray:
+        """Sequential-semantics batch remove (guard per element)."""
+        out = np.zeros(len(arr), dtype=bool)
+        pos_all = self._positions(arr)
+        for j in range(len(arr)):
+            pos = pos_all[:, j]
+            if (self.counters[pos] > 0).all():
+                uniq, cnt = np.unique(pos, return_counts=True)
+                vals = self.counters[uniq].astype(np.int64)
+                self.counters[uniq] = np.maximum(vals - cnt, 0).astype(self.counters.dtype)
+                out[j] = True
+        return out
+
+    def clear_element(self, element: bytes | str) -> None:
+        """``cbloom_clear_element`` (cbloom.c:805-822): zero k counters."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        self.counters[pos] = 0
+
+    def clear_if_count_above(self, element: bytes | str, threshold: int) -> bool:
+        """``cbloom_clear_if_count_above`` (cbloom.c:598-622): zero the
+        element's counters if ANY of them exceeds the threshold."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        if (self.counters[pos] > threshold).any():
+            self.counters[pos] = 0
+            return True
+        return False
+
+    def apply_linear_decay(self, amount: int) -> None:
+        """counters = max(c - amount, 0) (cbloom.c:664-679)."""
+        vals = self.counters.astype(np.int64)
+        np.maximum(vals - amount, 0, out=vals)
+        self.counters = vals.astype(self.counters.dtype)
+
+    def apply_exponential_decay(self, factor: float) -> None:
+        """counters = trunc(c * f), f ∈ [0, 1] (cbloom.c:703-718)."""
+        if factor < 0.0 or factor > 1.0:
+            return
+        self.counters = (self.counters * np.float64(factor)).astype(self.counters.dtype)
+
+    def clear(self) -> None:
+        self.counters[:] = 0
+
+    # -- statistics ---------------------------------------------------
+    def count_elements_above_threshold(self, threshold: int) -> int:
+        """``#(counters > T) // k`` (cbloom.c:310-321)."""
+        return int((self.counters > threshold).sum()) // self.hashcount
+
+    def get_average_count(self) -> float:
+        """Mean of nonzero counters (cbloom.c:337-354); 0.0 if empty."""
+        nz = self.counters[self.counters > 0]
+        return float(nz.mean()) if nz.size else 0.0
+
+    def saturation_count(self) -> int:
+        """#nonzero counters (cbloom.c:747-757)."""
+        return int(np.count_nonzero(self.counters))
+
+    def saturation(self) -> float:
+        return self.saturation_count() / self.size * 100.0
+
+    # -- algebra ------------------------------------------------------
+    def merge(self, other: "CountingBloomFilter") -> "CountingBloomFilter":
+        """Element-wise saturating counter addition (engine extension —
+        absent from the reference; see module docstring)."""
+        self._check_compatible(other)
+        if self.width == 64:
+            s = self.counters + other.counters  # wraps on overflow
+            overflow = s < self.counters
+            s[overflow] = np.uint64(self._max)
+            self.counters = s
+        else:
+            s = self.counters.astype(np.int64) + other.counters.astype(np.int64)
+            self.counters = np.minimum(s, self._max).astype(self.counters.dtype)
+        return self
+
+    def finalize(self) -> dict:
+        return {
+            "size": self.size,
+            "hashcount": self.hashcount,
+            "width": self.width,
+            "saturation_count": self.saturation_count(),
+            "average_count": self.get_average_count(),
+        }
+
+    # -- ser/de -------------------------------------------------------
+    def _meta(self) -> dict:
+        return {
+            "expected": self.expected,
+            "accuracy": self.accuracy,
+            "width": self.width,
+            "name": self.name,
+        }
+
+    def _arrays(self) -> list[np.ndarray]:
+        if self.width == 4:
+            # nibble-pack pairs: even index → low nibble (cbloom.c:171-197)
+            padded = np.zeros((self.size + 1) // 2 * 2, dtype=np.uint8)
+            padded[: self.size] = self.counters
+            packed = (padded[0::2] & 0x0F) | ((padded[1::2] & 0x0F) << 4)
+            return [packed]
+        return [self.counters]
+
+    def _set_arrays(self, arrays) -> None:
+        (a,) = arrays
+        if self.width == 4:
+            unpacked = np.empty(a.size * 2, dtype=np.uint8)
+            unpacked[0::2] = a & 0x0F
+            unpacked[1::2] = (a >> 4) & 0x0F
+            self.counters = unpacked[: self.size].copy()
+        else:
+            self.counters = a
+
+    @classmethod
+    def _from_meta(cls, meta) -> "CountingBloomFilter":
+        return cls(meta["expected"], meta["accuracy"], meta["width"], meta.get("name", "DEFAULT"))

@@ -1,0 +1,122 @@
+"""Count-min sketch — frequency estimation as a mergeable UDAF.
+
+Engine extension required by the north rule (the reference C library
+lists count-min as not implemented, reference README.md:80-104), built
+from the published algorithm (Cormode & Muthukrishnan 2005).
+
+It intentionally shares its estimator and hashing discipline with the
+reference's counting Bloom filter: the point query is the min over d
+counters (the same conservative estimator as ``cbloom_count``,
+reference cbloom.c:257-274), and the d row positions come from the
+same Kirsch–Mitzenmacher double hashing of ``mmh3_128(key, seed=0)``
+(reference mmh3.c:308-315) — one real hash per key however many rows.
+
+Contract: point estimates overestimate the true count by at most εN
+with probability ≥ 1−δ for width w = ⌈e/ε⌉ and depth d = ⌈ln(1/δ)⌉;
+merge = element-wise matrix addition (exact).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_128_batch, make_hashes_batch
+from .base import Sketch, SketchError, register
+
+
+@register
+class CountMinSketch(Sketch):
+    MAGIC = b"!cminsk!"
+
+    def __init__(self, width: int | None = None, depth: int | None = None,
+                 *, epsilon: float | None = None, delta: float | None = None,
+                 name: str = "DEFAULT"):
+        if epsilon is not None:
+            width = math.ceil(math.e / epsilon)
+        if delta is not None:
+            depth = math.ceil(math.log(1.0 / delta))
+        if not width or width < 1 or not depth or depth < 1:
+            raise SketchError("need width/depth or epsilon/delta")
+        self.width = int(width)
+        self.depth = int(depth)
+        self.name = name
+        self.table = np.zeros((self.depth, self.width), dtype=np.int64)
+        self.total = 0  # N — total added weight
+
+    @property
+    def epsilon(self) -> float:
+        return math.e / self.width
+
+    @property
+    def delta(self) -> float:
+        return math.exp(-self.depth)
+
+    def _positions(self, arr) -> np.ndarray:
+        h1, h2 = mmh3_128_batch(arr)
+        return (make_hashes_batch(h1, h2, self.depth) % np.uint64(self.width)).astype(np.int64)
+
+    def update_arrow(self, arr, weights=None) -> None:
+        """Scatter-add each element into all d rows (optionally weighted)."""
+        if len(arr) == 0:
+            return
+        pos = self._positions(arr)  # (d, n)
+        row_off = (np.arange(self.depth, dtype=np.int64) * self.width)[:, None]
+        flat_idx = (pos + row_off).ravel()
+        flat_table = self.table.ravel()
+        if weights is None:
+            # bincount over unique touched cells — exact scatter-add
+            uniq, cnt = np.unique(flat_idx, return_counts=True)
+            flat_table[uniq] += cnt
+            self.total += len(arr)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+            np.add.at(flat_table, flat_idx, np.broadcast_to(w, pos.shape).ravel())
+            self.total += int(w.sum())
+
+    def count_batch(self, arr) -> np.ndarray:
+        """Point query: min over d rows (the cbloom_count estimator)."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=np.int64)
+        pos = self._positions(arr)
+        rows = np.arange(self.depth)[:, None]
+        return self.table[rows, pos].min(axis=0)
+
+    def count(self, element) -> int:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return int(self.count_batch(pa.array([element], type=typ))[0])
+
+    def error_bound(self) -> float:
+        """εN — the additive overestimate bound at confidence 1−δ."""
+        return self.epsilon * self.total
+
+    def merge(self, other: "CountMinSketch") -> "CountMinSketch":
+        self._check_compatible(other)
+        self.table += other.table
+        self.total += other.total
+        return self
+
+    def finalize(self) -> dict:
+        return {"width": self.width, "depth": self.depth, "total": self.total,
+                "epsilon": self.epsilon, "delta": self.delta}
+
+    def _meta_compat(self) -> dict:
+        return {"width": self.width, "depth": self.depth}
+
+    def _meta(self) -> dict:
+        return {"width": self.width, "depth": self.depth, "total": self.total,
+                "name": self.name}
+
+    def _arrays(self):
+        return [self.table]
+
+    def _set_arrays(self, arrays):
+        (self.table,) = arrays
+
+    @classmethod
+    def _from_meta(cls, meta):
+        obj = cls(meta["width"], meta["depth"], name=meta.get("name", "DEFAULT"))
+        obj.total = meta.get("total", 0)
+        return obj

@@ -1,0 +1,224 @@
+"""Cuckoo filter — membership with deletion.
+
+Reference: src/cuckoo.c ("PARTIALLY IMPLEMENTED", reference
+README.md:108).  Kept behavior: 16-bit fingerprints from
+``mmh3_32(key, seed=0)`` (cuckoo.c:91), two candidate buckets
+``i1 = h % nb`` and ``i2 = i1 ^ f(fp)``, buckets of ``bucket_size``
+slots, eviction loop bounded by ``max_kicks`` with an xorshift32 PRNG
+(cuckoo.c:31-39), per-bucket insertion counters and
+``load_factor = insertions/capacity*100`` (cuckoo.c:199-202).
+
+Reference defects NOT copied (standard Fan et al. semantics instead,
+per SURVEY.md §2.6):
+
+* the C filter is passed **by value**, so ``total_insertions`` /
+  ``evictions`` / ``prng_state`` mutations are silently lost
+  (cuckoo.c:89,103) — ours mutate real state;
+* add/lookup use partner ``i1 ^ (fp>>1)`` but the eviction re-insert
+  uses ``index ^ fp`` (cuckoo.c:93 vs cuckoo.c:117) — inconsistent, so
+  evicted fingerprints could become unfindable; we use ONE involutive
+  partner function ``i ^ ((fp >> 1) & (nb-1))`` everywhere, with
+  ``num_buckets`` rounded up to a power of two so XOR is closed;
+* fingerprint 0 is indistinguishable from an empty slot (cuckoo.c:78),
+  silently losing 1/65536 of keys — we map fp 0 → 1;
+* the PRNG is time-seeded (cuckoo.c:20-28) — ours is seeded explicitly
+  for reproducibility.
+
+Distribution note: a cuckoo filter is NOT cleanly mergeable (inserts
+are order-dependent and can fail at high load), so in the engine it is
+a per-partition / per-actor structure, not a shuffle UDAF — use
+``BloomFilter``/``CountingBloomFilter`` for distributed membership.
+``merge`` re-inserts the other filter's fingerprints and raises if any
+insertion fails.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_32_batch
+from .base import Sketch, SketchError, register
+
+
+def _next_pow2(n: int) -> int:
+    return 1 << max(0, (n - 1).bit_length())
+
+
+@register
+class CuckooFilter(Sketch):
+    MAGIC = b"!cuckoo!"
+
+    def __init__(self, num_buckets: int = 1024, bucket_size: int = 4,
+                 max_kicks: int = 500, seed: int = 42, name: str = "DEFAULT"):
+        if num_buckets < 1 or bucket_size not in (1, 2, 4, 8):
+            raise SketchError("invalid cuckoo geometry")
+        self.requested_buckets = int(num_buckets)
+        self.num_buckets = _next_pow2(int(num_buckets))
+        self.bucket_size = int(bucket_size)
+        self.max_kicks = int(max_kicks)
+        self.seed = int(seed)
+        self.name = name
+        # slot fp 0 = empty (cuckoo.c:78); real fps are in [1, 65535]
+        self.buckets = np.zeros((self.num_buckets, self.bucket_size), dtype=np.uint16)
+        self.bucket_insertions = np.zeros(self.num_buckets, dtype=np.int64)
+        self.total_insertions = 0
+        self.evictions = 0
+        self._prng_state = np.uint32(seed if seed != 0 else 0xDEADBEEF)
+
+    # -- internals ------------------------------------------------------
+    def _xorshift32(self) -> int:
+        """cuckoo.c:31-39, deterministic seed."""
+        x = int(self._prng_state)
+        x ^= (x << 13) & 0xFFFFFFFF
+        x ^= x >> 17
+        x ^= (x << 5) & 0xFFFFFFFF
+        self._prng_state = np.uint32(x)
+        return x
+
+    def _fp_and_buckets(self, arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        h = mmh3_32_batch(arr)
+        fp = (h & np.uint32(0xFFFF)).astype(np.uint16)
+        fp[fp == 0] = 1  # fp 0 is the empty sentinel
+        i1 = (h % np.uint32(self.num_buckets)).astype(np.int64)
+        i2 = self._partner(i1, fp)
+        return fp, i1, i2
+
+    def _partner(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
+        mask = self.num_buckets - 1
+        return (i.astype(np.int64) ^ ((fp.astype(np.int64) >> 1) & mask)) & mask
+
+    def _try_insert(self, bucket: int, fp: int) -> bool:
+        row = self.buckets[bucket]
+        empty = np.flatnonzero(row == 0)
+        if empty.size:
+            row[empty[0]] = fp
+            self.bucket_insertions[bucket] += 1
+            self.total_insertions += 1
+            return True
+        return False
+
+    # -- API --------------------------------------------------------------
+    def add(self, element: bytes | str) -> bool:
+        """Insert; False once max_kicks evictions fail (cuckoo.c:89-130)."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        fp, i1, i2 = self._fp_and_buckets(pa.array([element], type=typ))
+        return self._add_one(int(fp[0]), int(i1[0]), int(i2[0]))
+
+    def _add_one(self, fp: int, i1: int, i2: int) -> bool:
+        if self._try_insert(i1, fp) or self._try_insert(i2, fp):
+            return True
+        index = i1 if (self._xorshift32() % 2) else i2
+        for _ in range(self.max_kicks):
+            b = self._xorshift32() % self.bucket_size
+            evicted = int(self.buckets[index, b])
+            self.buckets[index, b] = fp
+            fp = evicted
+            if self.bucket_insertions[index] > 0:
+                self.bucket_insertions[index] -= 1
+            index = int(self._partner(np.int64(index), np.uint16(fp)))
+            if self._try_insert(index, fp):
+                return True
+        self.evictions += 1
+        return False
+
+    def update_arrow(self, arr) -> None:
+        """Batch insert (vectorized hashing, sequential placement —
+        cuckoo insertion is inherently order-dependent)."""
+        if len(arr) == 0:
+            return
+        fp, i1, i2 = self._fp_and_buckets(arr)
+        for j in range(len(fp)):
+            self._add_one(int(fp[j]), int(i1[j]), int(i2[j]))
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        """Vectorized ``cuckoo_lookup`` (cuckoo.c:132-152)."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        fp, i1, i2 = self._fp_and_buckets(arr)
+        in1 = (self.buckets[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.buckets[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def remove(self, element: bytes | str) -> bool:
+        """Clear one matching fingerprint (cuckoo.c:158-193)."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        fp, i1, i2 = self._fp_and_buckets(pa.array([element], type=typ))
+        f, b1, b2 = int(fp[0]), int(i1[0]), int(i2[0])
+        for bucket in (b1, b2):
+            row = self.buckets[bucket]
+            hit = np.flatnonzero(row == f)
+            if hit.size:
+                row[hit[0]] = 0
+                if self.bucket_insertions[bucket] > 0:
+                    self.bucket_insertions[bucket] -= 1
+                if self.total_insertions > 0:
+                    self.total_insertions -= 1
+                return True
+        return False
+
+    def load_factor(self) -> float:
+        """insertions / capacity × 100 (cuckoo.c:199-202)."""
+        return self.total_insertions / (self.num_buckets * self.bucket_size) * 100.0
+
+    # -- algebra ----------------------------------------------------------
+    def merge(self, other: "CuckooFilter") -> "CuckooFilter":
+        """Re-insert the other filter's fingerprints; raises SketchError
+        if capacity is exceeded (cuckoo filters are not shuffle-mergeable
+        — see module docstring)."""
+        self._check_compatible(other)
+        occupied = np.argwhere(other.buckets != 0)
+        for bucket, slot in occupied:
+            fp = int(other.buckets[bucket, slot])
+            partner = int(self._partner(np.int64(bucket), np.uint16(fp)))
+            if not self._add_one(fp, int(bucket), partner):
+                raise SketchError("cuckoo merge failed: capacity exceeded")
+        return self
+
+    def finalize(self) -> dict:
+        return {
+            "num_buckets": self.num_buckets,
+            "bucket_size": self.bucket_size,
+            "total_insertions": self.total_insertions,
+            "load_factor": self.load_factor(),
+            "evictions": self.evictions,
+        }
+
+    # -- ser/de (versioned & portable — the reference dumps the raw
+    # struct and flags it non-portable itself, cuckoo.c:214-218) ---------
+    def _meta(self) -> dict:
+        return {
+            "requested_buckets": self.requested_buckets,
+            "bucket_size": self.bucket_size,
+            "max_kicks": self.max_kicks,
+            "seed": self.seed,
+            "name": self.name,
+            "total_insertions": self.total_insertions,
+            "evictions": self.evictions,
+            "prng_state": int(self._prng_state),
+        }
+
+    def _meta_compat(self) -> dict:
+        return {
+            "nb": self.num_buckets,
+            "bs": self.bucket_size,
+        }
+
+    def _arrays(self):
+        return [self.buckets, self.bucket_insertions]
+
+    def _set_arrays(self, arrays):
+        self.buckets, self.bucket_insertions = arrays
+
+    @classmethod
+    def _from_meta(cls, meta):
+        obj = cls(meta["requested_buckets"], meta["bucket_size"],
+                  meta["max_kicks"], meta.get("seed", 42), meta.get("name", "DEFAULT"))
+        obj.total_insertions = meta.get("total_insertions", 0)
+        obj.evictions = meta.get("evictions", 0)
+        obj._prng_state = np.uint32(meta.get("prng_state", obj.seed))
+        return obj

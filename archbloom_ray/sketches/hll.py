@@ -1,0 +1,105 @@
+"""HyperLogLog — distinct counting as a mergeable UDAF.
+
+Engine extension required by the north rule (absent from the reference
+C library — its README lists HLL as not implemented, reference
+README.md:80-104).  Implemented from the published algorithm (Flajolet
+et al. 2007; small-range linear-counting correction per the HLL++
+practice), sharing the engine's canonical key hash ``mmh3_128(key,
+seed=0).h1`` so every sketch family hashes each key once.
+
+Contract: relative standard error ≤ 1.04/√m for m = 2^p registers;
+merge = element-wise register max (associative + commutative → exact
+under the distributed tree merge).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_128_batch
+from .base import Sketch, SketchError, register
+
+
+def _alpha(m: int) -> float:
+    if m == 16:
+        return 0.673
+    if m == 32:
+        return 0.697
+    if m == 64:
+        return 0.709
+    return 0.7213 / (1.0 + 1.079 / m)
+
+
+def _clz64(v: np.ndarray) -> np.ndarray:
+    """Vectorized count-leading-zeros for uint64 (integer-only binary
+    search; no float precision traps)."""
+    v = v.copy()
+    n = np.full(v.shape, 64, dtype=np.int64)
+    for width in (32, 16, 8, 4, 2, 1):
+        w = np.uint64(width)
+        mask = (v >> w) != 0
+        n = np.where(mask, n - width, n)
+        v = np.where(mask, v >> w, v)
+    # v now ∈ {0, 1}; if original was 0, n stays 64
+    n = np.where(v != 0, n - 1, n)
+    return n
+
+
+@register
+class HyperLogLog(Sketch):
+    MAGIC = b"!hyperll"
+
+    def __init__(self, precision: int = 14, name: str = "DEFAULT"):
+        if not (4 <= precision <= 18):
+            raise SketchError("precision must be in [4, 18]")
+        self.precision = int(precision)
+        self.m = 1 << precision
+        self.name = name
+        self.registers = np.zeros(self.m, dtype=np.uint8)
+
+    def update_arrow(self, arr) -> None:
+        if len(arr) == 0:
+            return
+        h1, _ = mmh3_128_batch(arr)
+        p = self.precision
+        idx = (h1 >> np.uint64(64 - p)).astype(np.int64)
+        w = h1 << np.uint64(p)  # remaining 64-p bits, left-aligned
+        rho = np.minimum(_clz64(w), 64 - p).astype(np.int64) + 1
+        np.maximum.at(self.registers, idx, rho.astype(np.uint8))
+
+    def cardinality(self) -> float:
+        """Bias-corrected estimate with small-range linear counting."""
+        m = self.m
+        regs = self.registers.astype(np.float64)
+        raw = _alpha(m) * m * m / np.sum(np.exp2(-regs))
+        zeros = int((self.registers == 0).sum())
+        if raw <= 2.5 * m and zeros > 0:
+            return m * math.log(m / zeros)
+        return float(raw)
+
+    def relative_error_bound(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    def merge(self, other: "HyperLogLog") -> "HyperLogLog":
+        self._check_compatible(other)
+        np.maximum(self.registers, other.registers, out=self.registers)
+        return self
+
+    def finalize(self) -> float:
+        return self.cardinality()
+
+    def _meta(self) -> dict:
+        return {"precision": self.precision, "name": self.name}
+
+    def _arrays(self):
+        return [self.registers]
+
+    def _set_arrays(self, arrays):
+        (self.registers,) = arrays
+
+    @classmethod
+    def _from_meta(cls, meta):
+        return cls(meta["precision"], meta.get("name", "DEFAULT"))

@@ -1,0 +1,215 @@
+"""Time-decaying Bloom filter — event-time, vectorized, mergeable.
+
+Reference semantics (reference src/tdbloom.c): each slot stores a
+1-based wrapped tick ``((now - start_time) mod max_time) + 1``
+(tdbloom.c:293, 0 = empty); the timestamp width is auto-selected from
+the timeout — 1 byte if timeout < 255, then 2/4/8 (tdbloom.c:92-102)
+with ``max_time`` = the width's max value; staleness is
+``((ts - value + max_time) mod max_time) > timeout`` (tdbloom.c:357-360,
+wraparound-safe); ``k = trunc((m // n) * ln 2)`` like plain Bloom
+(tdbloom.c:85); lookups globally fail once ``now - start_time >
+max_time`` (tdbloom.c:342).
+
+Deliberate engine deviations (documented per SURVEY.md §7):
+
+* **Event-time virtual clock.** The reference reads
+  ``CLOCK_MONOTONIC``; its own tests virtualize time by editing
+  ``start_time`` (reference tests/test_tdbloom_basic.c:52,80).  We make
+  the clock explicit: every mutating/query op takes ``now`` (seconds,
+  scalar or per-row array — e.g. derived from the corpus ``warc_ts``
+  column), giving deterministic, replayable, merge-friendly semantics.
+* **Slot merge / batch add = max(tick).** The reference overwrites
+  slots last-writer-wins under a monotone wall clock — equivalent to
+  max-tick when time is monotone.  Max is associative + commutative, so
+  the distributed tree merge is exact under one shared epoch.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_128_batch, make_hashes_batch
+from .base import Sketch, SketchError, register
+from .bloom import ideal_size
+
+_WIDTH_FOR_TIMEOUT = ((255, 1), (65535, 2), (4294967295, 4))
+
+
+def _pick_width(timeout: int) -> tuple[int, int]:
+    """(bytes, max_time) per tdbloom.c:92-102."""
+    for limit, nbytes in _WIDTH_FOR_TIMEOUT:
+        if timeout < limit:
+            return nbytes, limit
+    return 8, (1 << 64) - 1
+
+_DTYPES = {1: np.uint8, 2: np.uint16, 4: np.uint32, 8: np.uint64}
+
+
+@register
+class TimeDecayingBloomFilter(Sketch):
+    MAGIC = b"!tdbloo!"
+
+    def __init__(self, expected: int, accuracy: float = 0.01, timeout: int = 60,
+                 start_time: int = 0, name: str = "DEFAULT"):
+        if expected <= 0:
+            raise SketchError("expected must be > 0")
+        if timeout <= 0:
+            raise SketchError("timeout must be > 0")
+        self.expected = int(expected)
+        self.accuracy = float(accuracy)
+        self.timeout = int(timeout)
+        self.start_time = int(start_time)  # explicit epoch (virtual clock)
+        self.size = ideal_size(expected, accuracy)
+        self.hashcount = int((self.size // expected) * math.log(2.0))  # trunc, tdbloom.c:85
+        if self.hashcount < 1:
+            self.hashcount = 1
+        self.bytes, self.max_time = _pick_width(timeout)
+        self.name = name
+        self.filter = np.zeros(self.size, dtype=_DTYPES[self.bytes])
+
+    # -- clock --------------------------------------------------------
+    def _tick(self, now) -> np.ndarray | int:
+        """1-based wrapped tick (tdbloom.c:293)."""
+        delta = np.asarray(now, dtype=np.int64) - self.start_time
+        return (delta % self.max_time + self.max_time) % self.max_time + 1
+
+    def _positions(self, arr) -> np.ndarray:
+        h1, h2 = mmh3_128_batch(arr)
+        return (make_hashes_batch(h1, h2, self.hashcount) % np.uint64(self.size)).astype(np.int64)
+
+    # -- update -------------------------------------------------------
+    def update_arrow(self, arr, now=None) -> None:
+        """Vectorized ``tdbloom_add`` (tdbloom.c:289-310).
+
+        ``now``: scalar seconds or per-row int array (event time).
+        Slots take the max tick (== last-writer-wins under monotone
+        time; see module docstring).
+        """
+        if len(arr) == 0:
+            return
+        if now is None:
+            now = self.start_time
+        ticks = np.broadcast_to(
+            np.asarray(self._tick(now), dtype=self.filter.dtype), (len(arr),)
+        )
+        pos = self._positions(arr)  # (k, n)
+        tick_mat = np.broadcast_to(ticks, pos.shape)
+        np.maximum.at(self.filter, pos.ravel(), tick_mat.ravel())
+
+    # -- queries ------------------------------------------------------
+    def _stale(self, values: np.ndarray, now: int) -> np.ndarray:
+        ts = self._tick(now)
+        return ((int(ts) - values.astype(np.int64) + self.max_time) % self.max_time) > self.timeout
+
+    def lookup_batch(self, arr, now=None) -> np.ndarray:
+        """``tdbloom_lookup`` (tdbloom.c:336-364): all k slots nonzero
+        and fresh; global guard after max_time elapsed (tdbloom.c:342)."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        if now is None:
+            now = self.start_time
+        now = int(now)
+        if now - self.start_time > self.max_time:
+            return np.zeros(len(arr), dtype=bool)
+        pos = self._positions(arr)
+        vals = self.filter[pos]
+        ok = (vals != 0) & ~self._stale(vals, now)
+        return ok.all(axis=0)
+
+    def lookup(self, element, now=None) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ), now)[0])
+
+    def has_expired(self, element, now=None) -> bool:
+        """``tdbloom_has_expired`` (tdbloom.c:399-425): any slot nonzero
+        but stale."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        if now is None:
+            now = self.start_time
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        vals = self.filter[pos]
+        return bool(((vals != 0) & self._stale(vals, int(now))).any())
+
+    def reset_if_expired(self, element, now=None) -> bool:
+        """``tdbloom_reset_if_expired`` (tdbloom.c:462-469)."""
+        if self.has_expired(element, now):
+            typ = pa.string() if isinstance(element, str) else pa.binary()
+            self.update_arrow(pa.array([element], type=typ), now)
+            return True
+        return False
+
+    # -- maintenance --------------------------------------------------
+    def clear_expired(self, now=None) -> int:
+        """Sweep stale slots to 0; returns count (tdbloom.c:179-207)."""
+        if now is None:
+            now = self.start_time
+        stale = (self.filter != 0) & self._stale(self.filter, int(now))
+        n = int(stale.sum())
+        self.filter[stale] = 0
+        return n
+
+    def count_expired(self, now=None) -> int:
+        """tdbloom.c:219-240."""
+        if now is None:
+            now = self.start_time
+        return int(((self.filter != 0) & self._stale(self.filter, int(now))).sum())
+
+    def saturation(self, now=None) -> float:
+        """% of slots fresh (tdbloom.c:255-276)."""
+        if now is None:
+            now = self.start_time
+        irrelevant = int(((self.filter == 0) | self._stale(self.filter, int(now))).sum())
+        return (1.0 - irrelevant / self.size) * 100.0
+
+    def clear(self, now=None) -> None:
+        """Zero + re-epoch (tdbloom.c:142-145)."""
+        self.filter[:] = 0
+        if now is not None:
+            self.start_time = int(now)
+
+    def reset_start_time(self, now: int) -> None:
+        """tdbloom.c:158-163."""
+        self.start_time = int(now)
+
+    # -- algebra ------------------------------------------------------
+    def merge(self, other: "TimeDecayingBloomFilter") -> "TimeDecayingBloomFilter":
+        """Per-slot max tick under a shared epoch (engine extension;
+        exact vs sequential insertion under monotone event time)."""
+        self._check_compatible(other)
+        np.maximum(self.filter, other.filter, out=self.filter)
+        return self
+
+    def finalize(self) -> dict:
+        return {
+            "size": self.size,
+            "hashcount": self.hashcount,
+            "timeout": self.timeout,
+            "max_time": self.max_time,
+            "bytes": self.bytes,
+        }
+
+    # -- ser/de (real round-trip — the reference's tdcbloom save/load
+    # are stubs and tdbloom_load drops timeout; we keep full fidelity,
+    # tdbloom.c:528-713 bug notes in SURVEY §2.4) ----------------------
+    def _meta(self) -> dict:
+        return {
+            "expected": self.expected,
+            "accuracy": self.accuracy,
+            "timeout": self.timeout,
+            "start_time": self.start_time,
+            "name": self.name,
+        }
+
+    def _arrays(self) -> list[np.ndarray]:
+        return [self.filter]
+
+    def _set_arrays(self, arrays) -> None:
+        (self.filter,) = arrays
+
+    @classmethod
+    def _from_meta(cls, meta) -> "TimeDecayingBloomFilter":
+        return cls(meta["expected"], meta["accuracy"], meta["timeout"],
+                   meta.get("start_time", 0), meta.get("name", "DEFAULT"))

@@ -1,0 +1,81 @@
+"""Count-min sketch bound tests: overestimate ≤ εN with prob ≥ 1−δ."""
+
+import math
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from archbloom_ray.sketches import CountMinSketch, SketchError
+
+
+def _zipf_keys(n, n_keys, seed, s=1.2):
+    rng = np.random.default_rng(seed)
+    ranks = np.arange(1, n_keys + 1, dtype=np.float64)
+    p = ranks ** -s
+    p /= p.sum()
+    idx = rng.choice(n_keys, size=n, p=p)
+    return pa.array([f"dom{i}.example" for i in idx])
+
+
+def test_never_underestimates_and_bound():
+    keys = _zipf_keys(50_000, 500, seed=7)
+    cms = CountMinSketch(epsilon=0.001, delta=0.01)
+    cms.update_arrow(keys)
+    exact = duckdb.arrow(pa.table({"k": keys})).aggregate(
+        "k, count(*) AS c", "k"
+    ).arrow()
+    est = cms.count_batch(exact["k"])
+    true = np.asarray(exact["c"])
+    assert (est >= true).all()                       # CMS never underestimates
+    over = est - true
+    bound = cms.epsilon * cms.total
+    frac_within = (over <= bound).mean()
+    assert frac_within >= 1 - cms.delta, (frac_within, bound)
+
+
+def test_exact_small_counts():
+    """Shares the cbloom_count min-estimator: tiny loads are exact."""
+    cms = CountMinSketch(width=2048, depth=5)
+    cms.update_arrow(pa.array(["multi", "multi", "one"]))
+    assert cms.count("multi") == 2
+    assert cms.count("one") == 1
+    assert cms.count("absent") == 0
+
+
+def test_weighted_update():
+    cms = CountMinSketch(width=2048, depth=5)
+    cms.update_arrow(pa.array(["a", "b"]), weights=np.array([10, 3]))
+    assert cms.count("a") == 10
+    assert cms.count("b") == 3
+    assert cms.total == 13
+
+
+def test_merge_exactness():
+    a, b, u = (CountMinSketch(width=1024, depth=4) for _ in range(3))
+    left = _zipf_keys(5000, 100, seed=1)
+    right = _zipf_keys(5000, 100, seed=2)
+    a.update_arrow(left)
+    b.update_arrow(right)
+    u.update_arrow(left)
+    u.update_arrow(right)
+    m = a.merge(b)
+    assert np.array_equal(m.table, u.table)
+    assert m.total == u.total
+
+
+def test_sizing_from_eps_delta():
+    cms = CountMinSketch(epsilon=0.01, delta=0.01)
+    assert cms.width == math.ceil(math.e / 0.01)
+    assert cms.depth == math.ceil(math.log(100))
+    with pytest.raises(SketchError):
+        CountMinSketch()
+
+
+def test_serde():
+    cms = CountMinSketch(width=512, depth=4)
+    cms.update_arrow(pa.array(["x", "x", "y"]))
+    r = CountMinSketch.from_bytes(cms.to_bytes())
+    assert r.count("x") == 2 and r.total == 3
+    assert r.to_bytes() == cms.to_bytes()

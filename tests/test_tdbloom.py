@@ -1,0 +1,133 @@
+"""Time-decaying Bloom parity tests (reference tests/test_tdbloom_basic.c).
+
+The reference virtualizes time by editing ``start_time``
+(test_tdbloom_basic.c:52,80); here the virtual clock is explicit — ops
+take ``now`` relative to the sketch's epoch, which is the same algebra.
+"""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from archbloom_ray.sketches import TimeDecayingBloomFilter, SketchError
+
+
+class TestBasicVectors:
+    def test_init_width_selection(self):
+        # timeout=2 → 1-byte timers, max_time=255 (tdbloom.c:92-102)
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)
+        assert (td.bytes, td.max_time) == (1, 255)
+        assert (td.size, td.hashcount) == (95, 6)  # same sizing as bloom
+        assert TimeDecayingBloomFilter(10, 0.01, timeout=300).bytes == 2
+        assert TimeDecayingBloomFilter(10, 0.01, timeout=70000).bytes == 4
+        assert TimeDecayingBloomFilter(10, 0.01, timeout=2**32).bytes == 8
+
+    def test_membership_and_expiry(self):
+        # test_tdbloom_basic.c:37-72
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)
+        td.update_arrow(pa.array(["a", "b"]), now=0)
+        assert td.lookup("a", now=0) and td.lookup("b", now=0)
+        assert not td.lookup("c", now=0)
+        # +3 s skew → expired (start_time -= 3 in the C test)
+        assert not td.lookup("a", now=3)
+        assert not td.lookup("b", now=3)
+        assert td.has_expired("a", now=3)
+        # re-add after expiry works
+        td.update_arrow(pa.array(["a"]), now=3)
+        assert td.lookup("a", now=3)
+
+    def test_long_timeout_variant(self):
+        # test_tdbloom_basic.c:76-96: timeout=200 → still 1-byte timers
+        # (200 < 255), so a 270 s skew trips the GLOBAL max_time guard
+        # (270 > 255, tdbloom.c:342), then the epoch is restored and a
+        # fresh add works
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=200)
+        assert (td.bytes, td.max_time) == (1, 255)
+        td.update_arrow(pa.array(["testytesttest"]), now=0)
+        assert td.lookup("testytesttest", now=100)
+        assert not td.lookup("testytesttest", now=270)  # global guard
+        # restore epoch (tf2.start_time += 270 ≡ querying at now=0 again)
+        td.update_arrow(pa.array(["lol"]), now=0)
+        assert td.lookup("lol", now=0)
+
+    def test_reset_if_expired(self):
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)
+        td.update_arrow(pa.array(["x"]), now=0)
+        assert not td.lookup("x", now=5)               # stale (5 > 2)
+        assert td.reset_if_expired("x", now=5) is True
+        assert td.lookup("x", now=5)
+        assert td.reset_if_expired("x", now=6) is False  # still fresh
+
+    def test_global_maxtime_guard(self):
+        # lookups all fail once now - start_time > max_time (tdbloom.c:342)
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)  # max_time 255
+        td.update_arrow(pa.array(["a"]), now=0)
+        assert not td.lookup("a", now=300)
+
+    def test_sweeps(self):
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)
+        td.update_arrow(pa.array(["a", "b"]), now=0)
+        fresh_slots = int((td.filter != 0).sum())
+        assert td.count_expired(now=1) == 0
+        assert td.count_expired(now=5) == fresh_slots
+        assert td.saturation(now=1) > 0
+        assert td.saturation(now=5) == 0.0
+        assert td.clear_expired(now=5) == fresh_slots
+        assert (td.filter == 0).all()
+
+    def test_clear_and_reepoch(self):
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=2)
+        td.update_arrow(pa.array(["a"]), now=0)
+        td.clear(now=100)
+        assert td.start_time == 100
+        assert not td.lookup("a", now=100)
+        td.update_arrow(pa.array(["a"]), now=100)
+        assert td.lookup("a", now=101)
+
+    def test_validation(self):
+        with pytest.raises(SketchError):
+            TimeDecayingBloomFilter(0, 0.01, timeout=2)
+        with pytest.raises(SketchError):
+            TimeDecayingBloomFilter(10, 0.01, timeout=0)
+
+
+class TestMergeAndSerde:
+    def test_merge_max_tick(self):
+        a = TimeDecayingBloomFilter(100, 0.01, timeout=50)
+        b = TimeDecayingBloomFilter(100, 0.01, timeout=50)
+        a.update_arrow(pa.array(["old"]), now=0)
+        b.update_arrow(pa.array(["new"]), now=40)
+        m = a.copy().merge(b)
+        assert m.lookup("new", now=60)   # fresh via b
+        assert not m.lookup("old", now=60)  # stale (60 > 50)
+        assert m.lookup("old", now=45)
+
+    def test_merge_equals_union_build(self):
+        a = TimeDecayingBloomFilter(500, 0.01, timeout=100)
+        b = TimeDecayingBloomFilter(500, 0.01, timeout=100)
+        u = TimeDecayingBloomFilter(500, 0.01, timeout=100)
+        left = pa.array([f"l{i}" for i in range(200)])
+        right = pa.array([f"r{i}" for i in range(200)])
+        a.update_arrow(left, now=10)
+        b.update_arrow(right, now=20)
+        u.update_arrow(left, now=10)
+        u.update_arrow(right, now=20)
+        assert np.array_equal(a.merge(b).filter, u.filter)
+
+    def test_event_time_per_row(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=10)
+        ts = np.array([0, 50, 100], dtype=np.int64)
+        td.update_arrow(pa.array(["e0", "e50", "e100"]), now=ts)
+        assert not td.lookup("e0", now=100)
+        assert not td.lookup("e50", now=100)
+        assert td.lookup("e100", now=105)
+
+    def test_serde_roundtrip_preserves_everything(self):
+        # the reference's tdbloom_load drops `timeout` and has a broken
+        # size check (tdbloom.c:639-652) — we round-trip all params
+        td = TimeDecayingBloomFilter(10, 0.01, timeout=300, start_time=5, name="td")
+        td.update_arrow(pa.array(["x"]), now=10)
+        r = TimeDecayingBloomFilter.from_bytes(td.to_bytes())
+        assert (r.timeout, r.start_time, r.max_time, r.bytes, r.name) == (300, 5, 65535, 2, "td")
+        assert r.lookup("x", now=10)
+        assert r.to_bytes() == td.to_bytes()
