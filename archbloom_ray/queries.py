@@ -1,0 +1,373 @@
+"""Named query pipelines + DuckDB oracle SQL (the correctness gate).
+
+Each entry in :func:`queries` is a Ray-Data pipeline over the driver's
+parquet tables (``sf_dir``); where the result is exact and
+SQL-expressible, :func:`oracle_sql` carries the equivalent DuckDB SQL
+(identical column names — the driver hash-compares values).  Sketch /
+approximate queries have no oracle entry (rows-only check); their
+error bounds are enforced by the pytest suites instead.
+
+All heavy pipelines follow the engine's scale rules: column-pruned
+reads, in-batch pre-aggregation before any shuffle, broadcast small
+sides, sketches for the streaming paths.
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Callable
+from typing import Any
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray
+import ray.data as rd
+
+from .sketches import (
+    BloomFilter,
+    CountingBloomFilter,
+    CountMinSketch,
+    HyperLogLog,
+    KLLSketch,
+    TDigest,
+)
+from .pipelines.build import build_sketch, build_sketches
+from .pipelines.query import membership
+from .pipelines.relational import (
+    broadcast_lookup,
+    grouped_agg,
+    grouped_quantiles,
+)
+
+
+def _read(sf_dir: str, table: str, columns=None) -> "rd.Dataset":
+    return rd.read_parquet(os.path.join(sf_dir, f"{table}.parquet"), columns=columns)
+
+
+# ---------------------------------------------------------------------------
+# Exact, oracle-checked queries
+# ---------------------------------------------------------------------------
+
+def q_lang_doc_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_agg(ds, ["lang"], [
+        ("n_docs", None, "count"),
+        ("total_chars", "n_chars", "sum"),
+        ("min_chars", "n_chars", "min"),
+        ("max_chars", "n_chars", "max"),
+    ])
+
+
+def q_source_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_agg(ds, ["lang", "source"], [("n_docs", None, "count")])
+
+
+def q_distinct_text(sf_dir: str):
+    from .pipelines.relational import distinct_count
+
+    ds = _read(sf_dir, "documents", ["text"])
+    return pa.table({"distinct_text": pa.array([distinct_count(ds, "text")], type=pa.int64())})
+
+
+def q_median_chars_by_lang(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantiles(ds, ["lang"], "n_chars", [0.5, 0.9])
+
+
+def q_token_totals(sf_dir: str):
+    """Whitespace token counts per lang (vectorized regex per batch)."""
+    import re
+
+    pattern = re.compile(r"\s+")
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        n = pa.array(
+            [len(pattern.split(t.strip())) if t else 0 for t in batch["text"].to_pylist()],
+            type=pa.int64(),
+        )
+        return pa.table({"lang": batch["lang"], "n_tokens": n})
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_agg(ds, ["lang"], [("total_tokens", "n_tokens", "sum")])
+
+
+def q_dedup_exact(sf_dir: str):
+    """Exact dedup: canonical (min doc_id) row per distinct text."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return grouped_agg(ds, ["text"], [
+        ("doc_id", "doc_id", "min"),
+        ("n_copies", None, "count"),
+    ])
+
+
+def q_events_hourly(sf_dir: str):
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_type": batch["event_type"],
+                "hour": pc.floor_temporal(batch["ts"], unit="hour"),
+            }
+        )
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return grouped_agg(ds, ["event_type", "hour"], [("n_events", None, "count")])
+
+
+def q_top_users(sf_dir: str):
+    ds = _read(sf_dir, "events", ["user_id"])
+    counts = grouped_agg(ds, ["user_id"], [("n_events", None, "count")])
+    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
+
+
+def q_orders_by_segment(sf_dir: str):
+    """Broadcast join orders ⇢ customer (small side via ray.put)."""
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"), columns=["c_custkey", "c_mktsegment"]
+    )
+    mapping = dict(zip(cust["c_custkey"].to_pylist(), cust["c_mktsegment"].to_pylist()))
+    ref = ray.put(mapping)
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["o_totalprice"], dtype=np.float64) * 100).astype(np.int64)
+        return batch.append_column("price_cents", pa.array(cents, type=pa.int64()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        add_cents, batch_format="pyarrow", zero_copy_batch=True
+    )
+    joined = broadcast_lookup(ds, ref, "o_custkey", "c_mktsegment")
+    return grouped_agg(joined, ["c_mktsegment"], [
+        ("n_orders", None, "count"),
+        ("total_cents", "price_cents", "sum"),
+    ])
+
+
+def q_lineitem_pricing(sf_dir: str):
+    """TPC-H Q1-shaped summary with exact integer-cent arithmetic."""
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        return pa.table(
+            {
+                "l_returnflag": batch["l_returnflag"],
+                "l_linestatus": batch["l_linestatus"],
+                "qty_int": pa.array(np.rint(qty).astype(np.int64)),
+                "price_cents": pa.array(np.rint(price * 100).astype(np.int64)),
+            }
+        )
+
+    ds = _read(
+        sf_dir, "lineitem", ["l_returnflag", "l_linestatus", "l_quantity", "l_extendedprice"]
+    ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum_qty", "qty_int", "sum"),
+        ("sum_base_cents", "price_cents", "sum"),
+        ("count_order", None, "count"),
+    ])
+
+
+def q_bloom_membership(sf_dir: str):
+    """Bloom over every document text, probed with the same texts:
+    no-false-negative guarantee ⇒ deterministically all-present."""
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    sk = build_sketch(ds, "text", lambda: BloomFilter(max(n, 10), 0.01))
+    probed = membership(ds, sk, "text", concurrency=2)
+    return probed.select_columns(["doc_id", "present"])
+
+
+def q_knn_cosine(sf_dir: str):
+    """Brute-force cosine top-10 vs the vec_id=0 query vector, computed
+    per batch against the broadcast query (matmul), global top-k merge."""
+    emb0 = pa.parquet.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = np.asarray(emb0.filter(pc.equal(emb0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
+    qn = q / np.linalg.norm(q)
+    qref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float64)
+            m = m.reshape(len(batch), -1)
+            norms = np.linalg.norm(m, axis=1)
+            sims = (m @ self.q) / np.where(norms == 0, 1, norms)
+            return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+    )
+    top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10).take_all()
+    return pa.table(
+        {
+            "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
+            "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sketch / approximate queries (rows-only driver check; bounds in pytest)
+# ---------------------------------------------------------------------------
+
+def q_hll_distinct_text(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["text"])
+    hll = build_sketch(ds, "text", lambda: HyperLogLog(14))
+    return pa.table(
+        {
+            "estimate": pa.array([hll.cardinality()], type=pa.float64()),
+            "rel_error_bound": pa.array([hll.relative_error_bound()], type=pa.float64()),
+        }
+    )
+
+
+def q_cms_source_counts(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source"])
+    cms = build_sketch(ds, "source", lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
+    sources = sorted(set(_read(sf_dir, "documents", ["source"]).unique("source")))
+    return pa.table(
+        {
+            "source": pa.array(sources, type=pa.string()),
+            "est_count": pa.array(
+                cms.count_batch(pa.array(sources, type=pa.string())), type=pa.int64()
+            ),
+        }
+    )
+
+
+def q_quantile_sketches(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    out = build_sketches(ds, {
+        "tdigest": ("n_chars", lambda: TDigest(200)),
+        "kll": ("n_chars", lambda: KLLSketch(200)),
+    })
+    qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "tdigest": pa.array(out["tdigest"].quantiles(qs), type=pa.float64()),
+            "kll": pa.array(out["kll"].quantiles(qs), type=pa.float64()),
+        }
+    )
+
+
+def q_cbloom_source_membership(sf_dir: str):
+    ds = _read(sf_dir, "documents", ["source"])
+    n = ds.count()
+    sk = build_sketch(ds, "source", lambda: CountingBloomFilter(max(n, 10), 0.01, width=32))
+    sources = sorted(set(_read(sf_dir, "documents", ["source"]).unique("source")))
+    arr = pa.array(sources, type=pa.string())
+    return pa.table(
+        {
+            "source": arr,
+            "min_count_est": pa.array(sk.count_batch(arr), type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# Registry + oracle SQL
+# ---------------------------------------------------------------------------
+
+def queries() -> dict[str, Callable[[str], Any]]:
+    return {
+        "lang_doc_counts": q_lang_doc_counts,
+        "source_counts": q_source_counts,
+        "distinct_text": q_distinct_text,
+        "median_chars_by_lang": q_median_chars_by_lang,
+        "token_totals": q_token_totals,
+        "dedup_exact": q_dedup_exact,
+        "events_hourly": q_events_hourly,
+        "top_users": q_top_users,
+        "orders_by_segment": q_orders_by_segment,
+        "lineitem_pricing": q_lineitem_pricing,
+        "bloom_membership": q_bloom_membership,
+        "knn_cosine": q_knn_cosine,
+        # sketch queries — no oracle (rows-only); bounds enforced in pytest
+        "hll_distinct_text": q_hll_distinct_text,
+        "cms_source_counts": q_cms_source_counts,
+        "quantile_sketches": q_quantile_sketches,
+        "cbloom_source_membership": q_cbloom_source_membership,
+    }
+
+
+def oracle_sql() -> dict[str, str]:
+    return {
+        "lang_doc_counts": """
+            SELECT lang,
+                   count(*) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars,
+                   min(n_chars) AS min_chars,
+                   max(n_chars) AS max_chars
+            FROM documents GROUP BY lang
+        """,
+        "source_counts": """
+            SELECT lang, source, count(*) AS n_docs
+            FROM documents GROUP BY lang, source
+        """,
+        "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "median_chars_by_lang": """
+            SELECT lang,
+                   quantile_cont(n_chars, 0.5) AS q0_5,
+                   quantile_cont(n_chars, 0.9) AS q0_9
+            FROM documents GROUP BY lang
+        """,
+        "token_totals": r"""
+            SELECT lang,
+                   CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+                       AS total_tokens
+            FROM documents GROUP BY lang
+        """,
+        "dedup_exact": """
+            SELECT text, min(doc_id) AS doc_id, count(*) AS n_copies
+            FROM documents GROUP BY text
+        """,
+        "events_hourly": """
+            SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n_events
+            FROM events GROUP BY event_type, date_trunc('hour', ts)
+        """,
+        "top_users": """
+            SELECT user_id, count(*) AS n_events
+            FROM events GROUP BY user_id
+            ORDER BY n_events DESC, user_id ASC LIMIT 100
+        """,
+        "orders_by_segment": """
+            SELECT c.c_mktsegment,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                       AS total_cents
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+            GROUP BY c.c_mktsegment
+        """,
+        "lineitem_pricing": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_base_cents,
+                   count(*) AS count_order
+            FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "knn_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+                       AS rank,
+                   vec_id
+            FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+    }
