@@ -1,0 +1,260 @@
+"""``engine`` CLI — the distributed analogue of the reference's
+``bloomtool`` (reference bin/bloomtool.c:367-602), plus engine-native
+subcommands.
+
+bloomtool parity (same verbs, sketch files are this engine's versioned
+portable format rather than the reference's raw struct dumps):
+
+    create     build a sketch from a parquet column / text-file lines
+               (bloomtool.c:20-79: stdin lines → bloom_add → save)
+    add        load a checkpoint, add more input, save (bloomtool.c:158-208)
+    query      membership lookup, exit code 0/1 (bloomtool.c:81-105)
+    info       print params + saturation + est. FPR (bloomtool.c:133-156)
+    rename     relabel (bloomtool.c:107-131)
+    merge      OR/union two sketch files (bloomtool.c:210-271)
+    intersect  AND-combine + Jaccard estimate (bloomtool.c:273-358)
+
+Engine-native:
+
+    build      one-scan multi-sketch build over parquet (distributed)
+    probe      batch membership of a parquet key column → parquet out
+
+A Ray session is created here (the CLI owns it) — library code never
+calls ray.init.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+
+
+def _ray_init(num_cpus: int | None):
+    import ray
+
+    if not ray.is_initialized():
+        ray.init(address="local",
+                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
+                 include_dashboard=False, logging_level="ERROR")
+    from ray.data import DataContext
+
+    DataContext.get_current().enable_progress_bars = False
+    return ray
+
+
+def _make_sketch(kind: str, args) -> "object":
+    from .sketches import (BloomFilter, CountingBloomFilter, CountMinSketch,
+                           CuckooFilter, HyperLogLog, KLLSketch, TDigest,
+                           TimeDecayingBloomFilter,
+                           TimeDecayingCountingBloomFilter)
+
+    kinds = {
+        "bloom": lambda: BloomFilter(args.expected, args.accuracy),
+        "cbloom": lambda: CountingBloomFilter(args.expected, args.accuracy, args.counter_width),
+        "tdbloom": lambda: TimeDecayingBloomFilter(args.expected, args.accuracy, args.timeout),
+        "tdcbloom": lambda: TimeDecayingCountingBloomFilter(
+            args.expected, args.accuracy, args.timeout),
+        "cuckoo": lambda: CuckooFilter(max(16, args.expected // 4), 4),
+        "hll": lambda: HyperLogLog(args.precision),
+        "cms": lambda: CountMinSketch(epsilon=args.epsilon, delta=args.delta),
+        "tdigest": lambda: TDigest(args.compression),
+        "kll": lambda: KLLSketch(args.kll_k),
+    }
+    return kinds[kind]()
+
+
+def _load(path: str):
+    from .sketches import sketch_from_bytes
+
+    with open(path, "rb") as f:
+        return sketch_from_bytes(f.read())
+
+
+def _save(sk, path: str):
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(sk.to_bytes())
+    os.replace(tmp, path)
+
+
+def _input_dataset(args):
+    import ray.data as rd
+
+    if args.input.endswith(".parquet"):
+        return rd.read_parquet(args.input, columns=[args.column]), args.column
+    # text-file parity path: one element per line, trailing \r\n stripped
+    # (reference strip(), bloomtool.c:13-18)
+    ds = rd.read_text(args.input)
+    return ds, "text"
+
+
+def cmd_create(args):
+    _ray_init(args.num_cpus)
+    from .pipelines.build import build_sketch
+
+    ds, col = _input_dataset(args)
+    sk = _make_sketch(args.kind, args)
+    factory = lambda proto=sk.to_bytes(): __import__(
+        "archbloom_ray.sketches", fromlist=["sketch_from_bytes"]
+    ).sketch_from_bytes(proto)
+    built = build_sketch(ds, col, factory, batch_size=args.batch_size)
+    if args.name:
+        built.name = args.name
+    _save(built, args.output)
+    print(json.dumps({"saved": args.output, **_info_dict(built)}))
+
+
+def cmd_add(args):
+    _ray_init(args.num_cpus)
+    from .pipelines.build import build_sketch
+
+    base = _load(args.sketch)
+    ds, col = _input_dataset(args)
+    # build a fresh delta over the new input, then merge into the base
+    delta = build_sketch(ds, col, lambda: _fresh_like(base), batch_size=args.batch_size)
+    base.merge(delta)
+    _save(base, args.sketch)
+    print(json.dumps({"saved": args.sketch, **_info_dict(base)}))
+
+
+def _fresh_like(sk):
+    cls = type(sk)
+    meta = sk._meta()
+    fresh = cls._from_meta(meta)
+    return fresh
+
+
+def cmd_query(args):
+    sk = _load(args.sketch)
+    present = sk.lookup(args.element)
+    print(json.dumps({"element": args.element, "present": bool(present)}))
+    sys.exit(0 if present else 1)
+
+
+def cmd_info(args):
+    sk = _load(args.sketch)
+    print(json.dumps(_info_dict(sk)))
+
+
+def _info_dict(sk) -> dict:
+    out = {"type": type(sk).__name__, "name": getattr(sk, "name", None)}
+    fin = sk.finalize()
+    if isinstance(fin, dict):
+        out.update(fin)
+    else:
+        out["estimate"] = fin
+    return out
+
+
+def cmd_rename(args):
+    sk = _load(args.sketch)
+    sk.name = args.name
+    _save(sk, args.sketch)
+    print(json.dumps({"renamed": args.sketch, "name": args.name}))
+
+
+def cmd_merge(args):
+    a, b = _load(args.a), _load(args.b)
+    a.merge(b)
+    _save(a, args.output)
+    print(json.dumps({"saved": args.output, **_info_dict(a)}))
+
+
+def cmd_intersect(args):
+    a, b = _load(args.a), _load(args.b)
+    est = a.estimate_intersection(b)
+    a.intersect(b)
+    _save(a, args.output)
+    print(json.dumps({"saved": args.output, "jaccard_estimate_pct": est}))
+
+
+def cmd_probe(args):
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.query import membership
+
+    sk = _load(args.sketch)
+    ds = rd.read_parquet(args.input, columns=[args.column])
+    out = membership(ds, sk, args.column, concurrency=args.concurrency)
+    out.write_parquet(args.output)
+    print(json.dumps({"written": args.output}))
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(prog="archbloom-ray")
+    p.add_argument("--num-cpus", type=int, default=None)
+    sub = p.add_subparsers(dest="cmd", required=True)
+
+    def common_sketch_args(sp):
+        sp.add_argument("--kind", default="bloom",
+                        choices=["bloom", "cbloom", "tdbloom", "tdcbloom", "cuckoo",
+                                 "hll", "cms", "tdigest", "kll"])
+        sp.add_argument("--expected", type=int, default=100000)
+        sp.add_argument("--accuracy", type=float, default=0.01)
+        sp.add_argument("--counter-width", type=int, default=8)
+        sp.add_argument("--timeout", type=int, default=3600)
+        sp.add_argument("--precision", type=int, default=14)
+        sp.add_argument("--epsilon", type=float, default=0.001)
+        sp.add_argument("--delta", type=float, default=0.01)
+        sp.add_argument("--compression", type=float, default=200.0)
+        sp.add_argument("--kll-k", type=int, default=200)
+        sp.add_argument("--batch-size", type=int, default=65536)
+
+    sp = sub.add_parser("create")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--column", default="url")
+    sp.add_argument("--name", default=None)
+    common_sketch_args(sp)
+    sp.set_defaults(fn=cmd_create)
+
+    sp = sub.add_parser("add")
+    sp.add_argument("sketch")
+    sp.add_argument("input")
+    sp.add_argument("--column", default="url")
+    sp.add_argument("--batch-size", type=int, default=65536)
+    sp.set_defaults(fn=cmd_add)
+
+    sp = sub.add_parser("query")
+    sp.add_argument("sketch")
+    sp.add_argument("element")
+    sp.set_defaults(fn=cmd_query)
+
+    sp = sub.add_parser("info")
+    sp.add_argument("sketch")
+    sp.set_defaults(fn=cmd_info)
+
+    sp = sub.add_parser("rename")
+    sp.add_argument("sketch")
+    sp.add_argument("name")
+    sp.set_defaults(fn=cmd_rename)
+
+    sp = sub.add_parser("merge")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_merge)
+
+    sp = sub.add_parser("intersect")
+    sp.add_argument("a")
+    sp.add_argument("b")
+    sp.add_argument("output")
+    sp.set_defaults(fn=cmd_intersect)
+
+    sp = sub.add_parser("probe")
+    sp.add_argument("sketch")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--column", default="url")
+    sp.add_argument("--concurrency", type=int, default=4)
+    sp.set_defaults(fn=cmd_probe)
+
+    args = p.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

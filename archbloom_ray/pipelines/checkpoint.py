@@ -1,0 +1,180 @@
+"""Per-partition checkpointing + resume for sketch builds.
+
+North-rule requirement: "resumable from checkpoint with per-partition
+lineage + metrics".  Generalizes the reference's save/load file
+discipline (reference bloom.c:525-733) from one filter file to one
+state file per input shard:
+
+    ckpt_dir/
+      manifest.jsonl          one JSON row per completed shard:
+                              {shard_id, input_path, rows, state_sha256,
+                               update_ms, state_bytes, engine_version}
+      part-<shard_id>.state   the shard's serialized partial sketch
+
+A resumed run reads the manifest, verifies each recorded state file
+(exists + sha256 matches — a torn write fails closed and the shard is
+recomputed), processes ONLY the missing shards, and merges all states.
+Shard = one input file: deterministic identity (the path), so retries
+and resumes are idempotent.  Writes are atomic (tmp + rename).
+
+The shard build runs as Ray tasks over a Dataset of shard descriptors
+(``map_batches`` with one descriptor per batch): shard-level
+parallelism with lineage-based retry, while each task streams its file
+through the sketch in row-group-sized Arrow batches (bounded memory
+however large a shard is).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import time
+from typing import Callable
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+
+import ray.data
+
+from ..sketches.base import Sketch, sketch_from_bytes
+
+ENGINE_VERSION = 1
+
+
+def _sha256(b: bytes) -> str:
+    return hashlib.sha256(b).hexdigest()
+
+
+def _shard_id(path: str) -> str:
+    return hashlib.sha256(path.encode()).hexdigest()[:16]
+
+
+def read_manifest(ckpt_dir: str) -> dict[str, dict]:
+    path = os.path.join(ckpt_dir, "manifest.jsonl")
+    done: dict[str, dict] = {}
+    if os.path.exists(path):
+        with open(path) as f:
+            for line in f:
+                if line.strip():
+                    row = json.loads(line)
+                    done[row["shard_id"]] = row
+    return done
+
+
+def _verify(ckpt_dir: str, row: dict) -> bool:
+    state_path = os.path.join(ckpt_dir, f"part-{row['shard_id']}.state")
+    if not os.path.exists(state_path):
+        return False
+    with open(state_path, "rb") as f:
+        return _sha256(f.read()) == row["state_sha256"]
+
+
+def _build_shard(path: str, column: str, factory: Callable[[], Sketch],
+                 batch_rows: int) -> tuple[bytes, dict]:
+    sk = factory()
+    t0 = time.monotonic()
+    rows = 0
+    pf = pq.ParquetFile(path)
+    for batch in pf.iter_batches(batch_size=batch_rows, columns=[column]):
+        sk.update_arrow(batch.column(0))
+        rows += batch.num_rows
+    state = sk.to_bytes()
+    metrics = {
+        "shard_id": _shard_id(path),
+        "input_path": path,
+        "rows": rows,
+        "state_sha256": _sha256(state),
+        "state_bytes": len(state),
+        "update_ms": int((time.monotonic() - t0) * 1000),
+        "engine_version": ENGINE_VERSION,
+    }
+    return state, metrics
+
+
+def checkpointed_build(
+    input_paths: list[str],
+    column: str,
+    factory: Callable[[], Sketch],
+    ckpt_dir: str,
+    *,
+    batch_rows: int = 65536,
+    concurrency: int | None = None,
+) -> tuple[Sketch, dict]:
+    """Build one sketch over many parquet shards, resumably.
+
+    Returns ``(sketch, report)`` where report = {total_shards,
+    resumed_shards, built_shards, rows, wall_ms}.
+    """
+    os.makedirs(ckpt_dir, exist_ok=True)
+    manifest_path = os.path.join(ckpt_dir, "manifest.jsonl")
+    t0 = time.monotonic()
+
+    done = read_manifest(ckpt_dir)
+    valid = {sid: row for sid, row in done.items() if _verify(ckpt_dir, row)}
+    pending = [p for p in input_paths if _shard_id(p) not in valid]
+
+    if pending:
+        desc = ray.data.from_items([{"path": p} for p in pending])
+
+        def run(batch: pa.Table) -> pa.Table:
+            out_states, out_metrics = [], []
+            for path in batch["path"].to_pylist():
+                state, metrics = _build_shard(path, column, factory, batch_rows)
+                out_states.append(state)
+                out_metrics.append(json.dumps(metrics))
+            return pa.table(
+                {
+                    "state": pa.array(out_states, type=pa.large_binary()),
+                    "metrics": pa.array(out_metrics, type=pa.string()),
+                }
+            )
+
+        results = desc.map_batches(
+            run, batch_format="pyarrow", batch_size=1,
+            **({"concurrency": concurrency} if concurrency else {}),
+        ).take_all()
+
+        # persist each shard atomically, then append manifest rows
+        with open(manifest_path, "a") as mf:
+            for r in results:
+                metrics = json.loads(r["metrics"])
+                sid = metrics["shard_id"]
+                state_path = os.path.join(ckpt_dir, f"part-{sid}.state")
+                tmp = state_path + ".tmp"
+                with open(tmp, "wb") as f:
+                    f.write(r["state"])
+                os.replace(tmp, state_path)
+                mf.write(json.dumps(metrics) + "\n")
+                valid[sid] = metrics
+
+    # merge all shard states (tree order irrelevant: merges associative)
+    acc: Sketch | None = None
+    total_rows = 0
+    for p in input_paths:
+        sid = _shard_id(p)
+        row = valid[sid]
+        total_rows += row["rows"]
+        with open(os.path.join(ckpt_dir, f"part-{sid}.state"), "rb") as f:
+            sk = sketch_from_bytes(f.read())
+        acc = sk if acc is None else acc.merge(sk)
+    if acc is None:
+        raise ValueError("no input shards")
+
+    report = {
+        "total_shards": len(input_paths),
+        "resumed_shards": len(input_paths) - len(pending),
+        "built_shards": len(pending),
+        "rows": total_rows,
+        "wall_ms": int((time.monotonic() - t0) * 1000),
+    }
+    return acc, report
+
+
+def partition_metrics(ckpt_dir: str) -> pa.Table:
+    """The per-partition metrics table (lineage + timings) as Arrow."""
+    rows = list(read_manifest(ckpt_dir).values())
+    if not rows:
+        return pa.table({"shard_id": pa.array([], pa.string())})
+    cols = {k: [r.get(k) for r in rows] for k in rows[0]}
+    return pa.table(cols)

@@ -276,6 +276,257 @@ def q_cbloom_source_membership(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Training-data operators over the documents table
+# ---------------------------------------------------------------------------
+
+def q_langid_counts(sf_dir: str):
+    """Heuristic language-ID over documents, aggregated (rows-only:
+    the classifier is not SQL-expressible)."""
+    from .stages import add_language_id
+
+    ds = add_language_id(_read(sf_dir, "documents", ["doc_id", "text"]), concurrency=2)
+    return grouped_agg(ds, ["lang_pred"], [("n_docs", None, "count")])
+
+
+def q_quality_by_lang(sf_dir: str):
+    from .stages import add_quality
+
+    ds = add_quality(_read(sf_dir, "documents", ["lang", "text"]))
+
+    def per_group(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "lang": group["lang"].slice(0, 1),
+                "mean_quality": pa.array(
+                    [float(np.asarray(group["quality_score"]).mean())], type=pa.float64()
+                ),
+                "n_docs": pa.array([len(group)], type=pa.int64()),
+            }
+        )
+
+    return ds.select_columns(["lang", "quality_score"]).groupby("lang").map_groups(
+        per_group, batch_format="pyarrow"
+    )
+
+
+def q_fingerprint_distinct(sf_dir: str):
+    """#distinct 64-bit document fingerprints == #distinct texts (the
+    fingerprint is injective w.h.p.) — SQL-checkable invariant."""
+    from .stages import add_fingerprint
+    from .pipelines.relational import distinct_count
+
+    ds = add_fingerprint(_read(sf_dir, "documents", ["text"]))
+    n = distinct_count(ds, "fingerprint")
+    return pa.table({"n_distinct_fingerprints": pa.array([n], type=pa.int64())})
+
+
+def q_token_counts_bpe(sf_dir: str):
+    """BPE-ish token totals per lang (regex pre-tokenizer; rows-only)."""
+    from .stages import add_token_counts
+
+    ds = add_token_counts(_read(sf_dir, "documents", ["lang", "text"]))
+    return grouped_agg(ds, ["lang"], [("total_bpe_tokens", "n_tokens_bpe", "sum")])
+
+
+def q_minhash_near_dups(sf_dir: str):
+    """MinHash-LSH near-duplicate pairs over the pages corpus (the
+    documents table has no planted near-dups; the deterministic pages
+    fixture does — FIXTURES.md §1)."""
+    from .stages import minhash_lsh_pairs
+
+    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
+    pairs = minhash_lsh_pairs(ds, "text", "url", num_perm=64, bands=16,
+                              threshold=0.7, concurrency=2)
+    n = pairs.count()
+    return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
+
+
+def q_simhash_near_dups(sf_dir: str):
+    from .stages import simhash_pairs
+
+    ds = rd.read_parquet(_pages_for(sf_dir))
+    pairs = simhash_pairs(ds, "text", "url", max_hamming=3)
+    n = pairs.count()
+    return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
+
+
+def q_embedding_near_dups(sf_dir: str):
+    from .stages import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.9)
+    n = pairs.count()
+    return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
+
+
+def q_knn_ivf(sf_dir: str):
+    """IVF approximate top-10 for the vec_id=0 query (rows-only; recall
+    vs brute is asserted in the pytest suite)."""
+    from .stages import knn_ivf
+
+    emb0 = pa.parquet.read_table(
+        os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
+    )
+    q = np.asarray(emb0.filter(pc.equal(emb0["vec_id"], 0))["embedding"][0].as_py())
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_ivf(ds, q[None, :], k=10, n_centroids=16, n_probe=6, concurrency=2)
+    return out.select(["rank", "vec_id"])
+
+
+# ---------------------------------------------------------------------------
+# North-star pipeline over the pages corpus (BASELINE.json queries)
+# ---------------------------------------------------------------------------
+
+_PAGES_ROWS = {"sf0.001": 2_000, "sf0.01": 20_000, "sf0.1": 100_000}
+
+
+def _pages_for(sf_dir: str) -> str:
+    from .datagen import pages_fixture
+
+    tier = os.path.basename(os.path.normpath(sf_dir))
+    return pages_fixture(_PAGES_ROWS.get(tier, 2_000), seed=42)
+
+
+def q_pages_distinct_urls(sf_dir: str):
+    """North-star query 1: distinct-url count — HLL estimate next to the
+    exact distributed count (bound asserted in pytest)."""
+    from .pipelines.relational import distinct_count
+
+    path = _pages_for(sf_dir)
+    ds = rd.read_parquet(path, columns=["url"])
+    hll = build_sketch(ds, "url", lambda: HyperLogLog(14))
+    exact = distinct_count(rd.read_parquet(path, columns=["url"]), "url")
+    return pa.table(
+        {
+            "estimate": pa.array([hll.cardinality()], type=pa.float64()),
+            "exact": pa.array([exact], type=pa.int64()),
+            "rel_error_bound": pa.array([hll.relative_error_bound()], type=pa.float64()),
+        }
+    )
+
+
+def q_pages_heavy_domains(sf_dir: str):
+    """North-star query 2: per-lang heavy-hitter domains — per-lang CMS
+    sketches built with the salted grouped combine, probed with exact
+    top-5 candidates."""
+    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+
+    path = _pages_for(sf_dir)
+
+    def add_domain(batch: pa.Table) -> pa.Table:
+        doms = [u.split("/")[2] for u in batch["url"].to_pylist()]
+        return pa.table({"lang": batch["lang"], "domain": pa.array(doms, type=pa.string())})
+
+    ds = rd.read_parquet(path, columns=["url", "lang"]).map_batches(
+        add_domain, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_lang = grouped_to_dict(
+        build_grouped_sketches(
+            ds, "lang", "domain", lambda: CountMinSketch(epsilon=0.001, delta=0.01),
+            salt=4,
+        )
+    )
+    # exact candidates (tiny: #lang × #domain)
+    cand = grouped_agg(ds, ["lang", "domain"], [("n", None, "count")]).take_all()
+    top_by_lang: dict[str, list] = {}
+    for r in sorted(cand, key=lambda r: (r["lang"], -r["n"], r["domain"])):
+        top_by_lang.setdefault(r["lang"], [])
+        if len(top_by_lang[r["lang"]]) < 5:
+            top_by_lang[r["lang"]].append(r)
+    rows = {"lang": [], "domain": [], "exact": [], "estimate": []}
+    for lang, entries in sorted(top_by_lang.items()):
+        sk = per_lang[lang]
+        for r in entries:
+            rows["lang"].append(lang)
+            rows["domain"].append(r["domain"])
+            rows["exact"].append(r["n"])
+            rows["estimate"].append(sk.count(r["domain"]))
+    return pa.table(
+        {
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            "domain": pa.array(rows["domain"], type=pa.string()),
+            "exact": pa.array(rows["exact"], type=pa.int64()),
+            "estimate": pa.array(rows["estimate"], type=pa.int64()),
+        }
+    )
+
+
+def q_pages_text_quantiles(sf_dir: str):
+    """North-star query 3: text-length quantiles via t-digest + KLL."""
+    path = _pages_for(sf_dir)
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return pa.table({"n_chars": pc.utf8_length(batch["text"])})
+
+    ds = rd.read_parquet(path, columns=["text"]).map_batches(
+        add_len, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = build_sketches(ds, {
+        "tdigest": ("n_chars", lambda: TDigest(200)),
+        "kll": ("n_chars", lambda: KLLSketch(200)),
+    })
+    qs = [0.01, 0.5, 0.99]
+    return pa.table(
+        {
+            "q": pa.array(qs, type=pa.float64()),
+            "tdigest": pa.array(out["tdigest"].quantiles(qs), type=pa.float64()),
+            "kll": pa.array(out["kll"].quantiles(qs), type=pa.float64()),
+        }
+    )
+
+
+def q_pages_url_membership(sf_dir: str):
+    """North-star query 4: url membership — Bloom built over the corpus,
+    probed with half present / half absent urls; reports recall + FPR."""
+    path = _pages_for(sf_dir)
+    ds = rd.read_parquet(path, columns=["url"])
+    n = ds.count()
+    sk = build_sketch(ds, "url", lambda: BloomFilter(n, 0.01))
+    present = [r["url"] for r in ds.take(2000)]
+    absent = [f"https://absent{i:06d}.example/x" for i in range(2000)]
+    import ray.data as _rd
+
+    probe = _rd.from_arrow(pa.table({"key": present + absent,
+                                     "expected": [True] * len(present) + [False] * len(absent)}))
+    out = membership(probe, sk, "key", concurrency=2).take_all()
+    recall = sum(r["present"] for r in out if r["expected"]) / max(1, len(present))
+    fpr = sum(r["present"] for r in out if not r["expected"]) / max(1, len(absent))
+    return pa.table(
+        {
+            "recall": pa.array([recall], type=pa.float64()),
+            "fpr": pa.array([fpr], type=pa.float64()),
+            "est_fpr_bound": pa.array([sk.estimate_false_positive_rate()], type=pa.float64()),
+        }
+    )
+
+
+def q_pages_extract_invariant(sf_dir: str):
+    """Per-row invariant (BASELINE.json input_hint): pipeline-extracted
+    text byte-identical to the stored oracle column, per url."""
+    from .datagen import extract_text
+
+    path = _pages_for(sf_dir)
+
+    def check(batch: pa.Table) -> pa.Table:
+        htmls = batch["html"].to_pylist()
+        expected = batch["text"].to_pylist()
+        bad = sum(1 for h, t in zip(htmls, expected) if extract_text(h) != t)
+        return pa.table({"mismatches": pa.array([bad], type=pa.int64()),
+                         "rows": pa.array([len(batch)], type=pa.int64())})
+
+    ds = rd.read_parquet(path, columns=["html", "text"]).map_batches(
+        check, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = ds.take_all()
+    return pa.table(
+        {
+            "mismatches": pa.array([sum(r["mismatches"] for r in agg)], type=pa.int64()),
+            "rows": pa.array([sum(r["rows"] for r in agg)], type=pa.int64()),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -298,6 +549,21 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cms_source_counts": q_cms_source_counts,
         "quantile_sketches": q_quantile_sketches,
         "cbloom_source_membership": q_cbloom_source_membership,
+        # training-data operators
+        "langid_counts": q_langid_counts,
+        "quality_by_lang": q_quality_by_lang,
+        "fingerprint_distinct": q_fingerprint_distinct,
+        "token_counts_bpe": q_token_counts_bpe,
+        "minhash_near_dups": q_minhash_near_dups,
+        "simhash_near_dups": q_simhash_near_dups,
+        "embedding_near_dups": q_embedding_near_dups,
+        "knn_ivf": q_knn_ivf,
+        # north-star pages pipeline (BASELINE.json)
+        "pages_distinct_urls": q_pages_distinct_urls,
+        "pages_heavy_domains": q_pages_heavy_domains,
+        "pages_text_quantiles": q_pages_text_quantiles,
+        "pages_url_membership": q_pages_url_membership,
+        "pages_extract_invariant": q_pages_extract_invariant,
     }
 
 
@@ -358,6 +624,9 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "fingerprint_distinct": (
+            "SELECT count(DISTINCT text) AS n_distinct_fingerprints FROM documents"
+        ),
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (

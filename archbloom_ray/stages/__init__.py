@@ -1,0 +1,35 @@
+from .text import (
+    add_token_counts,
+    add_language_id,
+    add_quality,
+    add_fingerprint,
+    LanguageId,
+)
+from .dedup import (
+    exact_dedup,
+    minhash_signatures,
+    minhash_lsh_pairs,
+    simhash_pairs,
+    simhash_batch,
+    ngram_jaccard,
+    embedding_near_dup_pairs,
+)
+from .similarity import knn_brute, knn_ivf, train_centroids
+from .multimodal import (
+    DecodeImage,
+    FakeDecode,
+    ResizeNearest,
+    ImageFeatures,
+    decode_pipeline,
+    encode_fake_image,
+    decode_fake_image,
+)
+
+__all__ = [
+    "add_token_counts", "add_language_id", "add_quality", "add_fingerprint",
+    "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
+    "simhash_pairs", "simhash_batch", "ngram_jaccard",
+    "embedding_near_dup_pairs", "knn_brute", "knn_ivf", "train_centroids",
+    "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
+    "decode_pipeline", "encode_fake_image", "decode_fake_image",
+]

@@ -1,0 +1,628 @@
+"""Deduplication operators — the core training-data-pipeline family.
+
+All distributed shapes follow the engine rules: per-batch vectorized
+signature computation (numpy), explode to small (bucket, id) rows, one
+``groupby`` over bucket keys (bounded buckets — never all-to-all on
+documents), pair verification from signatures.
+
+* exact:          content hash → groupby(hash) → keep min id
+* MinHash + LSH:  char-shingle → k-perm minhash → banded buckets →
+                  candidate pairs → signature-Jaccard verify
+* SimHash:        token-hash bit voting → 64-bit fingerprint →
+                  16-bit-band blocking → Hamming verify
+* n-gram Jaccard: exact verifier for any candidate pair source
+* embedding:      random-hyperplane LSH buckets → cosine verify
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from ..hashing import mmh3_128_batch
+
+_MERSENNE61 = (1 << 61) - 1
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data.Dataset":
+    """Keep one canonical row (min id) per exact content match.
+
+    Shuffles a 64-bit content hash + id, never the text: the groupby key
+    is ``mmh3_128(text).h1`` (collision odds ~n²/2^64 — acceptable at
+    10^12 with 128-bit available if ever needed).
+    """
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[text_col])
+        return pa.table(
+            {
+                id_col: batch[id_col],
+                "content_hash": pa.array(h1.astype(np.int64)),
+                "content_hash2": pa.array(h2.astype(np.int64)),
+            }
+        )
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "content_hash": group["content_hash"].slice(0, 1),
+                id_col: pa.array([pc.min(group[id_col]).as_py()], type=group[id_col].type),
+                "n_copies": pa.array([len(group)], type=pa.int64()),
+            }
+        )
+
+    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+
+
+# ---------------------------------------------------------------------------
+# MinHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE31 = (1 << 31) - 1
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Distinct 31-bit hashes of the char n-gram set (vectorized
+    polynomial rolling hash over the utf-8 bytes, mod Mersenne-31 —
+    every intermediate fits int64 exactly: byte(2^8) × power(2^31) ×
+    width stays < 2^63)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if b.size < width:
+        b = np.pad(b, (0, width - b.size), constant_values=32)
+    n = b.size - width + 1
+    B = 1000003
+    powers = np.empty(width, dtype=np.int64)
+    powers[0] = 1
+    for j in range(1, width):
+        powers[j] = (powers[j - 1] * B) % _MERSENNE31
+    powers = powers[::-1].copy()
+    h = np.zeros(n, dtype=np.int64)
+    for j in range(width):
+        h = (h + b[j : j + n] * powers[j]) % _MERSENNE31
+    return np.unique(h)
+
+
+class MinHasher:
+    """Actor-pool minhash stage: the k affine permutations
+    ``(a_i·x + b_i) mod M61`` are drawn once per actor from a fixed seed
+    (identical across actors → signatures comparable).
+
+    Overflow discipline: shingle hashes are reduced to 31 bits and
+    ``a_i < 2^31``, so ``a·x + b < 2^62 + 2^61`` fits int64 exactly —
+    the affine transform is computed in one vectorized (k, S) pass with
+    no Python-int fallback.
+    """
+
+    def __init__(self, text_col: str, id_col: str, num_perm: int = 128,
+                 shingle_width: int = 5, seed: int = 42):
+        rng = np.random.default_rng(seed)
+        self.a = rng.integers(1, 1 << 31, size=num_perm, dtype=np.int64)
+        self.b = rng.integers(0, _MERSENNE61, size=num_perm, dtype=np.int64)
+        self.text_col = text_col
+        self.id_col = id_col
+        self.num_perm = num_perm
+        self.width = shingle_width
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text or "", self.width)  # already < 2^31
+        if sh.size == 0:
+            return np.zeros(self.num_perm, dtype=np.int64)
+        v = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE61
+        return v.min(axis=1)
+
+    @staticmethod
+    def _mod61(x: np.ndarray) -> np.ndarray:
+        """Fast x mod (2^61−1) for 0 ≤ x < 2^63: fold the top bits
+        (shift+mask) instead of the slow generic int64 ``%``."""
+        r = (x & _MERSENNE61) + (x >> 61)
+        return np.where(r >= _MERSENNE61, r - _MERSENNE61, r)
+
+    def signatures_batch(self, texts: list[str]) -> np.ndarray:
+        """All rows at once: (k, ΣS) affine transform with Mersenne
+        fast-mod, chunked to stay cache-resident, then one segmented min
+        (np.minimum.reduceat) — no per-row numpy dispatch."""
+        n = len(texts)
+        if n == 0:
+            return np.empty((0, self.num_perm), np.int64)
+        shingles = [_shingle_hashes(t or "", self.width) for t in texts]
+        counts = np.array([s.size for s in shingles], dtype=np.int64)
+        sigs = np.zeros((n, self.num_perm), dtype=np.int64)
+        nonempty = counts > 0
+        if not nonempty.any():
+            return sigs
+        flat = np.concatenate([s for s in shingles if s.size])
+        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+        np.cumsum(counts[nonempty][:-1], out=starts[1:])
+        a = self.a[:, None]
+        b = self.b[:, None]
+        CHUNK = 1 << 16  # shingles per chunk: (k × 65536 × 8 B) ≈ 32 MB live
+        mins = np.full((self.num_perm, starts.size), np.iinfo(np.int64).max)
+        seg_of = np.searchsorted(starts, np.arange(flat.size), side="right") - 1
+        for lo in range(0, flat.size, CHUNK):
+            hi = min(lo + CHUNK, flat.size)
+            v = self._mod61(flat[None, lo:hi] * a + b)  # (k, chunk)
+            segs = seg_of[lo:hi]
+            chunk_starts = np.flatnonzero(np.diff(segs, prepend=segs[0] - 1))
+            part = np.minimum.reduceat(v, chunk_starts, axis=1)
+            cols = segs[chunk_starts]  # distinct within a chunk; may repeat across chunks
+            mins[:, cols] = np.minimum(mins[:, cols], part)
+        sigs[nonempty] = mins.T
+        return sigs
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        texts = batch[self.text_col].to_pylist()
+        sigs = self.signatures_batch(texts)
+        return pa.table(
+            {
+                self.id_col: batch[self.id_col],
+                "signature": pa.FixedSizeListArray.from_arrays(
+                    pa.array(sigs.ravel(), type=pa.int64()), self.num_perm
+                ),
+            }
+        )
+
+
+def minhash_signatures(ds, text_col: str, id_col: str, *, num_perm=128,
+                       shingle_width=5, seed=42, concurrency=4, batch_size=2048):
+    return ds.map_batches(
+        MinHasher,
+        fn_constructor_args=(text_col, id_col, num_perm, shingle_width, seed),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    )
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    shingle_width: int = 5,
+    seed: int = 42,
+    max_bucket: int = 200,
+    concurrency: int = 4,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Stages: signature (actor pool) → explode to (band, band_hash, id,
+    signature) rows → groupby band bucket → intra-bucket candidate pairs
+    verified by signature Jaccard ≥ threshold → pair dedup.
+
+    ``max_bucket`` caps degenerate buckets (e.g. empty docs) so one hot
+    bucket cannot go quadratic — capped buckets are truncated and the
+    truncation is recorded in the output column ``bucket_truncated``.
+    """
+    assert num_perm % bands == 0
+    rows_per_band = num_perm // bands
+
+    sigs = minhash_signatures(
+        ds, text_col, id_col, num_perm=num_perm, shingle_width=shingle_width,
+        seed=seed, concurrency=concurrency,
+    )
+
+    def explode(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        if n == 0:
+            return pa.table({"band": pa.array([], pa.int32()),
+                             "band_hash": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "signature": batch["signature"]})
+        sig = np.asarray(batch["signature"].combine_chunks().values).reshape(n, num_perm)
+        with np.errstate(over="ignore"):
+            banded = sig.reshape(n, bands, rows_per_band).astype(np.uint64)
+            mix = banded[:, :, 0].copy()
+            for j in range(1, rows_per_band):
+                mix = mix * np.uint64(0x9E3779B97F4A7C15) + banded[:, :, j]
+        ids = np.repeat(np.asarray(batch[id_col]), bands)
+        band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        sig_rep = pa.FixedSizeListArray.from_arrays(
+            pa.array(np.repeat(sig, bands, axis=0).ravel(), type=pa.int64()), num_perm
+        )
+        return pa.table(
+            {
+                "band": pa.array(band_ids),
+                "band_hash": pa.array(mix.ravel().astype(np.int64)),
+                id_col: pa.array(ids, type=batch[id_col].type),
+                "signature": sig_rep,
+            }
+        )
+
+    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    # Millions of tiny LSH buckets must NOT each become a Ray group (a
+    # Python call per group kills throughput).  Instead: hash buckets
+    # into ~num_partitions coarse partitions, ONE map_groups per
+    # partition, and find bucket runs vectorized (lexsort + boundary
+    # diff) inside.
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        bh = np.asarray(batch["band_hash"], dtype=np.int64).astype(np.uint64)
+        bd = np.asarray(batch["band"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = ((bh * np.uint64(0x9E3779B97F4A7C15)) ^ bd) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "jaccard_est": pa.array([], pa.float64()),
+                "bucket_truncated": pa.array([], pa.bool_()),
+            }
+        )
+        m = len(group)
+        if m < 2:
+            return empty
+        band = np.asarray(group["band"], dtype=np.int64)
+        bh = np.asarray(group["band_hash"], dtype=np.int64)
+        ids = np.asarray(group[id_col])
+        if ids.dtype == object:
+            ids = ids.astype("U")
+        sig = np.asarray(group["signature"].combine_chunks().values).reshape(m, num_perm)
+        # ids ascending within each bucket → emitted pairs are canonical
+        # (id_a < id_b), so cross-band duplicates collapse in _dedup_pairs
+        order = np.lexsort((ids, bh, band))
+        band, bh, ids, sig = band[order], bh[order], ids[order], sig[order]
+        boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [m]))
+        out_a, out_b, out_est, out_trunc = [], [], [], []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            truncated = sz > max_bucket
+            if truncated:
+                e = s + max_bucket
+                sz = max_bucket
+            ia, ib = np.triu_indices(sz, k=1)
+            est = (sig[s:e][ia] == sig[s:e][ib]).mean(axis=1)
+            keep = (est >= threshold) & (ids[s:e][ia] != ids[s:e][ib])  # no self-pairs from duplicate rows
+            if keep.any():
+                out_a.append(ids[s:e][ia[keep]])
+                out_b.append(ids[s:e][ib[keep]])
+                out_est.append(est[keep])
+                out_trunc.append(np.full(int(keep.sum()), truncated))
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=group[id_col].type),
+                "id_b": pa.array(np.concatenate(out_b), type=group[id_col].type),
+                "jaccard_est": pa.array(np.concatenate(out_est), type=pa.float64()),
+                "bucket_truncated": pa.array(np.concatenate(out_trunc)),
+            }
+        )
+
+    pairs = (
+        exploded.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs, id_col, extra_cols=["jaccard_est", "bucket_truncated"])
+
+
+def ngram_jaccard(a: str, b: str, width: int = 5) -> float:
+    """Exact char-n-gram Jaccard — the verifier for candidate pairs."""
+    sa, sb = _shingle_hashes(a or "", width), _shingle_hashes(b or "", width)
+    if sa.size == 0 and sb.size == 0:
+        return 1.0
+    inter = np.intersect1d(sa, sb, assume_unique=True).size
+    union = sa.size + sb.size - inter
+    return inter / union if union else 1.0
+
+
+def _dedup_pairs(pairs: "ray.data.Dataset", id_col: str,
+                 extra_cols: list[str], num_partitions: int = 32) -> "ray.data.Dataset":
+    """Keep one row per (id_a, id_b) pair — same coarse-partition trick:
+    hash the pair into few partitions, dedupe vectorized inside."""
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"]).astype(np.uint64, copy=False)
+        b = np.asarray(batch["id_b"]).astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(num_partitions)
+        return batch.append_column("pair_pkey", pa.array(pk.astype(np.int32)))
+
+    def dedupe(group: pa.Table) -> pa.Table:
+        a = np.asarray(group["id_a"])
+        b = np.asarray(group["id_b"])
+        if a.dtype == object:  # lexsort can't compare object arrays
+            a = a.astype("U")
+            b = b.astype("U")
+        order = np.lexsort((b, a))
+        a, b = a[order], b[order]
+        first = np.ones(len(a), dtype=bool)
+        if len(a) > 1:
+            first[1:] = (a[1:] != a[:-1]) | (b[1:] != b[:-1])
+        cols = {
+            "id_a": pa.array(a[first], type=group["id_a"].type),
+            "id_b": pa.array(b[first], type=group["id_b"].type),
+        }
+        for c in extra_cols:
+            vals = np.asarray(group[c])[order][first]
+            cols[c] = pa.array(vals, type=group[c].type)
+        return pa.table(cols)
+
+    # string ids hash differently: fall back to a cheap python hash col
+    def add_pkey_any(batch: pa.Table) -> pa.Table:
+        if pa.types.is_integer(batch["id_a"].type):
+            return add_pkey(batch)
+        import zlib
+
+        pk = [
+            (zlib.crc32(sa.encode()) ^ zlib.crc32(sb.encode())) % num_partitions
+            for sa, sb in zip(batch["id_a"].to_pylist(), batch["id_b"].to_pylist())
+        ]
+        return batch.append_column("pair_pkey", pa.array(pk, type=pa.int32()))
+
+    return (
+        pairs.map_batches(add_pkey_any, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pair_pkey")
+        .map_groups(dedupe, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+def simhash_batch(texts: list[str]) -> np.ndarray:
+    """64-bit SimHash per text: token hashes vote per bit position.
+
+    All tokens of the batch are hashed in ONE mmh3 call; per-document
+    bit votes come from a segmented reduce (np.add.reduceat) — no
+    per-row hashing overhead.
+    """
+    n = len(texts)
+    out = np.zeros(n, dtype=np.uint64)
+    tok_lists = [(t or "").split() for t in texts]
+    counts = np.array([len(t) for t in tok_lists], dtype=np.int64)
+    total = int(counts.sum())
+    if total == 0:
+        return out
+    all_tokens = pa.array([tok for lst in tok_lists for tok in lst], type=pa.string())
+    h1, _ = mmh3_128_batch(all_tokens)
+    bitcols = np.uint64(1) << np.arange(64, dtype=np.uint64)
+    bits = ((h1[:, None] & bitcols[None, :]) != 0).astype(np.int64)  # (T, 64)
+    nonempty = counts > 0
+    starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
+    np.cumsum(counts[nonempty][:-1], out=starts[1:])
+    votes = np.add.reduceat(bits, starts, axis=0) * 2 - counts[nonempty][:, None]
+    fps = ((votes > 0) * bitcols[None, :]).sum(axis=1, dtype=np.uint64)
+    out[nonempty] = fps
+    return out
+
+
+def simhash_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Near-dup pairs by SimHash: block on each of the four 16-bit bands
+    (any pair within Hamming ≤ 3 of 64 bits must agree on ≥1 band by
+    pigeonhole when errors spread, the standard blocking), verify exact
+    Hamming distance inside buckets."""
+
+    def sim(batch: pa.Table) -> pa.Table:
+        h = simhash_batch(batch[text_col].to_pylist())
+        return pa.table({id_col: batch[id_col], "simhash": pa.array(h.astype(np.int64))})
+
+    hashed = ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["simhash"], dtype=np.int64).astype(np.uint64)
+        n = len(h)
+        bands = np.stack([(h >> np.uint64(s)) & np.uint64(0xFFFF) for s in (0, 16, 32, 48)], axis=1)
+        return pa.table(
+            {
+                "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
+                "band_val": pa.array(bands.ravel().astype(np.int64)),
+                id_col: pa.array(np.repeat(np.asarray(batch[id_col]), 4), type=batch[id_col].type),
+                "simhash": pa.array(np.repeat(h.astype(np.int64), 4)),
+            }
+        )
+
+    exploded = hashed.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    num_partitions = 32
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        bv = np.asarray(batch["band_val"], dtype=np.int64).astype(np.uint64)
+        bd = np.asarray(batch["band"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = ((bv * np.uint64(0x9E3779B97F4A7C15)) ^ bd) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "hamming": pa.array([], pa.int64()),
+            }
+        )
+        m = len(group)
+        if m < 2:
+            return empty
+        band = np.asarray(group["band"], dtype=np.int64)
+        bv = np.asarray(group["band_val"], dtype=np.int64)
+        ids = np.asarray(group[id_col])
+        if ids.dtype == object:
+            ids = ids.astype("U")
+        h = np.asarray(group["simhash"], dtype=np.int64).astype(np.uint64)
+        order = np.lexsort((ids, bv, band))
+        band, bv, ids, h = band[order], bv[order], ids[order], h[order]
+        boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bv) != 0)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [m]))
+        out_a, out_b, out_h = [], [], []
+        for s, e in zip(starts, ends):
+            sz = min(e - s, max_bucket)
+            if sz < 2:
+                continue
+            e = s + sz
+            ia, ib = np.triu_indices(sz, k=1)
+            x = h[s:e][ia] ^ h[s:e][ib]
+            ham = np.zeros(x.size, dtype=np.int64)
+            for _ in range(64):
+                ham += (x & np.uint64(1)).astype(np.int64)
+                x >>= np.uint64(1)
+            keep = (ham <= max_hamming) & (ids[s:e][ia] != ids[s:e][ib])
+            if keep.any():
+                out_a.append(ids[s:e][ia[keep]])
+                out_b.append(ids[s:e][ib[keep]])
+                out_h.append(ham[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=group[id_col].type),
+                "id_b": pa.array(np.concatenate(out_b), type=group[id_col].type),
+                "hamming": pa.array(np.concatenate(out_h)),
+            }
+        )
+
+    pairs = (
+        exploded.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs, id_col, extra_cols=["hamming"])
+
+
+# ---------------------------------------------------------------------------
+# embedding near-dup (cosine LSH)
+# ---------------------------------------------------------------------------
+
+def embedding_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    *,
+    threshold: float = 0.95,
+    n_planes: int = 16,
+    n_tables: int = 4,
+    dim: int | None = None,
+    seed: int = 42,
+    max_bucket: int = 500,
+) -> "ray.data.Dataset":
+    """Cosine near-duplicates via random-hyperplane LSH.
+
+    ``n_tables`` independent sign-sketch tables of ``n_planes`` bits;
+    bucket = (table, signbits); verify exact cosine inside buckets.
+    """
+    if dim is None:
+        first = ds.take(1)[0][vec_col]
+        dim = len(first)
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables, n_planes, dim))  # few KB: ships with the fn
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        m = np.asarray(batch[vec_col].combine_chunks().flatten(), dtype=np.float64).reshape(n, -1)
+        norms = np.linalg.norm(m, axis=1, keepdims=True)
+        mn = m / np.where(norms == 0, 1, norms)
+        out_tables, out_codes, out_ids, out_vecs = [], [], [], []
+        bitvals = (1 << np.arange(n_planes)).astype(np.int64)
+        for t in range(n_tables):
+            signs = (mn @ planes[t].T) > 0  # (n, planes)
+            codes = (signs * bitvals).sum(axis=1)
+            out_tables.append(np.full(n, t, dtype=np.int32))
+            out_codes.append(codes)
+            out_ids.append(np.asarray(batch[id_col]))
+            out_vecs.append(mn)
+        vecs = np.concatenate(out_vecs)
+        return pa.table(
+            {
+                "table": pa.array(np.concatenate(out_tables)),
+                "code": pa.array(np.concatenate(out_codes)),
+                id_col: pa.array(np.concatenate(out_ids), type=batch[id_col].type),
+                "vec": pa.FixedSizeListArray.from_arrays(
+                    pa.array(vecs.ravel(), type=pa.float32()), dim
+                ),
+            }
+        )
+
+    exploded = ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True)
+
+    num_partitions = 32
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        code = np.asarray(batch["code"], dtype=np.int64).astype(np.uint64)
+        tb = np.asarray(batch["table"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = ((code * np.uint64(0x9E3779B97F4A7C15)) ^ tb) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "id_a": pa.array([], group[id_col].type),
+                "id_b": pa.array([], group[id_col].type),
+                "cosine": pa.array([], pa.float64()),
+            }
+        )
+        m = len(group)
+        if m < 2:
+            return empty
+        tb = np.asarray(group["table"], dtype=np.int64)
+        code = np.asarray(group["code"], dtype=np.int64)
+        ids = np.asarray(group[id_col])
+        if ids.dtype == object:
+            ids = ids.astype("U")
+        v = np.asarray(group["vec"].combine_chunks().values, dtype=np.float64).reshape(m, dim)
+        order = np.lexsort((ids, code, tb))
+        tb, code, ids, v = tb[order], code[order], ids[order], v[order]
+        boundary = np.flatnonzero((np.diff(tb) != 0) | (np.diff(code) != 0)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [m]))
+        out_a, out_b, out_c = [], [], []
+        for s, e in zip(starts, ends):
+            sz = min(e - s, max_bucket)
+            if sz < 2:
+                continue
+            e = s + sz
+            sims = v[s:e] @ v[s:e].T
+            ia, ib = np.triu_indices(sz, k=1)
+            cs = sims[ia, ib]
+            keep = (cs >= threshold) & (ids[s:e][ia] != ids[s:e][ib])
+            if keep.any():
+                out_a.append(ids[s:e][ia[keep]])
+                out_b.append(ids[s:e][ib[keep]])
+                out_c.append(cs[keep])
+        if not out_a:
+            return empty
+        return pa.table(
+            {
+                "id_a": pa.array(np.concatenate(out_a), type=group[id_col].type),
+                "id_b": pa.array(np.concatenate(out_b), type=group[id_col].type),
+                "cosine": pa.array(np.concatenate(out_c), type=pa.float64()),
+            }
+        )
+
+    pairs = (
+        exploded.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs, id_col, extra_cols=["cosine"])

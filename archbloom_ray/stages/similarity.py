@@ -1,0 +1,216 @@
+"""Similarity search over embedding columns.
+
+* ``knn_brute``: exact cosine top-k — per-batch matmul against a
+  broadcast query matrix (``ray.put`` once), per-batch local top-k,
+  tiny global merge.  The baseline and the verifier.
+* ``knn_ivf``: IVF-style scale path — coarse centroids trained on a
+  sample (driver-side k-means, seeded), vectors assigned to their
+  nearest centroid per batch; queries probe only the closest
+  ``n_probe`` cells.  Same partitioning idea as a 256-node deployment:
+  the centroid id IS the shard key.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _as_matrix(col: pa.ChunkedArray | pa.Array) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    flat = np.asarray(arr.flatten() if hasattr(arr, "flatten") else arr.values, dtype=np.float64)
+    return flat.reshape(len(arr), -1)
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    return m / np.where(norms == 0, 1, norms)
+
+
+def knn_brute(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    concurrency: int = 4,
+    batch_size: int = 4096,
+) -> pa.Table:
+    """Exact cosine top-k for each query row.
+
+    Returns a table (query_idx, rank, id, cosine) — ranks are total
+    order (cosine desc, id asc) so results are deterministic.
+    """
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    nq = qn.shape[0]
+    qref = ray.put(qn)
+
+    class Score:
+        def __init__(self):
+            self.q = ray.get(qref)  # fetched once per actor
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch[vec_col]))
+            sims = m @ self.q.T  # (n, nq)
+            n = m.shape[0]
+            kk = min(k, n)
+            ids = np.asarray(batch[id_col])
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q.shape[0]):
+                part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[part])
+                out_sim.append(sims[part, qi])
+            return pa.table(
+                {
+                    "query_idx": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
+                    "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Score,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).take_all()  # ≤ nq·k rows per batch — tiny
+
+    # global merge on the driver
+    rows = {"query_idx": [], "rank": [], id_col: [], "cosine": []}
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_col]))
+    for qi in range(nq):
+        cand = sorted(by_q.get(qi, []), key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, vid) in enumerate(cand, 1):
+            rows["query_idx"].append(qi)
+            rows["rank"].append(rank)
+            rows[id_col].append(vid)
+            rows["cosine"].append(sim)
+    return pa.table(
+        {
+            "query_idx": pa.array(rows["query_idx"], type=pa.int64()),
+            "rank": pa.array(rows["rank"], type=pa.int64()),
+            id_col: pa.array(rows[id_col], type=pa.int64()),
+            "cosine": pa.array(rows["cosine"], type=pa.float64()),
+        }
+    )
+
+
+def train_centroids(sample: np.ndarray, n_centroids: int, *, iters: int = 10,
+                    seed: int = 42) -> np.ndarray:
+    """Seeded Lloyd k-means on (normalized) sample vectors — the IVF
+    coarse quantizer.  Driver-side: the sample is small by design."""
+    rng = np.random.default_rng(seed)
+    s = _normalize(np.asarray(sample, dtype=np.float64))
+    n_centroids = min(n_centroids, len(s))
+    cent = s[rng.choice(len(s), size=n_centroids, replace=False)]
+    for _ in range(iters):
+        assign = (s @ cent.T).argmax(axis=1)
+        for c in range(n_centroids):
+            members = s[assign == c]
+            if len(members):
+                v = members.mean(axis=0)
+                norm = np.linalg.norm(v)
+                if norm > 0:
+                    cent[c] = v / norm
+    return cent
+
+
+def knn_ivf(
+    ds: "ray.data.Dataset",
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_centroids: int = 64,
+    n_probe: int = 8,
+    sample_size: int = 10_000,
+    seed: int = 42,
+    concurrency: int = 4,
+) -> pa.Table:
+    """Approximate cosine top-k: probe only the ``n_probe`` IVF cells
+    nearest each query.  Returns the same schema as :func:`knn_brute`.
+
+    At cluster scale the assignment stage writes per-cell partitions
+    once and many query batches reuse them; here the cell filter runs
+    inline per batch (vectors whose cell is probed by ≥1 query are
+    scored, the rest are skipped — the matmul shrinks by ~n_probe/n_centroids).
+    """
+    sample = ds.limit(sample_size).take_all()
+    sample_m = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    centroids = train_centroids(sample_m, n_centroids, seed=seed)
+
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]  # (nq, n_probe)
+    probed_mask = np.zeros((qn.shape[0], len(centroids)), dtype=bool)
+    for qi in range(qn.shape[0]):
+        probed_mask[qi, probe_cells[qi]] = True
+    qref = ray.put((qn, centroids, probed_mask))
+
+    class Score:
+        def __init__(self):
+            self.q, self.cent, self.mask = ray.get(qref)
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            m = _normalize(_as_matrix(batch[vec_col]))
+            ids = np.asarray(batch[id_col])
+            cells = (m @ self.cent.T).argmax(axis=1)  # (n,)
+            out_q, out_id, out_sim = [], [], []
+            for qi in range(self.q.shape[0]):
+                sel = self.mask[qi, cells]
+                if not sel.any():
+                    continue
+                sub = m[sel]
+                sims = sub @ self.q[qi]
+                kk = min(k, sub.shape[0])
+                part = np.argpartition(-sims, kk - 1)[:kk]
+                out_q.append(np.full(kk, qi, dtype=np.int64))
+                out_id.append(ids[sel][part])
+                out_sim.append(sims[part])
+            if not out_q:
+                return pa.table(
+                    {
+                        "query_idx": pa.array([], pa.int64()),
+                        id_col: pa.array([], batch[id_col].type),
+                        "cosine": pa.array([], pa.float64()),
+                    }
+                )
+            return pa.table(
+                {
+                    "query_idx": pa.array(np.concatenate(out_q)),
+                    id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
+                    "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+                }
+            )
+
+    partials = ds.map_batches(
+        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+    ).take_all()
+
+    rows_q, rows_rank, rows_id, rows_sim = [], [], [], []
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_col]))
+    for qi in range(qn.shape[0]):
+        cand = sorted(by_q.get(qi, []), key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, vid) in enumerate(cand, 1):
+            rows_q.append(qi)
+            rows_rank.append(rank)
+            rows_id.append(vid)
+            rows_sim.append(sim)
+    return pa.table(
+        {
+            "query_idx": pa.array(rows_q, type=pa.int64()),
+            "rank": pa.array(rows_rank, type=pa.int64()),
+            id_col: pa.array(rows_id, type=pa.int64()),
+            "cosine": pa.array(rows_sim, type=pa.float64()),
+        }
+    )

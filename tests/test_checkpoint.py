@@ -1,0 +1,86 @@
+"""Checkpointed build: resume skips finished shards; corrupt state recomputes."""
+
+import json
+import os
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from archbloom_ray.sketches import BloomFilter, HyperLogLog
+from archbloom_ray.pipelines.checkpoint import (
+    checkpointed_build,
+    partition_metrics,
+    read_manifest,
+)
+
+
+@pytest.fixture()
+def shards(tmp_path):
+    paths = []
+    for i in range(4):
+        tbl = pa.table({"key": [f"shard{i}-key{j}" for j in range(500)]})
+        p = str(tmp_path / f"shard-{i}.parquet")
+        pq.write_table(tbl, p)
+        paths.append(p)
+    return paths
+
+
+# NB: a lambda (pickled by value) — a module-level def would be pickled
+# by reference and Ray workers can't import test modules
+_factory = lambda: BloomFilter(5000, 0.01)  # noqa: E731
+
+
+class TestCheckpointedBuild:
+    def test_build_and_resume(self, ray_session, shards, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        sk1, rep1 = checkpointed_build(shards, "key", _factory, ckpt)
+        assert rep1["built_shards"] == 4 and rep1["resumed_shards"] == 0
+        assert rep1["rows"] == 2000
+
+        # resume: nothing recomputed, identical result
+        sk2, rep2 = checkpointed_build(shards, "key", _factory, ckpt)
+        assert rep2["built_shards"] == 0 and rep2["resumed_shards"] == 4
+        assert np.array_equal(sk1.bitmap, sk2.bitmap)
+
+        # equals an uninterrupted single build
+        direct = BloomFilter(5000, 0.01)
+        for p in shards:
+            direct.update_arrow(pq.read_table(p)["key"])
+        assert np.array_equal(sk1.bitmap, direct.bitmap)
+
+    def test_partial_resume(self, ray_session, shards, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        # first run over half the shards
+        checkpointed_build(shards[:2], "key", _factory, ckpt)
+        # full run resumes the 2 finished, builds the 2 new
+        sk, rep = checkpointed_build(shards, "key", _factory, ckpt)
+        assert rep["resumed_shards"] == 2 and rep["built_shards"] == 2
+        direct = BloomFilter(5000, 0.01)
+        for p in shards:
+            direct.update_arrow(pq.read_table(p)["key"])
+        assert np.array_equal(sk.bitmap, direct.bitmap)
+
+    def test_corrupt_state_recomputed(self, ray_session, shards, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        checkpointed_build(shards, "key", _factory, ckpt)
+        manifest = read_manifest(ckpt)
+        victim = next(iter(manifest))
+        with open(os.path.join(ckpt, f"part-{victim}.state"), "wb") as f:
+            f.write(b"torn write garbage")
+        sk, rep = checkpointed_build(shards, "key", _factory, ckpt)
+        assert rep["built_shards"] == 1  # only the corrupt shard redone
+        direct = BloomFilter(5000, 0.01)
+        for p in shards:
+            direct.update_arrow(pq.read_table(p)["key"])
+        assert np.array_equal(sk.bitmap, direct.bitmap)
+
+    def test_metrics_table(self, ray_session, shards, tmp_path):
+        ckpt = str(tmp_path / "ckpt")
+        checkpointed_build(shards, "key", lambda: HyperLogLog(12), ckpt)
+        m = partition_metrics(ckpt)
+        assert m.num_rows == 4
+        assert set(m.column_names) >= {"shard_id", "input_path", "rows",
+                                       "state_sha256", "update_ms"}
+        assert sum(m["rows"].to_pylist()) == 2000

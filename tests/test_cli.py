@@ -1,0 +1,67 @@
+"""CLI parity tests (reference bin/bloomtool.c verbs) — run as real
+subprocesses, the way a user would."""
+
+import json
+import os
+import subprocess
+import sys
+
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def run_cli(*args, check=True):
+    env = dict(os.environ, PYTHONPATH=REPO, RAY_GRAFT_CPUS="2")
+    r = subprocess.run(
+        [sys.executable, "-m", "archbloom_ray.cli", *args],
+        capture_output=True, text=True, env=env, cwd=REPO,
+    )
+    if check and r.returncode not in (0, 1):
+        raise AssertionError(f"cli failed ({r.returncode}): {r.stderr[-2000:]}")
+    return r
+
+
+@pytest.fixture(scope="module")
+def keys_parquet(tmp_path_factory):
+    d = tmp_path_factory.mktemp("cli")
+    p = str(d / "keys.parquet")
+    pq.write_table(pa.table({"url": [f"https://k{i}.example/x" for i in range(500)]}), p)
+    return p
+
+
+@pytest.mark.slow
+def test_create_query_info_merge_flow(keys_parquet, tmp_path):
+    sk = str(tmp_path / "a.sk")
+    out = run_cli("create", keys_parquet, sk, "--column", "url",
+                  "--kind", "bloom", "--expected", "2000", "--name", "mine")
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["saved"] == sk and info["hashcount"] >= 1
+
+    # query present / absent — exit codes like bloomtool (0 present, 1 not)
+    r = run_cli("query", sk, "https://k1.example/x")
+    assert r.returncode == 0 and json.loads(r.stdout)["present"] is True
+    r = run_cli("query", sk, "https://nope.example/x")
+    assert r.returncode == 1 and json.loads(r.stdout)["present"] is False
+
+    # info / rename
+    info = json.loads(run_cli("info", sk).stdout.strip().splitlines()[-1])
+    assert info["type"] == "BloomFilter"
+    run_cli("rename", sk, "renamed")
+    info = json.loads(run_cli("info", sk).stdout.strip().splitlines()[-1])
+    assert info["name"] == "renamed"
+
+    # merge with a second filter
+    sk2 = str(tmp_path / "b.sk")
+    keys2 = str(tmp_path / "k2.parquet")
+    pq.write_table(pa.table({"url": ["https://other.example/1"]}), keys2)
+    run_cli("create", keys2, sk2, "--column", "url", "--kind", "bloom",
+            "--expected", "2000")
+    merged = str(tmp_path / "m.sk")
+    run_cli("merge", sk, sk2, merged)
+    r = run_cli("query", merged, "https://other.example/1")
+    assert r.returncode == 0
+    r = run_cli("query", merged, "https://k1.example/x")
+    assert r.returncode == 0
