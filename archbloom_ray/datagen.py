@@ -168,7 +168,7 @@ def generate_pages(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 def write_pages(path: str, n_rows: int, seed: int = 42,
-                row_group_size: int = 100_000, chunk_rows: int = 500_000) -> str:
+                row_group_size: int = 8_192, chunk_rows: int = 500_000) -> str:
     """Write the corpus as reproducible Parquet (fixed row groups, zstd).
 
     Generates in chunks (sub-seeded per chunk: seed*1000+chunk) so the
@@ -196,7 +196,9 @@ def write_pages(path: str, n_rows: int, seed: int = 42,
 def pages_fixture(n_rows: int, seed: int = 42,
                   cache_dir: str = "/tmp/archbloom_fixtures") -> str:
     """Cached corpus path for tests/bench (generate once per (n, seed))."""
-    path = os.path.join(cache_dir, f"pages_n{n_rows}_s{seed}.parquet")
+    # v2: 8k row groups so Ray Data reads split into enough blocks to
+    # keep a whole actor pool busy (one block == one map task)
+    path = os.path.join(cache_dir, f"pages_v2_n{n_rows}_s{seed}.parquet")
     if not os.path.exists(path):
         tmp = path + ".tmp"
         write_pages(tmp, n_rows, seed)

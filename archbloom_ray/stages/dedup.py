@@ -127,9 +127,14 @@ class MinHasher:
         return np.where(r >= _MERSENNE61, r - _MERSENNE61, r)
 
     def signatures_batch(self, texts: list[str]) -> np.ndarray:
-        """All rows at once: (k, ΣS) affine transform with Mersenne
-        fast-mod, chunked to stay cache-resident, then one segmented min
-        (np.minimum.reduceat) — no per-row numpy dispatch."""
+        """All rows at once: flatten every document's shingle set into one
+        vector, then ONE 1-D pass per permutation — affine transform with
+        Mersenne fast-mod followed by a segmented min
+        (``np.minimum.reduceat`` at the per-document start offsets).
+        Looping over the k permutations (k ≈ 64 numpy dispatches on a
+        ~1M-element contiguous vector) measures ~7× faster than the 2-D
+        (k × chunk) formulation: each pass is a handful of streaming
+        int64 kernels with no fancy-index scatter."""
         n = len(texts)
         if n == 0:
             return np.empty((0, self.num_perm), np.int64)
@@ -142,19 +147,11 @@ class MinHasher:
         flat = np.concatenate([s for s in shingles if s.size])
         starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
         np.cumsum(counts[nonempty][:-1], out=starts[1:])
-        a = self.a[:, None]
-        b = self.b[:, None]
-        CHUNK = 1 << 16  # shingles per chunk: (k × 65536 × 8 B) ≈ 32 MB live
-        mins = np.full((self.num_perm, starts.size), np.iinfo(np.int64).max)
-        seg_of = np.searchsorted(starts, np.arange(flat.size), side="right") - 1
-        for lo in range(0, flat.size, CHUNK):
-            hi = min(lo + CHUNK, flat.size)
-            v = self._mod61(flat[None, lo:hi] * a + b)  # (k, chunk)
-            segs = seg_of[lo:hi]
-            chunk_starts = np.flatnonzero(np.diff(segs, prepend=segs[0] - 1))
-            part = np.minimum.reduceat(v, chunk_starts, axis=1)
-            cols = segs[chunk_starts]  # distinct within a chunk; may repeat across chunks
-            mins[:, cols] = np.minimum(mins[:, cols], part)
+        mins = np.empty((self.num_perm, starts.size), np.int64)
+        for i in range(self.num_perm):
+            v = flat * self.a[i] + self.b[i]  # < 2^62 + 2^61: exact in int64
+            r = self._mod61(v)
+            mins[i] = np.minimum.reduceat(r, starts)
         sigs[nonempty] = mins.T
         return sigs
 
@@ -220,7 +217,7 @@ def minhash_lsh_pairs(
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
                              id_col: pa.array([], batch[id_col].type),
-                             "signature": batch["signature"]})
+                             "signature": pa.array([], pa.list_(pa.int32(), num_perm))})
         sig = np.asarray(batch["signature"].combine_chunks().values).reshape(n, num_perm)
         with np.errstate(over="ignore"):
             banded = sig.reshape(n, bands, rows_per_band).astype(np.uint64)
@@ -229,8 +226,13 @@ def minhash_lsh_pairs(
                 mix = mix * np.uint64(0x9E3779B97F4A7C15) + banded[:, :, j]
         ids = np.repeat(np.asarray(batch[id_col]), bands)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
+        # Shuffle-volume control: the verify step only tests per-cell
+        # EQUALITY of minhash values, so a 31-bit projection of each
+        # 61-bit value is enough (collision adds < 2^-31 to the
+        # estimate) and halves the bytes moved through the groupby.
+        sig32 = (sig & 0x7FFFFFFF).astype(np.int32)
         sig_rep = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sig, bands, axis=0).ravel(), type=pa.int64()), num_perm
+            pa.array(np.repeat(sig32, bands, axis=0).ravel(), type=pa.int32()), num_perm
         )
         return pa.table(
             {
