@@ -78,16 +78,18 @@ def q_median_chars_by_lang(sf_dir: str):
 
 
 def q_token_totals(sf_dir: str):
-    """Whitespace token counts per lang (vectorized regex per batch)."""
-    import re
-
-    pattern = re.compile(r"\s+")
+    """Whitespace token counts per lang (Arrow re2 kernels; matches
+    DuckDB ``len(string_split_regex(trim(text), '\\s+'))`` exactly —
+    note a non-empty all-whitespace text counts 1 token)."""
+    from archbloom_ray.stages.text import _RE2_WS, _WS_CHARS, _np
 
     def tokens(batch: pa.Table) -> pa.Table:
-        n = pa.array(
-            [len(pattern.split(t.strip())) if t else 0 for t in batch["text"].to_pylist()],
-            type=pa.int64(),
-        )
+        col = batch["text"].combine_chunks()
+        filled = pc.fill_null(col, "")
+        trimmed = pc.utf8_trim(filled, _WS_CHARS)
+        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
         return pa.table({"lang": batch["lang"], "n_tokens": n})
 
     ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
@@ -414,8 +416,8 @@ def q_pages_heavy_domains(sf_dir: str):
     path = _pages_for(sf_dir)
 
     def add_domain(batch: pa.Table) -> pa.Table:
-        doms = [u.split("/")[2] for u in batch["url"].to_pylist()]
-        return pa.table({"lang": batch["lang"], "domain": pa.array(doms, type=pa.string())})
+        doms = pc.list_element(pc.split_pattern(batch["url"], "/"), 2)
+        return pa.table({"lang": batch["lang"], "domain": doms})
 
     ds = rd.read_parquet(path, columns=["url", "lang"]).map_batches(
         add_domain, batch_format="pyarrow", zero_copy_batch=True

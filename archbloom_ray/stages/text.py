@@ -12,6 +12,7 @@ import re
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 
 import ray.data
 
@@ -21,6 +22,23 @@ _BPE_ISH = re.compile(r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0
 _WS = re.compile(r"\s+")
 _PUNCT = re.compile(r"[^\w\s]")
 _DIGIT = re.compile(r"\d")
+
+# RE2 (pyarrow.compute) equivalents of the Python regex classes above.
+# re2's \s is ASCII-only; Python's \s additionally matches \v, \x1c-\x1f,
+# \x85 and the Unicode space separators — spell them out so the Arrow
+# kernels count exactly what the scalar reference implementations count.
+_WS_CHARS = (" \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0 "
+             "           "
+             "    　")
+_RE2_WS_CLASS = r"[\s\x0b\x1c-\x1f\x85\p{Zs}  ]"
+_RE2_WS = _RE2_WS_CLASS + "+"
+# Python \w ≈ letters + numbers + marks + connector punctuation
+_RE2_PUNCT = r"[^\p{L}\p{N}_" + _RE2_WS_CLASS[1:-1] + "]"
+_RE2_DIGIT = r"\p{Nd}"
+# _BPE_ISH minus the pure-whitespace branch: dropping it does not change
+# which non-space tokens match (the other branches cannot start mid-run
+# of whitespace), so counting matches counts non-space BPE-ish tokens
+_RE2_BPE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9\x0b\x1c-\x1f\x85\p{Zs}  ]+"
 
 # Small function-word sets per language (public common stopwords) for
 # the n-gram/stopword language-ID heuristic.
@@ -41,7 +59,8 @@ def tokenize_ws(text: str) -> list[str]:
 
 
 def count_tokens_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
-    """(whitespace tokens, BPE-ish tokens) per text."""
+    """Scalar reference implementation of (whitespace tokens, BPE-ish
+    tokens) per text — the parity oracle for ``count_tokens_arrow``."""
     ws = np.fromiter((len(tokenize_ws(t or "")) for t in texts), dtype=np.int64, count=len(texts))
     bpe = np.fromiter(
         (sum(1 for m in _BPE_ISH.finditer(t or "") if not m.group().isspace()) for t in texts),
@@ -51,12 +70,42 @@ def count_tokens_batch(texts: list[str]) -> tuple[np.ndarray, np.ndarray]:
     return ws, bpe
 
 
+def _np(arr) -> np.ndarray:
+    return arr.to_numpy(zero_copy_only=False)
+
+
+def _tokens_of(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
+    """(trimmed, list<token> array) for a string column (nulls → "").
+    Blank rows tokenize to a single empty-string token — callers mask
+    them via ``trimmed == ""``."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim(filled, _WS_CHARS)
+    return trimmed, pc.split_pattern_regex(trimmed, _RE2_WS)
+
+
+def count_tokens_arrow(col) -> tuple[np.ndarray, np.ndarray]:
+    """Vectorized (Arrow re2 kernels) version of ``count_tokens_batch``:
+    ws tokens = inner whitespace runs + 1 on the trimmed text, BPE-ish
+    tokens = non-overlapping matches of the no-whitespace-branch
+    pattern.  Verified equal to the scalar reference in tests."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim(filled, _WS_CHARS)
+    runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+    nonblank = _np(pc.not_equal(trimmed, "")).astype(bool)
+    ws = np.where(nonblank, runs + 1, 0)
+    bpe = _np(pc.count_substring_regex(filled, _RE2_BPE)).astype(np.int64)
+    return ws, bpe
+
+
 def add_token_counts(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
     """Append ``n_tokens_ws`` and ``n_tokens_bpe`` columns."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        texts = batch[text_col].to_pylist()
-        ws, bpe = count_tokens_batch(texts)
+        ws, bpe = count_tokens_arrow(batch[text_col])
         return batch.append_column("n_tokens_ws", pa.array(ws)).append_column(
             "n_tokens_bpe", pa.array(bpe)
         )
@@ -102,8 +151,50 @@ class LanguageId:
                 best, best_hits = lang, hits
         return best if best_hits >= 2 else "und"
 
+    def classify_arrow(self, col) -> np.ndarray:
+        """Vectorized ``_classify`` over a string column (parity-tested
+        against the scalar path): re2 script-range counts on the first
+        200 chars, then stopword-hit argmax via one is_in per language
+        over the flattened first-300 tokens."""
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        filled = pc.fill_null(col, "")
+        n = len(filled)
+        if n == 0:
+            return np.empty(0, dtype=object)
+        head = pc.utf8_slice_codeunits(filled, 0, 200)
+        n_chars = _np(pc.utf8_length(filled)).astype(np.int64)
+        cjk = _np(pc.count_substring_regex(head, "[一-鿿]")).astype(np.float64)
+        kana = _np(pc.count_substring_regex(head, "[぀-ヿ]")).astype(np.float64)
+        cyr = _np(pc.count_substring_regex(head, "[Ѐ-ӿ]")).astype(np.float64)
+        probe = np.maximum(1, np.minimum(n_chars, 200)).astype(np.float64)
+        trimmed, toks = _tokens_of(filled)
+        toks300 = pc.list_slice(toks, 0, 300)
+        counts = _np(pc.list_value_length(toks300)).astype(np.int64)
+        flat_lower = pc.utf8_lower(toks300.flatten())
+        starts = np.zeros(n, np.int64)
+        np.cumsum(counts[:-1], out=starts[1:])
+        langs = list(self.stops)
+        hits = np.empty((len(langs), n), np.int64)
+        for i, lang in enumerate(langs):
+            member = _np(pc.is_in(
+                flat_lower,
+                value_set=pa.array(sorted(self.stops[lang]), type=pa.string()),
+            )).astype(np.int64)
+            hits[i] = np.add.reduceat(member, starts)
+        best_idx = np.argmax(hits, axis=0)  # first max — matches dict order scan
+        best_hits = hits[best_idx, np.arange(n)]
+        lang_names = np.array(langs, dtype=object)
+        stop_pred = np.where(best_hits >= 2, lang_names[best_idx], "und")
+        empty = n_chars == 0
+        return np.select(
+            [empty, kana / probe > 0.05, cjk / probe > 0.2, cyr / probe > 0.2],
+            ["und", "ja", "zh", "ru"],
+            default=stop_pred,
+        )
+
     def __call__(self, batch: pa.Table) -> pa.Table:
-        preds = [self._classify(t) for t in batch[self.text_col].to_pylist()]
+        preds = self.classify_arrow(batch[self.text_col])
         return batch.append_column(self.out_col, pa.array(preds, type=pa.string()))
 
 
@@ -118,10 +209,68 @@ def add_language_id(ds: "ray.data.Dataset", text_col: str = "text",
     )
 
 
+def quality_features_arrow(col) -> dict[str, np.ndarray]:
+    """Vectorized quality signals straight off the Arrow column: re2
+    char-class counts for punctuation/digits, one regex split for
+    tokens, then segmented numpy (reduceat / lexsort boundaries) for the
+    per-document word statistics.  Semantics identical to
+    ``quality_features_batch`` (the scalar reference; parity-tested)."""
+    trimmed, toks = _tokens_of(col)
+    n = len(trimmed)
+    zeros_f = lambda: np.zeros(n, np.float64)  # noqa: E731
+    out = {
+        "n_chars": np.zeros(n, np.int64), "n_words": np.zeros(n, np.int64),
+        "mean_word_len": zeros_f(), "punct_ratio": zeros_f(),
+        "digit_ratio": zeros_f(), "stop_ratio": zeros_f(),
+        "dup_word_ratio": zeros_f(),
+    }
+    if n == 0:
+        return out
+    filled = pc.fill_null(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col, "")
+    n_chars = _np(pc.utf8_length(filled)).astype(np.int64)
+    out["n_chars"] = n_chars
+    nonempty = n_chars > 0
+    if nonempty.any():
+        punct = _np(pc.count_substring_regex(filled, _RE2_PUNCT)).astype(np.float64)
+        digit = _np(pc.count_substring_regex(filled, _RE2_DIGIT)).astype(np.float64)
+        denom = np.where(nonempty, n_chars, 1)
+        out["punct_ratio"] = np.where(nonempty, punct / denom, 0.0)
+        out["digit_ratio"] = np.where(nonempty, digit / denom, 0.0)
+    nonblank = _np(pc.not_equal(trimmed, "")).astype(bool)
+    if not nonblank.any():
+        return out
+    counts = _np(pc.list_value_length(toks)).astype(np.int64)  # ≥1 everywhere
+    flat_lower = pc.utf8_lower(toks.flatten())
+    tok_len = _np(pc.utf8_length(flat_lower)).astype(np.int64)
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    sum_len = np.add.reduceat(tok_len, starts)
+    stops = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
+    hits = np.add.reduceat(
+        _np(pc.is_in(flat_lower, value_set=stops)).astype(np.int64), starts)
+    # distinct lower-cased tokens per document: dictionary-encode the
+    # flat tokens, then count (doc, code) boundary transitions
+    codes = _np(pc.dictionary_encode(flat_lower).indices).astype(np.int64)
+    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+    order = np.lexsort((codes, seg))
+    s_seg, s_code = seg[order], codes[order]
+    new = np.ones(s_seg.size, dtype=bool)
+    np.not_equal(s_seg[1:], s_seg[:-1], out=new[1:])
+    new[1:] |= s_code[1:] != s_code[:-1]
+    distinct = np.bincount(s_seg[new], minlength=n)
+    safe = np.where(nonblank, counts, 1)
+    out["n_words"] = np.where(nonblank, counts, 0)
+    out["mean_word_len"] = np.where(nonblank, sum_len / safe, 0.0)
+    out["stop_ratio"] = np.where(nonblank, hits / safe, 0.0)
+    out["dup_word_ratio"] = np.where(nonblank, 1.0 - distinct / safe, 0.0)
+    return out
+
+
 def quality_features_batch(texts: list[str]) -> dict[str, np.ndarray]:
-    """Deterministic quality signals per text (C4/Gopher-style cheap
-    heuristics: length, word stats, punctuation/digit ratios,
-    repetition)."""
+    """Scalar reference implementation (parity oracle for
+    ``quality_features_arrow``): deterministic quality signals per text
+    (C4/Gopher-style cheap heuristics: length, word stats,
+    punctuation/digit ratios, repetition)."""
     n = len(texts)
     n_chars = np.zeros(n, np.int64)
     n_words = np.zeros(n, np.int64)
@@ -170,7 +319,7 @@ def add_quality(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
     """Append the quality feature columns + ``quality_score``."""
 
     def fn(batch: pa.Table) -> pa.Table:
-        feat = quality_features_batch(batch[text_col].to_pylist())
+        feat = quality_features_arrow(batch[text_col])
         out = batch
         for name, arr in feat.items():
             if name in out.column_names:
@@ -186,31 +335,70 @@ def add_quality(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
 _FP_BASE = np.uint64(1099511628211)  # FNV prime as the polynomial base
 
 
-def fingerprint_batch(texts: list[str]) -> np.ndarray:
-    """Vectorized per-row polynomial hash: one numpy dot per row over
-    precomputable powers (no Python inner loop over bytes)."""
-    if not texts:
-        return np.empty(0, dtype=np.uint64)
-    enc = [(t or "").encode("utf-8") for t in texts]
-    max_len = max((len(e) for e in enc), default=0)
+def fingerprint_batch(texts) -> np.ndarray:
+    """Fully vectorized polynomial rolling hash over the whole batch:
+    ONE pass over the concatenated utf-8 bytes — per-byte exponent =
+    distance from its document's end, power lookup by fancy index, then
+    a segmented uint64 sum (``np.add.reduceat``; wraparound = the mod
+    2^64 semantics).  Accepts a list[str] or an Arrow string column."""
+    if isinstance(texts, (pa.Array, pa.ChunkedArray)):
+        col = texts.combine_chunks() if isinstance(texts, pa.ChunkedArray) else texts
+        col = pc.fill_null(col, "")
+    else:
+        if not texts:
+            return np.empty(0, dtype=np.uint64)
+        col = pa.array([t or "" for t in texts], type=pa.string())
+    b = col.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset : b.offset + len(b) + 1]
+    n = len(b)
+    out = np.zeros(n, dtype=np.uint64)
+    if offs[-1] == offs[0]:
+        return out
+    data = np.frombuffer(b.buffers()[2], dtype=np.uint8)
+    lens = np.diff(offs)
+    # Horner across rows, byte-position by byte-position, rows sorted by
+    # length descending so the active set is always a prefix (no boolean
+    # masks, no per-byte temporaries — working set stays cache-resident;
+    # ~60x faster than a flat per-byte formulation).
+    order = np.argsort(-lens, kind="stable")
+    s_offs = offs[:-1][order]
+    s_lens = lens[order]
+    max_len = int(s_lens[0])
+    k_per_pos = np.searchsorted(-s_lens, -np.arange(1, max_len + 1), side="right")
+    acc = np.zeros(n, dtype=np.uint64)
+    TAIL_K = 32  # few remaining long rows → finish them row-at-a-time
     with np.errstate(over="ignore"):
-        powers = np.empty(max(max_len, 1), dtype=np.uint64)
-        powers[0] = 1
-        for i in range(1, max_len):
-            powers[i] = powers[i - 1] * _FP_BASE
-        out = np.zeros(len(enc), dtype=np.uint64)
-        for i, e in enumerate(enc):
-            if not e:
-                continue
-            b = np.frombuffer(e, dtype=np.uint8).astype(np.uint64)
-            out[i] = np.sum(b * powers[: len(b)][::-1], dtype=np.uint64)
+        p = 0
+        while p < max_len and k_per_pos[p] > TAIL_K:
+            k = k_per_pos[p]
+            vals = data[s_offs[:k] + p]
+            a = acc[:k]
+            a *= _FP_BASE
+            a += vals
+            p += 1
+        if p < max_len and k_per_pos[p] > 0:
+            k = k_per_pos[p]
+            rem_max = max_len - p
+            powers = np.empty(rem_max + 1, dtype=np.uint64)  # powers[i] = B^i
+            powers[0] = 1
+            np.cumprod(np.full(rem_max, _FP_BASE, dtype=np.uint64), out=powers[1:])
+            for i in range(k):
+                rem = int(s_lens[i]) - p
+                if rem <= 0:
+                    continue
+                suffix = data[s_offs[i] + p : s_offs[i] + p + rem].astype(np.uint64)
+                # full = prefix·B^rem + Σ suffix[j]·B^(rem-1-j)
+                acc[i] = acc[i] * powers[rem] + np.sum(
+                    suffix * powers[rem - 1 :: -1], dtype=np.uint64
+                )
+    out[order] = acc
     return out
 
 
 def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text",
                     out_col: str = "fingerprint") -> "ray.data.Dataset":
     def fn(batch: pa.Table) -> pa.Table:
-        fps = fingerprint_batch(batch[text_col].to_pylist())
+        fps = fingerprint_batch(batch[text_col])
         return batch.append_column(out_col, pa.array(fps.astype(np.int64)))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

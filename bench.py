@@ -87,8 +87,8 @@ def run_bench() -> dict:
 
     def grouped_build():
         def dom(batch: pa.Table) -> pa.Table:
-            doms = [u.split("/")[2] for u in batch["url"].to_pylist()]
-            return pa.table({"lang": batch["lang"], "domain": pa.array(doms, type=pa.string())})
+            doms = pc.list_element(pc.split_pattern(batch["url"], "/"), 2)
+            return pa.table({"lang": batch["lang"], "domain": doms})
 
         ds = rd.read_parquet(pages_path, columns=["url", "lang"]).map_batches(
             dom, batch_format="pyarrow", zero_copy_batch=True
