@@ -168,38 +168,37 @@ def generate_pages(n_rows: int, seed: int = 42) -> pa.Table:
 
 
 def write_pages(path: str, n_rows: int, seed: int = 42,
-                row_group_size: int = 8_192, chunk_rows: int = 500_000) -> str:
-    """Write the corpus as reproducible Parquet (fixed row groups, zstd).
+                row_group_size: int = 8_192, chunk_rows: int = 250_000) -> str:
+    """Write the corpus as a reproducible Parquet DIRECTORY (one file per
+    generation chunk, fixed row groups, zstd).
 
-    Generates in chunks (sub-seeded per chunk: seed*1000+chunk) so the
-    bench tier doesn't hold the whole corpus in memory.
+    Sharding into multiple files mirrors real many-file corpora: Ray
+    Data assigns one read task per file, so the scan parallelizes from
+    the very first operator instead of serializing on a single-file
+    read.  Chunks are sub-seeded (seed*1000+chunk) so the bench tier
+    never holds the whole corpus in memory.
     """
-    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    writer = None
+    os.makedirs(path, exist_ok=True)
     written = 0
     chunk_id = 0
-    try:
-        while written < n_rows:
-            take = min(chunk_rows, n_rows - written)
-            tbl = generate_pages(take, seed * 1000 + chunk_id)
-            if writer is None:
-                writer = pq.ParquetWriter(path, tbl.schema, compression="zstd")
-            writer.write_table(tbl, row_group_size=row_group_size)
-            written += take
-            chunk_id += 1
-    finally:
-        if writer is not None:
-            writer.close()
+    while written < n_rows:
+        take = min(chunk_rows, n_rows - written)
+        tbl = generate_pages(take, seed * 1000 + chunk_id)
+        pq.write_table(tbl, os.path.join(path, f"part-{chunk_id:05d}.parquet"),
+                       compression="zstd", row_group_size=row_group_size)
+        written += take
+        chunk_id += 1
     return path
 
 
 def pages_fixture(n_rows: int, seed: int = 42,
                   cache_dir: str = "/tmp/archbloom_fixtures") -> str:
-    """Cached corpus path for tests/bench (generate once per (n, seed))."""
-    # v2: 8k row groups so Ray Data reads split into enough blocks to
-    # keep a whole actor pool busy (one block == one map task)
-    path = os.path.join(cache_dir, f"pages_v2_n{n_rows}_s{seed}.parquet")
-    if not os.path.exists(path):
+    """Cached corpus path (a Parquet directory) for tests/bench —
+    generated once per (n, seed)."""
+    # v3: multi-file directory + 8k row groups so Ray Data reads split
+    # into enough read tasks AND blocks to keep a whole pool busy
+    path = os.path.join(cache_dir, f"pages_v3_n{n_rows}_s{seed}")
+    if not os.path.isdir(path):
         tmp = path + ".tmp"
         write_pages(tmp, n_rows, seed)
         os.replace(tmp, path)  # atomic: concurrent bench runs see all-or-nothing

@@ -15,6 +15,12 @@ def ray_session():
             include_dashboard=False,
             ignore_reinit_error=True,
             logging_level="ERROR",
+            # reuse-friendly glibc arenas: this sandbox faults fresh
+            # mmap pages at ~30 MB/s, so keep big numpy buffers on the heap
+            runtime_env={"env_vars": {
+                "MALLOC_MMAP_THRESHOLD_": "268435456",
+                "MALLOC_TRIM_THRESHOLD_": "268435456",
+            }},
         )
     from ray.data import DataContext
 
