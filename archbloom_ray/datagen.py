@@ -179,16 +179,32 @@ def write_pages(path: str, n_rows: int, seed: int = 42,
     never holds the whole corpus in memory.
     """
     os.makedirs(path, exist_ok=True)
+    chunks = []
     written = 0
     chunk_id = 0
     while written < n_rows:
         take = min(chunk_rows, n_rows - written)
-        tbl = generate_pages(take, seed * 1000 + chunk_id)
-        pq.write_table(tbl, os.path.join(path, f"part-{chunk_id:05d}.parquet"),
-                       compression="zstd", row_group_size=row_group_size)
+        chunks.append((chunk_id, take))
         written += take
         chunk_id += 1
+    if len(chunks) > 1:
+        # chunks are independently sub-seeded → generate in parallel
+        import concurrent.futures as cf
+
+        with cf.ProcessPoolExecutor(max_workers=min(8, len(chunks))) as ex:
+            list(ex.map(_write_pages_chunk,
+                        [(path, cid, take, seed, row_group_size) for cid, take in chunks]))
+    else:
+        for cid, take in chunks:
+            _write_pages_chunk((path, cid, take, seed, row_group_size))
     return path
+
+
+def _write_pages_chunk(args: tuple) -> None:
+    path, chunk_id, take, seed, row_group_size = args
+    tbl = generate_pages(take, seed * 1000 + chunk_id)
+    pq.write_table(tbl, os.path.join(path, f"part-{chunk_id:05d}.parquet"),
+                   compression="zstd", row_group_size=row_group_size)
 
 
 def pages_fixture(n_rows: int, seed: int = 42,

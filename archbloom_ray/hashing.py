@@ -198,76 +198,90 @@ def _u64(x: int) -> np.uint64:
     return np.uint64(x)
 
 
-def mmh3_128_batch(arr, seed: int = 0) -> tuple[np.ndarray, np.ndarray]:
+def mmh3_128_batch(arr, seed: int = 0, chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized MurmurHash3 x64_128 over a string/binary column.
 
     Returns ``(h1, h2)`` uint64 arrays; bit-identical per element to
     :func:`mmh3_128` (and hence to reference mmh3.c:214-285).
+
+    Rows are processed in ``chunk``-sized slices so every temporary of
+    the ~30-pass mixing pipeline stays cache-resident (≈64 KB each at
+    8192 rows): the full-width formulation streams hundreds of MB of
+    temporaries through DRAM per batch and collapses under many
+    concurrent workers on bandwidth-limited hosts.  Chunking also skips
+    block iterations beyond each slice's local max length.
     """
     padded, lengths = _as_padded_bytes(arr)
     n, W = padded.shape
     if n == 0:
         return np.empty(0, np.uint64), np.empty(0, np.uint64)
 
+    H1 = np.empty(n, np.uint64)
+    H2 = np.empty(n, np.uint64)
+    blocks_all = np.ascontiguousarray(padded).view("<u8")  # (n, W//8)
+    nblocks_all = (lengths // 16).astype(np.int64)
     c1, c2 = _u64(_C1), _u64(_C2)
     five, m1, m2 = _u64(5), _u64(0x52DCE729), _u64(0x38495AB5)
-    h1 = np.full(n, np.uint64(seed & _MASK64))
-    h2 = np.full(n, np.uint64(seed & _MASK64))
-
-    blocks = np.ascontiguousarray(padded).view("<u8")  # (n, W//8)
-    nblocks = (lengths // 16).astype(np.int64)
-    max_blocks = int(nblocks.max())
 
     with np.errstate(over="ignore"):
-        for b in range(max_blocks):
-            mask = nblocks > b
-            k1 = blocks[:, 2 * b].copy()
-            k2 = blocks[:, 2 * b + 1].copy()
-            k1 *= c1
-            k1 = (k1 << _u64(31)) | (k1 >> _u64(33))
-            k1 *= c2
-            nh1 = h1 ^ k1
-            nh1 = (nh1 << _u64(27)) | (nh1 >> _u64(37))
-            nh1 += h2
-            nh1 = nh1 * five + m1
-            k2 *= c2
-            k2 = (k2 << _u64(33)) | (k2 >> _u64(31))
-            k2 *= c1
-            nh2 = h2 ^ k2
-            nh2 = (nh2 << _u64(31)) | (nh2 >> _u64(33))
-            nh2 += nh1
-            nh2 = nh2 * five + m2
-            h1 = np.where(mask, nh1, h1)
-            h2 = np.where(mask, nh2, h2)
+        for lo in range(0, n, chunk):
+            hi = min(lo + chunk, n)
+            blocks = blocks_all[lo:hi]
+            nblocks = nblocks_all[lo:hi]
+            m = hi - lo
+            h1 = np.full(m, np.uint64(seed & _MASK64))
+            h2 = np.full(m, np.uint64(seed & _MASK64))
+            for b in range(int(nblocks.max())):
+                mask = nblocks > b
+                k1 = blocks[:, 2 * b].copy()
+                k2 = blocks[:, 2 * b + 1].copy()
+                k1 *= c1
+                k1 = (k1 << _u64(31)) | (k1 >> _u64(33))
+                k1 *= c2
+                nh1 = h1 ^ k1
+                nh1 = (nh1 << _u64(27)) | (nh1 >> _u64(37))
+                nh1 += h2
+                nh1 = nh1 * five + m1
+                k2 *= c2
+                k2 = (k2 << _u64(33)) | (k2 >> _u64(31))
+                k2 *= c1
+                nh2 = h2 ^ k2
+                nh2 = (nh2 << _u64(31)) | (nh2 >> _u64(33))
+                nh2 += nh1
+                nh2 = nh2 * five + m2
+                h1 = np.where(mask, nh1, h1)
+                h2 = np.where(mask, nh2, h2)
 
-        # tail: zero-padded 16-byte read at nblocks*16 — equivalent to the
-        # C switch fallthrough (zero bytes contribute nothing)
-        rows = np.arange(n)
-        t1 = blocks[rows, 2 * nblocks].copy()
-        t2 = blocks[rows, 2 * nblocks + 1].copy()
-        t2 *= c2
-        t2 = (t2 << _u64(33)) | (t2 >> _u64(31))
-        t2 *= c1
-        h2 ^= t2
-        t1 *= c1
-        t1 = (t1 << _u64(31)) | (t1 >> _u64(33))
-        t1 *= c2
-        h1 ^= t1
+            # tail: zero-padded 16-byte read at nblocks*16 — equivalent
+            # to the C switch fallthrough (zero bytes contribute nothing)
+            rows = np.arange(m)
+            t1 = blocks[rows, 2 * nblocks].copy()
+            t2 = blocks[rows, 2 * nblocks + 1].copy()
+            t2 *= c2
+            t2 = (t2 << _u64(33)) | (t2 >> _u64(31))
+            t2 *= c1
+            h2 ^= t2
+            t1 *= c1
+            t1 = (t1 << _u64(31)) | (t1 >> _u64(33))
+            t1 *= c2
+            h1 ^= t1
 
-        ulen = lengths.astype(np.uint64)
-        h1 ^= ulen
-        h2 ^= ulen
-        h1 += h2
-        h2 += h1
-        for h in (h1, h2):
-            h ^= h >> _u64(33)
-            h *= _u64(0xFF51AFD7ED558CCD)
-            h ^= h >> _u64(33)
-            h *= _u64(0xC4CEB9FE1A85EC53)
-            h ^= h >> _u64(33)
-        h1 += h2
-        h2 += h1
-    return h1, h2
+            ulen = lengths[lo:hi].astype(np.uint64)
+            h1 ^= ulen
+            h2 ^= ulen
+            h1 += h2
+            h2 += h1
+            for h in (h1, h2):
+                h ^= h >> _u64(33)
+                h *= _u64(0xFF51AFD7ED558CCD)
+                h ^= h >> _u64(33)
+                h *= _u64(0xC4CEB9FE1A85EC53)
+                h ^= h >> _u64(33)
+            h1 += h2
+            h2 += h1
+            H1[lo:hi] = h1
+            H2[lo:hi] = h2
+    return H1, H2
 
 
 def mmh3_64_batch(arr, seed: int = 0) -> np.ndarray:
@@ -275,16 +289,27 @@ def mmh3_64_batch(arr, seed: int = 0) -> np.ndarray:
     return h1 ^ h2
 
 
-def mmh3_32_batch(arr, seed: int = 0) -> np.ndarray:
-    """Vectorized MurmurHash3 x86_32 over a string/binary column."""
+def mmh3_32_batch(arr, seed: int = 0, chunk: int = 16384) -> np.ndarray:
+    """Vectorized MurmurHash3 x86_32 over a string/binary column
+    (cache-resident row chunks — see :func:`mmh3_128_batch`)."""
     padded, lengths = _as_padded_bytes(arr)
     n = padded.shape[0]
     if n == 0:
         return np.empty(0, np.uint32)
+    out = np.empty(n, np.uint32)
+    blocks_all = np.ascontiguousarray(padded).view("<u4")  # (n, W//4)
+    nblocks_all = (lengths // 4).astype(np.int64)
+    for lo in range(0, n, chunk):
+        hi = min(lo + chunk, n)
+        out[lo:hi] = _mmh3_32_chunk(
+            blocks_all[lo:hi], nblocks_all[lo:hi], lengths[lo:hi], seed)
+    return out
+
+
+def _mmh3_32_chunk(blocks, nblocks, lengths, seed: int) -> np.ndarray:
+    n = blocks.shape[0]
     c1, c2 = np.uint32(0xCC9E2D51), np.uint32(0x1B873593)
     h = np.full(n, np.uint32(seed & _MASK32))
-    blocks = np.ascontiguousarray(padded).view("<u4")  # (n, W//4)
-    nblocks = (lengths // 4).astype(np.int64)
     max_blocks = int(nblocks.max())
     with np.errstate(over="ignore"):
         for b in range(max_blocks):

@@ -147,11 +147,19 @@ def build_sketches(
     ids = list(specs)
 
     def update(batch: pa.Table) -> pa.Table:
+        from ..hashing import mmh3_128_batch
+
+        hash_cache: dict[str, tuple] = {}  # column → (h1, h2): hash ONCE per batch
         rows_id, rows_state = [], []
         for sid in ids:
             col, factory = specs[sid]
             sk = factory()
-            sk.update_arrow(batch[col])
+            if hasattr(sk, "update_hashes"):
+                if col not in hash_cache:
+                    hash_cache[col] = mmh3_128_batch(batch[col])
+                sk.update_hashes(*hash_cache[col])
+            else:
+                sk.update_arrow(batch[col])
             rows_id.append(sid)
             rows_state.append(sk.to_bytes())
         return pa.table(
@@ -165,20 +173,67 @@ def build_sketches(
         update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
 
-    def merge_group(group: pa.Table) -> pa.Table:
+    def merge_group(group: pa.Table, keep_salt: bool = False) -> pa.Table:
         states = group["state"].to_pylist()
         acc = sketch_from_bytes(states[0])
         for s in states[1:]:
             acc.merge(sketch_from_bytes(s))
-        return pa.table(
-            {
-                "sketch_id": pa.array([group["sketch_id"][0].as_py()]),
-                "state": pa.array([acc.to_bytes()], type=pa.large_binary()),
-            }
-        )
+        cols = {"sketch_id": pa.array([group["sketch_id"][0].as_py()])}
+        if keep_salt:
+            cols["salt"] = pa.array([group["salt"][0].as_py()], type=pa.int32())
+        cols["state"] = pa.array([acc.to_bytes()], type=pa.large_binary())
+        return pa.table(cols)
 
-    merged = partials.groupby("sketch_id").map_groups(merge_group, batch_format="pyarrow")
+    # two-level merge: big partial states (a Bloom partial is O(m) bytes)
+    # must not funnel through ONE reducer task per sketch_id — pre-merge
+    # in S salted groups in parallel, then merge the S results
+    import zlib
+
+    def add_salt(batch: pa.Table) -> pa.Table:
+        s = [zlib.crc32(st) % 8 for st in batch["state"].to_pylist()]
+        return batch.append_column("salt", pa.array(s, type=pa.int32()))
+
+    level1 = (
+        partials.map_batches(add_salt, batch_format="pyarrow")
+        .groupby(["sketch_id", "salt"])
+        .map_groups(lambda g: merge_group(g, keep_salt=True), batch_format="pyarrow")
+        .drop_columns(["salt"])
+    )
+    merged = level1.groupby("sketch_id").map_groups(merge_group, batch_format="pyarrow")
     return {r["sketch_id"]: sketch_from_bytes(r["state"]) for r in merged.take_all()}
+
+
+def build_event_time_sketch(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    factory: Callable[[], Sketch],
+    *,
+    batch_size: int = 65536,
+    fanin: int = DEFAULT_FANIN,
+) -> Sketch:
+    """Distributed build of a time-decaying sketch driven by EVENT time.
+
+    ``factory`` must produce sketches sharing one explicit epoch
+    (``start_time``) — the virtual clock that replaces the reference's
+    ``CLOCK_MONOTONIC`` (tdbloom.c:58-64) so parallel builds are
+    deterministic and slot-max merge equals sequential last-writer-wins
+    under monotone time (SURVEY.md §7).  ``ts_column`` must be a
+    timestamp column; ticks are its epoch-seconds.
+    """
+
+    def update(batch: pa.Table) -> pa.Table:
+        sk = factory()
+        secs = pa.compute.cast(
+            pa.compute.cast(batch[ts_column], pa.timestamp("s")), pa.int64()
+        )
+        sk.update_arrow(batch[key_column], now=np.asarray(secs))
+        return pa.table({"state": pa.array([sk.to_bytes()], type=pa.large_binary())})
+
+    partials = ds.map_batches(
+        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+    return merge_partials(partials, fanin=fanin)
 
 
 def build_grouped_sketches(

@@ -20,23 +20,6 @@ import ray.data
 from ..sketches.base import Sketch, sketch_from_bytes
 
 
-class _SketchProbe:
-    """Actor-pool stage: deserialize the broadcast sketch once per actor
-    (``__init__``), probe per batch (``__call__``)."""
-
-    def __init__(self, state_ref, column: str, method: str, out_column: str):
-        state = ray.get(state_ref) if isinstance(state_ref, ray.ObjectRef) else state_ref
-        self.sketch = sketch_from_bytes(state)
-        self.column = column
-        self.method = method
-        self.out_column = out_column
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        fn = getattr(self.sketch, self.method)
-        result = fn(batch[self.column])
-        return batch.append_column(self.out_column, pa.array(result))
-
-
 def sketch_probe(
     ds: "ray.data.Dataset",
     sketch: Sketch | bytes,
@@ -44,24 +27,36 @@ def sketch_probe(
     *,
     method: str = "lookup_batch",
     out_column: str = "present",
-    concurrency: int = 4,
+    concurrency=None,
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Append a per-row probe column computed against a broadcast sketch.
 
     ``method`` is any vectorized batch query on the sketch —
     ``lookup_batch`` (membership), ``count_batch`` (counting variants),
-    etc.  The sketch state ships to the object store once.
+    etc.  The sketch state ships to the object store once (``ray.put``);
+    tasks on the shared worker pool deserialize it once per process via
+    ``proc_cache`` (same amortization as an actor pool, no new
+    processes).  ``concurrency`` is accepted for API compat and ignored.
     """
+    from ..proc_cache import cached_instance
+
     state = sketch.to_bytes() if isinstance(sketch, Sketch) else bytes(sketch)
     state_ref = ray.put(state)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        sk = cached_instance(
+            ("sketch_probe", state_ref.hex()),
+            lambda: sketch_from_bytes(ray.get(state_ref)),
+        )
+        result = getattr(sk, method)(batch[column])
+        return batch.append_column(out_column, pa.array(result))
+
     return ds.map_batches(
-        _SketchProbe,
-        fn_constructor_args=(state_ref, column, method, out_column),
+        fn,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=concurrency,
     )
 
 

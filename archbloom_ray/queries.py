@@ -195,19 +195,18 @@ def q_knn_cosine(sf_dir: str):
     qn = q / np.linalg.norm(q)
     qref = ray.put(qn)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)
+    from .proc_cache import cached_instance
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float64)
-            m = m.reshape(len(batch), -1)
-            norms = np.linalg.norm(m, axis=1)
-            sims = (m @ self.q) / np.where(norms == 0, 1, norms)
-            return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
+    def score(batch: pa.Table) -> pa.Table:
+        q = cached_instance(("q_knn", qref.hex()), lambda: ray.get(qref))
+        m = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float64)
+        m = m.reshape(len(batch), -1)
+        norms = np.linalg.norm(m, axis=1)
+        sims = (m @ q) / np.where(norms == 0, 1, norms)
+        return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=2
+        score, batch_format="pyarrow", zero_copy_batch=True
     )
     top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10).take_all()
     return pa.table(
@@ -502,6 +501,76 @@ def q_pages_url_membership(sf_dir: str):
     )
 
 
+def q_pages_recent_urls(sf_dir: str):
+    """North-star time-decay query: url membership restricted to the
+    final quarter of the crawl window.  Distributed
+    TimeDecayingBloomFilter build on the event-time virtual clock
+    (``warc_ts``; SURVEY.md §7 — replaces reference CLOCK_MONOTONIC,
+    tdbloom.c:58-64), merged by slot-max.  Time is coarsened to ≤4000
+    units so the filter's wrapped tick range (max_time, tdbloom.c:92-102)
+    always covers the whole window.
+
+    Guarantee checked: urls last crawled within the window are ALWAYS
+    fresh (no false negatives; recall == 1.0); stale-only urls may
+    false-positive at the Bloom rate.
+    """
+    from .sketches import TimeDecayingBloomFilter
+
+    path = _pages_for(sf_dir)
+
+    def ts_bounds(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
+                         "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+
+    bounds = rd.read_parquet(path, columns=["warc_ts"]).map_batches(
+        ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in bounds)
+    hi = max(r["hi"] for r in bounds)
+    span = max(hi - lo, 4)
+    unit = max(1, span // 4000)
+    span_u = span // unit
+    timeout_u = max(span_u // 4, 255)  # ≥255 → ≥2-byte slots, max_time 65535 ≥ span_u
+
+    ds = rd.read_parquet(path, columns=["url", "warc_ts"])
+    n = ds.count()
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        u = pc.divide(pc.subtract(s, pa.scalar(lo, pa.int64())), pa.scalar(unit, pa.int64()))
+        return pa.table({"url": batch["url"], "t_units": u})
+
+    units_ds = ds.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+    # event-time build: update with per-row unit ticks, slot-max merge
+    from .pipelines.build import merge_partials
+
+    def update(batch: pa.Table) -> pa.Table:
+        s = TimeDecayingBloomFilter(max(n, 10), 0.01, timeout_u, start_time=0)
+        s.update_arrow(batch["url"], now=np.asarray(batch["t_units"]))
+        return pa.table({"state": pa.array([s.to_bytes()], type=pa.large_binary())})
+
+    sk = merge_partials(units_ds.map_batches(
+        update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
+
+    # exact last-seen per url (fixture scale) → probe sets
+    last = grouped_agg(units_ds, ["url"], [("last_seen", "t_units", "max")]).take_all()
+    cutoff = span_u - timeout_u
+    recent = [r["url"] for r in last if r["last_seen"] >= cutoff][:2000]
+    old = [r["url"] for r in last if r["last_seen"] < cutoff][:2000]
+    ok_recent = sk.lookup_batch(pa.array(recent, type=pa.string()), now=span_u)
+    fp_old = sk.lookup_batch(pa.array(old, type=pa.string()), now=span_u)
+    return pa.table({
+        "n_urls": pa.array([len(last)], type=pa.int64()),
+        "n_recent_probed": pa.array([len(recent)], type=pa.int64()),
+        "recall_recent": pa.array(
+            [float(ok_recent.mean()) if len(recent) else 1.0], type=pa.float64()),
+        "fpr_old": pa.array(
+            [float(fp_old.mean()) if len(old) else 0.0], type=pa.float64()),
+        "fresh_slot_saturation": pa.array(
+            [sk.saturation(now=span_u)], type=pa.float64()),
+    })
+
+
 def q_pages_extract_invariant(sf_dir: str):
     """Per-row invariant (BASELINE.json input_hint): pipeline-extracted
     text byte-identical to the stored oracle column, per url."""
@@ -565,6 +634,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_heavy_domains": q_pages_heavy_domains,
         "pages_text_quantiles": q_pages_text_quantiles,
         "pages_url_membership": q_pages_url_membership,
+        "pages_recent_urls": q_pages_recent_urls,
         "pages_extract_invariant": q_pages_extract_invariant,
     }
 

@@ -67,6 +67,9 @@ class BloomFilter(Sketch):
     # -- positions ----------------------------------------------------
     def _positions(self, arr) -> np.ndarray:
         h1, h2 = mmh3_128_batch(arr)
+        return self._positions_from_hashes(h1, h2)
+
+    def _positions_from_hashes(self, h1, h2) -> np.ndarray:
         return (make_hashes_batch(h1, h2, self.hashcount) % np.uint64(self.size)).astype(np.int64)
 
     # -- update -------------------------------------------------------
@@ -74,7 +77,13 @@ class BloomFilter(Sketch):
         """Vectorized ``bloom_add`` (bloom.c:336-352) over a column."""
         if len(arr) == 0:
             return
-        pos = self._positions(arr).ravel()
+        h1, h2 = mmh3_128_batch(arr)
+        self.update_hashes(h1, h2)
+
+    def update_hashes(self, h1, h2) -> None:
+        """``bloom_add`` from precomputed ``mmh3_128`` pairs — lets a
+        multi-sketch build hash each column ONCE per batch."""
+        pos = self._positions_from_hashes(h1, h2).ravel()
         np.bitwise_or.at(self.bitmap, pos >> 3, np.uint8(1) << (pos & 7).astype(np.uint8))
 
     # -- queries ------------------------------------------------------

@@ -56,13 +56,22 @@ class CountMinSketch(Sketch):
 
     def _positions(self, arr) -> np.ndarray:
         h1, h2 = mmh3_128_batch(arr)
+        return self._positions_from_hashes(h1, h2)
+
+    def _positions_from_hashes(self, h1, h2) -> np.ndarray:
         return (make_hashes_batch(h1, h2, self.depth) % np.uint64(self.width)).astype(np.int64)
 
     def update_arrow(self, arr, weights=None) -> None:
         """Scatter-add each element into all d rows (optionally weighted)."""
         if len(arr) == 0:
             return
-        pos = self._positions(arr)  # (d, n)
+        h1, h2 = mmh3_128_batch(arr)
+        self.update_hashes(h1, h2, weights)
+
+    def update_hashes(self, h1, h2, weights=None) -> None:
+        """Update from precomputed ``mmh3_128`` hash pairs — lets a
+        multi-sketch build hash each column ONCE per batch."""
+        pos = self._positions_from_hashes(h1, h2)  # (d, n)
         row_off = (np.arange(self.depth, dtype=np.int64) * self.width)[:, None]
         flat_idx = (pos + row_off).ravel()
         flat_table = self.table.ravel()
@@ -70,7 +79,7 @@ class CountMinSketch(Sketch):
             # bincount over unique touched cells — exact scatter-add
             uniq, cnt = np.unique(flat_idx, return_counts=True)
             flat_table[uniq] += cnt
-            self.total += len(arr)
+            self.total += len(h1)
         else:
             w = np.asarray(weights, dtype=np.int64)
             np.add.at(flat_table, flat_idx, np.broadcast_to(w, pos.shape).ravel())

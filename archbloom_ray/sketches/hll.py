@@ -63,7 +63,12 @@ class HyperLogLog(Sketch):
     def update_arrow(self, arr) -> None:
         if len(arr) == 0:
             return
-        h1, _ = mmh3_128_batch(arr)
+        h1, h2 = mmh3_128_batch(arr)
+        self.update_hashes(h1, h2)
+
+    def update_hashes(self, h1, h2=None) -> None:
+        """Update from precomputed ``mmh3_128`` pairs (h2 unused) — lets
+        a multi-sketch build hash each column ONCE per batch."""
         p = self.precision
         idx = (h1 >> np.uint64(64 - p)).astype(np.int64)
         w = h1 << np.uint64(p)  # remaining 64-p bits, left-aligned

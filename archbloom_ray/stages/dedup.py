@@ -169,13 +169,23 @@ class MinHasher:
 
 
 def minhash_signatures(ds, text_col: str, id_col: str, *, num_perm=128,
-                       shingle_width=5, seed=42, concurrency=4, batch_size=2048):
+                       shingle_width=5, seed=42, concurrency=None, batch_size=2048):
+    """Signature stage as plain tasks with a process-local MinHasher
+    (permutation tables are cheap state — see ``proc_cache``); runs on
+    the warm shared worker pool instead of a fresh actor pool.
+    ``concurrency`` is accepted for API compatibility and ignored."""
+    from ..proc_cache import cached_instance
+
+    params = (text_col, id_col, num_perm, shingle_width, seed)
+
+    def fn(batch: pa.Table) -> pa.Table:
+        mh = cached_instance(("minhash",) + params, lambda: MinHasher(*params))
+        return mh(batch)
+
     return ds.map_batches(
-        MinHasher,
-        fn_constructor_args=(text_col, id_col, num_perm, shingle_width, seed),
+        fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
         batch_size=batch_size,
     )
 

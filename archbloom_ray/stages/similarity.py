@@ -49,35 +49,34 @@ def knn_brute(
     nq = qn.shape[0]
     qref = ray.put(qn)
 
-    class Score:
-        def __init__(self):
-            self.q = ray.get(qref)  # fetched once per actor
+    from ..proc_cache import cached_instance
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch[vec_col]))
-            sims = m @ self.q.T  # (n, nq)
-            n = m.shape[0]
-            kk = min(k, n)
-            ids = np.asarray(batch[id_col])
-            out_q, out_id, out_sim = [], [], []
-            for qi in range(self.q.shape[0]):
-                part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_id.append(ids[part])
-                out_sim.append(sims[part, qi])
-            return pa.table(
-                {
-                    "query_idx": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
-                    "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
-                }
-            )
+    def score(batch: pa.Table) -> pa.Table:
+        # broadcast queries: object-store fetch once per worker process
+        q = cached_instance(("knn_q", qref.hex()), lambda: ray.get(qref))
+        m = _normalize(_as_matrix(batch[vec_col]))
+        sims = m @ q.T  # (n, nq)
+        n = m.shape[0]
+        kk = min(k, n)
+        ids = np.asarray(batch[id_col])
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[part])
+            out_sim.append(sims[part, qi])
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
 
     partials = ds.map_batches(
-        Score,
+        score,
         batch_format="pyarrow",
         zero_copy_batch=True,
-        concurrency=concurrency,
         batch_size=batch_size,
     ).take_all()  # ≤ nq·k rows per batch — tiny
 
@@ -155,44 +154,43 @@ def knn_ivf(
         probed_mask[qi, probe_cells[qi]] = True
     qref = ray.put((qn, centroids, probed_mask))
 
-    class Score:
-        def __init__(self):
-            self.q, self.cent, self.mask = ray.get(qref)
+    from ..proc_cache import cached_instance
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            m = _normalize(_as_matrix(batch[vec_col]))
-            ids = np.asarray(batch[id_col])
-            cells = (m @ self.cent.T).argmax(axis=1)  # (n,)
-            out_q, out_id, out_sim = [], [], []
-            for qi in range(self.q.shape[0]):
-                sel = self.mask[qi, cells]
-                if not sel.any():
-                    continue
-                sub = m[sel]
-                sims = sub @ self.q[qi]
-                kk = min(k, sub.shape[0])
-                part = np.argpartition(-sims, kk - 1)[:kk]
-                out_q.append(np.full(kk, qi, dtype=np.int64))
-                out_id.append(ids[sel][part])
-                out_sim.append(sims[part])
-            if not out_q:
-                return pa.table(
-                    {
-                        "query_idx": pa.array([], pa.int64()),
-                        id_col: pa.array([], batch[id_col].type),
-                        "cosine": pa.array([], pa.float64()),
-                    }
-                )
+    def score(batch: pa.Table) -> pa.Table:
+        q, cent, mask = cached_instance(("ivf_q", qref.hex()), lambda: ray.get(qref))
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col])
+        cells = (m @ cent.T).argmax(axis=1)  # (n,)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            sel = mask[qi, cells]
+            if not sel.any():
+                continue
+            sub = m[sel]
+            sims = sub @ q[qi]
+            kk = min(k, sub.shape[0])
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[sel][part])
+            out_sim.append(sims[part])
+        if not out_q:
             return pa.table(
                 {
-                    "query_idx": pa.array(np.concatenate(out_q)),
-                    id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
-                    "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+                    "query_idx": pa.array([], pa.int64()),
+                    id_col: pa.array([], batch[id_col].type),
+                    "cosine": pa.array([], pa.float64()),
                 }
             )
+        return pa.table(
+            {
+                "query_idx": pa.array(np.concatenate(out_q)),
+                id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
+                "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+            }
+        )
 
     partials = ds.map_batches(
-        Score, batch_format="pyarrow", zero_copy_batch=True, concurrency=concurrency
+        score, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
 
     rows_q, rows_rank, rows_id, rows_sim = [], [], [], []

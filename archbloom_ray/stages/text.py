@@ -199,14 +199,16 @@ class LanguageId:
 
 
 def add_language_id(ds: "ray.data.Dataset", text_col: str = "text",
-                    concurrency: int = 4) -> "ray.data.Dataset":
-    return ds.map_batches(
-        LanguageId,
-        fn_constructor_args=(text_col,),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=concurrency,
-    )
+                    concurrency=None) -> "ray.data.Dataset":
+    """Plain tasks + process-local LanguageId (stopword sets are cheap
+    state — ``proc_cache``); ``concurrency`` kept for API compat."""
+    from ..proc_cache import cached_instance
+
+    def fn(batch: pa.Table) -> pa.Table:
+        lid = cached_instance(("langid", text_col), lambda: LanguageId(text_col))
+        return lid(batch)
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def quality_features_arrow(col) -> dict[str, np.ndarray]:

@@ -116,3 +116,33 @@ class TestQuery:
         out = membership(probe, sk, "key", concurrency=2).take_all()
         fpr = sum(r["present"] for r in out) / len(out)
         assert fpr < 0.01  # design p=0.001, generous slack
+
+
+class TestEventTimeBuild:
+    def test_distributed_equals_sequential(self, ray_session):
+        """Slot-max merge under the event-time clock must equal a
+        single-process build with the same (key, ts) stream
+        (SURVEY.md §7: associative substitute for last-writer-wins)."""
+        import ray.data
+        from archbloom_ray.pipelines.build import build_event_time_sketch
+        from archbloom_ray.sketches import TimeDecayingBloomFilter
+
+        n = 4000
+        keys = [f"k{i % 1300}" for i in range(n)]
+        ts = [1_700_000_000 + (i * 7) % 5000 for i in range(n)]
+        tbl = pa.table({"key": pa.array(keys, type=pa.string()),
+                        "ts": pa.array([t * 1_000_000 for t in ts],
+                                       type=pa.timestamp("us"))})
+        ds = ray.data.from_arrow(tbl).repartition(6)
+        factory = lambda: TimeDecayingBloomFilter(  # noqa: E731
+            1300, 0.01, timeout=400, start_time=1_700_000_000)
+        got = build_event_time_sketch(ds, "key", "ts", factory, batch_size=512)
+
+        ref = factory()
+        ref.update_arrow(pa.array(keys, type=pa.string()),
+                         now=np.array(ts, dtype=np.int64))
+        assert np.array_equal(got.filter, ref.filter)
+        now = max(ts)
+        probe = pa.array([f"k{i}" for i in range(1300)], type=pa.string())
+        assert np.array_equal(got.lookup_batch(probe, now=now),
+                              ref.lookup_batch(probe, now=now))
