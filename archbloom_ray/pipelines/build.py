@@ -134,6 +134,7 @@ def build_sketches(
     *,
     batch_size: int = 65536,
     fanin: int = DEFAULT_FANIN,
+    num_cpus: float | None = None,
 ) -> dict[str, Sketch]:
     """Build several sketches in ONE pass over the input.
 
@@ -169,8 +170,10 @@ def build_sketches(
             }
         )
 
+    extra = {"num_cpus": num_cpus} if num_cpus else {}
     partials = ds.map_batches(
-        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True,
+        **extra,
     )
 
     def merge_group(group: pa.Table, keep_salt: bool = False) -> pa.Table:

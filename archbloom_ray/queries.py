@@ -597,6 +597,65 @@ def q_pages_extract_invariant(sf_dir: str):
     )
 
 
+def q_gnb_length_classes(sf_dir: str):
+    """Distributed Gaussian Naive Bayes (the reference's streaming model,
+    gaussiannb.c:89-129, as a moments UDAF): per-batch ``partial_fit``
+    partials → exact Chan-et-al moment merge → broadcast scorer.
+
+    Label = document-length tercile (short/medium/long), with the
+    tercile cut points themselves estimated distributed via a KLL
+    sketch; features = text-shape signals.  (The synthetic corpora have
+    no lang↔text correlation, so length classes are the honest learnable
+    target; this exercises the full distributed-train path.)"""
+    from .sketches import GaussianNB
+    from .sketches.base import sketch_from_bytes
+    from .pipelines.build import build_sketch, merge_partials
+    from .stages.text import quality_features_arrow
+    from .proc_cache import cached_instance
+
+    ds = _read(sf_dir, "documents", ["text", "n_chars"])
+    kll = build_sketch(ds, "n_chars", lambda: KLLSketch(200))
+    cuts = kll.quantiles([1 / 3, 2 / 3])
+    n_classes, n_feat = 3, 4
+    CLASS_NAMES = ["short", "medium", "long"]
+
+    def feats_and_y(batch: pa.Table) -> tuple[np.ndarray, np.ndarray]:
+        f = quality_features_arrow(batch["text"])
+        X = np.column_stack([
+            np.log1p(f["n_chars"]), np.log1p(f["n_words"]),
+            f["mean_word_len"], f["stop_ratio"],
+        ])
+        nc = np.asarray(batch["n_chars"], dtype=np.float64)
+        y = np.digitize(nc, cuts).astype(np.int64)
+        return X, y
+
+    def fit(batch: pa.Table) -> pa.Table:
+        model = GaussianNB(n_classes, n_feat)
+        X, y = feats_and_y(batch)
+        model.partial_fit(X, y)
+        return pa.table({"state": pa.array([model.to_bytes()], type=pa.large_binary())})
+
+    model = merge_partials(
+        ds.map_batches(fit, batch_format="pyarrow", batch_size=8192, zero_copy_batch=True)
+    )
+    mref = ray.put(model.to_bytes())
+
+    def score(batch: pa.Table) -> pa.Table:
+        m = cached_instance(("gnb", mref.hex()), lambda: sketch_from_bytes(ray.get(mref)))
+        X, y = feats_and_y(batch)
+        pred = m.predict(X)
+        return pa.table({
+            "length_class": pa.array([CLASS_NAMES[c] for c in y], type=pa.string()),
+            "correct": pa.array((pred == y).astype(np.int64)),
+            "one": pa.array(np.ones(len(batch), dtype=np.int64)),
+        })
+
+    scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(scored, ["length_class"], [
+        ("n_correct", "correct", "sum"), ("n_docs", "one", "sum"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -629,6 +688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ivf": q_knn_ivf,
+        "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,

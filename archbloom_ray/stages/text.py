@@ -211,6 +211,38 @@ def add_language_id(ds: "ray.data.Dataset", text_col: str = "text",
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def language_signal_matrix(col) -> np.ndarray:
+    """(n, len(_STOPWORDS)+3) feature matrix of per-language stopword
+    hit ratios plus CJK/kana/Cyrillic script ratios — the numeric form
+    of the language-ID evidence, usable as classifier features."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    n = len(filled)
+    langs = list(_STOPWORDS)
+    out = np.zeros((n, len(langs) + 3), np.float64)
+    if n == 0:
+        return out
+    trimmed, toks = _tokens_of(filled)
+    counts = _np(pc.list_value_length(toks)).astype(np.int64)
+    flat_lower = pc.utf8_lower(toks.flatten())
+    starts = np.zeros(n, np.int64)
+    np.cumsum(counts[:-1], out=starts[1:])
+    denom = np.maximum(counts, 1).astype(np.float64)
+    for i, lang in enumerate(langs):
+        member = _np(pc.is_in(
+            flat_lower, value_set=pa.array(sorted(_STOPWORDS[lang]), type=pa.string()),
+        )).astype(np.int64)
+        out[:, i] = np.add.reduceat(member, starts) / denom
+    head = pc.utf8_slice_codeunits(filled, 0, 200)
+    probe = np.maximum(1, np.minimum(
+        _np(pc.utf8_length(filled)).astype(np.int64), 200)).astype(np.float64)
+    for j, pat in enumerate(("[一-鿿]", "[぀-ヿ]", "[Ѐ-ӿ]")):
+        out[:, len(langs) + j] = (
+            _np(pc.count_substring_regex(head, pat)).astype(np.float64) / probe)
+    return out
+
+
 def quality_features_arrow(col) -> dict[str, np.ndarray]:
     """Vectorized quality signals straight off the Arrow column: re2
     char-class counts for punctuation/digits, one regex split for
@@ -317,7 +349,8 @@ def quality_score(feat: dict[str, np.ndarray]) -> np.ndarray:
     return length_ok * word_len_ok * punct_pen * digit_pen * rep_pen
 
 
-def add_quality(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dataset":
+def add_quality(ds: "ray.data.Dataset", text_col: str = "text",
+                num_cpus: float | None = None) -> "ray.data.Dataset":
     """Append the quality feature columns + ``quality_score``."""
 
     def fn(batch: pa.Table) -> pa.Table:
@@ -329,7 +362,8 @@ def add_quality(ds: "ray.data.Dataset", text_col: str = "text") -> "ray.data.Dat
             out = out.append_column(name, pa.array(arr))
         return out.append_column("quality_score", pa.array(quality_score(feat)))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    extra = {"num_cpus": num_cpus} if num_cpus else {}
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **extra)
 
 
 # 64-bit polynomial rolling hash (Rabin–Karp style) — the document
@@ -398,9 +432,11 @@ def fingerprint_batch(texts) -> np.ndarray:
 
 
 def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text",
-                    out_col: str = "fingerprint") -> "ray.data.Dataset":
+                    out_col: str = "fingerprint",
+                    num_cpus: float | None = None) -> "ray.data.Dataset":
     def fn(batch: pa.Table) -> pa.Table:
         fps = fingerprint_batch(batch[text_col])
         return batch.append_column(out_col, pa.array(fps.astype(np.int64)))
 
-    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    extra = {"num_cpus": num_cpus} if num_cpus else {}
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **extra)
