@@ -118,48 +118,60 @@ def checkpointed_build(
         desc = ray.data.from_items([{"path": p} for p in pending])
 
         def run(batch: pa.Table) -> pa.Table:
-            out_states, out_metrics = [], []
+            # each task persists its own shard state (atomic tmp+rename)
+            # so only small metrics rows return to the driver — shard
+            # states never funnel through one process however many
+            # shards there are; the manifest append (below) stays a
+            # single-writer, after-the-fact record
+            out_metrics = []
             for path in batch["path"].to_pylist():
                 state, metrics = _build_shard(path, column, factory, batch_rows)
-                out_states.append(state)
+                sid = metrics["shard_id"]
+                state_path = os.path.join(ckpt_dir, f"part-{sid}.state")
+                tmp = state_path + f".tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(state)
+                os.replace(tmp, state_path)
                 out_metrics.append(json.dumps(metrics))
-            return pa.table(
-                {
-                    "state": pa.array(out_states, type=pa.large_binary()),
-                    "metrics": pa.array(out_metrics, type=pa.string()),
-                }
-            )
+            return pa.table({"metrics": pa.array(out_metrics, type=pa.string())})
 
         results = desc.map_batches(
             run, batch_format="pyarrow", batch_size=1,
             **({"concurrency": concurrency} if concurrency else {}),
         ).take_all()
 
-        # persist each shard atomically, then append manifest rows
+        # append manifest rows (states are already durable on disk)
         with open(manifest_path, "a") as mf:
             for r in results:
                 metrics = json.loads(r["metrics"])
-                sid = metrics["shard_id"]
-                state_path = os.path.join(ckpt_dir, f"part-{sid}.state")
-                tmp = state_path + ".tmp"
-                with open(tmp, "wb") as f:
-                    f.write(r["state"])
-                os.replace(tmp, state_path)
                 mf.write(json.dumps(metrics) + "\n")
-                valid[sid] = metrics
+                valid[metrics["shard_id"]] = metrics
 
-    # merge all shard states (tree order irrelevant: merges associative)
-    acc: Sketch | None = None
-    total_rows = 0
-    for p in input_paths:
-        sid = _shard_id(p)
-        row = valid[sid]
-        total_rows += row["rows"]
-        with open(os.path.join(ckpt_dir, f"part-{sid}.state"), "rb") as f:
-            sk = sketch_from_bytes(f.read())
-        acc = sk if acc is None else acc.merge(sk)
-    if acc is None:
+    # merge all shard states (tree order irrelevant: merges associative);
+    # above the fan-in bound, load + tree-merge distributed so the driver
+    # only ever sees O(fanin) states
+    total_rows = sum(valid[_shard_id(p)]["rows"] for p in input_paths)
+    if not input_paths:
         raise ValueError("no input shards")
+    if len(input_paths) > 64:
+        from .build import merge_partials
+
+        sids = ray.data.from_items([{"sid": _shard_id(p)} for p in input_paths])
+
+        def load(batch: pa.Table) -> pa.Table:
+            states = []
+            for sid in batch["sid"].to_pylist():
+                with open(os.path.join(ckpt_dir, f"part-{sid}.state"), "rb") as f:
+                    states.append(f.read())
+            return pa.table({"state": pa.array(states, type=pa.large_binary())})
+
+        acc = merge_partials(sids.map_batches(load, batch_format="pyarrow", batch_size=8))
+    else:
+        acc: Sketch | None = None
+        for p in input_paths:
+            with open(os.path.join(ckpt_dir, f"part-{_shard_id(p)}.state"), "rb") as f:
+                sk = sketch_from_bytes(f.read())
+            acc = sk if acc is None else acc.merge(sk)
 
     report = {
         "total_shards": len(input_paths),
