@@ -130,35 +130,35 @@ def broadcast_lookup(
 ) -> "ray.data.Dataset":
     """Broadcast hash join against a small side.
 
-    ``mapping_ref`` is a ``ray.put`` handle to a dict {key: value}; each
-    actor fetches it once in ``__init__`` (zero-copy plasma read) and
-    maps per batch — the no-shuffle join for dimension tables.
+    ``mapping_ref`` is a ``ray.put`` handle to a dict {key: value}; tasks
+    on the shared worker pool fetch + index it once per process
+    (``proc_cache``) and map per batch — the no-shuffle join for
+    dimension tables.
     """
     import ray as _ray
 
-    class Lookup:
-        def __init__(self):
-            m = _ray.get(mapping_ref)
-            ks = list(m.keys())
-            self.keys = np.asarray(ks)
-            order = np.argsort(self.keys)
-            self.keys = self.keys[order]
-            self.vals = np.asarray(list(m.values()), dtype=object)[order]
+    from ..proc_cache import cached_instance
 
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            k = np.asarray(batch[key_column])
-            idx = np.searchsorted(self.keys, k)
-            idx = np.clip(idx, 0, len(self.keys) - 1)
-            hit = self.keys[idx] == k
-            out = np.where(hit, self.vals[idx], None)
-            return batch.append_column(out_column, pa.array(out.tolist()))
+    def _build():
+        m = _ray.get(mapping_ref)
+        keys = np.asarray(list(m.keys()))
+        order = np.argsort(keys)
+        return keys[order], np.asarray(list(m.values()), dtype=object)[order]
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        keys, vals = cached_instance(("bcast_lookup", mapping_ref.hex()), _build)
+        k = np.asarray(batch[key_column])
+        idx = np.searchsorted(keys, k)
+        idx = np.clip(idx, 0, len(keys) - 1)
+        hit = keys[idx] == k
+        out = np.where(hit, vals[idx], None)
+        return batch.append_column(out_column, pa.array(out.tolist()))
 
     return ds.map_batches(
-        Lookup,
+        lookup,
         batch_format="pyarrow",
         batch_size=batch_size,
         zero_copy_batch=True,
-        concurrency=2,
     )
 
 
@@ -173,3 +173,131 @@ def distinct_count(ds: "ray.data.Dataset", column: str, *, batch_size: int = 655
         dedup_batch, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
     return len(deduped.unique(column))
+
+
+def sessionize_count(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    gap_seconds: float,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Windowed/sessionized aggregate: per key, the number of sessions
+    (runs of events whose inter-arrival gap ≤ ``gap_seconds``) and the
+    event count.
+
+    Scale shape: keys are hash-bucketed into ``num_partitions`` coarse
+    partitions (ONE map_groups call per partition, not per key — a
+    Python call per key would dominate at many keys), then each
+    partition lexsorts (key, ts) and counts session starts with one
+    vectorized boundary/gap diff.  Session count is order-independent
+    given per-key sorted timestamps, so the hash shuffle is the only
+    data movement.  Returns ``{key, n_sessions, n_events}``.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_sessions(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table({key_column: pa.array([], group[key_column].type),
+                             "n_sessions": pa.array([], pa.int64()),
+                             "n_events": pa.array([], pa.int64())})
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        order = np.lexsort((ts, keys))
+        keys, ts = keys[order], ts[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap_break = np.zeros(n, dtype=bool)
+        gap_break[1:] = (ts[1:] - ts[:-1]) > gap_us
+        session_start = new_key | gap_break
+        uniq_keys = keys[new_key]
+        seg_id = np.cumsum(new_key) - 1
+        n_sessions = np.bincount(seg_id, weights=session_start).astype(np.int64)
+        n_events = np.bincount(seg_id).astype(np.int64)
+        return pa.table({
+            key_column: pa.array(uniq_keys, type=group[key_column].type),
+            "n_sessions": pa.array(n_sessions),
+            "n_events": pa.array(n_events),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_sessions, batch_format="pyarrow")
+    )
+
+
+def asof_join_broadcast(
+    ds: "ray.data.Dataset",
+    right: pa.Table,
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_columns: list[str],
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """As-of join (latest right row with ``right_ts <= left_ts`` per
+    key) against a broadcast small side — the no-shuffle shape for
+    dimension histories.
+
+    The right side is sorted once by (key, ts) and shipped through the
+    object store as numpy arrays; every batch resolves its matches with
+    ONE ``np.searchsorted`` on a composite (key, ts-seconds) int64 key
+    (no per-row or per-key Python).  Left rows with no match get nulls.
+    Keys must be int64-like; ties on (key, ts) resolve to the LAST right
+    row in input order (callers wanting determinism should pre-dedupe —
+    see q_events_asof_order).
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    rk = np.asarray(right[right_key], dtype=np.int64)
+    rts_us = np.asarray(pc.cast(right[right_ts], pa.int64()), dtype=np.int64)
+    base_us = int(rts_us.min()) if len(rts_us) else 0
+    rts_s = (rts_us - base_us) // 1_000_000
+    if len(rk) and (rk.max() >= (1 << 29) or rts_s.max() >= (1 << 34)):
+        raise ValueError("asof_join_broadcast: key/ts range exceeds composite-key bounds")
+    order = np.lexsort((rts_s, rk))
+    composite = (rk[order] << np.int64(34)) | rts_s[order]
+    vals = {c: np.asarray(right[c])[order] for c in value_columns}
+    ref = _ray.put((composite, rk[order], base_us, vals))
+
+    def join(batch: pa.Table) -> pa.Table:
+        comp_r, rk_sorted, base, vals_r = cached_instance(
+            ("asof", ref.hex()), lambda: _ray.get(ref))
+        lk = np.asarray(batch[left_key], dtype=np.int64)
+        lts = (np.asarray(pc.cast(batch[left_ts], pa.int64()), dtype=np.int64)
+               - base) // 1_000_000
+        lts = np.maximum(lts, -1)  # pre-epoch left rows can never match
+        comp_l = (lk << np.int64(34)) | np.maximum(lts, 0)
+        idx = np.searchsorted(comp_r, comp_l, side="right") - 1
+        valid = (idx >= 0) & (lts >= 0)
+        safe = np.clip(idx, 0, max(len(comp_r) - 1, 0))
+        if len(comp_r):
+            valid &= rk_sorted[safe] == lk
+        else:
+            valid[:] = False
+        out = batch
+        for c, arr in vals_r.items():
+            col = np.where(valid, arr[safe], None)
+            out = out.append_column(c, pa.array(col.tolist()))
+        return out
+
+    return ds.map_batches(
+        join, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )

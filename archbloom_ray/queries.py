@@ -597,6 +597,63 @@ def q_pages_extract_invariant(sf_dir: str):
     )
 
 
+def q_user_sessions(sf_dir: str):
+    """Sessionized (windowed) aggregate: per user, number of sessions
+    with a 30-minute inactivity gap, plus event count.  Custom operator
+    Ray Data lacks natively — composed as hash-bucketed partitions +
+    one vectorized lexsort/gap-diff per partition
+    (relational.sessionize_count)."""
+    from .pipelines.relational import sessionize_count
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return sessionize_count(ds, "user_id", "ts", gap_seconds=1800)
+
+
+def q_events_asof_order(sf_dir: str):
+    """As-of join: each event matched to the user's LATEST order with
+    o_orderdate <= ts (broadcast composite-key searchsorted —
+    relational.asof_join_broadcast), aggregated by that order's
+    priority.  Right side deduped to one row per (custkey, orderdate)
+    by max orderkey so ties are deterministic in both engines."""
+    from .pipelines.relational import asof_join_broadcast
+
+    orders = pa.parquet.read_table(
+        os.path.join(sf_dir, "orders.parquet"),
+        columns=["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"],
+    )
+    # deterministic tie-break: per (custkey, orderdate) keep max orderkey
+    ok = np.asarray(orders["o_orderkey"])
+    ck = np.asarray(orders["o_custkey"])
+    od = np.asarray(pc.cast(orders["o_orderdate"], pa.int64()))
+    order = np.lexsort((ok, od, ck))
+    keep = np.ones(len(ok), dtype=bool)
+    keep[:-1] = (ck[order][:-1] != ck[order][1:]) | (od[order][:-1] != od[order][1:])
+    right = orders.take(pa.array(order[keep]))
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    joined = asof_join_broadcast(
+        ds, right,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        value_columns=["o_orderpriority"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        matched = pc.is_valid(batch["o_orderpriority"])
+        t = batch.filter(matched)
+        cents = np.rint(np.asarray(t["value"], dtype=np.float64) * 100).astype(np.int64)
+        return pa.table({
+            "o_orderpriority": t["o_orderpriority"],
+            "value_cents": pa.array(cents, type=pa.int64()),
+        })
+
+    prepped = joined.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(prepped, ["o_orderpriority"], [
+        ("n_events", None, "count"),
+        ("value_cents", "value_cents", "sum"),
+    ])
+
+
 def q_gnb_length_classes(sf_dir: str):
     """Distributed Gaussian Naive Bayes (the reference's streaming model,
     gaussiannb.c:89-129, as a moments UDAF): per-batch ``partial_fit``
@@ -670,6 +727,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
+        "user_sessions": q_user_sessions,
+        "events_asof_order": q_events_asof_order,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "bloom_membership": q_bloom_membership,
@@ -738,6 +797,32 @@ def oracle_sql() -> dict[str, str]:
             SELECT user_id, count(*) AS n_events
             FROM events GROUP BY user_id
             ORDER BY n_events DESC, user_id ASC LIMIT 100
+        """,
+        "user_sessions": """
+            SELECT user_id,
+                   CAST(1 + sum(CASE WHEN gap_s > 1800 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_sessions,
+                   count(*) AS n_events
+            FROM (
+                SELECT user_id,
+                       COALESCE(epoch(ts - lag(ts) OVER
+                           (PARTITION BY user_id ORDER BY ts)), 0) AS gap_s
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "events_asof_order": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate,
+                       max_by(o_orderpriority, o_orderkey) AS o_orderpriority
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT o.o_orderpriority,
+                   count(*) AS n_events,
+                   CAST(sum(CAST(round(e.value * 100) AS BIGINT)) AS BIGINT)
+                       AS value_cents
+            FROM events e ASOF JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            GROUP BY o.o_orderpriority
         """,
         "orders_by_segment": """
             SELECT c.c_mktsegment,
