@@ -301,3 +301,70 @@ def asof_join_broadcast(
     return ds.map_batches(
         join, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+
+
+def rolling_count_max(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    window_seconds: float,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Trailing-window aggregate: per key, the MAX over its events of
+    the count of that key's events in ``[ts − window, ts]`` (peer rows
+    with identical timestamps all count, matching SQL RANGE-window
+    semantics).
+
+    Same scale shape as :func:`sessionize_count`: hash-bucket keys into
+    coarse partitions, lexsort (key, ts) once per partition, then
+    resolve every row's window bounds with two vectorized searchsorteds
+    on a composite ``(key << 42) | ts_us`` int64 key — no per-row or
+    per-key Python.  Returns ``{key, max_events_window}``.
+    """
+    window_us = int(window_seconds * 1_000_000)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_windows(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table({key_column: pa.array([], group[key_column].type),
+                          "max_events_window": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        base = int(ts.min())
+        rel = ts - base
+        if keys.max() >= (1 << 21) or rel.max() >= (1 << 42):
+            raise ValueError("rolling_count_max: key/ts range exceeds composite bounds")
+        order = np.lexsort((rel, keys))
+        keys, rel = keys[order], rel[order]
+        comp = (keys << np.int64(42)) | rel
+        lo = np.searchsorted(comp, (keys << np.int64(42)) | np.maximum(rel - window_us, 0),
+                             side="left")
+        hi = np.searchsorted(comp, comp, side="right")
+        cnt = hi - lo
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        mx = np.full(int(seg_id[-1]) + 1, 0, dtype=np.int64)
+        np.maximum.at(mx, seg_id, cnt)
+        return pa.table({
+            key_column: pa.array(keys[new_key], type=group[key_column].type),
+            "max_events_window": pa.array(mx),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_windows, batch_format="pyarrow")
+    )

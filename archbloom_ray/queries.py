@@ -597,6 +597,32 @@ def q_pages_extract_invariant(sf_dir: str):
     )
 
 
+def q_suppliers_by_region(sf_dir: str):
+    """Two-hop broadcast join supplier ⇢ nation ⇢ region (both dimension
+    sides via one ray.put each — no shuffle), counting suppliers and
+    summing integer-cent account balances per region."""
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"), columns=["n_nationkey", "n_regionkey"])
+    region = pa.parquet.read_table(
+        os.path.join(sf_dir, "region.parquet"), columns=["r_regionkey", "r_name"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(), nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(), region["r_name"].to_pylist()))
+    n2name = {nk: r2name[rk] for nk, rk in n2r.items()}
+    ref = ray.put(n2name)
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["s_acctbal"], dtype=np.float64) * 100).astype(np.int64)
+        return batch.append_column("acct_cents", pa.array(cents, type=pa.int64()))
+
+    ds = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"]).map_batches(
+        add_cents, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_lookup(ds, ref, "s_nationkey", "r_name")
+    return grouped_agg(joined, ["r_name"], [
+        ("n_suppliers", None, "count"),
+        ("acct_cents", "acct_cents", "sum"),
+    ])
+
+
 def q_user_sessions(sf_dir: str):
     """Sessionized (windowed) aggregate: per user, number of sessions
     with a 30-minute inactivity gap, plus event count.  Custom operator
@@ -652,6 +678,17 @@ def q_events_asof_order(sf_dir: str):
         ("n_events", None, "count"),
         ("value_cents", "value_cents", "sum"),
     ])
+
+
+def q_user_peak_hour(sf_dir: str):
+    """Trailing-window aggregate: per user, the peak number of events in
+    any trailing 1-hour window (SQL RANGE-window semantics incl. peer
+    rows).  Composed via relational.rolling_count_max — hash-bucketed
+    partitions + two vectorized composite-key searchsorteds."""
+    from .pipelines.relational import rolling_count_max
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    return rolling_count_max(ds, "user_id", "ts", window_seconds=3600)
 
 
 def q_gnb_length_classes(sf_dir: str):
@@ -729,6 +766,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users": q_top_users,
         "user_sessions": q_user_sessions,
         "events_asof_order": q_events_asof_order,
+        "user_peak_hour": q_user_peak_hour,
+        "suppliers_by_region": q_suppliers_by_region,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "bloom_membership": q_bloom_membership,
@@ -809,6 +848,26 @@ def oracle_sql() -> dict[str, str]:
                            (PARTITION BY user_id ORDER BY ts)), 0) AS gap_s
                 FROM events
             ) GROUP BY user_id
+        """,
+        "user_peak_hour": """
+            SELECT user_id, CAST(max(cnt) AS BIGINT) AS max_events_window
+            FROM (
+                SELECT user_id,
+                       count(*) OVER (PARTITION BY user_id ORDER BY ts
+                           RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                     AND CURRENT ROW) AS cnt
+                FROM events
+            ) GROUP BY user_id
+        """,
+        "suppliers_by_region": """
+            SELECT r.r_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s.s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS acct_cents
+            FROM supplier s
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN region r ON n.n_regionkey = r.r_regionkey
+            GROUP BY r.r_name
         """,
         "events_asof_order": """
             WITH o1 AS (
