@@ -227,7 +227,7 @@ def minhash_lsh_pairs(
             return pa.table({"band": pa.array([], pa.int32()),
                              "band_hash": pa.array([], pa.int64()),
                              id_col: pa.array([], batch[id_col].type),
-                             "signature": pa.array([], pa.list_(pa.int32(), num_perm))})
+                             "signature": pa.array([], pa.list_(pa.uint16(), num_perm))})
         sig = np.asarray(batch["signature"].combine_chunks().values).reshape(n, num_perm)
         with np.errstate(over="ignore"):
             banded = sig.reshape(n, bands, rows_per_band).astype(np.uint64)
@@ -237,12 +237,15 @@ def minhash_lsh_pairs(
         ids = np.repeat(np.asarray(batch[id_col]), bands)
         band_ids = np.tile(np.arange(bands, dtype=np.int32), n)
         # Shuffle-volume control: the verify step only tests per-cell
-        # EQUALITY of minhash values, so a 31-bit projection of each
-        # 61-bit value is enough (collision adds < 2^-31 to the
-        # estimate) and halves the bytes moved through the groupby.
-        sig32 = (sig & 0x7FFFFFFF).astype(np.int32)
+        # EQUALITY of minhash values, so a 16-bit mix of each 61-bit
+        # value is enough (collision inflates the Jaccard estimate by
+        # ~num_perm·2^-16 ≈ 0.001 — far inside LSH noise) and cuts the
+        # bytes moved through the groupby 4x vs int64.
+        with np.errstate(over="ignore"):
+            mixed = sig.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+        sig16 = (mixed >> np.uint64(48)).astype(np.uint16)
         sig_rep = pa.FixedSizeListArray.from_arrays(
-            pa.array(np.repeat(sig32, bands, axis=0).ravel(), type=pa.int32()), num_perm
+            pa.array(np.repeat(sig16, bands, axis=0).ravel(), type=pa.uint16()), num_perm
         )
         return pa.table(
             {
