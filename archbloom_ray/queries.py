@@ -691,6 +691,30 @@ def q_user_peak_hour(sf_dir: str):
     return rolling_count_max(ds, "user_id", "ts", window_seconds=3600)
 
 
+def q_ngram_verified_dups(sf_dir: str):
+    """MinHash-LSH candidates re-verified with EXACT char-5-gram Jaccard
+    (stages.verify_pairs_ngram: only candidate texts materialize; the
+    corpus scan stays distributed).  Summary row: candidates, verified
+    at ≥0.7, and the minimum exact Jaccard among verified pairs."""
+    from .stages import minhash_lsh_pairs, verify_pairs_ngram
+
+    path = _pages_for(sf_dir)
+    docs = rd.read_parquet(path, columns=["url", "text"])
+    pairs = minhash_lsh_pairs(docs, "text", "url", num_perm=64, bands=16,
+                              threshold=0.5)
+    verified = verify_pairs_ngram(
+        pairs, rd.read_parquet(path, columns=["url", "text"]), "text", "url",
+    ).take_all()
+    n_cand = len(verified)
+    good = [r["jaccard_exact"] for r in verified if r["jaccard_exact"] >= 0.7]
+    return pa.table({
+        "n_candidates": pa.array([n_cand], type=pa.int64()),
+        "n_verified": pa.array([len(good)], type=pa.int64()),
+        "min_verified_jaccard": pa.array(
+            [min(good) if good else 0.0], type=pa.float64()),
+    })
+
+
 def q_gnb_length_classes(sf_dir: str):
     """Distributed Gaussian Naive Bayes (the reference's streaming model,
     gaussiannb.c:89-129, as a moments UDAF): per-batch ``partial_fit``
@@ -783,6 +807,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts_bpe": q_token_counts_bpe,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_verified_dups": q_ngram_verified_dups,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ivf": q_knn_ivf,

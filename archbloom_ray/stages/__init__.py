@@ -12,6 +12,7 @@ from .dedup import (
     simhash_pairs,
     simhash_batch,
     ngram_jaccard,
+    verify_pairs_ngram,
     embedding_near_dup_pairs,
 )
 from .similarity import knn_brute, knn_ivf, train_centroids
@@ -28,7 +29,7 @@ from .multimodal import (
 __all__ = [
     "add_token_counts", "add_language_id", "add_quality", "add_fingerprint",
     "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash_pairs", "simhash_batch", "ngram_jaccard",
+    "simhash_pairs", "simhash_batch", "ngram_jaccard", "verify_pairs_ngram",
     "embedding_near_dup_pairs", "knn_brute", "knn_ivf", "train_centroids",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",

@@ -641,3 +641,68 @@ def embedding_near_dup_pairs(
         .map_groups(partition_pairs, batch_format="pyarrow")
     )
     return _dedup_pairs(pairs, id_col, extra_cols=["cosine"])
+
+
+def verify_pairs_ngram(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    width: int = 5,
+    threshold: float | None = None,
+) -> "ray.data.Dataset":
+    """Exact char-n-gram-Jaccard verification of candidate pairs.
+
+    Scale shape: the candidate-pair set is tiny after LSH, so only the
+    CANDIDATE documents' texts are materialized — the full corpus scan
+    stays distributed (broadcast id-set filter), and the gathered
+    id→shingle map ships through the object store once.  Appends
+    ``jaccard_exact``; with ``threshold`` also filters to pairs ≥ it.
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    pairs = pairs.materialize()  # avoid re-running the LSH for each pass below
+    pair_rows = pairs.take_all()  # candidate pairs: small by construction
+    cand_ids = set()
+    for r in pair_rows:
+        cand_ids.add(r["id_a"])
+        cand_ids.add(r["id_b"])
+    idset_ref = _ray.put(cand_ids)
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        ids = cached_instance(("ngram_idset", idset_ref.hex()),
+                              lambda: _ray.get(idset_ref))
+        mask = pa.array([v in ids for v in batch[id_col].to_pylist()])
+        t = batch.filter(mask)
+        return pa.table({id_col: t[id_col], text_col: t[text_col]})
+
+    cand_tbl = docs.map_batches(
+        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # |candidates| rows only
+    shingles = {r[id_col]: _shingle_hashes(r[text_col] or "", width) for r in cand_tbl}
+    sh_ref = _ray.put(shingles)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        sh = cached_instance(("ngram_shingles", sh_ref.hex()), lambda: _ray.get(sh_ref))
+        out = np.empty(len(batch), np.float64)
+        for i, (a, b) in enumerate(zip(batch["id_a"].to_pylist(),
+                                       batch["id_b"].to_pylist())):
+            sa, sb = sh.get(a), sh.get(b)
+            if sa is None or sb is None:
+                out[i] = 0.0
+                continue
+            if sa.size == 0 and sb.size == 0:
+                out[i] = 1.0
+                continue
+            inter = np.intersect1d(sa, sb, assume_unique=True).size
+            union = sa.size + sb.size - inter
+            out[i] = inter / union if union else 1.0
+        t = batch.append_column("jaccard_exact", pa.array(out))
+        if threshold is not None:
+            t = t.filter(pc.greater_equal(t["jaccard_exact"], threshold))
+        return t
+
+    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -84,3 +84,43 @@ class TestCheckpointedBuild:
         assert set(m.column_names) >= {"shard_id", "input_path", "rows",
                                        "state_sha256", "update_ms"}
         assert sum(m["rows"].to_pylist()) == 2000
+
+
+class TestResumableWrite:
+    def test_write_partitioned_idempotent(self, ray_session, tmp_path):
+        import ray.data
+        from archbloom_ray.pipelines.write import write_partitioned
+
+        ds = ray.data.from_items(
+            [{"k": i % 3, "v": i} for i in range(100)])
+        out = str(tmp_path / "out")
+        write_partitioned(ds, out, partition_cols=["k"])
+        import pyarrow.parquet as pq, pyarrow.dataset as pads
+        t1 = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+        assert t1.num_rows == 100
+        # second call with a complete marker is a no-op
+        write_partitioned(ds, out, partition_cols=["k"])
+        t2 = pads.dataset(out, format="parquet", partitioning="hive").to_table()
+        assert t2.num_rows == 100
+
+    def test_resumable_shard_map_skips_finished(self, ray_session, tmp_path):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+        import pyarrow.compute as pc
+        from archbloom_ray.pipelines.write import resumable_shard_map
+
+        ins = []
+        for i in range(3):
+            p = str(tmp_path / f"in-{i}.parquet")
+            pq.write_table(pa.table({"x": list(range(i * 10, i * 10 + 10))}), p)
+            ins.append(p)
+
+        def double(t: pa.Table) -> pa.Table:
+            return pa.table({"x2": pc.multiply(t["x"], 2)})
+
+        r1 = resumable_shard_map(ins, double, str(tmp_path / "out"))
+        assert r1 == {"total": 3, "skipped": 0, "written": 3}
+        r2 = resumable_shard_map(ins, double, str(tmp_path / "out"))
+        assert r2 == {"total": 3, "skipped": 3, "written": 0}
+        got = pq.read_table(str(tmp_path / "out" / "in-1")).column("x2").to_pylist()
+        assert got == [x * 2 for x in range(10, 20)]
