@@ -715,6 +715,75 @@ def q_ngram_verified_dups(sf_dir: str):
     })
 
 
+def q_pages_recent_counts(sf_dir: str):
+    """Time-decaying COUNTING Bloom over the crawl stream: per-url crawl
+    counts that read 0 once the url goes stale (reference tdcbloom
+    semantics — counter min-estimate + expiry, tdcbloom.c:775-817 —
+    distributed with counter-add + timestamp-max merge on the event-time
+    clock).  Probes re-crawled urls (count ≥ 2, fresh) vs stale urls
+    (count 0) and reports agreement with the exact answer."""
+    from .sketches import TimeDecayingCountingBloomFilter
+
+    path = _pages_for(sf_dir)
+
+    def ts_bounds(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
+                         "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+
+    bounds = rd.read_parquet(path, columns=["warc_ts"]).map_batches(
+        ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in bounds)
+    hi = max(r["hi"] for r in bounds)
+    span = max(hi - lo, 4)
+    unit = max(1, span // 4000)
+    span_u = span // unit
+    timeout_u = max(span_u // 4, 256)  # < max_time (65535 @ 16-bit timers)
+
+    ds = rd.read_parquet(path, columns=["url", "warc_ts"])
+    n = ds.count()
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()), pa.scalar(1_000_000, pa.int64()))
+        u = pc.divide(pc.subtract(s, pa.scalar(lo, pa.int64())), pa.scalar(unit, pa.int64()))
+        return pa.table({"url": batch["url"], "t_units": u})
+
+    units_ds = ds.map_batches(to_units, batch_format="pyarrow", zero_copy_batch=True)
+    from .pipelines.build import merge_partials
+
+    def update(batch: pa.Table) -> pa.Table:
+        s = TimeDecayingCountingBloomFilter(
+            max(n, 10), 0.001, timeout_u, counter_width=16, timer_width=16,
+            start_time=0)
+        s.update_arrow(batch["url"], now=np.asarray(batch["t_units"]))
+        return pa.table({"state": pa.array([s.to_bytes()], type=pa.large_binary())})
+
+    sk = merge_partials(units_ds.map_batches(
+        update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
+
+    # exact per-url (crawl count, last seen) at fixture scale
+    stats = grouped_agg(units_ds, ["url"], [
+        ("n_crawls", None, "count"), ("last_seen", "t_units", "max"),
+    ]).take_all()
+    cutoff = span_u - timeout_u
+    fresh_multi = [r["url"] for r in stats
+                   if r["last_seen"] >= cutoff and r["n_crawls"] >= 2][:1000]
+    stale = [r["url"] for r in stats if r["last_seen"] < cutoff][:1000]
+    est_multi = sk.count_batch(pa.array(fresh_multi, type=pa.string()), now=span_u)
+    est_stale = sk.count_batch(pa.array(stale, type=pa.string()), now=span_u)
+    return pa.table({
+        "n_fresh_multi_probed": pa.array([len(fresh_multi)], type=pa.int64()),
+        # counting-Bloom estimates only overcount → all fresh re-crawls ≥ 2
+        "fresh_multi_ge2_rate": pa.array(
+            [float((est_multi >= 2).mean()) if len(fresh_multi) else 1.0],
+            type=pa.float64()),
+        "n_stale_probed": pa.array([len(stale)], type=pa.int64()),
+        "stale_zero_rate": pa.array(
+            [float((est_stale == 0).mean()) if len(stale) else 1.0],
+            type=pa.float64()),
+    })
+
+
 def q_gnb_length_classes(sf_dir: str):
     """Distributed Gaussian Naive Bayes (the reference's streaming model,
     gaussiannb.c:89-129, as a moments UDAF): per-batch ``partial_fit``
@@ -818,6 +887,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_text_quantiles": q_pages_text_quantiles,
         "pages_url_membership": q_pages_url_membership,
         "pages_recent_urls": q_pages_recent_urls,
+        "pages_recent_counts": q_pages_recent_counts,
         "pages_extract_invariant": q_pages_extract_invariant,
     }
 
