@@ -183,6 +183,49 @@ def cmd_probe(args):
     print(json.dumps({"written": args.output}))
 
 
+def cmd_transform(args):
+    """Training-data transform over parquet shards with RESUMABLE
+    per-shard partitioned output (pipelines.write.resumable_shard_map):
+    a re-run after failure skips every finished shard."""
+    _ray_init(args.num_cpus)
+    import glob as _glob
+
+    import pyarrow as pa
+
+    from .pipelines.write import resumable_shard_map
+
+    if os.path.isdir(args.input):
+        paths = sorted(_glob.glob(os.path.join(args.input, "*.parquet"))) or sorted(
+            _glob.glob(os.path.join(args.input, "part-*")))
+    else:
+        paths = [args.input]
+    ops = args.ops.split(",")
+
+    def transform(t: pa.Table) -> pa.Table:
+        from .stages.text import (LanguageId, fingerprint_batch,
+                                  quality_features_arrow, quality_score)
+        import numpy as np
+
+        out = t
+        if "quality" in ops:
+            feat = quality_features_arrow(t[args.column])
+            for name, arr in feat.items():
+                if name not in out.column_names:
+                    out = out.append_column(name, pa.array(arr))
+            out = out.append_column("quality_score", pa.array(quality_score(feat)))
+        if "fingerprint" in ops:
+            fps = fingerprint_batch(t[args.column])
+            out = out.append_column("fingerprint", pa.array(fps.astype(np.int64)))
+        if "langid" in ops:
+            preds = LanguageId(args.column).classify_arrow(t[args.column])
+            out = out.append_column("lang_pred", pa.array(list(preds), type=pa.string()))
+        return out
+
+    report = resumable_shard_map(paths, transform, args.output,
+                                 batch_rows=args.batch_size)
+    print(json.dumps({"output": args.output, **report}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="archbloom-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -251,6 +294,15 @@ def main(argv=None):
     sp.add_argument("--column", default="url")
     sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_probe)
+
+    sp = sub.add_parser("transform")
+    sp.add_argument("input", help="parquet file or directory of shards")
+    sp.add_argument("output", help="output directory (per-shard, resumable)")
+    sp.add_argument("--column", default="text")
+    sp.add_argument("--ops", default="quality,fingerprint",
+                    help="comma list of quality,fingerprint,langid")
+    sp.add_argument("--batch-size", type=int, default=65536)
+    sp.set_defaults(fn=cmd_transform)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -65,3 +65,35 @@ def test_create_query_info_merge_flow(keys_parquet, tmp_path):
     assert r.returncode == 0
     r = run_cli("query", merged, "https://k1.example/x")
     assert r.returncode == 0
+
+
+def test_transform_resumable(ray_session, tmp_path):
+    import json
+    import pyarrow.parquet as pq
+    from archbloom_ray.cli import main
+    from archbloom_ray.datagen import pages_fixture
+    import glob, shutil, os
+
+    src_dir = pages_fixture(3000, seed=7)
+    # copy two shards into a fresh input dir (fixture dir may have one file)
+    ind = tmp_path / "in"
+    ind.mkdir()
+    files = sorted(glob.glob(os.path.join(src_dir, "*.parquet")))
+    shutil.copy(files[0], ind / "a.parquet")
+    shutil.copy(files[0], ind / "b.parquet")
+    out = str(tmp_path / "out")
+    import io, contextlib
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        main(["transform", str(ind), out, "--ops", "quality,fingerprint,langid"])
+    r = json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert r["written"] == 2 and r["skipped"] == 0
+    t = pq.read_table(os.path.join(out, "a"))
+    assert {"quality_score", "fingerprint", "lang_pred"} <= set(t.column_names)
+    assert t.num_rows == 3000
+    # resume: nothing to do
+    buf2 = io.StringIO()
+    with contextlib.redirect_stdout(buf2):
+        main(["transform", str(ind), out])
+    r2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
+    assert r2["skipped"] == 2 and r2["written"] == 0
