@@ -715,6 +715,52 @@ def q_ngram_verified_dups(sf_dir: str):
     })
 
 
+def q_pages_heavy_domains_mg(sf_dir: str):
+    """Per-lang heavy-hitter domains with SELF-PRODUCED candidates:
+    Misra-Gries summaries (deterministic undercount ≤ (n−Σc)/(k+1);
+    mergeable-summaries merge) built per lang with the salted grouped
+    combine, top-5 per lang cross-checked against CMS point estimates
+    (overcount ≤ εN w.p. 1−δ) — lower and upper brackets per domain,
+    no exact candidate pass anywhere."""
+    from .sketches import MisraGries
+    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+
+    path = _pages_for(sf_dir)
+
+    def add_domain(batch: pa.Table) -> pa.Table:
+        doms = pc.list_element(pc.split_pattern(batch["url"], "/"), 2)
+        return pa.table({"lang": batch["lang"], "domain": doms})
+
+    ds = rd.read_parquet(path, columns=["url", "lang"]).map_batches(
+        add_domain, batch_format="pyarrow", zero_copy_batch=True)
+    mg_per_lang = grouped_to_dict(build_grouped_sketches(
+        ds, "lang", "domain", lambda: MisraGries(64), salt=4))
+    cms_per_lang = grouped_to_dict(build_grouped_sketches(
+        rd.read_parquet(path, columns=["url", "lang"]).map_batches(
+            add_domain, batch_format="pyarrow", zero_copy_batch=True),
+        "lang", "domain", lambda: CountMinSketch(epsilon=0.001, delta=0.01),
+        salt=4))
+    rows = {"lang": [], "domain": [], "mg_lower": [], "cms_upper": [],
+            "mg_bound": []}
+    for lang in sorted(mg_per_lang):
+        mg = mg_per_lang[lang]
+        cms = cms_per_lang[lang]
+        for key, est in mg.candidates()[:5]:
+            dom = key.decode()
+            rows["lang"].append(lang)
+            rows["domain"].append(dom)
+            rows["mg_lower"].append(est)
+            rows["cms_upper"].append(int(cms.count(dom)))
+            rows["mg_bound"].append(mg.error_bound())
+    return pa.table({
+        "lang": pa.array(rows["lang"], type=pa.string()),
+        "domain": pa.array(rows["domain"], type=pa.string()),
+        "mg_lower": pa.array(rows["mg_lower"], type=pa.int64()),
+        "cms_upper": pa.array(rows["cms_upper"], type=pa.int64()),
+        "mg_bound": pa.array(rows["mg_bound"], type=pa.int64()),
+    })
+
+
 def q_pages_recent_counts(sf_dir: str):
     """Time-decaying COUNTING Bloom over the crawl stream: per-url crawl
     counts that read 0 once the url goes stale (reference tdcbloom
@@ -884,6 +930,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
+        "pages_heavy_domains_mg": q_pages_heavy_domains_mg,
         "pages_text_quantiles": q_pages_text_quantiles,
         "pages_url_membership": q_pages_url_membership,
         "pages_recent_urls": q_pages_recent_urls,

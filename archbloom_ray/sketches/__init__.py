@@ -7,6 +7,7 @@ from .hll import HyperLogLog
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
+from .mg import MisraGries
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 
@@ -22,6 +23,7 @@ __all__ = [
     "CountMinSketch",
     "TDigest",
     "KLLSketch",
+    "MisraGries",
     "CuckooFilter",
     "GaussianNB",
 ]
