@@ -162,6 +162,79 @@ def broadcast_lookup(
     )
 
 
+def exact_quantiles(
+    ds: "ray.data.Dataset", value_col: str, qs: list[float]
+) -> list[float]:
+    """Ungrouped EXACT ``quantile_cont`` values (DuckDB interpolation
+    arithmetic — see :func:`grouped_quantiles`).  Implemented as a
+    single-group grouped_quantiles: the oracle/baseline path (a sketch
+    answers this streaming at scale)."""
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "_g": pa.array(np.zeros(len(batch), dtype=np.int32)),
+            value_col: batch[value_col],
+        })
+
+    one = ds.map_batches(add_const, batch_format="pyarrow", zero_copy_batch=True)
+    row = grouped_quantiles(one, ["_g"], value_col, qs).take_all()[0]
+    return [row[f"q{str(q).replace('.', '_')}"] for q in qs]
+
+
+def rank_counts(
+    ds: "ray.data.Dataset", value_col: str, values: list[float],
+    *, batch_size: int = 65536,
+) -> tuple[np.ndarray, np.ndarray, int]:
+    """Distributed rank interval of each probe value in the data:
+    returns ``(count_lt, count_le, n_rows)`` per value — one streaming
+    pass, tiny per-batch partials (no sort, no shuffle of rows).  Used
+    to certify quantile-sketch estimates against their rank-error bound.
+    """
+    probes = np.asarray(values, dtype=np.float64)
+
+    def partial(batch: pa.Table) -> pa.Table:
+        v = np.sort(np.asarray(batch[value_col], dtype=np.float64))
+        lt = np.searchsorted(v, probes, side="left")
+        le = np.searchsorted(v, probes, side="right")
+        return pa.table({
+            "lt": pa.array(lt.astype(np.int64)),
+            "le": pa.array(le.astype(np.int64)),
+            "n": pa.array(np.full(len(probes), len(v), dtype=np.int64)),
+            "i": pa.array(np.arange(len(probes), dtype=np.int64)),
+        })
+
+    parts = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    ).groupby("i").aggregate(
+        ray.data.aggregate.Sum("lt", alias_name="lt"),
+        ray.data.aggregate.Sum("le", alias_name="le"),
+        ray.data.aggregate.Sum("n", alias_name="n"),
+    ).take_all()
+    lt = np.zeros(len(probes), dtype=np.int64)
+    le = np.zeros(len(probes), dtype=np.int64)
+    n = 0
+    for r in parts:
+        lt[r["i"]] = r["lt"]
+        le[r["i"]] = r["le"]
+        n = max(n, r["n"])
+    return lt, le, int(n)
+
+
+def rank_errors(
+    ds: "ray.data.Dataset", value_col: str,
+    estimates: list[float], qs: list[float],
+) -> np.ndarray:
+    """Per-(estimate, q) rank error: distance from q to the estimate's
+    rank interval [count_lt/n, count_le/n] (0 when inside — tied values
+    occupy an interval, same convention as tests/test_quantiles.py)."""
+    lt, le, n = rank_counts(ds, value_col, estimates)
+    lo = lt / max(n, 1)
+    hi = le / max(n, 1)
+    q = np.asarray(qs, dtype=np.float64)
+    return np.where((q >= lo) & (q <= hi), 0.0,
+                    np.minimum(np.abs(q - lo), np.abs(q - hi)))
+
+
 def distinct_count(ds: "ray.data.Dataset", column: str, *, batch_size: int = 65536) -> int:
     """Exact distinct count with in-batch dedup before the shuffle."""
 

@@ -186,35 +186,20 @@ def q_bloom_membership(sf_dir: str):
 
 
 def q_knn_cosine(sf_dir: str):
-    """Brute-force cosine top-10 vs the vec_id=0 query vector, computed
-    per batch against the broadcast query (matmul), global top-k merge."""
+    """Brute-force cosine top-10 vs the vec_id=0 query vector via
+    ``stages.similarity.knn_brute``: per-batch matmul against the
+    broadcast query + per-batch ``argpartition`` local top-k + tiny
+    driver merge — NO global sort of the scored table (the top-k
+    operator's whole point at 10^12 rows)."""
+    from .stages import knn_brute
+
     emb0 = pa.parquet.read_table(
         os.path.join(sf_dir, "embeddings.parquet"), columns=["vec_id", "embedding"]
     )
     q = np.asarray(emb0.filter(pc.equal(emb0["vec_id"], 0))["embedding"][0].as_py(), dtype=np.float64)
-    qn = q / np.linalg.norm(q)
-    qref = ray.put(qn)
-
-    from .proc_cache import cached_instance
-
-    def score(batch: pa.Table) -> pa.Table:
-        q = cached_instance(("q_knn", qref.hex()), lambda: ray.get(qref))
-        m = np.asarray(batch["embedding"].combine_chunks().flatten(), dtype=np.float64)
-        m = m.reshape(len(batch), -1)
-        norms = np.linalg.norm(m, axis=1)
-        sims = (m @ q) / np.where(norms == 0, 1, norms)
-        return pa.table({"vec_id": batch["vec_id"], "sim": pa.array(sims)})
-
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"]).map_batches(
-        score, batch_format="pyarrow", zero_copy_batch=True
-    )
-    top = ds.sort(["sim", "vec_id"], descending=[True, False]).limit(10).take_all()
-    return pa.table(
-        {
-            "rank": pa.array(range(1, len(top) + 1), type=pa.int64()),
-            "vec_id": pa.array([r["vec_id"] for r in top], type=pa.int64()),
-        }
-    )
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = knn_brute(ds, q[None, :], k=10)
+    return out.select(["rank", "vec_id"])
 
 
 # ---------------------------------------------------------------------------
@@ -222,58 +207,118 @@ def q_knn_cosine(sf_dir: str):
 # ---------------------------------------------------------------------------
 
 def q_hll_distinct_text(sf_dir: str):
+    """HLL distinct estimate certified against the exact distributed
+    count: the oracle checks the exact side (``count(DISTINCT text)``)
+    plus the deterministic bound verdict — |est − exact| ≤ 3σ with
+    σ = 1.04/√m (the north rule's published HLL bound; 3σ so the fixed
+    test inputs never flake)."""
+    from .pipelines.relational import distinct_count
+
     ds = _read(sf_dir, "documents", ["text"])
     hll = build_sketch(ds, "text", lambda: HyperLogLog(14))
+    exact = distinct_count(_read(sf_dir, "documents", ["text"]), "text")
+    within = abs(hll.cardinality() - exact) <= 3 * hll.relative_error_bound() * exact
     return pa.table(
         {
-            "estimate": pa.array([hll.cardinality()], type=pa.float64()),
-            "rel_error_bound": pa.array([hll.relative_error_bound()], type=pa.float64()),
+            "distinct_text_exact": pa.array([exact], type=pa.int64()),
+            "hll_within_bound": pa.array([bool(within)], type=pa.bool_()),
         }
     )
 
 
 def q_cms_source_counts(sf_dir: str):
+    """Per-source CMS point estimates certified against the exact
+    grouped counts.  Candidates + exact come from ONE distributed
+    grouped_agg scan (no extra ``.unique()`` pass); the CMS build scans
+    rows once more.  Oracle checks (source, exact_count) and the CMS
+    contract verdict: exact ≤ est ≤ exact + εN."""
+    exact_rows = grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"], [("exact_count", None, "count")]
+    ).take_all()
+    exact_rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in exact_rows]
+    exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
+
     ds = _read(sf_dir, "documents", ["source"])
     cms = build_sketch(ds, "source", lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
-    sources = sorted(set(_read(sf_dir, "documents", ["source"]).unique("source")))
+    est = cms.count_batch(pa.array(sources, type=pa.string()))
+    within = (est >= exact) & (est <= exact + cms.error_bound())
     return pa.table(
         {
             "source": pa.array(sources, type=pa.string()),
-            "est_count": pa.array(
-                cms.count_batch(pa.array(sources, type=pa.string())), type=pa.int64()
-            ),
+            "exact_count": pa.array(exact, type=pa.int64()),
+            "cms_within_bound": pa.array(within, type=pa.bool_()),
         }
     )
 
 
 def q_quantile_sketches(sf_dir: str):
+    """t-digest + KLL quantiles certified against the exact distributed
+    quantiles (DuckDB ``quantile_cont`` arithmetic) and each sketch's
+    rank-error bound, computed with a distributed rank pass — the
+    oracle checks (q, exact, both bound verdicts)."""
+    from .pipelines.relational import exact_quantiles, rank_errors
+
     ds = _read(sf_dir, "documents", ["n_chars"])
     out = build_sketches(ds, {
         "tdigest": ("n_chars", lambda: TDigest(200)),
         "kll": ("n_chars", lambda: KLLSketch(200)),
     })
     qs = [0.01, 0.25, 0.5, 0.75, 0.99]
+    exact = exact_quantiles(_read(sf_dir, "documents", ["n_chars"]), "n_chars", qs)
+    td_est = out["tdigest"].quantiles(qs)
+    kll_est = out["kll"].quantiles(qs)
+    td_err = rank_errors(_read(sf_dir, "documents", ["n_chars"]), "n_chars", td_est, qs)
+    kll_err = rank_errors(_read(sf_dir, "documents", ["n_chars"]), "n_chars", kll_est, qs)
     return pa.table(
         {
             "q": pa.array(qs, type=pa.float64()),
-            "tdigest": pa.array(out["tdigest"].quantiles(qs), type=pa.float64()),
-            "kll": pa.array(out["kll"].quantiles(qs), type=pa.float64()),
+            "exact": pa.array(exact, type=pa.float64()),
+            "tdigest_within_bound": pa.array(td_err <= 0.02, type=pa.bool_()),
+            "kll_within_bound": pa.array(kll_err <= 0.05, type=pa.bool_()),
         }
     )
 
 
 def q_cbloom_source_membership(sf_dir: str):
+    """Counting-Bloom per-source min-count estimates certified against
+    exact grouped counts (one grouped_agg scan supplies candidates +
+    exact): counting-Bloom counts only OVERestimate, so the verdict is
+    est ≥ exact (reference cbloom.c:257-274 estimator)."""
+    exact_rows = grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"], [("exact_count", None, "count")]
+    ).take_all()
+    exact_rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in exact_rows]
+    exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
+
     ds = _read(sf_dir, "documents", ["source"])
     n = ds.count()
     sk = build_sketch(ds, "source", lambda: CountingBloomFilter(max(n, 10), 0.01, width=32))
-    sources = sorted(set(_read(sf_dir, "documents", ["source"]).unique("source")))
-    arr = pa.array(sources, type=pa.string())
+    est = sk.count_batch(pa.array(sources, type=pa.string()))
     return pa.table(
         {
-            "source": arr,
-            "min_count_est": pa.array(sk.count_batch(arr), type=pa.int64()),
+            "source": pa.array(sources, type=pa.string()),
+            "exact_count": pa.array(exact, type=pa.int64()),
+            "cbloom_ge_exact": pa.array(est >= exact, type=pa.bool_()),
         }
     )
+
+
+def q_cuckoo_membership(sf_dir: str):
+    """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
+    ample headroom (~12% load) so every insert and the distributed
+    re-insert merge succeed deterministically, then probed with every
+    inserted text — a cuckoo filter has NO false negatives for resident
+    fingerprints, so the result is deterministically all-present
+    (oracle: ``SELECT doc_id, TRUE``)."""
+    from .sketches import CuckooFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    sk = build_sketch(ds, "text", lambda: CuckooFilter(num_buckets=2 * max(n, 16)))
+    probed = membership(ds, sk, "text", concurrency=2)
+    return probed.select_columns(["doc_id", "present"])
 
 
 # ---------------------------------------------------------------------------
@@ -910,8 +955,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "bloom_membership": q_bloom_membership,
+        "cuckoo_membership": q_cuckoo_membership,
         "knn_cosine": q_knn_cosine,
-        # sketch queries — no oracle (rows-only); bounds enforced in pytest
+        # sketch queries — estimate certified against an exact distributed
+        # side + the algorithm's published bound; oracle checks the exact
+        # columns and the (deterministic) bound verdicts
         "hll_distinct_text": q_hll_distinct_text,
         "cms_source_counts": q_cms_source_counts,
         "quantile_sketches": q_quantile_sketches,
@@ -1042,6 +1090,26 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "cuckoo_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "hll_distinct_text": """
+            SELECT count(DISTINCT text) AS distinct_text_exact,
+                   TRUE AS hll_within_bound
+            FROM documents
+        """,
+        "cms_source_counts": """
+            SELECT source, count(*) AS exact_count, TRUE AS cms_within_bound
+            FROM documents GROUP BY source
+        """,
+        "cbloom_source_membership": """
+            SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
+            FROM documents GROUP BY source
+        """,
+        "quantile_sketches": " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_cont(n_chars, {q}) AS exact,"
+            " TRUE AS tdigest_within_bound, TRUE AS kll_within_bound"
+            " FROM documents"
+            for q in (0.01, 0.25, 0.5, 0.75, 0.99)
+        ),
         "fingerprint_distinct": (
             "SELECT count(DISTINCT text) AS n_distinct_fingerprints FROM documents"
         ),
