@@ -335,24 +335,34 @@ def q_langid_counts(sf_dir: str):
 
 
 def q_quality_by_lang(sf_dir: str):
-    from .stages import add_quality
+    """C4/Gopher-style quality gate per lang, in PURE INTEGER arithmetic
+    so a DuckDB oracle hash-matches exactly: a doc passes when
+    n_words ≥ 30, punct_count·5 ≤ n_chars (punct ratio ≤ 20%) and
+    distinct_words·10 ≥ 7·n_words (dup ratio ≤ 30%).  The float
+    ``quality_score`` composite stays pytest-parity-tested
+    (TestVectorizedParity) and benched; this query is the
+    driver-verifiable face of the same feature kernels."""
+    from .stages.text import quality_features_arrow
 
-    ds = add_quality(_read(sf_dir, "documents", ["lang", "text"]))
-
-    def per_group(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "lang": group["lang"].slice(0, 1),
-                "mean_quality": pa.array(
-                    [float(np.asarray(group["quality_score"]).mean())], type=pa.float64()
-                ),
-                "n_docs": pa.array([len(group)], type=pa.int64()),
-            }
+    def gate(batch: pa.Table) -> pa.Table:
+        f = quality_features_arrow(batch["text"])
+        ok = (
+            (f["n_words"] >= 30)
+            & (f["n_punct"] * 5 <= f["n_chars"])
+            & (f["n_distinct_words"] * 10 >= 7 * f["n_words"])
         )
+        return pa.table({
+            "lang": batch["lang"],
+            "pass_gate": pa.array(ok.astype(np.int64)),
+        })
 
-    return ds.select_columns(["lang", "quality_score"]).groupby("lang").map_groups(
-        per_group, batch_format="pyarrow"
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True
     )
+    return grouped_agg(ds, ["lang"], [
+        ("n_docs", None, "count"),
+        ("n_pass_gate", "pass_gate", "sum"),
+    ])
 
 
 def q_fingerprint_distinct(sf_dir: str):
@@ -987,6 +997,126 @@ def queries() -> dict[str, Callable[[str], Any]]:
     }
 
 
+def _sql_quote(s: str) -> str:
+    return s.replace("'", "''")
+
+
+def _sql_lower_tokens(txt_expr: str) -> str:
+    """SQL fragment: first-class lowercased whitespace tokens of a text
+    expression, mirroring ``stages.text._tokens_of`` (re2 trim + split;
+    DuckDB's regexp engine is RE2 too, so the class semantics match)."""
+    from .stages.text import _RE2_WS, _RE2_WS_CLASS
+
+    cls = _sql_quote(_RE2_WS_CLASS)
+    ws_re = _sql_quote(_RE2_WS)
+    trimmed = f"regexp_replace({txt_expr}, '^{cls}+|{cls}+$', '', 'g')"
+    return (f"list_transform(string_split_regex({trimmed}, '{ws_re}'),"
+            " x -> lower(x))")
+
+
+def _langid_oracle_sql() -> str:
+    """DuckDB reimplementation of ``LanguageId.classify_arrow`` —
+    generated from the SAME ``_STOPWORDS`` dict and RE2 patterns the
+    Ray stage uses, so the two can never drift.  ``substring(…,1,200)``
+    matches the Arrow head slice for this corpus (chars); the CASE
+    chain reproduces numpy's first-max argmax in dict order."""
+    from .stages.text import _STOPWORDS
+
+    langs = list(_STOPWORDS)
+
+    def lst(words):
+        return "[" + ", ".join(f"'{_sql_quote(w)}'" for w in sorted(words)) + "]"
+
+    hits = ",\n                   ".join(
+        f"len(list_filter(toks, x -> list_contains({lst(_STOPWORDS[l])}, x))) AS h_{l}"
+        for l in langs)
+    best = "greatest(" + ", ".join(f"h_{l}" for l in langs) + ")"
+    case = "\n                     ".join(
+        f"WHEN h_{l} = best THEN '{l}'" for l in langs)
+    toks = _sql_lower_tokens("txt")
+    return f"""
+        WITH t AS (
+            SELECT coalesce(text, '') AS txt FROM documents
+        ), tok AS (
+            SELECT length(txt) AS n_chars,
+                   substring(txt, 1, 200) AS head,
+                   list_slice({toks}, 1, 300) AS toks
+            FROM t
+        ), h AS (
+            SELECT n_chars,
+                   greatest(1, least(n_chars, 200)) AS probe,
+                   len(regexp_extract_all(head, '[一-鿿]')) AS cjk,
+                   len(regexp_extract_all(head, '[぀-ヿ]')) AS kana,
+                   len(regexp_extract_all(head, '[Ѐ-ӿ]')) AS cyr,
+                   {hits}
+            FROM tok
+        ), p AS (
+            SELECT CASE
+                     WHEN n_chars = 0 THEN 'und'
+                     WHEN CAST(kana AS DOUBLE) / probe > 0.05 THEN 'ja'
+                     WHEN CAST(cjk AS DOUBLE) / probe > 0.2 THEN 'zh'
+                     WHEN CAST(cyr AS DOUBLE) / probe > 0.2 THEN 'ru'
+                     WHEN best < 2 THEN 'und'
+                     {case}
+                   END AS lang_pred
+            FROM (SELECT *, {best} AS best FROM h)
+        )
+        SELECT lang_pred, count(*) AS n_docs FROM p GROUP BY lang_pred
+    """
+
+
+def _bpe_oracle_sql() -> str:
+    """BPE-ish token totals via DuckDB ``regexp_extract_all`` with the
+    SAME RE2 pattern the Arrow kernel counts (stages.text._RE2_BPE)."""
+    from .stages.text import _RE2_BPE
+
+    pat = _sql_quote(_RE2_BPE)
+    return f"""
+        SELECT lang,
+               CAST(sum(len(regexp_extract_all(coalesce(text, ''), '{pat}'))) AS BIGINT)
+                   AS total_bpe_tokens
+        FROM documents GROUP BY lang
+    """
+
+
+def _quality_oracle_sql() -> str:
+    """Integer quality gate mirror of ``q_quality_by_lang`` — counts
+    generated from the same RE2 char classes; all comparisons stay in
+    integer arithmetic so the hash compare is exact."""
+    from .stages.text import _RE2_PUNCT
+
+    from .stages.text import _RE2_WS, _RE2_WS_CLASS
+
+    punct = _sql_quote(_RE2_PUNCT)
+    cls = _sql_quote(_RE2_WS_CLASS)
+    ws_re = _sql_quote(_RE2_WS)
+    return f"""
+        WITH raw AS (
+            SELECT lang, coalesce(text, '') AS txt,
+                   regexp_replace(coalesce(text, ''), '^{cls}+|{cls}+$', '', 'g')
+                       AS trimmed
+            FROM documents
+        ), f AS (
+            SELECT lang,
+                   length(txt) AS n_chars,
+                   len(regexp_extract_all(txt, '{punct}')) AS n_punct,
+                   CASE WHEN trimmed = '' THEN 0
+                        ELSE len(string_split_regex(trimmed, '{ws_re}')) END AS n_words,
+                   CASE WHEN trimmed = '' THEN 0
+                        ELSE len(list_distinct(list_transform(
+                                 string_split_regex(trimmed, '{ws_re}'),
+                                 x -> lower(x)))) END AS n_distinct
+            FROM raw
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN n_words >= 30
+                              AND n_punct * 5 <= n_chars
+                              AND n_distinct * 10 >= 7 * n_words
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gate
+        FROM f GROUP BY lang
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_doc_counts": """
@@ -1113,6 +1243,9 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_distinct": (
             "SELECT count(DISTINCT text) AS n_distinct_fingerprints FROM documents"
         ),
+        "langid_counts": _langid_oracle_sql(),
+        "token_counts_bpe": _bpe_oracle_sql(),
+        "quality_by_lang": _quality_oracle_sql(),
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (

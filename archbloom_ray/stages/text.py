@@ -257,6 +257,11 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
         "mean_word_len": zeros_f(), "punct_ratio": zeros_f(),
         "digit_ratio": zeros_f(), "stop_ratio": zeros_f(),
         "dup_word_ratio": zeros_f(),
+        # integer raw counts — the ratios' numerators.  Exposed so gate
+        # queries can compare in pure integer arithmetic (bit-exact vs a
+        # SQL oracle, no float-division rounding in the comparison).
+        "n_punct": np.zeros(n, np.int64), "n_digits": np.zeros(n, np.int64),
+        "n_distinct_words": np.zeros(n, np.int64),
     }
     if n == 0:
         return out
@@ -265,11 +270,13 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
     out["n_chars"] = n_chars
     nonempty = n_chars > 0
     if nonempty.any():
-        punct = _np(pc.count_substring_regex(filled, _RE2_PUNCT)).astype(np.float64)
-        digit = _np(pc.count_substring_regex(filled, _RE2_DIGIT)).astype(np.float64)
+        punct = _np(pc.count_substring_regex(filled, _RE2_PUNCT)).astype(np.int64)
+        digit = _np(pc.count_substring_regex(filled, _RE2_DIGIT)).astype(np.int64)
         denom = np.where(nonempty, n_chars, 1)
-        out["punct_ratio"] = np.where(nonempty, punct / denom, 0.0)
-        out["digit_ratio"] = np.where(nonempty, digit / denom, 0.0)
+        out["n_punct"] = np.where(nonempty, punct, 0)
+        out["n_digits"] = np.where(nonempty, digit, 0)
+        out["punct_ratio"] = np.where(nonempty, punct.astype(np.float64) / denom, 0.0)
+        out["digit_ratio"] = np.where(nonempty, digit.astype(np.float64) / denom, 0.0)
     nonblank = _np(pc.not_equal(trimmed, "")).astype(bool)
     if not nonblank.any():
         return out
@@ -303,6 +310,7 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
         distinct = np.bincount(s_seg[new], minlength=n)
     safe = np.where(nonblank, counts, 1)
     out["n_words"] = np.where(nonblank, counts, 0)
+    out["n_distinct_words"] = np.where(nonblank, distinct, 0)
     out["mean_word_len"] = np.where(nonblank, sum_len / safe, 0.0)
     out["stop_ratio"] = np.where(nonblank, hits / safe, 0.0)
     out["dup_word_ratio"] = np.where(nonblank, 1.0 - distinct / safe, 0.0)
@@ -317,6 +325,9 @@ def quality_features_batch(texts: list[str]) -> dict[str, np.ndarray]:
     n = len(texts)
     n_chars = np.zeros(n, np.int64)
     n_words = np.zeros(n, np.int64)
+    n_punct = np.zeros(n, np.int64)
+    n_digits = np.zeros(n, np.int64)
+    n_distinct_words = np.zeros(n, np.int64)
     mean_word_len = np.zeros(n, np.float64)
     punct_ratio = np.zeros(n, np.float64)
     digit_ratio = np.zeros(n, np.float64)
@@ -332,10 +343,13 @@ def quality_features_batch(texts: list[str]) -> dict[str, np.ndarray]:
             mean_word_len[i] = sum(map(len, words)) / len(words)
             lower = [w.lower() for w in words]
             stop_ratio[i] = sum(1 for w in lower if w in en_stop) / len(words)
-            dup_word_ratio[i] = 1.0 - len(set(lower)) / len(words)
+            n_distinct_words[i] = len(set(lower))
+            dup_word_ratio[i] = 1.0 - n_distinct_words[i] / len(words)
         if t:
-            punct_ratio[i] = len(_PUNCT.findall(t)) / len(t)
-            digit_ratio[i] = len(_DIGIT.findall(t)) / len(t)
+            n_punct[i] = len(_PUNCT.findall(t))
+            n_digits[i] = len(_DIGIT.findall(t))
+            punct_ratio[i] = n_punct[i] / len(t)
+            digit_ratio[i] = n_digits[i] / len(t)
     return {
         "n_chars": n_chars,
         "n_words": n_words,
@@ -344,6 +358,9 @@ def quality_features_batch(texts: list[str]) -> dict[str, np.ndarray]:
         "digit_ratio": digit_ratio,
         "stop_ratio": stop_ratio,
         "dup_word_ratio": dup_word_ratio,
+        "n_punct": n_punct,
+        "n_digits": n_digits,
+        "n_distinct_words": n_distinct_words,
     }
 
 
