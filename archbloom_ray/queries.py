@@ -444,19 +444,20 @@ def _pages_for(sf_dir: str) -> str:
 
 
 def q_pages_distinct_urls(sf_dir: str):
-    """North-star query 1: distinct-url count — HLL estimate next to the
-    exact distributed count (bound asserted in pytest)."""
+    """North-star query 1: distinct-url count — exact distributed count
+    hash-checked by the oracle, HLL estimate certified against it with
+    the published 3σ bound (σ = 1.04/√m) as a deterministic verdict."""
     from .pipelines.relational import distinct_count
 
     path = _pages_for(sf_dir)
     ds = rd.read_parquet(path, columns=["url"])
     hll = build_sketch(ds, "url", lambda: HyperLogLog(14))
     exact = distinct_count(rd.read_parquet(path, columns=["url"]), "url")
+    within = abs(hll.cardinality() - exact) <= 3 * hll.relative_error_bound() * exact
     return pa.table(
         {
-            "estimate": pa.array([hll.cardinality()], type=pa.float64()),
-            "exact": pa.array([exact], type=pa.int64()),
-            "rel_error_bound": pa.array([hll.relative_error_bound()], type=pa.float64()),
+            "n_urls_exact": pa.array([exact], type=pa.int64()),
+            "hll_within_bound": pa.array([bool(within)], type=pa.bool_()),
         }
     )
 
@@ -464,7 +465,9 @@ def q_pages_distinct_urls(sf_dir: str):
 def q_pages_heavy_domains(sf_dir: str):
     """North-star query 2: per-lang heavy-hitter domains — per-lang CMS
     sketches built with the salted grouped combine, probed with exact
-    top-5 candidates."""
+    top-5 candidates.  Oracle hash-checks (lang, domain, exact) — the
+    same top-5-per-lang window — plus the deterministic CMS contract
+    verdict exact ≤ est ≤ exact + εN_lang."""
     from .pipelines.build import build_grouped_sketches, grouped_to_dict
 
     path = _pages_for(sf_dir)
@@ -489,56 +492,72 @@ def q_pages_heavy_domains(sf_dir: str):
         top_by_lang.setdefault(r["lang"], [])
         if len(top_by_lang[r["lang"]]) < 5:
             top_by_lang[r["lang"]].append(r)
-    rows = {"lang": [], "domain": [], "exact": [], "estimate": []}
+    rows = {"lang": [], "domain": [], "exact": [], "within": []}
     for lang, entries in sorted(top_by_lang.items()):
         sk = per_lang[lang]
         for r in entries:
+            est = sk.count(r["domain"])
             rows["lang"].append(lang)
             rows["domain"].append(r["domain"])
             rows["exact"].append(r["n"])
-            rows["estimate"].append(sk.count(r["domain"]))
+            rows["within"].append(r["n"] <= est <= r["n"] + sk.error_bound())
     return pa.table(
         {
             "lang": pa.array(rows["lang"], type=pa.string()),
             "domain": pa.array(rows["domain"], type=pa.string()),
             "exact": pa.array(rows["exact"], type=pa.int64()),
-            "estimate": pa.array(rows["estimate"], type=pa.int64()),
+            "cms_within_bound": pa.array(rows["within"], type=pa.bool_()),
         }
     )
 
 
 def q_pages_text_quantiles(sf_dir: str):
-    """North-star query 3: text-length quantiles via t-digest + KLL."""
+    """North-star query 3: text-length quantiles via t-digest + KLL,
+    certified against the exact distributed quantiles (oracle
+    hash-checks the exact side + rank-error verdicts)."""
+    from .pipelines.relational import exact_quantiles, rank_errors
+
     path = _pages_for(sf_dir)
 
     def add_len(batch: pa.Table) -> pa.Table:
         return pa.table({"n_chars": pc.utf8_length(batch["text"])})
 
-    ds = rd.read_parquet(path, columns=["text"]).map_batches(
-        add_len, batch_format="pyarrow", zero_copy_batch=True
-    )
-    out = build_sketches(ds, {
+    def lens():
+        return rd.read_parquet(path, columns=["text"]).map_batches(
+            add_len, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    out = build_sketches(lens(), {
         "tdigest": ("n_chars", lambda: TDigest(200)),
         "kll": ("n_chars", lambda: KLLSketch(200)),
     })
     qs = [0.01, 0.5, 0.99]
+    exact = exact_quantiles(lens(), "n_chars", qs)
+    td_err = rank_errors(lens(), "n_chars", out["tdigest"].quantiles(qs), qs)
+    kll_err = rank_errors(lens(), "n_chars", out["kll"].quantiles(qs), qs)
     return pa.table(
         {
             "q": pa.array(qs, type=pa.float64()),
-            "tdigest": pa.array(out["tdigest"].quantiles(qs), type=pa.float64()),
-            "kll": pa.array(out["kll"].quantiles(qs), type=pa.float64()),
+            "exact": pa.array(exact, type=pa.float64()),
+            "tdigest_within_bound": pa.array(td_err <= 0.02, type=pa.bool_()),
+            "kll_within_bound": pa.array(kll_err <= 0.05, type=pa.bool_()),
         }
     )
 
 
 def q_pages_url_membership(sf_dir: str):
     """North-star query 4: url membership — Bloom built over the corpus,
-    probed with half present / half absent urls; reports recall + FPR."""
+    probed with present urls (recall is deterministically 1.0: Bloom
+    filters have no false negatives) and a fixed absent set (measured
+    FPR ≤ 5× the 1% build target — deterministic for a fixed corpus +
+    probe set).  Oracle hash-checks (n_probed_present, recall,
+    fpr_below_cap)."""
     path = _pages_for(sf_dir)
     ds = rd.read_parquet(path, columns=["url"])
     n = ds.count()
     sk = build_sketch(ds, "url", lambda: BloomFilter(n, 0.01))
-    present = [r["url"] for r in ds.take(2000)]
+    n_present = min(2000, n)
+    present = [r["url"] for r in ds.take(n_present)]
     absent = [f"https://absent{i:06d}.example/x" for i in range(2000)]
     import ray.data as _rd
 
@@ -549,9 +568,9 @@ def q_pages_url_membership(sf_dir: str):
     fpr = sum(r["present"] for r in out if not r["expected"]) / max(1, len(absent))
     return pa.table(
         {
+            "n_probed_present": pa.array([n_present], type=pa.int64()),
             "recall": pa.array([recall], type=pa.float64()),
-            "fpr": pa.array([fpr], type=pa.float64()),
-            "est_fpr_bound": pa.array([sk.estimate_false_positive_rate()], type=pa.float64()),
+            "fpr_below_cap": pa.array([fpr <= 0.05], type=pa.bool_()),
         }
     )
 
@@ -607,22 +626,22 @@ def q_pages_recent_urls(sf_dir: str):
     sk = merge_partials(units_ds.map_batches(
         update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
 
-    # exact last-seen per url (fixture scale) → probe sets
+    # exact last-seen per url (fixture scale) → probe EVERY url so the
+    # probe set (and hence recall/FPR) is deterministic regardless of
+    # streaming row order; oracle hash-checks the counts + verdicts
     last = grouped_agg(units_ds, ["url"], [("last_seen", "t_units", "max")]).take_all()
     cutoff = span_u - timeout_u
-    recent = [r["url"] for r in last if r["last_seen"] >= cutoff][:2000]
-    old = [r["url"] for r in last if r["last_seen"] < cutoff][:2000]
+    recent = [r["url"] for r in last if r["last_seen"] >= cutoff]
+    old = [r["url"] for r in last if r["last_seen"] < cutoff]
     ok_recent = sk.lookup_batch(pa.array(recent, type=pa.string()), now=span_u)
     fp_old = sk.lookup_batch(pa.array(old, type=pa.string()), now=span_u)
     return pa.table({
         "n_urls": pa.array([len(last)], type=pa.int64()),
-        "n_recent_probed": pa.array([len(recent)], type=pa.int64()),
+        "n_recent": pa.array([len(recent)], type=pa.int64()),
         "recall_recent": pa.array(
             [float(ok_recent.mean()) if len(recent) else 1.0], type=pa.float64()),
-        "fpr_old": pa.array(
-            [float(fp_old.mean()) if len(old) else 0.0], type=pa.float64()),
-        "fresh_slot_saturation": pa.array(
-            [sk.saturation(now=span_u)], type=pa.float64()),
+        "fpr_old_below_cap": pa.array(
+            [bool(fp_old.mean() <= 0.05) if len(old) else True], type=pa.bool_()),
     })
 
 
@@ -862,26 +881,29 @@ def q_pages_recent_counts(sf_dir: str):
     sk = merge_partials(units_ds.map_batches(
         update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
 
-    # exact per-url (crawl count, last seen) at fixture scale
+    # exact per-url (crawl count, last seen) at fixture scale — probe
+    # EVERY qualifying url so the probe set is deterministic (no
+    # dependence on streaming row order); oracle hash-checks the counts
+    # and the guarantee verdicts
     stats = grouped_agg(units_ds, ["url"], [
         ("n_crawls", None, "count"), ("last_seen", "t_units", "max"),
     ]).take_all()
     cutoff = span_u - timeout_u
     fresh_multi = [r["url"] for r in stats
-                   if r["last_seen"] >= cutoff and r["n_crawls"] >= 2][:1000]
-    stale = [r["url"] for r in stats if r["last_seen"] < cutoff][:1000]
+                   if r["last_seen"] >= cutoff and r["n_crawls"] >= 2]
+    stale = [r["url"] for r in stats if r["last_seen"] < cutoff]
     est_multi = sk.count_batch(pa.array(fresh_multi, type=pa.string()), now=span_u)
     est_stale = sk.count_batch(pa.array(stale, type=pa.string()), now=span_u)
     return pa.table({
-        "n_fresh_multi_probed": pa.array([len(fresh_multi)], type=pa.int64()),
+        "n_fresh_multi": pa.array([len(fresh_multi)], type=pa.int64()),
         # counting-Bloom estimates only overcount → all fresh re-crawls ≥ 2
         "fresh_multi_ge2_rate": pa.array(
             [float((est_multi >= 2).mean()) if len(fresh_multi) else 1.0],
             type=pa.float64()),
-        "n_stale_probed": pa.array([len(stale)], type=pa.int64()),
-        "stale_zero_rate": pa.array(
-            [float((est_stale == 0).mean()) if len(stale) else 1.0],
-            type=pa.float64()),
+        "n_stale": pa.array([len(stale)], type=pa.int64()),
+        "stale_mostly_zero": pa.array(
+            [bool((est_stale == 0).mean() >= 0.95) if len(stale) else True],
+            type=pa.bool_()),
     })
 
 
@@ -890,20 +912,24 @@ def q_gnb_length_classes(sf_dir: str):
     gaussiannb.c:89-129, as a moments UDAF): per-batch ``partial_fit``
     partials → exact Chan-et-al moment merge → broadcast scorer.
 
-    Label = document-length tercile (short/medium/long), with the
-    tercile cut points themselves estimated distributed via a KLL
-    sketch; features = text-shape signals.  (The synthetic corpora have
-    no lang↔text correlation, so length classes are the honest learnable
-    target; this exercises the full distributed-train path.)"""
+    Label = document-length tercile (short/medium/long), cut at the
+    EXACT distributed terciles (DuckDB quantile_cont arithmetic, so the
+    oracle reproduces the same class assignment bit-for-bit); features =
+    text-shape signals.  (The synthetic corpora have no lang↔text
+    correlation, so length classes are the honest learnable target;
+    this exercises the full distributed-train path.)  Oracle
+    hash-checks (length_class, n_docs) + the verdict that per-class
+    accuracy ≥ 0.8 (measured 0.93–1.0; the 1/3 prior is far below)."""
     from .sketches import GaussianNB
     from .sketches.base import sketch_from_bytes
-    from .pipelines.build import build_sketch, merge_partials
+    from .pipelines.build import merge_partials
+    from .pipelines.relational import exact_quantiles
     from .stages.text import quality_features_arrow
     from .proc_cache import cached_instance
 
     ds = _read(sf_dir, "documents", ["text", "n_chars"])
-    kll = build_sketch(ds, "n_chars", lambda: KLLSketch(200))
-    cuts = kll.quantiles([1 / 3, 2 / 3])
+    cuts = exact_quantiles(_read(sf_dir, "documents", ["n_chars"]), "n_chars",
+                           [1 / 3, 2 / 3])
     n_classes, n_feat = 3, 4
     CLASS_NAMES = ["short", "medium", "long"]
 
@@ -939,9 +965,16 @@ def q_gnb_length_classes(sf_dir: str):
         })
 
     scored = ds.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
-    return grouped_agg(scored, ["length_class"], [
+    rows = grouped_agg(scored, ["length_class"], [
         ("n_correct", "correct", "sum"), ("n_docs", "one", "sum"),
-    ])
+    ]).take_all()
+    rows.sort(key=lambda r: r["length_class"])
+    return pa.table({
+        "length_class": pa.array([r["length_class"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "acc_ge_080": pa.array(
+            [r["n_correct"] >= 0.8 * r["n_docs"] for r in rows], type=pa.bool_()),
+    })
 
 
 # ---------------------------------------------------------------------------
@@ -1117,6 +1150,43 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _pages_sql_path() -> str:
+    """Parquet glob of the sf0.01 pages fixture (the driver runs the
+    correctness gate at sf0.01).  Calling this from ``oracle_sql()``
+    materializes the fixture, so the oracle side works even if DuckDB
+    runs before the Ray side has created it."""
+    from .datagen import pages_fixture
+
+    return pages_fixture(_PAGES_ROWS["sf0.01"], seed=42) + "/*.parquet"
+
+
+def _pages_window_sql(timeout_floor: int) -> str:
+    """CTE prelude replicating the event-time unit arithmetic of the
+    recent-urls / recent-counts queries in pure integer math:
+    seconds = µs // 10^6, unit = max(1, span//4000),
+    timeout = max(span_u//4, floor), last_seen per url in units."""
+    path = _pages_sql_path()
+    return f"""
+        WITH s AS (
+            SELECT url, epoch_us(warc_ts) // 1000000 AS sec
+            FROM read_parquet('{path}')
+        ), p AS (
+            SELECT lo, unit, span // unit AS span_u,
+                   greatest((span // unit) // 4, {timeout_floor}) AS timeout_u
+            FROM (
+                SELECT lo, span, greatest(1, span // 4000) AS unit
+                FROM (SELECT min(sec) AS lo,
+                             greatest(max(sec) - min(sec), 4) AS span FROM s)
+            )
+        ), u AS (
+            SELECT url,
+                   max((s.sec - p.lo) // p.unit) AS last_seen,
+                   count(*) AS n_crawls
+            FROM s, p GROUP BY url
+        ), cut AS (SELECT span_u - timeout_u AS cutoff FROM p)
+    """
+
+
 def oracle_sql() -> dict[str, str]:
     return {
         "lang_doc_counts": """
@@ -1246,6 +1316,74 @@ def oracle_sql() -> dict[str, str]:
         "langid_counts": _langid_oracle_sql(),
         "token_counts_bpe": _bpe_oracle_sql(),
         "quality_by_lang": _quality_oracle_sql(),
+        # north-star pages corpus (deterministic fixture; _pages_sql_path
+        # creates it so the oracle side is self-sufficient)
+        "pages_extract_invariant": f"""
+            SELECT CAST(0 AS BIGINT) AS mismatches, count(*) AS "rows"
+            FROM read_parquet('{_pages_sql_path()}')
+        """,
+        "pages_distinct_urls": f"""
+            SELECT count(DISTINCT url) AS n_urls_exact, TRUE AS hll_within_bound
+            FROM read_parquet('{_pages_sql_path()}')
+        """,
+        "pages_url_membership": f"""
+            SELECT CAST(CASE WHEN count(*) < 2000 THEN count(*) ELSE 2000 END
+                        AS BIGINT) AS n_probed_present,
+                   1.0 AS recall, TRUE AS fpr_below_cap
+            FROM read_parquet('{_pages_sql_path()}')
+        """,
+        "pages_text_quantiles": " UNION ALL ".join(
+            f"SELECT {q} AS q, quantile_cont(length(text), {q}) AS exact,"
+            " TRUE AS tdigest_within_bound, TRUE AS kll_within_bound"
+            f" FROM read_parquet('{_pages_sql_path()}')"
+            for q in (0.01, 0.5, 0.99)
+        ),
+        "pages_heavy_domains": f"""
+            WITH d AS (
+                SELECT lang, split_part(url, '/', 3) AS domain
+                FROM read_parquet('{_pages_sql_path()}')
+            ), c AS (
+                SELECT lang, domain, count(*) AS exact FROM d GROUP BY lang, domain
+            ), r AS (
+                SELECT lang, domain, exact,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY exact DESC, domain ASC) AS rn
+                FROM c
+            )
+            SELECT lang, domain, exact, TRUE AS cms_within_bound
+            FROM r WHERE rn <= 5
+        """,
+        "pages_recent_urls": _pages_window_sql(255) + """
+            SELECT count(*) AS n_urls,
+                   CAST(sum(CASE WHEN last_seen >= (SELECT cutoff FROM cut)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+                   1.0 AS recall_recent,
+                   TRUE AS fpr_old_below_cap
+            FROM u
+        """,
+        "gnb_length_classes": """
+            WITH c AS (
+                SELECT quantile_cont(n_chars, 1.0/3) AS c1,
+                       quantile_cont(n_chars, 2.0/3) AS c2
+                FROM documents
+            )
+            SELECT CASE WHEN n_chars < c1 THEN 'short'
+                        WHEN n_chars < c2 THEN 'medium'
+                        ELSE 'long' END AS length_class,
+                   count(*) AS n_docs,
+                   TRUE AS acc_ge_080
+            FROM documents, c
+            GROUP BY 1
+        """,
+        "pages_recent_counts": _pages_window_sql(256) + """
+            SELECT CAST(sum(CASE WHEN last_seen >= cutoff AND n_crawls >= 2
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_multi,
+                   1.0 AS fresh_multi_ge2_rate,
+                   CAST(sum(CASE WHEN last_seen < cutoff THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_stale,
+                   TRUE AS stale_mostly_zero
+            FROM u, cut
+        """,
         "knn_cosine": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
