@@ -31,3 +31,46 @@ def cached_instance(key: Hashable, ctor: Callable[[], Any]) -> Any:
     if inst is None:
         inst = _CACHE[key] = ctor()
     return inst
+
+
+def quiet_ray_data_logs() -> None:
+    """Silence Ray Data's harmless per-batch "Failed to hash the schemas
+    (for deduplication)" warning on the CURRENT process (ray.data
+    unify_schemas probing; fires once per task and floods bench logs).
+    Workers re-apply Ray Data's logging config after any setup hook, so
+    for workers use :func:`ray_data_logging_config_path` instead."""
+    import logging
+
+    logging.getLogger(
+        "ray.data._internal.arrow_ops.transform_pyarrow"
+    ).setLevel(logging.ERROR)
+
+
+def ray_data_logging_config_path() -> str:
+    """Write (once) a Ray Data logging config equal to the default plus
+    the noisy ``transform_pyarrow`` logger pinned at ERROR, and return
+    its path.  Set ``RAY_DATA_LOGGING_CONFIG`` to this path in the
+    driver env AND in ``runtime_env.env_vars`` — Ray Data applies it
+    when it configures logging in each worker, which is the only
+    override that survives its per-process reconfiguration.  Returns ""
+    if the Ray internals moved (callers then skip the env var)."""
+    import os
+
+    path = "/tmp/archbloom_ray_data_logging.yaml"
+    try:
+        import copy
+
+        import yaml
+        from ray.data._internal.logging import DEFAULT_CONFIG
+
+        cfg = copy.deepcopy(DEFAULT_CONFIG)
+        cfg.setdefault("loggers", {})[
+            "ray.data._internal.arrow_ops.transform_pyarrow"
+        ] = {"level": "ERROR", "handlers": ["file"], "propagate": False}
+        tmp = f"{path}.{os.getpid()}.tmp"
+        with open(tmp, "w") as f:
+            yaml.safe_dump(cfg, f)
+        os.replace(tmp, path)
+        return path
+    except Exception:
+        return ""

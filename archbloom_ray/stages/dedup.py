@@ -70,25 +70,112 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data
 _MERSENNE31 = (1 << 31) - 1
 
 
-def _shingle_hashes(text: str, width: int) -> np.ndarray:
-    """Distinct 31-bit hashes of the char n-gram set (vectorized
-    polynomial rolling hash over the utf-8 bytes, mod Mersenne-31 —
-    every intermediate fits int64 exactly: byte(2^8) × power(2^31) ×
-    width stays < 2^63)."""
-    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
-    if b.size < width:
-        b = np.pad(b, (0, width - b.size), constant_values=32)
-    n = b.size - width + 1
+def _shingle_powers(width: int) -> np.ndarray:
+    """powers[j] multiplies window byte j: B^(width-1-j) mod M31."""
     B = 1000003
     powers = np.empty(width, dtype=np.int64)
     powers[0] = 1
     for j in range(1, width):
         powers[j] = (powers[j - 1] * B) % _MERSENNE31
-    powers = powers[::-1].copy()
+    return powers[::-1].copy()
+
+
+def _shingle_hashes(text: str, width: int) -> np.ndarray:
+    """Distinct 31-bit hashes of the char n-gram set (vectorized
+    polynomial rolling hash over the utf-8 bytes, mod Mersenne-31 —
+    every intermediate fits int64 exactly: byte(2^8) × power(2^31) ×
+    width stays < 2^63).  Scalar reference; the hot path is
+    :func:`_shingle_hashes_batch` (parity-tested against this)."""
+    b = np.frombuffer(text.encode("utf-8"), dtype=np.uint8).astype(np.int64)
+    if b.size < width:
+        b = np.pad(b, (0, width - b.size), constant_values=32)
+    n = b.size - width + 1
+    powers = _shingle_powers(width)
     h = np.zeros(n, dtype=np.int64)
     for j in range(width):
         h = (h + b[j : j + n] * powers[j]) % _MERSENNE31
     return np.unique(h)
+
+
+def _shingle_hashes_batch(col, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Batch shingling — the whole batch in a handful of streaming
+    numpy passes (the batch-level shape proven by
+    ``stages.text.fingerprint_batch``):
+
+    1. rolling polynomial hash of EVERY window position of the batch's
+       concatenated utf-8 bytes (``width`` strided adds, chunked so the
+       working set stays cache-resident),
+    2. one gather of the in-document positions (grouped-arange index),
+    3. per-document distinct via ONE composite ``(doc << 31) | hash``
+       sort + boundary mask (hashes are < 2^31 so the pack is exact).
+
+    Returns ``(flat, counts)``: per-document sorted distinct shingle
+    hashes, concatenated, plus each document's set size (≥ 1 — texts
+    shorter than ``width`` are space-padded to one window, matching the
+    scalar reference ``_shingle_hashes``; parity asserted in tests).
+    """
+    if isinstance(col, list):
+        col = pa.array([t or "" for t in col], type=pa.string())
+    elif isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    b = col.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset: b.offset + n + 1]
+    data = (np.frombuffer(b.buffers()[2], dtype=np.uint8)
+            if offs[-1] > offs[0] else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    pw = _shingle_powers(width)
+
+    long = lens >= width
+    segs, hashes = [], []
+    counts_long = lens[long] - width + 1
+    total_long = int(counts_long.sum())
+    if total_long:
+        npos = data.size - width + 1
+        h_all = np.empty(npos, dtype=np.int32)  # hashes < 2^31: int32 halves
+        CHUNK = 1 << 18  # the buffer + traffic; positions per cache-resident pass
+        for s in range(0, npos, CHUNK):
+            e = min(s + CHUNK, npos)
+            d64 = data[s: e + width - 1].astype(np.int64)
+            acc = d64[: e - s] * pw[0]
+            for j in range(1, width):
+                acc += d64[j: j + e - s] * pw[j]
+            acc %= _MERSENNE31  # Σ byte·pw < width·2^39 — one mod suffices
+            h_all[s:e] = acc
+        # absolute position of every in-document window (grouped arange)
+        starts_long = offs[:-1][long]
+        first = np.repeat(
+            starts_long - np.concatenate(([0], np.cumsum(counts_long[:-1]))),
+            counts_long)
+        idx = np.arange(total_long, dtype=np.int64) + first
+        segs.append(np.repeat(np.flatnonzero(long), counts_long))
+        hashes.append(h_all[idx])
+    short_idx = np.flatnonzero(~long)
+    if short_idx.size:
+        # texts shorter than the window: space-pad to exactly one shingle
+        hs = np.empty(short_idx.size, np.int64)
+        for i, d in enumerate(short_idx):
+            o, L = int(offs[d]), int(lens[d])
+            acc = 0
+            for j in range(width):
+                byte = int(data[o + j]) if j < L else 32
+                acc = (acc + byte * int(pw[j])) % _MERSENNE31
+            hs[i] = acc
+        segs.append(short_idx.astype(np.int64))
+        hashes.append(hs)
+    seg = np.concatenate(segs)
+    h = np.concatenate(hashes)
+    comp = (seg << np.int64(31)) | h  # h < 2^31: exact pack
+    comp.sort()
+    keep = np.ones(comp.size, dtype=bool)
+    np.not_equal(comp[1:], comp[:-1], out=keep[1:])
+    comp_u = comp[keep]
+    flat = comp_u & np.int64((1 << 31) - 1)
+    counts = np.bincount(comp_u >> np.int64(31), minlength=n)
+    return flat, counts
 
 
 class MinHasher:
@@ -126,38 +213,51 @@ class MinHasher:
         r = (x & _MERSENNE61) + (x >> 61)
         return np.where(r >= _MERSENNE61, r - _MERSENNE61, r)
 
-    def signatures_batch(self, texts: list[str]) -> np.ndarray:
-        """All rows at once: flatten every document's shingle set into one
-        vector, then ONE 1-D pass per permutation — affine transform with
-        Mersenne fast-mod followed by a segmented min
-        (``np.minimum.reduceat`` at the per-document start offsets).
-        Looping over the k permutations (k ≈ 64 numpy dispatches on a
-        ~1M-element contiguous vector) measures ~7× faster than the 2-D
-        (k × chunk) formulation: each pass is a handful of streaming
-        int64 kernels with no fancy-index scatter."""
-        n = len(texts)
+    def signatures_batch(self, texts) -> np.ndarray:
+        """All rows at once: batch shingling (``_shingle_hashes_batch``
+        — one concatenated-bytes pass, no per-document Python), then ONE
+        1-D pass per permutation — affine transform with Mersenne
+        fast-mod followed by a segmented min (``np.minimum.reduceat`` at
+        the per-document start offsets).  Looping over the k
+        permutations (k ≈ 64 numpy dispatches on a ~1M-element
+        contiguous vector) measures ~7× faster than the 2-D (k × chunk)
+        formulation: each pass is a handful of streaming int64 kernels
+        with no fancy-index scatter.  Accepts a list[str] or an Arrow
+        string column (zero-copy fast path)."""
+        if isinstance(texts, list):
+            col = pa.array([t or "" for t in texts], type=pa.string())
+        elif isinstance(texts, pa.ChunkedArray):
+            col = texts.combine_chunks()
+        else:
+            col = texts
+        n = len(col)
         if n == 0:
             return np.empty((0, self.num_perm), np.int64)
-        shingles = [_shingle_hashes(t or "", self.width) for t in texts]
-        counts = np.array([s.size for s in shingles], dtype=np.int64)
-        sigs = np.zeros((n, self.num_perm), dtype=np.int64)
-        nonempty = counts > 0
-        if not nonempty.any():
-            return sigs
-        flat = np.concatenate([s for s in shingles if s.size])
-        starts = np.zeros(int(nonempty.sum()), dtype=np.int64)
-        np.cumsum(counts[nonempty][:-1], out=starts[1:])
-        mins = np.empty((self.num_perm, starts.size), np.int64)
-        for i in range(self.num_perm):
-            v = flat * self.a[i] + self.b[i]  # < 2^62 + 2^61: exact in int64
-            r = self._mod61(v)
-            mins[i] = np.minimum.reduceat(r, starts)
-        sigs[nonempty] = mins.T
+        sigs = np.empty((n, self.num_perm), dtype=np.int64)
+        # Process DOCUMENT chunks end-to-end (shingle + all k permutation
+        # passes) so the whole working set — concatenated bytes, window
+        # hashes, flat shingle set, affine temporaries — stays
+        # cache-resident.  One full-batch pass is 4× faster single-core
+        # but collapses under 16-way concurrency on this host's shared
+        # ~4 GB/s DRAM bus (CLAUDE.md #2); per-chunk it scales.
+        DOC_CHUNK = 256
+        for s in range(0, n, DOC_CHUNK):
+            m = min(DOC_CHUNK, n - s)
+            flat, counts = _shingle_hashes_batch(col.slice(s, m), self.width)
+            # every document has ≥ 1 shingle (short texts space-padded)
+            starts = np.zeros(m, dtype=np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            mins = np.empty((self.num_perm, m), np.int64)
+            for i in range(self.num_perm):
+                v = flat * self.a[i]
+                v += self.b[i]  # < 2^62 + 2^61: exact in int64
+                r = self._mod61(v)
+                mins[i] = np.minimum.reduceat(r, starts)
+            sigs[s: s + m] = mins.T
         return sigs
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        texts = batch[self.text_col].to_pylist()
-        sigs = self.signatures_batch(texts)
+        sigs = self.signatures_batch(batch[self.text_col])
         return pa.table(
             {
                 self.id_col: batch[self.id_col],
@@ -169,11 +269,14 @@ class MinHasher:
 
 
 def minhash_signatures(ds, text_col: str, id_col: str, *, num_perm=128,
-                       shingle_width=5, seed=42, concurrency=None, batch_size=2048):
+                       shingle_width=5, seed=42, concurrency=None, batch_size=2048,
+                       num_cpus: float | None = None):
     """Signature stage as plain tasks with a process-local MinHasher
     (permutation tables are cheap state — see ``proc_cache``); runs on
     the warm shared worker pool instead of a fresh actor pool.
-    ``concurrency`` is accepted for API compatibility and ignored."""
+    ``concurrency`` is accepted for API compatibility and ignored.
+    ``num_cpus`` > 1 caps effective task concurrency (bandwidth-bound
+    stages on oversubscribed hosts — see CLAUDE.md #3)."""
     from ..proc_cache import cached_instance
 
     params = (text_col, id_col, num_perm, shingle_width, seed)
@@ -182,11 +285,13 @@ def minhash_signatures(ds, text_col: str, id_col: str, *, num_perm=128,
         mh = cached_instance(("minhash",) + params, lambda: MinHasher(*params))
         return mh(batch)
 
+    extra = {"num_cpus": num_cpus} if num_cpus else {}
     return ds.map_batches(
         fn,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
+        **extra,
     )
 
 
@@ -202,6 +307,7 @@ def minhash_lsh_pairs(
     seed: int = 42,
     max_bucket: int = 200,
     concurrency: int = 4,
+    num_cpus: float | None = None,
 ) -> "ray.data.Dataset":
     """Near-duplicate pairs via MinHash + banded LSH.
 
@@ -218,7 +324,7 @@ def minhash_lsh_pairs(
 
     sigs = minhash_signatures(
         ds, text_col, id_col, num_perm=num_perm, shingle_width=shingle_width,
-        seed=seed, concurrency=concurrency,
+        seed=seed, concurrency=concurrency, num_cpus=num_cpus,
     )
 
     def explode(batch: pa.Table) -> pa.Table:

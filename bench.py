@@ -44,6 +44,14 @@ SCALING_REPEATS = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
 TASK_CPUS = float(os.environ.get("GRAFT_TASK_CPUS", "2" if NUM_CPUS >= 16 else "1"))
 
 
+def _worker_pythonpath() -> str:
+    """Repo root (+ inherited PYTHONPATH) for Ray workers: the logging
+    setup hook is pickled by reference and must import archbloom_ray."""
+    root = os.path.dirname(os.path.abspath(__file__))
+    inherited = os.environ.get("PYTHONPATH")
+    return root + (":" + inherited if inherited else "")
+
+
 def _timed(fn):
     t0 = time.monotonic()
     fn()
@@ -56,17 +64,27 @@ def run_bench() -> dict:
     import pyarrow.compute as pc
     import ray
 
+    from archbloom_ray.proc_cache import ray_data_logging_config_path
+
     if not ray.is_initialized():
         # glibc tunables for every Ray worker: keep large numpy buffers on
         # the reusable heap instead of fresh mmaps — first-touch page
         # faults are pathologically slow in this sandbox (~30 MB/s), and
-        # per-task fresh mappings would tax every batch
+        # per-task fresh mappings would tax every batch.  The logging
+        # config pins ray.data's noisy schema-hash warning at ERROR in
+        # driver and workers alike.
+        env_vars = {
+            "MALLOC_MMAP_THRESHOLD_": "268435456",
+            "MALLOC_TRIM_THRESHOLD_": "268435456",
+            "PYTHONPATH": _worker_pythonpath(),
+        }
+        log_cfg = ray_data_logging_config_path()
+        if log_cfg:
+            os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", log_cfg)
+            env_vars["RAY_DATA_LOGGING_CONFIG"] = log_cfg
         ray.init(address="local", num_cpus=NUM_CPUS, include_dashboard=False,
                  logging_level="ERROR",
-                 runtime_env={"env_vars": {
-                     "MALLOC_MMAP_THRESHOLD_": "268435456",
-                     "MALLOC_TRIM_THRESHOLD_": "268435456",
-                 }})
+                 runtime_env={"env_vars": env_vars})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -156,7 +174,8 @@ def run_bench() -> dict:
         sub = pages_fixture(rows, seed=9)
         ds = rd.read_parquet(sub, columns=["url", "text"])
         minhash_lsh_pairs(ds, "text", "url", num_perm=64, bands=16,
-                          threshold=0.7, concurrency=max(2, NUM_CPUS - 2)).count()
+                          threshold=0.7, concurrency=max(2, NUM_CPUS - 2),
+                          num_cpus=TASK_CPUS if TASK_CPUS != 1 else None).count()
 
     timings["pages_minhash_dedup_100k"] = _timed(minhash_dedup)
 
@@ -201,12 +220,20 @@ def run_scaling_child(ncpu: int) -> dict:
     import pyarrow.compute as pc
     import ray
 
+    from archbloom_ray.proc_cache import ray_data_logging_config_path
+
+    env_vars = {
+        "MALLOC_MMAP_THRESHOLD_": "268435456",
+        "MALLOC_TRIM_THRESHOLD_": "268435456",
+        "PYTHONPATH": _worker_pythonpath(),
+    }
+    log_cfg = ray_data_logging_config_path()
+    if log_cfg:
+        os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", log_cfg)
+        env_vars["RAY_DATA_LOGGING_CONFIG"] = log_cfg
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR",
-             runtime_env={"env_vars": {
-                 "MALLOC_MMAP_THRESHOLD_": "268435456",
-                 "MALLOC_TRIM_THRESHOLD_": "268435456",
-             }})
+             runtime_env={"env_vars": env_vars})
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

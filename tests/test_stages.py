@@ -283,6 +283,19 @@ class TestVectorizedParity:
         for k in feat_s:
             np.testing.assert_allclose(feat_v[k], feat_s[k], rtol=0, atol=1e-12, err_msg=k)
 
+    def test_shingle_batch_parity(self):
+        from archbloom_ray.stages.dedup import _shingle_hashes, _shingle_hashes_batch
+
+        texts = self._texts() + ["ab", "abcd", "abcde", "x" * 4, "x" * 5]
+        for width in (3, 5):
+            flat, counts = _shingle_hashes_batch(texts, width)
+            starts = np.zeros(len(counts), np.int64)
+            np.cumsum(counts[:-1], out=starts[1:])
+            for i, t in enumerate(texts):
+                ref = _shingle_hashes(t or "", width)
+                got = flat[starts[i]: starts[i] + counts[i]]
+                np.testing.assert_array_equal(got, ref, err_msg=f"w={width} i={i}")
+
     def test_fingerprint_parity(self):
         from archbloom_ray.stages.text import fingerprint_batch, _FP_BASE
         texts = self._texts()
