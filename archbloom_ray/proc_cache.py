@@ -64,9 +64,15 @@ def ray_data_logging_config_path() -> str:
         from ray.data._internal.logging import DEFAULT_CONFIG
 
         cfg = copy.deepcopy(DEFAULT_CONFIG)
-        cfg.setdefault("loggers", {})[
-            "ray.data._internal.arrow_ops.transform_pyarrow"
-        ] = {"level": "ERROR", "handlers": ["file"], "propagate": False}
+        for noisy in (
+            # unify_schemas hash probing — warns once per task
+            "ray.data._internal.arrow_ops.transform_pyarrow",
+            # "RefBundle with a different schema" — fires for every empty
+            # hash partition of a groupby (empty blocks carry no schema)
+            "ray.data._internal.execution.streaming_executor_state",
+        ):
+            cfg.setdefault("loggers", {})[noisy] = {
+                "level": "ERROR", "handlers": ["file"], "propagate": False}
         tmp = f"{path}.{os.getpid()}.tmp"
         with open(tmp, "w") as f:
             yaml.safe_dump(cfg, f)

@@ -749,6 +749,22 @@ def embedding_near_dup_pairs(
     return _dedup_pairs(pairs, id_col, extra_cols=["cosine"])
 
 
+def _pair_key_hash(ids_a, ids_b, num_partitions: int) -> np.ndarray:
+    """Symmetric coarse partition key for (id_a, id_b) pair rows."""
+    import zlib
+
+    if pa.types.is_integer(ids_a.type):
+        a = np.asarray(ids_a).astype(np.uint64, copy=False)
+        b = np.asarray(ids_b).astype(np.uint64, copy=False)
+        with np.errstate(over="ignore"):
+            pk = (a * np.uint64(0x9E3779B97F4A7C15) ^ b) % np.uint64(num_partitions)
+        return pk.astype(np.int32)
+    return np.fromiter(
+        ((zlib.crc32(sa.encode()) ^ zlib.crc32(sb.encode())) % num_partitions
+         for sa, sb in zip(ids_a.to_pylist(), ids_b.to_pylist())),
+        dtype=np.int32, count=len(ids_a))
+
+
 def verify_pairs_ngram(
     pairs: "ray.data.Dataset",
     docs: "ray.data.Dataset",
@@ -757,58 +773,212 @@ def verify_pairs_ngram(
     *,
     width: int = 5,
     threshold: float | None = None,
+    num_partitions: int = 32,
 ) -> "ray.data.Dataset":
-    """Exact char-n-gram-Jaccard verification of candidate pairs.
+    """Exact char-n-gram-Jaccard verification of candidate pairs —
+    fully distributed (no driver-side text or shingle materialization,
+    so a duplicate-heavy corpus cannot blow the driver):
 
-    Scale shape: the candidate-pair set is tiny after LSH, so only the
-    CANDIDATE documents' texts are materialized — the full corpus scan
-    stays distributed (broadcast id-set filter), and the gathered
-    id→shingle map ships through the object store once.  Appends
-    ``jaccard_exact``; with ``threshold`` also filters to pairs ≥ it.
+    1. only the candidate ID SET is gathered + broadcast (ids are tiny
+       vs texts); the corpus scan stays distributed and shingles only
+       candidate rows (``_shingle_hashes_batch``);
+    2. pair SIDES join to the distributed shingle rows via one
+       coarse-hash-partition groupby (vectorized searchsorted lookup
+       inside each partition — no per-bucket Python groups);
+    3. a second coarse groupby on the symmetric pair key reunites the
+       two sides and computes exact Jaccard per pair.
+
+    Appends ``jaccard_exact`` to the pair rows (side-0 rows carry the
+    original extra columns through); with ``threshold`` also filters to
+    pairs ≥ it.  A pair id missing from the corpus verifies as 0.0.
     """
     import ray as _ray
 
     from ..proc_cache import cached_instance
 
-    pairs = pairs.materialize()  # avoid re-running the LSH for each pass below
-    pair_rows = pairs.take_all()  # candidate pairs: small by construction
+    pairs = pairs.materialize()  # avoid re-running the LSH per stage below
+    id_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
     cand_ids = set()
-    for r in pair_rows:
+    for r in id_rows:
         cand_ids.add(r["id_a"])
         cand_ids.add(r["id_b"])
     idset_ref = _ray.put(cand_ids)
 
-    def keep_candidates(batch: pa.Table) -> pa.Table:
+    pair_schema = pairs.schema()  # ray Schema wrapper: parallel names/types
+    types_by_name = dict(zip(pair_schema.names, pair_schema.types))
+    extra_cols = [c for c in pair_schema.names if c not in ("id_a", "id_b")]
+    extra_types = {c: types_by_name[c] for c in extra_cols}
+    id_type = types_by_name["id_a"]
+
+    def _key_pk(keys: pa.Array) -> np.ndarray:
+        import zlib
+
+        if pa.types.is_integer(keys.type):
+            k = np.asarray(keys).astype(np.uint64, copy=False)
+            with np.errstate(over="ignore"):
+                return ((k * np.uint64(0x9E3779B97F4A7C15))
+                        % np.uint64(num_partitions)).astype(np.int32)
+        return np.fromiter(
+            (zlib.crc32(s.encode()) % num_partitions for s in keys.to_pylist()),
+            dtype=np.int32, count=len(keys))
+
+    def _empty_sh() -> pa.Array:
+        return pa.LargeListArray.from_arrays(
+            pa.array([0], type=pa.int64()), pa.array([], type=pa.int64()))
+
+    def _side_schema_table(key, side, id_a, id_b, sh, extras) -> pa.Table:
+        cols = {"key": key, "side": side, "id_a": id_a, "id_b": id_b, "sh": sh}
+        for c in extra_cols:
+            cols[c] = extras[c]
+        cols["pk"] = pa.array(_key_pk(key.combine_chunks()
+                                      if isinstance(key, pa.ChunkedArray) else key))
+        return pa.table(cols)
+
+    def shingle_rows(batch: pa.Table) -> pa.Table:
         ids = cached_instance(("ngram_idset", idset_ref.hex()),
                               lambda: _ray.get(idset_ref))
         mask = pa.array([v in ids for v in batch[id_col].to_pylist()])
         t = batch.filter(mask)
-        return pa.table({id_col: t[id_col], text_col: t[text_col]})
+        m = len(t)
+        flat, counts = _shingle_hashes_batch(t[text_col], width)
+        offsets = np.zeros(m + 1, np.int64)
+        np.cumsum(counts, out=offsets[1:])
+        sh = pa.LargeListArray.from_arrays(
+            pa.array(offsets, type=pa.int64()), pa.array(flat, type=pa.int64()))
+        nulls = pa.nulls(m, type=id_type)
+        extras = {c: pa.nulls(m, type=extra_types[c]) for c in extra_cols}
+        return _side_schema_table(
+            t[id_col].combine_chunks() if isinstance(t[id_col], pa.ChunkedArray)
+            else t[id_col],
+            pa.array(np.full(m, -1, dtype=np.int8)), nulls, nulls, sh, extras)
 
-    cand_tbl = docs.map_batches(
-        keep_candidates, batch_format="pyarrow", zero_copy_batch=True
-    ).take_all()  # |candidates| rows only
-    shingles = {r[id_col]: _shingle_hashes(r[text_col] or "", width) for r in cand_tbl}
-    sh_ref = _ray.put(shingles)
+    def pair_sides(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        ia = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]
+        ib = batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]
+        key = pa.concat_arrays([ia, ib])
+        side = pa.array(np.concatenate([np.zeros(n, np.int8), np.ones(n, np.int8)]))
+        id_a2 = pa.concat_arrays([ia, ia])
+        id_b2 = pa.concat_arrays([ib, ib])
+        empty_sh = pa.LargeListArray.from_arrays(
+            pa.array(np.zeros(2 * n + 1, dtype=np.int64)), pa.array([], type=pa.int64()))
+        extras = {}
+        for c in extra_cols:
+            col = batch[c].combine_chunks() if isinstance(batch[c], pa.ChunkedArray) else batch[c]
+            # extras ride on side 0 only; side 1 carries nulls
+            extras[c] = pa.concat_arrays([col, pa.nulls(n, type=extra_types[c])])
+        return _side_schema_table(key, side, id_a2, id_b2, empty_sh, extras)
 
-    def verify(batch: pa.Table) -> pa.Table:
-        sh = cached_instance(("ngram_shingles", sh_ref.hex()), lambda: _ray.get(sh_ref))
-        out = np.empty(len(batch), np.float64)
-        for i, (a, b) in enumerate(zip(batch["id_a"].to_pylist(),
-                                       batch["id_b"].to_pylist())):
-            sa, sb = sh.get(a), sh.get(b)
-            if sa is None or sb is None:
-                out[i] = 0.0
-                continue
-            if sa.size == 0 and sb.size == 0:
-                out[i] = 1.0
-                continue
-            inter = np.intersect1d(sa, sb, assume_unique=True).size
-            union = sa.size + sb.size - inter
-            out[i] = inter / union if union else 1.0
-        t = batch.append_column("jaccard_exact", pa.array(out))
+    sh_rows = docs.map_batches(shingle_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    side_rows = pairs.map_batches(pair_sides, batch_format="pyarrow",
+                                  zero_copy_batch=True)
+
+    def join_side(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"])
+        is_sh = side == -1
+        sh_keys = np.asarray(group["key"].filter(pa.array(is_sh)))
+        if sh_keys.dtype == object:
+            sh_keys = sh_keys.astype("U")
+        sh_lists = group["sh"].filter(pa.array(is_sh)).combine_chunks()
+        order = np.argsort(sh_keys, kind="stable")
+        sh_keys_sorted = sh_keys[order]
+        prows = group.filter(pa.array(~is_sh))
+        m = len(prows)
+        pkeys = np.asarray(prows["key"])
+        if pkeys.dtype == object:
+            pkeys = pkeys.astype("U")
+        pos = np.searchsorted(sh_keys_sorted, pkeys)
+        pos = np.clip(pos, 0, max(len(sh_keys_sorted) - 1, 0))
+        hit = (sh_keys_sorted[pos] == pkeys) if len(sh_keys_sorted) else np.zeros(m, bool)
+        # gather the matched shingle lists (missing ids → empty list +
+        # miss marker so the combine stage scores them 0.0).  flatten +
+        # cumsum(list lengths) is slice-offset-safe, unlike raw .offsets
+        if len(sh_lists):
+            values = np.asarray(sh_lists.flatten(), dtype=np.int64)
+            lens_ = np.asarray(pc.list_value_length(sh_lists), dtype=np.int64)
+            offs = np.zeros(len(lens_) + 1, dtype=np.int64)
+            np.cumsum(lens_, out=offs[1:])
+        else:
+            values = np.empty(0, np.int64)
+            offs = np.zeros(1, np.int64)
+        out_vals, out_offs = [], np.zeros(m + 1, dtype=np.int64)
+        for i in range(m):
+            if hit[i]:
+                j = order[pos[i]]
+                seg = values[offs[j]: offs[j + 1]]
+                out_vals.append(seg)
+                out_offs[i + 1] = out_offs[i] + seg.size
+            else:
+                out_offs[i + 1] = out_offs[i]
+        flat = np.concatenate(out_vals) if out_vals else np.empty(0, np.int64)
+        sh = pa.LargeListArray.from_arrays(
+            pa.array(out_offs), pa.array(flat, type=pa.int64()))
+        cols = {
+            "id_a": prows["id_a"], "id_b": prows["id_b"],
+            "side": prows["side"], "sh": sh,
+            "found": pa.array(hit),
+        }
+        for c in extra_cols:
+            cols[c] = prows[c]
+        t = pa.table(cols)
+        return t.append_column("ppk", pa.array(_pair_key_hash(
+            t["id_a"].combine_chunks(), t["id_b"].combine_chunks(), num_partitions)))
+
+    joined = (
+        sh_rows.union(side_rows)
+        .groupby("pk")
+        .map_groups(join_side, batch_format="pyarrow")
+    )
+
+    def combine(group: pa.Table) -> pa.Table:
+        ids_a = np.asarray(group["id_a"])
+        ids_b = np.asarray(group["id_b"])
+        if ids_a.dtype == object:
+            ids_a = ids_a.astype("U")
+            ids_b = ids_b.astype("U")
+        side = np.asarray(group["side"])
+        order = np.lexsort((side, ids_b, ids_a))
+        m = len(order)
+        sh = group["sh"].combine_chunks()
+        values = np.asarray(sh.flatten(), dtype=np.int64)
+        lens_ = np.asarray(pc.list_value_length(sh), dtype=np.int64)
+        offs = np.zeros(len(lens_) + 1, dtype=np.int64)
+        np.cumsum(lens_, out=offs[1:])
+        found = np.asarray(group["found"])
+        out_idx, out_j = [], []
+        i = 0
+        while i < m:
+            r0 = order[i]
+            if i + 1 < m:
+                r1 = order[i + 1]
+                if ids_a[r0] == ids_a[r1] and ids_b[r0] == ids_b[r1]:
+                    if found[r0] and found[r1]:
+                        sa = values[offs[r0]: offs[r0 + 1]]
+                        sb = values[offs[r1]: offs[r1 + 1]]
+                        inter = np.intersect1d(sa, sb, assume_unique=True).size
+                        union = sa.size + sb.size - inter
+                        out_j.append(inter / union if union else 1.0)
+                    else:
+                        out_j.append(0.0)
+                    out_idx.append(r0 if side[r0] == 0 else r1)  # side-0 row carries extras
+                    i += 2
+                    continue
+            # unmatched single side (id missing upstream): score 0.0
+            out_idx.append(r0)
+            out_j.append(0.0)
+            i += 1
+        take = pa.array(np.array(out_idx, dtype=np.int64))
+        cols = {
+            "id_a": group["id_a"].take(take),
+            "id_b": group["id_b"].take(take),
+        }
+        for c in extra_cols:
+            cols[c] = group[c].take(take)
+        cols["jaccard_exact"] = pa.array(np.array(out_j, dtype=np.float64))
+        t = pa.table(cols)
         if threshold is not None:
             t = t.filter(pc.greater_equal(t["jaccard_exact"], threshold))
         return t
 
-    return pairs.map_batches(verify, batch_format="pyarrow", zero_copy_batch=True)
+    return joined.groupby("ppk").map_groups(combine, batch_format="pyarrow")
