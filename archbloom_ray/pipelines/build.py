@@ -239,6 +239,87 @@ def build_event_time_sketch(
     return merge_partials(partials, fanin=fanin)
 
 
+def build_grouped_value_sketches(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    factories: dict[str, Callable[[], Sketch]],
+    *,
+    batch_size: int = 65536,
+    salt: int = 8,
+) -> "ray.data.Dataset":
+    """Per-key sketches for weighted-updatable families (CMS, MG, …)
+    with MINIMAL shuffle volume: ONE scan emits pre-aggregated
+    ``(key, value, count)`` rows per batch (an Arrow in-batch group_by),
+    the shuffle moves those tiny count rows — not O(sketch-size) partial
+    states per key per batch — and the sketches are built REDUCER-side
+    from weighted updates.  Exactly equivalent for linear sketches
+    (CMS); within the documented deterministic bound for MG.
+
+    All ``factories`` (sketch_id → factory over ``update_weighted``
+    sketches) share the single scan and shuffle.  ``salt`` spreads each
+    hot key's values over ``salt`` reducers (partition by hash(value));
+    per-(key,salt) partial sketches then merge per key.
+
+    Returns a Dataset of ``{sketch_id, key, state}`` rows.
+    """
+    from ..hashing import mmh3_32_batch
+
+    salt = max(1, int(salt))
+
+    def update(batch: pa.Table) -> pa.Table:
+        t = pa.table({"key": batch[key_column], "value": batch[value_column]})
+        g = t.group_by(["key", "value"]).aggregate([([], "count_all")])
+        vals = g["value"].combine_chunks()
+        s = (mmh3_32_batch(vals) % np.uint32(salt)).astype(np.int32)
+        return pa.table({
+            "key": g["key"], "value": vals,
+            "count": g["count_all"], "salt": pa.array(s),
+        })
+
+    counts = ds.map_batches(
+        update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
+    )
+
+    ids = list(factories)
+
+    def build_partials(group: pa.Table) -> pa.Table:
+        # values repeat across batch partials — sum counts per value first
+        agg = pa.table({"v": group["value"], "c": group["count"]}).group_by(
+            ["v"]).aggregate([("c", "sum")])
+        vals = agg["v"].combine_chunks()
+        cnts = np.asarray(agg["c_sum"], dtype=np.int64)
+        key = group["key"][0].as_py()
+        out_sid, out_state = [], []
+        for sid in ids:
+            sk = factories[sid]()
+            sk.update_weighted(vals, cnts)
+            out_sid.append(sid)
+            out_state.append(sk.to_bytes())
+        return pa.table({
+            "sketch_id": pa.array(out_sid, type=pa.string()),
+            "key": pa.array([key] * len(ids)),
+            "state": pa.array(out_state, type=pa.large_binary()),
+        })
+
+    level1 = counts.groupby(["key", "salt"]).map_groups(
+        build_partials, batch_format="pyarrow")
+
+    def merge_group(group: pa.Table) -> pa.Table:
+        states = group["state"].to_pylist()
+        acc = sketch_from_bytes(states[0])
+        for s in states[1:]:
+            acc.merge(sketch_from_bytes(s))
+        return pa.table({
+            "sketch_id": group["sketch_id"].slice(0, 1),
+            "key": group["key"].slice(0, 1),
+            "state": pa.array([acc.to_bytes()], type=pa.large_binary()),
+        })
+
+    return level1.groupby(["sketch_id", "key"]).map_groups(
+        merge_group, batch_format="pyarrow")
+
+
 def build_grouped_sketches(
     ds: "ray.data.Dataset",
     key_column: str,
@@ -250,16 +331,29 @@ def build_grouped_sketches(
 ) -> "ray.data.Dataset":
     """One sketch per value of ``key_column`` (e.g. per-lang sketches).
 
-    Stage A pre-combines inside each batch — one ``(key, state)`` row
-    per key per batch regardless of row skew — so the groupby shuffle
-    moves tiny partials, not rows.  With ``salt > 0`` an extra salted
-    combine level runs first: partials rendezvous by ``(key, h % salt)``
-    and are merged there before the final per-key merge, bounding the
-    per-reducer fan-in for extremely hot keys (the ``lang='en'`` case in
-    BASELINE.json's north star).
+    Weighted-updatable sketches (CMS, MG) route through
+    :func:`build_grouped_value_sketches` — the shuffle then moves tiny
+    pre-aggregated ``(key, value, count)`` rows instead of one
+    O(sketch-size) state per key per batch (a CMS ε=0.001 partial is
+    ~100 KB; at scale that volume dominated the grouped build).
+
+    Other families (Bloom/HLL/…): stage A pre-combines inside each
+    batch — one ``(key, state)`` row per key per batch regardless of
+    row skew — so the groupby shuffle moves partial states, not rows.
+    With ``salt > 0`` an extra salted combine level runs first:
+    partials rendezvous by ``(key, h % salt)`` and are merged there
+    before the final per-key merge, bounding the per-reducer fan-in for
+    extremely hot keys (the ``lang='en'`` case in BASELINE.json's north
+    star).
 
     Returns a Dataset of ``{key, state}`` rows.
     """
+    if hasattr(factory(), "update_weighted"):
+        grouped = build_grouped_value_sketches(
+            ds, key_column, value_column, {"s": factory},
+            batch_size=batch_size, salt=salt if salt > 0 else 8,
+        )
+        return grouped.drop_columns(["sketch_id"])
 
     def update(batch: pa.Table) -> pa.Table:
         keys = batch[key_column]

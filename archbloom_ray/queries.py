@@ -795,9 +795,10 @@ def q_pages_heavy_domains_mg(sf_dir: str):
     mergeable-summaries merge) built per lang with the salted grouped
     combine, top-5 per lang cross-checked against CMS point estimates
     (overcount ≤ εN w.p. 1−δ) — lower and upper brackets per domain,
-    no exact candidate pass anywhere."""
+    no exact candidate pass anywhere.  BOTH sketch families build from
+    ONE scan + one count-row shuffle (build_grouped_value_sketches)."""
     from .sketches import MisraGries
-    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+    from .pipelines.build import build_grouped_value_sketches
 
     path = _pages_for(sf_dir)
 
@@ -807,13 +808,16 @@ def q_pages_heavy_domains_mg(sf_dir: str):
 
     ds = rd.read_parquet(path, columns=["url", "lang"]).map_batches(
         add_domain, batch_format="pyarrow", zero_copy_batch=True)
-    mg_per_lang = grouped_to_dict(build_grouped_sketches(
-        ds, "lang", "domain", lambda: MisraGries(64), salt=4))
-    cms_per_lang = grouped_to_dict(build_grouped_sketches(
-        rd.read_parquet(path, columns=["url", "lang"]).map_batches(
-            add_domain, batch_format="pyarrow", zero_copy_batch=True),
-        "lang", "domain", lambda: CountMinSketch(epsilon=0.001, delta=0.01),
-        salt=4))
+    both = build_grouped_value_sketches(ds, "lang", "domain", {
+        "mg": lambda: MisraGries(64),
+        "cms": lambda: CountMinSketch(epsilon=0.001, delta=0.01),
+    }, salt=4)
+    from .sketches.base import sketch_from_bytes
+
+    mg_per_lang, cms_per_lang = {}, {}
+    for r in both.take_all():
+        target = mg_per_lang if r["sketch_id"] == "mg" else cms_per_lang
+        target[r["key"]] = sketch_from_bytes(r["state"])
     rows = {"lang": [], "domain": [], "mg_lower": [], "cms_upper": [],
             "mg_bound": []}
     for lang in sorted(mg_per_lang):

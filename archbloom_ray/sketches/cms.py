@@ -85,6 +85,13 @@ class CountMinSketch(Sketch):
             np.add.at(flat_table, flat_idx, np.broadcast_to(w, pos.shape).ravel())
             self.total += int(w.sum())
 
+    def update_weighted(self, arr, counts) -> None:
+        """(value, count) bulk update — CMS is linear, so this is
+        EXACTLY equivalent to ``count`` repeated row updates; lets
+        grouped builds shuffle tiny pre-aggregated count rows instead
+        of O(table)-sized partial states."""
+        self.update_arrow(arr, weights=counts)
+
     def count_batch(self, arr) -> np.ndarray:
         """Point query: min over d rows (the cbloom_count estimator)."""
         if len(arr) == 0:

@@ -54,6 +54,18 @@ class MisraGries(Sketch):
         enc = [(x if isinstance(x, bytes) else str(x).encode()) for x in keys.to_pylist()]
         self._absorb(enc, counts)
 
+    def update_weighted(self, arr, counts) -> None:
+        """(value, count) bulk update — absorbs pre-aggregated counts;
+        the mergeable-summaries bound holds for any batch/merge order."""
+        if len(arr) == 0:
+            return
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        counts = np.asarray(counts, dtype=np.int64)
+        self.n += int(counts.sum())
+        enc = [(x if isinstance(x, bytes) else str(x).encode()) for x in arr.to_pylist()]
+        self._absorb(enc, counts)
+
     def _absorb(self, keys: list[bytes], counts: np.ndarray) -> None:
         c = self.counters
         for key, cnt in zip(keys, counts):
