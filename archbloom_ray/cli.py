@@ -226,6 +226,33 @@ def cmd_transform(args):
     print(json.dumps({"output": args.output, **report}))
 
 
+def cmd_import_ref(args):
+    """Import a reference-engine ``bloom_save`` .bf file into the
+    engine's portable format (bloom.c:525-633 migration shim)."""
+    from .sketches.bloom import BloomFilter
+
+    with open(args.input, "rb") as f:
+        sk = BloomFilter.from_reference_bytes(f.read())
+    _save(sk, args.output)
+    print(json.dumps({"saved": args.output, **_info_dict(sk)}))
+
+
+def cmd_export_ref(args):
+    """Export a Bloom sketch file to the reference engine's on-disk
+    layout so the C tooling can load it."""
+    sk = _load(args.sketch)
+    from .sketches.bloom import BloomFilter
+
+    if not isinstance(sk, BloomFilter):
+        print(json.dumps({"error": "only Bloom filters have a reference format"}))
+        sys.exit(2)
+    tmp = args.output + ".tmp"
+    with open(tmp, "wb") as f:
+        f.write(sk.to_reference_bytes())
+    os.replace(tmp, args.output)
+    print(json.dumps({"saved": args.output, **_info_dict(sk)}))
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(prog="archbloom-ray")
     p.add_argument("--num-cpus", type=int, default=None)
@@ -294,6 +321,16 @@ def main(argv=None):
     sp.add_argument("--column", default="url")
     sp.add_argument("--concurrency", type=int, default=4)
     sp.set_defaults(fn=cmd_probe)
+
+    sp = sub.add_parser("import-ref")
+    sp.add_argument("input", help="reference-engine .bf file")
+    sp.add_argument("output", help="engine sketch file")
+    sp.set_defaults(fn=cmd_import_ref)
+
+    sp = sub.add_parser("export-ref")
+    sp.add_argument("sketch", help="engine Bloom sketch file")
+    sp.add_argument("output", help="reference-engine .bf file")
+    sp.set_defaults(fn=cmd_export_ref)
 
     sp = sub.add_parser("transform")
     sp.add_argument("input", help="parquet file or directory of shards")

@@ -193,6 +193,58 @@ class BloomFilter(Sketch):
             "est_fpr": self.estimate_false_positive_rate(),
         }
 
+    # -- reference on-disk format (migration shim) --------------------
+    # bloomfilter_file (bloom.h:153-160, x86-64 natural alignment):
+    #   uint8 magic[8] | uint8 name[256] | u64 size | u64 hashcount |
+    #   u64 bitmap_size | u64 expected | float accuracy | 4 pad bytes
+    # followed by the raw bitmap (bloom_save, bloom.c:525-560) —
+    # exactly bitmap_size = size // 8 bytes, little-endian host order.
+    _REF_STRUCT = "<8s256sQQQQf4x"  # == 304 bytes
+
+    def to_reference_bytes(self) -> bytes:
+        """Serialize to the reference engine's ``bloom_save`` file
+        layout so a filter built here can be loaded by the C tooling.
+        Note the reference writes/reads only ``size // 8`` bitmap bytes
+        (its own trailing-partial-byte truncation, bloom.c:612-618);
+        bits in a trailing partial byte do not survive the round-trip —
+        same loss the reference itself has."""
+        import struct
+
+        name = self.name.encode("utf-8")[:255]
+        header = struct.pack(
+            self._REF_STRUCT, self.MAGIC, name, self.size, self.hashcount,
+            self.bitmap_size, self.expected, float(np.float32(self.accuracy)),
+        )
+        return header + self.bitmap[: self.bitmap_size].tobytes()
+
+    @classmethod
+    def from_reference_bytes(cls, data: bytes) -> "BloomFilter":
+        """Load a reference-engine ``.bf`` file (bloom_load,
+        bloom.c:578-633), including its sanity checks."""
+        import struct
+
+        header_size = struct.calcsize(cls._REF_STRUCT)
+        if len(data) < header_size:
+            raise SketchError("reference bloom file: truncated header")
+        magic, name, size, hashcount, bitmap_size, expected, accuracy = (
+            struct.unpack_from(cls._REF_STRUCT, data))
+        if magic != cls.MAGIC:
+            raise SketchError("reference bloom file: bad magic")
+        # bloom.c:608-612 sanity checks
+        if size // 8 != bitmap_size or header_size + bitmap_size != len(data):
+            raise SketchError("reference bloom file: invalid geometry")
+        obj = cls.__new__(cls)
+        obj.expected = int(expected)
+        obj.accuracy = float(accuracy)
+        obj.size = int(size)
+        obj.hashcount = int(hashcount)
+        obj.bitmap_size = int(bitmap_size)
+        obj.name = name.split(b"\0", 1)[0].decode("utf-8", "replace")
+        obj.bitmap = np.zeros((obj.size + 7) // 8, dtype=np.uint8)
+        obj.bitmap[:bitmap_size] = np.frombuffer(
+            data, dtype=np.uint8, count=bitmap_size, offset=header_size)
+        return obj
+
     # -- ser/de -------------------------------------------------------
     def _meta(self) -> dict:
         return {

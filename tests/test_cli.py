@@ -97,3 +97,29 @@ def test_transform_resumable(ray_session, tmp_path):
         main(["transform", str(ind), out])
     r2 = json.loads(buf2.getvalue().strip().splitlines()[-1])
     assert r2["skipped"] == 2 and r2["written"] == 0
+
+
+def test_import_export_reference_format(tmp_path):
+    """import-ref / export-ref migration shim round-trips the reference
+    bloom_save layout byte-identically (golden bytes + geometry are
+    covered in tests/test_bloom.py::TestReferenceFileFormat)."""
+    from archbloom_ray.sketches.bloom import BloomFilter
+
+    bf = BloomFilter(500, 0.01, name="cli")
+    bf.update_arrow(pa.array([b"one", b"two", b"three"], type=pa.binary()))
+    ref = str(tmp_path / "in.bf")
+    with open(ref, "wb") as f:
+        f.write(bf.to_reference_bytes())
+
+    sk = str(tmp_path / "conv.sk")
+    out = run_cli("import-ref", ref, sk)
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["name"] == "cli" and info["type"] == "BloomFilter"
+
+    q = run_cli("query", sk, "two")
+    assert q.returncode == 0
+
+    back = str(tmp_path / "out.bf")
+    run_cli("export-ref", sk, back)
+    with open(back, "rb") as f:
+        assert f.read() == bf.to_reference_bytes()
