@@ -141,7 +141,79 @@ class TimeDecayingBloomFilter(Sketch):
             return True
         return False
 
+    def lookup_or_add_batch(self, arr, now=None) -> np.ndarray:
+        """``tdbloom_lookup_or_add`` (declared-only in the reference,
+        tdbloom.h:129-130 — engine-defined semantics analogous to
+        bloom_lookup_or_add): True where the element was fresh-present
+        BEFORE this call; every element's slots are then stamped with
+        the current tick.  Earlier occurrences inside the batch count
+        (sequential semantics), matching the Bloom variant."""
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        if now is None:
+            now = self.start_time
+        present = self.lookup_batch(arr, now)
+        h1, h2 = mmh3_128_batch(arr)
+        _, first_idx = np.unique(np.stack([h1, h2]), axis=1, return_index=True)
+        is_first = np.zeros(len(h1), dtype=bool)
+        is_first[first_idx] = True
+        self.update_arrow(arr, now)
+        return present | ~is_first
+
+    def lookup_or_add(self, element, now=None) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_or_add_batch(pa.array([element], type=typ), now)[0])
+
+    def get_last_access_time(self, element, now=None) -> int:
+        """``tdbloom_get_last_access_time`` (declared-only,
+        tdbloom.h:146): conservative last-write estimate = the MIN tick
+        over the element's k slots (each slot only moves forward, and
+        shared slots can only inflate a single slot — the min is the
+        tightest sound bound, same discipline as a count-min read).
+        Returns the absolute virtual-clock time, or -1 if any slot is
+        empty (element never added / already swept)."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        vals = self.filter[pos]
+        if (vals == 0).any():
+            return -1
+        return int(self.start_time + int(vals.astype(np.int64).min()) - 1)
+
+    def was_active_within(self, element, start: int, end: int) -> bool:
+        """``tdbloom_was_active_within`` (declared-only, tdbloom.h:145):
+        True when the element's conservative last-access estimate lands
+        in [start, end] (absolute virtual-clock times)."""
+        t = self.get_last_access_time(element)
+        return t >= 0 and int(start) <= t <= int(end)
+
     # -- maintenance --------------------------------------------------
+    def expire_older_than(self, max_age: int, now=None) -> int:
+        """``tdbloom_expire_older_than`` (declared-only, tdbloom.h:148):
+        sweep every slot whose age at ``now`` exceeds ``max_age`` —
+        a tighter horizon than the filter's own timeout.  Returns the
+        number of slots zeroed."""
+        if now is None:
+            now = self.start_time
+        ts = int(self._tick(int(now)))
+        age = (ts - self.filter.astype(np.int64) + self.max_time) % self.max_time
+        kill = (self.filter != 0) & (age > int(max_age))
+        n = int(kill.sum())
+        self.filter[kill] = 0
+        return n
+
+    def adjust_timeout(self, new_timeout: int) -> None:
+        """``tdbloom_adjust_timeout`` (declared-only, tdbloom.h:119/149):
+        change the decay horizon in place.  Allowed while the new
+        timeout still fits the filter's timestamp width (the slot
+        arrays are not rebuilt); raises otherwise."""
+        if new_timeout <= 0:
+            raise SketchError("timeout must be > 0")
+        if new_timeout >= self.max_time:
+            raise SketchError(
+                f"new timeout {new_timeout} needs a wider timestamp than "
+                f"this filter's {self.bytes}-byte slots (max_time {self.max_time})")
+        self.timeout = int(new_timeout)
+
     def clear_expired(self, now=None) -> int:
         """Sweep stale slots to 0; returns count (tdbloom.c:179-207)."""
         if now is None:

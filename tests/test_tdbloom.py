@@ -131,3 +131,53 @@ class TestMergeAndSerde:
         assert (r.timeout, r.start_time, r.max_time, r.bytes, r.name) == (300, 5, 65535, 2, "td")
         assert r.lookup("x", now=10)
         assert r.to_bytes() == td.to_bytes()
+
+
+class TestDeclaredOnlyOps:
+    """Engine implementations of ops the reference declares but never
+    implemented (tdbloom.h:117-151 TODOs)."""
+
+    def test_lookup_or_add(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=100)
+        assert not td.lookup_or_add("k", now=10)   # absent → added
+        assert td.lookup_or_add("k", now=20)       # now fresh-present
+        # sequential semantics inside one batch: 2nd occurrence sees the 1st
+        td2 = TimeDecayingBloomFilter(100, 0.01, timeout=100)
+        out = td2.lookup_or_add_batch(pa.array(["a", "b", "a"]), now=0)
+        assert list(out) == [False, False, True]
+        # stale entries read as absent, then re-add
+        td3 = TimeDecayingBloomFilter(100, 0.01, timeout=10)
+        td3.update_arrow(pa.array(["old"]), now=0)
+        assert not td3.lookup_or_add("old", now=50)
+        assert td3.lookup("old", now=55)
+
+    def test_last_access_and_active_within(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=1000, start_time=0)
+        td.update_arrow(pa.array(["x"]), now=42)
+        assert td.get_last_access_time("x") == 42
+        td.update_arrow(pa.array(["x"]), now=99)   # slots move forward
+        assert td.get_last_access_time("x") == 99
+        assert td.get_last_access_time("never") == -1
+        assert td.was_active_within("x", 90, 110)
+        assert not td.was_active_within("x", 0, 50)
+        assert not td.was_active_within("never", 0, 10**9)
+
+    def test_expire_older_than(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=1000)
+        td.update_arrow(pa.array(["old"]), now=0)
+        td.update_arrow(pa.array(["new"]), now=500)
+        n = td.expire_older_than(100, now=550)     # age(old)=550 > 100; age(new)=50
+        assert n > 0
+        assert not td.lookup("old", now=550)
+        assert td.lookup("new", now=550)
+
+    def test_adjust_timeout(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=300)  # 2-byte slots
+        td.update_arrow(pa.array(["k"]), now=0)
+        assert td.lookup("k", now=200)
+        td.adjust_timeout(100)
+        assert not td.lookup("k", now=200)         # tighter horizon applies
+        with pytest.raises(SketchError):
+            td.adjust_timeout(70000)               # needs wider timestamps
+        with pytest.raises(SketchError):
+            td.adjust_timeout(0)
