@@ -397,6 +397,27 @@ def q_minhash_near_dups(sf_dir: str):
     return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
 
 
+def q_dedup_clusters(sf_dir: str):
+    """Fuzzy-dedup clustering over the pages corpus: MinHash-LSH pairs
+    → distributed connected components → duplicate clusters.  Summary:
+    cluster count, clustered docs, largest cluster (rows-only — the
+    LSH graph is not SQL-expressible; CC parity vs a union-find oracle
+    is asserted in tests/test_stages.py::TestConnectedComponents)."""
+    from .stages import dedup_clusters
+
+    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
+    rows = dedup_clusters(ds, "text", "url", threshold=0.7).take_all()
+    sizes: dict[str, int] = {}
+    for r in rows:
+        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    return pa.table({
+        "n_clusters": pa.array([len(sizes)], type=pa.int64()),
+        "n_clustered_docs": pa.array([len(rows)], type=pa.int64()),
+        "max_cluster_size": pa.array(
+            [max(sizes.values()) if sizes else 0], type=pa.int64()),
+    })
+
+
 def q_simhash_near_dups(sf_dir: str):
     from .stages import simhash_pairs
 
@@ -1018,6 +1039,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": q_token_counts_bpe,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_verified_dups": q_ngram_verified_dups,
+        "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
         "knn_ivf": q_knn_ivf,

@@ -14,6 +14,8 @@ from .dedup import (
     ngram_jaccard,
     verify_pairs_ngram,
     embedding_near_dup_pairs,
+    connected_components,
+    dedup_clusters,
 )
 from .similarity import knn_brute, knn_ivf, train_centroids
 from .multimodal import (
@@ -30,7 +32,8 @@ __all__ = [
     "add_token_counts", "add_language_id", "add_quality", "add_fingerprint",
     "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_pairs", "simhash_batch", "ngram_jaccard", "verify_pairs_ngram",
-    "embedding_near_dup_pairs", "knn_brute", "knn_ivf", "train_centroids",
+    "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
+    "knn_brute", "knn_ivf", "train_centroids",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",
 ]

@@ -749,6 +749,192 @@ def embedding_near_dup_pairs(
     return _dedup_pairs(pairs, id_col, extra_cols=["cosine"])
 
 
+def connected_components(
+    pairs: "ray.data.Dataset",
+    *,
+    max_rounds: int = 50,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Distributed connected components over (id_a, id_b) pair rows —
+    the clustering step of fuzzy dedup (LSH pairs → duplicate clusters
+    → one canonical doc per cluster).
+
+    Min-label propagation: every node starts labeled with itself; each
+    round, one coarse-hash-partition groupby joins node labels to edge
+    endpoints (vectorized searchsorted inside partitions) and a second
+    groupby takes the min label per node.  Converges in O(cluster
+    diameter) rounds — near-dup clusters are shallow, and the driver
+    stops early via a per-round label checksum (one tiny aggregate).
+
+    Partitioning assumption: the EDGE set is LSH-candidate-bounded
+    (tiny vs the corpus), so per-round shuffles move O(|edges|) rows.
+    Returns a Dataset of ``{id, component}`` rows (component = min id
+    reachable, the cluster canonical).
+    """
+    from ..hashing import mmh3_64_batch
+
+    def _pk_of(keys: pa.Array) -> pa.Array:
+        import zlib
+
+        if pa.types.is_integer(keys.type):
+            k = np.asarray(keys).astype(np.uint64, copy=False)
+            with np.errstate(over="ignore"):
+                return pa.array(((k * np.uint64(0x9E3779B97F4A7C15))
+                                 % np.uint64(num_partitions)).astype(np.int32))
+        return pa.array(np.fromiter(
+            (zlib.crc32(s.encode()) % num_partitions for s in keys.to_pylist()),
+            dtype=np.int32, count=len(keys)))
+
+    def seed_labels(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]
+        ib = batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]
+        ids = pc.unique(pa.concat_arrays([ia, ib]))
+        return pa.table({"id": ids, "label": ids})
+
+    def dedupe_ids(group: pa.Table) -> pa.Table:
+        ids = pc.unique(group["id"].combine_chunks())
+        return pa.table({"id": ids, "label": ids})
+
+    edges = pairs.select_columns(["id_a", "id_b"]).materialize()
+    labels = (
+        edges.map_batches(seed_labels, batch_format="pyarrow", zero_copy_batch=True)
+        .map_batches(lambda b: b.append_column("pk", _pk_of(b["id"].combine_chunks())),
+                     batch_format="pyarrow")
+        .groupby("pk").map_groups(dedupe_ids, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def edge_endpoints(batch: pa.Table) -> pa.Table:
+        ia = batch["id_a"].combine_chunks() if isinstance(batch["id_a"], pa.ChunkedArray) else batch["id_a"]
+        ib = batch["id_b"].combine_chunks() if isinstance(batch["id_b"], pa.ChunkedArray) else batch["id_b"]
+        node = pa.concat_arrays([ia, ib])
+        other = pa.concat_arrays([ib, ia])
+        return pa.table({"key": node, "other": other})
+
+    endpoints = edges.map_batches(edge_endpoints, batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+
+    def checksum(ds_labels) -> int:
+        def h(batch: pa.Table) -> pa.Table:
+            hh = mmh3_64_batch(pc.cast(batch["label"], pa.string()))
+            return pa.table({"s": pa.array([int(hh.astype(np.uint64).sum() % (1 << 63))],
+                                           type=pa.int64())})
+
+        parts = ds_labels.map_batches(h, batch_format="pyarrow").take_all()
+        return sum(r["s"] for r in parts) % (1 << 63)
+
+    prev = checksum(labels)
+    for _ in range(max_rounds):
+        # stage 1: attach each node's current label to its edge partners
+        def tag_label(batch: pa.Table) -> pa.Table:
+            key = batch["id"].combine_chunks() if isinstance(batch["id"], pa.ChunkedArray) else batch["id"]
+            t = pa.table({
+                "key": key, "other": pa.nulls(len(batch), type=key.type),
+                "label": batch["label"],
+            })
+            return t.append_column("pk", _pk_of(key))
+
+        def tag_edge(batch: pa.Table) -> pa.Table:
+            key = batch["key"].combine_chunks() if isinstance(batch["key"], pa.ChunkedArray) else batch["key"]
+            t = pa.table({
+                "key": key, "other": batch["other"],
+                "label": pa.nulls(len(batch), type=key.type),
+            })
+            return t.append_column("pk", _pk_of(key))
+
+        def propagate(group: pa.Table) -> pa.Table:
+            is_lab = pc.is_valid(group["label"]).combine_chunks()
+            lab_rows = group.filter(is_lab)
+            edge_rows = group.filter(pc.invert(is_lab))
+            lk = np.asarray(lab_rows["key"])
+            lv = np.asarray(lab_rows["label"])
+            if lk.dtype == object:
+                lk = lk.astype("U")
+                lv = lv.astype("U")
+            order = np.argsort(lk, kind="stable")
+            lk, lv = lk[order], lv[order]
+            ek = np.asarray(edge_rows["key"])
+            if ek.dtype == object:
+                ek = ek.astype("U")
+            pos = np.searchsorted(lk, ek) if len(lk) else np.zeros(len(ek), np.int64)
+            pos = np.clip(pos, 0, max(len(lk) - 1, 0))
+            hit = (lk[pos] == ek) if len(lk) else np.zeros(len(ek), bool)
+            # messages: partner gets this node's label; plus self-labels
+            msg_to = np.asarray(edge_rows["other"])
+            if msg_to.dtype == object:
+                msg_to = msg_to.astype("U")
+            out_id = np.concatenate([msg_to[hit], lk])
+            out_label = np.concatenate([lv[pos][hit], lv])
+            return pa.table({
+                "id": pa.array(out_id, type=group["key"].type),
+                "label": pa.array(out_label, type=group["key"].type),
+            })
+
+        def min_label(group: pa.Table) -> pa.Table:
+            ids = np.asarray(group["id"])
+            labs = np.asarray(group["label"])
+            if ids.dtype == object:
+                ids = ids.astype("U")
+                labs = labs.astype("U")
+            order = np.lexsort((labs, ids))
+            ids, labs = ids[order], labs[order]
+            first = np.ones(len(ids), dtype=bool)
+            if len(ids) > 1:
+                first[1:] = ids[1:] != ids[:-1]
+            return pa.table({
+                "id": pa.array(ids[first], type=group["id"].type),
+                "label": pa.array(labs[first], type=group["label"].type),
+            })
+
+        msgs = (
+            labels.map_batches(tag_label, batch_format="pyarrow")
+            .union(endpoints.map_batches(tag_edge, batch_format="pyarrow"))
+            .groupby("pk")
+            .map_groups(propagate, batch_format="pyarrow")
+        )
+        labels = (
+            msgs.map_batches(
+                lambda b: b.append_column("pk2", _pk_of(b["id"].combine_chunks())),
+                batch_format="pyarrow")
+            .groupby("pk2")
+            .map_groups(min_label, batch_format="pyarrow")
+            .materialize()
+        )
+        cur = checksum(labels)
+        if cur == prev:
+            break
+        prev = cur
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({"id": batch["id"], "component": batch["label"]})
+
+    return labels.map_batches(finalize, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_clusters(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.7,
+    shingle_width: int = 5,
+    seed: int = 42,
+    num_cpus: float | None = None,
+) -> "ray.data.Dataset":
+    """Fuzzy-dedup clustering: MinHash-LSH candidate pairs → distributed
+    connected components → ``{id, component}`` rows where ``component``
+    is the cluster's canonical (min) id.  Docs with no near-duplicate
+    partner are absent (they are their own canonical)."""
+    pairs = minhash_lsh_pairs(
+        ds, text_col, id_col, num_perm=num_perm, bands=bands,
+        threshold=threshold, shingle_width=shingle_width, seed=seed,
+        num_cpus=num_cpus,
+    )
+    return connected_components(pairs)
+
+
 def _pair_key_hash(ids_a, ids_b, num_partitions: int) -> np.ndarray:
     """Symmetric coarse partition key for (id_a, id_b) pair rows."""
     import zlib

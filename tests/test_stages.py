@@ -316,3 +316,57 @@ class TestVectorizedParity:
         got = lid.classify_arrow(pa.array(texts, type=pa.string()))
         want = [lid._classify(t or "") for t in texts]
         assert list(got) == want
+
+
+class TestConnectedComponents:
+    def test_matches_union_find(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import connected_components
+
+        rng = np.random.default_rng(7)
+        edges = [(i, i + 1) for i in range(12)]            # chain
+        edges += [(100, 100 + i) for i in range(1, 8)]      # star
+        for _ in range(30):                                  # random unions
+            a, b = rng.integers(200, 260, 2)
+            if a != b:
+                edges.append((int(a), int(b)))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([a for a, _ in edges], type=pa.int64()),
+            "id_b": pa.array([b for _, b in edges], type=pa.int64()),
+        }))
+        got = {r["id"]: r["component"]
+               for r in connected_components(pairs).take_all()}
+
+        parent: dict[int, int] = {}
+
+        def find(x):
+            while parent.setdefault(x, x) != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[max(ra, rb)] = min(ra, rb)
+        comp_members: dict[int, set] = {}
+        for x in parent:
+            comp_members.setdefault(find(x), set()).add(x)
+        expected = {x: min(comp_members[find(x)]) for x in parent}
+        assert got == expected
+
+    def test_dedup_clusters_canonical_is_min(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.datagen import pages_fixture
+        from archbloom_ray.stages import dedup_clusters
+
+        ds = rd.read_parquet(pages_fixture(2000, seed=42), columns=["url", "text"])
+        rows = dedup_clusters(ds, "text", "url", threshold=0.7).take_all()
+        assert rows  # the fixture plants near-dups
+        comps: dict[str, list[str]] = {}
+        for r in rows:
+            comps.setdefault(r["component"], []).append(r["id"])
+        assert all(min(v) == k for k, v in comps.items())
+        # every clustered doc appears exactly once
+        ids = [r["id"] for r in rows]
+        assert len(ids) == len(set(ids))
