@@ -305,6 +305,48 @@ def q_cbloom_source_membership(sf_dir: str):
     )
 
 
+def q_kmv_distinct_text(sf_dir: str):
+    """KMV (bottom-k) distinct estimate certified against the exact
+    distributed count; also reports the sample size (min(k, #distinct),
+    SQL-checkable) and the 3σ bound verdict (σ ≈ 1/√(k−2))."""
+    from .pipelines.relational import distinct_count
+    from .sketches import KMVSketch
+
+    k = 256
+    ds = _read(sf_dir, "documents", ["text"])
+    sk = build_sketch(ds, "text", lambda: KMVSketch(k))
+    exact = distinct_count(_read(sf_dir, "documents", ["text"]), "text")
+    within = abs(sk.cardinality() - exact) <= 3 * sk.relative_error_bound() * exact
+    return pa.table({
+        "n_distinct_exact": pa.array([exact], type=pa.int64()),
+        "n_sample": pa.array([len(sk.sample())], type=pa.int64()),
+        "kmv_within_bound": pa.array([bool(within)], type=pa.bool_()),
+    })
+
+
+def q_train_test_split(sf_dir: str):
+    """Deterministic hash split (train 0.8 / val 0.1 / test 0.1 by
+    doc_id).  Oracle hash-checks the invariants every split must
+    satisfy: total row count, full assignment, and fractions within a
+    5-point tolerance (deterministic for a fixed corpus + seed)."""
+    from .stages import hash_split
+
+    ds = hash_split(_read(sf_dir, "documents", ["doc_id"]), "doc_id",
+                    {"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = grouped_agg(ds, ["split"], [("n", None, "count")]).take_all()
+    counts = {r["split"]: r["n"] for r in rows}
+    total = sum(counts.values())
+    fr = {s: counts.get(s, 0) / max(total, 1) for s in ("train", "val", "test")}
+    ok = (abs(fr["train"] - 0.8) <= 0.05 and abs(fr["val"] - 0.1) <= 0.05
+          and abs(fr["test"] - 0.1) <= 0.05)
+    return pa.table({
+        "n_total": pa.array([total], type=pa.int64()),
+        "all_assigned": pa.array([set(counts) <= {"train", "val", "test"}],
+                                 type=pa.bool_()),
+        "fractions_within_tol": pa.array([bool(ok)], type=pa.bool_()),
+    })
+
+
 def q_cuckoo_membership(sf_dir: str):
     """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
     ample headroom (~12% load) so every insert and the distributed
@@ -1029,6 +1071,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # side + the algorithm's published bound; oracle checks the exact
         # columns and the (deterministic) bound verdicts
         "hll_distinct_text": q_hll_distinct_text,
+        "kmv_distinct_text": q_kmv_distinct_text,
+        "train_test_split": q_train_test_split,
         "cms_source_counts": q_cms_source_counts,
         "quantile_sketches": q_quantile_sketches,
         "cbloom_source_membership": q_cbloom_source_membership,
@@ -1325,6 +1369,17 @@ def oracle_sql() -> dict[str, str]:
         "cms_source_counts": """
             SELECT source, count(*) AS exact_count, TRUE AS cms_within_bound
             FROM documents GROUP BY source
+        """,
+        "kmv_distinct_text": """
+            SELECT count(DISTINCT text) AS n_distinct_exact,
+                   CAST(least(256, count(DISTINCT text)) AS BIGINT) AS n_sample,
+                   TRUE AS kmv_within_bound
+            FROM documents
+        """,
+        "train_test_split": """
+            SELECT count(*) AS n_total, TRUE AS all_assigned,
+                   TRUE AS fractions_within_tol
+            FROM documents
         """,
         "cbloom_source_membership": """
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact

@@ -8,6 +8,7 @@ from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .mg import MisraGries
+from .kmv import KMVSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 
@@ -24,6 +25,7 @@ __all__ = [
     "TDigest",
     "KLLSketch",
     "MisraGries",
+    "KMVSketch",
     "CuckooFilter",
     "GaussianNB",
 ]

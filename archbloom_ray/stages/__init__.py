@@ -18,6 +18,7 @@ from .dedup import (
     dedup_clusters,
 )
 from .similarity import knn_brute, knn_ivf, train_centroids
+from .sampling import hash_split, split_assignments
 from .multimodal import (
     DecodeImage,
     FakeDecode,
@@ -34,6 +35,7 @@ __all__ = [
     "simhash_pairs", "simhash_batch", "ngram_jaccard", "verify_pairs_ngram",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
+    "hash_split", "split_assignments",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",
 ]

@@ -370,3 +370,34 @@ class TestConnectedComponents:
         # every clustered doc appears exactly once
         ids = [r["id"] for r in rows]
         assert len(ids) == len(set(ids))
+
+
+class TestHashSplit:
+    def test_deterministic_and_disjoint(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import hash_split, split_assignments
+
+        ids = pa.array([f"doc{i}" for i in range(10_000)], type=pa.string())
+        fr = {"train": 0.8, "val": 0.1, "test": 0.1}
+        a = split_assignments(ids, fr)
+        b = split_assignments(ids, fr)
+        np.testing.assert_array_equal(a, b)  # pure function of (id, seed)
+        # fractions land near targets
+        import collections
+        c = collections.Counter(a)
+        assert abs(c["train"] / 10_000 - 0.8) < 0.02
+        assert abs(c["val"] / 10_000 - 0.1) < 0.02
+        assert abs(c["test"] / 10_000 - 0.1) < 0.02
+        # a different seed reshuffles
+        assert not np.array_equal(a, split_assignments(ids, fr, seed=7))
+        # distributed stage agrees with the kernel row-for-row
+        ds = hash_split(rd.from_arrow(pa.table({"id": ids})), "id", fr)
+        got = {r["id"]: r["split"] for r in ds.take_all()}
+        expect = dict(zip(ids.to_pylist(), a))
+        assert got == expect
+
+    def test_fraction_validation(self):
+        from archbloom_ray.stages import split_assignments
+
+        with pytest.raises(ValueError):
+            split_assignments(pa.array(["x"]), {"a": 0.5, "b": 0.1})
