@@ -27,6 +27,10 @@ from .multimodal import (
     decode_pipeline,
     encode_fake_image,
     decode_fake_image,
+    encode_ppm,
+    decode_ppm,
+    encode_bmp,
+    decode_bmp,
 )
 
 __all__ = [
@@ -38,4 +42,5 @@ __all__ = [
     "hash_split", "split_assignments",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",
+    "encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
 ]

@@ -243,12 +243,15 @@ class TestMultimodal:
             assert len(r["pixels_resized"]) == 8 * 8 * 3
             assert len(r["features"]) == 2 * 3 + 8
 
-    def test_real_decode_is_marked_stub(self, ray_session):
+    def test_compressed_decode_is_marked_stub(self, ray_session):
         import ray.data
         from archbloom_ray.stages import DecodeImage
 
+        # PPM/BMP/fake payloads decode for real (TestRealImageCodecs);
+        # only the compressed-format branch remains a stub
         with pytest.raises(NotImplementedError, match="Pillow"):
-            DecodeImage()(pa.table({"image": pa.array([b"x"], type=pa.binary())}))
+            DecodeImage()(pa.table({"image": pa.array(
+                [b"\xff\xd8\xff\xe0 jpeg"], type=pa.binary())}))
 
 
 class TestVectorizedParity:
@@ -401,3 +404,57 @@ class TestHashSplit:
 
         with pytest.raises(ValueError):
             split_assignments(pa.array(["x"]), {"a": 0.5, "b": 0.1})
+
+
+class TestRealImageCodecs:
+    """Pure-numpy PPM/BMP codecs are REAL (round-trip exact); the
+    compressed-format branch is the one remaining stub."""
+
+    def _img(self, h=7, w=5):
+        rng = np.random.default_rng(3)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_ppm_roundtrip(self):
+        from archbloom_ray.stages import decode_ppm, encode_ppm
+
+        img = self._img()
+        np.testing.assert_array_equal(decode_ppm(encode_ppm(img)), img)
+        # comments in the header are legal PPM
+        payload = encode_ppm(img)
+        commented = b"P6\n# a comment\n" + payload[3:]
+        np.testing.assert_array_equal(decode_ppm(commented), img)
+
+    def test_bmp_roundtrip_and_padding(self):
+        from archbloom_ray.stages import decode_bmp, encode_bmp
+
+        for w in (4, 5, 6, 7):  # exercise every row-padding remainder
+            img = self._img(3, w)
+            np.testing.assert_array_equal(decode_bmp(encode_bmp(img)), img)
+
+    def test_decode_stage_dispatches(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import (DecodeImage, encode_bmp,
+                                          encode_fake_image, encode_ppm)
+
+        img = self._img(6, 6)
+        tbl = pa.table({"image": pa.array(
+            [encode_ppm(img), encode_bmp(img), encode_fake_image(6, 6, 3, seed=1)],
+            type=pa.binary())})
+        out = rd.from_arrow(tbl).map_batches(
+            DecodeImage, batch_format="pyarrow", concurrency=1,
+            batch_size=4).take_all()
+        assert [r["width"] for r in out] == [6, 6, 6]
+        np.testing.assert_array_equal(
+            np.asarray(out[0]["pixels"], dtype=np.uint8), img.ravel())
+        np.testing.assert_array_equal(
+            np.asarray(out[1]["pixels"], dtype=np.uint8), img.ravel())
+
+    def test_compressed_formats_stubbed(self):
+        from archbloom_ray.stages import DecodeImage
+
+        with pytest.raises(NotImplementedError):
+            DecodeImage.decode_one(b"\xff\xd8\xff\xe0 jpeg...")
+        with pytest.raises(NotImplementedError):
+            DecodeImage.decode_one(b"\x89PNG\r\n\x1a\n png...")
+        with pytest.raises(ValueError):
+            DecodeImage.decode_one(b"????")
