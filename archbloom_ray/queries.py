@@ -1104,6 +1104,26 @@ def _sql_quote(s: str) -> str:
     return s.replace("'", "''")
 
 
+def _sql_pat_expr(pattern: str) -> str:
+    """SQL expression that evaluates to the regex ``pattern``, spelling
+    literal ``{``/``}`` via ``chr()`` so the oracle SQL *text* contains no
+    braces (a driver that ``str.format()``s the SQL would choke on e.g.
+    ``\\p{L}``).  DuckDB constant-folds the concatenation at plan time."""
+    parts: list[str] = []
+    buf: list[str] = []
+    for ch in pattern:
+        if ch in "{}":
+            if buf:
+                parts.append("'" + _sql_quote("".join(buf)) + "'")
+                buf = []
+            parts.append(f"chr({ord(ch)})")
+        else:
+            buf.append(ch)
+    if buf:
+        parts.append("'" + _sql_quote("".join(buf)) + "'")
+    return "(" + " || ".join(parts) + ")"
+
+
 def _sql_lower_tokens(txt_expr: str) -> str:
     """SQL fragment: first-class lowercased whitespace tokens of a text
     expression, mirroring ``stages.text._tokens_of`` (re2 trim + split;
@@ -1190,7 +1210,7 @@ def _quality_oracle_sql() -> str:
 
     from .stages.text import _RE2_WS, _RE2_WS_CLASS
 
-    punct = _sql_quote(_RE2_PUNCT)
+    punct = _sql_pat_expr(_RE2_PUNCT)
     cls = _sql_quote(_RE2_WS_CLASS)
     ws_re = _sql_quote(_RE2_WS)
     return f"""
@@ -1202,7 +1222,7 @@ def _quality_oracle_sql() -> str:
         ), f AS (
             SELECT lang,
                    length(txt) AS n_chars,
-                   len(regexp_extract_all(txt, '{punct}')) AS n_punct,
+                   len(regexp_extract_all(txt, {punct})) AS n_punct,
                    CASE WHEN trimmed = '' THEN 0
                         ELSE len(string_split_regex(trimmed, '{ws_re}')) END AS n_words,
                    CASE WHEN trimmed = '' THEN 0

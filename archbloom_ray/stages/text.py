@@ -30,7 +30,13 @@ _DIGIT = re.compile(r"\d")
 _WS_CHARS = (" \t\n\r\f\v\x1c\x1d\x1e\x1f\x85\xa0 "
              "           "
              "    　")
-_RE2_WS_CLASS = r"[\s\x0b\x1c-\x1f\x85\p{Zs}  ]"
+# \p{Zs} enumerated literally (Unicode space separators, a stable
+# category; \s covers U+0020) so patterns that reach oracle SQL contain
+# no literal braces (a driver that str.format()s the SQL would choke on
+# the {Zs}).  Parity with the \p{Zs} form is covered by the scalar-vs-
+# vectorized tests in tests/test_stages.py.
+_ZS_LITERAL = "               　"
+_RE2_WS_CLASS = r"[\s\x0b\x1c-\x1f\x85" + _ZS_LITERAL + "  ]"
 _RE2_WS = _RE2_WS_CLASS + "+"
 # Python \w ≈ letters + numbers + marks + connector punctuation
 _RE2_PUNCT = r"[^\p{L}\p{N}_" + _RE2_WS_CLASS[1:-1] + "]"
@@ -38,7 +44,8 @@ _RE2_DIGIT = r"\p{Nd}"
 # _BPE_ISH minus the pure-whitespace branch: dropping it does not change
 # which non-space tokens match (the other branches cannot start mid-run
 # of whitespace), so counting matches counts non-space BPE-ish tokens
-_RE2_BPE = r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9\x0b\x1c-\x1f\x85\p{Zs}  ]+"
+_RE2_BPE = (r"'(?:s|t|re|ve|m|ll|d)| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9"
+            r"\x0b\x1c-\x1f\x85" + _ZS_LITERAL + "  ]+")
 
 # Small function-word sets per language (public common stopwords) for
 # the n-gram/stopword language-ID heuristic.
