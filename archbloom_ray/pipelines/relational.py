@@ -162,6 +162,77 @@ def broadcast_lookup(
     )
 
 
+def bloom_semijoin(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    *,
+    fpr: float = 1e-4,
+    exact: bool = True,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Semijoin ``fact ⋉ dim`` via a broadcast Bloom filter — the
+    sketch-accelerated join-pruning pattern: the dim side's keys build
+    one merged Bloom (distributed partials + tree merge, O(m) state),
+    ``ray.put`` once, and every fact task drops non-matching rows
+    BEFORE any shuffle.  With ``exact=True`` the (small) dim keyset is
+    also broadcast and survivors are re-checked exactly, so the result
+    has no Bloom false positives — the Bloom's job is to make the
+    exact check's probe set tiny.  At 100 TB the Bloom (a few MB for
+    10^8 keys at 1e-4) is the only state every worker holds; if the
+    dim keyset itself outgrows broadcast, keep ``exact=False`` and
+    shuffle-join only the pruned survivors (ε·|fact| rows).
+
+    Keys are hashed as strings (reference mmh3 is byte-oriented);
+    integer keys are cast on both sides, exactness is unaffected.
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+    from ..sketches.bloom import BloomFilter
+    from .build import build_sketch
+
+    def keys_as_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(batch[dim_key], pa.string())})
+
+    dim_keys = dim.map_batches(keys_as_str, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    n_dim = max(dim.count(), 10)
+    bloom = build_sketch(dim_keys, "k", lambda: BloomFilter(n_dim, fpr))
+    bloom_ref = _ray.put(bloom.to_bytes())
+    exact_ref = None
+    if exact:
+        keyset = np.sort(np.concatenate(
+            [np.asarray(b["k"]) for b in
+             dim_keys.iter_batches(batch_format="pyarrow", batch_size=batch_size)]
+            or [np.empty(0, dtype=object)]))
+        exact_ref = _ray.put(keyset)
+
+    def _load():
+        from ..sketches.base import sketch_from_bytes
+
+        bf = sketch_from_bytes(_ray.get(bloom_ref))
+        ks = _ray.get(exact_ref) if exact_ref is not None else None
+        return bf, ks
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bf, ks = cached_instance(("bloom_semijoin", bloom_ref.hex()), _load)
+        keys = pc.cast(batch[fact_key], pa.string())
+        mask = bf.lookup_batch(keys)
+        batch = batch.filter(pa.array(mask))
+        if ks is not None and len(batch):
+            k = np.asarray(pc.cast(batch[fact_key], pa.string()))
+            idx = np.searchsorted(ks, k)
+            idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+            hit = ks[idx] == k if len(ks) else np.zeros(len(k), dtype=bool)
+            batch = batch.filter(pa.array(hit))
+        return batch
+
+    return fact.map_batches(prune, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+
+
 def exact_quantiles(
     ds: "ray.data.Dataset", value_col: str, qs: list[float]
 ) -> list[float]:

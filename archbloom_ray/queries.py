@@ -852,14 +852,60 @@ def q_ngram_verified_dups(sf_dir: str):
     })
 
 
+def q_ngram_jaccard_pairs(sf_dir: str):
+    """EXACT within-language all-pairs char-5-gram Jaccard over the
+    documents table (stages.ngram_jaccard_exact_pairs): every pair at
+    J ≥ 0.3 with integer intersection/union set sizes.  Injective
+    byte-packed windows + integer threshold math make the output
+    hash-identical to the DuckDB hex-shingle oracle."""
+    from .stages import ngram_jaccard_exact_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    return ngram_jaccard_exact_pairs(
+        ds, "text", "doc_id", "lang", width=5, min_num=3, min_den=10)
+
+
+def q_bloom_semijoin_urgent(sf_dir: str):
+    """Bloom-pruned semijoin: lineitem ⋉ urgent orders.  The urgent
+    orderkeys build ONE broadcast Bloom (distributed partials + merge)
+    that prunes lineitem before any shuffle; survivors are re-checked
+    against the broadcast exact keyset, so the grouped totals are
+    exact (pipelines.relational.bloom_semijoin)."""
+    from .pipelines.relational import bloom_semijoin
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow", zero_copy_batch=True)
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "l_returnflag": batch["l_returnflag"],
+            "qty_int": pa.array(np.rint(qty).astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_returnflag", "l_quantity"]
+               ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    semi = bloom_semijoin(li, "l_orderkey", orders, "o_orderkey", fpr=1e-4)
+    return grouped_agg(semi, ["l_returnflag"], [
+        ("n_items", None, "count"),
+        ("sum_qty", "qty_int", "sum"),
+    ])
+
+
 def q_pages_heavy_domains_mg(sf_dir: str):
-    """Per-lang heavy-hitter domains with SELF-PRODUCED candidates:
+    """Per-lang heavy-hitter domains, sketch-finds / exact-verifies:
     Misra-Gries summaries (deterministic undercount ≤ (n−Σc)/(k+1);
-    mergeable-summaries merge) built per lang with the salted grouped
-    combine, top-5 per lang cross-checked against CMS point estimates
-    (overcount ≤ εN w.p. 1−δ) — lower and upper brackets per domain,
-    no exact candidate pass anywhere.  BOTH sketch families build from
-    ONE scan + one count-row shuffle (build_grouped_value_sketches)."""
+    mergeable-summaries merge) nominate the top-5 domains per lang
+    from ONE scan + one count-row shuffle
+    (build_grouped_value_sketches, MG + CMS together); a second,
+    candidate-filtered scan computes their EXACT counts, certified
+    against both sketch contracts (MG lower/CMS upper brackets must
+    hold — deterministic verdict).  The oracle checks the exact top-5
+    per lang, so a wrong MG nomination turns the row red."""
     from .sketches import MisraGries
     from .pipelines.build import build_grouped_value_sketches
 
@@ -881,24 +927,51 @@ def q_pages_heavy_domains_mg(sf_dir: str):
     for r in both.take_all():
         target = mg_per_lang if r["sketch_id"] == "mg" else cms_per_lang
         target[r["key"]] = sketch_from_bytes(r["state"])
-    rows = {"lang": [], "domain": [], "mg_lower": [], "cms_upper": [],
-            "mg_bound": []}
+    cand: dict[tuple[str, str], tuple[int, int, int]] = {}
     for lang in sorted(mg_per_lang):
         mg = mg_per_lang[lang]
         cms = cms_per_lang[lang]
         for key, est in mg.candidates()[:5]:
             dom = key.decode()
-            rows["lang"].append(lang)
-            rows["domain"].append(dom)
-            rows["mg_lower"].append(est)
-            rows["cms_upper"].append(int(cms.count(dom)))
-            rows["mg_bound"].append(mg.error_bound())
+            cand[(lang, dom)] = (est, int(cms.count(dom)), mg.error_bound())
+    # exact verification pass over ONLY the sketch-nominated candidates:
+    # one more scan, filtered per batch against the broadcast candidate
+    # set (the classic sketch-finds/exact-verifies shape — the exact
+    # aggregation touches ~5·|langs| keys, never the full domain space)
+    import ray as _ray
+
+    cand_ref = _ray.put(set(cand))
+
+    def keep_candidates(batch: pa.Table) -> pa.Table:
+        from .proc_cache import cached_instance
+
+        cs = cached_instance(("mg_cand", cand_ref.hex()),
+                             lambda: _ray.get(cand_ref))
+        mask = [(l, d) in cs for l, d in
+                zip(batch["lang"].to_pylist(), batch["domain"].to_pylist())]
+        return batch.filter(pa.array(mask))
+
+    exact_rows = grouped_agg(
+        ds.map_batches(keep_candidates, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["lang", "domain"], [("exact", None, "count")]).take_all()
+    # certify the deterministic sketch contracts: MG never overcounts
+    # and undershoots by ≤ error_bound (mg.c-free; mergeable-summaries
+    # Thm), CMS never undercounts — both must bracket the exact count.
+    out = {"lang": [], "domain": [], "exact": [], "brackets_hold": []}
+    for r in sorted(exact_rows, key=lambda r: (r["lang"], r["domain"])):
+        mg_lower, cms_upper, mg_bound = cand[(r["lang"], r["domain"])]
+        exact = int(r["exact"])
+        ok = mg_lower <= exact <= mg_lower + mg_bound and cms_upper >= exact
+        out["lang"].append(r["lang"])
+        out["domain"].append(r["domain"])
+        out["exact"].append(exact)
+        out["brackets_hold"].append(bool(ok))
     return pa.table({
-        "lang": pa.array(rows["lang"], type=pa.string()),
-        "domain": pa.array(rows["domain"], type=pa.string()),
-        "mg_lower": pa.array(rows["mg_lower"], type=pa.int64()),
-        "cms_upper": pa.array(rows["cms_upper"], type=pa.int64()),
-        "mg_bound": pa.array(rows["mg_bound"], type=pa.int64()),
+        "lang": pa.array(out["lang"], type=pa.string()),
+        "domain": pa.array(out["domain"], type=pa.string()),
+        "exact": pa.array(out["exact"], type=pa.int64()),
+        "brackets_hold": pa.array(out["brackets_hold"], type=pa.bool_()),
     })
 
 
@@ -1082,6 +1155,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts_bpe": q_token_counts_bpe,
         "minhash_near_dups": q_minhash_near_dups,
+        "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1439,6 +1514,49 @@ def oracle_sql() -> dict[str, str]:
             f" FROM read_parquet('{_pages_sql_path()}')"
             for q in (0.01, 0.5, 0.99)
         ),
+        "ngram_jaccard_pairs": """
+            WITH s AS (
+              SELECT doc_id, lang,
+                     CASE WHEN octet_length(encode(coalesce(text,''))) < 5
+                          THEN [hex(encode(coalesce(text,'')))
+                                || repeat('20', 5 - octet_length(encode(coalesce(text,''))))]
+                          ELSE list_distinct(list_transform(
+                                 range(1, octet_length(encode(coalesce(text,''))) - 3),
+                                 i -> substring(hex(encode(coalesce(text,''))), 2*i - 1, 10)))
+                          END AS sh
+              FROM documents
+            ), j AS (
+              SELECT a.lang AS lang, a.doc_id AS id_a, b.doc_id AS id_b,
+                     CAST(len(list_intersect(a.sh, b.sh)) AS BIGINT) AS n_common,
+                     CAST(len(a.sh) AS BIGINT) AS la, CAST(len(b.sh) AS BIGINT) AS lb
+              FROM s a JOIN s b ON a.lang = b.lang AND a.doc_id < b.doc_id
+            )
+            SELECT lang, id_a, id_b, n_common, la + lb - n_common AS n_union
+            FROM j WHERE 10 * n_common >= 3 * (la + lb - n_common)
+        """,
+        "bloom_semijoin_urgent": """
+            SELECT l_returnflag, count(*) AS n_items,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT) AS sum_qty
+            FROM lineitem
+            WHERE l_orderkey IN (SELECT o_orderkey FROM orders
+                                 WHERE o_orderpriority = '1-URGENT')
+            GROUP BY l_returnflag
+        """,
+        "pages_heavy_domains_mg": f"""
+            WITH d AS (
+                SELECT lang, split_part(url, '/', 3) AS domain
+                FROM read_parquet('{_pages_sql_path()}')
+            ), c AS (
+                SELECT lang, domain, count(*) AS exact FROM d GROUP BY lang, domain
+            ), r AS (
+                SELECT lang, domain, exact,
+                       row_number() OVER (
+                           PARTITION BY lang ORDER BY exact DESC, domain ASC) AS rn
+                FROM c
+            )
+            SELECT lang, domain, exact, TRUE AS brackets_hold
+            FROM r WHERE rn <= 5
+        """,
         "pages_heavy_domains": f"""
             WITH d AS (
                 SELECT lang, split_part(url, '/', 3) AS domain

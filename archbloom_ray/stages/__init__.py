@@ -12,6 +12,7 @@ from .dedup import (
     simhash_pairs,
     simhash_batch,
     ngram_jaccard,
+    ngram_jaccard_exact_pairs,
     verify_pairs_ngram,
     embedding_near_dup_pairs,
     connected_components,
@@ -36,7 +37,8 @@ from .multimodal import (
 __all__ = [
     "add_token_counts", "add_language_id", "add_quality", "add_fingerprint",
     "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
-    "simhash_pairs", "simhash_batch", "ngram_jaccard", "verify_pairs_ngram",
+    "simhash_pairs", "simhash_batch", "ngram_jaccard",
+    "ngram_jaccard_exact_pairs", "verify_pairs_ngram",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
     "hash_split", "split_assignments",

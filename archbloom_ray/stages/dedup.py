@@ -178,6 +178,168 @@ def _shingle_hashes_batch(col, width: int) -> tuple[np.ndarray, np.ndarray]:
     return flat, counts
 
 
+def _packed_shingles_batch(col, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document DISTINCT byte n-grams, each window packed
+    INJECTIVELY into an int64 (big-endian base-256 — no modulus, so
+    unlike :func:`_shingle_hashes_batch` there are no collisions and
+    set sizes/intersections over the packed values equal those over
+    the raw byte windows; that exactness is what lets a SQL oracle
+    reproduce them).  Same streaming batch shape as
+    ``_shingle_hashes_batch``; requires ``width <= 5`` so the
+    ``(doc << 8·width) | window`` composite distinct stays exact.
+
+    Returns ``(flat, counts)``: concatenated per-document sorted
+    distinct packed windows + per-document set sizes (short texts are
+    space-padded to one window, like the hash kernel).
+    """
+    if width > 5:
+        raise ValueError("packed shingles support width <= 5 (40-bit pack)")
+    if isinstance(col, list):
+        col = pa.array([t or "" for t in col], type=pa.string())
+    elif isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.int64), np.empty(0, np.int64)
+    shift = np.int64(8 * width)
+    if n >= (1 << (63 - 8 * width)):
+        raise ValueError("batch too large for exact composite pack")
+    b = col.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset: b.offset + n + 1]
+    data = (np.frombuffer(b.buffers()[2], dtype=np.uint8)
+            if offs[-1] > offs[0] else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    # big-endian byte weights: byte j × 256^(width-1-j); Σ < 2^(8·width)
+    pw = (np.int64(1) << (8 * np.arange(width - 1, -1, -1, dtype=np.int64)))
+
+    long = lens >= width
+    segs, packs = [], []
+    counts_long = lens[long] - width + 1
+    total_long = int(counts_long.sum())
+    if total_long:
+        npos = data.size - width + 1
+        h_all = np.empty(npos, dtype=np.int64)
+        CHUNK = 1 << 18
+        for s in range(0, npos, CHUNK):
+            e = min(s + CHUNK, npos)
+            d64 = data[s: e + width - 1].astype(np.int64)
+            acc = d64[: e - s] * pw[0]
+            for j in range(1, width):
+                acc += d64[j: j + e - s] * pw[j]
+            h_all[s:e] = acc
+        starts_long = offs[:-1][long]
+        first = np.repeat(
+            starts_long - np.concatenate(([0], np.cumsum(counts_long[:-1]))),
+            counts_long)
+        idx = np.arange(total_long, dtype=np.int64) + first
+        segs.append(np.repeat(np.flatnonzero(long), counts_long))
+        packs.append(h_all[idx])
+    short_idx = np.flatnonzero(~long)
+    if short_idx.size:
+        hs = np.empty(short_idx.size, np.int64)
+        for i, d in enumerate(short_idx):
+            o, L = int(offs[d]), int(lens[d])
+            acc = 0
+            for j in range(width):
+                byte = int(data[o + j]) if j < L else 32
+                acc += byte * int(pw[j])
+            hs[i] = acc
+        segs.append(short_idx.astype(np.int64))
+        packs.append(hs)
+    seg = np.concatenate(segs)
+    h = np.concatenate(packs)
+    comp = (seg << shift) | h  # window < 2^(8·width): exact pack
+    comp.sort()
+    keep = np.ones(comp.size, dtype=bool)
+    np.not_equal(comp[1:], comp[:-1], out=keep[1:])
+    comp_u = comp[keep]
+    flat = comp_u & np.int64((1 << (8 * width)) - 1)
+    counts = np.bincount(comp_u >> shift, minlength=n)
+    return flat, counts
+
+
+def ngram_jaccard_exact_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    group_col: str,
+    *,
+    width: int = 5,
+    min_num: int = 3,
+    min_den: int = 10,
+) -> "ray.data.Dataset":
+    """EXACT all-pairs char n-gram Jaccard within each ``group_col``
+    partition (e.g. per language): every pair with
+    ``jaccard >= min_num/min_den`` plus its integer intersection /
+    union set sizes — no sketching, no hashing, SQL-oracle-exact
+    (the packed windows are injective, see ``_packed_shingles_batch``).
+
+    Shape: one ``groupby(group_col).map_groups`` — the all-pairs work
+    happens inside a group via the inverted-incidence construction
+    (sort the group's (window, doc) pairs by window; every window
+    shared by k docs contributes its C(k,2) doc pairs via a ragged
+    vectorized expansion), so cost is proportional to the SHARED
+    window mass, not |group|² scans.  The partitioning assumption is
+    that a single group's documents fit one task — the scale path for
+    unbounded groups is LSH candidates + ``verify_pairs_ngram``.
+    Threshold is a rational ``min_num/min_den`` so the comparison is
+    exact integer math on both the Ray and SQL sides.
+    """
+
+    def pairs_in_group(group: pa.Table) -> pa.Table:
+        order = pc.sort_indices(group[id_col])
+        group = group.take(order)
+        ids = group[id_col].combine_chunks() if isinstance(
+            group[id_col], pa.ChunkedArray) else group[id_col]
+        n_docs = len(ids)
+        empty = pa.table({
+            group_col: pa.array([], type=group[group_col].type),
+            "id_a": pa.array([], type=ids.type),
+            "id_b": pa.array([], type=ids.type),
+            "n_common": pa.array([], type=pa.int64()),
+            "n_union": pa.array([], type=pa.int64()),
+        })
+        if n_docs < 2:
+            return empty
+        flat, counts = _packed_shingles_batch(group[text_col], width)
+        doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
+        srt = np.argsort(flat, kind="stable")
+        sh_sorted, doc_sorted = flat[srt], doc_of[srt]
+        new = np.ones(sh_sorted.size, dtype=bool)
+        np.not_equal(sh_sorted[1:], sh_sorted[:-1], out=new[1:])
+        gstart = np.flatnonzero(new)
+        gsize = np.diff(np.append(gstart, sh_sorted.size))
+        # within-window position of each (window, doc) entry
+        pos = np.arange(sh_sorted.size, dtype=np.int64) - np.repeat(gstart, gsize)
+        tot = int(pos.sum())
+        if tot == 0:
+            return empty
+        # each entry at position p pairs with the p earlier docs of its window
+        j_side = np.repeat(doc_sorted, pos)
+        cend = np.cumsum(pos)
+        i_local = np.arange(tot, dtype=np.int64) - np.repeat(cend - pos, pos)
+        i_idx = np.repeat(np.repeat(gstart, gsize), pos) + i_local
+        i_side = doc_sorted[i_idx]
+        lo = np.minimum(i_side, j_side)
+        hi = np.maximum(i_side, j_side)
+        key, common = np.unique(lo * np.int64(n_docs) + hi, return_counts=True)
+        lo, hi = key // n_docs, key % n_docs
+        union = counts[lo] + counts[hi] - common
+        keep = min_den * common >= min_num * union
+        lo, hi = lo[keep], hi[keep]
+        return pa.table({
+            group_col: pa.array([group[group_col][0].as_py()] * int(lo.size),
+                                type=group[group_col].type),
+            "id_a": ids.take(pa.array(lo)),
+            "id_b": ids.take(pa.array(hi)),
+            "n_common": pa.array(common[keep].astype(np.int64)),
+            "n_union": pa.array(union[keep].astype(np.int64)),
+        })
+
+    return ds.groupby(group_col).map_groups(pairs_in_group, batch_format="pyarrow")
+
+
 class MinHasher:
     """Actor-pool minhash stage: the k affine permutations
     ``(a_i·x + b_i) mod M61`` are drawn once per actor from a fixed seed

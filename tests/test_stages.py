@@ -458,3 +458,77 @@ class TestRealImageCodecs:
             DecodeImage.decode_one(b"\x89PNG\r\n\x1a\n png...")
         with pytest.raises(ValueError):
             DecodeImage.decode_one(b"????")
+
+
+class TestNgramJaccardExact:
+    def test_matches_bruteforce_sets(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import ngram_jaccard_exact_pairs
+
+        rng = np.random.default_rng(11)
+        words = ["alpha", "beta", "gamma", "delta", "räven", "測試", "zw"]
+        docs, langs = [], []
+        for i in range(40):
+            base = " ".join(rng.choice(words, size=rng.integers(5, 30)))
+            docs.append(base)
+            langs.append("g" + str(i % 3))
+        docs += [docs[0], docs[1] + " tail", "", "hi"]           # dup / near-dup / short
+        langs += ["g0", "g1", "g0", "g0"]
+        ids = [f"d{i:03d}" for i in range(len(docs))]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array(ids), "lang": pa.array(langs),
+            "text": pa.array(docs)}))
+        got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_union"])
+               for r in ngram_jaccard_exact_pairs(
+                   ds, "text", "doc_id", "lang", width=5,
+                   min_num=1, min_den=4).take_all()}
+
+        def shingles(t):
+            b = t.encode("utf-8")
+            if len(b) < 5:
+                b = b + b" " * (5 - len(b))
+            return {b[i:i + 5] for i in range(len(b) - 4)}
+
+        expected = {}
+        for i in range(len(docs)):
+            for j in range(i + 1, len(docs)):
+                if langs[i] != langs[j]:
+                    continue
+                a, b = shingles(docs[i]), shingles(docs[j])
+                c, u = len(a & b), len(a | b)
+                if 4 * c >= u:
+                    k = (min(ids[i], ids[j]), max(ids[i], ids[j]))
+                    expected[k] = (c, u)
+        assert got == expected
+        assert any(k for k in expected)  # planted dups produce pairs
+
+    def test_single_doc_group_empty(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import ngram_jaccard_exact_pairs
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "lang": pa.array(["a", "b"]),
+            "text": pa.array(["hello world", "hello world"])}))
+        assert ngram_jaccard_exact_pairs(
+            ds, "text", "doc_id", "lang").take_all() == []
+
+
+class TestBloomSemijoin:
+    def test_matches_exact_semijoin(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.pipelines.relational import bloom_semijoin
+
+        rng = np.random.default_rng(5)
+        dim_keys = rng.choice(10_000, size=500, replace=False)
+        fact_keys = rng.integers(0, 10_000, size=20_000)
+        fact = rd.from_arrow(pa.table({
+            "k": pa.array(fact_keys, type=pa.int64()),
+            "v": pa.array(np.arange(20_000, dtype=np.int64))}))
+        dim = rd.from_arrow(pa.table({
+            "dk": pa.array(dim_keys, type=pa.int64())}))
+        got = sorted(r["v"] for r in bloom_semijoin(fact, "k", dim, "dk").take_all())
+        keyset = set(dim_keys.tolist())
+        expected = sorted(int(v) for k, v in zip(fact_keys, range(20_000))
+                          if int(k) in keyset)
+        assert got == expected
