@@ -58,6 +58,31 @@ def _timed(fn):
     return round(time.monotonic() - t0, 3)
 
 
+def host_speed_probe() -> dict:
+    """~1 s single-core probe of the two axes every pipeline here is
+    bound by (DRAM stream bandwidth, hash compute).  Recorded with each
+    bench run because this host's co-tenant interference swings
+    measured throughput by >±75% (CLAUDE.md §quirks; recorded healthy
+    values ≈ 4 GB/s and ≈ 1e6 rows/s) — a bench number is only
+    interpretable next to the host speed it was measured at."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archbloom_ray.hashing import mmh3_128_batch
+
+    b = np.random.default_rng(0).random(20_000_000)
+    t0 = time.monotonic()
+    for _ in range(3):
+        c = b * 1.5
+    dram_gbps = 3 * b.nbytes * 2 / (time.monotonic() - t0) / 1e9
+    texts = pa.array(["x" * 200 + str(i) for i in range(20_000)])
+    t0 = time.monotonic()
+    mmh3_128_batch(texts)
+    mmh3_krows = 20_000 / (time.monotonic() - t0) / 1e3
+    return {"host_dram_gbps": round(dram_gbps, 2),
+            "host_mmh3_krows_per_sec": round(mmh3_krows, 1)}
+
+
 def run_bench() -> dict:
     import numpy as np
     import pyarrow as pa
@@ -201,6 +226,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages_rows": n_pages,
         "sketch_build_docs_per_sec": docs_per_sec,
+        **host_speed_probe(),
     }
 
 
@@ -325,6 +351,7 @@ def run_scaling() -> dict:
         "hi": hi,
         "pages_rows": BENCH_PAGES_ROWS,
         "minhash_rows": SCALING_MINHASH_ROWS,
+        **host_speed_probe(),
     }
 
 
