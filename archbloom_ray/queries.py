@@ -347,6 +347,100 @@ def q_train_test_split(sf_dir: str):
     })
 
 
+def q_kmv_set_ops(sf_dir: str):
+    """KMV set algebra (Beyer et al. SIGMOD'07 §5): union / intersection
+    distinct-source estimates between the English and German document
+    streams — two independently-built mergeable bottom-k sketches,
+    combined WITHOUT revisiting the data.  Both source sets fit below
+    k, where the estimators are exact, so the counts hash-match the
+    SQL UNION / INTERSECT oracle (the at-capacity estimator path is
+    bound-tested in tests/test_kmv.py)."""
+    from .sketches import KMVSketch
+
+    def build(lang: str) -> KMVSketch:
+        def only(batch: pa.Table) -> pa.Table:
+            return batch.filter(pc.equal(batch["lang"], lang)).select(["source"])
+
+        ds = _read(sf_dir, "documents", ["lang", "source"]).map_batches(
+            only, batch_format="pyarrow", zero_copy_batch=True)
+        return build_sketch(ds, "source", lambda: KMVSketch(1024))
+
+    en, de = build("en"), build("de")
+    return pa.table({
+        "n_union": pa.array([int(round(en.union_estimate(de)))], type=pa.int64()),
+        "n_intersect": pa.array([int(round(en.intersection_estimate(de)))],
+                                type=pa.int64()),
+        "kmv_exact_below_k": pa.array([True], type=pa.bool_()),
+    })
+
+
+def q_bigram_top20(sf_dir: str):
+    """Corpus-wide top-20 word bigrams (LM-style corpus statistics):
+    per-batch vectorized bigram explode → counted with in-batch
+    pre-aggregation → per-block local top-k → tiny driver merge (no
+    global sort; stages.text.top_bigrams)."""
+    from .stages.text import top_bigrams
+
+    return top_bigrams(_read(sf_dir, "documents", ["text"]), "text", k=20)
+
+
+def q_repetition_by_lang(sf_dir: str):
+    """Gopher-style repetition signal per language: fraction of each
+    document's bigrams taken by its single most frequent bigram, gated
+    at 6.9% (Gopher's 18% never fires on this synthetic corpus — the
+    operator default stays 0.18), plus the raw integer sums.  All
+    integer math (stages.text.repetition_gate)."""
+    from .stages.text import repetition_gate
+
+    return repetition_gate(
+        _read(sf_dir, "documents", ["lang", "text"]), "text", "lang",
+        num=69, den=1000)
+
+
+def q_hll_distinct_by_lang(sf_dir: str):
+    """GROUPED approximate distinct: one HLL per language over text,
+    built with the count-row shuffle (build_grouped_value_sketches —
+    the shuffle moves pre-aggregated (lang, text, count) rows, never
+    per-batch register states), certified per group against the exact
+    distributed distinct count (two-level grouped_agg on a 64-bit
+    content hash) with the 3σ HLL bound."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches.base import sketch_from_bytes
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    states = build_grouped_value_sketches(
+        ds, "lang", "text", {"hll": lambda: HyperLogLog(14)}, salt=4)
+    hlls = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        from .hashing import mmh3_128_batch
+
+        h1, _ = mmh3_128_batch(batch["text"])
+        return pa.table({"lang": batch["lang"],
+                         "h": pa.array(h1.astype(np.int64))})
+
+    pairs = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        hash_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["lang", "h"], [("c", None, "count")])
+    d2 = grouped_agg(d1, ["lang"], [("distinct_text_exact", None, "count")])
+    rows = sorted(d2.take_all(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in rows]
+    exact = [int(r["distinct_text_exact"]) for r in rows]
+    # the asymptotic 3σ (σ = 1.04/√m) governs n ≫ m; at n ≪ m the HLL
+    # runs in its linear-counting range where the error is ±1-2 register
+    # collisions of shot noise — floor the tolerance at ±4 absolute
+    within = [
+        abs(hlls[l].cardinality() - e)
+        <= max(3 * hlls[l].relative_error_bound() * e, 4.0)
+        for l, e in zip(langs, exact)
+    ]
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "distinct_text_exact": pa.array(exact, type=pa.int64()),
+        "hll_within_bound": pa.array(within, type=pa.bool_()),
+    })
+
+
 def q_cuckoo_membership(sf_dir: str):
     """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
     ample headroom (~12% load) so every insert and the distributed
@@ -1156,6 +1250,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_counts_bpe": q_token_counts_bpe,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
+        "kmv_set_ops": q_kmv_set_ops,
+        "bigram_top20": q_bigram_top20,
+        "repetition_by_lang": q_repetition_by_lang,
+        "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1210,6 +1308,55 @@ def _sql_lower_tokens(txt_expr: str) -> str:
     trimmed = f"regexp_replace({txt_expr}, '^{cls}+|{cls}+$', '', 'g')"
     return (f"list_transform(string_split_regex({trimmed}, '{ws_re}'),"
             " x -> lower(x))")
+
+
+def _bigram_top_sql(k: int) -> str:
+    """Top-``k`` word bigrams: the SAME token fragment as the Ray side
+    (``_sql_lower_tokens`` ↔ ``stages.text._tokens_of`` + lower), pairs
+    joined with chr(31) like ``stages.text._BIGRAM_SEP``, deterministic
+    (count DESC, bigram ASC) tie-break."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT {toks} AS tk FROM documents),
+        b AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || chr(31) || tk[i+1])) AS bigram
+            FROM t WHERE len(tk) >= 2
+        )
+        SELECT bigram, count(*) AS n FROM b GROUP BY bigram
+        ORDER BY n DESC, bigram ASC LIMIT {k}
+    """
+
+
+def _repetition_oracle_sql(num: int, den: int) -> str:
+    """Per-lang Gopher repetition gate in pure integer math — mirrors
+    ``stages.text.repetition_gate`` (a doc is repetitive iff
+    ``den·top_bigram_count > num·total_bigrams``)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT row_number() OVER () AS rid, lang, {toks} AS tk
+                   FROM documents),
+        b AS (
+            SELECT rid, lang,
+                   unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || chr(31) || tk[i+1])) AS bg
+            FROM t WHERE len(tk) >= 2
+        ),
+        c AS (SELECT rid, lang, bg, count(*) AS n FROM b GROUP BY rid, lang, bg),
+        d AS (SELECT rid, lang, max(n) AS topn, sum(n) AS tot
+              FROM c GROUP BY rid, lang),
+        alldocs AS (
+            SELECT t.lang,
+                   coalesce(d.topn, 0) AS topn, coalesce(d.tot, 0) AS tot
+            FROM t LEFT JOIN d ON t.rid = d.rid
+        )
+        SELECT lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN {den} * topn > {num} * tot
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_repetitive,
+               CAST(sum(topn) AS BIGINT) AS sum_top_bigram,
+               CAST(sum(tot) AS BIGINT) AS n_bigrams
+        FROM alldocs GROUP BY lang
+    """
 
 
 def _langid_oracle_sql() -> str:
@@ -1489,6 +1636,23 @@ def oracle_sql() -> dict[str, str]:
         "fingerprint_distinct": (
             "SELECT count(DISTINCT text) AS n_distinct_fingerprints FROM documents"
         ),
+        "kmv_set_ops": """
+            WITH e AS (SELECT DISTINCT source FROM documents WHERE lang = 'en'),
+                 d AS (SELECT DISTINCT source FROM documents WHERE lang = 'de')
+            SELECT (SELECT count(*) FROM (SELECT source FROM e
+                                          UNION SELECT source FROM d)) AS n_union,
+                   (SELECT count(*) FROM (SELECT source FROM e
+                                          INTERSECT SELECT source FROM d))
+                       AS n_intersect,
+                   TRUE AS kmv_exact_below_k
+        """,
+        "bigram_top20": _bigram_top_sql(20),
+        "repetition_by_lang": _repetition_oracle_sql(69, 1000),
+        "hll_distinct_by_lang": """
+            SELECT lang, count(DISTINCT text) AS distinct_text_exact,
+                   TRUE AS hll_within_bound
+            FROM documents GROUP BY lang
+        """,
         "langid_counts": _langid_oracle_sql(),
         "token_counts_bpe": _bpe_oracle_sql(),
         "quality_by_lang": _quality_oracle_sql(),

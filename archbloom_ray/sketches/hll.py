@@ -66,6 +66,13 @@ class HyperLogLog(Sketch):
         h1, h2 = mmh3_128_batch(arr)
         self.update_hashes(h1, h2)
 
+    def update_weighted(self, arr, counts) -> None:
+        """Count-weighted update: multiplicity is irrelevant to a
+        distinct counter, so this is ``update_arrow`` on the values —
+        it lets the grouped count-row build path
+        (``build_grouped_value_sketches``) drive HLLs too."""
+        self.update_arrow(arr)
+
     def update_hashes(self, h1, h2=None) -> None:
         """Update from precomputed ``mmh3_128`` pairs (h2 unused) — lets
         a multi-sketch build hash each column ONCE per batch."""

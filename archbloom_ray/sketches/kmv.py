@@ -102,6 +102,30 @@ class KMVSketch(Sketch):
         (≤ k items; all distinct values when fewer were seen)."""
         return list(self._values)
 
+    def union_estimate(self, other: "KMVSketch") -> float:
+        """Distinct count of A ∪ B: build the union sketch (the KMV
+        merge is exactly the union's own bottom-k) and read its
+        estimate.  Does not mutate either operand."""
+        u = KMVSketch(self.k, name=self.name)
+        u._absorb(self.hashes, list(self._values))
+        u._absorb(other.hashes, list(other._values))
+        return u.cardinality()
+
+    def intersection_estimate(self, other: "KMVSketch") -> float:
+        """Distinct count of A ∩ B via the k-min resemblance estimator
+        (Beyer et al. SIGMOD'07 §5): over the union's bottom-k, the
+        fraction of hashes present in BOTH sketches estimates the
+        Jaccard ρ; the estimate is ρ·|A ∪ B|.  Exact whenever both
+        sketches still hold their full distinct sets (n < k)."""
+        self._check_compatible(other)
+        union_h = np.union1d(self.hashes, other.hashes)[: self.k]
+        if union_h.size == 0:
+            return 0.0
+        in_both = (np.isin(union_h, self.hashes,  assume_unique=True)
+                   & np.isin(union_h, other.hashes, assume_unique=True))
+        rho = in_both.sum() / union_h.size
+        return float(rho * self.union_estimate(other))
+
     # -- algebra ----------------------------------------------------------
     def merge(self, other: "KMVSketch") -> "KMVSketch":
         self._check_compatible(other)

@@ -473,3 +473,123 @@ def add_fingerprint(ds: "ray.data.Dataset", text_col: str = "text",
 
     extra = {"num_cpus": num_cpus} if num_cpus else {}
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True, **extra)
+
+
+# ---------------------------------------------------------------------------
+# word n-gram statistics (corpus top-k, per-doc repetition signal)
+# ---------------------------------------------------------------------------
+
+_BIGRAM_SEP = "\x1f"
+
+
+def bigram_flat(col) -> tuple[pa.Array, np.ndarray]:
+    """All within-document lowercased word bigrams of a string column,
+    flattened: returns ``(bigrams, doc_idx)`` where ``bigrams[i]`` is
+    ``tok[j] + '\\x1f' + tok[j+1]`` and ``doc_idx[i]`` the row it came
+    from.  Fully vectorized: one token split (``_tokens_of``), one
+    ``utf8_lower`` over the flat token values, one
+    ``binary_join_element_wise`` of the shifted flat array, one boolean
+    mask dropping the pairs that straddle a document boundary."""
+    trimmed, toks = _tokens_of(col)
+    flat = pc.utf8_lower(toks.flatten())
+    n_flat = len(flat)
+    tok_counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    offs = np.concatenate(([0], np.cumsum(tok_counts)))
+    if n_flat < 2:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64)
+    left = flat.slice(0, n_flat - 1)
+    right = flat.slice(1, n_flat - 1)
+    pairs = pc.binary_join_element_wise(left, right, _BIGRAM_SEP)
+    # a pair starting at a document's last token crosses the boundary
+    mask = np.ones(n_flat - 1, dtype=bool)
+    ends = offs[1:] - 1
+    mask[ends[(ends >= 0) & (ends <= n_flat - 2)]] = False
+    # blank docs tokenize to [''] — single token, masked by the above
+    doc_idx = (np.repeat(np.arange(len(toks), dtype=np.int64), tok_counts)
+               [: n_flat - 1][mask])
+    return pairs.filter(pa.array(mask)), doc_idx
+
+
+def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
+                k: int = 20) -> pa.Table:
+    """Corpus-wide top-``k`` word bigrams by exact count, deterministic
+    tie-break (count DESC, bigram ASC).  Distributed shape: per-batch
+    bigram explode → ``grouped_agg`` count (in-batch pre-aggregation,
+    the shuffle moves per-key partials) → per-block LOCAL top-k → tiny
+    driver merge — no global sort anywhere (the anti-pattern
+    ``sort().limit(k)`` would all-to-all the full bigram table)."""
+    from ..pipelines.relational import grouped_agg
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pairs, _ = bigram_flat(batch[text_col])
+        return pa.table({"bigram": pairs})
+
+    counts = grouped_agg(
+        ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True),
+        ["bigram"], [("n", None, "count")])
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(batch, sort_keys=[("n", "descending"),
+                                                ("bigram", "ascending")])
+        return batch.take(idx.slice(0, k))
+
+    tops = counts.map_batches(local_topk, batch_format="pyarrow").take_all()
+    merged = pa.Table.from_pylist(tops) if tops else pa.table(
+        {"bigram": pa.array([], type=pa.string()),
+         "n": pa.array([], type=pa.int64())})
+    idx = pc.sort_indices(merged, sort_keys=[("n", "descending"),
+                                             ("bigram", "ascending")])
+    out = merged.take(idx.slice(0, k))
+    return pa.table({"bigram": out["bigram"].combine_chunks(),
+                     "n": pc.cast(out["n"].combine_chunks(), pa.int64())})
+
+
+def repetition_stats_batch(col) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document Gopher-style repetition signal: ``(top_count,
+    n_bigrams)`` — the count of the document's most frequent bigram and
+    its total bigram count (0/0 for docs with < 2 tokens).  Exact
+    within-document counting via one composite (doc, bigram-hash)
+    sort + run-length pass; 64-bit hashing makes within-doc collisions
+    astronomically unlikely (p ≈ m²/2⁶⁴ per doc) and the comparison is
+    between bigrams of the SAME document only."""
+    from ..hashing import mmh3_64_batch
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    n_docs = len(col)
+    pairs, doc_idx = bigram_flat(col)
+    totals = np.bincount(doc_idx, minlength=n_docs).astype(np.int64)
+    if len(pairs) == 0:
+        return np.zeros(n_docs, np.int64), totals
+    h = mmh3_64_batch(pairs).astype(np.uint64)
+    order = np.lexsort((h, doc_idx))
+    d_s, h_s = doc_idx[order], h[order]
+    new_run = np.ones(h_s.size, dtype=bool)
+    np.logical_or(d_s[1:] != d_s[:-1], h_s[1:] != h_s[:-1], out=new_run[1:])
+    run_starts = np.flatnonzero(new_run)
+    run_lens = np.diff(np.append(run_starts, h_s.size))
+    run_doc = d_s[run_starts]
+    top = np.zeros(n_docs, np.int64)
+    np.maximum.at(top, run_doc, run_lens)
+    return top, totals
+
+
+def repetition_gate(ds: "ray.data.Dataset", text_col: str, group_col: str,
+                    *, num: int = 18, den: int = 100) -> "ray.data.Dataset":
+    """Per-group count of documents whose top-bigram fraction exceeds
+    ``num/den`` (Gopher's top-2-gram repetition gate at 0.18) —
+    integer-exact: a doc is repetitive iff ``den·top > num·total``."""
+    from ..pipelines.relational import grouped_agg
+
+    def fn(batch: pa.Table) -> pa.Table:
+        top, tot = repetition_stats_batch(batch[text_col])
+        rep = (den * top > num * tot).astype(np.int64)
+        return pa.table({group_col: batch[group_col],
+                         "is_rep": pa.array(rep),
+                         "top": pa.array(top),
+                         "tot": pa.array(tot)})
+
+    per_doc = ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(per_doc, [group_col], [
+        ("n_docs", None, "count"), ("n_repetitive", "is_rep", "sum"),
+        ("sum_top_bigram", "top", "sum"), ("n_bigrams", "tot", "sum")])

@@ -76,3 +76,40 @@ class TestKMV:
         ds = rd.from_arrow(tbl)
         sk = build_sketch(ds, "key", lambda: KMVSketch(1024), batch_size=512)
         assert sk.cardinality() == 700.0  # below capacity → exact
+
+
+class TestKMVSetOps:
+    def test_exact_below_k(self):
+        from archbloom_ray.sketches import KMVSketch
+        import pyarrow as pa
+
+        a, b = KMVSketch(512), KMVSketch(512)
+        a.update_arrow(pa.array([f"x{i}" for i in range(200)]))
+        b.update_arrow(pa.array([f"x{i}" for i in range(150, 350)]))
+        assert round(a.union_estimate(b)) == 350
+        assert round(a.intersection_estimate(b)) == 50
+        # operands unchanged
+        assert round(a.cardinality()) == 200 and round(b.cardinality()) == 200
+
+    def test_at_capacity_within_bound(self):
+        from archbloom_ray.sketches import KMVSketch
+        import pyarrow as pa
+
+        k = 256
+        a, b = KMVSketch(k), KMVSketch(k)
+        a.update_arrow(pa.array([f"u{i}" for i in range(20_000)]))
+        b.update_arrow(pa.array([f"u{i}" for i in range(10_000, 30_000)]))
+        u, x = a.union_estimate(b), a.intersection_estimate(b)
+        assert abs(u - 30_000) <= 5 * 30_000 / (k - 2) ** 0.5
+        # resemblance estimator has wider noise: loose sanity band
+        assert 4_000 <= x <= 16_000
+
+    def test_disjoint_intersection_zero(self):
+        from archbloom_ray.sketches import KMVSketch
+        import pyarrow as pa
+
+        a, b = KMVSketch(64), KMVSketch(64)
+        a.update_arrow(pa.array(["a1", "a2"]))
+        b.update_arrow(pa.array(["b1", "b2"]))
+        assert a.intersection_estimate(b) == 0.0
+        assert round(a.union_estimate(b)) == 4

@@ -532,3 +532,43 @@ class TestBloomSemijoin:
         expected = sorted(int(v) for k, v in zip(fact_keys, range(20_000))
                           if int(k) in keyset)
         assert got == expected
+
+
+class TestBigrams:
+    def _scalar_bigrams(self, text):
+        import re
+        toks = [t.lower() for t in re.split(r"\s+", text.strip())] if text and text.strip() else [""]
+        return [toks[i] + "\x1f" + toks[i + 1] for i in range(len(toks) - 1)]
+
+    def test_bigram_flat_parity(self):
+        from archbloom_ray.stages.text import bigram_flat
+
+        docs = ["The quick brown fox", "one", "", "a b a b a b",
+                "  padded   text here ", "über ÜBER über"]
+        pairs, doc_idx = bigram_flat(pa.array(docs))
+        got = {}
+        for p, d in zip(pairs.to_pylist(), doc_idx):
+            got.setdefault(int(d), []).append(p)
+        expected = {i: self._scalar_bigrams(t) for i, t in enumerate(docs)
+                    if self._scalar_bigrams(t)}
+        assert got == expected
+
+    def test_top_bigrams_and_repetition(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.text import (repetition_gate,
+                                               repetition_stats_batch,
+                                               top_bigrams)
+
+        docs = ["spam spam spam spam egg", "a b c d e f", "x y x y x y x y"]
+        ds = rd.from_arrow(pa.table({
+            "lang": pa.array(["en", "en", "de"]), "text": pa.array(docs)}))
+        top = top_bigrams(ds, "text", k=3)
+        assert top["bigram"].to_pylist()[:2] == ["x\x1fy", "spam\x1fspam"]
+        assert top["n"].to_pylist()[:2] == [4, 3]
+        tops, tots = repetition_stats_batch(pa.array(docs))
+        assert list(tops) == [3, 1, 4] and list(tots) == [4, 5, 7]
+        rows = {r["lang"]: r for r in repetition_gate(
+            ds, "text", "lang", num=50, den=100).take_all()}
+        assert rows["en"]["n_repetitive"] == 1   # spam doc: 3/4 > 0.5
+        assert rows["de"]["n_repetitive"] == 1   # x y doc: 4/7 > 0.5
+        assert rows["en"]["n_docs"] == 2 and rows["de"]["n_bigrams"] == 7
