@@ -162,6 +162,34 @@ def broadcast_lookup(
     )
 
 
+def hash_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    *,
+    how: str = "inner",
+    num_partitions: int | None = None,
+) -> "ray.data.Dataset":
+    """Large-large equijoin via Ray Data's hash-shuffle ``Dataset.join``
+    (both sides hash-partitioned on the key across ``num_partitions``
+    aggregators — the right operator when NEITHER side fits a broadcast;
+    for a small dim side use :func:`broadcast_lookup`, and consider
+    :func:`bloom_semijoin` to prune the big side before the shuffle).
+    ``num_partitions`` defaults to 2 CPUs' worth of parallelism per
+    core — at cluster scale size it to total cores, and salt or
+    pre-aggregate if one key dominates (a hot key lands one partition).
+    """
+    import ray as _ray
+
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    return left.join(
+        right, join_type=how, num_partitions=num_partitions,
+        on=(on,), right_on=(right_on or on,),
+    )
+
+
 def bloom_semijoin(
     fact: "ray.data.Dataset",
     fact_key: str,

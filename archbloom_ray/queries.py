@@ -990,6 +990,30 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_lineitem_orders_join(sf_dir: str):
+    """Large-large shuffle hash join (pipelines.relational.hash_join →
+    Ray Data's hash-partitioned Join operator): lineitem ⋈ orders on
+    orderkey — the join neither side could broadcast at 100 TB — then
+    per-priority integer totals."""
+    from .pipelines.relational import hash_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "qty_int": pa.array(np.rint(qty).astype(np.int64)),
+        })
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders", ["o_orderkey", "o_orderpriority"])
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey")
+    return grouped_agg(joined, ["o_orderpriority"], [
+        ("n_items", None, "count"),
+        ("sum_qty", "qty_int", "sum"),
+    ])
+
+
 def q_pages_heavy_domains_mg(sf_dir: str):
     """Per-lang heavy-hitter domains, sketch-finds / exact-verifies:
     Misra-Gries summaries (deterministic undercount ≤ (n−Σc)/(k+1);
@@ -1255,6 +1279,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_by_lang": q_repetition_by_lang,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "lineitem_orders_join": q_lineitem_orders_join,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1697,6 +1722,13 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, id_a, id_b, n_common, la + lb - n_common AS n_union
             FROM j WHERE 10 * n_common >= 3 * (la + lb - n_common)
+        """,
+        "lineitem_orders_join": """
+            SELECT o.o_orderpriority, count(*) AS n_items,
+                   CAST(sum(CAST(round(l.l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY o.o_orderpriority
         """,
         "bloom_semijoin_urgent": """
             SELECT l_returnflag, count(*) AS n_items,

@@ -32,6 +32,11 @@ from .multimodal import (
     decode_ppm,
     encode_bmp,
     decode_bmp,
+    encode_wav,
+    decode_wav,
+    DecodeAudio,
+    AudioFeatures,
+    audio_pipeline,
 )
 
 __all__ = [
@@ -45,4 +50,6 @@ __all__ = [
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",
     "encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",
+    "encode_wav", "decode_wav", "DecodeAudio", "AudioFeatures",
+    "audio_pipeline",
 ]

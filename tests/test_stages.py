@@ -572,3 +572,70 @@ class TestBigrams:
         assert rows["en"]["n_repetitive"] == 1   # spam doc: 3/4 > 0.5
         assert rows["de"]["n_repetitive"] == 1   # x y doc: 4/7 > 0.5
         assert rows["en"]["n_docs"] == 2 and rows["de"]["n_bigrams"] == 7
+
+
+class TestAudio:
+    def test_wav_roundtrip_against_stdlib(self, tmp_path):
+        import io
+        import wave
+
+        from archbloom_ray.stages import decode_wav, encode_wav
+
+        t = np.arange(16_000, dtype=np.float64) / 16_000
+        pcm = (np.sin(2 * np.pi * 440 * t) * 20_000).astype(np.int16)
+        payload = encode_wav(pcm, rate=16_000)
+        # stdlib wave must parse our encoder's output
+        wf = wave.open(io.BytesIO(payload))
+        assert (wf.getnchannels(), wf.getsampwidth(), wf.getframerate()) == (1, 2, 16_000)
+        assert np.array_equal(np.frombuffer(wf.readframes(16_000), "<i2"), pcm)
+        mono, rate = decode_wav(payload)
+        assert rate == 16_000
+        assert np.allclose(mono, pcm.astype(np.float32) / 32768.0)
+
+    def test_decode_stereo_and_extra_chunks(self):
+        import struct
+
+        from archbloom_ray.stages import decode_wav
+
+        pcm = np.array([[100, 300], [-200, -400], [0, 32000]], dtype="<i2")
+        data = pcm.tobytes()
+        hdr = struct.pack("<4sI4s4sIHHIIHH", b"RIFF", 0, b"WAVE",
+                          b"fmt ", 16, 1, 2, 8_000, 32_000, 4, 16)
+        junk = struct.pack("<4sI", b"LIST", 5) + b"junk\x00\x00"  # word-aligned pad
+        payload = hdr + junk + struct.pack("<4sI", b"data", len(data)) + data
+        mono, rate = decode_wav(payload)
+        assert rate == 8_000
+        assert np.allclose(mono * 32768.0, pcm.astype(np.float32).mean(axis=1))
+
+    def test_compressed_raises(self):
+        from archbloom_ray.stages import decode_wav
+
+        with pytest.raises(NotImplementedError):
+            decode_wav(b"\xff\xfb\x90\x00" + b"\x00" * 100)  # MP3 frame sync
+
+    def test_audio_pipeline_features(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import audio_pipeline, encode_wav
+
+        rate = 8_000
+        t = np.arange(rate, dtype=np.float64) / rate
+        clips = {
+            "sine": (np.sin(2 * np.pi * 100 * t) * 16_384).astype(np.int16),
+            "silence": np.zeros(rate // 2, dtype=np.int16),
+            "full": np.full(rate // 4, 32_000, dtype=np.int16),
+        }
+        ds = rd.from_arrow(pa.table({
+            "clip_id": pa.array(list(clips)),
+            "audio": pa.array([encode_wav(v, rate) for v in clips.values()],
+                              type=pa.binary()),
+        }))
+        rows = {r["clip_id"]: r for r in
+                audio_pipeline(ds, batch_size=2).take_all()}
+        assert abs(rows["sine"]["duration_s"] - 1.0) < 1e-9
+        # 100 Hz sine: ~200 zero crossings in 1 s
+        assert 195 <= rows["sine"]["zero_crossings"] <= 205
+        assert abs(rows["sine"]["rms"] - 16_384 / 32768 / np.sqrt(2)) < 1e-3
+        assert rows["silence"]["rms"] == 0.0 and rows["silence"]["peak"] == 0.0
+        assert abs(rows["full"]["peak"] - 32_000 / 32768) < 1e-6
+        assert rows["full"]["zero_crossings"] == 0
