@@ -18,7 +18,13 @@ from .dedup import (
     connected_components,
     dedup_clusters,
 )
-from .similarity import knn_brute, knn_ivf, train_centroids
+from .similarity import (
+    build_ivf_index,
+    knn_brute,
+    knn_ivf,
+    query_ivf_index,
+    train_centroids,
+)
 from .sampling import hash_split, split_assignments
 from .multimodal import (
     DecodeImage,
@@ -46,6 +52,7 @@ __all__ = [
     "ngram_jaccard_exact_pairs", "verify_pairs_ngram",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
+    "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",

@@ -12,6 +12,8 @@
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pyarrow as pa
 
@@ -144,6 +146,7 @@ def knn_ivf(
     scored, the rest are skipped — the matmul shrinks by ~n_probe/n_centroids).
     """
     sample = ds.limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])  # streaming order isn't stable
     sample_m = np.array([r[vec_col] for r in sample], dtype=np.float64)
     centroids = train_centroids(sample_m, n_centroids, seed=seed)
 
@@ -212,3 +215,144 @@ def knn_ivf(
             "cosine": pa.array(rows_sim, type=pa.float64()),
         }
     )
+
+
+# ---------------------------------------------------------------------------
+# persisted IVF index — the cluster-scale ANN path
+# ---------------------------------------------------------------------------
+
+def build_ivf_index(
+    ds: "ray.data.Dataset",
+    index_path: str,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_centroids: int = 64,
+    sample_size: int = 10_000,
+    seed: int = 42,
+) -> np.ndarray:
+    """Assign every vector to its coarse-quantizer cell and WRITE the
+    corpus as hive-partitioned parquet (one ``cell=N/`` directory per
+    cell) plus the trained centroids.  This is the scale path the
+    inline :func:`knn_ivf` docstring promises: pay the assignment scan
+    once, then every query batch reads ONLY its probed cells' files —
+    pruning at the read, not after it.  The per-cell layout is also
+    resumable output (a re-run skips finished partitions).  Returns
+    the centroids."""
+    sample = ds.limit(sample_size).take_all()
+    sample.sort(key=lambda r: r[id_col])  # streaming order isn't stable
+    sample_m = np.array([r[vec_col] for r in sample], dtype=np.float64)
+    centroids = train_centroids(sample_m, n_centroids, seed=seed)
+    cref = ray.put(centroids)
+
+    from ..proc_cache import cached_instance
+
+    def assign(batch: pa.Table) -> pa.Table:
+        cent = cached_instance(("ivf_cent", cref.hex()), lambda: ray.get(cref))
+        m = _normalize(_as_matrix(batch[vec_col]))
+        cells = (m @ cent.T).argmax(axis=1).astype(np.int64)
+        return batch.append_column("cell", pa.array(cells))
+
+    ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True
+                   ).write_parquet(index_path, partition_cols=["cell"])
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({
+            "cell": pa.array(np.arange(len(centroids), dtype=np.int64)),
+            "centroid": pa.array(list(centroids),
+                                 type=pa.list_(pa.float64())),
+        }),
+        os.path.join(index_path, "_centroids.parquet"))
+    return centroids
+
+
+def query_ivf_index(
+    index_path: str,
+    queries: np.ndarray,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 10,
+    n_probe: int = 8,
+) -> pa.Table:
+    """Top-k over a persisted IVF index: load the (tiny) centroids,
+    pick each query's ``n_probe`` nearest cells, and ``read_parquet``
+    ONLY those cells' directories — the object store never sees the
+    unprobed partitions.  Scoring semantics identical to the inline
+    :func:`knn_ivf` (a vector counts for a query iff its cell is
+    probed by that query), verified equal in tests."""
+    import pyarrow.parquet as pq
+
+    cent_tbl = pq.read_table(os.path.join(index_path, "_centroids.parquet"))
+    order = np.argsort(np.asarray(cent_tbl["cell"]))
+    centroids = np.array(cent_tbl["centroid"].to_pylist(),
+                         dtype=np.float64)[order]
+
+    qn = _normalize(np.atleast_2d(np.asarray(queries, dtype=np.float64)))
+    probe_cells = np.argsort(-(qn @ centroids.T), axis=1)[:, :n_probe]
+    probed_mask = np.zeros((qn.shape[0], len(centroids)), dtype=bool)
+    for qi in range(qn.shape[0]):
+        probed_mask[qi, probe_cells[qi]] = True
+    union_cells = sorted(int(c) for c in np.unique(probe_cells))
+    dirs = [os.path.join(index_path, f"cell={c}") for c in union_cells
+            if os.path.isdir(os.path.join(index_path, f"cell={c}"))]
+    files = [os.path.join(d, f) for d in dirs for f in sorted(os.listdir(d))
+             if f.endswith(".parquet")]
+    if not files:
+        return pa.table({"query_idx": pa.array([], pa.int64()),
+                         "rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "cosine": pa.array([], pa.float64())})
+    ds = ray.data.read_parquet(files, columns=[id_col, vec_col])
+    qref = ray.put((qn, centroids, probed_mask))
+
+    from ..proc_cache import cached_instance
+
+    def score(batch: pa.Table) -> pa.Table:
+        q, cent, mask = cached_instance(("ivf_q", qref.hex()),
+                                        lambda: ray.get(qref))
+        m = _normalize(_as_matrix(batch[vec_col]))
+        ids = np.asarray(batch[id_col])
+        cells = (m @ cent.T).argmax(axis=1)
+        out_q, out_id, out_sim = [], [], []
+        for qi in range(q.shape[0]):
+            sel = mask[qi, cells]
+            if not sel.any():
+                continue
+            sub = m[sel]
+            sims = sub @ q[qi]
+            kk = min(k, sub.shape[0])
+            part = np.argpartition(-sims, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_id.append(ids[sel][part])
+            out_sim.append(sims[part])
+        if not out_q:
+            return pa.table({"query_idx": pa.array([], pa.int64()),
+                             id_col: pa.array([], batch[id_col].type),
+                             "cosine": pa.array([], pa.float64())})
+        return pa.table({
+            "query_idx": pa.array(np.concatenate(out_q)),
+            id_col: pa.array(np.concatenate(out_id), type=batch[id_col].type),
+            "cosine": pa.array(np.concatenate(out_sim), type=pa.float64()),
+        })
+
+    partials = ds.map_batches(score, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    by_q: dict[int, list] = {}
+    for r in partials:
+        by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_col]))
+    rows_q, rows_rank, rows_id, rows_sim = [], [], [], []
+    for qi in range(qn.shape[0]):
+        cand = sorted(by_q.get(qi, []), key=lambda t: (-t[0], t[1]))[:k]
+        for rank, (sim, vid) in enumerate(cand, 1):
+            rows_q.append(qi)
+            rows_rank.append(rank)
+            rows_id.append(vid)
+            rows_sim.append(sim)
+    return pa.table({
+        "query_idx": pa.array(rows_q, type=pa.int64()),
+        "rank": pa.array(rows_rank, type=pa.int64()),
+        id_col: pa.array(rows_id, type=pa.int64()),
+        "cosine": pa.array(rows_sim, type=pa.float64()),
+    })

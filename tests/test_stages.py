@@ -639,3 +639,49 @@ class TestAudio:
         assert rows["silence"]["rms"] == 0.0 and rows["silence"]["peak"] == 0.0
         assert abs(rows["full"]["peak"] - 32_000 / 32768) < 1e-6
         assert rows["full"]["zero_crossings"] == 0
+
+
+class TestIVFIndex:
+    def test_persisted_index_matches_inline_ivf(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from archbloom_ray.stages import build_ivf_index, knn_ivf, query_ivf_index
+
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+        queries = np.array(tbl["embedding"].to_pylist()[:4], dtype=np.float64)
+        idx = str(tmp_path / "ivf")
+        build_ivf_index(ds, idx, n_centroids=16, seed=42)
+        # only cell=N dirs + the centroid file
+        import os
+
+        entries = sorted(os.listdir(idx))
+        assert "_centroids.parquet" in entries
+        assert all(e.startswith("cell=") or e.startswith("_") for e in entries)
+        got = query_ivf_index(idx, queries, k=5, n_probe=4)
+        inline = knn_ivf(rd.read_parquet(f"{SF_DIR}/embeddings.parquet"),
+                         queries, k=5, n_centroids=16, n_probe=4, seed=42)
+        # identical candidates/ordering; cosines agree to BLAS ULP noise
+        # (different batch compositions → different GEMM blocking)
+        for c in ("query_idx", "rank", "vec_id"):
+            assert got[c].to_pylist() == inline[c].to_pylist(), c
+        assert np.allclose(got["cosine"].to_pylist(),
+                           inline["cosine"].to_pylist(), rtol=1e-9, atol=0)
+
+    def test_probed_subset_only(self, ray_session, tmp_path):
+        import os
+
+        import ray.data as rd
+
+        from archbloom_ray.stages import build_ivf_index, query_ivf_index
+
+        ds = rd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+        idx = str(tmp_path / "ivf2")
+        cent = build_ivf_index(ds, idx, n_centroids=16, seed=1)
+        n_cells = sum(1 for e in os.listdir(idx) if e.startswith("cell="))
+        assert n_cells > 4  # enough cells that pruning means something
+        q = np.array(pq.read_table(
+            f"{SF_DIR}/embeddings.parquet")["embedding"].to_pylist()[:1])
+        out = query_ivf_index(idx, q, k=3, n_probe=2)
+        assert len(out) == 3
+        assert out["rank"].to_pylist() == [1, 2, 3]
