@@ -71,16 +71,27 @@ def host_speed_probe() -> dict:
     from archbloom_ray.hashing import mmh3_128_batch
 
     b = np.random.default_rng(0).random(20_000_000)
+    c = np.empty_like(b)          # preallocate + touch: measure the DRAM
+    c[:] = 0.0                    # stream, not the mmap first-touch tax
     t0 = time.monotonic()
     for _ in range(3):
-        c = b * 1.5
+        np.multiply(b, 1.5, out=c)
     dram_gbps = 3 * b.nbytes * 2 / (time.monotonic() - t0) / 1e9
     texts = pa.array(["x" * 200 + str(i) for i in range(20_000)])
+    mmh3_128_batch(texts)        # warm: amortize the one-time fault cost
     t0 = time.monotonic()
     mmh3_128_batch(texts)
     mmh3_krows = 20_000 / (time.monotonic() - t0) / 1e3
+    # the fault tax itself: first touch of a fresh anonymous mapping
+    # (documented healthy ≈ 30 MB/s; co-tenant pressure can push it to
+    # ~1 MB/s, which is what turns a 50 s bench into a 200 s one)
+    fresh = np.empty(32_000_000, dtype=np.uint8)
+    t0 = time.monotonic()
+    fresh[::4096] = 1
+    fault_mbps = fresh.nbytes / (time.monotonic() - t0) / 1e6
     return {"host_dram_gbps": round(dram_gbps, 2),
-            "host_mmh3_krows_per_sec": round(mmh3_krows, 1)}
+            "host_mmh3_krows_per_sec": round(mmh3_krows, 1),
+            "host_fault_mbps": round(fault_mbps, 1)}
 
 
 def run_bench() -> dict:
