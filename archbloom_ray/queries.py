@@ -1014,6 +1014,47 @@ def q_lineitem_orders_join(sf_dir: str):
     ])
 
 
+def q_pages_tld_stats(sf_dir: str):
+    """Per-TLD crawl statistics over the pages corpus: count and total
+    path depth, from the vectorized URL parser
+    (stages.url.parse_urls — Arrow split/slice kernels mirrored by the
+    oracle's split_part/list math)."""
+    from .stages.url import parse_urls
+
+    def fn(batch: pa.Table) -> pa.Table:
+        parsed = parse_urls(batch["url"])
+        return parsed.select(["tld", "path_depth"])
+
+    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url"]).map_batches(
+        fn, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(ds, ["tld", "path_depth"], [
+        ("n_pages", None, "count"),
+    ])
+
+
+def q_stratified_sample(sf_dir: str):
+    """Deterministic per-language sample (stages.url.stratified_sample:
+    per-group bottom-k by keyed hash — identical across runs and
+    cluster sizes).  The oracle checks the per-group sample size
+    contract: exactly min(k, group size) rows, no duplicates."""
+    from .stages.url import stratified_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    sample = stratified_sample(ds, "lang", "doc_id", k=5)
+    rows = sample.take_all()
+    ids = [r["doc_id"] for r in rows]
+    per_lang: dict[str, int] = {}
+    for r in rows:
+        per_lang[r["lang"]] = per_lang.get(r["lang"], 0) + 1
+    langs = sorted(per_lang)
+    return pa.table({
+        "lang": pa.array(langs, type=pa.string()),
+        "n_sampled": pa.array([per_lang[l] for l in langs], type=pa.int64()),
+        "ids_unique": pa.array([len(ids) == len(set(ids))] * len(langs),
+                               type=pa.bool_()),
+    })
+
+
 def q_pages_heavy_domains_mg(sf_dir: str):
     """Per-lang heavy-hitter domains, sketch-finds / exact-verifies:
     Misra-Gries summaries (deterministic undercount ≤ (n−Σc)/(k+1);
@@ -1280,6 +1321,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "pages_tld_stats": q_pages_tld_stats,
+        "stratified_sample": q_stratified_sample,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
@@ -1737,6 +1780,29 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
+        """,
+        "pages_tld_stats": f"""
+            WITH p AS (
+                SELECT string_split(url, '/') AS parts
+                FROM read_parquet('{_pages_sql_path()}')
+            ), d AS (
+                SELECT CASE WHEN len(parts) >= 3 THEN parts[3] ELSE '' END
+                           AS domain,
+                       CASE WHEN len(parts) >= 4
+                            THEN len(list_filter(parts[4:], x -> x != ''))
+                            ELSE 0 END AS depth
+                FROM p
+            )
+            SELECT regexp_replace(domain, '^.*\\.', '') AS tld,
+                   CAST(depth AS BIGINT) AS path_depth,
+                   count(*) AS n_pages
+            FROM d GROUP BY tld, depth
+        """,
+        "stratified_sample": """
+            SELECT lang,
+                   CAST(least(5, count(*)) AS BIGINT) AS n_sampled,
+                   TRUE AS ids_unique
+            FROM documents GROUP BY lang
         """,
         "pages_heavy_domains_mg": f"""
             WITH d AS (

@@ -26,6 +26,7 @@ from .similarity import (
     train_centroids,
 )
 from .sampling import hash_split, split_assignments
+from .url import add_url_parts, parse_urls, stratified_sample
 from .multimodal import (
     DecodeImage,
     FakeDecode,
@@ -54,6 +55,7 @@ __all__ = [
     "knn_brute", "knn_ivf", "train_centroids",
     "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments",
+    "add_url_parts", "parse_urls", "stratified_sample",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",
     "encode_ppm", "decode_ppm", "encode_bmp", "decode_bmp",

@@ -685,3 +685,52 @@ class TestIVFIndex:
         out = query_ivf_index(idx, q, k=3, n_probe=2)
         assert len(out) == 3
         assert out["rank"].to_pylist() == [1, 2, 3]
+
+
+class TestUrlStages:
+    def test_parse_urls_reference(self):
+        from archbloom_ray.stages import parse_urls
+
+        urls = ["http://a.example.com/x/y", "https://b.io", "nohttp", "a/b/c",
+                "", "ftp://c.net/", "http://d.org//x//", None,
+                "http://e.co/a/b/c/d"]
+        t = parse_urls(pa.array(urls, type=pa.string()))
+
+        def ref(u):
+            u = u or ""
+            parts = u.split("/")
+            import re
+            m = re.match(r"^([A-Za-z][A-Za-z0-9+.-]*)://", u)
+            scheme = m.group(1) if m else ""
+            domain = parts[2] if len(parts) >= 3 else ""
+            tld = re.sub(r"^.*\.", "", domain)
+            depth = sum(1 for p in parts[3:] if p)
+            return scheme, domain, tld, depth
+
+        for i, u in enumerate(urls):
+            assert (t["scheme"][i].as_py(), t["domain"][i].as_py(),
+                    t["tld"][i].as_py(), t["path_depth"][i].as_py()) == ref(u), u
+
+    def test_stratified_sample_deterministic(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import stratified_sample
+
+        tbl = pa.table({
+            "g": pa.array([f"g{i % 4}" for i in range(200)]),
+            "id": pa.array([f"id{i:04d}" for i in range(200)]),
+        })
+        runs = []
+        for _ in range(2):
+            out = stratified_sample(rd.from_arrow(tbl), "g", "id", k=7).take_all()
+            runs.append(sorted((r["g"], r["id"]) for r in out))
+        assert runs[0] == runs[1]
+        per_g = {}
+        for g, i in runs[0]:
+            per_g.setdefault(g, []).append(i)
+        assert all(len(v) == 7 for v in per_g.values())
+        assert len(set(runs[0])) == 28
+        # block-size invariance: same sample under a different partitioning
+        small = stratified_sample(
+            rd.from_arrow(tbl).repartition(13), "g", "id", k=7).take_all()
+        assert sorted((r["g"], r["id"]) for r in small) == runs[0]
