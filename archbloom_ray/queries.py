@@ -959,6 +959,46 @@ def q_ngram_jaccard_pairs(sf_dir: str):
         ds, "text", "doc_id", "lang", width=5, min_num=3, min_den=10)
 
 
+def q_contamination(sf_dir: str):
+    """Benchmark decontamination scan (the GPT-3 recipe: word
+    13-grams): the 20 lowest-doc_id documents play the held-out
+    benchmark; every corpus doc sharing any 13-token window with them
+    is flagged (stages.contamination_check — the benchmark's window
+    hashes broadcast once, each batch probes with one searchsorted).
+    Per-lang contaminated counts, SQL-mirrored by a token-window
+    list_has_any join."""
+    from .stages import contamination_check
+
+    bench = pa.parquet.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["doc_id", "text"])
+    order = pc.sort_indices(bench["doc_id"])
+    bench_texts = bench["text"].take(order.slice(0, 20))
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    flags = contamination_check(ds, bench_texts, "text", "doc_id", n=13)
+    # join flags back to lang via the id — both tiny projections of the
+    # same table, merged per batch driver-free with a broadcast lookup
+    import ray as _ray
+
+    from .pipelines.relational import broadcast_lookup
+
+    lang_map = {r["doc_id"]: r["lang"]
+                for r in _read(sf_dir, "documents", ["doc_id", "lang"]
+                               ).take_all()}
+    with_lang = broadcast_lookup(flags, _ray.put(lang_map), "doc_id", "lang")
+
+    def to_int(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "c": pc.cast(batch["contaminated"], pa.int64()),
+        })
+
+    return grouped_agg(
+        with_lang.map_batches(to_int, batch_format="pyarrow",
+                              zero_copy_batch=True),
+        ["lang"], [("n_docs", None, "count"), ("n_contaminated", "c", "sum")])
+
+
 def q_bloom_semijoin_urgent(sf_dir: str):
     """Bloom-pruned semijoin: lineitem ⋉ urgent orders.  The urgent
     orderkeys build ONE broadcast Bloom (distributed partials + merge)
@@ -1322,6 +1362,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "lineitem_orders_join": q_lineitem_orders_join,
         "pages_tld_stats": q_pages_tld_stats,
+        "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -1424,6 +1465,35 @@ def _repetition_oracle_sql(num: int, den: int) -> str:
                CAST(sum(topn) AS BIGINT) AS sum_top_bigram,
                CAST(sum(tot) AS BIGINT) AS n_bigrams
         FROM alldocs GROUP BY lang
+    """
+
+
+def _contamination_oracle_sql(n: int, bench_k: int) -> str:
+    """Word-``n``-gram decontamination mirror: the SAME token fragment
+    as the Ray side, windows = chr(31)-joined runs of ``n`` tokens,
+    benchmark = the ``bench_k`` lowest doc_ids, flag = list_has_any."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    concat = " || chr(31) || ".join(
+        (f"t[i+{j}]" if j else "t[i]") for j in range(n))
+    return f"""
+        WITH w0 AS (SELECT doc_id, lang, {toks} AS t FROM documents),
+        w AS (
+            SELECT doc_id, lang,
+                   CASE WHEN len(t) >= {n}
+                        THEN list_distinct(list_transform(
+                               range(1, len(t) - {n} + 2), i -> {concat}))
+                        ELSE [] END AS wins
+            FROM w0
+        ), bench AS (
+            SELECT list(DISTINCT win) AS bl FROM (
+                SELECT unnest(wins) AS win
+                FROM (SELECT wins FROM w ORDER BY doc_id LIMIT {bench_k})
+            )
+        )
+        SELECT w.lang, count(*) AS n_docs,
+               CAST(sum(CASE WHEN list_has_any(w.wins, bench.bl)
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated
+        FROM w CROSS JOIN bench GROUP BY w.lang
     """
 
 
@@ -1781,6 +1851,7 @@ def oracle_sql() -> dict[str, str]:
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
         """,
+        "contamination": _contamination_oracle_sql(13, 20),
         "pages_tld_stats": f"""
             WITH p AS (
                 SELECT string_split(url, '/') AS parts

@@ -11,9 +11,11 @@ from .dedup import (
     minhash_lsh_pairs,
     simhash_pairs,
     simhash_batch,
+    contamination_check,
     ngram_jaccard,
     ngram_jaccard_exact_pairs,
     verify_pairs_ngram,
+    window_hashes_batch,
     embedding_near_dup_pairs,
     connected_components,
     dedup_clusters,
@@ -51,6 +53,7 @@ __all__ = [
     "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_pairs", "simhash_batch", "ngram_jaccard",
     "ngram_jaccard_exact_pairs", "verify_pairs_ngram",
+    "contamination_check", "window_hashes_batch",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
     "build_ivf_index", "query_ivf_index",

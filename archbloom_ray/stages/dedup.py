@@ -340,6 +340,132 @@ def ngram_jaccard_exact_pairs(
     return ds.groupby(group_col).map_groups(pairs_in_group, batch_format="pyarrow")
 
 
+def window_hashes_batch(col, width: int) -> tuple[np.ndarray, np.ndarray]:
+    """Per-document DISTINCT uint64 polynomial hashes of every byte
+    window of length ``width`` (base-1000003, natural mod-2^64
+    wraparound — no packing-width limit, so wide decontamination
+    windows like 13-grams work).  Documents shorter than ``width``
+    contribute NO windows (decontamination semantics: nothing to
+    match), unlike the space-padding shingle kernels.
+
+    Returns ``(flat, counts)`` like the other shingle kernels."""
+    if isinstance(col, list):
+        col = pa.array([t or "" for t in col], type=pa.string())
+    elif isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    n = len(col)
+    if n == 0:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    b = col.cast(pa.large_binary())
+    offs = np.frombuffer(b.buffers()[1], dtype=np.int64)[b.offset: b.offset + n + 1]
+    data = (np.frombuffer(b.buffers()[2], dtype=np.uint8)
+            if offs[-1] > offs[0] else np.empty(0, np.uint8))
+    lens = np.diff(offs)
+    B = np.uint64(1000003)
+    pw = np.empty(width, dtype=np.uint64)
+    pw[width - 1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(width - 2, -1, -1):
+            pw[j] = pw[j + 1] * B
+
+    long = lens >= width
+    counts_long = lens[long] - width + 1
+    total_long = int(counts_long.sum())
+    if total_long == 0:
+        return np.empty(0, np.uint64), np.zeros(n, np.int64)
+    npos = data.size - width + 1
+    h_all = np.empty(npos, dtype=np.uint64)
+    CHUNK = 1 << 18
+    with np.errstate(over="ignore"):
+        for s in range(0, npos, CHUNK):
+            e = min(s + CHUNK, npos)
+            d64 = data[s: e + width - 1].astype(np.uint64)
+            acc = d64[: e - s] * pw[0]
+            for j in range(1, width):
+                acc += d64[j: j + e - s] * pw[j]
+            h_all[s:e] = acc
+    starts_long = offs[:-1][long]
+    first = np.repeat(
+        starts_long - np.concatenate(([0], np.cumsum(counts_long[:-1]))),
+        counts_long)
+    idx = np.arange(total_long, dtype=np.int64) + first
+    seg = np.repeat(np.flatnonzero(long), counts_long)
+    h = h_all[idx]
+    order = np.lexsort((h, seg))
+    seg_s, h_s = seg[order], h[order]
+    keep = np.ones(h_s.size, dtype=bool)
+    np.logical_or(seg_s[1:] != seg_s[:-1], h_s[1:] != h_s[:-1], out=keep[1:])
+    flat = h_s[keep]
+    counts = np.bincount(seg_s[keep], minlength=n).astype(np.int64)
+    return flat, counts
+
+
+def contamination_check(
+    ds: "ray.data.Dataset",
+    bench_texts,
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    mode: str = "tokens",
+) -> "ray.data.Dataset":
+    """Benchmark decontamination (the GPT-3-style 13-gram overlap
+    scan): flag every corpus document sharing ANY ``n``-gram with the
+    (small) benchmark set — word n-grams by default (``mode="tokens"``,
+    the published recipe), byte windows with ``mode="bytes"``.  The
+    benchmark's distinct window hashes broadcast once (``ray.put`` of
+    a sorted uint64 array, 8 bytes per distinct window); each corpus
+    batch hashes its own windows and runs one ``searchsorted``
+    membership probe — no shuffle, no benchmark text ever leaves the
+    driver.
+
+    Returns per-document rows ``{id_col, contaminated}``."""
+    import ray as _ray
+
+    from ..hashing import mmh3_64_batch
+    from ..proc_cache import cached_instance
+    from .text import token_ngrams_flat
+
+    def windows_of(col):
+        if mode == "bytes":
+            return window_hashes_batch(col, n)
+        grams, doc_idx = token_ngrams_flat(col, n)
+        h = (mmh3_64_batch(grams).astype(np.uint64) if len(grams)
+             else np.empty(0, np.uint64))
+        counts = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
+        return h, counts
+
+    if not isinstance(bench_texts, (pa.Array, pa.ChunkedArray)):
+        bench_texts = pa.array(list(bench_texts), type=pa.string())
+    bench_flat, _ = windows_of(bench_texts)
+    bench_set = np.unique(bench_flat)
+    ref = _ray.put(bench_set)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        bs = cached_instance(("contam", ref.hex()), lambda: _ray.get(ref))
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        flat, counts = windows_of(col)
+        if flat.size and bs.size:
+            pos = np.searchsorted(bs, flat)
+            pos = np.minimum(pos, bs.size - 1)
+            hit = bs[pos] == flat
+        else:
+            hit = np.zeros(flat.size, dtype=bool)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        flags = np.zeros(len(counts), dtype=bool)
+        if hit.any():
+            np.logical_or.at(flags, doc_of[hit], True)
+        return pa.table({
+            id_col: batch[id_col],
+            "contaminated": pa.array(flags),
+        })
+
+    return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class MinHasher:
     """Actor-pool minhash stage: the k affine permutations
     ``(a_i·x + b_i) mod M61`` are drawn once per actor from a fixed seed

@@ -510,6 +510,28 @@ def bigram_flat(col) -> tuple[pa.Array, np.ndarray]:
     return pairs.filter(pa.array(mask)), doc_idx
 
 
+def token_ngrams_flat(col, n: int) -> tuple[pa.Array, np.ndarray]:
+    """All within-document lowercased word ``n``-grams, flattened:
+    ``(ngrams, doc_idx)`` with each n-gram the ``'\\x1f'``-join of
+    ``n`` consecutive tokens.  Generalizes :func:`bigram_flat` — one
+    split, one lower, ``n`` shifted slices joined element-wise, one
+    boundary mask (a window is valid iff its first and last token
+    belong to the same document)."""
+    trimmed, toks = _tokens_of(col)
+    flat = pc.utf8_lower(toks.flatten())
+    n_flat = len(flat)
+    tok_counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    if n_flat < n:
+        return pa.array([], type=pa.string()), np.empty(0, np.int64)
+    n_pos = n_flat - n + 1
+    # join_element_wise takes the separator LAST
+    grams = pc.binary_join_element_wise(
+        *[flat.slice(j, n_pos) for j in range(n)], _BIGRAM_SEP)
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), tok_counts)
+    mask = doc_of[: n_pos] == doc_of[n - 1:]
+    return grams.filter(pa.array(mask)), doc_of[: n_pos][mask]
+
+
 def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
                 k: int = 20) -> pa.Table:
     """Corpus-wide top-``k`` word bigrams by exact count, deterministic

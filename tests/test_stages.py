@@ -734,3 +734,45 @@ class TestUrlStages:
         small = stratified_sample(
             rd.from_arrow(tbl).repartition(13), "g", "id", k=7).take_all()
         assert sorted((r["g"], r["id"]) for r in small) == runs[0]
+
+
+class TestContamination:
+    def test_token_ngrams_flat(self):
+        from archbloom_ray.stages.text import token_ngrams_flat
+
+        docs = ["a b c d", "x y", "", "p q r"]
+        grams, idx = token_ngrams_flat(pa.array(docs), 3)
+        got = list(zip(grams.to_pylist(), idx.tolist()))
+        assert got == [("a\x1fb\x1fc", 0), ("b\x1fc\x1fd", 0),
+                       ("p\x1fq\x1fr", 3)]
+
+    def test_flags_only_overlapping_docs(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import contamination_check
+
+        bench = ["the hidden benchmark sentence number one two three four five six seven eight"]
+        corpus = [
+            "prefix words " + bench[0] + " plus trailing context",  # contains it
+            "the hidden benchmark sentence number one two three",    # only 8-gram
+            "completely unrelated text with enough tokens to form windows but no overlap at all here",
+        ]
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(corpus)}))
+        out = {r["doc_id"]: r["contaminated"] for r in
+               contamination_check(ds, bench, "text", "doc_id", n=13).take_all()}
+        assert out == {0: True, 1: False, 2: False}
+
+    def test_byte_mode(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import contamination_check
+
+        ds = rd.from_arrow(pa.table({
+            "doc_id": pa.array([0, 1], type=pa.int64()),
+            "text": pa.array(["shares thirteen+ byte span XYZ", "nothing common"])}))
+        out = {r["doc_id"]: r["contaminated"] for r in contamination_check(
+            ds, ["...thirteen+ byte span ok..."], "text", "doc_id",
+            n=13, mode="bytes").take_all()}
+        assert out == {0: True, 1: False}
