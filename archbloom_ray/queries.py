@@ -975,17 +975,7 @@ def q_contamination(sf_dir: str):
     bench_texts = bench["text"].take(order.slice(0, 20))
 
     ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
-    flags = contamination_check(ds, bench_texts, "text", "doc_id", n=13)
-    # join flags back to lang via the id — both tiny projections of the
-    # same table, merged per batch driver-free with a broadcast lookup
-    import ray as _ray
-
-    from .pipelines.relational import broadcast_lookup
-
-    lang_map = {r["doc_id"]: r["lang"]
-                for r in _read(sf_dir, "documents", ["doc_id", "lang"]
-                               ).take_all()}
-    with_lang = broadcast_lookup(flags, _ray.put(lang_map), "doc_id", "lang")
+    with_lang = contamination_check(ds, bench_texts, "text", "doc_id", n=13)
 
     def to_int(batch: pa.Table) -> pa.Table:
         return pa.table({

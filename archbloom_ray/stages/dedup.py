@@ -420,7 +420,8 @@ def contamination_check(
     membership probe — no shuffle, no benchmark text ever leaves the
     driver.
 
-    Returns per-document rows ``{id_col, contaminated}``."""
+    Returns the input rows minus ``text_col`` plus a ``contaminated``
+    bool — metadata columns ride along, so no re-join is needed."""
     import ray as _ray
 
     from ..hashing import mmh3_64_batch
@@ -458,10 +459,9 @@ def contamination_check(
         flags = np.zeros(len(counts), dtype=bool)
         if hit.any():
             np.logical_or.at(flags, doc_of[hit], True)
-        return pa.table({
-            id_col: batch[id_col],
-            "contaminated": pa.array(flags),
-        })
+        # carry every non-text column through (no re-join needed downstream)
+        return batch.drop_columns([text_col]).append_column(
+            "contaminated", pa.array(flags))
 
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
