@@ -1,0 +1,103 @@
+"""Property-based tests (hypothesis) for the vectorized batch kernels —
+random unicode inputs vs straightforward scalar references."""
+
+import numpy as np
+import pyarrow as pa
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+texts = st.lists(
+    st.text(
+        alphabet=st.characters(blacklist_categories=("Cs",)), max_size=60),
+    min_size=0, max_size=12)
+
+
+def _shingle_set(t: str, width: int) -> set:
+    b = t.encode("utf-8")
+    if len(b) < width:
+        b = b + b" " * (width - len(b))
+    return {b[i:i + width] for i in range(len(b) - width + 1)}
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_packed_shingles_match_scalar_sets(docs):
+    from archbloom_ray.stages.dedup import _packed_shingles_batch
+
+    flat, counts = _packed_shingles_batch(
+        pa.array(docs, type=pa.string()), 5)
+    assert len(counts) == len(docs)
+    pos = 0
+    for i, t in enumerate(docs):
+        got = set(flat[pos: pos + counts[i]].tolist())
+        expect = {int.from_bytes(s, "big") for s in _shingle_set(t or "", 5)}
+        assert got == expect, t
+        pos += counts[i]
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts)
+def test_window_hashes_distinct_counts(docs):
+    """Byte-window kernel: per-doc distinct count equals the scalar
+    distinct windows (hash collisions would only ever shrink it, and at
+    these sizes are effectively impossible)."""
+    from archbloom_ray.stages.dedup import window_hashes_batch
+
+    width = 4
+    flat, counts = window_hashes_batch(pa.array(docs, type=pa.string()), width)
+    assert len(counts) == len(docs)
+    for i, t in enumerate(docs):
+        b = (t or "").encode("utf-8")
+        expect = (len({b[j:j + width] for j in range(len(b) - width + 1)})
+                  if len(b) >= width else 0)
+        assert counts[i] == expect, t
+
+
+@settings(max_examples=60, deadline=None)
+@given(texts, st.integers(min_value=1, max_value=4))
+def test_token_ngrams_match_scalar(docs, n):
+    import re
+
+    from archbloom_ray.stages.text import token_ngrams_flat
+
+    grams, idx = token_ngrams_flat(pa.array(docs, type=pa.string()), n)
+    got: dict[int, list] = {}
+    for g, d in zip(grams.to_pylist(), idx.tolist()):
+        got.setdefault(d, []).append(g)
+
+    for i, t in enumerate(docs):
+        t = t or ""
+        stripped = t.strip()
+        toks = [x.lower() for x in re.split(r"\s+", stripped)] if stripped else [""]
+        expect = ["\x1f".join(toks[j: j + n]) for j in range(len(toks) - n + 1)]
+        assert got.get(i, []) == expect, (t, n)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(min_value=-32768, max_value=32767),
+                min_size=0, max_size=400),
+       st.sampled_from([8000, 16000, 44100]))
+def test_wav_roundtrip(samples, rate):
+    from archbloom_ray.stages import decode_wav, encode_wav
+
+    pcm = np.array(samples, dtype=np.int16)
+    mono, r = decode_wav(encode_wav(pcm, rate))
+    assert r == rate
+    assert np.allclose(mono * 32768.0, pcm.astype(np.float32))
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=0, max_size=50),
+       st.lists(st.text(max_size=20), min_size=0, max_size=50))
+def test_kmv_exact_below_k_properties(a_vals, b_vals):
+    from archbloom_ray.sketches import KMVSketch
+
+    a, b = KMVSketch(256), KMVSketch(256)
+    if a_vals:
+        a.update_arrow(pa.array(a_vals, type=pa.string()))
+    if b_vals:
+        b.update_arrow(pa.array(b_vals, type=pa.string()))
+    sa, sb = set(a_vals), set(b_vals)
+    assert round(a.cardinality()) == len(sa)
+    assert round(a.union_estimate(b)) == len(sa | sb)
+    assert round(a.intersection_estimate(b)) == len(sa & sb)
