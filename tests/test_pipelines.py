@@ -146,3 +146,33 @@ class TestEventTimeBuild:
         probe = pa.array([f"k{i}" for i in range(1300)], type=pa.string())
         assert np.array_equal(got.lookup_batch(probe, now=now),
                               ref.lookup_batch(probe, now=now))
+
+
+class TestSources:
+    def test_jsonl_csv_lines_roundtrip(self, ray_session, tmp_path):
+        import json
+
+        from archbloom_ray.sources import read_csv, read_jsonl, read_lines
+
+        rows = [{"id": i, "name": f"n{i}", "extra": i * 2} for i in range(50)]
+        jp = tmp_path / "d.jsonl"
+        jp.write_text("\n".join(json.dumps(r) for r in rows))
+        cp = tmp_path / "d.csv"
+        cp.write_text("id,name,extra\n" + "\n".join(
+            f"{r['id']},{r['name']},{r['extra']}" for r in rows))
+        lp = tmp_path / "d.txt"
+        lp.write_text("\n".join(r["name"] for r in rows) + "\n")
+
+        j = read_jsonl(str(jp), columns=["id", "name"])
+        assert sorted(j.schema().names) == ["id", "name"]
+        assert sorted(r["id"] for r in j.take_all()) == list(range(50))
+
+        c = read_csv(str(cp), columns=["id", "name"])
+        assert sorted(c.schema().names) == ["id", "name"]
+        assert sorted(r["name"] for r in c.take_all()) == sorted(
+            r["name"] for r in rows)
+
+        l = read_lines(str(lp), column="element")
+        assert l.schema().names == ["element"]
+        assert sorted(r["element"] for r in l.take_all()) == sorted(
+            r["name"] for r in rows)
