@@ -355,17 +355,22 @@ def q_kmv_set_ops(sf_dir: str):
     k, where the estimators are exact, so the counts hash-match the
     SQL UNION / INTERSECT oracle (the at-capacity estimator path is
     bound-tested in tests/test_kmv.py)."""
+    from .pipelines.build import build_grouped_value_sketches
     from .sketches import KMVSketch
+    from .sketches.base import sketch_from_bytes
 
-    def build(lang: str) -> KMVSketch:
-        def only(batch: pa.Table) -> pa.Table:
-            return batch.filter(pc.equal(batch["lang"], lang)).select(["source"])
+    def only(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_in(batch["lang"],
+                                     value_set=pa.array(["en", "de"])))
 
-        ds = _read(sf_dir, "documents", ["lang", "source"]).map_batches(
-            only, batch_format="pyarrow", zero_copy_batch=True)
-        return build_sketch(ds, "source", lambda: KMVSketch(1024))
-
-    en, de = build("en"), build("de")
+    ds = _read(sf_dir, "documents", ["lang", "source"]).map_batches(
+        only, batch_format="pyarrow", zero_copy_batch=True)
+    # ONE scan + count-row shuffle builds both languages' sketches
+    states = build_grouped_value_sketches(
+        ds, "lang", "source", {"kmv": lambda: KMVSketch(1024)}, salt=2)
+    by_lang = {r["key"]: sketch_from_bytes(r["state"])
+               for r in states.take_all()}
+    en, de = by_lang["en"], by_lang["de"]
     return pa.table({
         "n_union": pa.array([int(round(en.union_estimate(de)))], type=pa.int64()),
         "n_intersect": pa.array([int(round(en.intersection_estimate(de)))],

@@ -73,6 +73,12 @@ class KMVSketch(Sketch):
         enc = [(v if isinstance(v, bytes) else str(v).encode()) for v in vals]
         self._absorb(cand_h, enc)
 
+    def update_weighted(self, arr, counts) -> None:
+        """Count-weighted update: multiplicity is irrelevant to a
+        distinct sampler, so this is ``update_arrow`` on the values —
+        it lets the grouped count-row build path drive KMVs too."""
+        self.update_arrow(arr)
+
     def _absorb(self, new_h: np.ndarray, new_vals: list[bytes]) -> None:
         merged_h = np.concatenate([self.hashes, new_h])
         merged_v = self._values + new_vals
