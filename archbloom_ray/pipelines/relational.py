@@ -162,6 +162,31 @@ def broadcast_lookup(
     )
 
 
+def histogram_int(
+    ds: "ray.data.Dataset",
+    column: str,
+    lo: int,
+    hi: int,
+    bins: int,
+) -> "ray.data.Dataset":
+    """Fixed-range integer histogram: bucket = clamp((x−lo)·bins ÷
+    (hi−lo)) in PURE integer arithmetic, so the result is bit-exact
+    against any SQL mirror.  One map_batches + the standard pre-agg
+    grouped count — the shuffle moves ≤ ``bins`` rows per batch."""
+    if hi <= lo or bins < 1:
+        raise ValueError("need hi > lo and bins >= 1")
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[column], dtype=np.int64)
+        b = (x - lo) * bins // (hi - lo)
+        b = np.clip(b, 0, bins - 1)
+        return pa.table({"bucket": pa.array(b)})
+
+    return grouped_agg(
+        ds.map_batches(bucketize, batch_format="pyarrow", zero_copy_batch=True),
+        ["bucket"], [("n", None, "count")])
+
+
 def hash_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

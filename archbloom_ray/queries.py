@@ -1025,6 +1025,44 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_qty_histogram(sf_dir: str):
+    """Fixed-range integer histogram of lineitem quantities
+    (relational.histogram_int — pure integer bucket math, bit-exact vs
+    SQL)."""
+    from .pipelines.relational import histogram_int
+
+    def prep(batch: pa.Table) -> pa.Table:
+        q = np.asarray(batch["l_quantity"], dtype=np.float64)
+        return pa.table({"qty": pa.array(np.rint(q).astype(np.int64))})
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    return histogram_int(ds, "qty", 1, 51, 10)
+
+
+def q_weighted_sample(sf_dir: str):
+    """Deterministic A-ES weighted sample (stages.weighted_sample):
+    25 documents drawn proportional to n_chars.  The oracle checks the
+    contract: exactly min(25, N) rows, unique ids, and a bias verdict
+    (the sample's mean n_chars exceeds the corpus mean — deterministic
+    for this corpus + seed; a uniform sampler fails it in
+    expectation)."""
+    from .stages import weighted_sample
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    rows = weighted_sample(ds, "doc_id", "n_chars", k=25).take_all()
+    ids = [r["doc_id"] for r in rows]
+    mean_sample = float(np.mean([r["n_chars"] for r in rows]))
+    tbl = pa.parquet.read_table(
+        os.path.join(sf_dir, "documents.parquet"), columns=["n_chars"])
+    mean_all = float(pc.mean(tbl["n_chars"]).as_py())
+    return pa.table({
+        "n_sampled": pa.array([len(rows)], type=pa.int64()),
+        "ids_unique": pa.array([len(ids) == len(set(ids))], type=pa.bool_()),
+        "biased_to_weight": pa.array([mean_sample > mean_all], type=pa.bool_()),
+    })
+
+
 def q_lineitem_orders_join(sf_dir: str):
     """Large-large shuffle hash join (pipelines.relational.hash_join →
     Ray Data's hash-partitioned Join operator): lineitem ⋈ orders on
@@ -1356,6 +1394,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "lineitem_orders_join": q_lineitem_orders_join,
+        "qty_histogram": q_qty_histogram,
+        "weighted_sample": q_weighted_sample,
         "pages_tld_stats": q_pages_tld_stats,
         "contamination": q_contamination,
         "stratified_sample": q_stratified_sample,
@@ -1830,6 +1870,17 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, id_a, id_b, n_common, la + lb - n_common AS n_union
             FROM j WHERE 10 * n_common >= 3 * (la + lb - n_common)
+        """,
+        "qty_histogram": """
+            SELECT least(9, (CAST(round(l_quantity) AS BIGINT) - 1) * 10 // 50)
+                       AS bucket,
+                   count(*) AS n
+            FROM lineitem GROUP BY 1
+        """,
+        "weighted_sample": """
+            SELECT CAST(least(25, count(*)) AS BIGINT) AS n_sampled,
+                   TRUE AS ids_unique, TRUE AS biased_to_weight
+            FROM documents
         """,
         "lineitem_orders_join": """
             SELECT o.o_orderpriority, count(*) AS n_items,

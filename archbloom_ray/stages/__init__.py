@@ -27,7 +27,7 @@ from .similarity import (
     query_ivf_index,
     train_centroids,
 )
-from .sampling import hash_split, split_assignments
+from .sampling import hash_split, split_assignments, weighted_sample
 from .url import add_url_parts, parse_urls, stratified_sample
 from .multimodal import (
     DecodeImage,
@@ -57,7 +57,7 @@ __all__ = [
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
     "build_ivf_index", "query_ivf_index",
-    "hash_split", "split_assignments",
+    "hash_split", "split_assignments", "weighted_sample",
     "add_url_parts", "parse_urls", "stratified_sample",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",

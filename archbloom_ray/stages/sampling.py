@@ -55,3 +55,53 @@ def hash_split(
         return batch.append_column(out_col, pa.array(list(labels), type=pa.string()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def weighted_sample(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    weight_col: str,
+    k: int,
+    *,
+    seed: int = 42,
+) -> "ray.data.Dataset":
+    """Deterministic weighted sample without replacement (Efraimidis &
+    Spirakis A-ES): each row's rank is ``u^(1/w)`` with ``u`` the
+    row's keyed-hash uniform — keep the global top-``k`` ranks.  No RNG
+    state: the same corpus + seed gives the same sample on every run,
+    partitioning and cluster size.  Distributed shape: per-batch local
+    top-k (at most k rows survive a batch), then one driver-side merge
+    of ≤ k·blocks candidates via a final groupby-free local sort in a
+    single-group reduce.
+
+    Uses log-space (``log(u)/w``) so tiny weights can't underflow."""
+    import pyarrow.compute as pc
+
+    from ..hashing import mmh3_64_batch
+
+    def local(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col]
+        if isinstance(ids, pa.ChunkedArray):
+            ids = ids.combine_chunks()
+        key = ids if pa.types.is_string(ids.type) else pc.cast(ids, pa.string())
+        h = mmh3_64_batch(key, seed=seed).astype(np.uint64)
+        u = (h.astype(np.float64) + 1.0) / (2.0**64 + 1.0)  # u ∈ (0,1)
+        w = np.asarray(batch[weight_col], dtype=np.float64)
+        w = np.maximum(w, 1e-300)
+        rank = np.log(u) / w  # maximize u^(1/w) ⇔ maximize log(u)/w
+        batch = batch.append_column("_rank", pa.array(rank))
+        order = np.argsort(-rank, kind="stable")[: min(k, len(rank))]
+        return batch.take(pa.array(np.sort(order)))
+
+    pruned = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_g", pa.array(np.zeros(len(batch), np.int8)))
+
+    def global_topk(group: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(group, sort_keys=[("_rank", "descending")])
+        return group.take(idx.slice(0, k)).drop_columns(["_rank", "_g"])
+
+    return pruned.map_batches(add_const, batch_format="pyarrow",
+                              zero_copy_batch=True).groupby("_g").map_groups(
+        global_topk, batch_format="pyarrow")

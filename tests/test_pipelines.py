@@ -176,3 +176,41 @@ class TestSources:
         assert l.schema().names == ["element"]
         assert sorted(r["element"] for r in l.take_all()) == sorted(
             r["name"] for r in rows)
+
+
+class TestHistogramAndWeightedSample:
+    def test_histogram_int_exact(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import histogram_int
+
+        rng = np.random.default_rng(3)
+        xs = rng.integers(0, 100, size=5000)
+        ds = rd.from_arrow(pa.table({"x": pa.array(xs, type=pa.int64())}))
+        got = {r["bucket"]: r["n"] for r in
+               histogram_int(ds, "x", 0, 100, 10).take_all()}
+        import collections
+
+        expect = collections.Counter(min(int(x) * 10 // 100, 9) for x in xs)
+        assert got == dict(expect)
+
+    def test_weighted_sample_properties(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import weighted_sample
+
+        n = 2000
+        w = np.ones(n)
+        heavy = [7, 123, 999]
+        w[heavy] = 1e6   # ~overwhelming weight: must all be sampled
+        tbl = pa.table({"id": pa.array([f"r{i:05d}" for i in range(n)]),
+                        "w": pa.array(w)})
+        out = weighted_sample(rd.from_arrow(tbl), "id", "w", k=20).take_all()
+        ids = [r["id"] for r in out]
+        assert len(ids) == 20 and len(set(ids)) == 20
+        for h in heavy:
+            assert f"r{h:05d}" in ids
+        # determinism + partitioning invariance
+        again = weighted_sample(
+            rd.from_arrow(tbl).repartition(17), "id", "w", k=20).take_all()
+        assert sorted(ids) == sorted(r["id"] for r in again)
