@@ -8,6 +8,14 @@ from .build import (
     sketch_partials,
 )
 from .query import membership, sketch_probe
+from .relational import (
+    bloom_semijoin,
+    broadcast_lookup,
+    grouped_agg,
+    grouped_quantiles,
+    hash_join,
+    histogram_int,
+)
 from .write import resumable_shard_map, write_partitioned
 
 __all__ = [
@@ -18,6 +26,12 @@ __all__ = [
     "grouped_to_dict",
     "merge_partials",
     "sketch_partials",
+    "bloom_semijoin",
+    "broadcast_lookup",
+    "grouped_agg",
+    "grouped_quantiles",
+    "hash_join",
+    "histogram_int",
     "membership",
     "sketch_probe",
     "resumable_shard_map",

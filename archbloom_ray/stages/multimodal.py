@@ -389,3 +389,73 @@ def audio_pipeline(ds: "ray.data.Dataset", *, bytes_col: str = "audio",
     return ds.map_batches(AudioFeatures, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True,
                           concurrency=concurrency)
+
+
+# ---------------------------------------------------------------------------
+# video: PPM-stream container — real frame parsing + sampling, no codecs
+# ---------------------------------------------------------------------------
+
+_VID_MAGIC = b"PVID"
+
+
+def encode_ppm_stream(frames: list[np.ndarray]) -> bytes:
+    """Container for uncompressed video: ``PVID`` + u32 frame count +
+    length-prefixed binary-PPM frames.  Library-free like the PPM/BMP
+    image codecs; a stand-in for the chunked layout a real pipeline
+    would get from fixed-GOP segments."""
+    parts = [_VID_MAGIC, struct.pack("<I", len(frames))]
+    for f in frames:
+        p = encode_ppm(f)
+        parts.append(struct.pack("<I", len(p)))
+        parts.append(p)
+    return b"".join(parts)
+
+
+def decode_ppm_stream(payload: bytes, every: int = 1) -> list[np.ndarray]:
+    """REAL decode of the PVID container, sampling every ``every``-th
+    frame WITHOUT materializing the skipped ones (the length prefix
+    lets the parser seek past them — the property that matters at
+    scale, where decode cost dominates).  Compressed video (H.264/VP9)
+    raises ``NotImplementedError`` naming the missing dependency."""
+    if payload[:4] != _VID_MAGIC:
+        raise NotImplementedError(
+            "not a PVID payload — compressed video needs pyav/ffmpeg, "
+            "which this environment does not ship")
+    (n,) = struct.unpack_from("<I", payload, 4)
+    want = set(frame_sample_indices(n, every).tolist())
+    pos, out = 8, []
+    for i in range(n):
+        (sz,) = struct.unpack_from("<I", payload, pos)
+        pos += 4
+        if i in want:
+            out.append(decode_ppm(payload[pos: pos + sz]))
+        pos += sz
+    return out
+
+
+class DecodeVideo:
+    """Actor-pool video stage: PVID payload column → sampled-frame
+    summary columns (n_frames, n_sampled, per-clip mean pixel).  Video
+    payloads are the largest rows in a corpus — run this with the
+    smallest batch_size of any stage."""
+
+    def __init__(self, bytes_col: str = "video", every: int = 2):
+        self.bytes_col = bytes_col
+        self.every = every
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        n_frames, n_sampled, means = [], [], []
+        for p in batch[self.bytes_col]:
+            payload = p.as_py()
+            (n,) = struct.unpack_from("<I", payload, 4)
+            frames = decode_ppm_stream(payload, self.every)
+            n_frames.append(n)
+            n_sampled.append(len(frames))
+            means.append(float(np.mean([f.mean() for f in frames]))
+                         if frames else 0.0)
+        return batch.drop_columns([self.bytes_col]).append_column(
+            "n_frames", pa.array(n_frames, type=pa.int64())
+        ).append_column(
+            "n_sampled", pa.array(n_sampled, type=pa.int64())
+        ).append_column(
+            "mean_pixel", pa.array(means, type=pa.float64()))

@@ -776,3 +776,48 @@ class TestContamination:
             ds, ["...thirteen+ byte span ok..."], "text", "doc_id",
             n=13, mode="bytes").take_all()}
         assert out == {0: True, 1: False}
+
+
+class TestVideo:
+    def test_ppm_stream_roundtrip_and_sampling(self):
+        from archbloom_ray.stages.multimodal import (decode_ppm_stream,
+                                                     encode_ppm_stream)
+
+        rng = np.random.default_rng(0)
+        frames = [rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+                  for _ in range(7)]
+        payload = encode_ppm_stream(frames)
+        all_back = decode_ppm_stream(payload, every=1)
+        assert len(all_back) == 7
+        for a, b in zip(frames, all_back):
+            assert np.array_equal(a, b)
+        sampled = decode_ppm_stream(payload, every=3)
+        assert len(sampled) == 3  # frames 0, 3, 6
+        assert np.array_equal(sampled[1], frames[3])
+
+    def test_decode_video_stage(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.multimodal import (DecodeVideo,
+                                                     encode_ppm_stream)
+
+        rng = np.random.default_rng(1)
+        clips = [[rng.integers(0, 256, size=(3, 3, 3), dtype=np.uint8)
+                  for _ in range(k)] for k in (1, 4, 9)]
+        ds = rd.from_arrow(pa.table({
+            "clip_id": pa.array([0, 1, 2], type=pa.int64()),
+            "video": pa.array([encode_ppm_stream(c) for c in clips],
+                              type=pa.binary()),
+        }))
+        rows = {r["clip_id"]: r for r in ds.map_batches(
+            DecodeVideo, fn_constructor_kwargs={"every": 2},
+            batch_format="pyarrow", batch_size=2, concurrency=1,
+            zero_copy_batch=True).take_all()}
+        assert [rows[i]["n_frames"] for i in range(3)] == [1, 4, 9]
+        assert [rows[i]["n_sampled"] for i in range(3)] == [1, 2, 5]
+
+    def test_compressed_video_raises(self):
+        from archbloom_ray.stages.multimodal import decode_ppm_stream
+
+        with pytest.raises(NotImplementedError):
+            decode_ppm_stream(b"\x00\x00\x00\x1cftypisom" + b"\x00" * 50)
