@@ -275,16 +275,23 @@ def ngram_jaccard_exact_pairs(
     union set sizes — no sketching, no hashing, SQL-oracle-exact
     (the packed windows are injective, see ``_packed_shingles_batch``).
 
-    Shape: one ``groupby(group_col).map_groups`` — the all-pairs work
-    happens inside a group via the inverted-incidence construction
-    (sort the group's (window, doc) pairs by window; every window
-    shared by k docs contributes its C(k,2) doc pairs via a ragged
-    vectorized expansion), so cost is proportional to the SHARED
-    window mass, not |group|² scans.  The partitioning assumption is
-    that a single group's documents fit one task — the scale path for
-    unbounded groups is LSH candidates + ``verify_pairs_ngram``.
-    Threshold is a rational ``min_num/min_den`` so the comparison is
-    exact integer math on both the Ray and SQL sides.
+    Shape: one ``groupby(group_col).map_groups``; inside a group the
+    candidate pairs come from PPJoin-style PREFIX FILTERING (Xiao et
+    al., WWW'08 Lemma 1): order every document's windows by global
+    rarity (document frequency asc, window asc) and keep only the
+    first ``|d| − ⌈t·|d|⌉ + 1`` as its prefix — any pair with
+    Jaccard ≥ t must share a PREFIX window, so pair generation runs
+    the inverted-incidence expansion over prefixes only.  Ubiquitous
+    windows (stopword shingles shared by the whole group) sort LAST
+    and never enter a prefix, which kills the ΣC(k,2) blowup that
+    makes naive shared-window pair generation quadratic in group
+    size.  Candidates are then verified EXACTLY against the full
+    sorted window sets (batched searchsorted membership counts).
+    The partitioning assumption is that a single group's documents
+    fit one task — the scale path for unbounded groups is LSH
+    candidates + ``verify_pairs_ngram``.  Threshold is a rational
+    ``min_num/min_den`` so the comparison is exact integer math on
+    both the Ray and SQL sides.
     """
 
     def pairs_in_group(group: pa.Table) -> pa.Table:
@@ -304,18 +311,37 @@ def ngram_jaccard_exact_pairs(
             return empty
         flat, counts = _packed_shingles_batch(group[text_col], width)
         doc_of = np.repeat(np.arange(n_docs, dtype=np.int64), counts)
-        srt = np.argsort(flat, kind="stable")
-        sh_sorted, doc_sorted = flat[srt], doc_of[srt]
+        offs = np.concatenate(([0], np.cumsum(counts)))
+        # global rarity rank per distinct window (df asc, window asc)
+        uniq, inv, df = np.unique(flat, return_inverse=True,
+                                  return_counts=True)
+        rank_of_uniq = np.empty(uniq.size, dtype=np.int64)
+        rank_of_uniq[np.lexsort((uniq, df))] = np.arange(uniq.size)
+        rank = rank_of_uniq[inv]
+        # prefix length per doc: |d| − ceil(t·|d|) + 1  (t = num/den)
+        t_ceil = -((-counts * min_num) // min_den)  # ceil(t·|d|)
+        plen = np.maximum(counts - t_ceil + 1, 0)
+        plen = np.minimum(plen, counts)
+        # order each doc's windows by rarity, take the prefix
+        by_doc_rank = np.lexsort((rank, doc_of))
+        pos_in_doc = np.arange(flat.size, dtype=np.int64) - np.repeat(
+            offs[:-1], counts)
+        in_prefix = pos_in_doc < np.repeat(plen, counts)
+        p_rank = rank[by_doc_rank][in_prefix]
+        p_doc = doc_of[by_doc_rank][in_prefix]
+        if p_rank.size == 0:
+            return empty
+        # inverted-incidence pair expansion over PREFIX entries only
+        srt = np.lexsort((p_doc, p_rank))
+        sh_sorted, doc_sorted = p_rank[srt], p_doc[srt]
         new = np.ones(sh_sorted.size, dtype=bool)
         np.not_equal(sh_sorted[1:], sh_sorted[:-1], out=new[1:])
         gstart = np.flatnonzero(new)
         gsize = np.diff(np.append(gstart, sh_sorted.size))
-        # within-window position of each (window, doc) entry
         pos = np.arange(sh_sorted.size, dtype=np.int64) - np.repeat(gstart, gsize)
         tot = int(pos.sum())
         if tot == 0:
             return empty
-        # each entry at position p pairs with the p earlier docs of its window
         j_side = np.repeat(doc_sorted, pos)
         cend = np.cumsum(pos)
         i_local = np.arange(tot, dtype=np.int64) - np.repeat(cend - pos, pos)
@@ -323,8 +349,20 @@ def ngram_jaccard_exact_pairs(
         i_side = doc_sorted[i_idx]
         lo = np.minimum(i_side, j_side)
         hi = np.maximum(i_side, j_side)
-        key, common = np.unique(lo * np.int64(n_docs) + hi, return_counts=True)
-        lo, hi = key // n_docs, key % n_docs
+        cand = np.unique(lo * np.int64(n_docs) + hi)
+        lo, hi = cand // n_docs, cand % n_docs
+        # exact verify: |A∩B| via searchsorted of the smaller doc's
+        # sorted set into the larger's (flat is per-doc sorted already)
+        common = np.empty(cand.size, dtype=np.int64)
+        for i in range(cand.size):
+            a, b = int(lo[i]), int(hi[i])
+            if counts[a] > counts[b]:
+                a, b = b, a
+            sa = flat[offs[a]: offs[a + 1]]
+            sb = flat[offs[b]: offs[b + 1]]
+            p = np.searchsorted(sb, sa)
+            p = np.minimum(p, sb.size - 1)
+            common[i] = int((sb[p] == sa).sum())
         union = counts[lo] + counts[hi] - common
         keep = min_den * common >= min_num * union
         lo, hi = lo[keep], hi[keep]

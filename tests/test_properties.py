@@ -101,3 +101,40 @@ def test_kmv_exact_below_k_properties(a_vals, b_vals):
     assert round(a.cardinality()) == len(sa)
     assert round(a.union_estimate(b)) == len(sa | sb)
     assert round(a.intersection_estimate(b)) == len(sa & sb)
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=40),
+                min_size=2, max_size=25),
+       st.sampled_from([(1, 4), (3, 10), (1, 2), (4, 5)]))
+def test_ngram_exact_pairs_prefix_filter_complete(ray_session, docs, thr):
+    """Adversarial alphabet ('ab ' → massive shared-shingle mass):
+    PPJoin prefix filtering must still find EVERY pair ≥ threshold."""
+    import ray.data as rd
+
+    from archbloom_ray.stages import ngram_jaccard_exact_pairs
+
+    num, den = thr
+    ids = [f"d{i:03d}" for i in range(len(docs))]
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(ids), "g": pa.array(["x"] * len(docs)),
+        "text": pa.array(docs)}))
+    got = {(r["id_a"], r["id_b"]): (r["n_common"], r["n_union"])
+           for r in ngram_jaccard_exact_pairs(
+               ds, "text", "doc_id", "g", width=5,
+               min_num=num, min_den=den).take_all()}
+
+    def sh(t):
+        b = t.encode()
+        if len(b) < 5:
+            b = b + b" " * (5 - len(b))
+        return {b[i:i + 5] for i in range(len(b) - 4)}
+
+    expect = {}
+    for i in range(len(docs)):
+        for j in range(i + 1, len(docs)):
+            a, b = sh(docs[i]), sh(docs[j])
+            c, u = len(a & b), len(a | b)
+            if den * c >= num * u:
+                expect[(ids[i], ids[j])] = (c, u)
+    assert got == expect
