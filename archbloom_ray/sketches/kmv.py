@@ -112,6 +112,7 @@ class KMVSketch(Sketch):
         """Distinct count of A ∪ B: build the union sketch (the KMV
         merge is exactly the union's own bottom-k) and read its
         estimate.  Does not mutate either operand."""
+        self._check_compatible(other)
         u = KMVSketch(self.k, name=self.name)
         u._absorb(self.hashes, list(self._values))
         u._absorb(other.hashes, list(other._values))

@@ -170,20 +170,38 @@ class TimeDecayingBloomFilter(Sketch):
         over the element's k slots (each slot only moves forward, and
         shared slots can only inflate a single slot — the min is the
         tightest sound bound, same discipline as a count-min read).
-        Returns the absolute virtual-clock time, or -1 if any slot is
-        empty (element never added / already swept)."""
+        Ticks are stored modulo ``max_time``, so a caller past the
+        first period MUST pass ``now`` to de-alias them: the returned
+        absolute time is then the latest T ≤ now whose tick equals the
+        stored value, and -1 is returned when any slot is empty OR
+        stale at ``now`` (beyond one period the stored tick no longer
+        identifies a unique time — same freshness rule as ``lookup``).
+        With ``now=None`` the clock is assumed still inside the first
+        period (ticks are absolute) and no staleness check applies."""
         typ = pa.string() if isinstance(element, str) else pa.binary()
         pos = self._positions(pa.array([element], type=typ))[:, 0]
         vals = self.filter[pos]
         if (vals == 0).any():
             return -1
-        return int(self.start_time + int(vals.astype(np.int64).min()) - 1)
+        v = int(vals.astype(np.int64).min())
+        if now is None:
+            return int(self.start_time + v - 1)
+        now = int(now)
+        if self._stale(vals, now).any():
+            return -1
+        cur = int(self._tick(now))
+        delta = (cur - v) % self.max_time
+        return now - delta
 
-    def was_active_within(self, element, start: int, end: int) -> bool:
+    def was_active_within(self, element, start: int, end: int,
+                          now: int | None = None) -> bool:
         """``tdbloom_was_active_within`` (declared-only, tdbloom.h:145):
         True when the element's conservative last-access estimate lands
-        in [start, end] (absolute virtual-clock times)."""
-        t = self.get_last_access_time(element)
+        in [start, end] (absolute virtual-clock times).  ``now``
+        defaults to ``end`` — a tdbloom keeps only the LAST access, so
+        the question is decidable exactly when the window's end is the
+        observation point."""
+        t = self.get_last_access_time(element, end if now is None else now)
         return t >= 0 and int(start) <= t <= int(end)
 
     # -- maintenance --------------------------------------------------

@@ -355,15 +355,16 @@ class AudioFeatures:
         sq = np.add.reduceat(flat * flat, starts) if flat.size else np.zeros(len(counts))
         sq[counts == 0] = 0.0
         rms = np.sqrt(sq / nz)
-        # zero crossings: sign changes within each clip (boundary pairs
-        # between clips are subtracted via the per-clip first index)
+        # zero crossings: sign changes within each clip — computed only
+        # for clips with ≥2 samples (an empty clip's starts+counts-1
+        # would wrap to -1 and read the whole batch's total)
+        zc = np.zeros(len(counts), dtype=np.int64)
         if flat.size > 1:
             sign_change = (np.signbit(flat[1:]) != np.signbit(flat[:-1])).astype(np.int64)
             cum = np.concatenate(([0], np.cumsum(sign_change)))
-            zc = cum[np.minimum(starts + counts - 1, len(cum) - 1)] - cum[np.minimum(starts, len(cum) - 1)]
-            zc = np.maximum(zc, 0)
-        else:
-            zc = np.zeros(len(counts), dtype=np.int64)
+            valid = counts >= 2
+            zc[valid] = (cum[(starts + counts - 1)[valid]]
+                         - cum[starts[valid]])
         peak = np.zeros(len(counts))
         if flat.size:
             absflat = np.abs(flat)
@@ -417,7 +418,7 @@ def decode_ppm_stream(payload: bytes, every: int = 1) -> list[np.ndarray]:
     lets the parser seek past them — the property that matters at
     scale, where decode cost dominates).  Compressed video (H.264/VP9)
     raises ``NotImplementedError`` naming the missing dependency."""
-    if payload[:4] != _VID_MAGIC:
+    if len(payload) < 8 or payload[:4] != _VID_MAGIC:
         raise NotImplementedError(
             "not a PVID payload — compressed video needs pyav/ffmpeg, "
             "which this environment does not ship")
@@ -447,8 +448,8 @@ class DecodeVideo:
         n_frames, n_sampled, means = [], [], []
         for p in batch[self.bytes_col]:
             payload = p.as_py()
+            frames = decode_ppm_stream(payload, self.every)  # validates magic
             (n,) = struct.unpack_from("<I", payload, 4)
-            frames = decode_ppm_stream(payload, self.every)
             n_frames.append(n)
             n_sampled.append(len(frames))
             means.append(float(np.mean([f.mean() for f in frames]))

@@ -63,7 +63,10 @@ def knn_brute(
         ids = np.asarray(batch[id_col])
         out_q, out_id, out_sim = [], [], []
         for qi in range(q.shape[0]):
-            part = np.argpartition(-sims[:, qi], kk - 1)[:kk]
+            # lexsort, not argpartition: ties at the k-th boundary must
+            # resolve by id asc or the driver merge can lose the row the
+            # (cos desc, id asc) total order keeps
+            part = np.lexsort((ids, -sims[:, qi]))[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
             out_id.append(ids[part])
             out_sim.append(sims[part, qi])
@@ -94,11 +97,13 @@ def knn_brute(
             rows["rank"].append(rank)
             rows[id_col].append(vid)
             rows["cosine"].append(sim)
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     return pa.table(
         {
             "query_idx": pa.array(rows["query_idx"], type=pa.int64()),
             "rank": pa.array(rows["rank"], type=pa.int64()),
-            id_col: pa.array(rows[id_col], type=pa.int64()),
+            id_col: pa.array(rows[id_col], type=id_type),
             "cosine": pa.array(rows["cosine"], type=pa.float64()),
         }
     )
@@ -172,7 +177,7 @@ def knn_ivf(
             sub = m[sel]
             sims = sub @ q[qi]
             kk = min(k, sub.shape[0])
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = np.lexsort((ids[sel], -sims))[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
             out_id.append(ids[sel][part])
             out_sim.append(sims[part])
@@ -196,6 +201,8 @@ def knn_ivf(
         score, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()
 
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     rows_q, rows_rank, rows_id, rows_sim = [], [], [], []
     by_q: dict[int, list] = {}
     for r in partials:
@@ -211,7 +218,7 @@ def knn_ivf(
         {
             "query_idx": pa.array(rows_q, type=pa.int64()),
             "rank": pa.array(rows_rank, type=pa.int64()),
-            id_col: pa.array(rows_id, type=pa.int64()),
+            id_col: pa.array(rows_id, type=id_type),
             "cosine": pa.array(rows_sim, type=pa.float64()),
         }
     )
@@ -323,7 +330,7 @@ def query_ivf_index(
             sub = m[sel]
             sims = sub @ q[qi]
             kk = min(k, sub.shape[0])
-            part = np.argpartition(-sims, kk - 1)[:kk]
+            part = np.lexsort((ids[sel], -sims))[:kk]
             out_q.append(np.full(kk, qi, dtype=np.int64))
             out_id.append(ids[sel][part])
             out_sim.append(sims[part])
@@ -339,6 +346,8 @@ def query_ivf_index(
 
     partials = ds.map_batches(score, batch_format="pyarrow",
                               zero_copy_batch=True).take_all()
+    sch = ds.schema()
+    id_type = dict(zip(sch.names, sch.types))[id_col]
     by_q: dict[int, list] = {}
     for r in partials:
         by_q.setdefault(r["query_idx"], []).append((r["cosine"], r[id_col]))
@@ -353,6 +362,6 @@ def query_ivf_index(
     return pa.table({
         "query_idx": pa.array(rows_q, type=pa.int64()),
         "rank": pa.array(rows_rank, type=pa.int64()),
-        id_col: pa.array(rows_id, type=pa.int64()),
+        id_col: pa.array(rows_id, type=id_type),
         "cosine": pa.array(rows_sim, type=pa.float64()),
     })

@@ -181,3 +181,29 @@ class TestDeclaredOnlyOps:
             td.adjust_timeout(70000)               # needs wider timestamps
         with pytest.raises(SketchError):
             td.adjust_timeout(0)
+
+
+class TestLastAccessWraparound:
+    def test_now_dealiases_after_one_period(self):
+        from archbloom_ray.sketches import TimeDecayingBloomFilter
+
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=200, start_time=0)
+        period = td.max_time
+        t_write = period + 300  # well past the first period
+        import pyarrow as pa
+        td.update_arrow(pa.array(["x"]), now=t_write)
+        # queried at a now shortly after the write: exact de-aliased time
+        assert td.get_last_access_time("x", now=t_write + 50) == t_write
+        # a stale query point (beyond timeout) refuses to answer
+        assert td.get_last_access_time("x", now=t_write + td.timeout + 1) == -1
+        # was_active_within anchored at end: finds the write
+        assert td.was_active_within("x", t_write - 10, t_write + 10)
+        # intrinsic tick aliasing: a query point > one period before the
+        # write cannot distinguish it from a same-tick earlier write —
+        # the estimate is only anchored within one max_time of `now`
+        # (the reference's wrapped-clock lookups share this property);
+        # the detectably-stale band still refuses:
+        # (a query point whose wrapped distance from the write falls in
+        # the (timeout, max_time) stale band, e.g. t_write - 35 here:
+        # (cur - v) mod 255 = 220 > 200)
+        assert td.get_last_access_time("x", now=t_write - 35) == -1
