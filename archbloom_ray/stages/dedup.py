@@ -1461,25 +1461,34 @@ def verify_pairs_ngram(
         out_idx, out_j = [], []
         i = 0
         while i < m:
-            r0 = order[i]
-            if i + 1 < m:
-                r1 = order[i + 1]
-                if ids_a[r0] == ids_a[r1] and ids_b[r0] == ids_b[r1]:
-                    if found[r0] and found[r1]:
-                        sa = values[offs[r0]: offs[r0 + 1]]
-                        sb = values[offs[r1]: offs[r1 + 1]]
+            # extent of this (id_a, id_b) run — a pair emitted by k LSH
+            # bands arrives as k side-0 + k side-1 rows; zip the sides
+            # explicitly (pairing by adjacency would match side-0 with
+            # side-0 and score a doc against itself as 1.0)
+            j = i + 1
+            while (j < m and ids_a[order[j]] == ids_a[order[i]]
+                   and ids_b[order[j]] == ids_b[order[i]]):
+                j += 1
+            run = order[i:j]
+            s0 = run[side[run] == 0]
+            s1 = run[side[run] == 1]
+            for k in range(max(len(s0), len(s1))):
+                if k < len(s0) and k < len(s1):
+                    ra, rb = s0[k], s1[k]
+                    if found[ra] and found[rb]:
+                        sa = values[offs[ra]: offs[ra + 1]]
+                        sb = values[offs[rb]: offs[rb + 1]]
                         inter = np.intersect1d(sa, sb, assume_unique=True).size
                         union = sa.size + sb.size - inter
                         out_j.append(inter / union if union else 1.0)
                     else:
                         out_j.append(0.0)
-                    out_idx.append(r0 if side[r0] == 0 else r1)  # side-0 row carries extras
-                    i += 2
-                    continue
-            # unmatched single side (id missing upstream): score 0.0
-            out_idx.append(r0)
-            out_j.append(0.0)
-            i += 1
+                    out_idx.append(ra)  # side-0 row carries extras
+                else:
+                    # unmatched single side (id missing upstream): 0.0
+                    out_idx.append(s0[k] if k < len(s0) else s1[k])
+                    out_j.append(0.0)
+            i = j
         take = pa.array(np.array(out_idx, dtype=np.int64))
         cols = {
             "id_a": group["id_a"].take(take),

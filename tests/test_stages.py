@@ -87,6 +87,44 @@ class TestMinHash:
             assert ngram_jaccard(text_by_url[r["id_a"]], text_by_url[r["id_b"]]) > 0.95
 
 
+class TestVerifyPairsNgram:
+    def test_duplicate_pair_rows_score_correctly(self, ray_session):
+        """A pair emitted by several LSH bands arrives as duplicate rows;
+        each must score the true cross-document Jaccard, never 1.0 from
+        a side-0/side-0 self-comparison (regression)."""
+        import ray.data as rd
+        from archbloom_ray.stages import ngram_jaccard
+        from archbloom_ray.stages.dedup import verify_pairs_ngram
+
+        ta = "the quick brown fox jumps over the lazy dog many times today"
+        tb = "completely different sentence with no shared character grams"
+        docs = rd.from_arrow(pa.table({
+            "id": ["a", "b", "c"],
+            "text": [ta, tb, ta + " extra tail"],
+        }))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": ["a", "a", "a", "a", "c"],
+            "id_b": ["b", "b", "b", "c", "missing"],
+            "band": [0, 1, 2, 0, 0],
+        }))
+        out = verify_pairs_ngram(pairs, docs, "text", "id").take_all()
+        assert len(out) == 5
+        jab = ngram_jaccard(ta, tb, 5)
+        jac = ngram_jaccard(ta, ta + " extra tail", 5)
+        by_pair = {}
+        for r in out:
+            by_pair.setdefault((r["id_a"], r["id_b"]), []).append(r["jaccard_exact"])
+        assert len(by_pair[("a", "b")]) == 3
+        for j in by_pair[("a", "b")]:
+            assert abs(j - jab) < 1e-12 and j < 0.5
+        assert abs(by_pair[("a", "c")][0] - jac) < 1e-12
+        # id absent from the corpus verifies as 0.0
+        assert by_pair[("c", "missing")] == [0.0]
+        # extras ride through on every duplicate row
+        bands = sorted(r["band"] for r in out if r["id_a"] == "a" and r["id_b"] == "b")
+        assert bands == [0, 1, 2]
+
+
 class TestSimHash:
     def test_simhash_identical_and_different(self):
         h = simhash_batch(["the quick brown fox jumps", "the quick brown fox jumps",
