@@ -578,8 +578,13 @@ def q_embedding_near_dups(sf_dir: str):
 
 
 def q_knn_ivf(sf_dir: str):
-    """IVF approximate top-10 for the vec_id=0 query (rows-only; recall
-    vs brute is asserted in the pytest suite)."""
+    """IVF top-10 for the vec_id=0 query, run with EXHAUSTIVE probing
+    (n_probe = n_centroids) so the full IVF machinery executes — sampled
+    k-means coarse quantizer, per-cell candidate filtering, per-cell
+    local top-k, deterministic (cos desc, id asc) merge — while the
+    result provably equals the brute-force top-k, making the query
+    DuckDB-oracle-checkable.  Pruned-probe recall (n_probe < n_centroids)
+    is asserted separately in the pytest suite."""
     from .stages import knn_ivf
 
     emb0 = pa.parquet.read_table(
@@ -587,7 +592,7 @@ def q_knn_ivf(sf_dir: str):
     )
     q = np.asarray(emb0.filter(pc.equal(emb0["vec_id"], 0))["embedding"][0].as_py())
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = knn_ivf(ds, q[None, :], k=10, n_centroids=16, n_probe=6, concurrency=2)
+    out = knn_ivf(ds, q[None, :], k=10, n_centroids=16, n_probe=16, concurrency=2)
     return out.select(["rank", "vec_id"])
 
 
@@ -1983,6 +1988,20 @@ def oracle_sql() -> dict[str, str]:
             FROM u, cut
         """,
         "knn_cosine": """
+            WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+            scored AS (
+                SELECT vec_id,
+                       list_cosine_similarity(embedding, (SELECT qe FROM q)) AS sim
+                FROM embeddings
+            )
+            SELECT CAST(row_number() OVER (ORDER BY sim DESC, vec_id ASC) AS BIGINT)
+                       AS rank,
+                   vec_id
+            FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        # exhaustive probing (n_probe = n_centroids) covers every cell, so
+        # the IVF result set equals the brute-force top-k by construction
+        "knn_ivf": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (
                 SELECT vec_id,
