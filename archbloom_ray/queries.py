@@ -525,6 +525,21 @@ def q_token_counts_bpe(sf_dir: str):
     return grouped_agg(ds, ["lang"], [("total_bpe_tokens", "n_tokens_bpe", "sum")])
 
 
+def q_tfidf_top_terms(sf_dir: str):
+    """Per-document top-3 TF-IDF terms for doc_id < 20, with document
+    frequencies computed over the FULL corpus (stages.tfidf: per-batch
+    distinct-term pre-aggregation → grouped df sum → broadcast sorted
+    vocabulary → streaming composite-sort scoring).  Output carries only
+    integer/string columns (rank from the tf·ln(N/df) ordering, plus the
+    exact tf and df) so the DuckDB hash compare is float-free."""
+    from .stages import tfidf_top_terms
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    subset = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 20")
+    return tfidf_top_terms(corpus, subset, "text", "doc_id", k=3)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-duplicate pairs over the pages corpus (the
     documents table has no planted near-dups; the deterministic pages
@@ -1391,6 +1406,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_by_lang": q_quality_by_lang,
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts_bpe": q_token_counts_bpe,
+        "tfidf_top_terms": q_tfidf_top_terms,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "kmv_set_ops": q_kmv_set_ops,
@@ -1640,6 +1656,44 @@ def _quality_oracle_sql() -> str:
     """
 
 
+def _tfidf_oracle_sql() -> str:
+    """Mirror of ``q_tfidf_top_terms``: same token fragment as the Ray
+    side (``_sql_lower_tokens`` ↔ ``stages.text._tokens_of`` + lower,
+    blank-split '' tokens dropped on both sides), same float expression
+    tf * ln(N/df) — one IEEE division, one ln, one multiply — so the
+    rank ordering agrees; output columns are integer/string only."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH toks AS (
+            SELECT doc_id, unnest({toks}) AS term FROM documents
+        ),
+        tok2 AS (SELECT doc_id, term FROM toks WHERE term <> ''),
+        tf AS (
+            SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM tok2 GROUP BY doc_id, term
+        ),
+        df AS (
+            SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df
+            FROM tok2 GROUP BY term
+        ),
+        n AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM documents),
+        scored AS (
+            SELECT tf.doc_id, tf.term, tf.tf, df.df,
+                   tf.tf * ln((SELECT nd FROM n) / df.df) AS s
+            FROM tf JOIN df USING (term)
+            WHERE tf.doc_id < 20
+        ),
+        ranked AS (
+            SELECT doc_id, term, tf, df,
+                   row_number() OVER (PARTITION BY doc_id
+                                      ORDER BY s DESC, term ASC) AS rank
+            FROM scored
+        )
+        SELECT doc_id, CAST(rank AS BIGINT) AS rank, term, tf, df
+        FROM ranked WHERE rank <= 3
+    """
+
+
 def _pages_sql_path() -> str:
     """Parquet glob of the sf0.01 pages fixture (the driver runs the
     correctness gate at sf0.01).  Calling this from ``oracle_sql()``
@@ -1833,6 +1887,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "langid_counts": _langid_oracle_sql(),
         "token_counts_bpe": _bpe_oracle_sql(),
+        "tfidf_top_terms": _tfidf_oracle_sql(),
         "quality_by_lang": _quality_oracle_sql(),
         # north-star pages corpus (deterministic fixture; _pages_sql_path
         # creates it so the oracle side is self-sufficient)

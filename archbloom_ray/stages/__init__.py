@@ -28,6 +28,7 @@ from .similarity import (
     train_centroids,
 )
 from .sampling import hash_split, split_assignments, weighted_sample
+from .tfidf import doc_frequencies, tfidf_top_terms
 from .url import add_url_parts, parse_urls, stratified_sample
 from .multimodal import (
     DecodeImage,
@@ -61,6 +62,7 @@ __all__ = [
     "knn_brute", "knn_ivf", "train_centroids",
     "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments", "weighted_sample",
+    "doc_frequencies", "tfidf_top_terms",
     "add_url_parts", "parse_urls", "stratified_sample",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",
     "decode_pipeline", "encode_fake_image", "decode_fake_image",

@@ -1,0 +1,202 @@
+"""TF-IDF term scoring over a document corpus — Ray-Data-first.
+
+A training-data pipeline uses TF-IDF for keyword extraction, boilerplate
+detection, and topic-drift monitoring.  The reference engine
+(droberson/archbloom) has no corpus-statistics operators; this module is
+engine-added (SURVEY.md §2.10), built from the same tokenizer as the
+other text stages (``stages.text._tokens_of`` — mirrored in SQL by
+``queries._sql_lower_tokens`` so the whole pipeline is oracle-checkable).
+
+Distributed shape (the part that matters at 100 TB):
+
+1. **Document frequencies** are a grouped count over per-document
+   DISTINCT terms: each batch pre-aggregates its own (term → partial df)
+   table, so the shuffle moves one row per distinct term per batch, never
+   a row per token (``doc_frequencies``).
+2. The resulting vocabulary is pruned (``min_df`` / ``max_vocab``) and
+   **broadcast once** via ``ray.put`` as two parallel sorted arrays
+   (terms, df) — a searchsorted lookup table, not a Python dict.  At web
+   scale the pruned vocabulary (say top 1-10 M terms) is tens of MB:
+   broadcast is the right join strategy, a term-shuffle join is not.
+3. **Scoring streams**: one ``map_batches`` pass computes per-document
+   term frequencies with a composite sort + run-length kernel (no Python
+   loop over tokens), looks up df via searchsorted, and keeps each
+   document's top-``k`` terms — output is O(k) per document regardless of
+   document length.
+
+Scores use the raw formula ``tf * ln(N / df)`` (natural-log IDF, no
+smoothing — df ≥ 1 for every term actually present, so the log is always
+finite and ≥ 0).  Outputs carry only integer/string columns (term, tf,
+df, rank); the float score is internal, which keeps driver-side value
+hashing robust.
+"""
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+try:  # pragma: no cover
+    import ray
+    import ray.data  # noqa: F401
+except ImportError:  # pragma: no cover
+    ray = None
+
+from .text import token_ngrams_flat
+
+__all__ = ["doc_frequencies", "tfidf_top_terms"]
+
+
+def _unigrams(col) -> tuple[np.ndarray, np.ndarray]:
+    """Lowercased whitespace unigrams of a string column as a numpy
+    unicode array + parallel doc index, with the empty-string token a
+    blank document splits to dropped (DuckDB's ``string_split_regex``
+    produces the same [''] for blanks — the oracle filters it too)."""
+    grams, doc_idx = token_ngrams_flat(col, 1)
+    keep = np.asarray(pc.not_equal(grams, "")).astype(bool)
+    terms = np.asarray(grams)[keep]
+    if terms.dtype == object:
+        terms = terms.astype("U")
+    return terms, doc_idx[keep]
+
+
+def doc_frequencies(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    *,
+    min_df: int = 1,
+) -> "ray.data.Dataset":
+    """(term, df) — the number of documents containing each term.
+
+    Per-batch pre-aggregation: the batch's (term, doc) pairs are
+    deduplicated locally, so the grouped sum shuffles one partial row
+    per distinct term per batch — token volume never crosses the wire.
+    """
+    from ..pipelines.relational import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        terms, doc_idx = _unigrams(batch[text_col])
+        if terms.size == 0:
+            return pa.table({"term": pa.array([], type=pa.string()),
+                             "partial_df": pa.array([], type=pa.int64())})
+        # distinct (doc, term) then count docs per term — one composite
+        # sort, two run-length passes
+        order = np.lexsort((terms, doc_idx))
+        t_s, d_s = terms[order], doc_idx[order]
+        first = np.ones(len(order), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        uniq_terms = t_s[first]
+        t_order = np.argsort(uniq_terms, kind="stable")
+        t_sorted = uniq_terms[t_order]
+        t_first = np.ones(len(t_sorted), dtype=bool)
+        if len(t_sorted) > 1:
+            t_first[1:] = t_sorted[1:] != t_sorted[:-1]
+        starts = np.flatnonzero(t_first)
+        counts = np.diff(np.append(starts, len(t_sorted)))
+        return pa.table({
+            "term": pa.array(t_sorted[t_first]),
+            "partial_df": pa.array(counts.astype(np.int64)),
+        })
+
+    df_ds = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["term"], [("df", "partial_df", "sum")])
+    if min_df > 1:
+        df_ds = df_ds.filter(expr=f"df >= {min_df}")
+    return df_ds
+
+
+def tfidf_top_terms(
+    ds: "ray.data.Dataset",
+    docs_again: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    n_docs: int | None = None,
+    min_df: int = 1,
+    max_vocab: int | None = None,
+) -> "ray.data.Dataset":
+    """Per-document top-``k`` terms by ``tf * ln(N/df)``, deterministic
+    (score desc, term asc) tie-break.  ``ds`` supplies the corpus for the
+    df statistics; ``docs_again`` is the (possibly filtered) document set
+    to score — pass a fresh read of the same parquet so both sides
+    stream independently.
+
+    Returns a streaming Dataset of (id, rank, term, tf, df) rows with
+    rank 1..k — O(k) output per document.  ``max_vocab``
+    caps the broadcast vocabulary to the highest-df terms (ties broken
+    by term asc) — the knob that bounds broadcast size at corpus scale;
+    terms pruned from the vocabulary simply cannot be ranked.
+    """
+    from ..proc_cache import cached_instance
+
+    if n_docs is None:
+        n_docs = ds.count()
+
+    df_rows = doc_frequencies(ds, text_col, min_df=min_df).take_all()
+    vocab = np.array([r["term"] for r in df_rows], dtype="U")
+    dfs = np.array([r["df"] for r in df_rows], dtype=np.int64)
+    if max_vocab is not None and len(vocab) > max_vocab:
+        sel = np.lexsort((vocab, -dfs))[:max_vocab]
+        vocab, dfs = vocab[sel], dfs[sel]
+    order = np.argsort(vocab, kind="stable")
+    vocab, dfs = vocab[order], dfs[order]
+    vocab_ref = ray.put((vocab, dfs))
+    n_total = int(n_docs)
+
+    def score(batch: pa.Table) -> pa.Table:
+        vs, ds_arr = cached_instance(
+            ("tfidf_vocab", vocab_ref.hex()), lambda: ray.get(vocab_ref))
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        terms, doc_idx = _unigrams(batch[text_col])
+        empty = pa.table({
+            id_col: pa.array([], type=ids.type),
+            "rank": pa.array([], type=pa.int64()),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+        })
+        if terms.size == 0:
+            return empty
+        # per-(doc, term) tf: composite sort + run-length
+        o = np.lexsort((terms, doc_idx))
+        t_s, d_s = terms[o], doc_idx[o]
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(o))).astype(np.int64)
+        u_terms, u_docs = t_s[first], d_s[first]
+        # vocabulary lookup (terms below min_df / outside max_vocab drop)
+        pos = np.searchsorted(vs, u_terms)
+        pos_c = np.clip(pos, 0, max(len(vs) - 1, 0))
+        hit = (vs[pos_c] == u_terms) if len(vs) else np.zeros(len(u_terms), bool)
+        if not hit.any():
+            return empty
+        tf, u_terms, u_docs, pos_c = tf[hit], u_terms[hit], u_docs[hit], pos_c[hit]
+        df_v = ds_arr[pos_c]
+        # same float expression as the SQL oracle: tf * ln(N/df), one
+        # IEEE division then one log then one multiply per value
+        s = tf * np.log(np.float64(n_total) / df_v)
+        # per-doc top-k: (doc asc, score desc, term asc), run boundaries
+        o2 = np.lexsort((u_terms, -s, u_docs))
+        d2 = u_docs[o2]
+        run_first = np.ones(len(o2), dtype=bool)
+        run_first[1:] = d2[1:] != d2[:-1]
+        rank = np.arange(len(o2), dtype=np.int64) - np.maximum.accumulate(
+            np.where(run_first, np.arange(len(o2), dtype=np.int64), 0)) + 1
+        keep = rank <= k
+        sel = o2[keep]
+        return pa.table({
+            id_col: ids.take(pa.array(u_docs[sel])),
+            "rank": pa.array(rank[keep]),
+            "term": pa.array(u_terms[sel]),
+            "tf": pa.array(tf[sel]),
+            "df": pa.array(df_v[sel]),
+        })
+
+    # streams: output is O(k) rows per scored document, never the token
+    # stream — consume with write_parquet / take_all as appropriate
+    return docs_again.map_batches(
+        score, batch_format="pyarrow", zero_copy_batch=True)

@@ -87,6 +87,77 @@ class TestMinHash:
             assert ngram_jaccard(text_by_url[r["id_a"]], text_by_url[r["id_b"]]) > 0.95
 
 
+class TestTfIdf:
+    DOCS = [
+        "apple banana apple cherry",
+        "banana cherry cherry date",
+        "apple elderberry fig fig fig",
+        "  ",  # blank → no tokens
+        "date date date apple",
+    ]
+
+    def _mk(self, ray_session):
+        import ray.data as rd
+
+        return rd.from_arrow(pa.table({
+            "doc_id": list(range(len(self.DOCS))), "text": self.DOCS}))
+
+    def _exact_df(self):
+        import collections
+
+        c = collections.Counter()
+        for t in self.DOCS:
+            for term in set(t.split()):
+                c[term] += 1
+        return c
+
+    def test_doc_frequencies_exact(self, ray_session):
+        from archbloom_ray.stages import doc_frequencies
+
+        rows = doc_frequencies(self._mk(ray_session), "text").take_all()
+        got = {r["term"]: r["df"] for r in rows}
+        assert got == dict(self._exact_df())
+
+    def test_top_terms_match_scalar_tfidf(self, ray_session):
+        from archbloom_ray.stages import tfidf_top_terms
+
+        out = tfidf_top_terms(self._mk(ray_session), self._mk(ray_session),
+                              "text", "doc_id", k=2).take_all()
+        dfm = self._exact_df()
+        n = len(self.DOCS)
+        by_doc = {}
+        for r in out:
+            by_doc.setdefault(r["doc_id"], []).append(r)
+        # scalar oracle per doc
+        for d, text in enumerate(self.DOCS):
+            toks = text.split()
+            if not toks:
+                assert d not in by_doc
+                continue
+            import collections
+
+            tf = collections.Counter(toks)
+            scored = sorted(
+                ((-cnt * np.log(n / dfm[t]), t, cnt) for t, cnt in tf.items()))
+            expect = scored[:2]
+            got = sorted(by_doc[d], key=lambda r: r["rank"])
+            assert [r["term"] for r in got] == [t for _, t, _ in expect]
+            assert [r["tf"] for r in got] == [c for _, _, c in expect]
+            assert all(r["df"] == dfm[r["term"]] for r in got)
+
+    def test_min_df_and_max_vocab_prune(self, ray_session):
+        from archbloom_ray.stages import tfidf_top_terms
+
+        out = tfidf_top_terms(self._mk(ray_session), self._mk(ray_session),
+                              "text", "doc_id", k=5, min_df=2).take_all()
+        dfm = self._exact_df()
+        assert out and all(dfm[r["term"]] >= 2 for r in out)
+        out2 = tfidf_top_terms(self._mk(ray_session), self._mk(ray_session),
+                               "text", "doc_id", k=5, max_vocab=2).take_all()
+        top2 = {t for t, _ in sorted(dfm.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
+        assert out2 and {r["term"] for r in out2} <= top2
+
+
 class TestVerifyPairsNgram:
     def test_duplicate_pair_rows_score_correctly(self, ray_session):
         """A pair emitted by several LSH bands arrives as duplicate rows;
