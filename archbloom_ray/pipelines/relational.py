@@ -79,6 +79,63 @@ def grouped_agg(
     return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
 
 
+def grouped_mode(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    *,
+    out_value: str = "mode",
+    out_count: str = "n",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Most frequent ``value_col`` per key combination, deterministic
+    (count DESC, value ASC) tie-break — SQL's
+    ``row_number() OVER (PARTITION BY keys ORDER BY count(*) DESC,
+    value ASC) = 1``.
+
+    Shape: exact grouped counts (in-batch pre-combine via
+    :func:`grouped_agg`, shuffle moves per-(key,value) partials) → a
+    per-block LOCAL argmax (one candidate row per key per block) → a
+    tiny final groupby over candidates.  The all-to-all volume is the
+    distinct (key, value) table, never the raw rows; the candidate
+    shuffle is one row per key per block.
+    """
+    counts = grouped_agg(ds, keys + [value_col], [(out_count, None, "count")],
+                         batch_size=batch_size)
+
+    def _best(tbl: pa.Table) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(k, "ascending") for k in keys]
+            + [(out_count, "descending"), (value_col, "ascending")])
+        t = tbl.take(idx)
+        # a row leads a key-run iff ANY key differs from the previous row;
+        # after the sort the run leader is the (count desc, value asc) mode
+        first = np.zeros(len(t), dtype=bool)
+        if len(t):
+            first[0] = True
+        for k in keys:
+            col = np.asarray(t[k])
+            first[1:] |= col[1:] != col[:-1]
+        out = t.filter(pa.array(first))
+        cols = {k: out[k] for k in keys}
+        cols[out_value] = out[value_col]
+        cols[out_count] = pc.cast(out[out_count], pa.int64())
+        return pa.table(cols)
+
+    def local_best(batch: pa.Table) -> pa.Table:
+        return _best(batch)
+
+    def pick(group: pa.Table) -> pa.Table:
+        t = pa.table({**{k: group[k] for k in keys},
+                      value_col: group[out_value],
+                      out_count: group[out_count]})
+        return _best(t)
+
+    candidates = counts.map_batches(local_best, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+    return candidates.groupby(keys).map_groups(pick, batch_format="pyarrow")
+
+
 def grouped_quantiles(
     ds: "ray.data.Dataset",
     keys: list[str],
@@ -251,7 +308,11 @@ def bloom_semijoin(
 
     dim_keys = dim.map_batches(keys_as_str, batch_format="pyarrow",
                                zero_copy_batch=True)
-    n_dim = max(dim.count(), 10)
+    n_real = dim.count()
+    if n_real == 0:  # nothing can match — empty result, same schema
+        return fact.map_batches(lambda b: b.slice(0, 0),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    n_dim = max(n_real, 10)
     bloom = build_sketch(dim_keys, "k", lambda: BloomFilter(n_dim, fpr))
     bloom_ref = _ray.put(bloom.to_bytes())
     exact_ref = None
@@ -281,6 +342,78 @@ def bloom_semijoin(
             hit = ks[idx] == k if len(ks) else np.zeros(len(k), dtype=bool)
             batch = batch.filter(pa.array(hit))
         return batch
+
+    return fact.map_batches(prune, batch_format="pyarrow",
+                            batch_size=batch_size, zero_copy_batch=True)
+
+
+def bloom_antijoin(
+    fact: "ray.data.Dataset",
+    fact_key: str,
+    dim: "ray.data.Dataset",
+    dim_key: str,
+    *,
+    fpr: float = 1e-4,
+    exact: bool = True,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Anti-join ``fact ▷ dim`` (rows of ``fact`` whose key does NOT
+    appear in ``dim``) via the same broadcast-Bloom pattern as
+    :func:`bloom_semijoin`, with the roles of the two outcomes flipped:
+    a Bloom MISS is definitive (no false negatives ⇒ the key is
+    certainly absent from dim ⇒ keep the row with no further work),
+    and only the Bloom-POSITIVE sliver — true members plus ε false
+    positives — needs the exact re-check to rescue false positives.
+    At 100 TB this means the exact keyset probe touches ~|match|+ε·|fact|
+    rows, not |fact|.  With ``exact=False`` the result is conservative:
+    the ε false-positive rows are wrongly dropped (an under-approximate
+    anti-join, never a wrong-row-kept one) — acceptable for pruning
+    passes, not for exact answers.
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+    from ..sketches.bloom import BloomFilter
+    from .build import build_sketch
+
+    def keys_as_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"k": pc.cast(batch[dim_key], pa.string())})
+
+    dim_keys = dim.map_batches(keys_as_str, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    n_real = dim.count()
+    if n_real == 0:  # nothing to exclude — fact passes through
+        return fact
+    n_dim = max(n_real, 10)
+    bloom = build_sketch(dim_keys, "k", lambda: BloomFilter(n_dim, fpr))
+    bloom_ref = _ray.put(bloom.to_bytes())
+    exact_ref = None
+    if exact:
+        keyset = np.sort(np.concatenate(
+            [np.asarray(b["k"]) for b in
+             dim_keys.iter_batches(batch_format="pyarrow", batch_size=batch_size)]
+            or [np.empty(0, dtype=object)]))
+        exact_ref = _ray.put(keyset)
+
+    def _load():
+        from ..sketches.base import sketch_from_bytes
+
+        bf = sketch_from_bytes(_ray.get(bloom_ref))
+        ks = _ray.get(exact_ref) if exact_ref is not None else None
+        return bf, ks
+
+    def prune(batch: pa.Table) -> pa.Table:
+        bf, ks = cached_instance(("bloom_antijoin", bloom_ref.hex()), _load)
+        keys = pc.cast(batch[fact_key], pa.string())
+        maybe = bf.lookup_batch(keys)  # False ⇒ certainly absent ⇒ keep
+        keep = ~maybe
+        if ks is not None and maybe.any():
+            k = np.asarray(keys)[maybe]
+            idx = np.searchsorted(ks, k)
+            idx = np.clip(idx, 0, max(len(ks) - 1, 0))
+            member = ks[idx] == k if len(ks) else np.zeros(len(k), dtype=bool)
+            keep[np.flatnonzero(maybe)[~member]] = True  # rescue Bloom FPs
+        return batch.filter(pa.array(keep))
 
     return fact.map_batches(prune, batch_format="pyarrow",
                             batch_size=batch_size, zero_copy_batch=True)

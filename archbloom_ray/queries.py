@@ -1045,6 +1045,38 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_customers_no_urgent(sf_dir: str):
+    """Bloom-pruned ANTI-join: customers with NO urgent order, counted
+    per market segment (pipelines.relational.bloom_antijoin).  A Bloom
+    MISS is definitive for an anti-join (no false negatives ⇒ certainly
+    absent ⇒ keep); only the Bloom-positive sliver is re-checked against
+    the broadcast exact keyset to rescue false positives — exact result,
+    probe work proportional to the match side."""
+    from .pipelines.relational import bloom_antijoin
+
+    def urgent(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(batch["o_orderpriority"], "1-URGENT"))
+
+    orders = _read(sf_dir, "orders", ["o_custkey", "o_orderpriority"]).map_batches(
+        urgent, batch_format="pyarrow", zero_copy_batch=True)
+    cust = _read(sf_dir, "customer", ["c_custkey", "c_mktsegment"])
+    anti = bloom_antijoin(cust, "c_custkey", orders, "o_custkey", fpr=1e-4)
+    return grouped_agg(anti, ["c_mktsegment"], [("n_customers", None, "count")])
+
+
+def q_top_source_by_lang(sf_dir: str):
+    """Grouped mode: the most common source per language with its count,
+    deterministic (count DESC, source ASC) tie-break
+    (pipelines.relational.grouped_mode — the shuffle carries the
+    distinct (lang, source) count table, then one candidate row per key
+    per block)."""
+    from .pipelines.relational import grouped_mode
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    return grouped_mode(ds, ["lang"], "source",
+                        out_value="top_source", out_count="n_docs")
+
+
 def q_qty_histogram(sf_dir: str):
     """Fixed-range integer histogram of lineitem quantities
     (relational.histogram_int — pure integer bucket math, bit-exact vs
@@ -1414,6 +1446,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_by_lang": q_repetition_by_lang,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "customers_no_urgent": q_customers_no_urgent,
+        "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
         "qty_histogram": q_qty_histogram,
         "weighted_sample": q_weighted_sample,
@@ -1956,6 +1990,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
+        """,
+        "customers_no_urgent": """
+            SELECT c_mktsegment, count(*) AS n_customers
+            FROM customer c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM orders o
+                WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+            GROUP BY c_mktsegment
+        """,
+        "top_source_by_lang": """
+            SELECT lang, source AS top_source, CAST(n AS BIGINT) AS n_docs
+            FROM (
+                SELECT lang, source, count(*) AS n,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY count(*) DESC, source ASC)
+                           AS rn
+                FROM documents GROUP BY lang, source
+            ) WHERE rn = 1
         """,
         "contamination": _contamination_oracle_sql(13, 20),
         "pages_tld_stats": f"""

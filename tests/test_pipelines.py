@@ -194,6 +194,58 @@ class TestHistogramAndWeightedSample:
         expect = collections.Counter(min(int(x) * 10 // 100, 9) for x in xs)
         assert got == dict(expect)
 
+    def test_bloom_antijoin_exact(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import bloom_antijoin
+
+        rng = np.random.default_rng(11)
+        fact_keys = [f"k{i:04d}" for i in range(2000)]
+        dim_keys = [f"k{i:04d}" for i in rng.choice(2000, 700, replace=False)]
+        fact = rd.from_arrow(pa.table({"fk": fact_keys,
+                                       "v": list(range(2000))}))
+        dim = rd.from_arrow(pa.table({"dk": dim_keys}))
+        # high fpr forces real Bloom false positives; the exact re-check
+        # must rescue every one of them
+        out = bloom_antijoin(fact, "fk", dim, "dk", fpr=0.2).take_all()
+        got = sorted(r["fk"] for r in out)
+        expect = sorted(set(fact_keys) - set(dim_keys))
+        assert got == expect
+        # conservative mode: never KEEPS a dim member, may over-drop
+        approx = bloom_antijoin(fact, "fk", dim, "dk", fpr=0.2,
+                                exact=False).take_all()
+        akeys = {r["fk"] for r in approx}
+        assert akeys <= set(expect)
+        assert not (akeys & set(dim_keys))
+
+    def test_bloom_antijoin_int_keys_empty_dim(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import bloom_antijoin
+
+        fact = rd.from_arrow(pa.table({"k": pa.array([1, 2, 3], pa.int64())}))
+        dim = rd.from_arrow(pa.table({"k": pa.array([], pa.int64())}))
+        out = bloom_antijoin(fact, "k", dim, "k").take_all()
+        assert sorted(r["k"] for r in out) == [1, 2, 3]
+
+    def test_grouped_mode_matches_counter(self, ray_session):
+        import collections
+
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import grouped_mode
+
+        rng = np.random.default_rng(5)
+        keys = rng.choice(["a", "b", "c"], 4000).tolist()
+        vals = rng.choice([f"v{i}" for i in range(7)], 4000).tolist()
+        ds = rd.from_arrow(pa.table({"g": keys, "x": vals})).repartition(9)
+        out = {r["g"]: (r["mode"], r["n"]) for r in
+               grouped_mode(ds, ["g"], "x").take_all()}
+        for g in "abc":
+            c = collections.Counter(v for k, v in zip(keys, vals) if k == g)
+            best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+            assert out[g] == best
+
     def test_weighted_sample_properties(self, ray_session):
         import ray.data as rd
 
