@@ -569,6 +569,88 @@ def sessionize_count(
     )
 
 
+def running_window(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    id_column: str,
+    *,
+    out_gap: str = "gap_us",
+    out_sum: str = "cum_sum",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-ROW window functions over event time: for every input row,
+    the lag gap to the key's previous event (µs; 0 for the key's first
+    event — SQL ``coalesce(ts - lag(ts) OVER w, 0)``) and the running
+    sum of ``value_column`` (SQL ``sum(v) OVER (PARTITION BY key ORDER
+    BY ts, id ROWS UNBOUNDED PRECEDING)``).  ``id_column`` must be
+    unique — it is the ORDER BY tie-break that makes the running sum
+    deterministic under equal timestamps.
+
+    ``value_column`` must be integer (exact running sums; SQL window
+    sums over floats are computed in engine-specific association order,
+    so float running sums cannot be hash-compared — callers convert to
+    fixed-point first, see q_events_running).
+
+    Scale shape: same coarse hash-bucketing as :func:`sessionize_count`
+    (one ``map_groups`` per partition, not per key), one composite
+    lexsort per partition, then two vectorized passes — a shifted diff
+    for the gap and a segment-offset cumsum for the per-key running sum.
+    Output rows = input rows; the only data movement is the key-hash
+    shuffle.
+    """
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            id_column: batch[id_column],
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            value_column: pc.cast(batch[value_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def part(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table({
+                id_column: pa.array([], group[id_column].type),
+                key_column: pa.array([], group[key_column].type),
+                out_gap: pa.array([], pa.int64()),
+                out_sum: pa.array([], pa.int64()),
+            })
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        ids = np.asarray(group[id_column], dtype=np.int64)
+        vals = np.asarray(group[value_column], dtype=np.int64)
+        order = np.lexsort((ids, ts, keys))
+        keys, ts, ids, vals = keys[order], ts[order], ids[order], vals[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        gap = np.zeros(n, dtype=np.int64)
+        gap[1:] = np.where(new_key[1:], 0, ts[1:] - ts[:-1])
+        cs = np.cumsum(vals)
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        offset = (cs[starts] - vals[starts])[seg_id]
+        cum = cs - offset
+        return pa.table({
+            id_column: pa.array(ids, type=group[id_column].type),
+            key_column: pa.array(keys, type=group[key_column].type),
+            out_gap: pa.array(gap),
+            out_sum: pa.array(cum),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(part, batch_format="pyarrow")
+    )
+
+
 def asof_join_broadcast(
     ds: "ray.data.Dataset",
     right: pa.Table,

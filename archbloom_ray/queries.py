@@ -1045,6 +1045,31 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_events_running(sf_dir: str):
+    """Per-row window functions over event time: for every event, the
+    lag gap to the user's previous event and the running sum of the
+    event value in integer cents (relational.running_window — coarse
+    key-hash partitions, one composite lexsort + segment-offset cumsum
+    per partition; output rows = input rows).  Fixed-point cents keep
+    the running sum exact — float window sums are association-order-
+    dependent and cannot be hash-compared."""
+    from .pipelines.relational import running_window
+
+    def prep(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "ts": batch["ts"],
+            "cents": pa.array(np.rint(v * 100).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "events", ["event_id", "ts", "user_id", "value"]
+               ).map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    return running_window(ds, "user_id", "ts", "cents", "event_id",
+                          out_gap="gap_us", out_sum="cum_value_cents")
+
+
 def q_customers_no_urgent(sf_dir: str):
     """Bloom-pruned ANTI-join: customers with NO urgent order, counted
     per market segment (pipelines.relational.bloom_antijoin).  A Bloom
@@ -1446,6 +1471,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_by_lang": q_repetition_by_lang,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "events_running": q_events_running,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -1990,6 +2016,17 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
+        """,
+        "events_running": """
+            SELECT event_id, user_id,
+                   CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER w, 0)
+                        AS BIGINT) AS gap_us,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER (
+                        PARTITION BY user_id ORDER BY ts ASC, event_id ASC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS cum_value_cents
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "customers_no_urgent": """
             SELECT c_mktsegment, count(*) AS n_customers

@@ -246,6 +246,42 @@ class TestHistogramAndWeightedSample:
             best = sorted(c.items(), key=lambda kv: (-kv[1], kv[0]))[0]
             assert out[g] == best
 
+    def test_running_window_matches_reference(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import running_window
+
+        rng = np.random.default_rng(9)
+        n = 3000
+        keys = rng.integers(0, 40, n)
+        ts = rng.integers(0, 10_000, n) * 1_000_000  # µs, WITH ties
+        ids = np.arange(n)
+        vals = rng.integers(-5, 50, n)
+        tbl = pa.table({
+            "id": pa.array(ids, pa.int64()),
+            "k": pa.array(keys, pa.int64()),
+            "ts": pa.array(ts, pa.int64()).cast(pa.timestamp("us")),
+            "v": pa.array(vals, pa.int64()),
+        })
+        out = {r["id"]: (r["gap_us"], r["cum"]) for r in running_window(
+            rd.from_arrow(tbl).repartition(7), "k", "ts", "v", "id",
+            out_sum="cum").take_all()}
+        assert len(out) == n
+        # scalar reference: per key, order by (ts, id)
+        import collections
+
+        by_key = collections.defaultdict(list)
+        for i in range(n):
+            by_key[keys[i]].append((ts[i], ids[i], vals[i]))
+        for k, rows in by_key.items():
+            rows.sort()
+            cum, prev_ts = 0, None
+            for t, i, v in rows:
+                cum += v
+                gap = 0 if prev_ts is None else t - prev_ts
+                prev_ts = t
+                assert out[i] == (gap, cum), (k, i)
+
     def test_weighted_sample_properties(self, ray_session):
         import ray.data as rd
 
