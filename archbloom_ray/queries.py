@@ -1427,6 +1427,142 @@ def q_gnb_length_classes(sf_dir: str):
 
 
 # ---------------------------------------------------------------------------
+# Planted-duplicate recall gates: the probabilistic dedup pipelines made
+# oracle-checkable.  The query plants exact duplicates with a
+# SQL-reproducible rule (every row whose id % 10 == 0 gains a copy at
+# id+10M; % 20 == 0 a second at id+20M), then runs the FULL probabilistic
+# pipeline.  Recall of identical content is structural — identical text
+# gives an identical MinHash signature / SimHash / hyperplane sign
+# pattern, hence shared buckets in every band/table — and with the
+# threshold set so only exact matches pass (est-Jaccard 1.0 needs all
+# signature cells equal; Hamming 0; cosine ≥ 0.99 vs 0.60 max natural),
+# the recovered pair set provably equals the identical-content pair set,
+# which DuckDB computes via a self-join over the same augmentation.
+# ---------------------------------------------------------------------------
+
+_DUP_MODS = ((10, 10_000_000), (20, 20_000_000))
+
+
+def _augment_with_copies(ds: "rd.Dataset", id_col: str) -> "rd.Dataset":
+    """Plant deterministic exact duplicates in one streaming pass (no
+    extra scan): each batch emits its own rows plus copies of the rows
+    selected by the ``_DUP_MODS`` rule with offset ids."""
+
+    def aug(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        i = batch.schema.get_field_index(id_col)
+        base = batch.set_column(i, id_col, pa.array(ids, type=pa.int64()))
+        parts = [base]
+        for mod, off in _DUP_MODS:
+            idx = np.flatnonzero(ids % mod == 0)
+            if idx.size:
+                t = base.take(pa.array(idx))
+                parts.append(t.set_column(i, id_col, pa.array(ids[idx] + off, type=pa.int64())))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(aug, batch_format="pyarrow", zero_copy_batch=True)
+
+
+_AUG_DOCS_SQL = (
+    "WITH aug AS ("
+    " SELECT CAST(doc_id AS BIGINT) AS doc_id, text FROM documents"
+    " UNION ALL SELECT CAST(doc_id + 10000000 AS BIGINT), text"
+    "  FROM documents WHERE doc_id % 10 = 0"
+    " UNION ALL SELECT CAST(doc_id + 20000000 AS BIGINT), text"
+    "  FROM documents WHERE doc_id % 20 = 0)"
+)
+
+_AUG_PAIRS_SQL = (
+    _AUG_DOCS_SQL
+    + " SELECT a.doc_id AS id_a, b.doc_id AS id_b"
+    " FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id"
+    " ORDER BY id_a, id_b"
+)
+
+
+def _pairs_table(pairs: "rd.Dataset") -> pa.Table:
+    """Collect a candidate-bounded pair Dataset into a sorted (id_a,
+    id_b) table (pairs are tiny vs the corpus — LSH-candidate-bounded)."""
+    tbl = pa.Table.from_pylist(
+        [{"id_a": r["id_a"], "id_b": r["id_b"]} for r in pairs.take_all()],
+        schema=pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())]),
+    )
+    return tbl.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+def q_minhash_dedup_recall(sf_dir: str):
+    """MinHash-LSH candidates over documents with planted exact
+    duplicates, exact-verified by content hash (the fixture also plants
+    true NEAR-dups whose est-Jaccard can reach 1.0, so a threshold alone
+    is not airtight): identical texts always share every band bucket, so
+    the verified output equals the identical-text pair list."""
+    from .stages import minhash_lsh_pairs, verify_pairs_equal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    pairs = minhash_lsh_pairs(
+        aug, "text", "doc_id",
+        num_perm=64, bands=16, threshold=0.9, concurrency=2,
+    )
+    return verify_pairs_equal(pairs, aug, "text", "doc_id")
+
+
+def q_simhash_dedup_recall(sf_dir: str):
+    """SimHash candidates at Hamming 0 (identical texts hash
+    identically and collide in every band), exact-verified by content
+    hash — near-dups can share a 64-bit SimHash, equality cannot lie."""
+    from .stages import simhash_pairs, verify_pairs_equal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    pairs = simhash_pairs(aug, "text", "doc_id", max_hamming=0)
+    return verify_pairs_equal(pairs, aug, "text", "doc_id")
+
+
+def q_embedding_dedup_recall(sf_dir: str):
+    """Hyperplane-LSH embedding dedup at cosine ≥ 0.99 over embeddings
+    with planted duplicate vectors (max natural pairwise cosine in the
+    fixture is ~0.60, so only the planted identical vectors pass)."""
+    from .stages import embedding_near_dup_pairs
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    pairs = embedding_near_dup_pairs(
+        _augment_with_copies(ds, "vec_id"), "embedding", "vec_id",
+        threshold=0.99,
+    )
+    return _pairs_table(pairs)
+
+
+def q_dedup_clusters_exact(sf_dir: str):
+    """Exact-dedup clustering (MinHash-LSH candidates → content-hash
+    verify → distributed connected components) over the
+    planted-duplicate corpus: the verified edge set equals the
+    identical-text pairs, so the components are exactly the
+    text-equality groups — component id (min doc_id) and size are
+    SQL-checkable via GROUP BY text."""
+    from .stages import connected_components, minhash_lsh_pairs, verify_pairs_equal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    cand = minhash_lsh_pairs(
+        aug, "text", "doc_id", num_perm=64, bands=16, threshold=0.9,
+        concurrency=2,
+    )
+    edges = verify_pairs_equal(cand, aug, "text", "doc_id")
+    sizes: dict[int, int] = {}
+    if len(edges):
+        comp = connected_components(rd.from_arrow(edges))
+        for r in comp.take_all():
+            c = int(r["component"])
+            sizes[c] = sizes.get(c, 0) + 1
+    items = sorted(sizes.items())
+    return pa.table({
+        "component": pa.array([c for c, _ in items], type=pa.int64()),
+        "size": pa.array([s for _, s in items], type=pa.int64()),
+    })
+
+
+# ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
 
@@ -1484,6 +1620,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": q_dedup_clusters,
         "simhash_near_dups": q_simhash_near_dups,
         "embedding_near_dups": q_embedding_near_dups,
+        # planted-duplicate recall gates (probabilistic dedup, oracle-checked)
+        "minhash_dedup_recall": q_minhash_dedup_recall,
+        "simhash_dedup_recall": q_simhash_dedup_recall,
+        "embedding_dedup_recall": q_embedding_dedup_recall,
+        "dedup_clusters_exact": q_dedup_clusters_exact,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
@@ -2157,5 +2298,23 @@ def oracle_sql() -> dict[str, str]:
                        AS rank,
                    vec_id
             FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
+        """,
+        "minhash_dedup_recall": _AUG_PAIRS_SQL,
+        "simhash_dedup_recall": _AUG_PAIRS_SQL,
+        "embedding_dedup_recall": """
+            WITH aug AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+                UNION ALL SELECT CAST(vec_id + 10000000 AS BIGINT), embedding
+                 FROM embeddings WHERE vec_id % 10 = 0
+                UNION ALL SELECT CAST(vec_id + 20000000 AS BIGINT), embedding
+                 FROM embeddings WHERE vec_id % 20 = 0)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b
+            FROM aug a JOIN aug b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+            ORDER BY id_a, id_b
+        """,
+        "dedup_clusters_exact": _AUG_DOCS_SQL + """
+            SELECT CAST(min(doc_id) AS BIGINT) AS component,
+                   CAST(count(*) AS BIGINT) AS size
+            FROM aug GROUP BY text HAVING count(*) > 1 ORDER BY component
         """,
     }

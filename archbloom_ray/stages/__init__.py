@@ -15,6 +15,7 @@ from .dedup import (
     ngram_jaccard,
     ngram_jaccard_exact_pairs,
     verify_pairs_ngram,
+    verify_pairs_equal,
     window_hashes_batch,
     embedding_near_dup_pairs,
     connected_components,
@@ -56,7 +57,7 @@ __all__ = [
     "add_token_counts", "add_language_id", "add_quality", "add_fingerprint",
     "LanguageId", "exact_dedup", "minhash_signatures", "minhash_lsh_pairs",
     "simhash_pairs", "simhash_batch", "ngram_jaccard",
-    "ngram_jaccard_exact_pairs", "verify_pairs_ngram",
+    "ngram_jaccard_exact_pairs", "verify_pairs_ngram", "verify_pairs_equal",
     "contamination_check", "window_hashes_batch",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",

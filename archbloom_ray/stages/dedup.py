@@ -1503,3 +1503,56 @@ def verify_pairs_ngram(
         return t
 
     return joined.groupby("ppk").map_groups(combine, batch_format="pyarrow")
+
+
+def verify_pairs_equal(
+    pairs: "ray.data.Dataset",
+    docs: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+) -> pa.Table:
+    """Filter candidate pairs down to EXACT content equality — the
+    exact-dedup verifier for LSH candidates (an est-Jaccard-1.0 MinHash
+    pair can still be a high-J near-dup; a 128-bit content-hash compare is
+    airtight up to hash collision ~2^-128).
+
+    Distribution shape (candidate-bounded, like verify_pairs_ngram):
+    only the candidate ID set and one 128-bit hash per candidate
+    materialize; the corpus scan stays distributed and hashes only
+    candidate rows.  Returns a sorted ``(id_a, id_b)`` pyarrow Table.
+    """
+    pair_rows = pairs.select_columns(["id_a", "id_b"]).take_all()
+    sch = docs.schema()
+    id_type = getattr(sch, "base_schema", sch).field(id_col).type
+    empty = pa.table({"id_a": pa.array([], id_type), "id_b": pa.array([], id_type)})
+    if not pair_rows:
+        return empty
+    need = {r["id_a"] for r in pair_rows} | {r["id_b"] for r in pair_rows}
+    need_arr = pa.array(sorted(need), type=id_type)
+
+    def hash_cands(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[id_col], value_set=need_arr)
+        kept = batch.filter(mask)
+        if len(kept) == 0:
+            return pa.table({id_col: pa.array([], id_type),
+                             "h1": pa.array([], pa.int64()),
+                             "h2": pa.array([], pa.int64())})
+        h1, h2 = mmh3_128_batch(kept[text_col].combine_chunks())
+        return pa.table({id_col: kept[id_col],
+                         "h1": pa.array(h1.view(np.int64)),
+                         "h2": pa.array(h2.view(np.int64))})
+
+    hashes = {
+        r[id_col]: (r["h1"], r["h2"])
+        for r in docs.map_batches(hash_cands, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    }
+    keep_a, keep_b = [], []
+    for r in pair_rows:
+        ha, hb = hashes.get(r["id_a"]), hashes.get(r["id_b"])
+        if ha is not None and ha == hb:
+            keep_a.append(r["id_a"])
+            keep_b.append(r["id_b"])
+    tbl = pa.table({"id_a": pa.array(keep_a, type=id_type),
+                    "id_b": pa.array(keep_b, type=id_type)})
+    return tbl.sort_by([("id_a", "ascending"), ("id_b", "ascending")])

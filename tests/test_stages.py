@@ -196,6 +196,36 @@ class TestVerifyPairsNgram:
         assert bands == [0, 1, 2]
 
 
+class TestVerifyPairsEqual:
+    def test_exact_filter_and_string_ids(self, ray_session):
+        """Only content-equal pairs survive; near-identical texts (which
+        can share an est-Jaccard of 1.0) are rejected."""
+        import ray.data as rd
+        from archbloom_ray.stages import verify_pairs_equal
+
+        ta = "the quick brown fox jumps over the lazy dog many times today"
+        docs = rd.from_arrow(pa.table({
+            "id": ["a", "b", "c", "d"],
+            "text": [ta, ta, ta + "!", "something else entirely"],
+        }))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": ["a", "a", "a", "c"],
+            "id_b": ["b", "c", "d", "missing"],
+        }))
+        out = verify_pairs_equal(pairs, docs, "text", "id")
+        assert out.to_pydict() == {"id_a": ["a"], "id_b": ["b"]}
+
+    def test_empty_pairs(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import verify_pairs_equal
+
+        docs = rd.from_arrow(pa.table({"id": [1, 2], "text": ["x", "y"]}))
+        pairs = rd.from_arrow(pa.table({
+            "id_a": pa.array([], pa.int64()), "id_b": pa.array([], pa.int64())}))
+        out = verify_pairs_equal(pairs, docs, "text", "id")
+        assert len(out) == 0 and out.column_names == ["id_a", "id_b"]
+
+
 class TestSimHash:
     def test_simhash_identical_and_different(self):
         h = simhash_batch(["the quick brown fox jumps", "the quick brown fox jumps",
