@@ -11,6 +11,7 @@ from .query import membership, sketch_probe
 from .relational import (
     bloom_semijoin,
     broadcast_lookup,
+    broadcast_range_count,
     grouped_agg,
     grouped_quantiles,
     hash_join,
@@ -28,6 +29,7 @@ __all__ = [
     "sketch_partials",
     "bloom_semijoin",
     "broadcast_lookup",
+    "broadcast_range_count",
     "grouped_agg",
     "grouped_quantiles",
     "hash_join",

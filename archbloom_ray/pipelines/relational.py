@@ -780,3 +780,59 @@ def rolling_count_max(
         .groupby("_pkey")
         .map_groups(partition_windows, batch_format="pyarrow")
     )
+
+
+def broadcast_range_count(
+    ds: "ray.data.Dataset",
+    ts_column: str,
+    intervals_ref,
+    *,
+    id_column: str = "interval_id",
+    lo_column: str = "lo",
+    hi_column: str = "hi",
+    out_column: str = "n_events",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Broadcast interval (range) join, aggregate form: count fact rows
+    whose ``ts_column`` falls in each half-open ``[lo, hi)`` of a SMALL
+    interval table (``ray.put`` handle to a pyarrow Table with id/lo/hi
+    columns, lo/hi as int64 in the fact column's raw unit).
+
+    Scale shape: the interval side is broadcast once and indexed once
+    per worker process (proc_cache); each fact batch sorts its values
+    and answers ALL intervals with two vectorized searchsorted probes,
+    emitting per-batch partial counts — the shuffle moves O(intervals)
+    rows per batch, never fact rows.  Intervals may overlap (each
+    counts independently); a row inside k intervals contributes to all
+    k.  Intervals with zero matches are absent from the output (the
+    caller outer-joins against its interval list if it needs zeros).
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    def _build():
+        t = _ray.get(intervals_ref)
+        return (
+            t[id_column].combine_chunks(),
+            np.asarray(t[lo_column], dtype=np.int64),
+            np.asarray(t[hi_column], dtype=np.int64),
+        )
+
+    def partial(batch: pa.Table) -> pa.Table:
+        ids, lo, hi = cached_instance(
+            ("range_count", intervals_ref.hex()), _build)
+        ts = np.sort(np.asarray(pc.cast(batch[ts_column].combine_chunks(),
+                                        pa.int64()), dtype=np.int64))
+        n = np.searchsorted(ts, hi, side="left") - np.searchsorted(ts, lo, side="left")
+        keep = np.flatnonzero(n > 0)
+        return pa.table({
+            id_column: ids.take(pa.array(keep)),
+            out_column: pa.array(n[keep].astype(np.int64)),
+        })
+
+    partials = ds.map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True,
+    )
+    return grouped_agg(partials, [id_column], [(out_column, out_column, "sum")])

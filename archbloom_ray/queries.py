@@ -122,6 +122,44 @@ def q_events_hourly(sf_dir: str):
     return grouped_agg(ds, ["event_type", "hour"], [("n_events", None, "count")])
 
 
+def q_events_window_counts(sf_dir: str):
+    """Broadcast range join: the 20 heaviest hours (distributed hourly
+    pre-aggregate → tiny sort) become ±-skewed windows
+    [hour−10min, hour+70min) that do NOT align to bucket edges; the
+    events stream is then range-joined against the broadcast window
+    table (pipelines.relational.broadcast_range_count — two vectorized
+    searchsorted probes per batch, O(windows) partial rows shuffled)."""
+    from .pipelines import broadcast_range_count
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        return pa.table({"window_hour": pc.floor_temporal(batch["ts"], unit="hour")})
+
+    ds = _read(sf_dir, "events", ["ts"])
+    hourly = grouped_agg(
+        ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
+        ["window_hour"], [("n", None, "count")],
+    )
+    top = hourly.sort(["n", "window_hour"], descending=[True, False]).limit(20).take_all()
+    hours_us = np.asarray(
+        pa.array([r["window_hour"] for r in top], type=pa.timestamp("us"))
+        .cast(pa.int64())
+    )
+    intervals = pa.table({
+        "window_hour": pa.array(hours_us).cast(pa.timestamp("us")),
+        "lo": pa.array(hours_us - 10 * 60 * 1_000_000),
+        "hi": pa.array(hours_us + 70 * 60 * 1_000_000),
+    })
+    ref = ray.put(intervals)
+    out = broadcast_range_count(
+        _read(sf_dir, "events", ["ts"]), "ts", ref, id_column="window_hour",
+    )
+    rows = sorted(out.take_all(), key=lambda r: r["window_hour"])
+    return pa.table({
+        "window_hour": pa.array([r["window_hour"] for r in rows], type=pa.timestamp("us")),
+        "n_events": pa.array([r["n_events"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_top_users(sf_dir: str):
     ds = _read(sf_dir, "events", ["user_id"])
     counts = grouped_agg(ds, ["user_id"], [("n_events", None, "count")])
@@ -1608,6 +1646,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
+        "events_window_counts": q_events_window_counts,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2168,6 +2207,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "events_window_counts": """
+            WITH hourly AS (
+                SELECT date_trunc('hour', ts) AS window_hour, count(*) AS n
+                FROM events GROUP BY 1),
+            top AS (
+                SELECT window_hour FROM hourly
+                ORDER BY n DESC, window_hour LIMIT 20)
+            SELECT t.window_hour, CAST(count(*) AS BIGINT) AS n_events
+            FROM top t JOIN events e
+              ON e.ts >= t.window_hour - INTERVAL 10 MINUTE
+             AND e.ts <  t.window_hour + INTERVAL 70 MINUTE
+            GROUP BY t.window_hour ORDER BY t.window_hour
         """,
         "customers_no_urgent": """
             SELECT c_mktsegment, count(*) AS n_customers

@@ -302,3 +302,30 @@ class TestHistogramAndWeightedSample:
         again = weighted_sample(
             rd.from_arrow(tbl).repartition(17), "id", "w", k=20).take_all()
         assert sorted(ids) == sorted(r["id"] for r in again)
+
+    def test_broadcast_range_count(self, ray_session):
+        """Overlapping, non-aligned [lo, hi) windows over a fact stream:
+        per-window counts match a brute-force check, boundaries are
+        half-open, and a row inside k windows counts in all k."""
+        import ray
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import broadcast_range_count
+
+        rng = np.random.default_rng(7)
+        ts_us = np.sort(rng.integers(0, 10_000, size=5000)).astype("datetime64[us]")
+        facts = rd.from_arrow(pa.table({"ts": pa.array(ts_us)})).repartition(8)
+        lo = np.array([0, 50, 5000, 9_999, 20_000], dtype=np.int64)
+        hi = np.array([100, 150, 9_000, 10_000, 30_000], dtype=np.int64)
+        intervals = pa.table({
+            "interval_id": pa.array(np.arange(5, dtype=np.int64)),
+            "lo": pa.array(lo), "hi": pa.array(hi),
+        })
+        out = {r["interval_id"]: r["n_events"]
+               for r in broadcast_range_count(
+                   facts, "ts", ray.put(intervals)).take_all()}
+        raw = ts_us.astype("int64")
+        for i in range(5):
+            expect = int(((raw >= lo[i]) & (raw < hi[i])).sum())
+            assert out.get(i, 0) == expect, (i, out.get(i, 0), expect)
+        assert 4 not in out  # empty window absent from output
