@@ -14,6 +14,7 @@ from .relational import (
     broadcast_range_count,
     grouped_agg,
     grouped_quantiles,
+    grouped_topk,
     hash_join,
     histogram_int,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "broadcast_range_count",
     "grouped_agg",
     "grouped_quantiles",
+    "grouped_topk",
     "hash_join",
     "histogram_int",
     "membership",

@@ -136,6 +136,60 @@ def grouped_mode(
     return candidates.groupby(keys).map_groups(pick, batch_format="pyarrow")
 
 
+def grouped_topk(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    k: int,
+    *,
+    out_count: str = "n",
+    out_rank: str = "rank",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Top-``k`` most frequent ``value_col`` rows per key combination
+    with 1..k rank, deterministic (count DESC, value ASC) tie-break —
+    SQL's ``row_number() OVER (PARTITION BY keys ORDER BY count(*)
+    DESC, value ASC) <= k``.
+
+    Same shape as :func:`grouped_mode` (its k=1 special case): exact
+    grouped counts (in-batch pre-combine) → per-block LOCAL top-k
+    (≤ k candidate rows per key per block — any global top-k row is in
+    its block's top-k) → a tiny final per-key top-k that assigns rank.
+    The all-to-all volume is the distinct (key, value) table, then
+    ≤ k rows per key per block — never raw rows.
+    """
+    counts = grouped_agg(ds, keys + [value_col], [(out_count, None, "count")],
+                         batch_size=batch_size)
+
+    def _topk(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(kk, "ascending") for kk in keys]
+            + [(out_count, "descending"), (value_col, "ascending")])
+        t = tbl.take(idx)
+        n = len(t)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+        for kk in keys:
+            col = np.asarray(t[kk])
+            first[1:] |= col[1:] != col[:-1]
+        pos = np.arange(n) - np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        keep = pos < k
+        t = t.filter(pa.array(keep))
+        cols = {kk: t[kk] for kk in keys}
+        cols[value_col] = t[value_col]
+        cols[out_count] = pc.cast(t[out_count], pa.int64())
+        if with_rank:
+            cols[out_rank] = pa.array((pos[keep] + 1).astype(np.int64))
+        return pa.table(cols)
+
+    candidates = counts.map_batches(lambda b: _topk(b, False),
+                                    batch_format="pyarrow", zero_copy_batch=True)
+    return candidates.groupby(keys).map_groups(
+        lambda g: _topk(g, True), batch_format="pyarrow")
+
+
 def grouped_quantiles(
     ds: "ray.data.Dataset",
     keys: list[str],

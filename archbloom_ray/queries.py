@@ -166,6 +166,23 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_top_users_by_type(sf_dir: str):
+    """Grouped top-k: the 5 most active users per event type with rank
+    (pipelines.relational.grouped_topk — exact grouped counts →
+    per-block local top-k → tiny final per-key top-k)."""
+    from .pipelines import grouped_topk
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    out = grouped_topk(ds, ["event_type"], "user_id", 5)
+    rows = sorted(out.take_all(), key=lambda r: (r["event_type"], r["rank"]))
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_orders_by_segment(sf_dir: str):
     """Broadcast join orders ⇢ customer (small side via ray.put)."""
     cust = pa.parquet.read_table(
@@ -1647,6 +1664,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
+        "top_users_by_type": q_top_users_by_type,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2207,6 +2225,19 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "top_users_by_type": """
+            WITH c AS (
+                SELECT event_type, user_id, count(*) AS cnt
+                FROM events GROUP BY 1, 2),
+            r AS (
+                SELECT event_type, user_id, CAST(cnt AS BIGINT) AS n,
+                       CAST(row_number() OVER (
+                            PARTITION BY event_type
+                            ORDER BY cnt DESC, user_id ASC) AS BIGINT) AS rank
+                FROM c)
+            SELECT event_type, user_id, n, rank
+            FROM r WHERE rank <= 5 ORDER BY event_type, rank
         """,
         "events_window_counts": """
             WITH hourly AS (

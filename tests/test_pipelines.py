@@ -329,3 +329,30 @@ class TestHistogramAndWeightedSample:
             expect = int(((raw >= lo[i]) & (raw < hi[i])).sum())
             assert out.get(i, 0) == expect, (i, out.get(i, 0), expect)
         assert 4 not in out  # empty window absent from output
+
+    def test_grouped_topk(self, ray_session):
+        """grouped_topk == brute-force pandas row_number(count desc,
+        value asc) <= k, invariant to input partitioning."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_topk
+
+        rng = np.random.default_rng(3)
+        keys = rng.choice(["a", "b", "c"], size=4000)
+        vals = rng.integers(0, 40, size=4000)
+        tbl = pa.table({"k": pa.array(keys), "v": pa.array(vals.astype(np.int64))})
+
+        import collections
+        expect = {}
+        for kk in "abc":
+            cnt = collections.Counter(vals[keys == kk].tolist())
+            top = sorted(cnt.items(), key=lambda iv: (-iv[1], iv[0]))[:4]
+            expect[kk] = [(v, c, i + 1) for i, (v, c) in enumerate(top)]
+
+        for parts in (1, 13):
+            out = grouped_topk(rd.from_arrow(tbl).repartition(parts),
+                               ["k"], "v", 4).take_all()
+            got = {}
+            for r in sorted(out, key=lambda r: (r["k"], r["rank"])):
+                got.setdefault(r["k"], []).append((r["v"], r["n"], r["rank"]))
+            assert got == expect, parts
