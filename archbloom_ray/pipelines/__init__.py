@@ -14,6 +14,7 @@ from .relational import (
     broadcast_range_count,
     grouped_agg,
     grouped_quantiles,
+    grouped_rollup,
     grouped_topk,
     hash_join,
     histogram_int,
@@ -33,6 +34,7 @@ __all__ = [
     "broadcast_range_count",
     "grouped_agg",
     "grouped_quantiles",
+    "grouped_rollup",
     "grouped_topk",
     "hash_join",
     "histogram_int",

@@ -79,6 +79,79 @@ def grouped_agg(
     return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
 
 
+_ROLLUP_REAGG: dict[str, str] = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
+
+
+def grouped_rollup(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str | None, AggKind]],
+    *,
+    all_label: str = "ALL",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY ROLLUP(keys)`` from ONE scan of the input: the
+    finest level is an exact :func:`grouped_agg` (in-batch pre-combine),
+    and every coarser prefix level re-aggregates the FINE table — tiny
+    vs the input, so the extra levels cost no additional scans or wide
+    shuffles.  Rolled-up key columns carry ``all_label`` instead of
+    SQL's NULL (hash-compare-friendly; key columns must be strings).
+
+    Aggregate kinds must be re-aggregable: count/sum roll up via sum,
+    min via min, max via max (mean is not decomposable — carry sum and
+    count instead and divide at the end).
+    """
+    for _, _, kind in aggs:
+        if kind not in _ROLLUP_REAGG:
+            raise ValueError(f"grouped_rollup: kind {kind!r} is not re-aggregable")
+
+    # materialize the FINE aggregate (small: one row per key combo) so
+    # the coarser levels re-aggregate it instead of re-running the
+    # full input scan once per level
+    fine = grouped_agg(ds, keys, aggs, batch_size=batch_size).materialize()
+    reagg = [(out, out, _ROLLUP_REAGG[kind]) for out, _, kind in aggs]
+    out_names = [out for out, _, _ in aggs]
+
+    def fill_all(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for k in keys:
+                cols[k] = (batch[k] if k in level_keys
+                           else pa.array([all_label] * n, type=pa.string()))
+            for o in out_names:
+                cols[o] = batch[o]
+            return pa.table(cols)
+        return fn
+
+    levels = [fine.map_batches(fill_all(keys), batch_format="pyarrow",
+                               zero_copy_batch=True)]
+    for i in range(len(keys) - 1, 0, -1):
+        lvl = grouped_agg(fine, keys[:i], reagg, batch_size=batch_size)
+        levels.append(lvl.map_batches(fill_all(keys[:i]), batch_format="pyarrow",
+                                      zero_copy_batch=True))
+
+    # grand total: constant key so the same grouped combine applies
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_all", pa.array([all_label] * len(batch),
+                                                    type=pa.string()))
+
+    total = grouped_agg(fine.map_batches(add_const, batch_format="pyarrow",
+                                         zero_copy_batch=True),
+                        ["_all"], reagg, batch_size=batch_size)
+
+    def total_fill(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        cols = {k: pa.array([all_label] * n, type=pa.string()) for k in keys}
+        for o in out_names:
+            cols[o] = batch[o]
+        return pa.table(cols)
+
+    levels.append(total.map_batches(total_fill, batch_format="pyarrow",
+                                    zero_copy_batch=True))
+    return levels[0].union(*levels[1:])
+
+
 def grouped_mode(
     ds: "ray.data.Dataset",
     keys: list[str],

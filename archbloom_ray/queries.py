@@ -166,6 +166,29 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_docs_rollup(sf_dir: str):
+    """Multi-level ROLLUP aggregate over documents: doc count + char
+    sum + max chars at (lang, source), (lang) and grand-total levels
+    from ONE scan — coarser levels re-aggregate the materialized fine
+    table (pipelines.relational.grouped_rollup)."""
+    from .pipelines import grouped_rollup
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    out = grouped_rollup(ds, ["lang", "source"], [
+        ("n_docs", None, "count"),
+        ("sum_chars", "n_chars", "sum"),
+        ("max_chars", "n_chars", "max"),
+    ])
+    rows = sorted(out.take_all(), key=lambda r: (r["lang"], r["source"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "sum_chars": pa.array([r["sum_chars"] for r in rows], type=pa.int64()),
+        "max_chars": pa.array([r["max_chars"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_top_users_by_type(sf_dir: str):
     """Grouped top-k: the 5 most active users per event type with rank
     (pipelines.relational.grouped_topk — exact grouped counts →
@@ -1665,6 +1688,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
         "top_users_by_type": q_top_users_by_type,
+        "docs_rollup": q_docs_rollup,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2225,6 +2249,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "docs_rollup": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(max(n_chars) AS BIGINT) AS max_chars
+            FROM documents
+            GROUP BY ROLLUP(lang, source)
+            ORDER BY lang, source
         """,
         "top_users_by_type": """
             WITH c AS (

@@ -356,3 +356,37 @@ class TestHistogramAndWeightedSample:
             for r in sorted(out, key=lambda r: (r["k"], r["rank"])):
                 got.setdefault(r["k"], []).append((r["v"], r["n"], r["rank"]))
             assert got == expect, parts
+
+    def test_grouped_rollup(self, ray_session):
+        """All rollup levels match brute-force pandas; non-decomposable
+        kinds are rejected."""
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_rollup
+
+        rng = np.random.default_rng(11)
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y"], 3000),
+            "b": rng.choice(["p", "q", "r"], 3000),
+            "v": rng.integers(0, 100, 3000).astype(np.int64),
+        })
+        out = grouped_rollup(
+            rd.from_arrow(pa.Table.from_pandas(df)).repartition(7),
+            ["a", "b"],
+            [("n", None, "count"), ("s", "v", "sum"), ("mx", "v", "max")],
+        ).take_all()
+        got = {(r["a"], r["b"]): (r["n"], r["s"], r["mx"]) for r in out}
+        fine = df.groupby(["a", "b"])["v"].agg(["count", "sum", "max"])
+        for (a, b), row in fine.iterrows():
+            assert got[(a, b)] == (row["count"], row["sum"], row["max"])
+        lvl1 = df.groupby("a")["v"].agg(["count", "sum", "max"])
+        for a, row in lvl1.iterrows():
+            assert got[(a, "ALL")] == (row["count"], row["sum"], row["max"])
+        assert got[("ALL", "ALL")] == (len(df), df["v"].sum(), df["v"].max())
+        assert len(got) == len(fine) + len(lvl1) + 1
+
+        with pytest.raises(ValueError):
+            grouped_rollup(rd.from_arrow(pa.Table.from_pandas(df)),
+                           ["a"], [("m", "v", "mean")])
