@@ -18,6 +18,7 @@ from .relational import (
     grouped_topk,
     hash_join,
     histogram_int,
+    key_set_op,
 )
 from .write import resumable_shard_map, write_partitioned
 
@@ -38,6 +39,7 @@ __all__ = [
     "grouped_topk",
     "hash_join",
     "histogram_int",
+    "key_set_op",
     "membership",
     "sketch_probe",
     "resumable_shard_map",

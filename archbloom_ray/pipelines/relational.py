@@ -619,6 +619,56 @@ def rank_errors(
                     np.minimum(np.abs(q - lo), np.abs(q - hi)))
 
 
+def key_set_op(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    column: str,
+    op: str,
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Distributed distinct set operation on a key column — SQL
+    ``INTERSECT`` / ``EXCEPT`` / ``UNION`` (all distinct).
+
+    Scale shape: each side deduplicates per batch BEFORE the shuffle, a
+    0/1 side flag rides along, and one grouped min/max over the flag
+    decides membership (min=0 ∧ max=1 ⇒ both sides; max=0 ⇒ left
+    only).  The all-to-all volume is per-block distinct keys, never raw
+    rows; no driver-side materialization.
+    """
+    if op not in ("intersect", "except", "union"):
+        raise ValueError(f"key_set_op: unknown op {op!r}")
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            col = batch[column]
+            u = pc.unique(col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col)
+            return pa.table({column: u,
+                             "_side": pa.array(np.full(len(u), side, dtype=np.int8))})
+        return fn
+
+    tagged = left.map_batches(tag(0), batch_format="pyarrow",
+                              batch_size=batch_size, zero_copy_batch=True).union(
+        right.map_batches(tag(1), batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True))
+    flags = grouped_agg(tagged, [column],
+                        [("_lo", "_side", "min"), ("_hi", "_side", "max")],
+                        batch_size=batch_size)
+
+    def pick(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["_lo"], dtype=np.int8)
+        hi = np.asarray(batch["_hi"], dtype=np.int8)
+        if op == "intersect":
+            keep = (lo == 0) & (hi == 1)
+        elif op == "except":
+            keep = hi == 0
+        else:
+            keep = np.ones(len(batch), dtype=bool)
+        return pa.table({column: batch[column].filter(pa.array(keep))})
+
+    return flags.map_batches(pick, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def distinct_count(ds: "ray.data.Dataset", column: str, *, batch_size: int = 65536) -> int:
     """Exact distinct count with in-batch dedup before the shuffle."""
 

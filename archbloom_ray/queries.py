@@ -166,6 +166,21 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_parts_heavy_only(sf_dir: str):
+    """Distributed EXCEPT (pipelines.relational.key_set_op): part keys
+    that ship in heavy quantity (≥45) but never in small quantity (≤5)
+    — both sides dedup in-batch, one grouped min/max over a side flag
+    decides membership; the shuffle carries distinct keys only."""
+    from .pipelines import key_set_op
+
+    ds = _read(sf_dir, "lineitem", ["l_partkey", "l_quantity"])
+    heavy = ds.filter(expr="l_quantity >= 45").select_columns(["l_partkey"])
+    small = ds.filter(expr="l_quantity <= 5").select_columns(["l_partkey"])
+    out = key_set_op(heavy, small, "l_partkey", "except")
+    keys = sorted(r["l_partkey"] for r in out.take_all())
+    return pa.table({"l_partkey": pa.array(keys, type=pa.int64())})
+
+
 def q_docs_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate over documents: doc count + char
     sum + max chars at (lang, source), (lang) and grand-total levels
@@ -1689,6 +1704,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_counts": q_events_window_counts,
         "top_users_by_type": q_top_users_by_type,
         "docs_rollup": q_docs_rollup,
+        "parts_heavy_only": q_parts_heavy_only,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2249,6 +2265,12 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "parts_heavy_only": """
+            SELECT l_partkey FROM lineitem WHERE l_quantity >= 45
+            EXCEPT
+            SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
+            ORDER BY l_partkey
         """,
         "docs_rollup": """
             SELECT coalesce(lang, 'ALL') AS lang,

@@ -390,3 +390,24 @@ class TestHistogramAndWeightedSample:
         with pytest.raises(ValueError):
             grouped_rollup(rd.from_arrow(pa.Table.from_pandas(df)),
                            ["a"], [("m", "v", "mean")])
+
+    def test_key_set_op(self, ray_session):
+        """intersect/except/union(distinct) match Python set algebra,
+        invariant to duplicates and partitioning."""
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import key_set_op
+
+        rng = np.random.default_rng(5)
+        a = rng.integers(0, 60, size=1000)
+        b = rng.integers(40, 100, size=1000)
+        la = rd.from_arrow(pa.table({"k": pa.array(a.astype(np.int64))})).repartition(5)
+        lb = rd.from_arrow(pa.table({"k": pa.array(b.astype(np.int64))})).repartition(3)
+        sa, sb = set(a.tolist()), set(b.tolist())
+        for op, expect in (("intersect", sa & sb), ("except", sa - sb),
+                           ("union", sa | sb)):
+            got = {r["k"] for r in key_set_op(la, lb, "k", op).take_all()}
+            assert got == expect, op
+        with pytest.raises(ValueError):
+            key_set_op(la, lb, "k", "xor")
