@@ -19,6 +19,7 @@ from .relational import (
     hash_join,
     histogram_int,
     key_set_op,
+    pivot_counts,
 )
 from .write import resumable_shard_map, write_partitioned
 
@@ -40,6 +41,7 @@ __all__ = [
     "hash_join",
     "histogram_int",
     "key_set_op",
+    "pivot_counts",
     "membership",
     "sketch_probe",
     "resumable_shard_map",

@@ -619,6 +619,57 @@ def rank_errors(
                     np.minimum(np.abs(q - lo), np.abs(q - hi)))
 
 
+def pivot_counts(
+    ds: "ray.data.Dataset",
+    row_key: str,
+    col_key: str,
+    col_values: list[str],
+    *,
+    prefix: str = "n_",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Wide reshape (pivot): one output row per ``row_key`` value with
+    an int64 count column per entry of ``col_values``.
+
+    The pivot column set is caller-supplied and FIXED — a stable output
+    schema is a hard requirement of a distributed pivot (blocks must
+    agree on columns without a coordination round); a ``col_key`` value
+    outside ``col_values`` raises rather than silently dropping rows.
+
+    Shape: exact grouped (row, col) counts with in-batch pre-combine,
+    then a vectorized scatter of each count block into the wide layout
+    and a grouped sum of the wide partials — the shuffle carries the
+    distinct (row, col) table, then one wide row per row key per block.
+    """
+    fine = grouped_agg(ds, [row_key, col_key], [("_n", None, "count")],
+                       batch_size=batch_size)
+    col_idx = {v: i for i, v in enumerate(col_values)}
+    wide_names = [f"{prefix}{v}" for v in col_values]
+
+    def widen(batch: pa.Table) -> pa.Table:
+        rows = np.asarray(batch[row_key])
+        if rows.dtype == object:
+            rows = rows.astype("U")
+        cols = batch[col_key].to_pylist()
+        unknown = [c for c in cols if c not in col_idx]
+        if unknown:
+            raise ValueError(f"pivot_counts: unexpected {col_key} values {unknown[:5]!r}")
+        n = np.asarray(batch["_n"], dtype=np.int64)
+        uniq, inv = np.unique(rows, return_inverse=True)
+        wide = np.zeros((len(uniq), len(col_values)), dtype=np.int64)
+        np.add.at(wide, (inv, [col_idx[c] for c in cols]), n)
+        out = {row_key: pa.array(uniq, type=batch[row_key].type)}
+        for j, name in enumerate(wide_names):
+            out[name] = pa.array(wide[:, j])
+        return pa.table(out)
+
+    wide_partials = fine.map_batches(widen, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+    return grouped_agg(wide_partials, [row_key],
+                       [(name, name, "sum") for name in wide_names],
+                       batch_size=batch_size)
+
+
 def key_set_op(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -166,6 +166,62 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_normalized_lengths(sf_dir: str):
+    """Canonical text normalization (stages.text.add_normalized —
+    Unicode lowercase, control-char strip, whitespace-run collapse,
+    trim; all Arrow/re2 kernels): per-doc normalized character count,
+    SQL-checkable because DuckDB's regexp_replace is the same RE2."""
+    from .stages import add_normalized
+
+    ds = add_normalized(_read(sf_dir, "documents", ["doc_id", "text"]))
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_norm_chars": pc.cast(pc.utf8_length(batch["text_norm"]), pa.int64()),
+        })
+
+    rows = sorted(
+        ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_norm_chars": pa.array([r["n_norm_chars"] for r in rows], type=pa.int64()),
+    })
+
+
+def _oracle_normalized_lengths() -> str:
+    from .stages.text import _RE2_WS
+
+    ws_re = _sql_quote(_RE2_WS)
+    return f"""
+        SELECT doc_id,
+               CAST(length(trim(
+                   regexp_replace(
+                       regexp_replace(lower(text),
+                           '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                       '{ws_re}', ' ', 'g'), ' ')) AS BIGINT) AS n_norm_chars
+        FROM documents ORDER BY doc_id
+    """
+
+
+_PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
+
+
+def q_source_lang_pivot(sf_dir: str):
+    """Distributed pivot (pipelines.relational.pivot_counts): documents
+    reshaped wide — one row per source, one count column per language."""
+    from .pipelines import pivot_counts
+
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    out = pivot_counts(ds, "source", "lang", _PIVOT_LANGS)
+    rows = sorted(out.take_all(), key=lambda r: r["source"])
+    cols = {"source": pa.array([r["source"] for r in rows], type=pa.string())}
+    for lang in _PIVOT_LANGS:
+        cols[f"n_{lang}"] = pa.array([r[f"n_{lang}"] for r in rows], type=pa.int64())
+    return pa.table(cols)
+
+
 def q_parts_heavy_only(sf_dir: str):
     """Distributed EXCEPT (pipelines.relational.key_set_op): part keys
     that ship in heavy quantity (≥45) but never in small quantity (≤5)
@@ -1705,6 +1761,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_type": q_top_users_by_type,
         "docs_rollup": q_docs_rollup,
         "parts_heavy_only": q_parts_heavy_only,
+        "source_lang_pivot": q_source_lang_pivot,
+        "normalized_lengths": q_normalized_lengths,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2265,6 +2323,16 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS cum_value_cents
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
+        """,
+        "normalized_lengths": _oracle_normalized_lengths(),
+        "source_lang_pivot": """
+            SELECT source,
+                   CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,
+                   CAST(count(*) FILTER (WHERE lang = 'en') AS BIGINT) AS n_en,
+                   CAST(count(*) FILTER (WHERE lang = 'es') AS BIGINT) AS n_es,
+                   CAST(count(*) FILTER (WHERE lang = 'fr') AS BIGINT) AS n_fr,
+                   CAST(count(*) FILTER (WHERE lang = 'zh') AS BIGINT) AS n_zh
+            FROM documents GROUP BY source ORDER BY source
         """,
         "parts_heavy_only": """
             SELECT l_partkey FROM lineitem WHERE l_quantity >= 45

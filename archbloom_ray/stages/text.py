@@ -615,3 +615,33 @@ def repetition_gate(ds: "ray.data.Dataset", text_col: str, group_col: str,
     return grouped_agg(per_doc, [group_col], [
         ("n_docs", None, "count"), ("n_repetitive", "is_rep", "sum"),
         ("sum_top_bigram", "top", "sum"), ("n_bigrams", "tot", "sum")])
+
+
+# ---------------------------------------------------------------------------
+# normalization — canonical text cleanup before dedup / fingerprinting
+# ---------------------------------------------------------------------------
+
+def normalize_text_arrow(col) -> pa.Array:
+    """Canonical cleanup, fully Arrow-vectorized (re2 kernels): lowercase
+    (Unicode), strip C0/C1 control chars, collapse every whitespace run
+    (incl. NBSP and other Zs — the `_RE2_WS` class) to a single space,
+    trim the ends.  Matches DuckDB's RE2-based lower+regexp_replace, so
+    the stage is SQL-oracle-checkable."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = pc.utf8_lower(col)
+    out = pc.replace_substring_regex(out, pattern=r"[\x00-\x08\x0e-\x1f\x7f]",
+                                     replacement="")
+    out = pc.replace_substring_regex(out, pattern=_RE2_WS, replacement=" ")
+    out = pc.utf8_trim(out, characters=" ")
+    return out
+
+
+def add_normalized(ds: "ray.data.Dataset", text_col: str = "text",
+                   out_col: str = "text_norm") -> "ray.data.Dataset":
+    """Append the normalized text column (streaming map_batches)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        return batch.append_column(out_col, normalize_text_arrow(batch[text_col]))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

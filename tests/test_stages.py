@@ -960,3 +960,44 @@ class TestVideo:
 
         with pytest.raises(NotImplementedError):
             decode_ppm_stream(b"\x00\x00\x00\x1cftypisom" + b"\x00" * 50)
+
+
+class TestNormalizeText:
+    def test_adversarial_parity(self):
+        """normalize_text_arrow vs a scalar reference on control chars,
+        NBSP/Zs spaces, tabs/newlines, mixed case, and empties."""
+        import re
+        import unicodedata
+
+        from archbloom_ray.stages import normalize_text_arrow
+
+        def scalar(t: str) -> str:
+            t = t.lower()
+            t = re.sub(r"[\x00-\x08\x0e-\x1f\x7f]", "", t)
+            ws = "".join(
+                chr(c) for c in range(0x2000, 0x3001)
+                if unicodedata.category(chr(c)) == "Zs")
+            t = re.sub(f"[ \\t\\n\\r\\f\\v\\x0b\\x1c-\\x1f\\x85\\xa0{ws}]+", " ", t)
+            return t.strip(" ")
+
+        cases = [
+            "Hello   WORLD",
+            "tab\tand\nnewline\r\nmix",
+            "ctrl\x01\x02chars\x7fhere",
+            "nbsp and em-space",
+            "  leading and trailing  ",
+            "", "UPPER lower MiXeD",
+            "　ideographic　space　",
+        ]
+        got = normalize_text_arrow(pa.array(cases)).to_pylist()
+        for c, g in zip(cases, got):
+            assert g == scalar(c), (c, g, scalar(c))
+
+    def test_add_normalized(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import add_normalized
+
+        ds = rd.from_arrow(pa.table({"text": ["A  B", "c\td"]}))
+        out = {r["text"]: r["text_norm"] for r in add_normalized(ds).take_all()}
+        assert out == {"A  B": "a b", "c\td": "c d"}
