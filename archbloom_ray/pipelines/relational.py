@@ -79,6 +79,54 @@ def grouped_agg(
     return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
 
 
+def grouped_min_k(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    order_cols: list[str],
+    k: int,
+    *,
+    out_rank: str = "rank",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Per-key smallest-``k`` rows by a composite ascending sort key —
+    SQL ``row_number() OVER (PARTITION BY keys ORDER BY order_cols)
+    <= k`` — carrying every input column through.
+
+    Covers per-group earliest/latest-rows selection and deterministic
+    per-group sampling (order by a SQL-computable multiplicative hash).
+
+    Shape: per-block LOCAL min-k per key (any global min-k row is in
+    its block's min-k, so ≤ k candidate rows per key per block reach
+    the shuffle), then a tiny final per-key min-k that assigns rank.
+    Raw rows never shuffle beyond the candidates.
+    """
+
+    def _mink(tbl: pa.Table, with_rank: bool) -> pa.Table:
+        idx = pc.sort_indices(
+            tbl, sort_keys=[(c, "ascending") for c in keys + order_cols])
+        t = tbl.take(idx)
+        n = len(t)
+        first = np.zeros(n, dtype=bool)
+        if n:
+            first[0] = True
+        for kk in keys:
+            col = np.asarray(t[kk])
+            first[1:] |= col[1:] != col[:-1]
+        pos = np.arange(n) - np.maximum.accumulate(
+            np.where(first, np.arange(n), 0))
+        keep = pos < k
+        t = t.filter(pa.array(keep))
+        if with_rank:
+            t = t.append_column(out_rank, pa.array((pos[keep] + 1).astype(np.int64)))
+        return t
+
+    candidates = ds.map_batches(lambda b: _mink(b, False),
+                                batch_format="pyarrow", batch_size=batch_size,
+                                zero_copy_batch=True)
+    return candidates.groupby(keys).map_groups(
+        lambda g: _mink(g, True), batch_format="pyarrow")
+
+
 _ROLLUP_REAGG: dict[str, str] = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
 
 

@@ -166,6 +166,46 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+_KNUTH = 2654435761  # multiplicative hash both engines can compute
+
+
+def q_lang_doc_sample(sf_dir: str):
+    """Deterministic per-group sample: 5 docs per language ranked by a
+    SQL-computable multiplicative hash of doc_id
+    (pipelines.relational.grouped_min_k — ≤ k candidates per key per
+    block reach the shuffle)."""
+    from .pipelines import grouped_min_k
+
+    def add_h(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.append_column("h", pa.array((ids * _KNUTH) % (1 << 32)))
+
+    ds = _read(sf_dir, "documents", ["lang", "doc_id"]).map_batches(
+        add_h, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_min_k(ds, ["lang"], ["h", "doc_id"], 5)
+    rows = sorted(out.take_all(), key=lambda r: (r["lang"], r["rank"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+    })
+
+
+def q_user_first_events(sf_dir: str):
+    """Per-user earliest 3 events by (ts, event_id) with rank — the
+    per-group first-rows selection shape of grouped_min_k."""
+    from .pipelines import grouped_min_k
+
+    ds = _read(sf_dir, "events", ["user_id", "event_id", "ts"])
+    out = grouped_min_k(ds, ["user_id"], ["ts", "event_id"], 3)
+    rows = sorted(out.take_all(), key=lambda r: (r["user_id"], r["rank"]))
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "event_id": pa.array([r["event_id"] for r in rows], type=pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_normalized_lengths(sf_dir: str):
     """Canonical text normalization (stages.text.add_normalized —
     Unicode lowercase, control-char strip, whitespace-run collapse,
@@ -1763,6 +1803,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_heavy_only": q_parts_heavy_only,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
+        "lang_doc_sample": q_lang_doc_sample,
+        "user_first_events": q_user_first_events,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
         "lineitem_orders_join": q_lineitem_orders_join,
@@ -2325,6 +2367,27 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "normalized_lengths": _oracle_normalized_lengths(),
+        "lang_doc_sample": """
+            WITH r AS (
+                SELECT lang, doc_id,
+                       CAST(row_number() OVER (
+                            PARTITION BY lang
+                            ORDER BY (doc_id * 2654435761) % 4294967296,
+                                     doc_id) AS BIGINT) AS rank
+                FROM documents)
+            SELECT lang, doc_id, rank FROM r WHERE rank <= 5
+            ORDER BY lang, rank
+        """,
+        "user_first_events": """
+            WITH r AS (
+                SELECT user_id, event_id,
+                       CAST(row_number() OVER (
+                            PARTITION BY user_id
+                            ORDER BY ts, event_id) AS BIGINT) AS rank
+                FROM events)
+            SELECT user_id, event_id, rank FROM r WHERE rank <= 3
+            ORDER BY user_id, rank
+        """,
         "source_lang_pivot": """
             SELECT source,
                    CAST(count(*) FILTER (WHERE lang = 'de') AS BIGINT) AS n_de,

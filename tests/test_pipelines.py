@@ -411,3 +411,33 @@ class TestHistogramAndWeightedSample:
             assert got == expect, op
         with pytest.raises(ValueError):
             key_set_op(la, lb, "k", "xor")
+
+    def test_grouped_min_k(self, ray_session):
+        """Per-key smallest-k by composite order == brute-force pandas
+        row_number; all input columns ride through; partition-invariant."""
+        import pandas as pd
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_min_k
+
+        rng = np.random.default_rng(9)
+        df = pd.DataFrame({
+            "g": rng.choice(["a", "b", "c", "d"], 2000),
+            "o1": rng.integers(0, 50, 2000).astype(np.int64),
+            "o2": rng.integers(0, 1_000_000, 2000).astype(np.int64),
+            "payload": rng.integers(0, 10, 2000).astype(np.int64),
+        })
+        expect = (df.sort_values(["g", "o1", "o2"])
+                  .groupby("g").head(3).reset_index(drop=True))
+        for parts in (1, 9):
+            out = grouped_min_k(
+                rd.from_arrow(pa.Table.from_pandas(df)).repartition(parts),
+                ["g"], ["o1", "o2"], 3).take_all()
+            got = sorted(((r["g"], r["o1"], r["o2"], r["payload"], r["rank"])
+                          for r in out))
+            want = sorted(
+                (g, o1, o2, p, i + 1)
+                for g, grp in expect.groupby("g")
+                for i, (o1, o2, p) in enumerate(
+                    zip(grp["o1"], grp["o2"], grp["payload"])))
+            assert got == want, parts
