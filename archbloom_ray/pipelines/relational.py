@@ -956,22 +956,26 @@ def asof_join_broadcast(
 
     rk = np.asarray(right[right_key], dtype=np.int64)
     rts_us = np.asarray(pc.cast(right[right_ts], pa.int64()), dtype=np.int64)
-    base_us = int(rts_us.min()) if len(rts_us) else 0
-    rts_s = (rts_us - base_us) // 1_000_000
+    # floor to ABSOLUTE wall-clock seconds first, then shift into the 34
+    # bits — base-independent flooring keeps the second-granularity
+    # semantics identical across the broadcast and partitioned variants
+    rts_abs = rts_us // 1_000_000
+    base_s = int(rts_abs.min()) if len(rts_abs) else 0
+    rts_s = rts_abs - base_s
     if len(rk) and (rk.max() >= (1 << 29) or rts_s.max() >= (1 << 34)):
         raise ValueError("asof_join_broadcast: key/ts range exceeds composite-key bounds")
     order = np.lexsort((rts_s, rk))
     composite = (rk[order] << np.int64(34)) | rts_s[order]
     vals = {c: np.asarray(right[c])[order] for c in value_columns}
-    ref = _ray.put((composite, rk[order], base_us, vals))
+    ref = _ray.put((composite, rk[order], base_s, vals))
 
     def join(batch: pa.Table) -> pa.Table:
         comp_r, rk_sorted, base, vals_r = cached_instance(
             ("asof", ref.hex()), lambda: _ray.get(ref))
         lk = np.asarray(batch[left_key], dtype=np.int64)
         lts = (np.asarray(pc.cast(batch[left_ts], pa.int64()), dtype=np.int64)
-               - base) // 1_000_000
-        lts = np.maximum(lts, -1)  # pre-epoch left rows can never match
+               // 1_000_000) - base
+        lts = np.maximum(lts, -1)  # pre-base left rows can never match
         comp_l = (lk << np.int64(34)) | np.maximum(lts, 0)
         idx = np.searchsorted(comp_r, comp_l, side="right") - 1
         valid = (idx >= 0) & (lts >= 0)
@@ -1112,3 +1116,104 @@ def broadcast_range_count(
         zero_copy_batch=True,
     )
     return grouped_agg(partials, [id_column], [(out_column, out_column, "sum")])
+
+
+def asof_join_partitioned(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    *,
+    left_key: str,
+    right_key: str,
+    left_ts: str,
+    right_ts: str,
+    value_columns: list[str],
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """As-of join (latest right row with ``right_ts <= left_ts`` per
+    key) when BOTH sides are large — the shuffle counterpart of
+    :func:`asof_join_broadcast` for right sides that outgrow a
+    broadcast.
+
+    Shape: both sides are hash-partitioned on the key with the SAME
+    partition function (co-location) through one unified null-padded
+    schema, and each partition resolves all its matches with the same
+    composite ``(key << 34) | ts_seconds`` searchsorted as the
+    broadcast variant.  Each side moves through the shuffle exactly
+    once; nothing materializes on the driver.  Same bounds contract
+    (key < 2^29, ts span < 2^34 s) and tie behavior (ties on
+    (key, ts) resolve arbitrarily — pre-dedupe the right side for
+    determinism).
+    """
+    lsch = getattr(left.schema(), "base_schema", left.schema())
+    rsch = getattr(right.schema(), "base_schema", right.schema())
+    left_cols = list(lsch.names)
+    ltypes = {c: lsch.field(c).type for c in left_cols}
+    vtypes = {c: rsch.field(c).type for c in value_columns}
+
+    def _pk(k: np.ndarray) -> pa.Array:
+        with np.errstate(over="ignore"):
+            pk = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                  ) % np.uint64(num_partitions)
+        return pa.array(pk.astype(np.int32))
+
+    def tag_left(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        k = np.asarray(pc.cast(batch[left_key].combine_chunks(), pa.int64()))
+        cols = {c: batch[c] for c in left_cols}
+        for c in value_columns:
+            cols[f"_v_{c}"] = pa.nulls(n, vtypes[c])
+        cols["_k"] = pa.array(k)
+        cols["_ts_us"] = pc.cast(batch[left_ts], pa.int64())
+        cols["_side"] = pa.array(np.zeros(n, dtype=np.int8))
+        cols["_pk"] = _pk(k)
+        return pa.table(cols)
+
+    def tag_right(batch: pa.Table) -> pa.Table:
+        n = len(batch)
+        k = np.asarray(pc.cast(batch[right_key].combine_chunks(), pa.int64()))
+        cols = {c: pa.nulls(n, ltypes[c]) for c in left_cols}
+        for c in value_columns:
+            cols[f"_v_{c}"] = batch[c]
+        cols["_k"] = pa.array(k)
+        cols["_ts_us"] = pc.cast(batch[right_ts], pa.int64())
+        cols["_side"] = pa.array(np.ones(n, dtype=np.int8))
+        cols["_pk"] = _pk(k)
+        return pa.table(cols)
+
+    tagged = left.map_batches(tag_left, batch_format="pyarrow",
+                              zero_copy_batch=True).union(
+        right.map_batches(tag_right, batch_format="pyarrow",
+                          zero_copy_batch=True))
+
+    def resolve(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["_side"], dtype=np.int8)
+        k = np.asarray(group["_k"], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        l_idx = np.flatnonzero(side == 0)
+        lt = group.take(pa.array(l_idx))
+        cols = {c: lt[c] for c in left_cols}
+        r_idx = np.flatnonzero(side == 1)
+        if r_idx.size == 0 or l_idx.size == 0:
+            for c in value_columns:
+                cols[c] = pa.nulls(len(l_idx), vtypes[c])
+            return pa.table(cols)
+        ts_abs = ts // 1_000_000  # absolute-second floor (see broadcast variant)
+        base = int(ts_abs.min())
+        ts_s = ts_abs - base
+        if k.max() >= (1 << 29) or ts_s.max() >= (1 << 34):
+            raise ValueError(
+                "asof_join_partitioned: key/ts range exceeds composite-key bounds")
+        order = r_idx[np.lexsort((ts_s[r_idx], k[r_idx]))]
+        comp_r = (k[order] << np.int64(34)) | ts_s[order]
+        comp_l = (k[l_idx] << np.int64(34)) | ts_s[l_idx]
+        pos = np.searchsorted(comp_r, comp_l, side="right") - 1
+        pos_c = np.maximum(pos, 0)
+        valid = (pos >= 0) & (k[order][pos_c] == k[l_idx])
+        take = pa.array(order[pos_c])
+        vmask = pa.array(valid)
+        for c in value_columns:
+            v = group[f"_v_{c}"].combine_chunks().take(take)
+            cols[c] = pc.if_else(vmask, v, pa.nulls(len(valid), vtypes[c]))
+        return pa.table(cols)
+
+    return tagged.groupby("_pk").map_groups(resolve, batch_format="pyarrow")

@@ -166,6 +166,50 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_events_asof_part(sf_dir: str):
+    """Large-large as-of join (pipelines.relational.asof_join_partitioned
+    — both sides hash-partitioned on the key, composite searchsorted per
+    partition, NO broadcast): each event matched to the user's latest
+    order, counted per priority with unmatched events under 'none'.
+    Right side deduped distributively to one row per (custkey, date) by
+    max orderkey (grouped_min_k on negated key) so ties are
+    deterministic in both engines."""
+    from .pipelines import asof_join_partitioned, grouped_min_k
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate", "o_orderpriority"])
+
+    def neg(batch: pa.Table) -> pa.Table:
+        ok = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        return batch.append_column("_neg_ok", pa.array(-ok))
+
+    right = grouped_min_k(
+        orders.map_batches(neg, batch_format="pyarrow", zero_copy_batch=True),
+        ["o_custkey", "o_orderdate"], ["_neg_ok"], 1,
+    ).select_columns(["o_custkey", "o_orderdate", "o_orderpriority"])
+
+    joined = asof_join_partitioned(
+        _read(sf_dir, "events", ["event_id", "user_id", "ts"]), right,
+        left_key="user_id", right_key="o_custkey",
+        left_ts="ts", right_ts="o_orderdate",
+        value_columns=["o_orderpriority"],
+    )
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pr = pc.fill_null(batch["o_orderpriority"], "none")
+        return pa.table({"o_orderpriority": pr})
+
+    prepped = joined.map_batches(prep, batch_format="pyarrow", zero_copy_batch=True)
+    rows = grouped_agg(prepped, ["o_orderpriority"],
+                       [("n_events", None, "count")]).take_all()
+    rows.sort(key=lambda r: r["o_orderpriority"])
+    return pa.table({
+        "o_orderpriority": pa.array([r["o_orderpriority"] for r in rows],
+                                    type=pa.string()),
+        "n_events": pa.array([r["n_events"] for r in rows], type=pa.int64()),
+    })
+
+
 _KNUTH = 2654435761  # multiplicative hash both engines can compute
 
 
@@ -1804,6 +1848,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
+        "events_asof_part": q_events_asof_part,
         "user_first_events": q_user_first_events,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
@@ -2367,6 +2412,18 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "normalized_lengths": _oracle_normalized_lengths(),
+        "events_asof_part": """
+            WITH o1 AS (
+                SELECT o_custkey, o_orderdate,
+                       max_by(o_orderpriority, o_orderkey) AS o_orderpriority
+                FROM orders GROUP BY o_custkey, o_orderdate
+            )
+            SELECT coalesce(o.o_orderpriority, 'none') AS o_orderpriority,
+                   count(*) AS n_events
+            FROM events e ASOF LEFT JOIN o1 o
+              ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate
+            GROUP BY 1 ORDER BY 1
+        """,
         "lang_doc_sample": """
             WITH r AS (
                 SELECT lang, doc_id,

@@ -441,3 +441,46 @@ class TestHistogramAndWeightedSample:
                 for i, (o1, o2, p) in enumerate(
                     zip(grp["o1"], grp["o2"], grp["payload"])))
             assert got == want, parts
+
+    def test_asof_join_partitioned_parity(self, ray_session):
+        """Partitioned (large-large) as-of join returns exactly what the
+        broadcast variant returns on the same deduped input."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import asof_join_partitioned
+        from archbloom_ray.pipelines.relational import asof_join_broadcast
+
+        rng = np.random.default_rng(13)
+        nl, nr = 3000, 400
+        lk = rng.integers(0, 50, nl).astype(np.int64)
+        lts = rng.integers(0, 10**11, nl).astype("datetime64[us]")
+        left_tbl = pa.table({
+            "lid": pa.array(np.arange(nl, dtype=np.int64)),
+            "k": pa.array(lk), "ts": pa.array(lts),
+        })
+        # right rows unique at SECOND granularity (the operators' ts
+        # resolution) → deterministic matches
+        rk = rng.integers(0, 60, nr).astype(np.int64)
+        rts = (rng.choice(100_000, size=nr, replace=False).astype(np.int64)
+               * 1_000_000).astype("datetime64[us]")
+        right_tbl = pa.table({
+            "k": pa.array(rk), "rts": pa.array(rts),
+            "val": pa.array([f"v{i}" for i in range(nr)]),
+        })
+        part = asof_join_partitioned(
+            rd.from_arrow(left_tbl).repartition(7),
+            rd.from_arrow(right_tbl).repartition(3),
+            left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+            value_columns=["val"],
+        ).take_all()
+        bcast = asof_join_broadcast(
+            rd.from_arrow(left_tbl), right_tbl,
+            left_key="k", right_key="k", left_ts="ts", right_ts="rts",
+            value_columns=["val"],
+        ).take_all()
+        got = {r["lid"]: r["val"] for r in part}
+        want = {r["lid"]: r["val"] for r in bcast}
+        assert len(got) == nl
+        assert got == want
+        assert any(v is None for v in want.values())  # unmatched present
+        assert any(v is not None for v in want.values())
