@@ -667,6 +667,48 @@ def rank_errors(
                     np.minimum(np.abs(q - lo), np.abs(q - hi)))
 
 
+def grouped_moments(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    x_col: str,
+    y_col: str,
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-key second moments of two INTEGER columns — n, Σx, Σy,
+    Σx², Σy², Σxy as int64 — the decomposable sufficient statistics for
+    variance / covariance / correlation / OLS slope, computed with one
+    scan and the standard pre-combine shuffle.
+
+    Keeping the moments integer (caller pre-scales floats to fixed
+    point) makes the result bit-exact and hash-comparable; the caller
+    derives corr/cov in float at the end, where a single final division
+    cannot accumulate error.  Overflow contract: |x|,|y| ≤ ~3e6 with
+    1e6 rows per key stays inside int64 for Σxy — pre-scale
+    accordingly.
+    """
+
+    def add_products(batch: pa.Table) -> pa.Table:
+        x = np.asarray(batch[x_col], dtype=np.int64)
+        y = np.asarray(batch[y_col], dtype=np.int64)
+        cols = {k: batch[k] for k in keys}
+        cols["_x"] = pa.array(x)
+        cols["_y"] = pa.array(y)
+        cols["_xx"] = pa.array(x * x)
+        cols["_yy"] = pa.array(y * y)
+        cols["_xy"] = pa.array(x * y)
+        return pa.table(cols)
+
+    prepped = ds.map_batches(add_products, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True)
+    return grouped_agg(prepped, keys, [
+        ("n", None, "count"),
+        ("sum_x", "_x", "sum"), ("sum_y", "_y", "sum"),
+        ("sum_xx", "_xx", "sum"), ("sum_yy", "_yy", "sum"),
+        ("sum_xy", "_xy", "sum"),
+    ], batch_size=batch_size)
+
+
 def pivot_counts(
     ds: "ray.data.Dataset",
     row_key: str,

@@ -210,6 +210,35 @@ def q_events_asof_part(sf_dir: str):
     })
 
 
+def q_lineitem_moments(sf_dir: str):
+    """Exact per-flag second moments (n, Σx, Σy, Σx², Σy², Σxy) of
+    quantity × whole-dollar price — the decomposable sufficient
+    statistics for covariance/correlation/OLS, integer so the hash
+    compare is exact (pipelines.relational.grouped_moments)."""
+    from .pipelines import grouped_moments
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch["l_quantity"], dtype=np.float64)).astype(np.int64)
+        dollars = np.rint(np.asarray(batch["l_extendedprice"], dtype=np.float64)
+                          * 100).astype(np.int64) // 100
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty": pa.array(qty),
+            "dollars": pa.array(dollars),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    rows = grouped_moments(ds, ["l_returnflag"], "qty", "dollars").take_all()
+    rows.sort(key=lambda r: r["l_returnflag"])
+    cols: dict[str, Any] = {"l_returnflag": pa.array(
+        [r["l_returnflag"] for r in rows], type=pa.string())}
+    for c in ("n", "sum_x", "sum_y", "sum_xx", "sum_yy", "sum_xy"):
+        cols[c] = pa.array([r[c] for r in rows], type=pa.int64())
+    return pa.table(cols)
+
+
 _KNUTH = 2654435761  # multiplicative hash both engines can compute
 
 
@@ -1849,6 +1878,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
         "events_asof_part": q_events_asof_part,
+        "lineitem_moments": q_lineitem_moments,
         "user_first_events": q_user_first_events,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
@@ -2412,6 +2442,21 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "normalized_lengths": _oracle_normalized_lengths(),
+        "lineitem_moments": """
+            WITH p AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+                FROM lineitem)
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(x) AS BIGINT) AS sum_x,
+                   CAST(sum(y) AS BIGINT) AS sum_y,
+                   CAST(sum(x * x) AS BIGINT) AS sum_xx,
+                   CAST(sum(y * y) AS BIGINT) AS sum_yy,
+                   CAST(sum(x * y) AS BIGINT) AS sum_xy
+            FROM p GROUP BY l_returnflag ORDER BY l_returnflag
+        """,
         "events_asof_part": """
             WITH o1 AS (
                 SELECT o_custkey, o_orderdate,

@@ -484,3 +484,30 @@ class TestHistogramAndWeightedSample:
         assert got == want
         assert any(v is None for v in want.values())  # unmatched present
         assert any(v is not None for v in want.values())
+
+    def test_grouped_moments(self, ray_session):
+        """Moments match exact numpy integer sums; derived correlation
+        matches numpy corrcoef."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_moments
+
+        rng = np.random.default_rng(17)
+        g = rng.choice(["a", "b"], 5000)
+        x = rng.integers(-100, 100, 5000).astype(np.int64)
+        y = (3 * x + rng.integers(-50, 50, 5000)).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"g": pa.array(g), "x": pa.array(x),
+                                     "y": pa.array(y)})).repartition(6)
+        out = {r["g"]: r for r in grouped_moments(ds, ["g"], "x", "y").take_all()}
+        for kk in ("a", "b"):
+            m = g == kk
+            r = out[kk]
+            assert (r["n"], r["sum_x"], r["sum_y"]) == (m.sum(), x[m].sum(), y[m].sum())
+            assert (r["sum_xx"], r["sum_yy"], r["sum_xy"]) == (
+                (x[m] ** 2).sum(), (y[m] ** 2).sum(), (x[m] * y[m]).sum())
+            n = r["n"]
+            cov = r["sum_xy"] / n - (r["sum_x"] / n) * (r["sum_y"] / n)
+            vx = r["sum_xx"] / n - (r["sum_x"] / n) ** 2
+            vy = r["sum_yy"] / n - (r["sum_y"] / n) ** 2
+            corr = cov / np.sqrt(vx * vy)
+            assert abs(corr - np.corrcoef(x[m], y[m])[0, 1]) < 1e-9
