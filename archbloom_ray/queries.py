@@ -1824,6 +1824,44 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_pii_redaction(sf_dir: str):
+    """PII redaction audit per language: scrub emails, IPv4 addresses and
+    phone numbers (sequential re2 passes — ``stages.text.pii_scrub_arrow``)
+    and report per-lang match counts + characters removed.
+
+    The synthetic corpus contains no PII, so both sides derive the same
+    deterministic augmentation from ``doc_id`` (an email+IP suffix on
+    every 3rd doc, a phone suffix on every 5th) before scrubbing; the
+    oracle applies the identical nested ``regexp_replace`` chain (DuckDB
+    and pyarrow.compute both compile RE2, so pattern semantics match
+    exactly)."""
+    from .stages.text import add_pii_scrub
+
+    def augment(batch: pa.Table) -> pa.Table:
+        did = batch["doc_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        did_str = pc.cast(batch["doc_id"], pa.string())
+        ip_str = pa.array((did % 256).astype("U3"), type=pa.string())
+        email_sfx = pc.binary_join_element_wise(
+            pa.scalar(" contact u"), did_str, pa.scalar("@example.com from 10.0."),
+            ip_str, pa.scalar(".7"), "")
+        email_sfx = pc.if_else(pa.array(did % 3 == 0), email_sfx, pa.scalar(""))
+        phone_sfx = pc.if_else(pa.array(did % 5 == 0),
+                               pa.scalar(" call 555-867-5309"), pa.scalar(""))
+        text = pc.fill_null(batch["text"].combine_chunks(), "")
+        aug = pc.binary_join_element_wise(text, email_sfx, phone_sfx, "")
+        return pa.table({"lang": batch["lang"], "text": aug})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"]).map_batches(
+        augment, batch_format="pyarrow", zero_copy_batch=True)
+    ds = add_pii_scrub(ds)
+    return grouped_agg(ds, ["lang"], [
+        ("n_email", "n_email", "sum"),
+        ("n_ipv4", "n_ipv4", "sum"),
+        ("n_phone", "n_phone", "sum"),
+        ("chars_redacted", "chars_redacted", "sum"),
+    ])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -1867,6 +1905,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_set_ops": q_kmv_set_ops,
         "bigram_top20": q_bigram_top20,
         "repetition_by_lang": q_repetition_by_lang,
+        "pii_redaction": q_pii_redaction,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -2205,6 +2244,10 @@ def _pages_window_sql(timeout_floor: int) -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from .stages.text import PII_PATTERNS
+
+    _pii = dict(PII_PATTERNS)
+    _pii_em, _pii_ip, _pii_ph = _pii["email"], _pii["ipv4"], _pii["phone"]
     return {
         "lang_doc_counts": """
             SELECT lang,
@@ -2219,6 +2262,37 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "pii_redaction": f"""
+            WITH aug AS (
+              SELECT lang,
+                     text ||
+                     CASE WHEN doc_id % 3 = 0
+                          THEN ' contact u' || CAST(doc_id AS VARCHAR)
+                               || '@example.com from 10.0.'
+                               || CAST(doc_id % 256 AS VARCHAR) || '.7'
+                          ELSE '' END ||
+                     CASE WHEN doc_id % 5 = 0 THEN ' call 555-867-5309'
+                          ELSE '' END AS t
+              FROM documents),
+            s1 AS (SELECT lang, len(t) AS l0,
+                          len(regexp_extract_all(t, '{_pii_em}')) AS ne,
+                          regexp_replace(t, '{_pii_em}', '<PII>', 'g') AS t1
+                   FROM aug),
+            s2 AS (SELECT lang, l0, ne,
+                          len(regexp_extract_all(t1, '{_pii_ip}')) AS ni,
+                          regexp_replace(t1, '{_pii_ip}', '<PII>', 'g') AS t2
+                   FROM s1),
+            s3 AS (SELECT lang, l0, ne, ni,
+                          len(regexp_extract_all(t2, '{_pii_ph}')) AS np,
+                          regexp_replace(t2, '{_pii_ph}', '<PII>', 'g') AS t3
+                   FROM s2)
+            SELECT lang,
+                   CAST(sum(ne) AS BIGINT) AS n_email,
+                   CAST(sum(ni) AS BIGINT) AS n_ipv4,
+                   CAST(sum(np) AS BIGINT) AS n_phone,
+                   CAST(sum(l0 - len(t3)) AS BIGINT) AS chars_redacted
+            FROM s3 GROUP BY lang
+        """,
         "median_chars_by_lang": """
             SELECT lang,
                    quantile_cont(n_chars, 0.5) AS q0_5,

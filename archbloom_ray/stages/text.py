@@ -645,3 +645,65 @@ def add_normalized(ds: "ray.data.Dataset", text_col: str = "text",
         return batch.append_column(out_col, normalize_text_arrow(batch[text_col]))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# PII detection / redaction — scrub emails, IPv4 addresses, phone numbers
+# ---------------------------------------------------------------------------
+
+# RE2 patterns (pyarrow.compute AND DuckDB both compile RE2, so a SQL
+# oracle can run the *identical* pattern).  Deliberately brace-free
+# ({m,n} quantifiers spelled out) so the patterns survive a driver that
+# str.format()s the oracle SQL.
+_RE2_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+_RE2_PII_IPV4 = r"\b\d+\.\d+\.\d+\.\d+\b"
+_RE2_PII_PHONE = r"\b\+?\d\d\d[ .-]\d\d\d[ .-]\d\d\d\d\b"
+
+# Ordered: emails first (their local/domain parts contain digit runs an
+# IP/phone pattern could nibble), then IPs (dotted quads would otherwise
+# feed the phone pattern), then phones.  Redaction is sequential over
+# this order; counts are taken on the text as it stands at each step, so
+# an oracle must apply the same nesting.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    ("email", _RE2_PII_EMAIL),
+    ("ipv4", _RE2_PII_IPV4),
+    ("phone", _RE2_PII_PHONE),
+)
+
+
+def pii_scrub_arrow(col, token: str = "<PII>"):
+    """Redact PII from a string array.  Returns ``(redacted, counts)``
+    where ``counts`` maps category -> int64 numpy array of per-row match
+    counts (counted at the step's intermediate text, matching nested
+    ``regexp_replace`` oracle semantics).  One re2 pass per category —
+    no Python per-row work."""
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    out = pc.fill_null(col, "")
+    counts: dict[str, np.ndarray] = {}
+    for name, pat in PII_PATTERNS:
+        counts[name] = _np(pc.count_substring_regex(out, pat)).astype(np.int64)
+        out = pc.replace_substring_regex(out, pattern=pat, replacement=token)
+    return out, counts
+
+
+def add_pii_scrub(ds: "ray.data.Dataset", text_col: str = "text",
+                  out_col: str = "text_redacted",
+                  token: str = "<PII>") -> "ray.data.Dataset":
+    """Append the redacted text plus per-category match counts and the
+    number of characters removed (streaming map_batches stage)."""
+
+    def fn(batch: pa.Table) -> pa.Table:
+        col = batch[text_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        red, counts = pii_scrub_arrow(col, token=token)
+        orig_len = _np(pc.utf8_length(pc.fill_null(col, ""))).astype(np.int64)
+        red_len = _np(pc.utf8_length(red)).astype(np.int64)
+        out = batch.append_column(out_col, red)
+        for name, arr in counts.items():
+            out = out.append_column(f"n_{name}", pa.array(arr, type=pa.int64()))
+        return out.append_column(
+            "chars_redacted", pa.array(orig_len - red_len, type=pa.int64()))
+
+    return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)

@@ -1001,3 +1001,50 @@ class TestNormalizeText:
         ds = rd.from_arrow(pa.table({"text": ["A  B", "c\td"]}))
         out = {r["text"]: r["text_norm"] for r in add_normalized(ds).take_all()}
         assert out == {"A  B": "a b", "c\td": "c d"}
+
+
+class TestPIIScrub:
+    """PII redaction: scalar-re parity + deterministic behavior."""
+
+    CASES = [
+        "mail me at john.doe+spam@sub.example.co.uk today",
+        "server at 192.168.0.1 and 10.0.255.7; version 1.2 is not an ip",
+        "call 555-867-5309 or +1 555 123 4567 x89",
+        "a@b.cd short, x@y.z too-short-tld stays",
+        "overlap u3@example.com from 10.0.3.7 call 555-867-5309",
+        "", "no pii here 42", "dots... 1.2.3.4.5 quad-plus",
+    ]
+
+    def test_scalar_parity(self):
+        import re
+        from archbloom_ray.stages.text import PII_PATTERNS, pii_scrub_arrow
+
+        red, counts = pii_scrub_arrow(pa.array(self.CASES, type=pa.string()))
+        # scalar reference: same sequential pattern application
+        exp_texts, exp_counts = [], {name: [] for name, _ in PII_PATTERNS}
+        for t in self.CASES:
+            cur = t
+            for name, pat in PII_PATTERNS:
+                exp_counts[name].append(len(re.findall(pat, cur)))
+                cur = re.sub(pat, "<PII>", cur)
+            exp_texts.append(cur)
+        assert red.to_pylist() == exp_texts
+        for name, _ in PII_PATTERNS:
+            assert counts[name].tolist() == exp_counts[name], name
+
+    def test_no_pii_is_identity(self):
+        from archbloom_ray.stages.text import pii_scrub_arrow
+
+        texts = ["plain text", "words only here", ""]
+        red, counts = pii_scrub_arrow(pa.array(texts, type=pa.string()))
+        assert red.to_pylist() == texts
+        assert all(int(v.sum()) == 0 for v in counts.values())
+
+    def test_quad_plus_not_ipv4(self):
+        # 1.2.3.4.5 — \b boundaries still match the leading dotted quad;
+        # document the (regex-standard) behavior deterministically
+        from archbloom_ray.stages.text import pii_scrub_arrow
+
+        red, counts = pii_scrub_arrow(pa.array(["1.2.3.4.5"], type=pa.string()))
+        assert counts["ipv4"].tolist() == [1]
+        assert red.to_pylist() == ["<PII>.5"]
