@@ -1259,3 +1259,87 @@ def asof_join_partitioned(
         return pa.table(cols)
 
     return tagged.groupby("_pk").map_groups(resolve, batch_format="pyarrow")
+
+
+def grouped_ntile_stats(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    k: int,
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group NTILE(k) bucket statistics over an INTEGER value
+    column: for each group and tile t ∈ 1..k (SQL ``ntile(k) OVER
+    (PARTITION BY keys ORDER BY value)``), the bucket's row count,
+    min/max value and value sum.
+
+    Scale shape: tile aggregates over the sorted multiset are invariant
+    to how ties are broken between equal values, so the full rows never
+    move — each batch pre-aggregates to distinct ``(keys, value, count)``
+    rows and only those shuffle.  Per group, the sorted distinct values
+    + counts reconstruct every tile boundary with two ``searchsorted``
+    probes and weighted prefix sums (no ``np.repeat`` expansion), so a
+    billion-row group with a few thousand distinct values costs a few
+    thousand ints through the exchange and O(distinct) reducer work.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col], dtype=np.int64)
+        # combine partials from different batches that carry the same value
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = np.asarray(group["cnt"], dtype=np.int64)[order]
+        uniq_mask = np.empty(len(vals), dtype=bool)
+        if len(vals):
+            uniq_mask[0] = True
+            uniq_mask[1:] = vals[1:] != vals[:-1]
+        seg = np.cumsum(uniq_mask) - 1
+        u_vals = vals[uniq_mask]
+        u_cnt = np.zeros(len(u_vals), dtype=np.int64)
+        np.add.at(u_cnt, seg, cnt)
+
+        n = int(u_cnt.sum())
+        base, extra = divmod(n, k)
+        sizes = np.full(k, base, dtype=np.int64)
+        sizes[:extra] += 1
+        tiles = np.nonzero(sizes > 0)[0]
+        sizes = sizes[tiles]
+        ends = np.cumsum(sizes)          # 1-based end position per tile
+        starts = ends - sizes            # 0-based start position per tile
+
+        cum = np.cumsum(u_cnt)           # end position of each distinct value
+        wsum = np.cumsum(u_vals * u_cnt)  # value-weighted prefix totals
+        idx_min = np.searchsorted(cum, starts, side="right")
+        idx_max = np.searchsorted(cum, ends - 1, side="right")
+
+        def prefix_sum(p: np.ndarray) -> np.ndarray:
+            # total of the first p elements of the expanded sorted array
+            i = np.searchsorted(cum, p, side="left")
+            below = np.where(i > 0, wsum[np.maximum(i - 1, 0)], 0)
+            covered = np.where(i > 0, cum[np.maximum(i - 1, 0)], 0)
+            inside = (p - covered) * np.where(i < len(u_vals), u_vals[np.minimum(i, len(u_vals) - 1)], 0)
+            return below + inside
+
+        sums = prefix_sum(ends) - prefix_sum(starts)
+        cols = {kk: group[kk].slice(0, 1).combine_chunks().take(
+            pa.array(np.zeros(len(tiles), dtype=np.int64))) for kk in keys}
+        cols["tile"] = pa.array(tiles + 1, type=pa.int64())
+        cols["n_rows"] = pa.array(sizes, type=pa.int64())
+        cols["min_val"] = pa.array(u_vals[idx_min], type=pa.int64())
+        cols["max_val"] = pa.array(u_vals[idx_max], type=pa.int64())
+        cols["sum_val"] = pa.array(sums, type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

@@ -1824,6 +1824,18 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_chars_quartiles(sf_dir: str):
+    """Per-language NTILE(4) quartile buckets of document length: row
+    count, min/max/sum of ``n_chars`` per (lang, tile).  Only distinct
+    ``(lang, n_chars, count)`` rows shuffle — tile aggregates over the
+    sorted multiset don't depend on tie-breaks, so the full rows never
+    move (``relational.grouped_ntile_stats``)."""
+    from .pipelines.relational import grouped_ntile_stats
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_ntile_stats(ds, ["lang"], "n_chars", 4)
+
+
 def q_pii_redaction(sf_dir: str):
     """PII redaction audit per language: scrub emails, IPv4 addresses and
     phone numbers (sequential re2 passes — ``stages.text.pii_scrub_arrow``)
@@ -1906,6 +1918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_top20": q_bigram_top20,
         "repetition_by_lang": q_repetition_by_lang,
         "pii_redaction": q_pii_redaction,
+        "chars_quartiles": q_chars_quartiles,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -2262,6 +2275,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "chars_quartiles": """
+            WITH t AS (
+              SELECT lang, n_chars,
+                     ntile(4) OVER (PARTITION BY lang
+                                    ORDER BY n_chars, doc_id) AS tile
+              FROM documents)
+            SELECT lang, CAST(tile AS BIGINT) AS tile,
+                   count(*) AS n_rows,
+                   min(n_chars) AS min_val,
+                   max(n_chars) AS max_val,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_val
+            FROM t GROUP BY lang, tile
+        """,
         "pii_redaction": f"""
             WITH aug AS (
               SELECT lang,

@@ -511,3 +511,38 @@ class TestHistogramAndWeightedSample:
             vy = r["sum_yy"] / n - (r["sum_y"] / n) ** 2
             corr = cov / np.sqrt(vx * vy)
             assert abs(corr - np.corrcoef(x[m], y[m])[0, 1]) < 1e-9
+
+
+class TestGroupedNtile:
+    def _oracle(self, rows, k):
+        import duckdb
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v BIGINT, rid BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        return sorted(map(tuple, con.execute(f"""
+            WITH w AS (SELECT g, v, ntile({k}) OVER
+                       (PARTITION BY g ORDER BY v, rid) AS tile FROM t)
+            SELECT g, tile, count(*), min(v), max(v), CAST(sum(v) AS BIGINT)
+            FROM w GROUP BY g, tile""").fetchall()))
+
+    def _run(self, rows, k):
+        import ray.data as rd
+        from archbloom_ray.pipelines.relational import grouped_ntile_stats
+
+        ds = rd.from_items([{"g": g, "v": v, "rid": r} for g, v, r in rows])
+        out = grouped_ntile_stats(ds, ["g"], "v", k)
+        return sorted((r["g"], r["tile"], r["n_rows"], r["min_val"],
+                       r["max_val"], r["sum_val"]) for r in out.take_all())
+
+    def test_heavy_ties_matches_duckdb(self, ray_session):
+        rng = np.random.default_rng(7)
+        rows = [(g, int(v), i)
+                for i, (g, v) in enumerate(zip(
+                    rng.choice(["a", "b", "c"], 500),
+                    rng.integers(0, 9, 500)))]   # 9 distinct values → ties straddle tiles
+        for k in (1, 3, 4, 7):
+            assert self._run(rows, k) == self._oracle(rows, k), k
+
+    def test_fewer_rows_than_tiles(self, ray_session):
+        rows = [("a", 5, 0), ("a", 3, 1), ("b", 1, 2)]
+        assert self._run(rows, 4) == self._oracle(rows, 4)
