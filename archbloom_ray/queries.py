@@ -1824,6 +1824,18 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_bm25_top20(sf_dir: str):
+    """Okapi BM25 top-20 docs for the query terms (table, merge, window):
+    scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
+    scoring + per-block top-k — driver merges ≤ k·blocks candidates
+    (``stages.tfidf.bm25_topk``).  Integer micro-scores make the ranking
+    bit-reproducible in SQL."""
+    from .stages.tfidf import bm25_topk
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bm25_topk(ds, ["table", "merge", "window"], k=20)
+
+
 def q_chars_quartiles(sf_dir: str):
     """Per-language NTILE(4) quartile buckets of document length: row
     count, min/max/sum of ``n_chars`` per (lang, tile).  Only distinct
@@ -1919,6 +1931,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "repetition_by_lang": q_repetition_by_lang,
         "pii_redaction": q_pii_redaction,
         "chars_quartiles": q_chars_quartiles,
+        "bm25_top20": q_bm25_top20,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -2275,6 +2288,39 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "bm25_top20": r"""
+            WITH d AS (
+              SELECT doc_id,
+                     CASE WHEN text = '' THEN 0
+                          ELSE len(string_split_regex(trim(text), '\s+')) END AS dl,
+                     CAST(len(regexp_extract_all(text, '\btable\b')) AS DOUBLE) AS tf0,
+                     CAST(len(regexp_extract_all(text, '\bmerge\b')) AS DOUBLE) AS tf1,
+                     CAST(len(regexp_extract_all(text, '\bwindow\b')) AS DOUBLE) AS tf2
+              FROM documents),
+            s AS (
+              SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) AS sum_dl,
+                     sum(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END) AS df0,
+                     sum(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END) AS df1,
+                     sum(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END) AS df2
+              FROM d),
+            scored AS (
+              SELECT d.doc_id,
+                     CAST(floor((
+                         ln((s.n - s.df0 + 0.5) / (s.df0 + 0.5) + 1.0)
+                           * (d.tf0 * 2.2)
+                           / (d.tf0 + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / s.n)))
+                       + ln((s.n - s.df1 + 0.5) / (s.df1 + 0.5) + 1.0)
+                           * (d.tf1 * 2.2)
+                           / (d.tf1 + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / s.n)))
+                       + ln((s.n - s.df2 + 0.5) / (s.df2 + 0.5) + 1.0)
+                           * (d.tf2 * 2.2)
+                           / (d.tf2 + 1.2 * (0.25 + 0.75 * d.dl / (s.sum_dl / s.n)))
+                     ) * 1000000 + 0.5) AS BIGINT) AS score_u
+              FROM d, s)
+            SELECT CAST(row_number() OVER (ORDER BY score_u DESC, doc_id) AS BIGINT) AS rank,
+                   doc_id, score_u
+            FROM scored ORDER BY score_u DESC, doc_id LIMIT 20
+        """,
         "chars_quartiles": """
             WITH t AS (
               SELECT lang, n_chars,

@@ -200,3 +200,94 @@ def tfidf_top_terms(
     # stream — consume with write_parquet / take_all as appropriate
     return docs_again.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval — fixed query-term set, two streaming scans
+# ---------------------------------------------------------------------------
+
+def bm25_topk(
+    ds: "ray.data.Dataset",
+    terms: list[str],
+    *,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> "pa.Table":
+    """Okapi BM25 top-``k`` documents for a fixed query-term set.
+
+    Distributed shape: scan 1 reduces to a FEW SCALARS (doc count, total
+    doc length, one df per query term — per-batch partial rows, summed on
+    the driver: #blocks tiny rows, no shuffle); scan 2 streams scoring
+    (re2 word-boundary tf counts, pure-vectorized formula) and keeps each
+    block's local top-k, so the driver merges ≤ k·#blocks candidate rows.
+    Nothing row-scale ever materializes.
+
+    Determinism: idf values come from ``math.log`` (libm — the same ln a
+    SQL engine calls), the per-row arithmetic is a fixed IEEE expression
+    tree, and the returned score is the integer micro-score
+    ``floor(score·1e6 + 0.5)`` so an oracle can reproduce the exact
+    ranking bit-for-bit.  Ties break by ascending ``id_col``.
+    """
+    import math
+
+    from .text import _RE2_WS, _WS_CHARS, _np
+
+    pats = [r"\b" + t + r"\b" for t in terms]
+
+    def _dl(col) -> np.ndarray:
+        filled = pc.fill_null(col, "")
+        trimmed = pc.utf8_trim(filled, _WS_CHARS)
+        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+        return np.where(nonempty, runs + 1, 0)
+
+    def stats_partial(batch: pa.Table) -> pa.Table:
+        col = batch[text_col].combine_chunks()
+        cols = {
+            "n_docs": pa.array([len(col)], type=pa.int64()),
+            "sum_dl": pa.array([int(_dl(col).sum())], type=pa.int64()),
+        }
+        for i, pat in enumerate(pats):
+            tf = _np(pc.count_substring_regex(pc.fill_null(col, ""), pat))
+            cols[f"df_{i}"] = pa.array([int((tf > 0).sum())], type=pa.int64())
+        return pa.table(cols)
+
+    stat_rows = ds.map_batches(
+        stats_partial, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    n = sum(r["n_docs"] for r in stat_rows)
+    if n == 0:
+        return pa.table({"rank": pa.array([], type=pa.int64()),
+                         id_col: pa.array([], type=pa.int64()),
+                         "score_u": pa.array([], type=pa.int64())})
+    sum_dl = sum(r["sum_dl"] for r in stat_rows)
+    dfs = [sum(r[f"df_{i}"] for r in stat_rows) for i in range(len(terms))]
+    avgdl = float(sum_dl) / n
+    idfs = [math.log((n - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+
+    def score_block(batch: pa.Table) -> pa.Table:
+        col = batch[text_col].combine_chunks()
+        filled = pc.fill_null(col, "")
+        dl = _dl(col).astype(np.float64)
+        score = np.zeros(len(col), dtype=np.float64)
+        denom_norm = k1 * ((1.0 - b) + b * dl / avgdl)
+        for idf, pat in zip(idfs, pats):
+            tf = _np(pc.count_substring_regex(filled, pat)).astype(np.float64)
+            score = score + idf * (tf * (k1 + 1.0)) / (tf + denom_norm)
+        score_u = np.floor(score * 1e6 + 0.5).astype(np.int64)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        top = np.lexsort((ids, -score_u))[:k]
+        return pa.table({id_col: pa.array(ids[top]),
+                         "score_u": pa.array(score_u[top])})
+
+    cands = ds.map_batches(
+        score_block, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    cands.sort(key=lambda r: (-r["score_u"], r[id_col]))
+    cands = cands[:k]
+    return pa.table({
+        "rank": pa.array(np.arange(1, len(cands) + 1, dtype=np.int64)),
+        id_col: pa.array([r[id_col] for r in cands], type=pa.int64()),
+        "score_u": pa.array([r["score_u"] for r in cands], type=pa.int64()),
+    })

@@ -1048,3 +1048,44 @@ class TestPIIScrub:
         red, counts = pii_scrub_arrow(pa.array(["1.2.3.4.5"], type=pa.string()))
         assert counts["ipv4"].tolist() == [1]
         assert red.to_pylist() == ["<PII>.5"]
+
+
+class TestBM25:
+    def test_matches_scalar_reference(self, ray_session):
+        import math
+        import ray.data as rd
+        from archbloom_ray.stages.tfidf import bm25_topk
+
+        docs = ["table merge fast", "table table table window", "nothing here",
+                "merge window merge", "window", "table merge window table",
+                "slow scan", "", "table"]
+        ids = list(range(len(docs)))
+        ds = rd.from_items([{"doc_id": i, "text": t} for i, t in zip(ids, docs)])
+        out = bm25_topk(ds, ["table", "merge", "window"], k=5)
+
+        # scalar Okapi BM25 (k1=1.2, b=0.75)
+        dls = [len(t.split()) for t in docs]
+        n, avgdl = len(docs), sum(dls) / len(docs)
+        terms = ["table", "merge", "window"]
+        dfs = [sum(1 for t in docs if w in t.split()) for w in terms]
+        idfs = [math.log((n - df + 0.5) / (df + 0.5) + 1.0) for df in dfs]
+        scores = []
+        for i, t in enumerate(docs):
+            s = 0.0
+            for w, idf in zip(terms, idfs):
+                tf = t.split().count(w)
+                s += idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dls[i] / avgdl))
+            scores.append(math.floor(s * 1e6 + 0.5))
+        expect = sorted(zip(ids, scores), key=lambda p: (-p[1], p[0]))[:5]
+        got = [(r["doc_id"], r["score_u"]) for r in
+               sorted(out.to_pylist(), key=lambda r: r["rank"])]
+        assert got == expect
+
+    def test_empty_corpus(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.tfidf import bm25_topk
+
+        ds = rd.from_items([{"doc_id": 1, "text": ""}]).filter(
+            lambda r: False)
+        out = bm25_topk(ds, ["x"], k=3)
+        assert out.num_rows == 0
