@@ -1824,6 +1824,39 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_byte_entropy_by_lang(sf_dir: str):
+    """Per-language Shannon entropy of the text byte distribution
+    (gibberish/compressibility signal).  Batches reduce to ≤256
+    (lang, byte, count) rows; entropy is an order-independent integer
+    sum of per-byte micro-nat terms, so the SQL mirror (char-level —
+    byte-identical on this ASCII corpus) hash-matches exactly
+    (``stages.text.byte_entropy_by_group``)."""
+    from .stages.text import byte_entropy_by_group
+
+    return byte_entropy_by_group(
+        _read(sf_dir, "documents", ["lang", "text"]), "text", "lang")
+
+
+def q_events_hopping(sf_dir: str):
+    """Hopping-window aggregate (window 2h, hop 1h): every event lands in
+    exactly two windows — its own hour bucket and the preceding one.  One
+    map_batches emits both assignments (in-batch concat, no second scan),
+    then the standard pre-combined grouped count; the all-to-all carries
+    ≤ 2·distinct(window, type) rows per block, never 2× the events."""
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                     pa.int64()).combine_chunks()
+        hprev = pc.subtract(hi, pa.scalar(3_600_000_000, type=pa.int64()))
+        ws = pc.cast(pa.concat_arrays([hprev, hi]), pa.timestamp("us"))
+        et = batch["event_type"].combine_chunks()
+        return pa.table({"ws": ws, "event_type": pa.concat_arrays([et, et])})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(ds, ["ws", "event_type"], [("n_events", None, "count")])
+
+
 def q_bm25_top20(sf_dir: str):
     """Okapi BM25 top-20 docs for the query terms (table, merge, window):
     scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
@@ -1932,6 +1965,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pii_redaction": q_pii_redaction,
         "chars_quartiles": q_chars_quartiles,
         "bm25_top20": q_bm25_top20,
+        "events_hopping": q_events_hopping,
+        "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -2288,6 +2323,32 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "byte_entropy_by_lang": """
+            WITH c AS (
+              SELECT lang, ch, count(*) AS cnt
+              FROM (SELECT lang, unnest(string_split(text, '')) AS ch
+                    FROM documents)
+              GROUP BY lang, ch),
+            t AS (
+              SELECT lang, CAST(sum(cnt) AS DOUBLE) AS total,
+                     CAST(sum(cnt) AS BIGINT) AS total_bytes,
+                     count(*) AS distinct_bytes
+              FROM c GROUP BY lang)
+            SELECT c.lang, t.total_bytes, t.distinct_bytes,
+                   CAST(sum(CAST(floor((c.cnt / t.total) * ln(t.total / c.cnt)
+                                       * 1000000 + 0.5) AS BIGINT)) AS BIGINT)
+                       AS entropy_unats
+            FROM c JOIN t ON c.lang = t.lang
+            GROUP BY c.lang, t.total_bytes, t.distinct_bytes
+        """,
+        "events_hopping": """
+            WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+            w AS (SELECT h AS ws, event_type FROM e
+                  UNION ALL
+                  SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
+            SELECT ws, event_type, count(*) AS n_events
+            FROM w GROUP BY ws, event_type
+        """,
         "bm25_top20": r"""
             WITH d AS (
               SELECT doc_id,

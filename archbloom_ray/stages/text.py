@@ -707,3 +707,75 @@ def add_pii_scrub(ds: "ray.data.Dataset", text_col: str = "text",
             "chars_redacted", pa.array(orig_len - red_len, type=pa.int64()))
 
     return ds.map_batches(fn, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# byte-distribution entropy — compressibility / gibberish quality signal
+# ---------------------------------------------------------------------------
+
+def byte_entropy_by_group(ds: "ray.data.Dataset", text_col: str = "text",
+                          group_col: str = "lang") -> "ray.data.Dataset":
+    """Per-group Shannon entropy of the utf-8 byte distribution — a
+    cheap, model-free gibberish/compressibility signal.
+
+    Scale shape: each batch reduces its text to ≤ 256 ``(group, byte,
+    count)`` rows per group present (one ``np.bincount`` over the Arrow
+    values buffer — zero per-row Python), the grouped sum shuffles those
+    tiny rows, and the reducer computes entropy over ≤ 256 counts.
+    Entropy is returned as an integer: the SUM of per-byte micro-nat
+    terms ``floor((cnt/total)·ln(total/cnt)·1e6 + 0.5)`` — each term is
+    deterministic (libm ln, fixed IEEE tree) and integer addition is
+    order-independent, so the result is bit-reproducible in SQL no
+    matter how either engine orders the aggregation.  (On an ASCII
+    corpus a char-level SQL mirror is byte-identical.)
+    """
+    import math
+
+    from ..pipelines.relational import grouped_agg
+
+    def partial(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col].combine_chunks(), "")
+        groups = batch[group_col].combine_chunks()
+        gs: list[str] = []
+        bs: list[np.ndarray] = []
+        cs: list[np.ndarray] = []
+        for g in pc.unique(groups).to_pylist():     # bounded by #groups
+            sel = pc.filter(col, pc.equal(groups, g))
+            if isinstance(sel, pa.ChunkedArray):
+                sel = sel.combine_chunks()
+            offs = np.frombuffer(sel.buffers()[1], dtype=np.int32,
+                                 count=len(sel) + 1)
+            data = np.frombuffer(sel.buffers()[2], dtype=np.uint8,
+                                 count=int(offs[-1]))
+            hist = np.bincount(data[int(offs[0]):], minlength=256)
+            nz = np.nonzero(hist)[0]
+            gs.extend([g] * len(nz))
+            bs.append(nz.astype(np.int64))
+            cs.append(hist[nz].astype(np.int64))
+        if not gs:
+            return pa.table({group_col: pa.array([], type=pa.string()),
+                             "byte": pa.array([], type=pa.int64()),
+                             "cnt": pa.array([], type=pa.int64())})
+        return pa.table({group_col: pa.array(gs, type=pa.string()),
+                         "byte": pa.array(np.concatenate(bs)),
+                         "cnt": pa.array(np.concatenate(cs))})
+
+    hist_ds = grouped_agg(
+        ds.map_batches(partial, batch_format="pyarrow", zero_copy_batch=True),
+        [group_col, "byte"], [("cnt", "cnt", "sum")])
+
+    def per_group(group: pa.Table) -> pa.Table:
+        cnts = np.asarray(group["cnt"], dtype=np.int64)
+        total = int(cnts.sum())
+        tot_f = float(total)
+        ent = sum(int(math.floor((c / tot_f) * math.log(tot_f / c) * 1e6 + 0.5))
+                  for c in cnts.tolist())
+        return pa.table({
+            group_col: group[group_col].slice(0, 1),
+            "total_bytes": pa.array([total], type=pa.int64()),
+            "distinct_bytes": pa.array([len(cnts)], type=pa.int64()),
+            "entropy_unats": pa.array([ent], type=pa.int64()),
+        })
+
+    return hist_ds.groupby(group_col).map_groups(
+        per_group, batch_format="pyarrow")

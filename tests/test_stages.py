@@ -1089,3 +1089,34 @@ class TestBM25:
             lambda r: False)
         out = bm25_topk(ds, ["x"], k=3)
         assert out.num_rows == 0
+
+
+class TestByteEntropy:
+    def test_matches_scalar_counter(self, ray_session):
+        import math
+        from collections import Counter
+        import ray.data as rd
+        from archbloom_ray.stages.text import byte_entropy_by_group
+
+        docs = [("a", "hello world"), ("a", "hhhh"), ("b", "xyz"),
+                ("b", ""), ("a", "more text!")]
+        ds = rd.from_items([{"lang": g, "text": t} for g, t in docs])
+        out = {r["lang"]: r for r in byte_entropy_by_group(ds).take_all()}
+
+        for g in ("a", "b"):
+            blob = "".join(t for gg, t in docs if gg == g).encode()
+            c = Counter(blob)
+            total = float(len(blob))
+            ent = sum(int(math.floor((n / total) * math.log(total / n) * 1e6 + 0.5))
+                      for n in c.values())
+            assert out[g]["total_bytes"] == len(blob)
+            assert out[g]["distinct_bytes"] == len(c)
+            assert out[g]["entropy_unats"] == ent
+
+    def test_single_byte_entropy_zero(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.text import byte_entropy_by_group
+
+        ds = rd.from_items([{"lang": "a", "text": "aaaaaa"}])
+        r = byte_entropy_by_group(ds).take_all()[0]
+        assert r["entropy_unats"] == 0 and r["distinct_bytes"] == 1
