@@ -1824,6 +1824,29 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_kmeans_clusters(sf_dir: str):
+    """Nearest-centroid clustering with EXACT integer distances: the 8
+    lowest-id embeddings are the centroids (per-block bottom-k, tiny
+    driver merge — no global sort); vectors are fixed-point quantized so
+    squared distances are integers and the argmin + cid tie-break is
+    bit-reproducible in SQL via ``list_inner_product``
+    (``stages.similarity.nearest_centroid_exact``).  The float Lloyd
+    iterator (``kmeans_fit``) is pytest-verified separately."""
+    from .stages.similarity import nearest_centroid_exact
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["vec_id"], dtype=np.int64)
+        take = np.argsort(ids, kind="stable")[:8]
+        return batch.take(pa.array(take))
+
+    cand = ds.map_batches(bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    cand.sort(key=lambda r: r["vec_id"])
+    return nearest_centroid_exact(ds, cand[:8])
+
+
 def q_byte_entropy_by_lang(sf_dir: str):
     """Per-language Shannon entropy of the text byte distribution
     (gibberish/compressibility signal).  Batches reduce to ≤256
@@ -1967,6 +1990,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": q_bm25_top20,
         "events_hopping": q_events_hopping,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
+        "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -2323,6 +2347,28 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY lang, source
         """,
         "distinct_text": "SELECT count(DISTINCT text) AS distinct_text FROM documents",
+        "kmeans_clusters": """
+            WITH q AS (
+              SELECT vec_id,
+                     list_transform(embedding, y -> floor(y * 1024 + 0.5)) AS e
+              FROM embeddings),
+            c AS (
+              SELECT vec_id AS cid, e AS ce,
+                     list_inner_product(e, e) AS c_sq
+              FROM q ORDER BY vec_id LIMIT 8),
+            d AS (
+              SELECT q.vec_id, c.cid,
+                     c.c_sq - 2.0 * list_inner_product(q.e, c.ce) AS dist
+              FROM q CROSS JOIN c),
+            a AS (
+              SELECT vec_id, cid,
+                     row_number() OVER (PARTITION BY vec_id
+                                        ORDER BY dist, cid) AS rn
+              FROM d)
+            SELECT cid, count(*) AS n_members,
+                   CAST(sum(vec_id) AS BIGINT) AS sum_vec_id
+            FROM a WHERE rn = 1 GROUP BY cid
+        """,
         "byte_entropy_by_lang": """
             WITH c AS (
               SELECT lang, ch, count(*) AS cnt

@@ -365,3 +365,116 @@ def query_ivf_index(
         id_col: pa.array(rows_id, type=id_type),
         "cosine": pa.array(rows_sim, type=pa.float64()),
     })
+
+
+def kmeans_fit(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 8,
+    iters: int = 5,
+) -> np.ndarray:
+    """Fully DISTRIBUTED Lloyd k-means (Euclidean, raw vectors).
+
+    Initialization is deterministic and RNG-free: the ``k`` vectors with
+    the smallest ids (per-block bottom-k candidates → tiny driver
+    merge — no global sort).  Each iteration is ONE streaming pass:
+    every batch computes its local assignment (matmul against the
+    broadcast centroids) and emits k partial ``(count, sum-vector)``
+    rows, so the driver reduces k×(d+1) floats per block and the data
+    itself never moves or shuffles.  Empty clusters keep their previous
+    centroid.  Returns the (k, d) centroid matrix.
+    """
+    import ray as _ray
+
+    # --- deterministic init: k smallest ids, no global sort
+    def bottomk(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        take = np.argsort(ids, kind="stable")[:k]
+        return batch.select([id_col, vec_col]).take(pa.array(take))
+
+    cand = ds.map_batches(bottomk, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    cand.sort(key=lambda r: r[id_col])
+    cent = np.asarray([r[vec_col] for r in cand[:k]], dtype=np.float64)
+    k_eff = len(cent)
+
+    for _ in range(iters):
+        cent_ref = _ray.put(cent)
+
+        def partials(batch: pa.Table, _ref=cent_ref) -> pa.Table:
+            c = _ray.get(_ref) if isinstance(_ref, _ray.ObjectRef) else _ref
+            x = _as_matrix(batch[vec_col]).astype(np.float64)
+            # dist² = |x|² − 2x·c + |c|²; |x|² constant per row → drop
+            scores = x @ c.T - 0.5 * (c * c).sum(axis=1)
+            assign = scores.argmax(axis=1)
+            cnt = np.bincount(assign, minlength=k_eff).astype(np.int64)
+            sums = np.zeros((k_eff, x.shape[1]), dtype=np.float64)
+            np.add.at(sums, assign, x)
+            return pa.table({
+                "cid": pa.array(np.arange(k_eff, dtype=np.int64)),
+                "cnt": pa.array(cnt),
+                "vsum": pa.array(list(sums)),
+            })
+
+        rows = ds.map_batches(partials, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+        cnt = np.zeros(k_eff, dtype=np.int64)
+        sums = np.zeros_like(cent)
+        for r in rows:
+            cnt[r["cid"]] += r["cnt"]
+            sums[r["cid"]] += np.asarray(r["vsum"], dtype=np.float64)
+        nz = cnt > 0
+        cent[nz] = sums[nz] / cnt[nz, None]
+    return cent
+
+
+def nearest_centroid_exact(
+    ds: "ray.data.Dataset",
+    centroids_ds_rows: list[dict],
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    scale: int = 1024,
+) -> "ray.data.Dataset":
+    """Nearest-centroid assignment with EXACT integer distances: vectors
+    and centroids are fixed-point quantized (``floor(x·scale + 0.5)``),
+    so squared distances are integers computed without rounding (every
+    intermediate < 2^53 is exactly representable) — the argmin and its
+    cid tie-break are bit-reproducible in any engine, including SQL via
+    ``list_inner_product`` over the same quantized lists.
+
+    Output: one row per cluster — member count and member-id sum (both
+    exact integers).  Broadcast centroids, zero shuffle beyond the tiny
+    per-block partial rows.
+    """
+    from ..pipelines.relational import grouped_agg
+
+    cmat = np.asarray([r[vec_col] for r in centroids_ds_rows], dtype=np.float64)
+    cids = np.asarray([r[id_col] for r in centroids_ds_rows], dtype=np.int64)
+    cq = np.floor(cmat * scale + 0.5)          # integer-valued doubles
+    c_sq = (cq * cq).sum(axis=1)               # exact ints < 2^53
+
+    def assign(batch: pa.Table) -> pa.Table:
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        xq = np.floor(x * scale + 0.5)
+        # dist² = |x|² − 2x·c + |c|² (all terms exact integers); |x|²
+        # constant per row → compare −2x·c + |c|²
+        d = c_sq[None, :] - 2.0 * (xq @ cq.T)
+        best = d.argmin(axis=1)                # ties → lowest index = lowest cid order
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        cnt = np.bincount(best, minlength=len(cids)).astype(np.int64)
+        idsum = np.zeros(len(cids), dtype=np.int64)
+        np.add.at(idsum, best, ids)
+        return pa.table({
+            "cid": pa.array(cids),
+            "n_members": pa.array(cnt),
+            "sum_vec_id": pa.array(idsum),
+        })
+
+    out = ds.map_batches(assign, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(out, ["cid"], [
+        ("n_members", "n_members", "sum"),
+        ("sum_vec_id", "sum_vec_id", "sum"),
+    ]).filter(expr="n_members > 0")   # empty clusters: match SQL GROUP BY

@@ -1120,3 +1120,55 @@ class TestByteEntropy:
         ds = rd.from_items([{"lang": "a", "text": "aaaaaa"}])
         r = byte_entropy_by_group(ds).take_all()[0]
         assert r["entropy_unats"] == 0 and r["distinct_bytes"] == 1
+
+
+class TestKMeans:
+    def _data(self, n=120, d=8, k=3, seed=11):
+        rng = np.random.default_rng(seed)
+        centers = rng.normal(size=(k, d)) * 5
+        pts = np.concatenate([centers[i] + rng.normal(size=(n // k, d)) * 0.3
+                              for i in range(k)])
+        return pts
+
+    def test_distributed_matches_scalar_lloyd(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.similarity import kmeans_fit
+
+        pts = self._data()
+        ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, p))}
+                            for i, p in enumerate(pts)])
+        cent = kmeans_fit(ds, k=3, iters=4)
+
+        # scalar reference: identical init (3 smallest ids) + 4 Lloyd steps
+        ref = pts[:3].astype(np.float64).copy()
+        for _ in range(4):
+            d2 = ((pts[:, None, :] - ref[None, :, :]) ** 2).sum(axis=2)
+            a = d2.argmin(axis=1)
+            for c in range(3):
+                if (a == c).any():
+                    ref[c] = pts[a == c].mean(axis=0)
+        assert np.allclose(cent, ref, atol=1e-9)
+
+    def test_kmeans_separates_blobs(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.similarity import kmeans_fit
+
+        pts = self._data()
+        ds = rd.from_items([{"vec_id": i, "embedding": list(map(float, p))}
+                            for i, p in enumerate(pts)])
+        cent = kmeans_fit(ds, k=3, iters=8)
+        d2 = ((pts[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        a = d2.argmin(axis=1)
+        # 3 well-separated blobs of 40 → perfect recovery
+        assert sorted(np.bincount(a).tolist()) == [40, 40, 40]
+
+    def test_nearest_centroid_tie_breaks_low_cid(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.similarity import nearest_centroid_exact
+
+        # two identical centroids: every point must land on the lower cid
+        rows = [{"vec_id": i, "embedding": [1.0, 0.0]} for i in (0, 1)]
+        pts = [{"vec_id": 10 + j, "embedding": [0.5, 0.5]} for j in range(5)]
+        out = {r["cid"]: r for r in nearest_centroid_exact(
+            rd.from_items(rows + pts), rows).take_all()}
+        assert out[0]["n_members"] == 7 and 1 not in out
