@@ -1343,3 +1343,44 @@ def grouped_ntile_stats(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_string_agg(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    *,
+    sep: str = ",",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group ordered DISTINCT string concatenation — SQL
+    ``string_agg(DISTINCT value, sep ORDER BY value)`` — plus the
+    distinct-value count per group.
+
+    Scale shape: concatenation of the *distinct* value set is invariant
+    to row multiplicity, so full rows never shuffle — each batch dedups
+    to distinct ``(keys, value)`` pairs first (the same pre-shuffle
+    dedup as ``key_set_op``) and only those cross the exchange.  The
+    reducer re-dedups across batches, byte-sorts (UTF-8 byte order ==
+    codepoint order, matching DuckDB's binary collation) and emits ONE
+    row per group.  Groups whose distinct set is genuinely huge pay for
+    their own output string, exactly like the SQL they mirror.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([])
+        return g.rename_columns(keys + [value_col])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.unique(np.asarray(group[value_col].combine_chunks()))
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        cols["n_distinct"] = pa.array([len(vals)], type=pa.int64())
+        cols["agg"] = pa.array([sep.join(vals)], type=pa.string())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

@@ -350,6 +350,23 @@ def q_parts_heavy_only(sf_dir: str):
     return pa.table({"l_partkey": pa.array(keys, type=pa.int64())})
 
 
+def q_sources_by_lang_agg(sf_dir: str):
+    """Grouped ordered DISTINCT string aggregation
+    (pipelines.relational.grouped_string_agg): per language, the
+    comma-joined byte-sorted distinct source list + distinct count —
+    only distinct (lang, source) pairs cross the shuffle."""
+    from .pipelines import grouped_string_agg
+
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    out = grouped_string_agg(ds, ["lang"], "source", sep=",")
+    rows = sorted(out.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_distinct": pa.array([r["n_distinct"] for r in rows], type=pa.int64()),
+        "agg": pa.array([r["agg"] for r in rows], type=pa.string()),
+    })
+
+
 def q_docs_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate over documents: doc count + char
     sum + max chars at (lang, source), (lang) and grand-total levels
@@ -1998,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_users_by_type": q_top_users_by_type,
         "docs_rollup": q_docs_rollup,
         "parts_heavy_only": q_parts_heavy_only,
+        "sources_by_lang_agg": q_sources_by_lang_agg,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
@@ -2757,6 +2775,12 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
             ORDER BY l_partkey
+        """,
+        "sources_by_lang_agg": """
+            SELECT lang,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_distinct,
+                   string_agg(DISTINCT source, ',' ORDER BY source) AS agg
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "docs_rollup": """
             SELECT coalesce(lang, 'ALL') AS lang,

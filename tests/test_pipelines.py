@@ -546,3 +546,31 @@ class TestGroupedNtile:
     def test_fewer_rows_than_tiles(self, ray_session):
         rows = [("a", 5, 0), ("a", 3, 1), ("b", 1, 2)]
         assert self._run(rows, 4) == self._oracle(rows, 4)
+
+
+class TestGroupedStringAgg:
+    def test_matches_duckdb_and_dedups(self, ray_session):
+        """Ordered DISTINCT concatenation == DuckDB string_agg(DISTINCT
+        ... ORDER BY ...), invariant to duplicates and partitioning."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_string_agg
+
+        rng = np.random.default_rng(11)
+        rows = [(g, f"s{v:02d}")
+                for g, v in zip(rng.choice(["a", "b", "c"], 800),
+                                rng.integers(0, 40, 800))]
+        ds = rd.from_items(
+            [{"g": g, "v": v} for g, v in rows]).repartition(6)
+        got = sorted((r["g"], r["n_distinct"], r["agg"])
+                     for r in grouped_string_agg(ds, ["g"], "v").take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT g, CAST(count(DISTINCT v) AS BIGINT),
+                   string_agg(DISTINCT v, ',' ORDER BY v)
+            FROM t GROUP BY g""").fetchall()))
+        assert got == want
