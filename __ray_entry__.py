@@ -50,11 +50,12 @@ def entry() -> Any:
             estimate = float(sk.saturation_count())
         rows.append({"sketch_id": sid, "estimate": float(estimate),
                      "state_bytes": len(sk.to_bytes())})
+    # contract: entry() returns a Dataset or pandas DataFrame
     return pa.table({
         "sketch_id": pa.array([r["sketch_id"] for r in rows], type=pa.string()),
         "estimate": pa.array([r["estimate"] for r in rows], type=pa.float64()),
         "state_bytes": pa.array([r["state_bytes"] for r in rows], type=pa.int64()),
-    })
+    }).to_pandas()
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
