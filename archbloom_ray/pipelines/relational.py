@@ -1384,3 +1384,40 @@ def grouped_string_agg(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def unpivot(
+    ds: "ray.data.Dataset",
+    id_cols: list[str],
+    value_cols: list[str],
+    *,
+    var_name: str = "name",
+    value_name: str = "value",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Wide→long reshape (SQL UNPIVOT / pandas melt): each input row
+    becomes ``len(value_cols)`` rows carrying the id columns, the source
+    column's name and its value.  The ``value_cols`` must share one
+    Arrow type (cast upstream) so the long column has a stable schema.
+
+    Scale shape: a pure per-batch ``map_batches`` — no shuffle, no
+    state; the k× row expansion happens inside the block so downstream
+    pre-combining aggregates (``grouped_agg``) see it before any
+    exchange.  The name column is a constant-per-slice ``pa.repeat``
+    (no per-row Python strings).
+    """
+    if not value_cols:
+        raise ValueError("value_cols must be non-empty")
+
+    def melt(batch: pa.Table) -> pa.Table:
+        parts = []
+        for c in value_cols:
+            cols = {k: batch[k] for k in id_cols}
+            cols[var_name] = pa.repeat(pa.scalar(c, type=pa.string()), len(batch))
+            cols[value_name] = batch[c]
+            parts.append(pa.table(cols))
+        return pa.concat_tables(parts)
+
+    return ds.map_batches(
+        melt, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)

@@ -367,6 +367,38 @@ def q_sources_by_lang_agg(sf_dir: str):
     })
 
 
+def q_lineitem_unpivot_stats(sf_dir: str):
+    """Wide→long reshape (pipelines.relational.unpivot) of three
+    lineitem measure columns, then a pre-combined grouped aggregate
+    over the measure name — the k× expansion never crosses a shuffle."""
+    from .pipelines import grouped_agg, unpivot
+
+    ds = _read(sf_dir, "lineitem", ["l_quantity", "l_linenumber", "l_partkey"])
+
+    def to_i64(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "quantity": pc.cast(batch["l_quantity"], pa.int64()),
+            "linenumber": pc.cast(batch["l_linenumber"], pa.int64()),
+            "partkey": pc.cast(batch["l_partkey"], pa.int64()),
+        })
+
+    long = unpivot(
+        ds.map_batches(to_i64, batch_format="pyarrow", zero_copy_batch=True),
+        [], ["quantity", "linenumber", "partkey"])
+    out = grouped_agg(long, ["name"], [
+        ("n", None, "count"),
+        ("sum_val", "value", "sum"),
+        ("max_val", "value", "max"),
+    ])
+    rows = sorted(out.take_all(), key=lambda r: r["name"])
+    return pa.table({
+        "name": pa.array([r["name"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "sum_val": pa.array([r["sum_val"] for r in rows], type=pa.int64()),
+        "max_val": pa.array([r["max_val"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_docs_rollup(sf_dir: str):
     """Multi-level ROLLUP aggregate over documents: doc count + char
     sum + max chars at (lang, source), (lang) and grand-total levels
@@ -2016,6 +2048,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_rollup": q_docs_rollup,
         "parts_heavy_only": q_parts_heavy_only,
         "sources_by_lang_agg": q_sources_by_lang_agg,
+        "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
@@ -2775,6 +2808,21 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
             ORDER BY l_partkey
+        """,
+        "lineitem_unpivot_stats": """
+            SELECT name,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(value) AS BIGINT) AS sum_val,
+                   CAST(max(value) AS BIGINT) AS max_val
+            FROM (
+                UNPIVOT (SELECT CAST(l_quantity AS BIGINT) AS quantity,
+                                CAST(l_linenumber AS BIGINT) AS linenumber,
+                                CAST(l_partkey AS BIGINT) AS partkey
+                         FROM lineitem)
+                ON quantity, linenumber, partkey
+                INTO NAME name VALUE value
+            )
+            GROUP BY name ORDER BY name
         """,
         "sources_by_lang_agg": """
             SELECT lang,

@@ -574,3 +574,30 @@ class TestGroupedStringAgg:
                    string_agg(DISTINCT v, ',' ORDER BY v)
             FROM t GROUP BY g""").fetchall()))
         assert got == want
+
+
+class TestUnpivot:
+    def test_matches_pandas_melt(self, ray_session):
+        """Wide→long reshape == pandas melt (as multisets), invariant to
+        partitioning; empty value_cols raises."""
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import unpivot
+
+        rng = np.random.default_rng(3)
+        df = pd.DataFrame({
+            "id": np.arange(200, dtype=np.int64),
+            "a": rng.integers(0, 50, 200).astype(np.int64),
+            "b": rng.integers(0, 50, 200).astype(np.int64),
+        })
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        out = unpivot(ds, ["id"], ["a", "b"]).take_all()
+        got = sorted((r["id"], r["name"], r["value"]) for r in out)
+        want = sorted(map(tuple, df.melt(
+            id_vars=["id"], value_vars=["a", "b"],
+            var_name="name", value_name="value").itertuples(index=False)))
+        assert got == want
+        with pytest.raises(ValueError):
+            unpivot(ds, ["id"], [])
