@@ -1421,3 +1421,87 @@ def unpivot(
     return ds.map_batches(
         melt, batch_size=batch_size, batch_format="pyarrow",
         zero_copy_batch=True)
+
+
+def funnel_users(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    type_column: str,
+    type_a: str,
+    type_b: str,
+    window_seconds: float,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Two-step funnel: per key, did a ``type_b`` event land strictly
+    after some ``type_a`` event and within ``window_seconds`` of it
+    (``0 < t_b − t_a ≤ W``)?  Returns one row per key that has at least
+    one A or B event: ``{key, n_a, n_b, converted}``.
+
+    Scale shape (same as :func:`sessionize_count`): rows are filtered
+    to the two step types BEFORE the exchange, hash-bucketed into
+    coarse partitions, and each partition lexsorts (key, ts, B-before-A
+    at ties) once.  The conversion test is then a segmented running
+    max: for every B row, the latest prior A of the same key minimizes
+    ``t_b − t_a``, so "any A in window" ⇔ "latest prior A in window".
+    The tie order makes the inclusive cummax see only A rows with
+    ``ts < t_b`` (equal-ts A sorts after B), matching the strict
+    inequality.  The cummax is pandas ``groupby(...).cummax()`` — a
+    C-level segmented scan, no per-key Python and no composite-key
+    width bounds.
+    """
+    import pandas as pd
+
+    window_us = int(window_seconds * 1_000_000)
+    int_min = np.int64(np.iinfo(np.int64).min)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        mask = pc.is_in(batch[type_column], value_set=pa.array([type_a, type_b]))
+        batch = batch.filter(mask)
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_isb": pc.cast(pc.equal(batch[type_column], type_b), pa.int8()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_funnel(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table({key_column: pa.array([], group[key_column].type),
+                             "n_a": pa.array([], pa.int64()),
+                             "n_b": pa.array([], pa.int64()),
+                             "converted": pa.array([], pa.bool_())})
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        isb = np.asarray(group["_isb"], dtype=np.int8)
+        order = np.lexsort((np.int8(1) - isb, ts, keys))   # ties: B first
+        keys, ts, isb = keys[order], ts[order], isb[order]
+        a_ts = np.where(isb == 0, ts, int_min)
+        prev_a = (pd.Series(a_ts).groupby(pd.Series(keys), sort=False)
+                  .cummax().to_numpy())
+        hit = (isb == 1) & (prev_a != int_min) & (ts - prev_a <= window_us)
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        n_seg = int(seg_id[-1]) + 1
+        n_b = np.bincount(seg_id, weights=isb, minlength=n_seg).astype(np.int64)
+        n_a = np.bincount(seg_id, minlength=n_seg).astype(np.int64) - n_b
+        conv = np.zeros(n_seg, dtype=bool)
+        conv[seg_id[hit]] = True
+        return pa.table({
+            key_column: pa.array(keys[new_key], type=group[key_column].type),
+            "n_a": pa.array(n_a),
+            "n_b": pa.array(n_b),
+            "converted": pa.array(conv),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_funnel, batch_format="pyarrow")
+    )

@@ -367,6 +367,25 @@ def q_sources_by_lang_agg(sf_dir: str):
     })
 
 
+def q_funnel_view_purchase(sf_dir: str):
+    """Two-step funnel (pipelines.relational.funnel_users): per user,
+    view→purchase conversion within 1 hour (strictly after, ≤ window) —
+    rows filter to the two step types before the shuffle; the partition
+    resolves every user with one lexsort + C-level segmented cummax."""
+    from .pipelines import funnel_users
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type"])
+    out = funnel_users(ds, "user_id", "ts", "event_type",
+                       "view", "purchase", 3600.0)
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "n_a": pa.array([r["n_a"] for r in rows], type=pa.int64()),
+        "n_b": pa.array([r["n_b"] for r in rows], type=pa.int64()),
+        "converted": pa.array([r["converted"] for r in rows], type=pa.bool_()),
+    })
+
+
 def q_lineitem_unpivot_stats(sf_dir: str):
     """Wide→long reshape (pipelines.relational.unpivot) of three
     lineitem measure columns, then a pre-combined grouped aggregate
@@ -2049,6 +2068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "parts_heavy_only": q_parts_heavy_only,
         "sources_by_lang_agg": q_sources_by_lang_agg,
         "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
+        "funnel_view_purchase": q_funnel_view_purchase,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
@@ -2808,6 +2828,23 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
             ORDER BY l_partkey
+        """,
+        "funnel_view_purchase": """
+            WITH ab AS (
+                SELECT user_id, ts, event_type FROM events
+                WHERE event_type IN ('view', 'purchase')
+            ),
+            conv AS (
+                SELECT DISTINCT a.user_id
+                FROM ab a JOIN ab b USING (user_id)
+                WHERE a.event_type = 'view' AND b.event_type = 'purchase'
+                  AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+            )
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n_a,
+                   CAST(count(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_b,
+                   (user_id IN (SELECT user_id FROM conv)) AS converted
+            FROM ab GROUP BY user_id ORDER BY user_id
         """,
         "lineitem_unpivot_stats": """
             SELECT name,

@@ -601,3 +601,51 @@ class TestUnpivot:
         assert got == want
         with pytest.raises(ValueError):
             unpivot(ds, ["id"], [])
+
+
+class TestFunnelUsers:
+    def _oracle(self, rows, w_us):
+        import duckdb
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (u BIGINT, ts BIGINT, typ VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        return sorted(map(tuple, con.execute(f"""
+            WITH ab AS (SELECT * FROM t WHERE typ IN ('A', 'B')),
+            conv AS (
+                SELECT DISTINCT a.u FROM ab a JOIN ab b USING (u)
+                WHERE a.typ = 'A' AND b.typ = 'B'
+                  AND b.ts > a.ts AND b.ts <= a.ts + {w_us})
+            SELECT u, CAST(count(*) FILTER (WHERE typ = 'A') AS BIGINT),
+                   CAST(count(*) FILTER (WHERE typ = 'B') AS BIGINT),
+                   u IN (SELECT u FROM conv)
+            FROM ab GROUP BY u""").fetchall()))
+
+    def test_edges_and_random_match_duckdb(self, ray_session):
+        """Equal-ts ties don't convert, exactly-at-window does, B with
+        no prior A doesn't; random corpus == DuckDB join oracle."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import funnel_users
+
+        w_us = 1_000_000  # 1 s window
+        rows = [
+            (1, 100, "A"), (1, 100, "B"),              # tie: no convert
+            (2, 100, "A"), (2, 100 + w_us, "B"),       # boundary: converts
+            (3, 100 + w_us, "B"), (3, 200 + w_us, "A"),  # B first: no
+            (4, 0, "A"), (4, 2 * w_us, "B"), (4, int(1.5 * w_us), "A"),  # late A rescues
+            (5, 50, "C"), (5, 60, "A"),                # other types filtered
+        ]
+        rng = np.random.default_rng(19)
+        rows += [(int(u), int(ts), t) for u, ts, t in zip(
+            rng.integers(10, 40, 600), rng.integers(0, 5 * w_us, 600),
+            rng.choice(["A", "B", "C"], 600))]
+        ds = rd.from_items(
+            [{"u": u, "ts": ts, "typ": t} for u, ts, t in rows]).repartition(5)
+        # ts column here is already int64 microseconds (pc.cast is identity)
+        out = funnel_users(ds, "u", "ts", "typ", "A", "B", w_us / 1e6)
+        got = sorted((r["u"], r["n_a"], r["n_b"], r["converted"])
+                     for r in out.take_all())
+        assert got == self._oracle(rows, w_us)
+        per_u = {g[0]: g[3] for g in got}
+        assert per_u[1] is False and per_u[2] is True
+        assert per_u[3] is False and per_u[4] is True
