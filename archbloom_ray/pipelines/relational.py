@@ -1505,3 +1505,72 @@ def funnel_users(
         .groupby("_pkey")
         .map_groups(partition_funnel, batch_format="pyarrow")
     )
+
+
+def transition_counts(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    type_column: str,
+    tiebreak_column: str,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Event-sequence transition matrix: for each key's timeline
+    ordered by ``(ts, tiebreak)``, count consecutive event-type pairs —
+    SQL ``lead(type) OVER (PARTITION BY key ORDER BY ts, tiebreak)``
+    then ``GROUP BY (from, to)``.  The unique tiebreak column makes the
+    per-key order (and thus the counts) deterministic under ties.
+
+    Scale shape: sessionize-style coarse hash partitions (a key's rows
+    land together), ONE lexsort per partition, dictionary-encoded type
+    pairs counted with a single ``bincount`` — each partition emits at
+    most ``|types|²`` partial rows, summed by a tiny grouped aggregate.
+    """
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_tb": pc.cast(batch[tiebreak_column], pa.int64()),
+            type_column: batch[type_column],
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_transitions(group: pa.Table) -> pa.Table:
+        empty = pa.table({"from_type": pa.array([], pa.string()),
+                          "to_type": pa.array([], pa.string()),
+                          "n": pa.array([], pa.int64())})
+        n = len(group)
+        if n < 2:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        tb = np.asarray(group["_tb"], dtype=np.int64)
+        types = np.asarray(group[type_column].combine_chunks())
+        order = np.lexsort((tb, ts, keys))
+        keys, types = keys[order], types[order]
+        vocab, code = np.unique(types, return_inverse=True)
+        k = len(vocab)
+        adj = keys[1:] == keys[:-1]
+        pair = code[:-1][adj] * k + code[1:][adj]
+        if not len(pair):
+            return empty
+        cnt = np.bincount(pair, minlength=k * k)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "from_type": pa.array(vocab[nz // k], type=pa.string()),
+            "to_type": pa.array(vocab[nz % k], type=pa.string()),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_transitions, batch_format="pyarrow")
+    )
+    return grouped_agg(partials, ["from_type", "to_type"],
+                       [("n", "n", "sum")])

@@ -386,6 +386,23 @@ def q_funnel_view_purchase(sf_dir: str):
     })
 
 
+def q_event_transitions(sf_dir: str):
+    """Event-type transition matrix (pipelines.relational.
+    transition_counts): consecutive-pair counts over each user's
+    (ts, event_id)-ordered timeline — one lexsort + one bincount per
+    coarse partition; ≤ |types|² partial rows per partition."""
+    from .pipelines import transition_counts
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_type", "event_id"])
+    out = transition_counts(ds, "user_id", "ts", "event_type", "event_id")
+    rows = sorted(out.take_all(), key=lambda r: (r["from_type"], r["to_type"]))
+    return pa.table({
+        "from_type": pa.array([r["from_type"] for r in rows], type=pa.string()),
+        "to_type": pa.array([r["to_type"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_lineitem_unpivot_stats(sf_dir: str):
     """Wide→long reshape (pipelines.relational.unpivot) of three
     lineitem measure columns, then a pre-combined grouped aggregate
@@ -2069,6 +2086,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sources_by_lang_agg": q_sources_by_lang_agg,
         "lineitem_unpivot_stats": q_lineitem_unpivot_stats,
         "funnel_view_purchase": q_funnel_view_purchase,
+        "event_transitions": q_event_transitions,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "lang_doc_sample": q_lang_doc_sample,
@@ -2828,6 +2846,18 @@ def oracle_sql() -> dict[str, str]:
             EXCEPT
             SELECT l_partkey FROM lineitem WHERE l_quantity <= 5
             ORDER BY l_partkey
+        """,
+        "event_transitions": """
+            WITH s AS (
+                SELECT user_id, event_type,
+                       lead(event_type) OVER (
+                           PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+                FROM events
+            )
+            SELECT event_type AS from_type, nxt AS to_type,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM s WHERE nxt IS NOT NULL
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "funnel_view_purchase": """
             WITH ab AS (

@@ -649,3 +649,36 @@ class TestFunnelUsers:
         per_u = {g[0]: g[3] for g in got}
         assert per_u[1] is False and per_u[2] is True
         assert per_u[3] is False and per_u[4] is True
+
+
+class TestTransitionCounts:
+    def test_matches_duckdb_lead(self, ray_session):
+        """Consecutive-pair counts == DuckDB lead() oracle, ties broken
+        by the unique tiebreak column, invariant to partitioning."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import transition_counts
+
+        rng = np.random.default_rng(23)
+        n = 700
+        rows = [(int(u), int(ts), t, i) for i, (u, ts, t) in enumerate(zip(
+            rng.integers(0, 30, n), rng.integers(0, 50, n),  # heavy ts ties
+            rng.choice(["x", "y", "z"], n)))]
+        ds = rd.from_items(
+            [{"u": u, "ts": ts, "typ": t, "eid": i}
+             for u, ts, t, i in rows]).repartition(6)
+        out = transition_counts(ds, "u", "ts", "typ", "eid")
+        got = sorted((r["from_type"], r["to_type"], r["n"])
+                     for r in out.take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (u BIGINT, ts BIGINT, typ VARCHAR, eid BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            WITH s AS (SELECT u, typ, lead(typ) OVER (
+                           PARTITION BY u ORDER BY ts, eid) AS nxt FROM t)
+            SELECT typ, nxt, CAST(count(*) AS BIGINT)
+            FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""").fetchall()))
+        assert got == want
+        assert sum(g[2] for g in got) == n - len({r[0] for r in rows})
