@@ -1574,3 +1574,38 @@ def transition_counts(
     )
     return grouped_agg(partials, ["from_type", "to_type"],
                        [("n", "n", "sum")])
+
+
+def grouped_distinct_count(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-key COUNT(DISTINCT value): each batch dedups to
+    distinct ``(keys, value)`` pairs before the exchange (the shuffle
+    carries per-block distinct pairs, not rows), then one reducer per
+    key counts unique values with a vectorized ``np.unique``.  The
+    approximate counterpart at extreme per-key cardinality is the
+    grouped HLL build (``pipelines.build.build_grouped_sketches``); this
+    is the exact one-shuffle oracle for it.  Returns ``{keys,
+    n_distinct}``.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([])
+        return g.rename_columns(keys + [value_col])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col].combine_chunks())
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        cols["n_distinct"] = pa.array([len(np.unique(vals))], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

@@ -1965,6 +1965,32 @@ def q_events_hopping(sf_dir: str):
     return grouped_agg(ds, ["ws", "event_type"], [("n_events", None, "count")])
 
 
+def q_events_hopping_dau(sf_dir: str):
+    """Hopping-window distinct users (DAU-style): exact
+    count(DISTINCT user_id) per 2h/1h hopping window — both window
+    assignments emitted in-batch, per-batch dedup to distinct
+    (window, user) pairs before the shuffle
+    (pipelines.relational.grouped_distinct_count)."""
+    from .pipelines import grouped_distinct_count
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                     pa.int64()).combine_chunks()
+        hprev = pc.subtract(hi, pa.scalar(3_600_000_000, type=pa.int64()))
+        ws = pc.cast(pa.concat_arrays([hprev, hi]), pa.timestamp("us"))
+        u = batch["user_id"].combine_chunks()
+        return pa.table({"ws": ws, "user_id": pa.concat_arrays([u, u])})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_distinct_count(ds, ["ws"], "user_id")
+    rows = sorted(out.take_all(), key=lambda r: r["ws"])
+    return pa.table({
+        "ws": pa.array([r["ws"] for r in rows], type=pa.timestamp("us")),
+        "n_users": pa.array([r["n_distinct"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_bm25_top20(sf_dir: str):
     """Okapi BM25 top-20 docs for the query terms (table, merge, window):
     scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
@@ -2074,6 +2100,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quartiles": q_chars_quartiles,
         "bm25_top20": q_bm25_top20,
         "events_hopping": q_events_hopping,
+        "events_hopping_dau": q_events_hopping_dau,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2483,6 +2510,14 @@ def oracle_sql() -> dict[str, str]:
                   SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
             SELECT ws, event_type, count(*) AS n_events
             FROM w GROUP BY ws, event_type
+        """,
+        "events_hopping_dau": """
+            WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+            w AS (SELECT h AS ws, user_id FROM e
+                  UNION ALL
+                  SELECT h - INTERVAL 1 HOUR AS ws, user_id FROM e)
+            SELECT ws, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+            FROM w GROUP BY ws ORDER BY ws
         """,
         "bm25_top20": r"""
             WITH d AS (

@@ -682,3 +682,29 @@ class TestTransitionCounts:
             FROM s WHERE nxt IS NOT NULL GROUP BY 1, 2""").fetchall()))
         assert got == want
         assert sum(g[2] for g in got) == n - len({r[0] for r in rows})
+
+
+class TestGroupedDistinctCount:
+    def test_matches_duckdb(self, ray_session):
+        """Exact COUNT(DISTINCT) per key == DuckDB, duplicates spread
+        across partitions."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_distinct_count
+
+        rng = np.random.default_rng(29)
+        rows = [(g, int(v)) for g, v in zip(
+            rng.choice(["a", "b", "c", "d"], 1200),
+            rng.integers(0, 80, 1200))]
+        ds = rd.from_items(
+            [{"g": g, "v": v} for g, v in rows]).repartition(7)
+        got = sorted((r["g"], r["n_distinct"]) for r in
+                     grouped_distinct_count(ds, ["g"], "v").take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute(
+            "SELECT g, CAST(count(DISTINCT v) AS BIGINT) FROM t GROUP BY g"
+        ).fetchall()))
+        assert got == want
