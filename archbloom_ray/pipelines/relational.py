@@ -1609,3 +1609,61 @@ def grouped_distinct_count(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def grouped_percentile_disc(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    qs: list[float],
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group discrete percentiles of an INTEGER column — SQL
+    ``percentile_disc(q) WITHIN GROUP (ORDER BY v)``: the smallest
+    value whose cumulative distribution ≥ q, i.e. 1-based rank
+    ``ceil(q·n)`` (verified against DuckDB's semantics).
+
+    Same scale shape as :func:`grouped_ntile_stats`: percentiles of the
+    sorted multiset ignore row identity, so batches pre-aggregate to
+    distinct ``(keys, value, count)`` rows and only those shuffle; the
+    reducer rebuilds each rank with one ``searchsorted`` over weighted
+    prefix counts.  Output: one row per group with a ``p<q>`` int64
+    column per requested percentile.
+    """
+    if not qs or any(not (0.0 < q <= 1.0) for q in qs):
+        raise ValueError("qs must be in (0, 1]")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    names = [f"p{str(q).replace('0.', '').replace('.', '_')}" for q in qs]
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col], dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = np.asarray(group["cnt"], dtype=np.int64)[order]
+        uniq = np.empty(len(vals), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = vals[1:] != vals[:-1]
+        seg = np.cumsum(uniq) - 1
+        u_vals = vals[uniq]
+        u_cnt = np.zeros(len(u_vals), dtype=np.int64)
+        np.add.at(u_cnt, seg, cnt)
+        cum = np.cumsum(u_cnt)
+        n = int(cum[-1])
+        ranks = np.ceil(np.asarray(qs, dtype=np.float64) * n).astype(np.int64)
+        idx = np.searchsorted(cum, ranks, side="left")
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        for name, i in zip(names, idx):
+            cols[name] = pa.array([int(u_vals[i])], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

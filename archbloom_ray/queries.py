@@ -1965,6 +1965,24 @@ def q_events_hopping(sf_dir: str):
     return grouped_agg(ds, ["ws", "event_type"], [("n_events", None, "count")])
 
 
+def q_chars_percentiles_disc(sf_dir: str):
+    """Exact per-language discrete percentiles of n_chars
+    (pipelines.relational.grouped_percentile_disc): SQL
+    percentile_disc rank = ceil(q·n); only distinct
+    (lang, n_chars, count) rows cross the shuffle."""
+    from .pipelines import grouped_percentile_disc
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_percentile_disc(ds, ["lang"], "n_chars", [0.25, 0.5, 0.9])
+    rows = sorted(out.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "p25": pa.array([r["p25"] for r in rows], type=pa.int64()),
+        "p5": pa.array([r["p5"] for r in rows], type=pa.int64()),
+        "p9": pa.array([r["p9"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -2101,6 +2119,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": q_bm25_top20,
         "events_hopping": q_events_hopping,
         "events_hopping_dau": q_events_hopping_dau,
+        "chars_percentiles_disc": q_chars_percentiles_disc,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2510,6 +2529,13 @@ def oracle_sql() -> dict[str, str]:
                   SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
             SELECT ws, event_type, count(*) AS n_events
             FROM w GROUP BY ws, event_type
+        """,
+        "chars_percentiles_disc": """
+            SELECT lang,
+                   CAST(percentile_disc(0.25) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p25,
+                   CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
+                   CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "events_hopping_dau": """
             WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),

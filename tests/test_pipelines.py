@@ -708,3 +708,36 @@ class TestGroupedDistinctCount:
             "SELECT g, CAST(count(DISTINCT v) AS BIGINT) FROM t GROUP BY g"
         ).fetchall()))
         assert got == want
+
+
+class TestGroupedPercentileDisc:
+    def test_matches_duckdb(self, ray_session):
+        """Discrete percentiles (rank ceil(q*n)) == DuckDB
+        percentile_disc under heavy ties; bad q raises."""
+        import duckdb
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_percentile_disc
+
+        rng = np.random.default_rng(31)
+        rows = [(g, int(v)) for g, v in zip(
+            rng.choice(["a", "b", "c"], 900),
+            rng.integers(0, 12, 900))]   # 12 distinct values → heavy ties
+        ds = rd.from_items(
+            [{"g": g, "v": v} for g, v in rows]).repartition(5)
+        out = grouped_percentile_disc(ds, ["g"], "v", [0.25, 0.5, 0.9])
+        got = sorted((r["g"], r["p25"], r["p5"], r["p9"])
+                     for r in out.take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT g,
+                   percentile_disc(0.25) WITHIN GROUP (ORDER BY v),
+                   percentile_disc(0.5) WITHIN GROUP (ORDER BY v),
+                   percentile_disc(0.9) WITHIN GROUP (ORDER BY v)
+            FROM t GROUP BY g""").fetchall()))
+        assert got == want
+        with pytest.raises(ValueError):
+            grouped_percentile_disc(ds, ["g"], "v", [0.0])
