@@ -1667,3 +1667,83 @@ def grouped_percentile_disc(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def cohort_retention(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Cohort retention matrix: bucket each key by its FIRST activity
+    week (Monday-start, Arrow ``floor_temporal`` == DuckDB
+    ``date_trunc('week')``), then count distinct keys active per
+    (cohort_week, activity_week) pair.
+
+    Scale shape: week truncation happens in-batch, keys hash-bucket
+    into coarse partitions so each key's full history co-locates; ONE
+    lexsort per partition yields the per-key first week (segment head)
+    and the distinct (key, week) pairs (run boundaries) — the partition
+    emits pre-counted (cohort, week, n) rows, at most ``weeks²`` each,
+    into a tiny grouped sum.  Returns ``{cohort_week, activity_week,
+    n_users}`` with timestamp-us week columns.
+    """
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_wk_us": pc.cast(pc.floor_temporal(batch[ts_column], unit="week"),
+                              pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_cohorts(group: pa.Table) -> pa.Table:
+        empty = pa.table({"_cw": pa.array([], pa.int64()),
+                          "_aw": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        n = len(group)
+        if n == 0:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        wk = np.asarray(group["_wk_us"], dtype=np.int64)
+        order = np.lexsort((wk, keys))
+        keys, wk = keys[order], wk[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        cohort = wk[new_key]                      # first (min) week per key
+        new_pair = new_key.copy()
+        new_pair[1:] |= wk[1:] != wk[:-1]         # distinct (key, week) runs
+        pair_cw = cohort[seg_id[new_pair]]
+        pair_aw = wk[new_pair]
+        cw_vals, cw_code = np.unique(pair_cw, return_inverse=True)
+        aw_vals, aw_code = np.unique(pair_aw, return_inverse=True)
+        cnt = np.bincount(cw_code * len(aw_vals) + aw_code,
+                          minlength=len(cw_vals) * len(aw_vals))
+        nz = np.nonzero(cnt)[0]
+        return pa.table({
+            "_cw": pa.array(cw_vals[nz // len(aw_vals)], type=pa.int64()),
+            "_aw": pa.array(aw_vals[nz % len(aw_vals)], type=pa.int64()),
+            "n": pa.array(cnt[nz], type=pa.int64()),
+        })
+
+    partials = (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_cohorts, batch_format="pyarrow")
+    )
+    summed = grouped_agg(partials, ["_cw", "_aw"], [("n_users", "n", "sum")])
+
+    def finalize(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "cohort_week": pc.cast(batch["_cw"], pa.timestamp("us")),
+            "activity_week": pc.cast(batch["_aw"], pa.timestamp("us")),
+            "n_users": batch["n_users"],
+        })
+
+    return summed.map_batches(finalize, batch_format="pyarrow",
+                              zero_copy_batch=True)

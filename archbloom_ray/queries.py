@@ -1965,6 +1965,26 @@ def q_events_hopping(sf_dir: str):
     return grouped_agg(ds, ["ws", "event_type"], [("n_events", None, "count")])
 
 
+def q_user_retention(sf_dir: str):
+    """Cohort retention matrix (pipelines.relational.cohort_retention):
+    distinct users per (first-activity week, activity week) — each
+    partition resolves cohorts and distinct pairs with one lexsort and
+    emits ≤ weeks² pre-counted rows."""
+    from .pipelines import cohort_retention
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = cohort_retention(ds, "user_id", "ts")
+    rows = sorted(out.take_all(),
+                  key=lambda r: (r["cohort_week"], r["activity_week"]))
+    return pa.table({
+        "cohort_week": pa.array([r["cohort_week"] for r in rows],
+                                type=pa.timestamp("us")),
+        "activity_week": pa.array([r["activity_week"] for r in rows],
+                                  type=pa.timestamp("us")),
+        "n_users": pa.array([r["n_users"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_chars_percentiles_disc(sf_dir: str):
     """Exact per-language discrete percentiles of n_chars
     (pipelines.relational.grouped_percentile_disc): SQL
@@ -2120,6 +2140,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_hopping_dau": q_events_hopping_dau,
         "chars_percentiles_disc": q_chars_percentiles_disc,
+        "user_retention": q_user_retention,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2529,6 +2550,23 @@ def oracle_sql() -> dict[str, str]:
                   SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
             SELECT ws, event_type, count(*) AS n_events
             FROM w GROUP BY ws, event_type
+        """,
+        "user_retention": """
+            WITH f AS (
+                SELECT user_id,
+                       CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+                FROM events GROUP BY user_id
+            ),
+            a AS (
+                SELECT DISTINCT user_id,
+                       CAST(date_trunc('week', ts) AS TIMESTAMP) AS activity_week
+                FROM events
+            )
+            SELECT cohort_week, activity_week,
+                   CAST(count(*) AS BIGINT) AS n_users
+            FROM a JOIN f USING (user_id)
+            GROUP BY cohort_week, activity_week
+            ORDER BY cohort_week, activity_week
         """,
         "chars_percentiles_disc": """
             SELECT lang,

@@ -741,3 +741,39 @@ class TestGroupedPercentileDisc:
         assert got == want
         with pytest.raises(ValueError):
             grouped_percentile_disc(ds, ["g"], "v", [0.0])
+
+
+class TestCohortRetention:
+    def test_matches_duckdb(self, ray_session):
+        """Retention counts == DuckDB first-week-join oracle on a corpus
+        with staggered cohorts and repeat weeks."""
+        import datetime
+
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import cohort_retention
+
+        rng = np.random.default_rng(37)
+        base = datetime.datetime(2026, 1, 5)  # a Monday
+        rows = [(int(u), base + datetime.timedelta(
+                    hours=float(h)))
+                for u, h in zip(rng.integers(0, 60, 900),
+                                rng.uniform(0, 24 * 7 * 6, 900))]
+        ds = rd.from_items(
+            [{"u": u, "ts": ts} for u, ts in rows]).repartition(5)
+        out = cohort_retention(ds, "u", "ts")
+        got = sorted((r["cohort_week"], r["activity_week"], r["n_users"])
+                     for r in out.take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (u BIGINT, ts TIMESTAMP)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            WITH f AS (SELECT u, CAST(date_trunc('week', min(ts)) AS TIMESTAMP) cw
+                       FROM t GROUP BY u),
+            a AS (SELECT DISTINCT u, CAST(date_trunc('week', ts) AS TIMESTAMP) aw FROM t)
+            SELECT cw, aw, CAST(count(*) AS BIGINT)
+            FROM a JOIN f USING (u) GROUP BY cw, aw""").fetchall()))
+        assert got == want
+        assert len(got) > 6  # staggered cohorts produced a real matrix
