@@ -247,6 +247,29 @@ class TimeDecayingBloomFilter(Sketch):
             now = self.start_time
         return int(((self.filter != 0) & self._stale(self.filter, int(now))).sum())
 
+    def age_element(self, element, age_amount: int) -> None:
+        """Pull the element's slot ticks back ``age_amount`` ticks so it
+        expires sooner, floor 0 (= cleared) — declared-only TODO
+        ``tdbloom_age_element`` (tdbloom.h:134), implemented with the
+        same subtract-and-floor semantics as the counting variant
+        (tdcbloom.c:843-862 / our tdcbloom.age_element).  Shared slots
+        are aged too (inherent to the structure, as in tdcbloom)."""
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        pos = self._positions(pa.array([element], type=typ))[:, 0]
+        vals = self.filter[pos].astype(np.int64)
+        aged = np.maximum(vals - int(age_amount), 0)
+        aged[vals == 0] = 0
+        self.filter[pos] = aged.astype(self.filter.dtype)
+
+    def saturation_count(self, now=None) -> int:
+        """Number of fresh (nonzero, unexpired) slots — declared-only
+        TODO ``tdbloom_saturation_count`` (tdbloom.h:117); defined so
+        ``saturation() == saturation_count()/size*100`` holds."""
+        if now is None:
+            now = self.start_time
+        return int(((self.filter != 0)
+                    & ~self._stale(self.filter, int(now))).sum())
+
     def saturation(self, now=None) -> float:
         """% of slots fresh (tdbloom.c:255-276)."""
         if now is None:

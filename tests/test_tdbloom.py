@@ -207,3 +207,28 @@ class TestLastAccessWraparound:
         # the (timeout, max_time) stale band, e.g. t_write - 35 here:
         # (cur - v) mod 255 = 220 > 200)
         assert td.get_last_access_time("x", now=t_write - 35) == -1
+
+
+class TestDeclaredOnlyOps:
+    def test_age_element_expires_sooner(self):
+        """Aging pulls ticks back so the element goes stale earlier;
+        aging past the floor clears its slots (tdbloom.h:134 TODO,
+        tdcbloom-consistent semantics)."""
+        td = TimeDecayingBloomFilter(50, 0.01, timeout=10, start_time=0)
+        td.update_arrow(pa.array(["k"]), now=8)
+        assert td.lookup("k", now=12)
+        td.age_element("k", 5)            # tick 9 -> 4: stale once now-4 > 10
+        assert not td.lookup("k", now=15)
+        assert td.lookup("k", now=12)     # 12-4=8 <= 10, still fresh
+        td.age_element("k", 100)          # floors to 0 == cleared
+        assert not td.lookup("k", now=5)
+
+    def test_saturation_count_matches_saturation(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=10, start_time=0)
+        assert td.saturation_count(now=0) == 0
+        td.update_arrow(pa.array([f"e{i}" for i in range(20)]), now=1)
+        c = td.saturation_count(now=1)
+        assert 0 < c <= 20 * td.hashcount
+        assert td.saturation(now=1) == pytest.approx(c / td.size * 100.0)
+        # all entries stale far in the future (within max_time guard)
+        assert td.saturation_count(now=200) == 0
