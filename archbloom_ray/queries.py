@@ -2029,6 +2029,25 @@ def q_events_hopping_dau(sf_dir: str):
     })
 
 
+def q_index_and_search(sf_dir: str):
+    """Persisted inverted index + pruned boolean search
+    (stages.index): ONE scan hive-partitions distinct (term, doc)
+    postings by term hash into /tmp scratch; the AND-query reads only
+    the query terms' shards and resolves with a grouped distinct-term
+    count — posting lists never hit the driver."""
+    import tempfile
+
+    from .stages.index import build_inverted_index, query_inverted_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="invidx_") as tmp:
+        build_inverted_index(ds, tmp, num_shards=16)
+        out = query_inverted_index(tmp, ["table", "merge"],
+                                   mode="and", num_shards=16)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def q_bm25_top20(sf_dir: str):
     """Okapi BM25 top-20 docs for the query terms (table, merge, window):
     scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
@@ -2141,6 +2160,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_dau": q_events_hopping_dau,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "user_retention": q_user_retention,
+        "index_and_search": q_index_and_search,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2550,6 +2570,14 @@ def oracle_sql() -> dict[str, str]:
                   SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e)
             SELECT ws, event_type, count(*) AS n_events
             FROM w GROUP BY ws, event_type
+        """,
+        "index_and_search": f"""
+            SELECT doc_id
+            FROM (SELECT doc_id,
+                         {_sql_lower_tokens("coalesce(text, '')")} AS tk
+                  FROM documents)
+            WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
+            ORDER BY doc_id
         """,
         "user_retention": """
             WITH f AS (

@@ -1172,3 +1172,43 @@ class TestKMeans:
         out = {r["cid"]: r for r in nearest_centroid_exact(
             rd.from_items(rows + pts), rows).take_all()}
         assert out[0]["n_members"] == 7 and 1 not in out
+
+
+class TestInvertedIndex:
+    def test_build_query_and_or(self, ray_session, tmp_path):
+        """AND/OR search over the persisted shard store == Python set
+        algebra on the tokenized corpus; bad args raise."""
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.stages.index import (
+            build_inverted_index,
+            query_inverted_index,
+        )
+
+        rng = np.random.default_rng(41)
+        vocab = np.array([f"w{i}" for i in range(30)])
+        docs = [(i, " ".join(rng.choice(vocab, rng.integers(3, 12))))
+                for i in range(400)]
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]).repartition(5)
+        idx = str(tmp_path / "inv")
+        build_inverted_index(ds, idx, num_shards=8)
+
+        toksets = {i: set(t.split()) for i, t in docs}
+        for terms, mode in ([["w3", "w7"], "and"], [["w3", "w7"], "or"],
+                            [["w1"], "and"]):
+            got = sorted(r["doc_id"] for r in query_inverted_index(
+                idx, terms, mode=mode, num_shards=8).take_all())
+            op = set.intersection if mode == "and" else set.union
+            want = sorted(i for i, s in toksets.items()
+                          if (all(t in s for t in terms) if mode == "and"
+                              else any(t in s for t in terms)))
+            assert got == want, (terms, mode)
+        # absent term: AND with it is empty
+        assert query_inverted_index(idx, ["w1", "zzz"], mode="and",
+                                    num_shards=8).count() == 0
+        with pytest.raises(ValueError):
+            query_inverted_index(idx, [], mode="and")
+        with pytest.raises(ValueError):
+            query_inverted_index(idx, ["w1"], mode="xor")
