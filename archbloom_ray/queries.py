@@ -2048,6 +2048,22 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_phrase_search(sf_dir: str):
+    """Exact-phrase search over a bigram inverted index
+    (stages.index.query_phrase): the 2-token phrase is ONE sep-joined
+    index term, so the lookup reads a single pruned shard."""
+    import tempfile
+
+    from .stages.index import build_inverted_index, query_phrase
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    with tempfile.TemporaryDirectory(prefix="phridx_") as tmp:
+        build_inverted_index(ds, tmp, num_shards=16, ngram=2)
+        out = query_phrase(tmp, ["the", "table"], num_shards=16, ngram=2)
+        ids = sorted(r["doc_id"] for r in out.take_all())
+    return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
+
+
 def q_bm25_top20(sf_dir: str):
     """Okapi BM25 top-20 docs for the query terms (table, merge, window):
     scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
@@ -2161,6 +2177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "user_retention": q_user_retention,
         "index_and_search": q_index_and_search,
+        "phrase_search": q_phrase_search,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2577,6 +2594,17 @@ def oracle_sql() -> dict[str, str]:
                          {_sql_lower_tokens("coalesce(text, '')")} AS tk
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
+            ORDER BY doc_id
+        """,
+        "phrase_search": f"""
+            SELECT doc_id
+            FROM (SELECT doc_id,
+                         {_sql_lower_tokens("coalesce(text, '')")} AS tk
+                  FROM documents)
+            WHERE len(tk) >= 2 AND list_contains(
+                list_transform(range(1, len(tk)),
+                               i -> tk[i] || chr(31) || tk[i+1]),
+                'the' || chr(31) || 'table')
             ORDER BY doc_id
         """,
         "user_retention": """

@@ -30,7 +30,7 @@ from .similarity import (
     query_ivf_index,
     train_centroids,
 )
-from .index import build_inverted_index, query_inverted_index
+from .index import build_inverted_index, query_inverted_index, query_phrase
 from .sampling import hash_split, split_assignments, weighted_sample
 from .tfidf import doc_frequencies, tfidf_top_terms
 from .url import add_url_parts, parse_urls, stratified_sample
@@ -67,7 +67,7 @@ __all__ = [
     "knn_brute", "knn_ivf", "train_centroids",
     "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments", "weighted_sample",
-    "build_inverted_index", "query_inverted_index",
+    "build_inverted_index", "query_inverted_index", "query_phrase",
     "doc_frequencies", "tfidf_top_terms",
     "add_url_parts", "parse_urls", "stratified_sample",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",

@@ -39,9 +39,10 @@ except ImportError:  # pragma: no cover
     ray = None
 
 from ..hashing import mmh3_128_batch
+from .text import _BIGRAM_SEP, token_ngrams_flat
 from .tfidf import _unigrams
 
-__all__ = ["build_inverted_index", "query_inverted_index"]
+__all__ = ["build_inverted_index", "query_inverted_index", "query_phrase"]
 
 
 def _shards_of(terms: np.ndarray, num_shards: int) -> np.ndarray:
@@ -57,12 +58,21 @@ def build_inverted_index(
     text_col: str = "text",
     id_col: str = "doc_id",
     num_shards: int = 32,
+    ngram: int = 1,
 ) -> None:
     """One scan of the corpus → hive-partitioned posting store
-    (``shard=N/`` directories of distinct ``(term, doc_id)`` rows)."""
+    (``shard=N/`` directories of distinct ``(term, doc_id)`` rows).
+    With ``ngram > 1`` the terms are word n-grams (sep ``'\\x1f'``,
+    same as every bigram stage) — an exact-phrase index."""
 
     def pairs(batch: pa.Table) -> pa.Table:
-        terms, doc_idx = _unigrams(batch[text_col])
+        if ngram == 1:
+            terms, doc_idx = _unigrams(batch[text_col])
+        else:
+            grams, doc_idx = token_ngrams_flat(batch[text_col], ngram)
+            terms = np.asarray(grams)
+            if terms.dtype == object:
+                terms = terms.astype("U")
         empty = pa.table({"term": pa.array([], pa.string()),
                           id_col: pa.array([], pa.int64()),
                           "shard": pa.array([], pa.int64())})
@@ -126,3 +136,24 @@ def query_inverted_index(
     if mode == "and":
         counts = counts.filter(expr=f"n_terms >= {needed}")
     return counts.select_columns([id_col])
+
+
+def query_phrase(
+    index_path: str,
+    phrase_tokens: list[str],
+    *,
+    id_col: str = "doc_id",
+    num_shards: int = 32,
+    ngram: int = 2,
+) -> "ray.data.Dataset":
+    """Exact-phrase search over an ``ngram``-term index: a phrase of
+    exactly ``ngram`` tokens is ONE index term (sep-joined), so the
+    lookup is a single pruned posting read — position lists are never
+    needed.  (Longer phrases would AND their sliding n-grams, which is
+    the standard necessary-condition prefilter; this engine keeps the
+    exact case.)"""
+    if len(phrase_tokens) != ngram:
+        raise ValueError(f"phrase must have exactly {ngram} tokens")
+    term = _BIGRAM_SEP.join(t.lower() for t in phrase_tokens)
+    return query_inverted_index(index_path, [term], id_col=id_col,
+                                mode="and", num_shards=num_shards)

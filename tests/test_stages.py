@@ -1212,3 +1212,34 @@ class TestInvertedIndex:
             query_inverted_index(idx, [], mode="and")
         with pytest.raises(ValueError):
             query_inverted_index(idx, ["w1"], mode="xor")
+
+
+class TestPhraseIndex:
+    def test_bigram_index_phrase_exact(self, ray_session, tmp_path):
+        """Phrase hits over the bigram index == substring-of-token-join
+        check (exact adjacency, across batch boundaries irrelevant)."""
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.stages.index import (
+            build_inverted_index,
+            query_phrase,
+        )
+
+        rng = np.random.default_rng(43)
+        vocab = np.array(["red", "fox", "dog", "log", "run"])
+        docs = [(i, " ".join(rng.choice(vocab, rng.integers(2, 9))))
+                for i in range(300)]
+        ds = rd.from_items(
+            [{"doc_id": i, "text": t} for i, t in docs]).repartition(4)
+        idx = str(tmp_path / "phr")
+        build_inverted_index(ds, idx, num_shards=8, ngram=2)
+        got = sorted(r["doc_id"] for r in query_phrase(
+            idx, ["red", "fox"], num_shards=8).take_all())
+        want = sorted(i for i, t in docs
+                      if "red fox" in " " + t + " "
+                      and any(a == "red" and b == "fox" for a, b in
+                              zip(t.split(), t.split()[1:])))
+        assert got == want and len(got) > 0
+        with pytest.raises(ValueError):
+            query_phrase(idx, ["red"], num_shards=8)
