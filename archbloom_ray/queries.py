@@ -2048,6 +2048,36 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_props_k_stats(sf_dir: str):
+    """Vectorized JSON field extraction (stages.jsonfield): pull the
+    integer ``k`` out of the flat-JSON props column with ONE RE2
+    extract kernel (no per-row parse), then a pre-combined grouped
+    aggregate per event type."""
+    from .pipelines import grouped_agg
+    from .stages.jsonfield import json_int_field
+
+    def extract(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_type": batch["event_type"],
+            "k": json_int_field(batch["props"], "k"),
+        })
+
+    ds = _read(sf_dir, "events", ["event_type", "props"]).map_batches(
+        extract, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_agg(ds, ["event_type"], [
+        ("n", None, "count"),
+        ("sum_k", "k", "sum"),
+        ("max_k", "k", "max"),
+    ])
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "sum_k": pa.array([r["sum_k"] for r in rows], type=pa.int64()),
+        "max_k": pa.array([r["max_k"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_phrase_search(sf_dir: str):
     """Exact-phrase search over a bigram inverted index
     (stages.index.query_phrase): the 2-token phrase is ONE sep-joined
@@ -2178,6 +2208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_retention": q_user_retention,
         "index_and_search": q_index_and_search,
         "phrase_search": q_phrase_search,
+        "props_k_stats": q_props_k_stats,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2595,6 +2626,13 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "props_k_stats": """
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(sum(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+                   CAST(max(CAST(json_extract(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "phrase_search": f"""
             SELECT doc_id

@@ -31,6 +31,7 @@ from .similarity import (
     train_centroids,
 )
 from .index import build_inverted_index, query_inverted_index, query_phrase
+from .jsonfield import json_int_field, json_string_field
 from .sampling import hash_split, split_assignments, weighted_sample
 from .tfidf import doc_frequencies, tfidf_top_terms
 from .url import add_url_parts, parse_urls, stratified_sample
@@ -68,6 +69,7 @@ __all__ = [
     "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments", "weighted_sample",
     "build_inverted_index", "query_inverted_index", "query_phrase",
+    "json_int_field", "json_string_field",
     "doc_frequencies", "tfidf_top_terms",
     "add_url_parts", "parse_urls", "stratified_sample",
     "DecodeImage", "FakeDecode", "ResizeNearest", "ImageFeatures",

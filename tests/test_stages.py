@@ -1243,3 +1243,31 @@ class TestPhraseIndex:
         assert got == want and len(got) > 0
         with pytest.raises(ValueError):
             query_phrase(idx, ["red"], num_shards=8)
+
+
+class TestJsonField:
+    def test_kernels_match_python_json(self, ray_session):
+        """RE2 fast-path extraction == json.loads on flat objects;
+        absent keys and nulls yield null."""
+        import json
+
+        from archbloom_ray.stages.jsonfield import (
+            json_int_field,
+            json_string_field,
+        )
+
+        rng = np.random.default_rng(47)
+        objs = []
+        for i in range(300):
+            o = {}
+            if rng.random() < 0.8:
+                o["k"] = int(rng.integers(-500, 500))
+            if rng.random() < 0.6:
+                o["s"] = f'v"{i}' if i % 7 == 0 else f"v{i}"
+            o["other"] = int(rng.integers(0, 9))
+            objs.append(o)
+        col = pa.array([json.dumps(o) for o in objs])
+        ints = json_int_field(col, "k").to_pylist()
+        strs = json_string_field(col, "s").to_pylist()
+        assert ints == [o.get("k") for o in objs]
+        assert strs == [o.get("s") for o in objs]
