@@ -2048,6 +2048,49 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_docs_profile(sf_dir: str):
+    """Dataset profiler, composed entirely from existing operators:
+    stringify columns → shuffle-free unpivot to (name, value) → one
+    grouped_agg (row/valid counts) + one grouped_distinct_count
+    (per-column distinct cardinality) — the per-column stats an
+    ingestion pipeline runs before anything else."""
+    from .pipelines import grouped_agg, grouped_distinct_count, unpivot
+
+    cols = ["doc_id", "lang", "source"]
+
+    def to_str(batch: pa.Table) -> pa.Table:
+        return pa.table({c: pc.cast(batch[c], pa.string()) for c in cols})
+
+    long = unpivot(
+        _read(sf_dir, "documents", cols).map_batches(
+            to_str, batch_format="pyarrow", zero_copy_batch=True),
+        [], cols, var_name="column", value_name="value")
+
+    def add_valid(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "valid", pc.cast(pc.is_valid(batch["value"]), pa.int64()))
+
+    counts = grouped_agg(
+        long.map_batches(add_valid, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["column"], [("n", None, "count"), ("n_valid", "valid", "sum")])
+    def drop_null(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.is_valid(batch["value"]))
+
+    distinct = grouped_distinct_count(
+        long.map_batches(drop_null, batch_format="pyarrow",
+                         zero_copy_batch=True), ["column"], "value")
+    nd = {r["column"]: r["n_distinct"] for r in distinct.take_all()}
+    rows = sorted(counts.take_all(), key=lambda r: r["column"])
+    return pa.table({
+        "column": pa.array([r["column"] for r in rows], type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "n_valid": pa.array([r["n_valid"] for r in rows], type=pa.int64()),
+        "n_distinct": pa.array([nd.get(r["column"], 0) for r in rows],
+                               type=pa.int64()),
+    })
+
+
 def q_props_k_stats(sf_dir: str):
     """Vectorized JSON field extraction (stages.jsonfield): pull the
     integer ``k`` out of the flat-JSON props column with ONE RE2
@@ -2209,6 +2252,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "index_and_search": q_index_and_search,
         "phrase_search": q_phrase_search,
         "props_k_stats": q_props_k_stats,
+        "docs_profile": q_docs_profile,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2626,6 +2670,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "docs_profile": """
+            SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(doc_id) AS BIGINT) AS n_valid,
+                   CAST(count(DISTINCT CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_distinct
+            FROM documents
+            UNION ALL
+            SELECT 'lang', CAST(count(*) AS BIGINT),
+                   CAST(count(lang) AS BIGINT),
+                   CAST(count(DISTINCT lang) AS BIGINT) FROM documents
+            UNION ALL
+            SELECT 'source', CAST(count(*) AS BIGINT),
+                   CAST(count(source) AS BIGINT),
+                   CAST(count(DISTINCT source) AS BIGINT) FROM documents
+            ORDER BY "column"
         """,
         "props_k_stats": """
             SELECT event_type,
