@@ -1747,3 +1747,70 @@ def cohort_retention(
 
     return summed.map_batches(finalize, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+def grouped_grouping_sets(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    aggs: list[tuple[str, str | None, AggKind]],
+    sets: list[list[str]],
+    *,
+    all_label: str = "ALL",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SQL ``GROUP BY GROUPING SETS`` (and thus CUBE = all subsets)
+    from ONE scan: like :func:`grouped_rollup`, the finest level is a
+    single exact :func:`grouped_agg` over the input and every requested
+    set re-aggregates that tiny fine table — arbitrary sets, no extra
+    input scans.  Aggregate kinds must be re-aggregable (count/sum →
+    sum, min → min, max → max); suppressed key columns carry
+    ``all_label`` (keys must be strings).
+    """
+    for _, _, kind in aggs:
+        if kind not in _ROLLUP_REAGG:
+            raise ValueError(
+                f"grouped_grouping_sets: kind {kind!r} is not re-aggregable")
+    seen = set()
+    for s in sets:
+        if not set(s) <= set(keys):
+            raise ValueError(f"grouping set {s!r} not a subset of keys")
+        t = tuple(sorted(s))
+        if t in seen:
+            raise ValueError(f"duplicate grouping set {s!r}")
+        seen.add(t)
+
+    fine = grouped_agg(ds, keys, aggs, batch_size=batch_size).materialize()
+    reagg = [(out, out, _ROLLUP_REAGG[kind]) for out, _, kind in aggs]
+    out_names = [out for out, _, _ in aggs]
+
+    def fill_all(level_keys: list[str]):
+        def fn(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for k in keys:
+                cols[k] = (batch[k] if k in level_keys
+                           else pa.array([all_label] * n, type=pa.string()))
+            for o in out_names:
+                cols[o] = batch[o]
+            return pa.table(cols)
+        return fn
+
+    def add_const(batch: pa.Table) -> pa.Table:
+        return batch.append_column("_all", pa.array([all_label] * len(batch),
+                                                    type=pa.string()))
+
+    levels = []
+    for s in sets:
+        if set(s) == set(keys):
+            lvl = fine
+        elif s:
+            lvl = grouped_agg(fine, list(s), reagg, batch_size=batch_size)
+        else:
+            lvl = grouped_agg(
+                fine.map_batches(add_const, batch_format="pyarrow",
+                                 zero_copy_batch=True),
+                ["_all"], reagg, batch_size=batch_size
+            ).drop_columns(["_all"])
+        levels.append(lvl.map_batches(fill_all(list(s)), batch_format="pyarrow",
+                                      zero_copy_batch=True))
+    return levels[0] if len(levels) == 1 else levels[0].union(*levels[1:])

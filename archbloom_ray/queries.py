@@ -2048,6 +2048,26 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_docs_cube(sf_dir: str):
+    """SQL GROUP BY CUBE(lang, source) via
+    pipelines.relational.grouped_grouping_sets: all four grouping sets
+    re-aggregate ONE materialized fine table — one input scan total."""
+    from .pipelines import grouped_grouping_sets
+
+    ds = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    out = grouped_grouping_sets(
+        ds, ["lang", "source"],
+        [("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")],
+        [["lang", "source"], ["lang"], ["source"], []])
+    rows = sorted(out.take_all(), key=lambda r: (r["lang"], r["source"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "sum_chars": pa.array([r["sum_chars"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_docs_profile(sf_dir: str):
     """Dataset profiler, composed entirely from existing operators:
     stringify columns → shuffle-free unpivot to (name, value) → one
@@ -2253,6 +2273,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "phrase_search": q_phrase_search,
         "props_k_stats": q_props_k_stats,
         "docs_profile": q_docs_profile,
+        "docs_cube": q_docs_cube,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2670,6 +2691,15 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "docs_cube": """
+            SELECT coalesce(lang, 'ALL') AS lang,
+                   coalesce(source, 'ALL') AS source,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents
+            GROUP BY CUBE(lang, source)
+            ORDER BY lang, source
         """,
         "docs_profile": """
             SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n,

@@ -777,3 +777,39 @@ class TestCohortRetention:
             FROM a JOIN f USING (u) GROUP BY cw, aw""").fetchall()))
         assert got == want
         assert len(got) > 6  # staggered cohorts produced a real matrix
+
+
+class TestGroupingSets:
+    def test_cube_matches_duckdb(self, ray_session):
+        """CUBE via grouping sets == DuckDB GROUP BY CUBE; validation of
+        bad sets."""
+        import duckdb
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_grouping_sets
+
+        rng = np.random.default_rng(53)
+        df = pd.DataFrame({
+            "a": rng.choice(["x", "y", "z"], 600),
+            "b": rng.choice(["p", "q"], 600),
+            "v": rng.integers(0, 100, 600).astype(np.int64),
+        })
+        ds = rd.from_arrow(pa.Table.from_pandas(df)).repartition(4)
+        out = grouped_grouping_sets(
+            ds, ["a", "b"], [("n", None, "count"), ("s", "v", "sum")],
+            [["a", "b"], ["a"], ["b"], []])
+        got = sorted((r["a"], r["b"], r["n"], r["s"]) for r in out.take_all())
+        con = duckdb.connect()
+        con.register("t", df)
+        want = sorted(map(tuple, con.execute("""
+            SELECT coalesce(a, 'ALL'), coalesce(b, 'ALL'),
+                   CAST(count(*) AS BIGINT), CAST(sum(v) AS BIGINT)
+            FROM t GROUP BY CUBE(a, b)""").fetchall()))
+        assert got == want
+        with pytest.raises(ValueError):
+            grouped_grouping_sets(ds, ["a"], [("n", None, "count")], [["c"]])
+        with pytest.raises(ValueError):
+            grouped_grouping_sets(ds, ["a"], [("n", None, "count")],
+                                  [["a"], ["a"]])
