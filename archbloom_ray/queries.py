@@ -2048,6 +2048,42 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_events_decayed_counts(sf_dir: str):
+    """Exact exponentially-decayed event counts (half-life 1 h) per
+    type, anchored at the corpus max timestamp — the EXACT companion to
+    the tdbloom/tdcbloom sketch family: weight = 2^-(age_hours), held
+    bit-exactly in fixed point (1 << (52 - age)) int64, so the grouped
+    sum is integer math and the SQL mirror hashes identically.  Two
+    scans (anchor + weighted count), same as the SQL."""
+    from .pipelines import grouped_agg
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"])
+    now_us = ds.max("ts")
+    if hasattr(now_us, "timestamp"):
+        import calendar
+
+        now_us = calendar.timegm(now_us.timetuple()) * 1_000_000 + now_us.microsecond
+    else:
+        now_us = int(now_us)
+    hl_us = 3_600_000_000
+
+    def weigh(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        age = (now_us - ts) // hl_us
+        w = np.where(age <= 52, np.int64(1) << np.maximum(52 - age, 0), 0)
+        return pa.table({"event_type": batch["event_type"],
+                         "w": pa.array(w, type=pa.int64())})
+
+    out = grouped_agg(
+        ds.map_batches(weigh, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], [("decayed_fp", "w", "sum")])
+    rows = sorted(out.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], type=pa.string()),
+        "decayed_fp": pa.array([r["decayed_fp"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_docs_cube(sf_dir: str):
     """SQL GROUP BY CUBE(lang, source) via
     pipelines.relational.grouped_grouping_sets: all four grouping sets
@@ -2274,6 +2310,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "props_k_stats": q_props_k_stats,
         "docs_profile": q_docs_profile,
         "docs_cube": q_docs_cube,
+        "events_decayed_counts": q_events_decayed_counts,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2691,6 +2728,21 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "events_decayed_counts": """
+            WITH anchor AS (
+                SELECT CAST(epoch_us(max(ts)) AS BIGINT) AS now_us FROM events
+            ),
+            w AS (
+                SELECT event_type,
+                       (SELECT now_us FROM anchor) - CAST(epoch_us(ts) AS BIGINT) AS age_us
+                FROM events
+            )
+            SELECT event_type,
+                   CAST(sum(CASE WHEN age_us // 3600000000 <= 52
+                                 THEN (CAST(1 AS BIGINT) << CAST(52 - age_us // 3600000000 AS INTEGER))
+                                 ELSE 0 END) AS BIGINT) AS decayed_fp
+            FROM w GROUP BY event_type ORDER BY event_type
         """,
         "docs_cube": """
             SELECT coalesce(lang, 'ALL') AS lang,

@@ -813,3 +813,23 @@ class TestGroupingSets:
         with pytest.raises(ValueError):
             grouped_grouping_sets(ds, ["a"], [("n", None, "count")],
                                   [["a"], ["a"]])
+
+
+class TestDecayedCounts:
+    def test_query_matches_oracle_small(self, ray_session):
+        """Fixed-point 2^-(age_hours) weighting is bit-exact vs the SQL
+        expression at sf0.001 (driver-gate semantics)."""
+        import duckdb
+
+        from archbloom_ray.queries import queries, oracle_sql
+
+        sf = "/root/testdata/sf0.001"
+        df = queries()["events_decayed_counts"](sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        odf = con.execute(oracle_sql()["events_decayed_counts"]).df()
+        assert df.sort_values("event_type").reset_index(drop=True).equals(
+            odf.astype({"decayed_fp": "int64"})
+               .sort_values("event_type").reset_index(drop=True))
+        assert (df["decayed_fp"] > 0).any()
