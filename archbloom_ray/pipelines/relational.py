@@ -1814,3 +1814,88 @@ def grouped_grouping_sets(
         levels.append(lvl.map_batches(fill_all(list(s)), batch_format="pyarrow",
                                       zero_copy_batch=True))
     return levels[0] if len(levels) == 1 else levels[0].union(*levels[1:])
+
+
+def snapshot_diff(
+    old_ds: "ray.data.Dataset",
+    new_ds: "ray.data.Dataset",
+    key_column: str,
+    value_columns: list[str],
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Change-data-capture between two keyed snapshots: one row per key
+    whose state differs — ``change ∈ {added, removed, changed}``
+    (unchanged keys are dropped).  Keys must be unique within each
+    snapshot (a keyed table).
+
+    Scale shape: each side reduces in-batch to ``(key, h, side)`` where
+    ``h`` is a 128-bit content hash of the value columns (canonical
+    ``'\\x1f'``-joined string form) — full rows never shuffle, just 24
+    bytes per key.  Keys hash-bucket into coarse partitions; each
+    partition lexsorts (key, side) once and classifies every ≤2-row
+    segment vectorized.  Equality via 128-bit mmh3 — collision odds are
+    ~2⁻¹²⁸ per pair, far below any storage-layer error rate.
+    """
+    from ..hashing import mmh3_128_batch
+
+    def partial(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            cols = [pc.cast(batch[c], pa.string()) for c in value_columns]
+            joined = pc.binary_join_element_wise(
+                *[pc.fill_null(c, "\x00") for c in cols], "\x1f")
+            h1, h2 = mmh3_128_batch(joined.combine_chunks())
+            k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+            with np.errstate(over="ignore"):
+                pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+            return pa.table({
+                key_column: batch[key_column],
+                "_h1": pa.array(h1.view(np.int64)),
+                "_h2": pa.array(h2.view(np.int64)),
+                "_side": pa.array(np.full(len(batch), side, dtype=np.int8)),
+                "_pkey": pa.array(pk.astype(np.int32)),
+            })
+        return fn
+
+    tagged = old_ds.map_batches(
+        partial(0), batch_format="pyarrow", zero_copy_batch=True).union(
+        new_ds.map_batches(partial(1), batch_format="pyarrow",
+                           zero_copy_batch=True))
+
+    def classify(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table({key_column: pa.array([], group[key_column].type),
+                          "change": pa.array([], pa.string())})
+        if n == 0:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        h1 = np.asarray(group["_h1"], dtype=np.int64)
+        h2 = np.asarray(group["_h2"], dtype=np.int64)
+        side = np.asarray(group["_side"], dtype=np.int8)
+        order = np.lexsort((side, keys))
+        keys, h1, h2, side = keys[order], h1[order], h2[order], side[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        starts = np.flatnonzero(new_key)
+        sizes = np.diff(np.append(starts, n))
+        if sizes.max(initial=0) > 2:
+            raise ValueError("snapshot_diff: duplicate key within a snapshot")
+        uniq = keys[starts]
+        single = sizes == 1
+        # singles: side decides; pairs: sorted (old, new) — compare hashes
+        change = np.empty(len(uniq), dtype=object)
+        change[single & (side[starts] == 0)] = "removed"
+        change[single & (side[starts] == 1)] = "added"
+        pair = ~single
+        ps = starts[pair]
+        if len(ps) and not ((side[ps] == 0) & (side[ps + 1] == 1)).all():
+            raise ValueError("snapshot_diff: duplicate key within a snapshot")
+        same = (h1[ps] == h1[ps + 1]) & (h2[ps] == h2[ps + 1])
+        change[pair] = np.where(same, "", "changed")
+        keep = change != ""
+        return pa.table({
+            key_column: pa.array(uniq[keep], type=group[key_column].type),
+            "change": pa.array(change[keep].astype("U"), type=pa.string()),
+        })
+
+    return tagged.groupby("_pkey").map_groups(classify, batch_format="pyarrow")

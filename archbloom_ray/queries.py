@@ -2048,6 +2048,37 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_docs_snapshot_diff(sf_dir: str):
+    """Change-data-capture (pipelines.relational.snapshot_diff): diff
+    two deterministic snapshots of documents — old drops doc_id%17==0,
+    new rewrites source for doc_id%13==0 — emitting added / removed /
+    changed keys; only 24-byte (key, hash) rows cross the shuffle."""
+    from .pipelines import snapshot_diff
+
+    base = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def as_old(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % 17 != 0))
+
+    def as_new(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        mod = pa.array(ids % 13 == 0)
+        src = pc.if_else(mod, pc.binary_join_element_wise(
+            batch["source"].combine_chunks(), "_x", ""), batch["source"])
+        return pa.table({"doc_id": batch["doc_id"], "source": src,
+                         "n_chars": batch["n_chars"]})
+
+    old = base.map_batches(as_old, batch_format="pyarrow", zero_copy_batch=True)
+    new = base.map_batches(as_new, batch_format="pyarrow", zero_copy_batch=True)
+    out = snapshot_diff(old, new, "doc_id", ["source", "n_chars"])
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "change": pa.array([r["change"] for r in rows], type=pa.string()),
+    })
+
+
 def q_events_decayed_counts(sf_dir: str):
     """Exact exponentially-decayed event counts (half-life 1 h) per
     type, anchored at the corpus max timestamp — the EXACT companion to
@@ -2311,6 +2342,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_profile": q_docs_profile,
         "docs_cube": q_docs_cube,
         "events_decayed_counts": q_events_decayed_counts,
+        "docs_snapshot_diff": q_docs_snapshot_diff,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2727,6 +2759,27 @@ def oracle_sql() -> dict[str, str]:
                          {_sql_lower_tokens("coalesce(text, '')")} AS tk
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
+            ORDER BY doc_id
+        """,
+        "docs_snapshot_diff": """
+            WITH old AS (
+                SELECT doc_id, source, n_chars FROM documents
+                WHERE doc_id % 17 <> 0
+            ),
+            new AS (
+                SELECT doc_id,
+                       CASE WHEN doc_id % 13 = 0 THEN source || '_x'
+                            ELSE source END AS source,
+                       n_chars
+                FROM documents
+            )
+            SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+                   CASE WHEN o.doc_id IS NULL THEN 'added'
+                        WHEN n.doc_id IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM old o FULL OUTER JOIN new n ON o.doc_id = n.doc_id
+            WHERE o.doc_id IS NULL OR n.doc_id IS NULL
+               OR (o.source, o.n_chars) IS DISTINCT FROM (n.source, n.n_chars)
             ORDER BY doc_id
         """,
         "events_decayed_counts": """

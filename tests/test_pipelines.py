@@ -833,3 +833,49 @@ class TestDecayedCounts:
             odf.astype({"decayed_fp": "int64"})
                .sort_values("event_type").reset_index(drop=True))
         assert (df["decayed_fp"] > 0).any()
+
+
+class TestSnapshotDiff:
+    def test_matches_duckdb_full_outer(self, ray_session):
+        """added/removed/changed classification == DuckDB FULL OUTER
+        JOIN on random keyed snapshots; duplicate keys raise."""
+        import duckdb
+        import pandas as pd
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import snapshot_diff
+
+        rng = np.random.default_rng(59)
+        keys = rng.permutation(500)[:400]
+        old = pd.DataFrame({
+            "k": np.sort(keys[:300]).astype(np.int64),
+            "v": rng.integers(0, 50, 300).astype(np.int64),
+        })
+        new = pd.DataFrame({
+            "k": np.sort(keys[100:]).astype(np.int64),
+            "v": rng.integers(0, 50, 300).astype(np.int64),
+        })
+        # force some unchanged overlaps
+        both = np.intersect1d(old["k"], new["k"])
+        fix = both[: len(both) // 2]
+        new.loc[new["k"].isin(fix), "v"] = (
+            old.set_index("k").loc[fix, "v"].to_numpy())
+        lo = rd.from_arrow(pa.Table.from_pandas(old)).repartition(4)
+        ln = rd.from_arrow(pa.Table.from_pandas(new)).repartition(3)
+        got = sorted((r["k"], r["change"]) for r in
+                     snapshot_diff(lo, ln, "k", ["v"]).take_all())
+        con = duckdb.connect()
+        con.register("o", old)
+        con.register("n", new)
+        want = sorted(map(tuple, con.execute("""
+            SELECT coalesce(o.k, n.k),
+                   CASE WHEN o.k IS NULL THEN 'added'
+                        WHEN n.k IS NULL THEN 'removed'
+                        ELSE 'changed' END
+            FROM o FULL OUTER JOIN n ON o.k = n.k
+            WHERE o.k IS NULL OR n.k IS NULL OR o.v <> n.v""").fetchall()))
+        assert got == want
+        dup = rd.from_items([{"k": 1, "v": 1}, {"k": 1, "v": 2}])
+        with pytest.raises(Exception, match="duplicate key"):
+            snapshot_diff(dup, ln, "k", ["v"]).take_all()
