@@ -123,3 +123,116 @@ def resumable_shard_map(
         "skipped": len(input_paths) - len(pending),
         "written": len(pending),
     }
+
+
+def _store_pkey(keys_np, num_partitions: int):
+    import numpy as np
+
+    k = keys_np.astype(np.uint64)
+    with np.errstate(over="ignore"):
+        return ((k * np.uint64(0x9E3779B97F4A7C15))
+                % np.uint64(num_partitions)).astype(np.int64)
+
+
+def write_keyed_store(
+    ds: "ray.data.Dataset",
+    store_dir: str,
+    key_column: str,
+    *,
+    num_partitions: int = 32,
+) -> None:
+    """Write a keyed table as a hash-partitioned parquet store
+    (``bucket=N/`` directories): every row of one key lands in exactly
+    one partition, so point updates and merges touch one directory.
+    The same resumable per-partition layout as every other store in
+    this engine."""
+    import numpy as np
+
+    def tag(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64)
+        return batch.append_column("bucket",
+                                   pa.array(_store_pkey(k, num_partitions)))
+
+    ds.map_batches(tag, batch_format="pyarrow", zero_copy_batch=True
+                   ).write_parquet(store_dir, partition_cols=["bucket"])
+
+
+def merge_upsert(
+    store_dir: str,
+    updates_ds: "ray.data.Dataset",
+    out_dir: str,
+    key_column: str,
+    *,
+    num_partitions: int = 32,
+) -> int:
+    """Copy-on-write upsert into a :func:`write_keyed_store` store:
+    last-writer-wins by key (updates override base; new keys insert).
+    Returns the number of REWRITTEN partitions.
+
+    Scale shape: the updates' key hashes decide the affected partition
+    set (≤ ``num_partitions`` scalars on the driver — not data); ONLY
+    those partitions are read back, merged per partition with one
+    lexsort + segment-head pick (updates sort first), and rewritten
+    under ``out_dir``.  Untouched partitions are carried over as file
+    copies — a metadata-only rename/hard-link on a real object store,
+    so the write cost is proportional to the UPDATE volume, not the
+    store size."""
+    import numpy as np
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[key_column], dtype=np.int64)
+            t = batch.append_column(
+                "bucket", pa.array(_store_pkey(k, num_partitions)))
+            return t.append_column(
+                "_side", pa.array(np.full(len(batch), side, dtype=np.int8)))
+        return fn
+
+    tagged_updates = updates_ds.map_batches(
+        tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    affected = sorted({r["bucket"] for r in
+                       tagged_updates.groupby("bucket").count().take_all()})
+
+    os.makedirs(out_dir, exist_ok=True)
+    copied = 0
+    for name in sorted(os.listdir(store_dir)):
+        src = os.path.join(store_dir, name)
+        if not (name.startswith("bucket=") and os.path.isdir(src)):
+            continue
+        pk = int(name.split("=", 1)[1])
+        if pk not in affected:
+            # COW carry-over: on an object store this is a rename/link
+            shutil.copytree(src, os.path.join(out_dir, name))
+            copied += 1
+
+    files = []
+    for pk in affected:
+        d = os.path.join(store_dir, f"bucket={pk}")
+        if os.path.isdir(d):
+            files += [os.path.join(d, f) for f in sorted(os.listdir(d))
+                      if f.endswith(".parquet")]
+
+    def resolve(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return group.drop_columns(["_side"])
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        side = np.asarray(group["_side"], dtype=np.int8)
+        order = np.lexsort((-side.astype(np.int64), keys))  # updates first
+        first = np.ones(n, dtype=bool)
+        ks = keys[order]
+        first[1:] = ks[1:] != ks[:-1]
+        return group.take(pa.array(order[first])).drop_columns(["_side"])
+
+    base_cols = updates_ds.schema().names
+    merged_src = tagged_updates
+    if files:
+        # hive partition col lives in the path, not the file — retag
+        base = ray.data.read_parquet(files, columns=base_cols).map_batches(
+            tag(0), batch_format="pyarrow", zero_copy_batch=True)
+        merged_src = tagged_updates.union(base)
+
+    (merged_src.groupby("bucket")
+     .map_groups(resolve, batch_format="pyarrow")
+     .write_parquet(out_dir, partition_cols=["bucket"]))
+    return len(affected)

@@ -2048,6 +2048,76 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_docs_upsert_state(sf_dir: str):
+    """Copy-on-write keyed-store upsert (pipelines.write.merge_upsert):
+    base documents store + deterministic updates (rewrite source for
+    doc_id%13==0, insert doc_id+100000 for doc_id%19==0) → read the new
+    store version back and aggregate its final state.  Only affected
+    hash buckets are rewritten; the rest carry over."""
+    import tempfile
+
+    from .pipelines import merge_upsert, write_keyed_store
+
+    base = _read(sf_dir, "documents", ["doc_id", "source", "n_chars"])
+
+    def make_updates(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        m13 = ids % 13 == 0
+        m19 = ids % 19 == 0
+        mod = batch.filter(pa.array(m13))
+        mod = pa.table({
+            "doc_id": mod["doc_id"],
+            "source": pc.binary_join_element_wise(
+                mod["source"].combine_chunks(), "_x", ""),
+            "n_chars": mod["n_chars"],
+        })
+        ins = batch.filter(pa.array(m19))
+        ins = pa.table({
+            "doc_id": pc.add(ins["doc_id"], pa.scalar(100000, type=pa.int64())),
+            "source": ins["source"],
+            "n_chars": ins["n_chars"],
+        })
+        return pa.concat_tables([mod, ins])
+
+    updates = base.map_batches(make_updates, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    with tempfile.TemporaryDirectory(prefix="store_") as tmp:
+        v1, v2 = f"{tmp}/v1", f"{tmp}/v2"
+        write_keyed_store(base, v1, "doc_id", num_partitions=16)
+        merge_upsert(v1, updates, v2, "doc_id", num_partitions=16)
+        import ray.data as _rd
+
+        final = _rd.read_parquet(v2, columns=["doc_id", "source", "n_chars"])
+
+        def partial(batch: pa.Table) -> pa.Table:
+            ids = np.unique(np.asarray(batch["doc_id"], dtype=np.int64))
+            srcs = np.unique(np.asarray(batch["source"].combine_chunks()))
+            return pa.table({
+                "n_rows": pa.array([len(batch)], type=pa.int64()),
+                "sum_chars": pa.array(
+                    [int(np.asarray(batch["n_chars"], dtype=np.int64).sum())],
+                    type=pa.int64()),
+                "doc_ids": pa.array([ids.tolist()],
+                                    type=pa.list_(pa.int64())),
+                "sources": pa.array([srcs.tolist()],
+                                    type=pa.list_(pa.string())),
+            })
+
+        parts = final.map_batches(partial, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
+    n_rows = sum(p["n_rows"] for p in parts)
+    sum_chars = sum(p["sum_chars"] for p in parts)
+    n_keys = len(np.unique(np.concatenate(
+        [np.asarray(p["doc_ids"], dtype=np.int64) for p in parts])))
+    n_sources = len({s for p in parts for s in p["sources"]})
+    return pa.table({
+        "n_rows": pa.array([n_rows], type=pa.int64()),
+        "n_keys": pa.array([n_keys], type=pa.int64()),
+        "sum_chars": pa.array([sum_chars], type=pa.int64()),
+        "n_sources": pa.array([n_sources], type=pa.int64()),
+    })
+
+
 def q_docs_snapshot_diff(sf_dir: str):
     """Change-data-capture (pipelines.relational.snapshot_diff): diff
     two deterministic snapshots of documents — old drops doc_id%17==0,
@@ -2343,6 +2413,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_cube": q_docs_cube,
         "events_decayed_counts": q_events_decayed_counts,
         "docs_snapshot_diff": q_docs_snapshot_diff,
+        "docs_upsert_state": q_docs_upsert_state,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2760,6 +2831,26 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "docs_upsert_state": """
+            WITH upd AS (
+                SELECT doc_id, source || '_x' AS source, n_chars
+                FROM documents WHERE doc_id % 13 = 0
+                UNION ALL
+                SELECT doc_id + 100000, source, n_chars
+                FROM documents WHERE doc_id % 19 = 0
+            ),
+            final AS (
+                SELECT * FROM upd
+                UNION ALL
+                SELECT d.doc_id, d.source, d.n_chars FROM documents d
+                WHERE d.doc_id NOT IN (SELECT doc_id FROM upd)
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT doc_id) AS BIGINT) AS n_keys,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars,
+                   CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+            FROM final
         """,
         "docs_snapshot_diff": """
             WITH old AS (

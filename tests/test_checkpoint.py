@@ -124,3 +124,36 @@ class TestResumableWrite:
         assert r2 == {"total": 3, "skipped": 3, "written": 0}
         got = pq.read_table(str(tmp_path / "out" / "in-1")).column("x2").to_pylist()
         assert got == [x * 2 for x in range(10, 20)]
+
+
+class TestKeyedStoreUpsert:
+    def test_cow_upsert_last_writer_wins(self, ray_session, tmp_path):
+        """Upsert == pandas combine: updates override, inserts land,
+        untouched partitions are carried over; only affected rewritten."""
+        import pandas as pd
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import merge_upsert, write_keyed_store
+
+        rng = np.random.default_rng(61)
+        base = pd.DataFrame({
+            "k": np.arange(300, dtype=np.int64),
+            "v": rng.integers(0, 100, 300).astype(np.int64),
+        })
+        upd = pd.DataFrame({
+            "k": np.arange(250, 350, dtype=np.int64),  # 50 update + 50 insert
+            "v": rng.integers(100, 200, 100).astype(np.int64),
+        })
+        s1 = str(tmp_path / "v1")
+        s2 = str(tmp_path / "v2")
+        write_keyed_store(rd.from_arrow(pa.Table.from_pandas(base)).repartition(4),
+                          s1, "k", num_partitions=8)
+        n_rewritten = merge_upsert(
+            s1, rd.from_arrow(pa.Table.from_pandas(upd)), s2, "k",
+            num_partitions=8)
+        assert 0 < n_rewritten <= 8
+        got = (rd.read_parquet(s2).to_pandas()[["k", "v"]]
+               .sort_values("k").reset_index(drop=True))
+        want = (pd.concat([base[~base["k"].isin(upd["k"])], upd])
+                .sort_values("k").reset_index(drop=True))
+        pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
