@@ -226,6 +226,40 @@ def cmd_transform(args):
     print(json.dumps({"output": args.output, **report}))
 
 
+def cmd_index_build(args):
+    """Build a persisted inverted index (stages.index) over a parquet
+    corpus: distinct (term, doc) postings hive-partitioned by term
+    hash; --ngram 2 builds the exact-phrase variant."""
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from .stages.index import build_inverted_index
+
+    ds = rd.read_parquet(args.input, columns=[args.id_column, args.column])
+    build_inverted_index(ds, args.output, text_col=args.column,
+                         id_col=args.id_column, num_shards=args.shards,
+                         ngram=args.ngram)
+    print(json.dumps({"written": args.output, "shards": args.shards,
+                      "ngram": args.ngram}))
+
+
+def cmd_index_search(args):
+    """Boolean term search (or exact phrase with --phrase) over a
+    persisted index — reads only the query terms' shards."""
+    _ray_init(args.num_cpus)
+    from .stages.index import query_inverted_index, query_phrase
+
+    if args.phrase:
+        out = query_phrase(args.index, args.terms, id_col=args.id_column,
+                           num_shards=args.shards, ngram=len(args.terms))
+    else:
+        out = query_inverted_index(args.index, args.terms,
+                                   id_col=args.id_column, mode=args.mode,
+                                   num_shards=args.shards)
+    ids = sorted(r[args.id_column] for r in out.take_all())
+    print(json.dumps({"n": len(ids), "ids": ids[:args.limit]}))
+
+
 def cmd_import_ref(args):
     """Import a reference-engine ``bloom_save`` .bf file into the
     engine's portable format (bloom.c:525-633 migration shim)."""
@@ -331,6 +365,25 @@ def main(argv=None):
     sp.add_argument("sketch", help="engine Bloom sketch file")
     sp.add_argument("output", help="reference-engine .bf file")
     sp.set_defaults(fn=cmd_export_ref)
+
+    sp = sub.add_parser("index-build")
+    sp.add_argument("input")
+    sp.add_argument("output")
+    sp.add_argument("--column", default="text")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--shards", type=int, default=32)
+    sp.add_argument("--ngram", type=int, default=1)
+    sp.set_defaults(fn=cmd_index_build)
+
+    sp = sub.add_parser("index-search")
+    sp.add_argument("index")
+    sp.add_argument("terms", nargs="+")
+    sp.add_argument("--id-column", default="doc_id")
+    sp.add_argument("--mode", default="and", choices=["and", "or"])
+    sp.add_argument("--phrase", action="store_true")
+    sp.add_argument("--shards", type=int, default=32)
+    sp.add_argument("--limit", type=int, default=100)
+    sp.set_defaults(fn=cmd_index_search)
 
     sp = sub.add_parser("transform")
     sp.add_argument("input", help="parquet file or directory of shards")

@@ -123,3 +123,37 @@ def test_import_export_reference_format(tmp_path):
     run_cli("export-ref", sk, back)
     with open(back, "rb") as f:
         assert f.read() == bf.to_reference_bytes()
+
+
+def test_index_build_and_search(ray_session, tmp_path):
+    """index-build + index-search (AND and phrase) over a tiny corpus
+    in-process (subprocess Ray spin-up is covered by the other CLI
+    tests)."""
+    import json as _json
+
+    from archbloom_ray.cli import main
+
+    docs = pa.table({
+        "doc_id": pa.array([1, 2, 3, 4], type=pa.int64()),
+        "text": pa.array(["red fox runs", "red dog", "fox red", "dog log"]),
+    })
+    src = str(tmp_path / "docs.parquet")
+    pq.write_table(docs, src)
+    idx = str(tmp_path / "idx")
+    main(["index-build", src, idx, "--shards", "4"])
+    import io
+    from contextlib import redirect_stdout
+
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["index-search", idx, "red", "fox", "--shards", "4"])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == {"n": 2, "ids": [1, 3]}
+
+    pidx = str(tmp_path / "pidx")
+    main(["index-build", src, pidx, "--shards", "4", "--ngram", "2"])
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        main(["index-search", pidx, "red", "fox", "--phrase", "--shards", "4"])
+    out = _json.loads(buf.getvalue().strip().splitlines()[-1])
+    assert out == {"n": 1, "ids": [1]}
