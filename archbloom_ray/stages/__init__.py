@@ -27,6 +27,8 @@ from .similarity import (
     build_ivf_index,
     knn_brute,
     knn_ivf,
+    pca_fit,
+    pca_transform,
     query_ivf_index,
     train_centroids,
 )
@@ -66,6 +68,7 @@ __all__ = [
     "contamination_check", "window_hashes_batch",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
     "knn_brute", "knn_ivf", "train_centroids",
+    "pca_fit", "pca_transform",
     "build_ivf_index", "query_ivf_index",
     "hash_split", "split_assignments", "weighted_sample",
     "build_inverted_index", "query_inverted_index", "query_phrase",

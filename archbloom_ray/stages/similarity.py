@@ -478,3 +478,83 @@ def nearest_centroid_exact(
         ("n_members", "n_members", "sum"),
         ("sum_vec_id", "sum_vec_id", "sum"),
     ]).filter(expr="n_members > 0")   # empty clusters: match SQL GROUP BY
+
+
+def pca_fit(
+    ds: "ray.data.Dataset",
+    *,
+    vec_col: str = "embedding",
+    k: int = 8,
+    batch_size: int = 4096,
+) -> dict:
+    """Distributed PCA via exact sufficient statistics: ONE streaming
+    pass emits per-batch ``(n, Σx, XᵀX)`` partials — a d-vector and a
+    d×d float64 matrix per block, never the data — summed on the driver
+    (d is the embedding width, so the driver state is d² floats, not
+    O(rows)).  Covariance eigendecomposition then yields the top-``k``
+    components.  Returns ``{components (k, d), explained_variance (k,),
+    mean (d,), n}`` with components sign-canonicalized (largest-|coef|
+    entry positive) so results are deterministic across partitionings.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        return pa.table({
+            "n": pa.array([m.shape[0]], type=pa.int64()),
+            "s": pa.array([m.sum(axis=0).tolist()],
+                          type=pa.list_(pa.float64())),
+            "ss": pa.array([(m.T @ m).ravel().tolist()],
+                           type=pa.list_(pa.float64())),
+        })
+
+    parts = ds.map_batches(partial, batch_size=batch_size,
+                           batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    n = sum(p["n"] for p in parts)
+    if n < 2:
+        raise ValueError("pca_fit needs at least 2 rows")
+    s = np.sum([np.asarray(p["s"], dtype=np.float64) for p in parts], axis=0)
+    d = len(s)
+    ss = np.sum([np.asarray(p["ss"], dtype=np.float64).reshape(d, d)
+                 for p in parts], axis=0)
+    mean = s / n
+    cov = (ss - n * np.outer(mean, mean)) / (n - 1)
+    evals, evecs = np.linalg.eigh(cov)          # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order].T                    # (k, d)
+    flip = np.sign(comps[np.arange(len(order)),
+                         np.abs(comps).argmax(axis=1)])
+    comps = comps * flip[:, None]
+    return {"components": comps,
+            "explained_variance": evals[order],
+            "mean": mean, "n": int(n)}
+
+
+def pca_transform(
+    ds: "ray.data.Dataset",
+    model: dict,
+    *,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    out_col: str = "pc",
+    batch_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Project vectors onto a :func:`pca_fit` model — the (tiny) mean +
+    components broadcast once via ``ray.put``, each batch is one
+    matmul."""
+    ref = ray.put((model["mean"], model["components"]))
+
+    from ..proc_cache import cached_instance
+
+    def project(batch: pa.Table) -> pa.Table:
+        mean, comps = cached_instance(("pca", ref.hex()),
+                                      lambda: ray.get(ref))
+        m = _as_matrix(batch[vec_col]).astype(np.float64)
+        z = (m - mean) @ comps.T
+        return pa.table({
+            id_col: batch[id_col],
+            out_col: pa.array(list(z), type=pa.list_(pa.float64())),
+        })
+
+    return ds.map_batches(project, batch_size=batch_size,
+                          batch_format="pyarrow", zero_copy_batch=True)

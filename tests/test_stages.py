@@ -1271,3 +1271,40 @@ class TestJsonField:
         strs = json_string_field(col, "s").to_pylist()
         assert ints == [o.get("k") for o in objs]
         assert strs == [o.get("s") for o in objs]
+
+
+class TestPCA:
+    def test_matches_numpy_and_projects(self, ray_session):
+        """Streaming sufficient-stat PCA == numpy eigh on the gathered
+        matrix (components up to sign-canonical form), projection
+        reduces reconstruction error monotonically in k."""
+        import ray.data as rd
+
+        from archbloom_ray.stages.similarity import pca_fit, pca_transform
+
+        rng = np.random.default_rng(67)
+        d, n = 12, 800
+        basis = rng.normal(size=(3, d))
+        m = rng.normal(size=(n, 3)) @ basis + 0.05 * rng.normal(size=(n, d))
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": row.tolist()}
+             for i, row in enumerate(m)]).repartition(5)
+        model = pca_fit(ds, k=4, batch_size=128)
+        assert model["n"] == n
+
+        cov = np.cov(m, rowvar=False)
+        evals, evecs = np.linalg.eigh(cov)
+        order = np.argsort(evals)[::-1][:4]
+        want = evecs[:, order].T
+        flip = np.sign(want[np.arange(4), np.abs(want).argmax(axis=1)])
+        want = want * flip[:, None]
+        np.testing.assert_allclose(model["components"], want, atol=1e-8)
+        np.testing.assert_allclose(model["explained_variance"],
+                                   evals[order], rtol=1e-10)
+
+        rows = {r["vec_id"]: np.asarray(r["pc"]) for r in
+                pca_transform(ds, model).take_all()}
+        z = np.stack([rows[i] for i in range(n)])
+        recon3 = (z[:, :3] @ model["components"][:3]) + model["mean"]
+        err3 = np.linalg.norm(m - recon3) / np.linalg.norm(m)
+        assert err3 < 0.1  # 3 true factors captured
