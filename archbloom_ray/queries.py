@@ -2048,6 +2048,36 @@ def q_index_and_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_events_hourly_dense(sf_dir: str):
+    """Gap-filled time-series resample: exact hourly event counts over
+    the DENSE [min, max] hour range, zero where no events landed.  The
+    distributed part is the pre-combined grouped count; the gap fill
+    runs on the aggregate itself (≤ hours rows, driver-sized by
+    construction) with one numpy scatter — mirrors SQL
+    generate_series LEFT JOIN."""
+    from .pipelines import grouped_agg
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        h = pc.floor_temporal(batch["ts"], unit="hour")
+        return pa.table({"h": pc.cast(h, pa.int64())})
+
+    ds = _read(sf_dir, "events", ["ts"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    counts = {r["h"]: r["n_events"] for r in grouped_agg(
+        ds, ["h"], [("n_events", None, "count")]).take_all()}
+    hr_us = 3_600_000_000
+    lo, hi = min(counts), max(counts)
+    hours = np.arange(lo, hi + hr_us, hr_us)
+    n = np.zeros(len(hours), dtype=np.int64)
+    ks = np.fromiter(counts.keys(), dtype=np.int64, count=len(counts))
+    n[(ks - lo) // hr_us] = np.fromiter(counts.values(), dtype=np.int64,
+                                        count=len(counts))
+    return pa.table({
+        "hour": pa.array(hours).cast(pa.timestamp("us")),
+        "n_events": pa.array(n, type=pa.int64()),
+    })
+
+
 def q_docs_upsert_state(sf_dir: str):
     """Copy-on-write keyed-store upsert (pipelines.write.merge_upsert):
     base documents store + deterministic updates (rewrite source for
@@ -2414,6 +2444,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_decayed_counts": q_events_decayed_counts,
         "docs_snapshot_diff": q_docs_snapshot_diff,
         "docs_upsert_state": q_docs_upsert_state,
+        "events_hourly_dense": q_events_hourly_dense,
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
@@ -2831,6 +2862,25 @@ def oracle_sql() -> dict[str, str]:
                   FROM documents)
             WHERE list_contains(tk, 'table') AND list_contains(tk, 'merge')
             ORDER BY doc_id
+        """,
+        "events_hourly_dense": """
+            WITH b AS (
+                SELECT date_trunc('hour', min(ts)) AS lo,
+                       date_trunc('hour', max(ts)) AS hi
+                FROM events
+            ),
+            dense AS (
+                SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR)) AS hour
+                FROM b
+            ),
+            c AS (
+                SELECT date_trunc('hour', ts) AS hour, count(*) AS n
+                FROM events GROUP BY 1
+            )
+            SELECT CAST(d.hour AS TIMESTAMP) AS hour,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n_events
+            FROM dense d LEFT JOIN c ON d.hour = c.hour
+            ORDER BY hour
         """,
         "docs_upsert_state": """
             WITH upd AS (

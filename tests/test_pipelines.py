@@ -879,3 +879,23 @@ class TestSnapshotDiff:
         dup = rd.from_items([{"k": 1, "v": 1}, {"k": 1, "v": 2}])
         with pytest.raises(Exception, match="duplicate key"):
             snapshot_diff(dup, ln, "k", ["v"]).take_all()
+
+
+class TestHourlyDense:
+    def test_dense_fill_matches_oracle(self, ray_session):
+        """Dense resample query == generate_series oracle at sf0.001 and
+        really fills gaps with zeros."""
+        import duckdb
+
+        from archbloom_ray.queries import queries, oracle_sql
+
+        sf = "/root/testdata/sf0.001"
+        df = queries()["events_hourly_dense"](sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        odf = con.execute(oracle_sql()["events_hourly_dense"]).df()
+        assert df.sort_values("hour").reset_index(drop=True).equals(
+            odf.astype({"n_events": "int64"})
+               .sort_values("hour").reset_index(drop=True))
+        assert (df["n_events"] == 0).any()
