@@ -1899,3 +1899,79 @@ def snapshot_diff(
         })
 
     return tagged.groupby("_pkey").map_groups(classify, batch_format="pyarrow")
+
+
+def grouped_mad(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    *,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group median + median-absolute-deviation of an INTEGER
+    column, matching DuckDB ``median``/``mad`` (interpolated
+    ``quantile_cont(0.5)``, combined as ``a*(1-frac)+b*frac`` — the
+    exact expression DuckDB evaluates; numpy's ``a+(b-a)*frac`` differs
+    by an ULP and fails hash compare).
+
+    Same shuffle as :func:`grouped_ntile_stats`: only distinct
+    ``(keys, value, count)`` rows cross the exchange; the reducer
+    computes BOTH medians from that array — deviations of the distinct
+    values from the median re-sort and re-combine without ever
+    expanding the multiset.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def _wmedian(vals: np.ndarray, cnt: np.ndarray) -> float:
+        # DuckDB quantile_cont(0.5) over the expanded multiset
+        cum = np.cumsum(cnt)
+        n = int(cum[-1])
+        p = (n - 1) * 0.5
+        lo = int(np.floor(p))
+        frac = p - lo
+        a = float(vals[np.searchsorted(cum, lo, side="right")])
+        if frac == 0.0:
+            return a
+        b = float(vals[np.searchsorted(cum, lo + 1, side="right")])
+        return a * (1.0 - frac) + b * frac
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col], dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = np.asarray(group["cnt"], dtype=np.int64)[order]
+        uniq = np.empty(len(vals), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = vals[1:] != vals[:-1]
+        seg = np.cumsum(uniq) - 1
+        u_vals = vals[uniq].astype(np.float64)
+        u_cnt = np.zeros(len(u_vals), dtype=np.int64)
+        np.add.at(u_cnt, seg, cnt)
+
+        med = _wmedian(u_vals, u_cnt)
+        dev = np.abs(u_vals - med)
+        d_order = np.argsort(dev, kind="stable")
+        dev, d_cnt = dev[d_order], u_cnt[d_order]
+        d_uniq = np.empty(len(dev), dtype=bool)
+        d_uniq[0] = True
+        d_uniq[1:] = dev[1:] != dev[:-1]
+        d_seg = np.cumsum(d_uniq) - 1
+        ud = dev[d_uniq]
+        ud_cnt = np.zeros(len(ud), dtype=np.int64)
+        np.add.at(ud_cnt, d_seg, d_cnt)
+        mad = _wmedian(ud, ud_cnt)
+
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        cols["med"] = pa.array([med], type=pa.float64())
+        cols["mad"] = pa.array([mad], type=pa.float64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

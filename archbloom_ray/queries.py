@@ -1985,6 +1985,23 @@ def q_user_retention(sf_dir: str):
     })
 
 
+def q_chars_mad_by_lang(sf_dir: str):
+    """Exact per-language median + MAD of n_chars
+    (pipelines.relational.grouped_mad): robust dispersion with DuckDB's
+    exact interpolation; distinct (lang, n_chars, count) rows only
+    through the shuffle."""
+    from .pipelines import grouped_mad
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    out = grouped_mad(ds, ["lang"], "n_chars")
+    rows = sorted(out.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "med": pa.array([r["med"] for r in rows], type=pa.float64()),
+        "mad": pa.array([r["mad"] for r in rows], type=pa.float64()),
+    })
+
+
 def q_chars_percentiles_disc(sf_dir: str):
     """Exact per-language discrete percentiles of n_chars
     (pipelines.relational.grouped_percentile_disc): SQL
@@ -2435,6 +2452,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_hopping_dau": q_events_hopping_dau,
         "chars_percentiles_disc": q_chars_percentiles_disc,
+        "chars_mad_by_lang": q_chars_mad_by_lang,
         "user_retention": q_user_retention,
         "index_and_search": q_index_and_search,
         "phrase_search": q_phrase_search,
@@ -2996,6 +3014,12 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             GROUP BY cohort_week, activity_week
             ORDER BY cohort_week, activity_week
+        """,
+        "chars_mad_by_lang": """
+            SELECT lang,
+                   CAST(median(n_chars) AS DOUBLE) AS med,
+                   CAST(mad(n_chars) AS DOUBLE) AS mad
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "chars_percentiles_disc": """
             SELECT lang,

@@ -899,3 +899,29 @@ class TestHourlyDense:
             odf.astype({"n_events": "int64"})
                .sort_values("hour").reset_index(drop=True))
         assert (df["n_events"] == 0).any()
+
+
+class TestGroupedMad:
+    def test_matches_duckdb_exact_floats(self, ray_session):
+        """median + mad bit-equal to DuckDB under heavy ties and both
+        parities of group size."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_mad
+
+        rng = np.random.default_rng(71)
+        rows = [(g, int(v)) for g, v in zip(
+            rng.choice(["a", "b", "c"], 901),   # odd total → mixed parities
+            rng.integers(0, 15, 901))]
+        ds = rd.from_items(
+            [{"g": g, "v": v} for g, v in rows]).repartition(6)
+        got = sorted((r["g"], r["med"], r["mad"]) for r in
+                     grouped_mad(ds, ["g"], "v").take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute(
+            "SELECT g, CAST(median(v) AS DOUBLE), CAST(mad(v) AS DOUBLE) "
+            "FROM t GROUP BY g").fetchall()))
+        assert got == want  # exact float equality, not approx
