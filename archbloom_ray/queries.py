@@ -2341,6 +2341,34 @@ def q_phrase_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_trending_types(sf_dir: str):
+    """Windowed top-k (trending): per 2h/1h hopping window, the top-3
+    event types by count — pure composition of the hopping explode and
+    relational.grouped_topk (≤ k candidates per window per block cross
+    the final exchange)."""
+    from .pipelines import grouped_topk
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hi = pc.cast(pc.floor_temporal(batch["ts"], unit="hour"),
+                     pa.int64()).combine_chunks()
+        hprev = pc.subtract(hi, pa.scalar(3_600_000_000, type=pa.int64()))
+        ws = pc.cast(pa.concat_arrays([hprev, hi]), pa.timestamp("us"))
+        et = batch["event_type"].combine_chunks()
+        return pa.table({"ws": ws, "event_type": pa.concat_arrays([et, et])})
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_topk(ds, ["ws"], "event_type", 3)
+    rows = sorted(out.take_all(), key=lambda r: (r["ws"], r["rank"]))
+    return pa.table({
+        "ws": pa.array([r["ws"] for r in rows], type=pa.timestamp("us")),
+        "event_type": pa.array([r["event_type"] for r in rows],
+                               type=pa.string()),
+        "n": pa.array([r["n"] for r in rows], type=pa.int64()),
+        "rank": pa.array([r["rank"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_bm25_top20(sf_dir: str):
     """Okapi BM25 top-20 docs for the query terms (table, merge, window):
     scan 1 reduces to scalars (N, Σdl, per-term df), scan 2 streams
@@ -2451,6 +2479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_top20": q_bm25_top20,
         "events_hopping": q_events_hopping,
         "events_hopping_dau": q_events_hopping_dau,
+        "trending_types": q_trending_types,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "user_retention": q_user_retention,
@@ -3027,6 +3056,21 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
                    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "trending_types": """
+            WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),
+            w AS (SELECT h AS ws, event_type FROM e
+                  UNION ALL
+                  SELECT h - INTERVAL 1 HOUR AS ws, event_type FROM e),
+            c AS (SELECT ws, event_type, count(*) AS n
+                  FROM w GROUP BY ws, event_type),
+            r AS (SELECT ws, event_type, CAST(n AS BIGINT) AS n,
+                         CAST(row_number() OVER (
+                             PARTITION BY ws ORDER BY n DESC, event_type ASC
+                         ) AS BIGINT) AS rank
+                  FROM c)
+            SELECT ws, event_type, n, rank FROM r
+            WHERE rank <= 3 ORDER BY ws, rank
         """,
         "events_hopping_dau": """
             WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),

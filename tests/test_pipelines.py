@@ -925,3 +925,23 @@ class TestGroupedMad:
             "SELECT g, CAST(median(v) AS DOUBLE), CAST(mad(v) AS DOUBLE) "
             "FROM t GROUP BY g").fetchall()))
         assert got == want  # exact float equality, not approx
+
+
+class TestTrendingTypes:
+    def test_query_matches_oracle_sf0001(self, ray_session):
+        """Hopping-window top-3 composition == rank-window oracle."""
+        import duckdb
+
+        from archbloom_ray.queries import queries, oracle_sql
+
+        sf = "/root/testdata/sf0.001"
+        df = queries()["trending_types"](sf).to_pandas()
+        con = duckdb.connect()
+        con.execute(f"CREATE VIEW events AS SELECT * FROM "
+                    f"read_parquet('{sf}/events.parquet')")
+        odf = con.execute(oracle_sql()["trending_types"]).df()
+        key = ["ws", "rank"]
+        assert df.sort_values(key).reset_index(drop=True).equals(
+            odf.astype({c: df[c].dtype for c in df.columns})
+               .sort_values(key).reset_index(drop=True))
+        assert df.groupby("ws")["rank"].max().max() <= 3
