@@ -1975,3 +1975,74 @@ def grouped_mad(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def session_stats(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    gap_seconds: float,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Gaps-and-islands session DURATION statistics: per key, the
+    session count plus the sum and max of session durations (last event
+    − first event, microseconds — exact integers).  A single-event
+    session has duration 0.
+
+    Same partition shape as :func:`sessionize_count`; on top of the
+    session-start mask, one ``reduceat``-free pass derives every
+    session's first/last timestamp via the boundary indices and
+    ``bincount``s the per-key aggregates — no per-session Python.
+    """
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = len(group)
+        empty = pa.table({key_column: pa.array([], group[key_column].type),
+                          "n_sessions": pa.array([], pa.int64()),
+                          "sum_dur_us": pa.array([], pa.int64()),
+                          "max_dur_us": pa.array([], pa.int64())})
+        if n == 0:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        order = np.lexsort((ts, keys))
+        keys, ts = keys[order], ts[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        brk = np.zeros(n, dtype=bool)
+        brk[1:] = (ts[1:] - ts[:-1]) > gap_us
+        s_start = new_key | brk
+        starts = np.flatnonzero(s_start)
+        ends = np.append(starts[1:], n) - 1
+        dur = ts[ends] - ts[starts]
+        sess_key_seg = (np.cumsum(new_key) - 1)[starts]
+        n_keys = int(sess_key_seg[-1]) + 1
+        n_sessions = np.bincount(sess_key_seg, minlength=n_keys)
+        sum_dur = np.bincount(sess_key_seg, weights=dur,
+                              minlength=n_keys).astype(np.int64)
+        max_dur = np.zeros(n_keys, dtype=np.int64)
+        np.maximum.at(max_dur, sess_key_seg, dur)
+        return pa.table({
+            key_column: pa.array(keys[new_key], type=group[key_column].type),
+            "n_sessions": pa.array(n_sessions.astype(np.int64)),
+            "sum_dur_us": pa.array(sum_dur),
+            "max_dur_us": pa.array(max_dur),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )

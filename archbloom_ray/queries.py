@@ -2341,6 +2341,24 @@ def q_phrase_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_session_durations(sf_dir: str):
+    """Per-user session duration stats (30-min gap): session count +
+    sum/max duration in exact integer microseconds —
+    pipelines.relational.session_stats, mirrored by gaps-and-islands
+    SQL (running sum of gap flags → per-session min/max ts)."""
+    from .pipelines import session_stats
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    out = session_stats(ds, "user_id", "ts", 1800.0)
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], type=pa.int64()),
+        "n_sessions": pa.array([r["n_sessions"] for r in rows], type=pa.int64()),
+        "sum_dur_us": pa.array([r["sum_dur_us"] for r in rows], type=pa.int64()),
+        "max_dur_us": pa.array([r["max_dur_us"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_trending_types(sf_dir: str):
     """Windowed top-k (trending): per 2h/1h hopping window, the top-3
     event types by count — pure composition of the hopping explode and
@@ -2480,6 +2498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": q_events_hopping,
         "events_hopping_dau": q_events_hopping_dau,
         "trending_types": q_trending_types,
+        "session_durations": q_session_durations,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "user_retention": q_user_retention,
@@ -3056,6 +3075,32 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
                    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "session_durations": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            d AS (
+                SELECT user_id,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS dur
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(dur) AS BIGINT) AS sum_dur_us,
+                   CAST(max(dur) AS BIGINT) AS max_dur_us
+            FROM d GROUP BY user_id ORDER BY user_id
         """,
         "trending_types": """
             WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),

@@ -945,3 +945,36 @@ class TestTrendingTypes:
             odf.astype({c: df[c].dtype for c in df.columns})
                .sort_values(key).reset_index(drop=True))
         assert df.groupby("ws")["rank"].max().max() <= 3
+
+
+class TestSessionStats:
+    def test_matches_gaps_islands_oracle(self, ray_session):
+        """Session durations == DuckDB gaps-and-islands SQL on a random
+        event log (ties included)."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import session_stats
+
+        rng = np.random.default_rng(73)
+        rows = [(int(u), int(t)) for u, t in zip(
+            rng.integers(0, 40, 800),
+            rng.integers(0, 5_000, 800) * 1_000_000)]  # μs, heavy ties
+        ds = rd.from_items(
+            [{"u": u, "ts": t} for u, t in rows]).repartition(5)
+        got = sorted((r["u"], r["n_sessions"], r["sum_dur_us"], r["max_dur_us"])
+                     for r in session_stats(ds, "u", "ts", 600.0).take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (u BIGINT, ts BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            WITH o AS (SELECT u, ts, CASE WHEN ts - lag(ts) OVER
+                           (PARTITION BY u ORDER BY ts) > 600000000
+                           THEN 1 ELSE 0 END AS brk FROM t),
+            s AS (SELECT u, ts, sum(brk) OVER (PARTITION BY u ORDER BY ts
+                      ROWS UNBOUNDED PRECEDING) AS sid FROM o),
+            d AS (SELECT u, max(ts) - min(ts) AS dur FROM s GROUP BY u, sid)
+            SELECT u, CAST(count(*) AS BIGINT), CAST(sum(dur) AS BIGINT),
+                   CAST(max(dur) AS BIGINT)
+            FROM d GROUP BY u""").fetchall()))
+        assert got == want
