@@ -2046,3 +2046,111 @@ def session_stats(
         .groupby("_pkey")
         .map_groups(per_partition, batch_format="pyarrow")
     )
+
+
+def session_intervals(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    gap_seconds: float,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Materialized gaps-and-islands sessions as intervals:
+    ``{key, start_us, end_us}`` (first/last event, exact integer µs).
+    Partition machinery identical to :func:`session_stats`."""
+    gap_us = int(gap_seconds * 1_000_000)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def per_partition(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table({key_column: pa.array([], group[key_column].type),
+                             "start_us": pa.array([], pa.int64()),
+                             "end_us": pa.array([], pa.int64())})
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        order = np.lexsort((ts, keys))
+        keys, ts = keys[order], ts[order]
+        s_start = np.ones(n, dtype=bool)
+        s_start[1:] = (keys[1:] != keys[:-1]) | ((ts[1:] - ts[:-1]) > gap_us)
+        starts = np.flatnonzero(s_start)
+        ends = np.append(starts[1:], n) - 1
+        return pa.table({
+            key_column: pa.array(keys[starts], type=group[key_column].type),
+            "start_us": pa.array(ts[starts]),
+            "end_us": pa.array(ts[ends]),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(per_partition, batch_format="pyarrow")
+    )
+
+
+def max_concurrent_intervals(
+    intervals: "ray.data.Dataset",
+    *,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    batch_size: int = 65536,
+) -> int:
+    """Peak number of simultaneously-active CLOSED intervals — the
+    interval-scheduling sweep, distributed.
+
+    Tie-order-free formulation: each interval contributes +1 at
+    ``start`` and −1 at ``end + 1``; deltas are NETTED per timestamp
+    (a grouped sum — order within a timestamp can no longer matter),
+    the netted series is range-sorted by Ray, and each sorted block
+    reduces to 3 scalars ``(min_t, Σd, max-prefix)``.  The driver then
+    combines O(blocks) scalars — offsets are the running block sums,
+    the answer ``max(offset + max-prefix)`` — a two-phase prefix scan
+    with no global materialization of the series.
+    """
+
+    def deltas(batch: pa.Table) -> pa.Table:
+        s = np.asarray(batch[start_col], dtype=np.int64)
+        e = np.asarray(batch[end_col], dtype=np.int64) + 1
+        return pa.table({
+            "t": pa.array(np.concatenate([s, e])),
+            "delta": pa.array(np.concatenate([
+                np.ones(len(s), dtype=np.int64),
+                -np.ones(len(e), dtype=np.int64)])),
+        })
+
+    net = grouped_agg(
+        intervals.map_batches(deltas, batch_size=batch_size,
+                              batch_format="pyarrow", zero_copy_batch=True),
+        ["t"], [("d", "delta", "sum")])
+
+    def block_stats(batch: pa.Table) -> pa.Table:
+        t = np.asarray(batch["t"], dtype=np.int64)
+        d = np.asarray(batch["d"], dtype=np.int64)
+        order = np.argsort(t, kind="stable")   # sort() range-partitions;
+        d = d[order]                            # ensure within-block order
+        cum = np.cumsum(d)
+        return pa.table({
+            "min_t": pa.array([int(t.min())], type=pa.int64()),
+            "total": pa.array([int(d.sum())], type=pa.int64()),
+            "max_prefix": pa.array([int(cum.max())], type=pa.int64()),
+        })
+
+    stats = sorted(
+        net.sort("t").map_batches(block_stats, batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all(),
+        key=lambda r: r["min_t"])
+    best, offset = 0, 0
+    for r in stats:
+        best = max(best, offset + r["max_prefix"])
+        offset += r["total"]
+    return int(best)

@@ -2341,6 +2341,22 @@ def q_phrase_search(sf_dir: str):
     return pa.table({"doc_id": pa.array(ids, type=pa.int64())})
 
 
+def q_peak_concurrency(sf_dir: str):
+    """Peak simultaneous sessions (30-min gap): session intervals →
+    tie-free net-delta sweep → two-phase distributed prefix scan
+    (pipelines.relational.session_intervals /
+    max_concurrent_intervals) — the driver combines only O(blocks)
+    scalars."""
+    from .pipelines import max_concurrent_intervals, session_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    iv = session_intervals(ds, "user_id", "ts", 1800.0)
+    return pa.table({
+        "max_concurrent": pa.array([max_concurrent_intervals(iv)],
+                                   type=pa.int64()),
+    })
+
+
 def q_session_durations(sf_dir: str):
     """Per-user session duration stats (30-min gap): session count +
     sum/max duration in exact integer microseconds —
@@ -2499,6 +2515,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_dau": q_events_hopping_dau,
         "trending_types": q_trending_types,
         "session_durations": q_session_durations,
+        "peak_concurrency": q_peak_concurrency,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "user_retention": q_user_retention,
@@ -3075,6 +3092,35 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
                    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "peak_concurrency": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER
+                                 (PARTITION BY user_id ORDER BY ts)
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            i AS (
+                SELECT epoch_us(min(ts)) AS st, epoch_us(max(ts)) + 1 AS en
+                FROM s GROUP BY user_id, sid
+            ),
+            d AS (
+                SELECT st AS t, 1 AS delta FROM i
+                UNION ALL
+                SELECT en AS t, -1 AS delta FROM i
+            ),
+            nd AS (SELECT t, sum(delta) AS d FROM d GROUP BY t),
+            r AS (SELECT sum(d) OVER (ORDER BY t
+                         ROWS UNBOUNDED PRECEDING) AS c FROM nd)
+            SELECT CAST(max(c) AS BIGINT) AS max_concurrent FROM r
         """,
         "session_durations": """
             WITH o AS (

@@ -978,3 +978,26 @@ class TestSessionStats:
                    CAST(max(dur) AS BIGINT)
             FROM d GROUP BY u""").fetchall()))
         assert got == want
+
+
+class TestMaxConcurrent:
+    def test_sweep_matches_bruteforce(self, ray_session):
+        """Distributed two-phase sweep == brute-force point evaluation
+        on random closed intervals (touching endpoints overlap)."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import max_concurrent_intervals
+
+        rng = np.random.default_rng(79)
+        s = rng.integers(0, 2_000, 600).astype(np.int64)
+        e = s + rng.integers(0, 300, 600).astype(np.int64)
+        ds = rd.from_items(
+            [{"start_us": int(a), "end_us": int(b)}
+             for a, b in zip(s, e)]).repartition(6)
+        got = max_concurrent_intervals(ds)
+        pts = np.unique(np.concatenate([s, e]))
+        want = max(int(((s <= p) & (p <= e)).sum()) for p in pts)
+        assert got == want
+        # degenerate: all at one instant
+        one = rd.from_items([{"start_us": 5, "end_us": 5}] * 7)
+        assert max_concurrent_intervals(one) == 7
