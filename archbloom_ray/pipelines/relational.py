@@ -1368,6 +1368,7 @@ def grouped_string_agg(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[value_col]))  # SQL skips NULLs
         g = batch.select(keys + [value_col]).group_by(
             keys + [value_col]).aggregate([])
         return g.rename_columns(keys + [value_col])
@@ -1594,6 +1595,7 @@ def grouped_distinct_count(
     """
 
     def partial(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.is_valid(batch[value_col]))  # SQL skips NULLs
         g = batch.select(keys + [value_col]).group_by(
             keys + [value_col]).aggregate([])
         return g.rename_columns(keys + [value_col])

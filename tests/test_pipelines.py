@@ -1001,3 +1001,31 @@ class TestMaxConcurrent:
         # degenerate: all at one instant
         one = rd.from_items([{"start_us": 5, "end_us": 5}] * 7)
         assert max_concurrent_intervals(one) == 7
+
+
+class TestNullSkippingAggs:
+    def test_string_agg_and_distinct_skip_nulls(self, ray_session):
+        """NULL values are skipped like SQL aggregates."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (
+            grouped_distinct_count,
+            grouped_string_agg,
+        )
+
+        rows = [("a", "x"), ("a", None), ("a", "y"), ("b", None), ("b", "z")]
+        ds = rd.from_items([{"g": g, "v": v} for g, v in rows]).repartition(3)
+        sa = sorted((r["g"], r["n_distinct"], r["agg"]) for r in
+                    grouped_string_agg(ds, ["g"], "v").take_all())
+        dc = sorted((r["g"], r["n_distinct"]) for r in
+                    grouped_distinct_count(ds, ["g"], "v").take_all())
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (g VARCHAR, v VARCHAR)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT g, CAST(count(DISTINCT v) AS BIGINT),
+                   string_agg(DISTINCT v, ',' ORDER BY v)
+            FROM t GROUP BY g""").fetchall()))
+        assert sa == want
+        assert dc == [(g, n) for g, n, _ in want]
