@@ -249,9 +249,11 @@ def cmd_index_search(args):
     _ray_init(args.num_cpus)
     from .stages.index import query_inverted_index, query_phrase
 
+    # shard count / n-gram size come from the store's _meta.json
+    # (explicit --shards is validated against it)
     if args.phrase:
         out = query_phrase(args.index, args.terms, id_col=args.id_column,
-                           num_shards=args.shards, ngram=len(args.terms))
+                           num_shards=args.shards)
     else:
         out = query_inverted_index(args.index, args.terms,
                                    id_col=args.id_column, mode=args.mode,
@@ -381,7 +383,8 @@ def main(argv=None):
     sp.add_argument("--id-column", default="doc_id")
     sp.add_argument("--mode", default="and", choices=["and", "or"])
     sp.add_argument("--phrase", action="store_true")
-    sp.add_argument("--shards", type=int, default=32)
+    sp.add_argument("--shards", type=int, default=None,
+                    help="validated against the index _meta.json")
     sp.add_argument("--limit", type=int, default=100)
     sp.set_defaults(fn=cmd_index_search)
 

@@ -26,6 +26,7 @@ Distributed shape (the part that matters at 100 TB):
 """
 from __future__ import annotations
 
+import json
 import os
 
 import numpy as np
@@ -92,6 +93,19 @@ def build_inverted_index(
 
     ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True
                    ).write_parquet(index_path, partition_cols=["shard"])
+    # self-describing store: queries validate/default against this (the
+    # leading underscore keeps it invisible to parquet readers)
+    with open(os.path.join(index_path, "_meta.json"), "w") as f:
+        json.dump({"num_shards": num_shards, "ngram": ngram,
+                   "id_col": id_col}, f)
+
+
+def _load_meta(index_path: str) -> dict | None:
+    p = os.path.join(index_path, "_meta.json")
+    if not os.path.exists(p):
+        return None
+    with open(p) as f:
+        return json.load(f)
 
 
 def query_inverted_index(
@@ -100,16 +114,27 @@ def query_inverted_index(
     *,
     id_col: str = "doc_id",
     mode: str = "and",
-    num_shards: int = 32,
+    num_shards: int | None = None,
 ) -> "ray.data.Dataset":
     """Boolean term search over a persisted index: read ONLY the query
     terms' shards, filter to the terms, and resolve ``and``/``or`` with
     a grouped distinct-term count per doc.  Returns ``{id_col}`` rows.
+    ``num_shards`` defaults from the store's ``_meta.json`` and raises
+    on a mismatch (a wrong shard count would silently miss postings).
     """
     if mode not in ("and", "or"):
         raise ValueError("mode must be 'and' or 'or'")
     if not terms:
         raise ValueError("terms must be non-empty")
+    meta = _load_meta(index_path)
+    if meta is not None:
+        if num_shards is not None and num_shards != meta["num_shards"]:
+            raise ValueError(
+                f"index was built with num_shards={meta['num_shards']}, "
+                f"got {num_shards}")
+        num_shards = meta["num_shards"]
+    elif num_shards is None:
+        num_shards = 32
     uterms = np.unique(np.asarray(terms, dtype="U"))
     shard_ids = sorted(int(s) for s in np.unique(_shards_of(uterms, num_shards)))
     dirs = [os.path.join(index_path, f"shard={s}") for s in shard_ids]
@@ -143,8 +168,8 @@ def query_phrase(
     phrase_tokens: list[str],
     *,
     id_col: str = "doc_id",
-    num_shards: int = 32,
-    ngram: int = 2,
+    num_shards: int | None = None,
+    ngram: int | None = None,
 ) -> "ray.data.Dataset":
     """Exact-phrase search over an ``ngram``-term index: a phrase of
     exactly ``ngram`` tokens is ONE index term (sep-joined), so the
@@ -152,8 +177,18 @@ def query_phrase(
     needed.  (Longer phrases would AND their sliding n-grams, which is
     the standard necessary-condition prefilter; this engine keeps the
     exact case.)"""
+    meta = _load_meta(index_path)
+    if meta is not None:
+        if ngram is not None and ngram != meta["ngram"]:
+            raise ValueError(
+                f"index was built with ngram={meta['ngram']}, got {ngram}")
+        ngram = meta["ngram"]
+    elif ngram is None:
+        ngram = 2
     if len(phrase_tokens) != ngram:
-        raise ValueError(f"phrase must have exactly {ngram} tokens")
+        raise ValueError(
+            f"phrase has {len(phrase_tokens)} tokens but the index terms "
+            f"are {ngram}-grams — it cannot match")
     term = _BIGRAM_SEP.join(t.lower() for t in phrase_tokens)
     return query_inverted_index(index_path, [term], id_col=id_col,
                                 mode="and", num_shards=num_shards)

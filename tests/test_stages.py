@@ -1308,3 +1308,40 @@ class TestPCA:
         recon3 = (z[:, :3] @ model["components"][:3]) + model["mean"]
         err3 = np.linalg.norm(m - recon3) / np.linalg.norm(m)
         assert err3 < 0.1  # 3 true factors captured
+
+
+class TestIndexMeta:
+    def test_meta_defaults_and_mismatch_raise(self, ray_session, tmp_path):
+        """Queries default shards/ngram from _meta.json; explicit
+        mismatches raise instead of silently missing postings."""
+        import pytest
+        import ray.data as rd
+
+        from archbloom_ray.stages.index import (
+            build_inverted_index,
+            query_inverted_index,
+            query_phrase,
+        )
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2], type=pa.int64()),
+            "text": pa.array(["red fox", "fox red red"]),
+        })
+        ds = rd.from_arrow(docs)
+        idx = str(tmp_path / "m1")
+        build_inverted_index(ds, idx, num_shards=5)
+        # no shards passed: meta supplies 5
+        got = sorted(r["doc_id"] for r in
+                     query_inverted_index(idx, ["red"]).take_all())
+        assert got == [1, 2]
+        with pytest.raises(ValueError, match="num_shards=5"):
+            query_inverted_index(idx, ["red"], num_shards=8)
+
+        pidx = str(tmp_path / "m2")
+        build_inverted_index(ds, pidx, num_shards=5, ngram=2)
+        assert sorted(r["doc_id"] for r in
+                      query_phrase(pidx, ["red", "fox"]).take_all()) == [1]
+        with pytest.raises(ValueError, match="2-grams"):
+            query_phrase(pidx, ["red", "fox", "red"])
+        with pytest.raises(ValueError, match="ngram=2"):
+            query_phrase(pidx, ["red", "fox"], ngram=3)
