@@ -599,6 +599,28 @@ def q_cms_source_counts(sf_dir: str):
     )
 
 
+def q_selfjoin_size_users(sf_dir: str):
+    """CMS inner-product join-size estimation (Cormode & Muthukrishnan
+    §4.3): the events⋈events self-join size on user_id (Σ n_u², the F2
+    moment) estimated from ONE CMS build, certified against the exact
+    distributed grouped-count computation — oracle checks (exact,
+    within-bound verdict)."""
+    from .sketches import CountMinSketch
+
+    ds = _read(sf_dir, "events", ["user_id"])
+    exact_rows = grouped_agg(ds, ["user_id"], [("n", None, "count")]).take_all()
+    exact = int(sum(r["n"] * r["n"] for r in exact_rows))
+
+    cms = build_sketch(_read(sf_dir, "events", ["user_id"]), "user_id",
+                       lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
+    est = cms.inner_product(cms)
+    within = exact <= est <= exact + cms.inner_product_bound(cms)
+    return pa.table({
+        "exact_selfjoin": pa.array([exact], type=pa.int64()),
+        "cms_within_bound": pa.array([bool(within)], type=pa.bool_()),
+    })
+
+
 def q_quantile_sketches(sf_dir: str):
     """t-digest + KLL quantiles certified against the exact distributed
     quantiles (DuckDB ``quantile_cont`` arithmetic) and each sketch's
@@ -2495,6 +2517,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_text": q_kmv_distinct_text,
         "train_test_split": q_train_test_split,
         "cms_source_counts": q_cms_source_counts,
+        "selfjoin_size_users": q_selfjoin_size_users,
         "quantile_sketches": q_quantile_sketches,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
@@ -3345,6 +3368,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_source_counts": """
             SELECT source, count(*) AS exact_count, TRUE AS cms_within_bound
             FROM documents GROUP BY source
+        """,
+        "selfjoin_size_users": """
+            SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
+                   TRUE AS cms_within_bound
+            FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
         """,
         "kmv_distinct_text": """
             SELECT count(DISTINCT text) AS n_distinct_exact,

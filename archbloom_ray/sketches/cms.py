@@ -108,6 +108,19 @@ class CountMinSketch(Sketch):
         """εN — the additive overestimate bound at confidence 1−δ."""
         return self.epsilon * self.total
 
+    def inner_product(self, other: "CountMinSketch") -> int:
+        """Join-size / inner-product estimate ``Σ_k a_k·b_k`` between
+        the two sketched multisets (Cormode & Muthukrishnan §4.3):
+        ``min_i Σ_j table_a[i,j]·table_b[i,j]`` — a one-sided
+        overestimate, within ``ε·‖a‖₁·‖b‖₁`` with probability ≥ 1−δ.
+        Both sketches must share (width, depth, seeds)."""
+        self._check_compatible(other)
+        return int((self.table * other.table).sum(axis=1).min())
+
+    def inner_product_bound(self, other: "CountMinSketch") -> float:
+        """ε·‖a‖₁·‖b‖₁ — the additive bound for :meth:`inner_product`."""
+        return self.epsilon * self.total * other.total
+
     def merge(self, other: "CountMinSketch") -> "CountMinSketch":
         self._check_compatible(other)
         self.table += other.table

@@ -79,3 +79,32 @@ def test_serde():
     r = CountMinSketch.from_bytes(cms.to_bytes())
     assert r.count("x") == 2 and r.total == 3
     assert r.to_bytes() == cms.to_bytes()
+
+
+class TestInnerProduct:
+    def test_inner_product_bound_and_exact_on_disjoint(self):
+        """Inner product over/underestimate contract: exact on
+        collision-free small sketches, one-sided overestimate with the
+        epsilon bound on heavy multisets; incompatible sketches raise."""
+        import pytest
+
+        from archbloom_ray.sketches import CountMinSketch
+
+        rng = np.random.default_rng(83)
+        a = CountMinSketch(epsilon=0.0005, delta=0.001)
+        b = CountMinSketch(epsilon=0.0005, delta=0.001)
+        xs = rng.integers(0, 200, 5000)
+        ys = rng.integers(100, 300, 5000)
+        enc = lambda v: pa.array([f"k{int(x)}" for x in v], type=pa.string())
+        a.update_arrow(enc(xs)); b.update_arrow(enc(ys))
+        from collections import Counter
+        ca, cb = Counter(xs.tolist()), Counter(ys.tolist())
+        exact = sum(ca[k] * cb.get(k, 0) for k in ca)
+        est = a.inner_product(b)
+        assert exact <= est <= exact + a.inner_product_bound(b)
+        # self-join (F2) path
+        f2 = sum(v * v for v in ca.values())
+        est2 = a.inner_product(a)
+        assert f2 <= est2 <= f2 + a.inner_product_bound(a)
+        with pytest.raises(Exception):
+            a.inner_product(CountMinSketch(width=64, depth=4))
