@@ -599,6 +599,49 @@ def q_cms_source_counts(sf_dir: str):
     )
 
 
+def q_hll_intersection_users(sf_dir: str):
+    """HLL set-intersection estimate (inclusion–exclusion over two
+    distributed sketch builds): users active in BOTH halves of the
+    event time range, certified against the exact distributed
+    INTERSECT — oracle checks (exact, within-tolerance verdict)."""
+    from .sketches import HyperLogLog
+
+    base = _read(sf_dir, "events", ["user_id", "ts"])
+    lo, hi = base.min("ts"), base.max("ts")
+    import calendar as _cal
+
+    def _us(t):
+        return _cal.timegm(t.timetuple()) * 1_000_000 + t.microsecond
+
+    mid_us = (_us(lo) + _us(hi)) // 2
+
+    def tag(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"], pa.int64()))
+        return pa.table({"user_id": batch["user_id"],
+                         "half": pa.array((ts >= mid_us).astype(np.int8))})
+
+    tagged = base.map_batches(tag, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def _build(side: int) -> HyperLogLog:
+        sds = tagged.filter(expr=f"half == {side}").select_columns(["user_id"])
+        return build_sketch(sds, "user_id", lambda: HyperLogLog(14))
+
+    a, b = _build(0), _build(1)
+    from .pipelines import key_set_op
+
+    exact = key_set_op(
+        tagged.filter(expr="half == 0").select_columns(["user_id"]),
+        tagged.filter(expr="half == 1").select_columns(["user_id"]),
+        "user_id", "intersect").count()
+    est = a.intersection_estimate(b)
+    within = abs(est - exact) <= a.intersection_error_bound(b)
+    return pa.table({
+        "exact_intersection": pa.array([int(exact)], type=pa.int64()),
+        "hll_within_tol": pa.array([bool(within)], type=pa.bool_()),
+    })
+
+
 def q_selfjoin_size_users(sf_dir: str):
     """CMS inner-product join-size estimation (Cormode & Muthukrishnan
     §4.3): the events⋈events self-join size on user_id (Σ n_u², the F2
@@ -2518,6 +2561,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "cms_source_counts": q_cms_source_counts,
         "selfjoin_size_users": q_selfjoin_size_users,
+        "hll_intersection_users": q_hll_intersection_users,
         "quantile_sketches": q_quantile_sketches,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
@@ -3373,6 +3417,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS cms_within_bound
             FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
+        """,
+        "hll_intersection_users": """
+            WITH b AS (
+                SELECT (CAST(epoch_us(min(ts)) AS BIGINT)
+                        + CAST(epoch_us(max(ts)) AS BIGINT)) // 2 AS mid
+                FROM events
+            )
+            SELECT CAST(count(*) AS BIGINT) AS exact_intersection,
+                   TRUE AS hll_within_tol
+            FROM (
+                SELECT user_id FROM events, b
+                WHERE epoch_us(ts) < mid
+                INTERSECT
+                SELECT user_id FROM events, b
+                WHERE epoch_us(ts) >= mid
+            )
         """,
         "kmv_distinct_text": """
             SELECT count(DISTINCT text) AS n_distinct_exact,

@@ -100,6 +100,30 @@ class HyperLogLog(Sketch):
         np.maximum(self.registers, other.registers, out=self.registers)
         return self
 
+    def union_cardinality(self, other: "HyperLogLog") -> float:
+        """|A ∪ B| from register maxima WITHOUT mutating either side."""
+        self._check_compatible(other)
+        u = HyperLogLog(self.precision)
+        np.maximum(self.registers, other.registers, out=u.registers)
+        return u.cardinality()
+
+    def intersection_estimate(self, other: "HyperLogLog") -> float:
+        """|A ∩ B| by inclusion–exclusion (|A| + |B| − |A ∪ B|) —
+        the standard HLL intersection; its absolute error compounds the
+        three terms' errors, so the usable tolerance is
+        ``rel_err · (|A| + |B| + |A∪B|)``, NOT the single-sketch bound.
+        Floors at 0 (the raw difference can dip negative for tiny or
+        disjoint intersections)."""
+        est = (self.cardinality() + other.cardinality()
+               - self.union_cardinality(other))
+        return max(est, 0.0)
+
+    def intersection_error_bound(self, other: "HyperLogLog") -> float:
+        """Heuristic tolerance for :meth:`intersection_estimate`."""
+        return self.relative_error_bound() * (
+            self.cardinality() + other.cardinality()
+            + self.union_cardinality(other))
+
     def finalize(self) -> float:
         return self.cardinality()
 

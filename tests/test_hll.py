@@ -92,3 +92,28 @@ def test_serde_and_validation():
         HyperLogLog(3)
     with pytest.raises(SketchError):
         HyperLogLog(12).merge(HyperLogLog(11))
+
+
+class TestIntersection:
+    def test_inclusion_exclusion_quality(self):
+        """Intersection estimate within the compounded tolerance across
+        overlap regimes; disjoint floors at 0-ish; incompatible raises."""
+        import pytest
+
+        from archbloom_ray.sketches import HyperLogLog
+
+        for ov in (0, 500, 3000):
+            a, b = HyperLogLog(13), HyperLogLog(13)
+            a.update_arrow(pa.array([f"a{i}" for i in range(4000)]))
+            b.update_arrow(pa.array(
+                [f"a{i}" for i in range(4000 - ov, 4000)]
+                + [f"b{i}" for i in range(3000 - ov)]))
+            est = a.intersection_estimate(b)
+            assert abs(est - ov) <= a.intersection_error_bound(b), ov
+            assert est >= 0.0
+        # union must not mutate operands
+        a2 = HyperLogLog(13); a2.registers[:] = a.registers
+        a.union_cardinality(b)
+        assert (a.registers == a2.registers).all()
+        with pytest.raises(Exception):
+            a.intersection_estimate(HyperLogLog(10))
