@@ -1974,6 +1974,20 @@ def q_dedup_clusters_exact(sf_dir: str):
     })
 
 
+def q_paragraph_dedup(sf_dir: str):
+    """C4-style paragraph-level exact dedup: split every document into
+    3-word segments, keep only each distinct segment's first global
+    occurrence (min ``(doc_id, pos)``), reassemble the survivors per
+    document in order (``stages.dedup.paragraph_dedup``).  Winner
+    selection rides ``grouped_min_k`` (per-block local firsts → keyed
+    shuffle of candidates only); fully SQL-mirrorable via
+    ``string_split`` + window ``row_number`` + ordered ``string_agg``."""
+    from .stages.dedup import paragraph_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return paragraph_dedup(ds, "text", "doc_id", words_per_para=3)
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Nearest-centroid clustering with EXACT integer distances: the 8
     lowest-id embeddings are the centroids (per-block bottom-k, tiny
@@ -2631,6 +2645,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "simhash_dedup_recall": q_simhash_dedup_recall,
         "embedding_dedup_recall": q_embedding_dedup_recall,
         "dedup_clusters_exact": q_dedup_clusters_exact,
+        "paragraph_dedup": q_paragraph_dedup,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
@@ -3855,5 +3870,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS component,
                    CAST(count(*) AS BIGINT) AS size
             FROM aug GROUP BY text HAVING count(*) > 1 ORDER BY component
+        """,
+        "paragraph_dedup": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              string_split(text, ' ') AS ws FROM documents),
+            p AS (SELECT doc_id, ws,
+                         unnest(generate_series(0,
+                             CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS pos
+                  FROM w),
+            p2 AS (SELECT doc_id, CAST(pos AS BIGINT) AS pos,
+                          array_to_string(ws[(pos*3+1):(pos*3+3)], ' ') AS para
+                   FROM p),
+            sel AS (SELECT doc_id, pos, para,
+                           row_number() OVER (PARTITION BY para
+                                              ORDER BY doc_id, pos) AS rn
+                    FROM p2)
+            SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text_dedup,
+                   CAST(count(*) AS BIGINT) AS n_paras
+            FROM sel WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
         """,
     }

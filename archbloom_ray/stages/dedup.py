@@ -1556,3 +1556,98 @@ def verify_pairs_equal(
     tbl = pa.table({"id_a": pa.array(keep_a, type=id_type),
                     "id_b": pa.array(keep_b, type=id_type)})
     return tbl.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
+
+
+# ---------------------------------------------------------------------------
+# paragraph-level exact dedup (C4-style)
+# ---------------------------------------------------------------------------
+
+def paragraph_explode(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    words_per_para: int = 3,
+) -> "ray.data.Dataset":
+    """Explode each document into fixed-width word windows ("paragraphs")
+    as rows ``(id, pos, para)`` — the unit of C4-style segment dedup.
+
+    Real crawl text splits on blank lines; the synthetic corpus has no
+    newlines, so the segment rule is W consecutive space-separated words
+    (SQL-mirrorable via ``string_split`` + list slicing, which is what
+    makes the whole dedup oracle-checkable end to end).
+
+    Fully vectorized: one ``split_pattern`` per batch, then the paragraph
+    strings are rebuilt zero-copy as a new ListArray over the SAME flat
+    word buffer with window offsets + one ``binary_join`` — no per-row
+    Python (the lesson of the r1 shingling finding).
+    """
+    W = int(words_per_para)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col].combine_chunks(), "")
+        words = pc.split_pattern(col, " ")
+        n_words = pc.list_value_length(words).to_numpy(zero_copy_only=False).astype(np.int64)
+        flat = words.flatten()
+        base = np.concatenate(([0], np.cumsum(n_words)))  # word offset per doc
+        n_para = -(-n_words // W)                          # ceil; "" splits to [""] -> 1 para
+        total = int(n_para.sum())
+        # paragraph j of doc d spans words [base[d]+j*W, base[d]+min((j+1)W, n_d))
+        doc_rep = np.repeat(np.arange(len(n_words)), n_para)
+        pos = np.arange(total, dtype=np.int64) - np.repeat(
+            np.concatenate(([0], np.cumsum(n_para)))[:-1], n_para)
+        starts = base[doc_rep] + pos * W
+        ends = np.minimum(starts + W, base[doc_rep] + n_words[doc_rep])
+        offsets = np.empty(total + 1, dtype=np.int64)
+        offsets[0] = 0 if total == 0 else starts[0]
+        offsets[1:] = ends  # windows tile each doc contiguously: ends[i] == starts[i+1] within a doc and across docs
+        para_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()), flat)
+        paras = pc.binary_join(para_list, " ")
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        return pa.table({
+            id_col: pa.array(ids[doc_rep]),
+            "pos": pa.array(pos),
+            "para": paras,
+        })
+
+    return ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def paragraph_dedup(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    words_per_para: int = 3,
+    sep: str = " ",
+) -> "ray.data.Dataset":
+    """C4-style global segment dedup: keep only the FIRST occurrence
+    (min ``(id, pos)``) of every distinct paragraph corpus-wide, then
+    reassemble each document from its surviving paragraphs in order.
+
+    SQL equivalent: ``row_number() OVER (PARTITION BY para ORDER BY id,
+    pos) = 1`` then ``string_agg(para, sep ORDER BY pos) GROUP BY id``
+    (documents whose every paragraph loses drop out, like the GROUP BY).
+
+    Scale shape: winner selection is ``grouped_min_k(keys=[para], k=1)``
+    — each block pre-reduces to its local first occurrence per distinct
+    paragraph, so the exchange carries ≤ one row per (distinct para,
+    block), not the corpus; reassembly is a second keyed shuffle of only
+    the SURVIVING paragraphs grouped by document.  Both shuffles are
+    keyed, never all-to-all on raw text.
+    """
+    from ..pipelines.relational import grouped_min_k
+
+    paras = paragraph_explode(ds, text_col, id_col, words_per_para=words_per_para)
+    kept = grouped_min_k(paras, ["para"], [id_col, "pos"], 1)
+
+    def reassemble(group: pa.Table) -> pa.Table:
+        g = group.take(pc.sort_indices(group, sort_keys=[("pos", "ascending")]))
+        return pa.table({
+            id_col: g[id_col].slice(0, 1),
+            "text_dedup": pa.array([sep.join(g["para"].to_pylist())], type=pa.string()),
+            "n_paras": pa.array([len(g)], type=pa.int64()),
+        })
+
+    return kept.drop_columns(["rank"]).groupby(id_col).map_groups(
+        reassemble, batch_format="pyarrow")

@@ -1345,3 +1345,42 @@ class TestIndexMeta:
             query_phrase(pidx, ["red", "fox", "red"])
         with pytest.raises(ValueError, match="ngram=2"):
             query_phrase(pidx, ["red", "fox"], ngram=3)
+
+
+class TestParagraphDedup:
+    def test_explode_windows_and_tail(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.dedup import paragraph_explode
+
+        docs = pa.table({
+            "doc_id": pa.array([10, 11, 12], type=pa.int64()),
+            "text": pa.array(["a b c d e", "x", "p q r"]),
+        })
+        rows = sorted(
+            paragraph_explode(rd.from_arrow(docs), "text", "doc_id",
+                              words_per_para=3).take_all(),
+            key=lambda r: (r["doc_id"], r["pos"]))
+        got = [(r["doc_id"], r["pos"], r["para"]) for r in rows]
+        assert got == [(10, 0, "a b c"), (10, 1, "d e"),
+                       (11, 0, "x"), (12, 0, "p q r")]
+
+    def test_dedup_keeps_first_and_reassembles(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.dedup import paragraph_dedup
+
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            # doc2 repeats doc1's first window; doc3 is entirely doc1's
+            # second window -> doc3 drops out completely
+            "text": pa.array(["a b c d e f", "a b c z z z", "d e f"]),
+        })
+        rows = sorted(
+            paragraph_dedup(rd.from_arrow(docs), "text", "doc_id",
+                            words_per_para=3).take_all(),
+            key=lambda r: r["doc_id"])
+        assert [(r["doc_id"], r["text_dedup"], r["n_paras"]) for r in rows] == [
+            (1, "a b c d e f", 2),
+            (2, "z z z", 1),
+        ]
