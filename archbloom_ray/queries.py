@@ -1988,6 +1988,19 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, "text", "doc_id", words_per_para=3)
 
 
+def q_bigram_lm_scores(sf_dir: str):
+    """In-corpus bigram-LM document scoring (perplexity-style quality
+    signal): train bigram/context counts over the corpus in one keyed
+    count shuffle, score every document's bigrams through two
+    large-large hash joins, and sum integer micro-log-probs per doc
+    (``stages.text.bigram_lm_scores``) — bit-reproducible in SQL via
+    libm ``ln`` on a fixed IEEE expression."""
+    from .stages.text import bigram_lm_scores
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return bigram_lm_scores(ds, "text", "doc_id")
+
+
 def q_kmeans_clusters(sf_dir: str):
     """Nearest-centroid clustering with EXACT integer distances: the 8
     lowest-id embeddings are the centroids (per-block bottom-k, tiny
@@ -2646,6 +2659,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_recall": q_embedding_dedup_recall,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "bigram_lm_scores": q_bigram_lm_scores,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
@@ -3888,5 +3902,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text_dedup,
                    CAST(count(*) AS BIGINT) AS n_paras
             FROM sel WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "bigram_lm_scores": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              string_split(lower(text), ' ') AS ws FROM documents),
+            t AS (SELECT doc_id, ws,
+                         unnest(generate_series(1, len(ws)-1)) AS i FROM w),
+            b AS (SELECT doc_id, ws[CAST(i AS BIGINT)] AS w1,
+                         ws[CAST(i+1 AS BIGINT)] AS w2 FROM t),
+            cb AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY w1, w2),
+            cu AS (SELECT w1, sum(c) AS cw FROM cb GROUP BY w1),
+            s AS (SELECT b.doc_id,
+                         CAST(floor(1000000 * ln(CAST(cb.c AS DOUBLE)
+                                                 / CAST(cu.cw AS DOUBLE)) + 0.5)
+                              AS BIGINT) AS lp
+                  FROM b JOIN cb USING (w1, w2) JOIN cu USING (w1))
+            SELECT doc_id, CAST(sum(lp) AS BIGINT) AS sum_logprob_u,
+                   CAST(count(*) AS BIGINT) AS n_bigrams
+            FROM s GROUP BY doc_id ORDER BY doc_id
         """,
     }

@@ -779,3 +779,79 @@ def byte_entropy_by_group(ds: "ray.data.Dataset", text_col: str = "text",
 
     return hist_ds.groupby(group_col).map_groups(
         per_group, batch_format="pyarrow")
+
+
+def bigram_lm_scores(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    scale: int = 1_000_000,
+) -> "ray.data.Dataset":
+    """In-corpus bigram language-model scoring — the perplexity-style
+    quality signal of a training-data pipeline, trained and applied over
+    the SAME corpus in one job.
+
+    Model: ``p(w2 | w1) = c(w1,w2) / c(w1,·)`` with the context count
+    derived by re-aggregating the bigram counts (so only ONE count
+    shuffle exists and every scored bigram has ``c ≥ 1`` — no smoothing
+    term to mirror in SQL).  Output per document: ``sum_logprob_u`` (the
+    integer micro-log-prob ``floor(scale·ln(p) + 0.5)`` summed over its
+    bigrams — libm ``ln`` on an IEEE expression both numpy and a SQL
+    engine reproduce bit-for-bit, the ``bm25_topk`` precedent) and
+    ``n_bigrams``; single-word documents have no bigrams and drop out,
+    like the SQL GROUP BY they mirror.
+
+    Scale shape: explode → per-batch partial counts → one keyed count
+    shuffle → a vocabulary-scale keyed groupby stitching ``cw`` onto the
+    bigram counts → ONE large-large hash join of the exploded corpus
+    against that count table — keyed exchanges sized by token count,
+    never a broadcast of an unbounded vocabulary — → per-doc grouped
+    sum.  The explode runs twice (count pass + score pass) rather than
+    materializing the exploded corpus mid-pipeline.
+    """
+    from ..pipelines.relational import grouped_agg, hash_join
+
+    def explode(batch: pa.Table) -> pa.Table:
+        pairs, idx = bigram_flat(batch[text_col].combine_chunks())
+        ids = np.asarray(batch[id_col], dtype=np.int64)[idx]
+        w1 = pc.list_element(pc.split_pattern(pairs, _BIGRAM_SEP), 0)
+        return pa.table({id_col: pa.array(ids), "bg": pairs, "w1": w1})
+
+    bg = ds.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+
+    def partial_counts(batch: pa.Table) -> pa.Table:
+        g = batch.select(["bg", "w1"]).group_by(["bg", "w1"]).aggregate([([], "count_all")])
+        return g.rename_columns(["bg", "w1", "c"])
+
+    cb = grouped_agg(
+        bg.map_batches(partial_counts, batch_format="pyarrow", zero_copy_batch=True),
+        ["bg", "w1"], [("c", "c", "sum")])
+
+    # Stitch the context total onto each bigram count with a keyed
+    # groupby, NOT a second join: Ray's hash-shuffle join emits
+    # schema-less EMPTY blocks for empty partitions, and feeding a join
+    # output into another join explodes on them (map_batches passes
+    # empty blocks through untouched, so a normalizing map can't help —
+    # groupby is the one downstream op that tolerates them).
+    def attach_cw(group: pa.Table) -> pa.Table:
+        cw = pc.sum(group["c"]).as_py()
+        return pa.table({
+            "bg": group["bg"], "c": group["c"],
+            "cw": pa.array(np.full(len(group), cw, dtype=np.int64)),
+        })
+
+    cj = cb.groupby("w1").map_groups(attach_cw, batch_format="pyarrow")
+    joined = hash_join(bg.drop_columns(["w1"]), cj, on="bg")
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.float64)
+        cw = np.asarray(batch["cw"], dtype=np.float64)
+        lp = np.floor(scale * np.log(c / cw) + 0.5).astype(np.int64)
+        return pa.table({id_col: batch[id_col], "lp": pa.array(lp)})
+
+    scored = joined.map_batches(score, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(scored, [id_col], [
+        ("sum_logprob_u", "lp", "sum"),
+        ("n_bigrams", None, "count"),
+    ])

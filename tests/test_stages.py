@@ -1384,3 +1384,26 @@ class TestParagraphDedup:
             (1, "a b c d e f", 2),
             (2, "z z z", 1),
         ]
+
+
+class TestBigramLM:
+    def test_hand_computed_logprobs(self, ray_session):
+        import math
+
+        import ray.data as rd
+
+        from archbloom_ray.stages.text import bigram_lm_scores
+
+        # corpus bigrams: "a b" x2, "b a" x1, "b c" x1 -> contexts:
+        # c(a,.)=2, c(b,.)=2;  p(b|a)=1, p(a|b)=1/2, p(c|b)=1/2
+        docs = pa.table({
+            "doc_id": pa.array([1, 2, 3], type=pa.int64()),
+            "text": pa.array(["a b a", "a b c", "x"]),
+        })
+        rows = sorted(
+            bigram_lm_scores(rd.from_arrow(docs), "text", "doc_id").take_all(),
+            key=lambda r: r["doc_id"])
+        half = math.floor(1_000_000 * math.log(0.5) + 0.5)
+        # doc1: ln(1) + ln(1/2); doc2: ln(1) + ln(1/2); doc3: no bigrams
+        assert [(r["doc_id"], r["sum_logprob_u"], r["n_bigrams"]) for r in rows] == [
+            (1, half, 2), (2, half, 2)]
