@@ -1407,3 +1407,50 @@ class TestBigramLM:
         # doc1: ln(1) + ln(1/2); doc2: ln(1) + ln(1/2); doc3: no bigrams
         assert [(r["doc_id"], r["sum_logprob_u"], r["n_bigrams"]) for r in rows] == [
             (1, half, 2), (2, half, 2)]
+
+
+class TestProductQuantization:
+    def test_lossless_on_codebook_points_and_adc_ranking(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.similarity import (
+            pq_adc_topk,
+            pq_encode,
+            pq_train,
+        )
+
+        # 64-dim vectors built from 4 distinct per-subvector patterns:
+        # k-means with k>=4 recovers them exactly, so ADC == exact L2
+        rng = np.random.default_rng(7)
+        patterns = rng.normal(size=(4, 8))
+        choice = rng.integers(0, 4, size=(200, 8))
+        X = patterns[choice].reshape(200, 64)
+        tbl = pa.table({
+            "vec_id": pa.array(np.arange(200, dtype=np.int64)),
+            "embedding": pa.array([list(map(float, r)) for r in X]),
+        })
+        ds = rd.from_arrow(tbl)
+        books = pq_train(ds, m=8, k=32, sample_n=200, iters=20)
+        codes = pq_encode(ds, books)
+        out = pq_adc_topk(codes, books, X[:3], k=5)
+        rows = out.to_pylist()
+        # rank-1 hit is the query itself at distance ~0
+        for qi in range(3):
+            r1 = [r for r in rows if r["query_idx"] == qi and r["rank"] == 1][0]
+            assert r1["dist2"] < 1e-18
+        # every vector quantizes losslessly -> ADC distance == exact L2
+        d_q0 = {r["vec_id"]: r["dist2"] for r in rows if r["query_idx"] == 0}
+        for vid, d2 in d_q0.items():
+            assert abs(d2 - ((X[vid] - X[0]) ** 2).sum()) < 1e-9
+
+    def test_recall_gate_passes_on_fixture(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.similarity import pq_recall_gate
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/embeddings.parquet",
+                             columns=["vec_id", "embedding"])
+        tbl = pq_recall_gate(ds, n_queries=4, k=10, m=16, n_codes=256,
+                             threshold=0.5)
+        assert tbl["pass"].to_pylist() == [True] * 4
+        assert all(r >= 0.5 for r in tbl["recall"].to_pylist())
