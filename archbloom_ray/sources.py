@@ -55,3 +55,108 @@ def read_lines(path: str, column: str = "text") -> "ray.data.Dataset":
     if column != "text":
         ds = ds.rename_columns({"text": column})
     return ds
+
+
+def read_jsonl_gz(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    """Gzip-compressed newline-delimited JSON — the wire format of
+    Common-Crawl-style corpus dumps (``*.jsonl.gz``/``.wet.gz``
+    siblings).  Decompression streams through Arrow's gzip codec per
+    file; FILES are the parallel unit (gzip members aren't splittable),
+    which matches how such corpora actually shard: thousands of ~GB
+    members."""
+    ds = ray.data.read_json(
+        path,
+        arrow_open_stream_args={"compression": "gzip"},
+        file_extensions=["gz"],
+    )
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_lines_gz(path: str, column: str = "text") -> "ray.data.Dataset":
+    """Gzip-compressed line text (one row per line), same ingest
+    semantics as :func:`read_lines`; per-file gzip streams."""
+    ds = ray.data.read_text(
+        path,
+        arrow_open_stream_args={"compression": "gzip"},
+        file_extensions=["gz"],
+    )
+    if column != "text":
+        ds = ds.rename_columns({"text": column})
+    return ds
+
+
+def read_warc(
+    path: str,
+    *,
+    include_types: tuple[str, ...] | None = ("response",),
+    gzipped: bool = False,
+) -> "ray.data.Dataset":
+    """Minimal WARC/1.0 reader — the container Common Crawl actually
+    ships (ISO 28500): one output row per record with ``warc_type``,
+    ``target_uri``, ``warc_date``, ``record_id``, ``payload`` (binary).
+
+    Shape: FILES are the parallel unit (a crawl is thousands of ~1 GB
+    members, far more than the cluster's cores — per-record splitting
+    buys nothing and gzip members aren't seekable anyway).  Each task
+    reads one file's bytes and walks records by ``Content-Length``
+    (header scan + zero-copy payload slice; the per-record Python loop
+    is over KB–MB records, not rows).  ``gzipped=True`` streams
+    whole-member ``.warc.gz`` through Arrow's gzip codec first.
+    ``include_types=None`` keeps every record type.
+    """
+    kwargs = {}
+    if gzipped:
+        kwargs = {"arrow_open_stream_args": {"compression": "gzip"},
+                  "file_extensions": ["gz"]}
+    else:
+        kwargs = {"file_extensions": ["warc"]}
+    ds = ray.data.read_binary_files(path, **kwargs)
+
+    def parse(batch):
+        import pyarrow as pa
+
+        types, uris, dates, ids, payloads = [], [], [], [], []
+        for blob in batch["bytes"]:
+            buf = memoryview(blob.as_py() if hasattr(blob, "as_py") else blob)
+            pos = 0
+            n = len(buf)
+            while pos < n:
+                # skip inter-record CRLFs
+                while pos < n and buf[pos:pos + 2] == b"\r\n":
+                    pos += 2
+                if pos >= n:
+                    break
+                hdr_end = bytes(buf[pos:min(n, pos + 65536)]).find(b"\r\n\r\n")
+                if hdr_end < 0:
+                    break
+                header = bytes(buf[pos:pos + hdr_end]).decode("utf-8", "replace")
+                lines = header.split("\r\n")
+                if not lines[0].startswith("WARC/"):
+                    raise ValueError(
+                        f"not a WARC record at byte {pos}: {lines[0][:40]!r}")
+                fields = {}
+                for ln in lines[1:]:
+                    k, _, v = ln.partition(":")
+                    fields[k.strip().lower()] = v.strip()
+                length = int(fields.get("content-length", "0"))
+                body_start = pos + hdr_end + 4
+                body = bytes(buf[body_start:body_start + length])
+                pos = body_start + length
+                rtype = fields.get("warc-type", "")
+                if include_types is None or rtype in include_types:
+                    types.append(rtype)
+                    uris.append(fields.get("warc-target-uri"))
+                    dates.append(fields.get("warc-date"))
+                    ids.append(fields.get("warc-record-id"))
+                    payloads.append(body)
+        return pa.table({
+            "warc_type": pa.array(types, type=pa.string()),
+            "target_uri": pa.array(uris, type=pa.string()),
+            "warc_date": pa.array(dates, type=pa.string()),
+            "record_id": pa.array(ids, type=pa.string()),
+            "payload": pa.array(payloads, type=pa.binary()),
+        })
+
+    return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)

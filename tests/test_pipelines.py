@@ -177,6 +177,60 @@ class TestSources:
         assert sorted(r["element"] for r in l.take_all()) == sorted(
             r["name"] for r in rows)
 
+    def test_gzip_jsonl_and_lines(self, ray_session, tmp_path):
+        import gzip
+        import json
+
+        from archbloom_ray.sources import read_jsonl_gz, read_lines_gz
+
+        jp = tmp_path / "d.jsonl.gz"
+        with gzip.open(jp, "wt") as f:
+            for i in range(20):
+                f.write(json.dumps({"id": i, "name": f"n{i}", "x": i * 2}) + "\n")
+        lp = tmp_path / "d.txt.gz"
+        with gzip.open(lp, "wt") as f:
+            f.write("alpha\nbeta\ngamma\n")
+
+        j = read_jsonl_gz(str(jp), columns=["id", "name"])
+        assert sorted(r["id"] for r in j.take_all()) == list(range(20))
+        l = read_lines_gz(str(lp), column="element")
+        assert sorted(r["element"] for r in l.take_all()) == [
+            "alpha", "beta", "gamma"]
+
+    def test_warc_reader(self, ray_session, tmp_path):
+        import gzip
+
+        from archbloom_ray.sources import read_warc
+
+        def rec(rtype, uri, body, rid):
+            h = (f"WARC/1.0\r\nWARC-Type: {rtype}\r\n"
+                 + (f"WARC-Target-URI: {uri}\r\n" if uri else "")
+                 + "WARC-Date: 2026-01-01T00:00:00Z\r\n"
+                 + f"WARC-Record-ID: <urn:uuid:{rid}>\r\n"
+                 + f"Content-Length: {len(body)}\r\n\r\n").encode()
+            return h + body + b"\r\n\r\n"
+
+        data = (rec("warcinfo", None, b"software: t", "w0")
+                + rec("response", "http://a.example/", b"<html>alpha</html>", "r1")
+                + rec("request", "http://a.example/", b"GET / HTTP/1.1", "q1")
+                + rec("response", "http://b.example/", b"\x00\x01bin\xff", "r2"))
+        (tmp_path / "one.warc").write_bytes(data)
+        with gzip.open(tmp_path / "two.warc.gz", "wb") as f:
+            f.write(rec("response", "http://c.example/", b"gz body", "r3"))
+
+        rows = sorted(read_warc(str(tmp_path / "one.warc")).take_all(),
+                      key=lambda r: r["target_uri"])
+        assert [(r["warc_type"], r["target_uri"], r["payload"]) for r in rows] == [
+            ("response", "http://a.example/", b"<html>alpha</html>"),
+            ("response", "http://b.example/", b"\x00\x01bin\xff")]
+        assert sorted(
+            r["warc_type"] for r in
+            read_warc(str(tmp_path / "one.warc"), include_types=None).take_all()
+        ) == ["request", "response", "response", "warcinfo"]
+        gz = read_warc(str(tmp_path / "two.warc.gz"), gzipped=True).take_all()
+        assert [(r["target_uri"], r["payload"]) for r in gz] == [
+            ("http://c.example/", b"gz body")]
+
 
 class TestHistogramAndWeightedSample:
     def test_histogram_int_exact(self, ray_session):
