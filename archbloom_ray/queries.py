@@ -2001,6 +2001,66 @@ def q_bigram_lm_scores(sf_dir: str):
     return bigram_lm_scores(ds, "text", "doc_id")
 
 
+def _pagerank_sql(iters: int = 5, scale: int = 10**9) -> str:
+    """Unrolled-CTE mirror of ``q_pagerank`` (DuckDB disallows
+    aggregates in a recursive CTE term, so the fixed iteration count is
+    unrolled; every step is the same int64 expression the Ray side
+    computes)."""
+    tele = (15 * scale) // 100
+    s = f"""
+    WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS n FROM documents),
+    cnt AS (SELECT count(*) AS c FROM nodes),
+    edges AS (
+      SELECT n AS src, (n * 37 + 11) % (SELECT c FROM cnt) AS dst FROM nodes
+      UNION ALL
+      SELECT n, (n * 101 + 3) % (SELECT c FROM cnt) FROM nodes),
+    od AS (SELECT src, count(*) AS od FROM edges GROUP BY src),
+    r0 AS (SELECT n, CAST({scale} AS BIGINT) AS r FROM nodes)"""
+    for t in range(1, iters + 1):
+        s += f""",
+    r{t} AS (SELECT nodes.n,
+                    CAST((85 * COALESCE(s.t, 0)) // 100 + {tele} AS BIGINT) AS r
+             FROM nodes LEFT JOIN (
+               SELECT e.dst AS n, CAST(sum(r{t-1}.r // od.od) AS BIGINT) AS t
+               FROM edges e JOIN r{t-1} ON r{t-1}.n = e.src
+               JOIN od ON od.src = e.src GROUP BY e.dst) s USING (n))"""
+    s += f"""
+    SELECT n AS doc_id, r AS rank_u FROM r{iters} ORDER BY doc_id"""
+    return s
+
+
+def q_pagerank(sf_dir: str):
+    """Distributed fixed-point-integer PageRank
+    (``stages.graph.pagerank_int``) over a deterministic 2-out-regular
+    link graph on the documents table (dst = (id·37+11) mod N and
+    (id·101+3) mod N — doc_ids are contiguous 0..N−1, so every target
+    exists).  5 damped iterations, each ONE keyed join + ONE grouped
+    sum; all arithmetic int64, so DuckDB reproduces the ranks exactly
+    with 5 unrolled CTEs."""
+    from .stages.graph import pagerank_int
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def mknodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"]})
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids * 37 + 11) % n, (ids * 101 + 3) % n])),
+        })
+
+    nodes = ds.map_batches(mknodes, batch_format="pyarrow", zero_copy_batch=True)
+    edges = ds.map_batches(mkedges, batch_format="pyarrow", zero_copy_batch=True)
+    out = pagerank_int(nodes, edges, iters=5)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "rank_u": b["rank_u"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_pq_knn_recall(sf_dir: str):
     """Product-quantization ANN certification: train 16-subvector/256-
     codeword codebooks on a deterministic bottom-id sample, ADC-search
@@ -2677,6 +2737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "bigram_lm_scores": q_bigram_lm_scores,
         "pq_knn_recall": q_pq_knn_recall,
+        "pagerank": q_pagerank,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
@@ -3942,4 +4003,5 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(vec_id AS BIGINT) AS query_id, TRUE AS pass
             FROM embeddings ORDER BY vec_id LIMIT 8
         """,
+        "pagerank": _pagerank_sql(),
     }

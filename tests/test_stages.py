@@ -1454,3 +1454,37 @@ class TestProductQuantization:
                              threshold=0.5)
         assert tbl["pass"].to_pylist() == [True] * 4
         assert all(r >= 0.5 for r in tbl["recall"].to_pylist())
+
+
+class TestPageRank:
+    def test_matches_scalar_fixed_point_reference(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.graph import pagerank_int
+
+        # small asymmetric graph incl. a node with no in-edges (3) and
+        # a hub (0); out-degrees vary 1..3
+        edge_list = [(0, 1), (0, 2), (1, 0), (2, 0), (2, 1), (3, 0)]
+        nodes = rd.from_arrow(pa.table({"node": pa.array([0, 1, 2, 3], pa.int64())}))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edge_list], pa.int64()),
+            "dst": pa.array([e[1] for e in edge_list], pa.int64()),
+        }))
+        scale, iters = 10**9, 5
+        got = {r["node"]: r["rank_u"]
+               for r in pagerank_int(nodes, edges, iters=iters,
+                                     scale=scale).take_all()}
+
+        # scalar fixed-point mirror
+        from collections import Counter
+        od = Counter(s for s, _ in edge_list)
+        r = {v: scale for v in range(4)}
+        tele = (15 * scale) // 100
+        for _ in range(iters):
+            s = {v: 0 for v in range(4)}
+            for u, v in edge_list:
+                s[v] += r[u] // od[u]
+            r = {v: (85 * s[v]) // 100 + tele for v in range(4)}
+        assert got == r
+        # node 3 has no in-edges: rank is exactly the teleport floor
+        assert got[3] == tele
