@@ -2055,10 +2055,133 @@ def q_pagerank(sf_dir: str):
 
     nodes = ds.map_batches(mknodes, batch_format="pyarrow", zero_copy_batch=True)
     edges = ds.map_batches(mkedges, batch_format="pyarrow", zero_copy_batch=True)
-    out = pagerank_int(nodes, edges, iters=5)
+    out = pagerank_int(nodes, edges, iters=5, num_partitions=8)
     return out.map_batches(
         lambda b: pa.table({"doc_id": b["node"], "rank_u": b["rank_u"]}),
         batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_components(sf_dir: str):
+    """Connected components via fixed-iteration min-label propagation
+    (``stages.graph.label_propagation_min``) over a deterministic
+    path-segment graph on documents: undirected edges i — i−1 except at
+    8-boundaries, so components are consecutive id-octets.  8 rounds ≥
+    the segment diameter (7), so every label converges to its
+    component's minimum id and the oracle is the closed form
+    ``(doc_id // 8) * 8`` — a converged-fixed-point invariant, exactly
+    SQL-checkable."""
+    from .stages.graph import label_propagation_min
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+
+    def mknodes(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"]})
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        hi = ids[ids % 8 != 0]
+        lo = hi - 1
+        return pa.table({
+            "src": pa.array(np.concatenate([lo, hi])),
+            "dst": pa.array(np.concatenate([hi, lo])),
+        })
+
+    nodes = ds.map_batches(mknodes, batch_format="pyarrow", zero_copy_batch=True)
+    edges = ds.map_batches(mkedges, batch_format="pyarrow", zero_copy_batch=True)
+    out = label_propagation_min(nodes, edges, iters=8, num_partitions=8)
+    return out.map_batches(
+        lambda b: pa.table({"doc_id": b["node"], "comp": b["comp"]}),
+        batch_format="pyarrow", zero_copy_batch=True)
+
+
+def q_triangles(sf_dir: str):
+    """Exact triangle count (``stages.graph.triangle_count``,
+    compact-forward: oriented dedup → vectorized wedge generation at
+    each triangle's minimum vertex → bucketed membership close) over
+    the deterministic 2-out link graph on documents (dst = (id·37+11)
+    mod N and (id·101+3) mod N, undirected).  DuckDB mirrors it with
+    a DISTINCT oriented edge set and a 3-way self-join."""
+    from .stages.graph import triangle_count
+
+    ds = _read(sf_dir, "documents", ["doc_id"])
+    n = ds.count()
+
+    def mkedges(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table({
+            "src": pa.array(np.concatenate([ids, ids])),
+            "dst": pa.array(np.concatenate(
+                [(ids * 37 + 11) % n, (ids * 101 + 3) % n])),
+        })
+
+    edges = ds.map_batches(mkedges, batch_format="pyarrow", zero_copy_batch=True)
+    t = triangle_count(edges)
+    return pa.table({"triangles": pa.array([t], pa.int64())})
+
+
+def q_events_anomalous_hours(sf_dir: str):
+    """Statistical outlier detection in EXACT integer arithmetic: per
+    event type, hourly counts with hours flagged when more than two
+    standard deviations from the type's mean hourly count.  |cnt−μ|>2σ
+    is evaluated as the integer inequality
+    (n·cnt − s)² > 4·(n·ss − s²)   (n=#hours, s=Σcnt, ss=Σcnt² per
+    type) — no floats anywhere, so flags hash-match SQL bit-for-bit.
+
+    Scale shape: ONE pre-combined grouped count is the only full-data
+    exchange; the per-type moment table has #event_types rows (a
+    driver-sized aggregate, broadcast back into a vectorized flagging
+    map over the hours×types count table)."""
+    import ray as _ray
+
+    from .pipelines import grouped_agg
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        ts_us = pc.cast(batch["ts"], pa.int64())
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": pc.divide(ts_us, 3_600_000_000),
+        })
+
+    ds = _read(sf_dir, "events", ["event_type", "ts"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_agg(
+        ds, ["event_type", "hour"], [("cnt", None, "count")]).materialize()
+
+    def add_sq(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["cnt"], dtype=np.int64)
+        return pa.table({"event_type": batch["event_type"],
+                         "cnt": batch["cnt"],
+                         "cnt2": pa.array(c * c)})
+
+    stats = grouped_agg(
+        counts.map_batches(add_sq, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["event_type"],
+        [("n", None, "count"), ("s", "cnt", "sum"), ("ss", "cnt2", "sum")])
+    stat_map = {r["event_type"]: (r["n"], r["s"], r["ss"])
+                for r in stats.take_all()}
+    ref = _ray.put(stat_map)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        m = _ray.get(ref)
+        et = np.asarray(batch["event_type"].to_pylist(), dtype=object)
+        cnt = np.asarray(batch["cnt"], dtype=np.int64)
+        keys = np.array(sorted(m), dtype=object)
+        n = np.array([m[k][0] for k in keys], dtype=np.int64)
+        s = np.array([m[k][1] for k in keys], dtype=np.int64)
+        ss = np.array([m[k][2] for k in keys], dtype=np.int64)
+        idx = np.searchsorted(keys, et)
+        d = n[idx] * cnt - s[idx]
+        var4 = 4 * (n[idx] * ss[idx] - s[idx] * s[idx])
+        return pa.table({
+            "event_type": batch["event_type"],
+            "hour": batch["hour"],
+            "cnt": batch["cnt"],
+            "is_outlier": pa.array(d * d > var4),
+        })
+
+    return counts.map_batches(flag, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def q_pq_knn_recall(sf_dir: str):
@@ -2738,6 +2861,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bigram_lm_scores": q_bigram_lm_scores,
         "pq_knn_recall": q_pq_knn_recall,
         "pagerank": q_pagerank,
+        "components": q_components,
+        "triangles": q_triangles,
+        "events_anomalous_hours": q_events_anomalous_hours,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
         # north-star pages pipeline (BASELINE.json)
@@ -4004,4 +4130,39 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings ORDER BY vec_id LIMIT 8
         """,
         "pagerank": _pagerank_sql(),
+        "events_anomalous_hours": """
+            WITH c AS (
+              SELECT event_type,
+                     CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS hour,
+                     count(*) AS cnt
+              FROM events GROUP BY 1, 2),
+            m AS (
+              SELECT event_type, count(*) AS n, sum(cnt) AS s,
+                     sum(cnt * cnt) AS ss
+              FROM c GROUP BY 1)
+            SELECT c.event_type, c.hour, CAST(c.cnt AS BIGINT) AS cnt,
+                   (m.n * c.cnt - m.s) * (m.n * c.cnt - m.s)
+                     > 4 * (m.n * m.ss - m.s * m.s) AS is_outlier
+            FROM c JOIN m USING (event_type)
+            ORDER BY event_type, hour
+        """,
+        "components": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST((doc_id // 8) * 8 AS BIGINT) AS comp
+            FROM documents ORDER BY doc_id
+        """,
+        "triangles": """
+            WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS n FROM documents),
+            cnt AS (SELECT count(*) AS c FROM nodes),
+            raw AS (
+              SELECT n AS u, (n * 37 + 11) % (SELECT c FROM cnt) AS v FROM nodes
+              UNION ALL
+              SELECT n, (n * 101 + 3) % (SELECT c FROM cnt) FROM nodes),
+            e AS (SELECT DISTINCT LEAST(u, v) AS a, GREATEST(u, v) AS b
+                  FROM raw WHERE u <> v)
+            SELECT CAST(count(*) AS BIGINT) AS triangles
+            FROM e e1
+            JOIN e e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN e e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
     }

@@ -197,10 +197,15 @@ def pagerank_int(
             .groupby("_pkey")
             .map_groups(scatter, batch_format="pyarrow")
         )
+        # repartition: groupby emits one output block per INPUT block, so
+        # without an explicit coalesce the per-round union compounds the
+        # state's block count (measured: 2^rounds blocks, 20s/round by
+        # round 8 at 500 rows) — bound it to num_partitions each round
         ranks = (
             contribs.union(zeros_b)
             .groupby("_pkey")
             .map_groups(gather, batch_format="pyarrow")
+            .repartition(num_partitions)
             .materialize()
         )
 
@@ -338,10 +343,15 @@ def label_propagation_min(
         )
         self_rows = labels.map_batches(to_self, batch_format="pyarrow",
                                        zero_copy_batch=True)
+        # repartition: see pagerank_int — without the coalesce the label
+        # state doubles its block count every round (self_rows + contribs
+        # each carry the previous round's blocks) and per-round cost
+        # grows exponentially
         labels = (
             contribs.union(self_rows)
             .groupby("_pkey")
             .map_groups(gather_min, batch_format="pyarrow")
+            .repartition(num_partitions)
             .materialize()
         )
 

@@ -1488,3 +1488,78 @@ class TestPageRank:
         assert got == r
         # node 3 has no in-edges: rank is exactly the teleport floor
         assert got[3] == tele
+
+
+class TestLabelPropagation:
+    @staticmethod
+    def _run(edge_list, n_nodes, iters):
+        import ray.data as rd
+
+        from archbloom_ray.stages.graph import label_propagation_min
+
+        nodes = rd.from_arrow(pa.table(
+            {"node": pa.array(list(range(n_nodes)), pa.int64())}))
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edge_list], pa.int64()),
+            "dst": pa.array([e[1] for e in edge_list], pa.int64()),
+        }))
+        out = label_propagation_min(nodes, edges, iters=iters)
+        return {r["node"]: r["comp"] for r in out.take_all()}
+
+    def test_unconverged_matches_scalar_fixed_point(self, ray_session):
+        # directed path 4->3->2->1->0 plus isolated 5; 2 iterations move
+        # labels only 2 hops — pinned against the scalar mirror
+        edge_list = [(4, 3), (3, 2), (2, 1), (1, 0)]
+        got = self._run(edge_list, 6, iters=2)
+        lab = {v: v for v in range(6)}
+        for _ in range(2):
+            nxt = dict(lab)
+            for u, v in edge_list:
+                nxt[v] = min(nxt[v], lab[u])
+            lab = nxt
+        assert got == lab
+        assert got[5] == 5  # isolated node keeps its own label
+
+    def test_converged_components(self, ray_session):
+        # two undirected components {0,1,2} (triangle) and {3,4} (edge)
+        und = [(0, 1), (1, 2), (2, 0), (3, 4)]
+        edge_list = und + [(v, u) for u, v in und]
+        got = self._run(edge_list, 5, iters=4)
+        assert got == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3}
+
+
+class TestTriangleCount:
+    @staticmethod
+    def _brute(edge_list, n_nodes):
+        from itertools import combinations
+        es = {(min(u, v), max(u, v)) for u, v in edge_list if u != v}
+        return sum(1 for a, b, c in combinations(range(n_nodes), 3)
+                   if (a, b) in es and (b, c) in es and (a, c) in es)
+
+    def _run(self, edge_list):
+        import ray.data as rd
+
+        from archbloom_ray.stages.graph import triangle_count
+
+        edges = rd.from_arrow(pa.table({
+            "src": pa.array([e[0] for e in edge_list], pa.int64()),
+            "dst": pa.array([e[1] for e in edge_list], pa.int64()),
+        }))
+        return triangle_count(edges)
+
+    def test_k5_with_noise(self, ray_session):
+        from itertools import combinations
+        k5 = list(combinations(range(5), 2))
+        # duplicates, reversed copies and self-loops must not change it
+        noisy = k5 + [(v, u) for u, v in k5] + k5[:3] + [(0, 0), (2, 2)]
+        assert self._run(noisy) == 10 == self._brute(noisy, 5)
+
+    def test_bipartite_is_triangle_free(self, ray_session):
+        edges = [(u, v) for u in range(4) for v in range(4, 9)]
+        assert self._run(edges) == 0
+
+    def test_pseudorandom_graph_matches_brute_force(self, ray_session):
+        n = 40
+        edges = [(i, (i * 7 + 3) % n) for i in range(n)]
+        edges += [(i, (i * i + 1) % n) for i in range(n)]
+        assert self._run(edges) == self._brute(edges, n)
