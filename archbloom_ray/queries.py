@@ -1988,6 +1988,64 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, "text", "doc_id", words_per_para=3)
 
 
+def q_fuzzy_join_recall(sf_dir: str):
+    """Cross-table fuzzy (similarity) join, exact-certified: documents
+    split by doc_id parity into a left and a right corpus, the right
+    side additionally receives planted copies (id +10M) of the left
+    rows where ``doc_id % 10 == 0`` — SQL-reproducible exact matches
+    across the two tables.  ``minhash_similarity_join`` generates
+    cross-side LSH candidates (identical text ⇒ identical signature ⇒
+    co-bucketed in every band, so recall of exact matches is
+    structural), then a 128-bit content-hash verify drops near-dup
+    false positives — the output provably equals the cross-table
+    equal-text pair set, which DuckDB computes with a plain join."""
+    from .stages.dedup import minhash_similarity_join, tag_sides, verify_pairs_equal
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def side_filter(parity: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            return batch.filter(pa.array(ids % 2 == parity))
+        return fn
+
+    left = ds.map_batches(side_filter(0), batch_format="pyarrow", zero_copy_batch=True)
+
+    def plant(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        i = batch.schema.get_field_index("doc_id")
+        base = batch.set_column(i, "doc_id", pa.array(ids, type=pa.int64()))
+        odd = base.filter(pa.array(ids % 2 == 1))
+        sel = np.flatnonzero(ids % 10 == 0)
+        if sel.size == 0:
+            return odd
+        copies = base.take(pa.array(sel)).set_column(
+            i, "doc_id", pa.array(ids[sel] + 10_000_000, type=pa.int64()))
+        return pa.concat_tables([odd, copies])
+
+    right = ds.map_batches(plant, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = minhash_similarity_join(
+        left, right, "text", "doc_id", num_perm=64, bands=16, threshold=0.9)
+
+    # Exact certification via the shared verifier: re-encode pairs on
+    # the tagged-union key space (left = 2·id, right = 2·id+1).
+    def encode(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["id_a"], dtype=np.int64)
+        b = np.asarray(batch["id_b"], dtype=np.int64)
+        return pa.table({"id_a": pa.array(a * 2, type=pa.int64()),
+                         "id_b": pa.array(b * 2 + 1, type=pa.int64())})
+
+    tagged = tag_sides(left, right, "text", "doc_id")
+    enc = pairs.map_batches(encode, batch_format="pyarrow", zero_copy_batch=True)
+    verified = verify_pairs_equal(enc, tagged, "text", "sj_key")
+    return pa.table({
+        "left_id": pa.array(np.asarray(verified["id_a"], dtype=np.int64) >> 1,
+                            type=pa.int64()),
+        "right_id": pa.array(np.asarray(verified["id_b"], dtype=np.int64) >> 1,
+                             type=pa.int64()),
+    }).sort_by([("left_id", "ascending"), ("right_id", "ascending")])
+
+
 def q_bigram_lm_scores(sf_dir: str):
     """In-corpus bigram-LM document scoring (perplexity-style quality
     signal): train bigram/context counts over the corpus in one keyed
@@ -2858,6 +2916,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_recall": q_embedding_dedup_recall,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "pq_knn_recall": q_pq_knn_recall,
         "pagerank": q_pagerank,
@@ -4088,6 +4147,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(min(doc_id) AS BIGINT) AS component,
                    CAST(count(*) AS BIGINT) AS size
             FROM aug GROUP BY text HAVING count(*) > 1 ORDER BY component
+        """,
+        "fuzzy_join_recall": """
+            WITH lft AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                         FROM documents WHERE doc_id % 2 = 0),
+            rgt AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, text
+                    FROM documents WHERE doc_id % 2 = 1
+                    UNION ALL
+                    SELECT CAST(doc_id + 10000000 AS BIGINT), text
+                    FROM documents WHERE doc_id % 10 = 0)
+            SELECT l.doc_id AS left_id, r.doc_id AS right_id
+            FROM lft l JOIN rgt r ON l.text = r.text
+            ORDER BY left_id, right_id
         """,
         "paragraph_dedup": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,

@@ -621,37 +621,12 @@ def minhash_signatures(ds, text_col: str, id_col: str, *, num_perm=128,
     )
 
 
-def minhash_lsh_pairs(
-    ds: "ray.data.Dataset",
-    text_col: str,
-    id_col: str,
-    *,
-    num_perm: int = 128,
-    bands: int = 32,
-    threshold: float = 0.8,
-    shingle_width: int = 5,
-    seed: int = 42,
-    max_bucket: int = 200,
-    concurrency: int = 4,
-    num_cpus: float | None = None,
-) -> "ray.data.Dataset":
-    """Near-duplicate pairs via MinHash + banded LSH.
-
-    Stages: signature (actor pool) → explode to (band, band_hash, id,
-    signature) rows → groupby band bucket → intra-bucket candidate pairs
-    verified by signature Jaccard ≥ threshold → pair dedup.
-
-    ``max_bucket`` caps degenerate buckets (e.g. empty docs) so one hot
-    bucket cannot go quadratic — capped buckets are truncated and the
-    truncation is recorded in the output column ``bucket_truncated``.
-    """
-    assert num_perm % bands == 0
+def _banded_explode_fn(id_col: str, num_perm: int, bands: int):
+    """Factory for the LSH band-explode stage shared by within-corpus
+    dedup (``minhash_lsh_pairs``) and the cross-table similarity join:
+    each signature row becomes ``bands`` rows of (band, band_hash, id,
+    16-bit-mixed signature)."""
     rows_per_band = num_perm // bands
-
-    sigs = minhash_signatures(
-        ds, text_col, id_col, num_perm=num_perm, shingle_width=shingle_width,
-        seed=seed, concurrency=concurrency, num_cpus=num_cpus,
-    )
 
     def explode(batch: pa.Table) -> pa.Table:
         n = len(batch)
@@ -688,14 +663,12 @@ def minhash_lsh_pairs(
             }
         )
 
-    exploded = sigs.map_batches(explode, batch_format="pyarrow", zero_copy_batch=True)
+    return explode
 
-    # Millions of tiny LSH buckets must NOT each become a Ray group (a
-    # Python call per group kills throughput).  Instead: hash buckets
-    # into ~num_partitions coarse partitions, ONE map_groups per
-    # partition, and find bucket runs vectorized (lexsort + boundary
-    # diff) inside.
-    num_partitions = 64
+
+def _bucket_pkey_fn(num_partitions: int):
+    """Coarse-partition key over (band, band_hash) LSH buckets — millions
+    of tiny buckets must not each become a Ray group."""
 
     def add_pkey(batch: pa.Table) -> pa.Table:
         bh = np.asarray(batch["band_hash"], dtype=np.int64).astype(np.uint64)
@@ -703,6 +676,171 @@ def minhash_lsh_pairs(
         with np.errstate(over="ignore"):
             pk = ((bh * np.uint64(0x9E3779B97F4A7C15)) ^ bd) % np.uint64(num_partitions)
         return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    return add_pkey
+
+
+def tag_sides(left: "ray.data.Dataset", right: "ray.data.Dataset",
+              text_col: str, id_col: str, key_col: str = "sj_key") -> "ray.data.Dataset":
+    """Union two corpora into one keyed stream for the similarity join:
+    ``key = id*2 + side`` (side 0 = left, 1 = right) keeps the side bit
+    inside one int64 so every downstream stage (signatures, band
+    explode, bucket groupby) is side-agnostic.  Requires int64-safe ids
+    < 2^62."""
+
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            return pa.table({
+                key_col: pa.array(ids * 2 + side, type=pa.int64()),
+                text_col: batch[text_col],
+            })
+        return fn
+
+    l = left.map_batches(tag(0), batch_format="pyarrow", zero_copy_batch=True)
+    r = right.map_batches(tag(1), batch_format="pyarrow", zero_copy_batch=True)
+    return l.union(r)
+
+
+def minhash_similarity_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 64,
+    bands: int = 16,
+    threshold: float = 0.8,
+    shingle_width: int = 5,
+    seed: int = 42,
+    max_bucket: int = 200,
+    num_cpus: float | None = None,
+) -> "ray.data.Dataset":
+    """Cross-table fuzzy (similarity) join: pairs (left id, right id)
+    whose estimated n-gram Jaccard ≥ ``threshold`` — the two-corpus
+    counterpart of ``minhash_lsh_pairs`` (classic LSH similarity join).
+
+    Scale shape: both sides stream through ONE shared signature + band
+    pipeline (side bit encoded in the key — no Ray join operator, no
+    per-side shuffle); candidate generation emits only cross-side pairs
+    inside each LSH bucket, so within-side near-duplicates cost nothing.
+    ``max_bucket`` caps degenerate buckets exactly as in the dedup path.
+
+    Output columns: ``id_a`` (left id), ``id_b`` (right id),
+    ``jaccard_est``, ``bucket_truncated``.
+    """
+    assert num_perm % bands == 0
+    key = "sj_key"
+    both = tag_sides(left, right, text_col, id_col, key)
+    sigs = minhash_signatures(
+        both, text_col, key, num_perm=num_perm, shingle_width=shingle_width,
+        seed=seed, num_cpus=num_cpus,
+    )
+    exploded = sigs.map_batches(_banded_explode_fn(key, num_perm, bands),
+                                batch_format="pyarrow", zero_copy_batch=True)
+    num_partitions = 64
+
+    def partition_pairs(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "id_a": pa.array([], pa.int64()),
+            "id_b": pa.array([], pa.int64()),
+            "jaccard_est": pa.array([], pa.float64()),
+            "bucket_truncated": pa.array([], pa.bool_()),
+        })
+        m = len(group)
+        if m < 2:
+            return empty
+        band = np.asarray(group["band"], dtype=np.int64)
+        bh = np.asarray(group["band_hash"], dtype=np.int64)
+        keys = np.asarray(group[key], dtype=np.int64)
+        sig = np.asarray(group["signature"].combine_chunks().values).reshape(m, num_perm)
+        order = np.lexsort((keys, bh, band))
+        band, bh, keys, sig = band[order], bh[order], keys[order], sig[order]
+        boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bh) != 0)) + 1
+        starts = np.concatenate(([0], boundary))
+        ends = np.concatenate((boundary, [m]))
+        out_a, out_b, out_est, out_trunc = [], [], [], []
+        for s, e in zip(starts, ends):
+            sz = e - s
+            if sz < 2:
+                continue
+            truncated = sz > max_bucket
+            if truncated:
+                e = s + max_bucket
+                sz = max_bucket
+            k = keys[s:e]
+            li = np.flatnonzero((k & 1) == 0)
+            ri = np.flatnonzero((k & 1) == 1)
+            if li.size == 0 or ri.size == 0:
+                continue
+            ia = np.repeat(li, ri.size)
+            ib = np.tile(ri, li.size)
+            est = (sig[s:e][ia] == sig[s:e][ib]).mean(axis=1)
+            keep = est >= threshold
+            if keep.any():
+                out_a.append(k[ia[keep]] >> 1)
+                out_b.append(k[ib[keep]] >> 1)
+                out_est.append(est[keep])
+                out_trunc.append(np.full(int(keep.sum()), truncated))
+        if not out_a:
+            return empty
+        return pa.table({
+            "id_a": pa.array(np.concatenate(out_a), type=pa.int64()),
+            "id_b": pa.array(np.concatenate(out_b), type=pa.int64()),
+            "jaccard_est": pa.array(np.concatenate(out_est), type=pa.float64()),
+            "bucket_truncated": pa.array(np.concatenate(out_trunc)),
+        })
+
+    pairs = (
+        exploded.map_batches(_bucket_pkey_fn(num_partitions),
+                             batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(partition_pairs, batch_format="pyarrow")
+    )
+    return _dedup_pairs(pairs, "id_a", extra_cols=["jaccard_est", "bucket_truncated"])
+
+
+def minhash_lsh_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    num_perm: int = 128,
+    bands: int = 32,
+    threshold: float = 0.8,
+    shingle_width: int = 5,
+    seed: int = 42,
+    max_bucket: int = 200,
+    concurrency: int = 4,
+    num_cpus: float | None = None,
+) -> "ray.data.Dataset":
+    """Near-duplicate pairs via MinHash + banded LSH.
+
+    Stages: signature (actor pool) → explode to (band, band_hash, id,
+    signature) rows → groupby band bucket → intra-bucket candidate pairs
+    verified by signature Jaccard ≥ threshold → pair dedup.
+
+    ``max_bucket`` caps degenerate buckets (e.g. empty docs) so one hot
+    bucket cannot go quadratic — capped buckets are truncated and the
+    truncation is recorded in the output column ``bucket_truncated``.
+    """
+    assert num_perm % bands == 0
+
+    sigs = minhash_signatures(
+        ds, text_col, id_col, num_perm=num_perm, shingle_width=shingle_width,
+        seed=seed, concurrency=concurrency, num_cpus=num_cpus,
+    )
+
+    exploded = sigs.map_batches(_banded_explode_fn(id_col, num_perm, bands),
+                                batch_format="pyarrow", zero_copy_batch=True)
+
+    # Millions of tiny LSH buckets must NOT each become a Ray group (a
+    # Python call per group kills throughput).  Instead: hash buckets
+    # into ~num_partitions coarse partitions, ONE map_groups per
+    # partition, and find bucket runs vectorized (lexsort + boundary
+    # diff) inside.
+    num_partitions = 64
+    add_pkey = _bucket_pkey_fn(num_partitions)
 
     def partition_pairs(group: pa.Table) -> pa.Table:
         empty = pa.table(

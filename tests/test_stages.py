@@ -87,6 +87,60 @@ class TestMinHash:
             assert ngram_jaccard(text_by_url[r["id_a"]], text_by_url[r["id_b"]]) > 0.95
 
 
+class TestSimilarityJoin:
+    def test_cross_table_exact_matches_found(self, ray_session):
+        """Identical texts across the two tables are structurally
+        recalled (same signature ⇒ co-bucketed in every band); only
+        cross-side pairs are emitted."""
+        import ray.data as rd
+        from archbloom_ray.stages import minhash_similarity_join
+
+        base = [f"the quick brown fox jumps over dog number {i} " * 4
+                for i in range(40)]
+        left = rd.from_arrow(pa.table({
+            "id": pa.array(range(40), type=pa.int64()),
+            "text": pa.array(base),
+        }))
+        # right: 10 exact copies of left texts (ids 1000+) + 30 unrelated
+        rtexts = [base[i] for i in range(10)] + [
+            f"completely different content about topic {i} " * 4
+            for i in range(30)]
+        right = rd.from_arrow(pa.table({
+            "id": pa.array([1000 + i for i in range(40)], type=pa.int64()),
+            "text": pa.array(rtexts),
+        }))
+        pairs = minhash_similarity_join(
+            left, right, "text", "id", num_perm=64, bands=16, threshold=0.999,
+        ).take_all()
+        got = {(r["id_a"], r["id_b"]) for r in pairs}
+        for i in range(10):
+            assert (i, 1000 + i) in got, f"missing planted pair {i}"
+        # left ids always from left table, right ids from right table
+        assert all(a < 1000 <= b for a, b in got)
+        # est-Jaccard 1.0 for exact copies
+        assert all(r["jaccard_est"] == 1.0 for r in pairs
+                   if (r["id_a"], r["id_b"]) in {(i, 1000 + i) for i in range(10)})
+
+    def test_within_side_dups_not_paired(self, ray_session):
+        """Within-side duplicates never pair (cross-side only)."""
+        import ray.data as rd
+        from archbloom_ray.stages import minhash_similarity_join
+
+        same = "identical document body repeated for the test " * 5
+        left = rd.from_arrow(pa.table({
+            "id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array([same, same, "something else entirely " * 6]),
+        }))
+        right = rd.from_arrow(pa.table({
+            "id": pa.array([10], type=pa.int64()),
+            "text": pa.array(["unrelated right side text " * 6]),
+        }))
+        pairs = minhash_similarity_join(
+            left, right, "text", "id", num_perm=64, bands=16, threshold=0.5,
+        ).take_all()
+        assert pairs == []  # ids 0,1 share text but are both left-side
+
+
 class TestTfIdf:
     DOCS = [
         "apple banana apple cherry",
