@@ -858,6 +858,78 @@ def q_hll_distinct_by_lang(sf_dir: str):
     })
 
 
+def q_tdigest_by_lang(sf_dir: str):
+    """GROUPED approximate quantiles: one t-digest per language over
+    text length, built with the same count-row shuffle as the grouped
+    HLL (the exchange moves pre-aggregated (lang, n_chars, count) rows,
+    sketches form reducer-side via ``TDigest.update_weighted``), then
+    each group's q50/q90 estimate is rank-certified against the corpus
+    in ONE exact distributed pass (per-lang counts below/at the
+    estimate).  The certification booleans are deterministic under
+    merge-order nondeterminism: rank slack 0.05 + 2/n dominates both
+    the documented t-digest rank error at δ=200 and the 1/n rank
+    granularity of small groups."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches.base import sketch_from_bytes
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    lens = ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
+    states = build_grouped_value_sketches(
+        lens, "lang", "n_chars", {"td": lambda: TDigest(200.0)}, salt=4)
+    tds = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
+    est = {l: (td.quantile(0.5), td.quantile(0.9)) for l, td in tds.items()}
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"]).astype("U")
+        v = np.asarray(batch["n_chars"], dtype=np.int64)
+        rows: dict[str, list] = {c: [] for c in
+                                 ("lang", "n", "lt50", "le50", "lt90", "le90")}
+        for l in np.unique(lang):
+            vals = v[lang == l]
+            q50, q90 = est[str(l)]
+            rows["lang"].append(str(l))
+            rows["n"].append(vals.size)
+            rows["lt50"].append(int((vals < q50).sum()))
+            rows["le50"].append(int((vals <= q50).sum()))
+            rows["lt90"].append(int((vals < q90).sum()))
+            rows["le90"].append(int((vals <= q90).sum()))
+        return pa.table({
+            "lang": pa.array(rows["lang"], type=pa.string()),
+            **{c: pa.array(rows[c], type=pa.int64())
+               for c in ("n", "lt50", "le50", "lt90", "le90")},
+        })
+
+    parts = lens.map_batches(rank_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    sums = grouped_agg(parts, ["lang"], [
+        ("n_docs", "n", "sum"), ("lt50", "lt50", "sum"),
+        ("le50", "le50", "sum"), ("lt90", "lt90", "sum"),
+        ("le90", "le90", "sum"),
+    ])
+    rows = sorted(sums.take_all(), key=lambda r: r["lang"])
+
+    def within(r, q, lt, le):
+        n = r["n_docs"]
+        eps = 0.05 + 2.0 / n
+        return (r[lt] / n <= q + eps) and (r[le] / n >= q - eps)
+
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+        "q50_within_bound": pa.array(
+            [within(r, 0.5, "lt50", "le50") for r in rows], type=pa.bool_()),
+        "q90_within_bound": pa.array(
+            [within(r, 0.9, "lt90", "le90") for r in rows], type=pa.bool_()),
+    })
+
+
 def q_cuckoo_membership(sf_dir: str):
     """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
     ample headroom (~12% load) so every insert and the distributed
@@ -2882,6 +2954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "tdigest_by_lang": q_tdigest_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
@@ -3765,6 +3838,11 @@ def oracle_sql() -> dict[str, str]:
         "hll_distinct_by_lang": """
             SELECT lang, count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
+            FROM documents GROUP BY lang
+        """,
+        "tdigest_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   TRUE AS q50_within_bound, TRUE AS q90_within_bound
             FROM documents GROUP BY lang
         """,
         "langid_counts": _langid_oracle_sql(),

@@ -64,6 +64,25 @@ class TDigest(Sketch):
         if self._buf_n >= 8 * self.compression:
             self._compress()
 
+    def update_weighted(self, arr, counts) -> None:
+        """Weighted update for the count-row grouped-build shuffle
+        (``build_grouped_value_sketches``): each (value, count) pair
+        enters as one pre-formed centroid of weight=count — exactly the
+        input shape of the paper's digest-merge mode, so the rank-error
+        story is unchanged."""
+        vals = np.asarray(arr, dtype=np.float64)
+        cnts = np.asarray(counts, dtype=np.float64)
+        keep = ~np.isnan(vals) & (cnts > 0)
+        vals, cnts = vals[keep], cnts[keep]
+        if vals.size == 0:
+            return
+        self._compress(force=True)  # flush the unit-weight buffer first
+        self.means = np.concatenate([self.means, vals])
+        self.weights = np.concatenate([self.weights, cnts])
+        self.min = min(self.min, float(vals.min()))
+        self.max = max(self.max, float(vals.max()))
+        self._compress(force=True)
+
     def _compress(self, force: bool = False) -> None:
         if not force and self._buf_n == 0 and self.means.size <= 2 * self.compression:
             return

@@ -61,6 +61,30 @@ class TestTDigest:
         for q in QS:
             assert _rank_error(data, acc.quantile(q), q) <= 0.015, q
 
+    def test_update_weighted_matches_unit_updates(self):
+        """The count-row grouped-build path: (value, count) weighted
+        updates must estimate like the expanded unit-weight stream."""
+        rng = np.random.default_rng(5)
+        vals = rng.integers(0, 500, size=400).astype(np.float64)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        tw = TDigest(compression=200)
+        tw.update_weighted(uniq, cnt)
+        tu = TDigest(compression=200)
+        tu.update_arrow(vals)
+        assert tw.total_weight == pytest.approx(len(vals))
+        expanded = np.sort(vals)
+        for q in QS:
+            assert _rank_error(expanded, tw.quantile(q), q) <= 0.02, q
+        # weighted ∘ merge stays coherent
+        tw.merge(tu)
+        assert tw.total_weight == pytest.approx(2 * len(vals))
+        assert _rank_error(expanded, tw.quantile(0.5), 0.5) <= 0.02
+
+    def test_update_weighted_skips_invalid(self):
+        td = TDigest(compression=200)
+        td.update_weighted(np.array([1.0, np.nan, 3.0]), np.array([2, 5, 0]))
+        assert td.total_weight == pytest.approx(2.0)
+
     def test_two_way_merge_immediate_query(self):
         """Regression: a 2-way merge stays under the size threshold, so
         compression must still be forced (unsorted centroids otherwise)."""
