@@ -166,6 +166,49 @@ def q_top_users(sf_dir: str):
     return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
 
 
+def q_events_user_windows(sf_dir: str):
+    """LARGE-LARGE interval join (pipelines.relational.
+    partitioned_range_count — time-bucket replication, one unified
+    union + groupby, per-bucket clipped searchsorted): each user's
+    [first event, +2h) window counts ALL events falling inside it.
+    The interval side (one row per user) is derived from the same
+    stream with a pre-combined grouped min, never broadcast; every
+    window contains at least its own first event, so no zero rows."""
+    from .pipelines import partitioned_range_count
+
+    HOUR_US = 3_600_000_000
+
+    def cast_ts(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "user_id": batch["user_id"],
+            "ts_us": pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        cast_ts, batch_format="pyarrow", zero_copy_batch=True)
+    firsts = grouped_agg(ds, ["user_id"], [("lo", "ts_us", "min")])
+
+    def to_interval(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lo"], dtype=np.int64)
+        return pa.table({
+            "interval_id": pa.array(np.asarray(batch["user_id"], dtype=np.int64),
+                                    type=pa.int64()),
+            "lo": pa.array(lo, type=pa.int64()),
+            "hi": pa.array(lo + 2 * HOUR_US, type=pa.int64()),
+        })
+
+    intervals = firsts.map_batches(to_interval, batch_format="pyarrow",
+                                   zero_copy_batch=True)
+    out = partitioned_range_count(
+        ds, intervals, "ts_us", out_column="n_in_window",
+        bucket_width=2 * HOUR_US)
+    rows = sorted(out.take_all(), key=lambda r: r["interval_id"])
+    return pa.table({
+        "user_id": pa.array([r["interval_id"] for r in rows], type=pa.int64()),
+        "n_in_window": pa.array([r["n_in_window"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_events_asof_part(sf_dir: str):
     """Large-large as-of join (pipelines.relational.asof_join_partitioned
     — both sides hash-partitioned on the key, composite searchsorted per
@@ -2958,6 +3001,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
+        "events_user_windows": q_events_user_windows,
         "top_users_by_type": q_top_users_by_type,
         "docs_rollup": q_docs_rollup,
         "parts_heavy_only": q_parts_heavy_only,
@@ -4064,6 +4108,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM c)
             SELECT event_type, user_id, n, rank
             FROM r WHERE rank <= 5 ORDER BY event_type, rank
+        """,
+        "events_user_windows": """
+            WITH iv AS (SELECT user_id, min(ts) AS lo
+                        FROM events GROUP BY user_id)
+            SELECT iv.user_id AS user_id,
+                   CAST(count(*) AS BIGINT) AS n_in_window
+            FROM iv JOIN events e
+              ON e.ts >= iv.lo AND e.ts < iv.lo + INTERVAL 2 HOUR
+            GROUP BY iv.user_id ORDER BY user_id
         """,
         "events_window_counts": """
             WITH hourly AS (

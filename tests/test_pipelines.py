@@ -384,6 +384,50 @@ class TestHistogramAndWeightedSample:
             assert out.get(i, 0) == expect, (i, out.get(i, 0), expect)
         assert 4 not in out  # empty window absent from output
 
+    def test_partitioned_range_count_parity(self, ray_session):
+        """Large-large variant == broadcast variant == brute force,
+        with a bucket width SMALLER than the intervals (forces
+        multi-bucket replication + per-bucket clipping, the
+        double-count hazard)."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import partitioned_range_count
+
+        rng = np.random.default_rng(11)
+        raw = np.sort(rng.integers(0, 10_000, size=5000)).astype(np.int64)
+        facts = rd.from_arrow(pa.table({"ts": pa.array(raw)})).repartition(8)
+        lo = np.array([0, 50, 5000, 9_999, 20_000, 700], dtype=np.int64)
+        hi = np.array([100, 150, 9_000, 10_000, 30_000, 701], dtype=np.int64)
+        intervals = rd.from_arrow(pa.table({
+            "interval_id": pa.array(np.arange(6, dtype=np.int64)),
+            "lo": pa.array(lo), "hi": pa.array(hi),
+        })).repartition(3)
+        out = {r["interval_id"]: r["n_events"]
+               for r in partitioned_range_count(
+                   facts, intervals, "ts", bucket_width=128).take_all()}
+        for i in range(6):
+            expect = int(((raw >= lo[i]) & (raw < hi[i])).sum())
+            assert out.get(i, 0) == expect, (i, out.get(i, 0), expect)
+        assert 4 not in out  # empty window absent
+
+    def test_partitioned_range_count_timestamp_facts(self, ray_session):
+        """Timestamp fact columns cast like the broadcast variant."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import partitioned_range_count
+
+        ts_us = np.arange(0, 1000, 7).astype("datetime64[us]")
+        facts = rd.from_arrow(pa.table({"ts": pa.array(ts_us)}))
+        intervals = rd.from_arrow(pa.table({
+            "interval_id": pa.array([0], type=pa.int64()),
+            "lo": pa.array([100], type=pa.int64()),
+            "hi": pa.array([200], type=pa.int64()),
+        }))
+        out = partitioned_range_count(
+            facts, intervals, "ts", bucket_width=64).take_all()
+        raw = ts_us.astype("int64")
+        assert out[0]["n_events"] == int(((raw >= 100) & (raw < 200)).sum())
+
     def test_grouped_topk(self, ray_session):
         """grouped_topk == brute-force pandas row_number(count desc,
         value asc) <= k, invariant to input partitioning."""
