@@ -2161,6 +2161,30 @@ def q_fuzzy_join_recall(sf_dir: str):
     }).sort_by([("left_id", "ascending"), ("right_id", "ascending")])
 
 
+def q_bpe_merges(sf_dir: str):
+    """Distributed BPE vocabulary training (stages.bpe): merges are
+    learned over the word-frequency table — the distributed part is
+    ONE grouped word count (output bounded by |vocab|, not corpus
+    size), the merge loop runs driver-side with corpus-frequency
+    weights (Sennrich et al. 2016; how production tokenizer trainers
+    split the work).  Deterministic (weight DESC, pair ASC tie-break,
+    partitioning-invariant — tested), but the merge recurrence is not
+    SQL-expressible: rows-only driver check; scalar-reference parity
+    and determinism live in pytest (TestBPE)."""
+    from .stages.bpe import bpe_train, word_counts
+
+    ds = _read(sf_dir, "documents", ["text"])
+    wc = word_counts(ds, "text").take_all()  # |vocab| rows — driver-sized
+    words = [r["word"] for r in wc]
+    counts = np.array([r["n"] for r in wc], dtype=np.int64)
+    merges = bpe_train(words, counts, num_merges=50)
+    return pa.table({
+        "rank": pa.array(range(len(merges)), type=pa.int64()),
+        "left": pa.array([a for a, _ in merges], type=pa.string()),
+        "right": pa.array([b for _, b in merges], type=pa.string()),
+    })
+
+
 def q_bigram_lm_scores(sf_dir: str):
     """In-corpus bigram-LM document scoring (perplexity-style quality
     signal): train bigram/context counts over the corpus in one keyed
@@ -3035,6 +3059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "paragraph_dedup": q_paragraph_dedup,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
+        "bpe_merges": q_bpe_merges,
         "pq_knn_recall": q_pq_knn_recall,
         "pagerank": q_pagerank,
         "components": q_components,

@@ -1617,3 +1617,84 @@ class TestTriangleCount:
         edges = [(i, (i * 7 + 3) % n) for i in range(n)]
         edges += [(i, (i * i + 1) % n) for i in range(n)]
         assert self._run(edges) == self._brute(edges, n)
+
+
+class TestBPE:
+    def _naive_train(self, words, counts, k):
+        """Slow reference: recount every pair from scratch each round."""
+        from archbloom_ray.stages.bpe import EOW
+
+        seqs = {i: list(w) + [EOW] for i, w in enumerate(words)}
+        merges = []
+        for _ in range(k):
+            pw = {}
+            for i, s in seqs.items():
+                for a, b in zip(s, s[1:]):
+                    pw[(a, b)] = pw.get((a, b), 0) + counts[i]
+            if not pw:
+                break
+            best_w = max(pw.values())
+            best = min(p for p, w in pw.items() if w == best_w)
+            merges.append(best)
+            for i, s in seqs.items():
+                out, j = [], 0
+                while j < len(s):
+                    if j + 1 < len(s) and (s[j], s[j + 1]) == best:
+                        out.append(s[j] + s[j + 1]); j += 2
+                    else:
+                        out.append(s[j]); j += 1
+                seqs[i] = out
+        return merges
+
+    WORDS = ["low", "lower", "newest", "widest", "lowest"]
+    COUNTS = [5, 2, 6, 3, 4]
+
+    def test_train_matches_naive_reference(self):
+        from archbloom_ray.stages.bpe import bpe_train
+
+        got = bpe_train(self.WORDS, np.array(self.COUNTS), 12)
+        want = self._naive_train(self.WORDS, self.COUNTS, 12)
+        assert got == want
+
+    def test_train_deterministic_under_permutation(self):
+        from archbloom_ray.stages.bpe import bpe_train
+
+        a = bpe_train(self.WORDS, np.array(self.COUNTS), 8)
+        order = [3, 1, 4, 0, 2]
+        b = bpe_train([self.WORDS[i] for i in order],
+                      np.array([self.COUNTS[i] for i in order]), 8)
+        assert a == b
+
+    def test_encode_word_applies_ranks_greedily(self):
+        from archbloom_ray.stages.bpe import EOW, bpe_encode_word, bpe_train
+
+        merges = bpe_train(self.WORDS, np.array(self.COUNTS), 12)
+        ranks = {p: i for i, p in enumerate(merges)}
+        toks = bpe_encode_word("lowest", ranks)
+        assert "".join(toks) == "lowest" + EOW
+        # high-frequency word compresses to few tokens
+        assert len(bpe_encode_word("low", ranks)) <= 2
+
+    def test_distributed_word_counts_and_token_counts(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages.bpe import (bpe_token_counts, bpe_train,
+                                              word_counts)
+
+        docs = pa.table({
+            "doc_id": pa.array([0, 1, 2], type=pa.int64()),
+            "text": pa.array(["low low lower", "newest widest", "  "]),
+        })
+        ds = rd.from_arrow(docs).repartition(2)
+        wc = {r["word"]: r["n"] for r in word_counts(ds, "text").take_all()}
+        assert wc == {"low": 2, "lower": 1, "newest": 1, "widest": 1}
+        words = sorted(wc)
+        merges = bpe_train(words, np.array([wc[w] for w in words]), 6)
+        out = {r["doc_id"]: r["n_bpe_tokens"]
+               for r in bpe_token_counts(ds, "text", "doc_id", merges).take_all()}
+        # scalar cross-check
+        from archbloom_ray.stages.bpe import bpe_encode_word
+        ranks = {p: i for i, p in enumerate(merges)}
+        for i, txt in enumerate(["low low lower", "newest widest", "  "]):
+            expect = sum(len(bpe_encode_word(w, ranks))
+                         for w in txt.lower().split())
+            assert out[i] == expect, (i, out[i], expect)
