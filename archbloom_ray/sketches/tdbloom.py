@@ -261,6 +261,21 @@ class TimeDecayingBloomFilter(Sketch):
         aged[vals == 0] = 0
         self.filter[pos] = aged.astype(self.filter.dtype)
 
+    def get_average_lifetime(self, now=None) -> int:
+        """``tdbloom_get_average_lifetime`` (declared-only TODO,
+        tdbloom.h:150): mean age in ticks of the ACTIVE (nonzero,
+        unexpired) slots at ``now`` — the natural reading for a
+        structure that keeps only each slot's last-access tick.
+        Returns 0 when nothing is active (time_t-style)."""
+        if now is None:
+            now = self.start_time
+        ts = int(self._tick(int(now)))
+        active = (self.filter != 0) & ~self._stale(self.filter, int(now))
+        if not active.any():
+            return 0
+        age = (ts - self.filter[active].astype(np.int64) + self.max_time) % self.max_time
+        return int(age.mean())
+
     def saturation_count(self, now=None) -> int:
         """Number of fresh (nonzero, unexpired) slots — declared-only
         TODO ``tdbloom_saturation_count`` (tdbloom.h:117); defined so

@@ -219,6 +219,26 @@ class TimeDecayingCountingBloomFilter(Sketch):
         self.timers[old] = 0
         return n
 
+    def expire_below_count(self, threshold_count: int, now=None) -> int:
+        """``tdbloom_expire_below_count`` (declared-only TODO,
+        tdbloom.h:147) — count-based, so it lives on the COUNTING
+        time-decay variant (a plain tdbloom holds no frequencies):
+        sweep entries whose counter is 0 < c < threshold, zeroing
+        counter + timer.  Returns slots swept."""
+        kill = (self.counters > 0) & (self.counters < int(threshold_count))
+        n = int(kill.sum())
+        self.counters[kill] = 0
+        self.timers[kill] = 0
+        return n
+
+    def expire_by_frequency(self, min_frequency: int, now=None) -> bool:
+        """``tdbloom_expire_by_frequency`` (declared-only TODO,
+        tdbloom.h:151): expire entries observed fewer than
+        ``min_frequency`` times — the sweep of
+        :meth:`expire_below_count`; returns whether anything expired
+        (the header's bool)."""
+        return self.expire_below_count(int(min_frequency), now) > 0
+
     def clear(self, now=None) -> None:
         """tdcbloom.c:154-157."""
         self.counters[:] = 0

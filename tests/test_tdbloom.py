@@ -232,3 +232,16 @@ class TestDeclaredOnlyOps:
         assert td.saturation(now=1) == pytest.approx(c / td.size * 100.0)
         # all entries stale far in the future (within max_time guard)
         assert td.saturation_count(now=200) == 0
+
+
+    def test_get_average_lifetime(self):
+        td = TimeDecayingBloomFilter(100, 0.01, timeout=1000)
+        assert td.get_average_lifetime(now=0) == 0      # nothing active
+        td.update_arrow(pa.array(["a"]), now=100)
+        td.update_arrow(pa.array(["b"]), now=300)
+        # at now=400: ages 300 and 100 over k slots each -> mean 200
+        avg = td.get_average_lifetime(now=400)
+        assert 100 <= avg <= 300
+        # expired slots are excluded
+        avg_late = td.get_average_lifetime(now=1200)    # "a" expired (age 1100)
+        assert avg_late <= 1000

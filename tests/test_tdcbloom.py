@@ -123,3 +123,20 @@ class TestMergeAndSerde:
         r = TDC.from_bytes(t.to_bytes())
         assert r.count("x", now=8) == 2
         assert r.to_bytes() == t.to_bytes()
+
+
+    def test_expire_below_count(self):
+        td = TDC(100, 0.01, timeout=1000)
+        td.update_arrow(pa.array(["once"]), now=10)
+        for _ in range(5):
+            td.update_arrow(pa.array(["often"]), now=20)
+        swept = td.expire_below_count(3, now=30)
+        assert swept > 0
+        assert not td.lookup("once", now=30)
+        assert td.count("often", now=30) == 5
+
+    def test_expire_by_frequency(self):
+        td = TDC(100, 0.01, timeout=1000)
+        td.update_arrow(pa.array(["x"]), now=10)
+        assert td.expire_by_frequency(2, now=20) is True
+        assert td.expire_by_frequency(2, now=20) is False  # nothing left
