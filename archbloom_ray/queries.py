@@ -1541,6 +1541,40 @@ def q_contamination(sf_dir: str):
         ["lang"], [("n_docs", None, "count"), ("n_contaminated", "c", "sum")])
 
 
+def q_contamination_ll(sf_dir: str):
+    """LARGE-LARGE decontamination (stages.contamination_check_
+    partitioned): same 13-gram semantics and benchmark (20 lowest
+    doc_ids) as `contamination`, but the benchmark flows as a Dataset
+    through a hash-partitioned window-hash exchange instead of a
+    broadcast — the scale path for benchmark suites too big for
+    ray.put.  Shares the broadcast query's DuckDB oracle."""
+    from .stages import contamination_check_partitioned
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+
+    def bench_filter(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return pa.table({"text": batch["text"]}).filter(pa.array(ids < 20))
+
+    bench = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        bench_filter, batch_format="pyarrow", zero_copy_batch=True)
+    hits = contamination_check_partitioned(
+        ds, bench, "text", "doc_id", n=13, carry_cols=["lang"])
+    per_lang_hits = {
+        r["lang"]: r["n_contaminated"] for r in grouped_agg(
+            hits, ["lang"], [("n_contaminated", None, "count")]).take_all()}
+    totals = grouped_agg(ds.select_columns(["lang"]), ["lang"],
+                         [("n_docs", None, "count")])
+    rows = sorted(totals.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+        "n_contaminated": pa.array(
+            [int(per_lang_hits.get(r["lang"], 0)) for r in rows],
+            type=pa.int64()),
+    })
+
+
 def q_bloom_semijoin_urgent(sf_dir: str):
     """Bloom-pruned semijoin: lineitem ⋉ urgent orders.  The urgent
     orderkeys build ONE broadcast Bloom (distributed partials + merge)
@@ -3046,6 +3080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "weighted_sample": q_weighted_sample,
         "pages_tld_stats": q_pages_tld_stats,
         "contamination": q_contamination,
+        "contamination_ll": q_contamination_ll,
         "stratified_sample": q_stratified_sample,
         "ngram_verified_dups": q_ngram_verified_dups,
         "dedup_clusters": q_dedup_clusters,
@@ -4176,6 +4211,7 @@ def oracle_sql() -> dict[str, str]:
             ) WHERE rn = 1
         """,
         "contamination": _contamination_oracle_sql(13, 20),
+        "contamination_ll": _contamination_oracle_sql(13, 20),
         "pages_tld_stats": f"""
             WITH p AS (
                 SELECT string_split(url, '/') AS parts

@@ -504,6 +504,122 @@ def contamination_check(
     return ds.map_batches(probe, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def contamination_check_partitioned(
+    corpus: "ray.data.Dataset",
+    bench: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 13,
+    mode: str = "tokens",
+    carry_cols: list[str] | None = None,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Decontamination when the benchmark side is TOO BIG to broadcast —
+    the shuffle counterpart of :func:`contamination_check` (same window
+    semantics, pytest parity).
+
+    Scale shape: BOTH sides reduce to window-hash rows (corpus rows
+    pre-deduped to distinct (hash, doc) per batch, bench to distinct
+    hashes), flow through ONE unified schema + a single hash-partition
+    groupby (no Ray join operator); each partition resolves membership
+    with one ``np.isin`` and emits only its HIT (doc, carry...) rows,
+    which a final tiny grouped dedup collapses.  All-to-all volume is
+    the window-hash mass — the honest lower bound for a large-large
+    n-gram equality join; nothing materializes on the driver.
+
+    Returns the DISTINCT contaminated docs: ``id_col`` + ``carry_cols``.
+    """
+    from ..hashing import mmh3_64_batch
+    from ..pipelines.relational import grouped_agg
+    from .text import token_ngrams_flat
+
+    carry = list(carry_cols or [])
+
+    def windows_of(col):
+        if mode == "bytes":
+            return window_hashes_batch(col, n)
+        grams, doc_idx = token_ngrams_flat(col, n)
+        h = (mmh3_64_batch(grams).astype(np.uint64) if len(grams)
+             else np.empty(0, np.uint64))
+        counts = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
+        return h, counts
+
+    def _schema_cols(h, side, ids, carries):
+        cols = {"h": pa.array(h.view(np.int64), type=pa.int64()),
+                "side": pa.array(side, type=pa.int8()),
+                "doc": pa.array(ids, type=pa.int64())}
+        for c, arr in carries.items():
+            cols[c] = arr
+        return pa.table(cols)
+
+    def bench_rows(batch: pa.Table) -> pa.Table:
+        col = batch[text_col].combine_chunks()
+        flat, _ = windows_of(col)
+        u = np.unique(flat)
+        return _schema_cols(
+            u, np.zeros(u.size, dtype=np.int8), np.zeros(u.size, np.int64),
+            {c: pa.nulls(u.size, type=pa.string()).fill_null("") for c in carry})
+
+    def corpus_rows(batch: pa.Table) -> pa.Table:
+        col = batch[text_col].combine_chunks()
+        flat, counts = windows_of(col)
+        doc_of = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+        # distinct (hash, doc) per batch before the exchange
+        order = np.lexsort((doc_of, flat))
+        f, d = flat[order], doc_of[order]
+        first = np.ones(f.size, dtype=bool)
+        if f.size > 1:
+            first[1:] = (f[1:] != f[:-1]) | (d[1:] != d[:-1])
+        f, d = f[first], d[first]
+        ids = np.asarray(batch[id_col], dtype=np.int64)[d]
+        carries = {c: batch[c].combine_chunks().take(pa.array(d)) for c in carry}
+        return _schema_cols(f, np.ones(f.size, dtype=np.int8), ids, carries)
+
+    b = bench.map_batches(bench_rows, batch_format="pyarrow", zero_copy_batch=True)
+    c = corpus.map_batches(corpus_rows, batch_format="pyarrow", zero_copy_batch=True)
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["h"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (h * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def close_partition(group: pa.Table) -> pa.Table:
+        empty = pa.table({"doc": pa.array([], pa.int64()),
+                          **{cc: pa.array([], pa.string()) for cc in carry}})
+        side = np.asarray(group["side"], dtype=np.int8)
+        h = np.asarray(group["h"], dtype=np.int64)
+        bench_set = np.unique(h[side == 0])
+        ci = np.flatnonzero(side == 1)
+        if bench_set.size == 0 or ci.size == 0:
+            return empty
+        hit = ci[np.isin(h[ci], bench_set, assume_unique=False)]
+        if hit.size == 0:
+            return empty
+        docs = np.asarray(group["doc"], dtype=np.int64)[hit]
+        uniq, idx = np.unique(docs, return_index=True)
+        out = {"doc": pa.array(uniq, type=pa.int64())}
+        for cc in carry:
+            out[cc] = group[cc].combine_chunks().take(pa.array(hit[idx]))
+        return pa.table(out)
+
+    hits = (b.union(c)
+            .map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("pkey")
+            .map_groups(close_partition, batch_format="pyarrow"))
+    # a doc can hit in several partitions — final tiny grouped dedup
+    dedup = grouped_agg(hits, ["doc"] + carry, [("n_hit_parts", None, "count")])
+
+    def rename(batch: pa.Table) -> pa.Table:
+        cols = {id_col: batch["doc"]}
+        for cc in carry:
+            cols[cc] = batch[cc]
+        return pa.table(cols)
+
+    return dedup.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
 class MinHasher:
     """Actor-pool minhash stage: the k affine permutations
     ``(a_i·x + b_i) mod M61`` are drawn once per actor from a fixed seed

@@ -971,6 +971,41 @@ class TestContamination:
         assert out == {0: True, 1: False}
 
 
+    def test_partitioned_parity_with_broadcast(self, ray_session):
+        """Large-large variant finds exactly the docs the broadcast
+        variant flags, carries metadata columns, dedups across
+        partitions, and handles byte mode."""
+        import ray.data as rd
+
+        from archbloom_ray.stages import (contamination_check,
+                                          contamination_check_partitioned)
+
+        rng = np.random.default_rng(3)
+        vocab = [f"w{i}" for i in range(50)]
+        corpus_texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(40)]
+        bench_texts = [" ".join(rng.choice(vocab, size=30)) for _ in range(6)]
+        # plant overlaps: docs 0..4 embed a bench window verbatim
+        for i in range(5):
+            corpus_texts[i] = corpus_texts[i] + " " + bench_texts[i % 3]
+        corpus = rd.from_arrow(pa.table({
+            "doc_id": pa.array(range(40), type=pa.int64()),
+            "lang": pa.array([f"l{i % 3}" for i in range(40)]),
+            "text": pa.array(corpus_texts)})).repartition(4)
+        bench = rd.from_arrow(pa.table({
+            "text": pa.array(bench_texts)})).repartition(2)
+
+        want = {r["doc_id"] for r in contamination_check(
+            corpus, bench_texts, "text", "doc_id", n=13).take_all()
+            if r["contaminated"]}
+        got_rows = contamination_check_partitioned(
+            corpus, bench, "text", "doc_id", n=13, carry_cols=["lang"],
+        ).take_all()
+        got = {r["doc_id"] for r in got_rows}
+        assert got == want and len(got_rows) == len(got)  # deduped
+        lang_of = {i: f"l{i % 3}" for i in range(40)}
+        assert all(r["lang"] == lang_of[r["doc_id"]] for r in got_rows)
+
+
 class TestVideo:
     def test_ppm_stream_roundtrip_and_sampling(self):
         from archbloom_ray.stages.multimodal import (decode_ppm_stream,
