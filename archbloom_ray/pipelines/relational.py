@@ -2259,3 +2259,32 @@ def partitioned_range_count(
         return pa.table({key_column: batch["k"], out_column: batch[out_column]})
 
     return out.map_batches(rename, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def topk_rows(ds: "ray.data.Dataset", sort_keys: list[tuple[str, str]],
+              k: int) -> pa.Table:
+    """Global top-k ROWS by composite sort key without a global sort:
+    every block reduces to its own top-k with one ``pc.sort_indices``
+    (all column types + per-key direction supported), and only the
+    ≤ k·blocks candidate rows reach the driver for the final pick —
+    the all-to-all Sort operator never runs.  ``sort_keys`` =
+    [(column, "ascending" | "descending"), ...], SQL ORDER BY … LIMIT k
+    semantics (ties broken by the full key list; add a unique column
+    for determinism).  Returns a pyarrow Table (k is driver-sized by
+    contract)."""
+    keys = [(c, d) for c, d in sort_keys]
+
+    def local_topk(batch: pa.Table) -> pa.Table:
+        if len(batch) <= k:
+            return batch
+        idx = pc.sort_indices(batch, sort_keys=keys)
+        return batch.take(idx.slice(0, k))
+
+    sch = getattr(ds.schema(), "base_schema", ds.schema())
+    cand = ds.map_batches(local_topk, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    if not cand:
+        return pa.table({f.name: pa.array([], f.type) for f in sch})
+    tbl = pa.Table.from_pylist(cand, schema=sch)
+    idx = pc.sort_indices(tbl, sort_keys=keys)
+    return tbl.take(idx.slice(0, k))

@@ -139,11 +139,11 @@ def q_events_window_counts(sf_dir: str):
         ds.map_batches(add_hour, batch_format="pyarrow", zero_copy_batch=True),
         ["window_hour"], [("n", None, "count")],
     )
-    top = hourly.sort(["n", "window_hour"], descending=[True, False]).limit(20).take_all()
-    hours_us = np.asarray(
-        pa.array([r["window_hour"] for r in top], type=pa.timestamp("us"))
-        .cast(pa.int64())
-    )
+    from .pipelines import topk_rows
+
+    top = topk_rows(hourly, [("n", "descending"),
+                             ("window_hour", "ascending")], 20)
+    hours_us = np.asarray(top["window_hour"].cast(pa.int64()))
     intervals = pa.table({
         "window_hour": pa.array(hours_us).cast(pa.timestamp("us")),
         "lo": pa.array(hours_us - 10 * 60 * 1_000_000),
@@ -161,9 +161,14 @@ def q_events_window_counts(sf_dir: str):
 
 
 def q_top_users(sf_dir: str):
+    """Top-100 users by event count — per-block local top-k + tiny
+    driver merge (pipelines.relational.topk_rows); no global Sort."""
+    from .pipelines import topk_rows
+
     ds = _read(sf_dir, "events", ["user_id"])
     counts = grouped_agg(ds, ["user_id"], [("n_events", None, "count")])
-    return counts.sort(["n_events", "user_id"], descending=[True, False]).limit(100)
+    return topk_rows(counts, [("n_events", "descending"),
+                              ("user_id", "ascending")], 100)
 
 
 def q_events_user_windows(sf_dir: str):
@@ -346,6 +351,32 @@ def q_normalized_lengths(sf_dir: str):
     })
 
 
+def _oracle_prep_pipeline() -> str:
+    from .stages.text import _RE2_WS
+
+    ws_re = _sql_quote(_RE2_WS)
+    return f"""
+        WITH norm AS (
+            SELECT doc_id, lang, trim(
+                regexp_replace(
+                    regexp_replace(lower(text),
+                        '[\\x00-\\x08\\x0e-\\x1f\\x7f]', '', 'g'),
+                    '{ws_re}', ' ', 'g'), ' ') AS nt
+            FROM documents
+        ), gated AS (
+            SELECT * FROM norm WHERE length(nt) BETWEEN 20 AND 20000
+        ), kept AS (
+            SELECT nt, min(doc_id) AS doc_id FROM gated GROUP BY nt
+        ), jt AS (
+            SELECT g.lang, g.nt FROM gated g JOIN kept k USING (doc_id)
+        )
+        SELECT lang, count(*) AS n_docs_kept,
+               CAST(sum(length(nt) - length(replace(nt, ' ', '')) + 1)
+                    AS BIGINT) AS total_ws_tokens
+        FROM jt GROUP BY lang ORDER BY lang
+    """
+
+
 def _oracle_normalized_lengths() -> str:
     from .stages.text import _RE2_WS
 
@@ -359,6 +390,89 @@ def _oracle_normalized_lengths() -> str:
                        '{ws_re}', ' ', 'g'), ' ')) AS BIGINT) AS n_norm_chars
         FROM documents ORDER BY doc_id
     """
+
+
+def q_prep_pipeline(sf_dir: str):
+    """END-TO-END training-data prep: normalize → length quality gate →
+    exact dedup on the normalized text → per-lang kept-doc + token
+    stats — the composition proof that the engine's stages chain into
+    the pipeline an LLM-data user actually runs, with ONE fully
+    SQL-mirrorable oracle.
+
+    Scale shape: normalization + gating + hashing are one streaming
+    map_batches; the dedup exchange carries (hash, doc_id, lang,
+    token-count) rows — never text; winners resolve per coarse hash
+    partition with one lexsort (no per-group Python), pre-aggregating
+    to per-lang partials inside the partition, so the final shuffle is
+    |langs|-sized."""
+    from .hashing import mmh3_128_batch
+    from .stages import add_normalized
+
+    LO, HI = 20, 20000
+    ds = add_normalized(_read(sf_dir, "documents", ["doc_id", "lang", "text"]))
+
+    def stats(batch: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "h": pa.array([], pa.int64()),
+            "pkey": pa.array([], pa.int32()),
+            "doc_id": pa.array([], pa.int64()),
+            "lang": pa.array([], pa.string()),
+            "ws_tokens": pa.array([], pa.int64()),
+        })
+        nt = batch["text_norm"].combine_chunks()
+        ln = np.asarray(pc.utf8_length(nt), dtype=np.int64)
+        keep = np.flatnonzero((ln >= LO) & (ln <= HI))
+        if keep.size == 0:
+            return empty
+        idx = pa.array(keep)
+        nt_k = nt.take(idx)
+        h1, _ = mmh3_128_batch(nt_k)
+        h = h1.view(np.int64)
+        toks = np.asarray(pc.count_substring(nt_k, " "), dtype=np.int64) + 1
+        return pa.table({
+            "h": pa.array(h),
+            "pkey": pa.array((h1 % np.uint64(64)).astype(np.int32)),
+            "doc_id": pa.array(
+                np.asarray(batch["doc_id"], dtype=np.int64)[keep],
+                type=pa.int64()),
+            "lang": batch["lang"].combine_chunks().take(idx),
+            "ws_tokens": pa.array(toks),
+        })
+
+    rows_ds = ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+    def dedup_partition(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["h"], dtype=np.int64)
+        d = np.asarray(group["doc_id"], dtype=np.int64)
+        order = np.lexsort((d, h))           # min doc_id first within hash
+        hs = h[order]
+        head = np.ones(hs.size, dtype=bool)
+        if hs.size > 1:
+            head[1:] = hs[1:] != hs[:-1]
+        sel = pa.array(order[head])
+        t = pa.table({
+            "lang": group["lang"].combine_chunks().take(sel),
+            "tok": group["ws_tokens"].combine_chunks().take(sel),
+        })
+        g = t.group_by(["lang"]).aggregate([([], "count_all"), ("tok", "sum")])
+        return pa.table({
+            "lang": g["lang"],
+            "n": pc.cast(g["count_all"], pa.int64()),
+            "tok": pc.cast(g["tok_sum"], pa.int64()),
+        })
+
+    partials = rows_ds.groupby("pkey").map_groups(
+        dedup_partition, batch_format="pyarrow")
+    out = grouped_agg(partials, ["lang"], [
+        ("n_docs_kept", "n", "sum"), ("total_ws_tokens", "tok", "sum")])
+    rows = sorted(out.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs_kept": pa.array([int(r["n_docs_kept"]) for r in rows],
+                                type=pa.int64()),
+        "total_ws_tokens": pa.array([int(r["total_ws_tokens"]) for r in rows],
+                                    type=pa.int64()),
+    })
 
 
 _PIVOT_LANGS = ["de", "en", "es", "fr", "zh"]
@@ -3069,6 +3183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": q_event_transitions,
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
+        "prep_pipeline": q_prep_pipeline,
         "lang_doc_sample": q_lang_doc_sample,
         "events_asof_part": q_events_asof_part,
         "lineitem_moments": q_lineitem_moments,
@@ -4033,6 +4148,7 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts ASC, event_id ASC)
         """,
         "normalized_lengths": _oracle_normalized_lengths(),
+        "prep_pipeline": _oracle_prep_pipeline(),
         "lineitem_moments": """
             WITH p AS (
                 SELECT l_returnflag,

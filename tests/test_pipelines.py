@@ -428,6 +428,28 @@ class TestHistogramAndWeightedSample:
         raw = ts_us.astype("int64")
         assert out[0]["n_events"] == int(((raw >= 100) & (raw < 200)).sum())
 
+    def test_topk_rows_no_global_sort(self, ray_session):
+        """topk_rows == ORDER BY ... LIMIT k, mixed directions, ties
+        broken by the key list, partitioning-invariant."""
+        import ray.data as rd
+
+        import pyarrow.compute as pc
+
+        from archbloom_ray.pipelines import topk_rows
+
+        rng = np.random.default_rng(5)
+        n = rng.integers(0, 50, size=3000)
+        ids = np.arange(3000, dtype=np.int64)
+        tbl = pa.table({"id": pa.array(ids), "n": pa.array(n)})
+        want = tbl.take(pc.sort_indices(
+            tbl, sort_keys=[("n", "descending"), ("id", "ascending")]
+        ).slice(0, 25)).to_pylist()
+        for parts in (1, 7):
+            got = topk_rows(
+                rd.from_arrow(tbl).repartition(parts),
+                [("n", "descending"), ("id", "ascending")], 25).to_pylist()
+            assert got == want
+
     def test_grouped_topk(self, ray_session):
         """grouped_topk == brute-force pandas row_number(count desc,
         value asc) <= k, invariant to input partitioning."""
