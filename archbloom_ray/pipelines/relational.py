@@ -2288,3 +2288,62 @@ def topk_rows(ds: "ray.data.Dataset", sort_keys: list[tuple[str, str]],
     tbl = pa.Table.from_pylist(cand, schema=sch)
     idx = pc.sort_indices(tbl, sort_keys=keys)
     return tbl.take(idx.slice(0, k))
+
+
+def grouped_trimmed_stats(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    *,
+    trim_tenths: int = 1,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group TRIMMED statistics over an INTEGER value column:
+    drop the lowest and highest ``floor(n·trim_tenths/10)`` ranks of
+    the sorted multiset, return the surviving row count and exact
+    int64 value sum (robust central tendency without float division —
+    the caller divides; companion to grouped_mad / grouped_ntile_stats).
+
+    Scale shape: identical to the NTILE path — only distinct
+    ``(keys, value, count)`` rows shuffle; per group, the trimmed sum
+    is reconstructed from weighted prefix sums with each distinct
+    value contributing ``clip(min(cum, hi) − max(cum − c, lo), 0)``
+    occurrences, so ties are handled exactly without expansion.
+    Trim ranks are integer (``n·trim_tenths // 10``), SQL-mirrorable.
+    """
+    if not 0 <= trim_tenths < 5:
+        raise ValueError("trim_tenths must be in [0, 5)")
+
+    def partial(batch: pa.Table) -> pa.Table:
+        g = batch.select(keys + [value_col]).group_by(
+            keys + [value_col]).aggregate([([], "count_all")])
+        return g.rename_columns(keys + [value_col, "cnt"])
+
+    partials = ds.map_batches(
+        partial, batch_size=batch_size, batch_format="pyarrow",
+        zero_copy_batch=True)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        vals = np.asarray(group[value_col], dtype=np.int64)
+        order = np.argsort(vals, kind="stable")
+        vals = vals[order]
+        cnt = np.asarray(group["cnt"], dtype=np.int64)[order]
+        uniq = np.empty(len(vals), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = vals[1:] != vals[:-1]
+        seg = np.cumsum(uniq) - 1
+        u_vals = vals[uniq]
+        u_cnt = np.zeros(len(u_vals), dtype=np.int64)
+        np.add.at(u_cnt, seg, cnt)
+        cum = np.cumsum(u_cnt)
+        n = int(cum[-1])
+        lo = n * trim_tenths // 10
+        hi = n - lo
+        take = np.clip(np.minimum(cum, hi) - np.maximum(cum - u_cnt, lo), 0, None)
+        cols = {kk: group[kk].slice(0, 1) for kk in keys}
+        cols["n_kept"] = pa.array([int(take.sum())], type=pa.int64())
+        cols["trimmed_sum"] = pa.array([int((take * u_vals).sum())],
+                                       type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")

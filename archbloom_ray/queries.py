@@ -392,6 +392,32 @@ def _oracle_normalized_lengths() -> str:
     """
 
 
+def q_chars_trimmed_by_lang(sf_dir: str):
+    """Per-lang 10%-trimmed char-length statistics
+    (pipelines.relational.grouped_trimmed_stats): robust central
+    tendency with only distinct (lang, value, count) rows through the
+    exchange; integer trim ranks and an exact int64 trimmed sum keep
+    the result bit-reproducible in SQL window functions."""
+    from .pipelines import grouped_trimmed_stats
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "v": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        lengths, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(grouped_trimmed_stats(ds, ["lang"], "v").take_all(),
+                  key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_kept": pa.array([int(r["n_kept"]) for r in rows], type=pa.int64()),
+        "trimmed_sum": pa.array([int(r["trimmed_sum"]) for r in rows],
+                                type=pa.int64()),
+    })
+
+
 def q_prep_pipeline(sf_dir: str):
     """END-TO-END training-data prep: normalize → length quality gate →
     exact dedup on the normalized text → per-lang kept-doc + token
@@ -3184,6 +3210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_lang_pivot": q_source_lang_pivot,
         "normalized_lengths": q_normalized_lengths,
         "prep_pipeline": q_prep_pipeline,
+        "chars_trimmed_by_lang": q_chars_trimmed_by_lang,
         "lang_doc_sample": q_lang_doc_sample,
         "events_asof_part": q_events_asof_part,
         "lineitem_moments": q_lineitem_moments,
@@ -4149,6 +4176,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "normalized_lengths": _oracle_normalized_lengths(),
         "prep_pipeline": _oracle_prep_pipeline(),
+        "chars_trimmed_by_lang": """
+            WITH d AS (SELECT lang, CAST(length(text) AS BIGINT) AS v
+                       FROM documents),
+            g AS (SELECT lang, v, count(*) AS c FROM d GROUP BY lang, v),
+            w AS (SELECT lang, v, c,
+                         sum(c) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                         sum(c) OVER (PARTITION BY lang) AS n
+                  FROM g)
+            SELECT lang,
+                   CAST(sum(greatest(least(cum, n - n // 10)
+                            - greatest(cum - c, n // 10), 0)) AS BIGINT)
+                       AS n_kept,
+                   CAST(sum(v * greatest(least(cum, n - n // 10)
+                            - greatest(cum - c, n // 10), 0)) AS BIGINT)
+                       AS trimmed_sum
+            FROM w GROUP BY lang ORDER BY lang
+        """,
         "lineitem_moments": """
             WITH p AS (
                 SELECT l_returnflag,

@@ -428,6 +428,28 @@ class TestHistogramAndWeightedSample:
         raw = ts_us.astype("int64")
         assert out[0]["n_events"] == int(((raw >= 100) & (raw < 200)).sum())
 
+    def test_grouped_trimmed_stats(self, ray_session):
+        """Trimmed sum == brute-force sorted-slice, incl. heavy ties
+        straddling the trim boundaries, invariant to partitioning."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_trimmed_stats
+
+        rng = np.random.default_rng(9)
+        keys = rng.choice(["a", "b"], size=2000)
+        vals = rng.integers(0, 20, size=2000)  # few distinct -> tie-heavy
+        ds = rd.from_arrow(pa.table({
+            "k": pa.array(keys), "v": pa.array(vals.astype(np.int64)),
+        })).repartition(7)
+        out = {r["k"]: (r["n_kept"], r["trimmed_sum"])
+               for r in grouped_trimmed_stats(ds, ["k"], "v").take_all()}
+        for k in ("a", "b"):
+            s = np.sort(vals[keys == k])
+            n = s.size
+            lo = n // 10
+            kept = s[lo: n - lo]
+            assert out[k] == (kept.size, int(kept.sum())), k
+
     def test_topk_rows_no_global_sort(self, ray_session):
         """topk_rows == ORDER BY ... LIMIT k, mixed directions, ties
         broken by the key list, partitioning-invariant."""
