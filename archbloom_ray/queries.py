@@ -1113,6 +1113,56 @@ def q_tdigest_by_lang(sf_dir: str):
     })
 
 
+def q_hll_rollup(sf_dir: str):
+    """Sketch-algebra ROLLUP: the per-lang HLL states from ONE grouped
+    build merge into the corpus-level HLL with register-max only — no
+    second scan of the data (the whole point of mergeable sketches:
+    coarser hierarchy levels are free) — and BOTH levels are certified
+    against exact distributed distinct counts.  Certification mirrors
+    hll_distinct_by_lang (3σ asymptotic bound floored at ±4 in the
+    linear-counting range)."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches.base import sketch_from_bytes
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    states = build_grouped_value_sketches(
+        ds, "lang", "text", {"hll": lambda: HyperLogLog(14)}, salt=4)
+    hlls = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
+    total = None
+    for h in hlls.values():
+        total = sketch_from_bytes(h.to_bytes()) if total is None else total.merge(h)
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        from .hashing import mmh3_128_batch
+
+        h1, _ = mmh3_128_batch(batch["text"])
+        return pa.table({"lang": batch["lang"],
+                         "h": pa.array(h1.astype(np.int64))})
+
+    pairs = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        hash_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["lang", "h"], [("c", None, "count")])
+    per_lang = {r["lang"]: int(r["distinct_text_exact"]) for r in grouped_agg(
+        d1, ["lang"], [("distinct_text_exact", None, "count")]).take_all()}
+    d_global = grouped_agg(d1.select_columns(["h"]), ["h"],
+                           [("c2", None, "count")])
+    global_exact = int(d_global.count())
+
+    def ok(sk, exact):
+        return abs(sk.cardinality() - exact) <= max(
+            3 * sk.relative_error_bound() * exact, 4.0)
+
+    keys = sorted(per_lang) + ["__all__"]
+    exacts = [per_lang[k] for k in sorted(per_lang)] + [global_exact]
+    sks = [hlls[k] for k in sorted(per_lang)] + [total]
+    return pa.table({
+        "key": pa.array(keys, type=pa.string()),
+        "distinct_text_exact": pa.array(exacts, type=pa.int64()),
+        "hll_within_bound": pa.array(
+            [ok(s, e) for s, e in zip(sks, exacts)], type=pa.bool_()),
+    })
+
+
 def q_cuckoo_membership(sf_dir: str):
     """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
     ample headroom (~12% load) so every insert and the distributed
@@ -3195,6 +3245,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
@@ -4085,6 +4136,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "hll_rollup": """
+            SELECT lang AS key,
+                   CAST(count(DISTINCT text) AS BIGINT) AS distinct_text_exact,
+                   TRUE AS hll_within_bound
+            FROM documents GROUP BY lang
+            UNION ALL
+            SELECT '__all__', CAST(count(DISTINCT text) AS BIGINT), TRUE
+            FROM documents
+            ORDER BY key
         """,
         "tdigest_by_lang": """
             SELECT lang, count(*) AS n_docs,
