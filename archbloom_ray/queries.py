@@ -847,6 +847,39 @@ def q_selfjoin_size_users(sf_dir: str):
     })
 
 
+def q_joinsize_orders_lineitem(sf_dir: str):
+    """CROSS-TABLE join-size estimation before running the join (the
+    optimizer's question): |orders ⋈ lineitem| on the order key
+    estimated as the CMS inner product of the two key-multiset
+    sketches — each side is ONE independent sketch build, no shuffle,
+    no join executed — certified against the exact join cardinality
+    (Σ n_o(k)·n_l(k), computed distributed).  One-sided overestimate
+    within ε·‖o‖₁·‖l‖₁ (Cormode & Muthukrishnan §4.3)."""
+    from .sketches import CountMinSketch
+
+    mk = lambda: CountMinSketch(epsilon=0.0001, delta=0.001)  # noqa: E731
+    cms_o = build_sketch(_read(sf_dir, "orders", ["o_orderkey"]),
+                         "o_orderkey", mk)
+    cms_l = build_sketch(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                         "l_orderkey", mk)
+    est = cms_o.inner_product(cms_l)
+
+    # exact Σ n_o·n_l without a join: orders keys are unique (n_o = 1),
+    # so the join size is the count of lineitem rows whose key exists
+    # in orders — distributed grouped counts on each side, tiny merge.
+    lcounts = grouped_agg(_read(sf_dir, "lineitem", ["l_orderkey"]),
+                          ["l_orderkey"], [("n", None, "count")]).take_all()
+    okeys_rows = grouped_agg(_read(sf_dir, "orders", ["o_orderkey"]),
+                             ["o_orderkey"], [("m", None, "count")]).take_all()
+    om = {r["o_orderkey"]: int(r["m"]) for r in okeys_rows}
+    exact = int(sum(int(r["n"]) * om.get(r["l_orderkey"], 0) for r in lcounts))
+    within = exact <= est <= exact + cms_o.inner_product_bound(cms_l)
+    return pa.table({
+        "exact_joinsize": pa.array([exact], type=pa.int64()),
+        "cms_within_bound": pa.array([bool(within)], type=pa.bool_()),
+    })
+
+
 def q_quantile_sketches(sf_dir: str):
     """t-digest + KLL quantiles certified against the exact distributed
     quantiles (DuckDB ``quantile_cont`` arithmetic) and each sketch's
@@ -3208,6 +3241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "train_test_split": q_train_test_split,
         "cms_source_counts": q_cms_source_counts,
         "selfjoin_size_users": q_selfjoin_size_users,
+        "joinsize_orders_lineitem": q_joinsize_orders_lineitem,
         "hll_intersection_users": q_hll_intersection_users,
         "quantile_sketches": q_quantile_sketches,
         "cbloom_source_membership": q_cbloom_source_membership,
@@ -4074,6 +4108,11 @@ def oracle_sql() -> dict[str, str]:
         "cms_source_counts": """
             SELECT source, count(*) AS exact_count, TRUE AS cms_within_bound
             FROM documents GROUP BY source
+        """,
+        "joinsize_orders_lineitem": """
+            SELECT CAST(count(*) AS BIGINT) AS exact_joinsize,
+                   TRUE AS cms_within_bound
+            FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
         """,
         "selfjoin_size_users": """
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
