@@ -1085,6 +1085,21 @@ def q_tdigest_by_lang(sf_dir: str):
     merge-order nondeterminism: rank slack 0.05 + 2/n dominates both
     the documented t-digest rank error at δ=200 and the 1/n rank
     granularity of small groups."""
+    return _grouped_quantile_cert(sf_dir, lambda: TDigest(200.0))
+
+
+def q_kll_by_lang(sf_dir: str):
+    """GROUPED quantiles with a DETERMINISTIC-space sketch: one KLL
+    per language via the same count-row shuffle
+    (``KLLSketch.update_weighted`` — bit-decomposition insert, the
+    paper's level-wise-merge shape), q50/q90 rank-certified exactly
+    like the grouped t-digest (slack 0.05 + 2/n)."""
+    from .sketches import KLLSketch
+
+    return _grouped_quantile_cert(sf_dir, lambda: KLLSketch(200))
+
+
+def _grouped_quantile_cert(sf_dir: str, factory):
     from .pipelines.build import build_grouped_value_sketches
     from .sketches.base import sketch_from_bytes
 
@@ -1098,7 +1113,7 @@ def q_tdigest_by_lang(sf_dir: str):
 
     lens = ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
     states = build_grouped_value_sketches(
-        lens, "lang", "n_chars", {"td": lambda: TDigest(200.0)}, salt=4)
+        lens, "lang", "n_chars", {"sk": factory}, salt=4)
     tds = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
     est = {l: (td.quantile(0.5), td.quantile(0.9)) for l, td in tds.items()}
 
@@ -3281,6 +3296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
+        "kll_by_lang": q_kll_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
@@ -4187,6 +4203,11 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY key
         """,
         "tdigest_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   TRUE AS q50_within_bound, TRUE AS q90_within_bound
+            FROM documents GROUP BY lang
+        """,
+        "kll_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    TRUE AS q50_within_bound, TRUE AS q90_within_bound
             FROM documents GROUP BY lang

@@ -64,6 +64,31 @@ class KLLSketch(Sketch):
         self.levels[0] = np.concatenate([self.levels[0], vals])
         self._compact_all()
 
+    def update_weighted(self, arr, counts) -> None:
+        """Weighted update for the count-row grouped-build shuffle: a
+        (value, count) pair enters by BIT DECOMPOSITION — the value is
+        written once into every level ``h`` where bit ``h`` of the
+        count is set (level h items carry weight 2^h), which is
+        precisely the shape of the paper's level-wise merge, so the
+        deterministic rank-error story is unchanged."""
+        vals = np.asarray(arr, dtype=np.float64)
+        cnts = np.asarray(counts, dtype=np.int64)
+        keep = ~np.isnan(vals) & (cnts > 0)
+        vals, cnts = vals[keep], cnts[keep]
+        if vals.size == 0:
+            return
+        self.n += int(cnts.sum())
+        self.min = min(self.min, float(vals.min()))
+        self.max = max(self.max, float(vals.max()))
+        max_bits = int(cnts.max()).bit_length()
+        while len(self.levels) < max_bits:
+            self.levels.append(np.empty(0, dtype=np.float64))
+        for h in range(max_bits):
+            sel = ((cnts >> h) & 1) == 1
+            if sel.any():
+                self.levels[h] = np.concatenate([self.levels[h], vals[sel]])
+        self._compact_all()
+
     def _compact_all(self) -> None:
         h = 0
         while h < len(self.levels):

@@ -169,6 +169,30 @@ class TestKLL:
         retained = sum(l.size for l in kll.levels)
         assert retained <= 3 * 200 + 8 * len(kll.levels)
 
+    def test_update_weighted_matches_unit_updates(self):
+        """Bit-decomposition weighted insert estimates like the
+        expanded unit-weight stream (same rank-error regime)."""
+        rng = np.random.default_rng(7)
+        vals = rng.integers(0, 300, size=500).astype(np.float64)
+        uniq, cnt = np.unique(vals, return_counts=True)
+        kw = KLLSketch(k=200)
+        kw.update_weighted(uniq, cnt)
+        assert kw.n == len(vals)
+        expanded = np.sort(vals)
+        for q in QS:
+            assert _rank_error(expanded, kw.quantile(q), q) <= 0.05, q
+        # weighted ∘ merge stays coherent
+        ku = KLLSketch(k=200)
+        ku.update_arrow(vals)
+        kw.merge(ku)
+        assert kw.n == 2 * len(vals)
+        assert _rank_error(expanded, kw.quantile(0.5), 0.5) <= 0.05
+
+    def test_update_weighted_skips_invalid(self):
+        kll = KLLSketch(k=64)
+        kll.update_weighted(np.array([1.0, np.nan, 3.0]), np.array([2, 5, 0]))
+        assert kll.n == 2
+
     def test_rank_query(self):
         kll = KLLSketch(k=200)
         data = np.arange(10_000, dtype=np.float64)
