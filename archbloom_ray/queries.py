@@ -287,6 +287,41 @@ def q_lineitem_moments(sf_dir: str):
     return pa.table(cols)
 
 
+def q_lineitem_ols(sf_dir: str):
+    """Per-group OLS finisher over the exact moment statistics: the
+    regression slope of whole-dollar price on quantity emitted as its
+    EXACT integer numerator (n·Σxy − Σx·Σy) and denominator
+    (n·Σx² − (Σx)²) per return flag — the one-scan distributed shape
+    (pipelines.relational.grouped_moments); the caller divides, so
+    the hash compare stays float-free."""
+    from .pipelines import grouped_moments
+
+    def prep(batch: pa.Table) -> pa.Table:
+        qty = np.rint(np.asarray(batch["l_quantity"], dtype=np.float64)).astype(np.int64)
+        dollars = np.rint(np.asarray(batch["l_extendedprice"], dtype=np.float64)
+                          * 100).astype(np.int64) // 100
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"],
+            "qty": pa.array(qty),
+            "dollars": pa.array(dollars),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_quantity", "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    rows = grouped_moments(ds, ["l_returnflag"], "qty", "dollars").take_all()
+    rows.sort(key=lambda r: r["l_returnflag"])
+    num = [int(r["n"]) * int(r["sum_xy"]) - int(r["sum_x"]) * int(r["sum_y"])
+           for r in rows]
+    den = [int(r["n"]) * int(r["sum_xx"]) - int(r["sum_x"]) ** 2 for r in rows]
+    return pa.table({
+        "l_returnflag": pa.array([r["l_returnflag"] for r in rows],
+                                 type=pa.string()),
+        "slope_num": pa.array(num, type=pa.int64()),
+        "slope_den": pa.array(den, type=pa.int64()),
+    })
+
+
 _KNUTH = 2654435761  # multiplicative hash both engines can compute
 
 
@@ -3315,6 +3350,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_doc_sample": q_lang_doc_sample,
         "events_asof_part": q_events_asof_part,
         "lineitem_moments": q_lineitem_moments,
+        "lineitem_ols": q_lineitem_ols,
         "user_first_events": q_user_first_events,
         "customers_no_urgent": q_customers_no_urgent,
         "top_source_by_lang": q_top_source_by_lang,
@@ -4313,6 +4349,23 @@ def oracle_sql() -> dict[str, str]:
                             - greatest(cum - c, n // 10), 0)) AS BIGINT)
                        AS trimmed_sum
             FROM w GROUP BY lang ORDER BY lang
+        """,
+        "lineitem_ols": """
+            WITH p AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) // 100 AS y
+                FROM lineitem),
+            m AS (SELECT l_returnflag, count(*) AS n,
+                         CAST(sum(x) AS BIGINT) AS sx,
+                         CAST(sum(y) AS BIGINT) AS sy,
+                         CAST(sum(x * x) AS BIGINT) AS sxx,
+                         CAST(sum(x * y) AS BIGINT) AS sxy
+                  FROM p GROUP BY l_returnflag)
+            SELECT l_returnflag,
+                   CAST(n * sxy - sx * sy AS BIGINT) AS slope_num,
+                   CAST(n * sxx - sx * sx AS BIGINT) AS slope_den
+            FROM m ORDER BY l_returnflag
         """,
         "lineitem_moments": """
             WITH p AS (
