@@ -1129,9 +1129,26 @@ def simhash_pairs(
         return pa.table({id_col: batch[id_col], "simhash": pa.array(h.astype(np.int64))})
 
     hashed = ds.map_batches(sim, batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_fingerprint_pairs(hashed, "simhash", id_col,
+                                     max_hamming=max_hamming,
+                                     max_bucket=max_bucket)
+
+
+def hamming_fingerprint_pairs(
+    hashed: "ray.data.Dataset",
+    fp_col: str,
+    id_col: str,
+    *,
+    max_hamming: int = 3,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Near-dup pairs over ANY 64-bit fingerprint column (SimHash,
+    image dHash, audio fingerprints …): 16-bit band blocking +
+    in-bucket exact Hamming verify — the generic core shared by
+    ``simhash_pairs`` and the multimodal perceptual-hash dedup."""
 
     def explode(batch: pa.Table) -> pa.Table:
-        h = np.asarray(batch["simhash"], dtype=np.int64).astype(np.uint64)
+        h = np.asarray(batch[fp_col], dtype=np.int64).astype(np.uint64)
         n = len(h)
         bands = np.stack([(h >> np.uint64(s)) & np.uint64(0xFFFF) for s in (0, 16, 32, 48)], axis=1)
         return pa.table(
@@ -1139,7 +1156,7 @@ def simhash_pairs(
                 "band": pa.array(np.tile(np.arange(4, dtype=np.int32), n)),
                 "band_val": pa.array(bands.ravel().astype(np.int64)),
                 id_col: pa.array(np.repeat(np.asarray(batch[id_col]), 4), type=batch[id_col].type),
-                "simhash": pa.array(np.repeat(h.astype(np.int64), 4)),
+                "fp": pa.array(np.repeat(h.astype(np.int64), 4)),
             }
         )
 
@@ -1170,7 +1187,7 @@ def simhash_pairs(
         ids = np.asarray(group[id_col])
         if ids.dtype == object:
             ids = ids.astype("U")
-        h = np.asarray(group["simhash"], dtype=np.int64).astype(np.uint64)
+        h = np.asarray(group["fp"], dtype=np.int64).astype(np.uint64)
         order = np.lexsort((ids, bv, band))
         band, bv, ids, h = band[order], bv[order], ids[order], h[order]
         boundary = np.flatnonzero((np.diff(band) != 0) | (np.diff(bv) != 0)) + 1

@@ -241,6 +241,67 @@ class ImageFeatures:
         return batch.append_column("features", col)
 
 
+def dhash64(img: np.ndarray) -> int:
+    """64-bit perceptual difference hash (dHash): grayscale →
+    nearest-resize to 9×8 → bit b set where pixel(x) > pixel(x+1) per
+    row.  Robust to re-encoding/scaling/mild noise; Hamming distance
+    between hashes ≈ perceptual difference — the standard cheap image
+    near-dup fingerprint."""
+    h, w = img.shape[0], img.shape[1]
+    gray = img.reshape(h, w, -1).mean(axis=2)
+    yi = np.arange(8) * h // 8
+    xi = np.arange(9) * w // 9
+    small = gray[yi][:, xi]
+    bits = (small[:, :-1] > small[:, 1:]).ravel()
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class ImageDHash:
+    """Perceptual-hash stage over decoded pixel columns: emits a 64-bit
+    dHash per image, feeding the generic Hamming-band near-dup pair
+    machinery (``stages.dedup.hamming_fingerprint_pairs``) — the image
+    counterpart of SimHash text dedup."""
+
+    def __init__(self, id_col: str, pixels_col: str = "pixels"):
+        self.id_col = id_col
+        self.pixels_col = pixels_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.pixels_col]
+        pix = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        widths = np.asarray(batch["width"])
+        heights = np.asarray(batch["height"])
+        out = np.empty(len(batch), dtype=np.uint64)
+        for i in range(len(batch)):
+            img = np.asarray(pix[i].values, dtype=np.uint8).reshape(
+                heights[i], widths[i], -1)
+            out[i] = dhash64(img)
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "dhash": pa.array(out.astype(np.int64)),
+        })
+
+
+def image_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    *,
+    pixels_col: str = "pixels",
+    max_hamming: int = 6,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Image near-duplicate pairs: dHash per decoded image (one pass),
+    then 16-bit band blocking + exact in-bucket Hamming verify via the
+    fingerprint-generic dedup core.  Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_fingerprint_pairs
+
+    hashed = ds.map_batches(ImageDHash(id_col, pixels_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_fingerprint_pairs(hashed, "dhash", id_col,
+                                     max_hamming=max_hamming,
+                                     max_bucket=max_bucket)
+
+
 def frame_sample_indices(n_frames: int, every: int) -> np.ndarray:
     """Deterministic frame sampling for video payloads (stub-adjacent
     helper: the decode itself would come from pyav, not present)."""

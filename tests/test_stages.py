@@ -1733,3 +1733,47 @@ class TestBPE:
             expect = sum(len(bpe_encode_word(w, ranks))
                          for w in txt.lower().split())
             assert out[i] == expect, (i, out[i], expect)
+
+
+class TestImagePerceptualHash:
+    def _img(self, seed, w=32, h=24):
+        rng = np.random.default_rng(seed)
+        return rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+
+    def test_dhash_invariant_to_scale_and_noise(self):
+        from archbloom_ray.stages.multimodal import dhash64
+
+        img = self._img(0, 64, 48)
+        base = dhash64(img)
+        # 2x nearest upscale: identical hash
+        up = np.repeat(np.repeat(img, 2, axis=0), 2, axis=1)
+        assert dhash64(up) == base
+        # mild noise: small Hamming distance
+        noisy = np.clip(img.astype(np.int16)
+                        + np.random.default_rng(1).integers(-8, 9, img.shape),
+                        0, 255).astype(np.uint8)
+        ham = bin(base ^ dhash64(noisy)).count("1")
+        assert ham <= 6, ham
+        # different image: large distance
+        other = dhash64(self._img(7, 64, 48))
+        assert bin(base ^ other).count("1") > 12
+
+    def test_image_near_dup_pairs(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.multimodal import image_near_dup_pairs
+
+        imgs = [self._img(i) for i in range(10)]
+        imgs.append(np.repeat(np.repeat(imgs[0], 2, axis=0), 2, axis=1))  # dup of 0
+        rows = []
+        for i, im in enumerate(imgs):
+            rows.append({
+                "img_id": i, "width": im.shape[1], "height": im.shape[0],
+                "pixels": im.ravel().tolist(),
+            })
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in image_near_dup_pairs(ds, "img_id",
+                                               max_hamming=2).take_all()}
+        assert (0, 10) in pairs
+        assert all({a, b} == {0, 10} for a, b in pairs), pairs
