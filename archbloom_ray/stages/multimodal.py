@@ -302,6 +302,63 @@ def image_near_dup_pairs(
                                      max_bucket=max_bucket)
 
 
+def afp64(samples: np.ndarray) -> int:
+    """64-bit audio fingerprint: the clip splits into 65 equal frames,
+    bit b is set where frame b+1 carries more energy than frame b.
+    Energy ORDERING is invariant to volume scaling and tolerant of
+    mild noise — the Shazam-style sign-of-delta idea reduced to one
+    band (no FFT dependency)."""
+    s = np.asarray(samples, dtype=np.float64)
+    if s.size == 0:
+        return 0
+    idx = (np.arange(66, dtype=np.int64) * s.size) // 66
+    e = np.add.reduceat(s * s, idx[:-1])
+    bits = e[1:] > e[:-1]
+    return int(np.packbits(bits).view(">u8")[0])
+
+
+class AudioFingerprint:
+    """Fingerprint stage over decoded sample columns — the audio
+    counterpart of SimHash/dHash, feeding the same generic
+    Hamming-band near-dup core."""
+
+    def __init__(self, id_col: str, samples_col: str = "samples"):
+        self.id_col = id_col
+        self.samples_col = samples_col
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        col = batch[self.samples_col]
+        if isinstance(col, pa.ChunkedArray):
+            col = col.combine_chunks()
+        out = np.empty(len(batch), dtype=np.uint64)
+        for i in range(len(batch)):
+            out[i] = afp64(np.asarray(col[i].values, dtype=np.float64))
+        return pa.table({
+            self.id_col: batch[self.id_col],
+            "afp": pa.array(out.astype(np.int64)),
+        })
+
+
+def audio_near_dup_pairs(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    *,
+    samples_col: str = "samples",
+    max_hamming: int = 6,
+    max_bucket: int = 200,
+) -> "ray.data.Dataset":
+    """Audio near-duplicate pairs: energy-delta fingerprint per clip,
+    then the fingerprint-generic band-block + Hamming verify.
+    Returns (id_a, id_b, hamming)."""
+    from .dedup import hamming_fingerprint_pairs
+
+    hashed = ds.map_batches(AudioFingerprint(id_col, samples_col),
+                            batch_format="pyarrow", zero_copy_batch=True)
+    return hamming_fingerprint_pairs(hashed, "afp", id_col,
+                                     max_hamming=max_hamming,
+                                     max_bucket=max_bucket)
+
+
 def frame_sample_indices(n_frames: int, every: int) -> np.ndarray:
     """Deterministic frame sampling for video payloads (stub-adjacent
     helper: the decode itself would come from pyav, not present)."""

@@ -1777,3 +1777,41 @@ class TestImagePerceptualHash:
                                                max_hamming=2).take_all()}
         assert (0, 10) in pairs
         assert all({a, b} == {0, 10} for a, b in pairs), pairs
+
+
+class TestAudioFingerprint:
+    def _clip(self, seed, n=8000):
+        rng = np.random.default_rng(seed)
+        t = np.arange(n) / 16000.0
+        f = rng.uniform(100, 2000, size=5)
+        a = rng.uniform(0.1, 1.0, size=5)
+        env = rng.uniform(0.2, 1.0, size=8)
+        sig = sum(ai * np.sin(2 * np.pi * fi * t) for ai, fi in zip(a, f))
+        return sig * np.repeat(env, n // 8)
+
+    def test_afp_volume_invariant_noise_tolerant(self):
+        from archbloom_ray.stages.multimodal import afp64
+
+        clip = self._clip(0)
+        base = afp64(clip)
+        assert afp64(clip * 0.25) == base            # volume scaling
+        noisy = clip + np.random.default_rng(1).normal(0, 0.01, clip.size)
+        assert bin(base ^ afp64(noisy)).count("1") <= 6
+        other = afp64(self._clip(9))
+        assert bin(base ^ other).count("1") > 12
+
+    def test_audio_near_dup_pairs(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.multimodal import audio_near_dup_pairs
+
+        clips = [self._clip(i) for i in range(8)]
+        clips.append(clips[2] * 0.5)                 # quiet dup of 2
+        rows = [{"clip_id": i, "samples": c.tolist()}
+                for i, c in enumerate(clips)]
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(3)
+        pairs = {(r["id_a"], r["id_b"])
+                 for r in audio_near_dup_pairs(ds, "clip_id",
+                                               max_hamming=2).take_all()}
+        assert (2, 8) in pairs
+        assert all({a, b} == {2, 8} for a, b in pairs), pairs
