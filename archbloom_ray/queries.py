@@ -2324,6 +2324,58 @@ def _pairs_table(pairs: "rd.Dataset") -> pa.Table:
     return tbl.sort_by([("id_a", "ascending"), ("id_b", "ascending")])
 
 
+def q_cdc_dedup(sf_dir: str):
+    """Content-defined chunking dedup, exact-certified: documents plus
+    the planted exact copies (the SQL-reproducible ``_DUP_MODS`` rule)
+    are CDC-chunked (stages.dedup.cdc_chunk_rows — FastCDC-style
+    boundaries, only 128-bit chunk hashes leave the scan); identical
+    payloads produce identical boundaries, so the augmented corpus's
+    DISTINCT chunk set provably equals the original's — the
+    ``chunks_dedup_ok`` verdict is structural, and the byte totals are
+    plain SQL."""
+    from .stages.dedup import cdc_chunk_rows
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+
+    def chunk_stats(src):
+        chunks = cdc_chunk_rows(src, "text", "doc_id",
+                                min_size=64, max_size=1024, avg_bits=7)
+        d1 = grouped_agg(chunks, ["chunk_hash"],
+                         [("len", "chunk_len", "min")])
+        rows = grouped_agg(
+            d1.map_batches(
+                lambda b: pa.table({
+                    "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+                    "len": b["len"]}),
+                batch_format="pyarrow", zero_copy_batch=True),
+            ["k"], [("n_distinct", None, "count"),
+                    ("mass", "len", "sum")]).take_all()
+        return ((int(rows[0]["n_distinct"]), int(rows[0]["mass"]))
+                if rows else (0, 0))
+
+    a = chunk_stats(aug)
+    o = chunk_stats(ds)
+
+    def byte_len(batch: pa.Table) -> pa.Table:
+        b = batch["text"].combine_chunks().cast(pa.large_binary())
+        return pa.table({
+            "k": pa.array(np.zeros(len(b), dtype=np.int64)),
+            "nb": pc.cast(pc.binary_length(b), pa.int64()),
+        })
+
+    tot = grouped_agg(aug.map_batches(byte_len, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                      ["k"], [("n_docs_aug", None, "count"),
+                              ("bytes_total_aug", "nb", "sum")]).take_all()[0]
+    return pa.table({
+        "n_docs_aug": pa.array([int(tot["n_docs_aug"])], type=pa.int64()),
+        "bytes_total_aug": pa.array([int(tot["bytes_total_aug"])],
+                                    type=pa.int64()),
+        "chunks_dedup_ok": pa.array([a == o], type=pa.bool_()),
+    })
+
+
 def q_minhash_dedup_recall(sf_dir: str):
     """MinHash-LSH candidates over documents with planted exact
     duplicates, exact-verified by content hash (the fixture also plants
@@ -3367,6 +3419,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_near_dups": q_embedding_near_dups,
         # planted-duplicate recall gates (probabilistic dedup, oracle-checked)
         "minhash_dedup_recall": q_minhash_dedup_recall,
+        "cdc_dedup": q_cdc_dedup,
         "simhash_dedup_recall": q_simhash_dedup_recall,
         "embedding_dedup_recall": q_embedding_dedup_recall,
         "dedup_clusters_exact": q_dedup_clusters_exact,
@@ -4657,6 +4710,12 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "minhash_dedup_recall": _AUG_PAIRS_SQL,
+        "cdc_dedup": _AUG_DOCS_SQL + """
+            SELECT count(*) AS n_docs_aug,
+                   CAST(sum(strlen(text)) AS BIGINT) AS bytes_total_aug,
+                   TRUE AS chunks_dedup_ok
+            FROM aug
+        """,
         "simhash_dedup_recall": _AUG_PAIRS_SQL,
         "embedding_dedup_recall": """
             WITH aug AS (

@@ -439,6 +439,111 @@ def window_hashes_batch(col, width: int) -> tuple[np.ndarray, np.ndarray]:
     return flat, counts
 
 
+def cdc_boundaries(data: np.ndarray, *, window: int = 32, avg_bits: int = 9,
+                   min_size: int = 64, max_size: int = 4096) -> np.ndarray:
+    """Content-defined chunk boundaries (FastCDC-style): cut after any
+    byte position whose width-``window`` rolling polynomial hash has
+    its low ``avg_bits`` bits zero (expected chunk ≈ 2^avg_bits bytes),
+    with min/max size enforcement.  Because cuts depend only on LOCAL
+    content, an insertion re-aligns all downstream chunks — the
+    property that makes chunk-hash dedup shift-tolerant, unlike
+    fixed-size blocking.
+
+    The hash pass is the same chunked vectorized kernel as
+    ``window_hashes_batch``; the min/max walk touches only the sparse
+    candidate list (O(n / 2^avg_bits) steps).  Returns cut offsets,
+    last one == len(data)."""
+    n = int(data.size)
+    if n <= min_size:
+        return np.array([n], dtype=np.int64) if n else np.empty(0, np.int64)
+    npos = n - window + 1
+    if npos <= 0:
+        return np.array([n], dtype=np.int64)
+    B = np.uint64(1000003)
+    pw = np.empty(window, dtype=np.uint64)
+    pw[window - 1] = 1
+    with np.errstate(over="ignore"):
+        for j in range(window - 2, -1, -1):
+            pw[j] = pw[j + 1] * B
+    h = np.empty(npos, dtype=np.uint64)
+    CHUNK = 1 << 18
+    with np.errstate(over="ignore"):
+        for s in range(0, npos, CHUNK):
+            e = min(s + CHUNK, npos)
+            d64 = data[s: e + window - 1].astype(np.uint64)
+            acc = d64[: e - s] * pw[0]
+            for j in range(1, window):
+                acc += d64[j: j + e - s] * pw[j]
+            h[s:e] = acc
+    mask = np.uint64((1 << avg_bits) - 1)
+    cand = np.flatnonzero((h & mask) == 0).astype(np.int64) + window
+    cuts = []
+    last = 0
+    while last < n:
+        ci = int(np.searchsorted(cand, last + min_size, side="left"))
+        forced = last + max_size
+        if ci < cand.size and cand[ci] <= forced and cand[ci] < n:
+            cut = int(cand[ci])
+        else:
+            cut = min(forced, n)
+        cuts.append(cut)
+        last = cut
+    return np.asarray(cuts, dtype=np.int64)
+
+
+def cdc_chunk_rows(
+    ds: "ray.data.Dataset",
+    bytes_col: str,
+    id_col: str,
+    *,
+    window: int = 32,
+    avg_bits: int = 9,
+    min_size: int = 64,
+    max_size: int = 4096,
+) -> "ray.data.Dataset":
+    """Content-defined chunking as a streaming stage: every payload
+    splits at CDC boundaries and emits one (id, chunk_idx, chunk_hash,
+    chunk_len) row per chunk — 128-bit content hashes, never chunk
+    bytes, leave the scan.  Downstream grouped aggregates give the
+    storage-dedup ratio (distinct vs total chunk mass); a real
+    content-addressable sink would key blob writes by ``chunk_hash``."""
+    from ..hashing import mmh3_128_batch
+
+    def chunk(batch: pa.Table) -> pa.Table:
+        col = batch[bytes_col].combine_chunks()
+        if pa.types.is_string(col.type) or pa.types.is_large_string(col.type):
+            col = col.cast(pa.large_binary())
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        out_id, out_idx, out_len, pieces = [], [], [], []
+        for i in range(len(col)):
+            buf = np.frombuffer(col[i].as_py() or b"", dtype=np.uint8)
+            cuts = cdc_boundaries(buf, window=window, avg_bits=avg_bits,
+                                  min_size=min_size, max_size=max_size)
+            last = 0
+            for j, c in enumerate(cuts):
+                pieces.append(buf[last:c].tobytes())
+                out_id.append(ids[i])
+                out_idx.append(j)
+                out_len.append(int(c - last))
+                last = int(c)
+        if not pieces:
+            return pa.table({
+                id_col: pa.array([], pa.int64()),
+                "chunk_idx": pa.array([], pa.int64()),
+                "chunk_hash": pa.array([], pa.int64()),
+                "chunk_len": pa.array([], pa.int64()),
+            })
+        h1, _ = mmh3_128_batch(pa.array(pieces, type=pa.binary()))
+        return pa.table({
+            id_col: pa.array(out_id, type=pa.int64()),
+            "chunk_idx": pa.array(out_idx, type=pa.int64()),
+            "chunk_hash": pa.array(h1.view(np.int64)),
+            "chunk_len": pa.array(out_len, type=pa.int64()),
+        })
+
+    return ds.map_batches(chunk, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def contamination_check(
     ds: "ray.data.Dataset",
     bench_texts,

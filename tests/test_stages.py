@@ -1815,3 +1815,54 @@ class TestAudioFingerprint:
                                                max_hamming=2).take_all()}
         assert (2, 8) in pairs
         assert all({a, b} == {2, 8} for a, b in pairs), pairs
+
+
+class TestCDC:
+    def test_boundaries_shift_tolerant(self):
+        from archbloom_ray.stages.dedup import cdc_boundaries
+
+        rng = np.random.default_rng(0)
+        data = rng.integers(0, 256, size=20000, dtype=np.uint8)
+        cuts = cdc_boundaries(data, min_size=64, max_size=2048, avg_bits=8)
+        assert cuts[-1] == data.size
+        sizes = np.diff(np.concatenate(([0], cuts)))
+        assert sizes.min() >= 1 and sizes.max() <= 2048
+        # insertion re-aligns downstream chunks: most chunk hashes shared
+        shifted = np.concatenate([
+            rng.integers(0, 256, size=37, dtype=np.uint8), data])
+        cuts2 = cdc_boundaries(shifted, min_size=64, max_size=2048, avg_bits=8)
+
+        def chunk_set(buf, cc):
+            out, last = set(), 0
+            for c in cc:
+                out.add(buf[last:c].tobytes())
+                last = c
+            return out
+
+        a = chunk_set(data, cuts)
+        b = chunk_set(shifted, cuts2)
+        assert len(a & b) >= 0.8 * len(a), (len(a & b), len(a))
+
+    def test_chunk_rows_stage(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.dedup import cdc_chunk_rows
+
+        rng = np.random.default_rng(2)
+        blob = rng.integers(0, 256, size=6000, dtype=np.uint8).tobytes()
+        rows = [{"doc_id": 0, "payload": blob},
+                {"doc_id": 1, "payload": blob},          # exact dup
+                {"doc_id": 2, "payload": b"xy" * 10 + blob}]  # shifted dup
+        ds = rd.from_arrow(pa.Table.from_pylist(rows)).repartition(2)
+        out = cdc_chunk_rows(ds, "payload", "doc_id",
+                             min_size=64, max_size=1024, avg_bits=7).take_all()
+        lens = {}
+        hashes = {0: set(), 1: set(), 2: set()}
+        for r in out:
+            hashes[r["doc_id"]].add(r["chunk_hash"])
+            lens.setdefault(r["doc_id"], 0)
+            lens[r["doc_id"]] += r["chunk_len"]
+        assert lens[0] == len(blob) and lens[2] == len(blob) + 20
+        assert hashes[0] == hashes[1]                  # exact dup: all shared
+        shared = len(hashes[0] & hashes[2]) / len(hashes[0])
+        assert shared >= 0.7, shared                    # shifted dup: most shared
