@@ -2849,6 +2849,48 @@ def q_chars_mad_by_lang(sf_dir: str):
     })
 
 
+def q_outliers_by_lang(sf_dir: str):
+    """Robust per-group outlier counts (the 3×MAD rule — resistant to
+    the very outliers it hunts, unlike 3σ): per-lang median/MAD from
+    the distinct-count shuffle (DuckDB-interpolation-exact), then ONE
+    counting scan with the tiny per-lang thresholds in the task
+    closure.  Both engines compare |x−med| > 3·mad on identical
+    half-integer rationals, so the float comparison is bit-safe."""
+    from .pipelines import grouped_mad
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    thr = {r["lang"]: (float(r["med"]), float(r["mad"]))
+           for r in grouped_mad(ds, ["lang"], "n_chars").take_all()}
+
+    def count_outliers(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"]).astype("U")
+        x = np.asarray(batch["n_chars"], dtype=np.float64)
+        out: dict[str, list] = {"lang": [], "n": [], "o": []}
+        for l in np.unique(lang):
+            med, mad = thr[str(l)]
+            v = x[lang == l]
+            out["lang"].append(str(l))
+            out["n"].append(int(v.size))
+            out["o"].append(int((np.abs(v - med) > 3.0 * mad).sum()))
+        return pa.table({
+            "lang": pa.array(out["lang"], type=pa.string()),
+            "n": pa.array(out["n"], type=pa.int64()),
+            "o": pa.array(out["o"], type=pa.int64()),
+        })
+
+    parts = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        count_outliers, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(grouped_agg(parts, ["lang"], [
+        ("n_docs", "n", "sum"), ("n_outliers", "o", "sum")]).take_all(),
+        key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+        "n_outliers": pa.array([int(r["n_outliers"]) for r in rows],
+                               type=pa.int64()),
+    })
+
+
 def q_chars_percentiles_disc(sf_dir: str):
     """Exact per-language discrete percentiles of n_chars
     (pipelines.relational.grouped_percentile_disc): SQL
@@ -3368,6 +3410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "chars_mad_by_lang": q_chars_mad_by_lang,
+        "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
         "index_and_search": q_index_and_search,
         "phrase_search": q_phrase_search,
@@ -3947,6 +3990,16 @@ def oracle_sql() -> dict[str, str]:
             FROM a JOIN f USING (user_id)
             GROUP BY cohort_week, activity_week
             ORDER BY cohort_week, activity_week
+        """,
+        "outliers_by_lang": """
+            WITH m AS (SELECT lang, median(n_chars) AS med,
+                              mad(n_chars) AS md
+                       FROM documents GROUP BY lang)
+            SELECT d.lang, count(*) AS n_docs,
+                   CAST(sum(CASE WHEN abs(d.n_chars - m.med) > 3 * m.md
+                        THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+            FROM documents d JOIN m ON d.lang = m.lang
+            GROUP BY d.lang ORDER BY d.lang
         """,
         "chars_mad_by_lang": """
             SELECT lang,
