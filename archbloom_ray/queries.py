@@ -160,6 +160,36 @@ def q_events_window_counts(sf_dir: str):
     })
 
 
+def q_events_seasonality(sf_dir: str):
+    """Hour-of-week seasonality profile: event counts per (day-of-week,
+    hour) cell — one pre-combined grouped count; both engines derive
+    dow/hour from the raw epoch microseconds with the SAME integer
+    expressions (epoch days + 4 mod 7 — 1970-01-01 was a Thursday —
+    and epoch hours mod 24), so no calendar/timezone kernel parity is
+    needed."""
+    US_H, US_D = 3_600_000_000, 86_400_000_000
+
+    def cells(batch: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                        dtype=np.int64)
+        return pa.table({
+            "dow": pa.array((us // US_D + 4) % 7, type=pa.int64()),
+            "hour": pa.array((us // US_H) % 24, type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events", ["ts"]).map_batches(
+        cells, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(grouped_agg(ds, ["dow", "hour"],
+                              [("n_events", None, "count")]).take_all(),
+                  key=lambda r: (r["dow"], r["hour"]))
+    return pa.table({
+        "dow": pa.array([r["dow"] for r in rows], type=pa.int64()),
+        "hour": pa.array([r["hour"] for r in rows], type=pa.int64()),
+        "n_events": pa.array([int(r["n_events"]) for r in rows],
+                             type=pa.int64()),
+    })
+
+
 def q_top_users(sf_dir: str):
     """Top-100 users by event count — per-block local top-k + tiny
     driver merge (pipelines.relational.topk_rows); no global Sort."""
@@ -3430,6 +3460,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
+        "events_seasonality": q_events_seasonality,
         "events_user_windows": q_events_user_windows,
         "top_users_by_type": q_top_users_by_type,
         "docs_rollup": q_docs_rollup,
@@ -4608,6 +4639,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM c)
             SELECT event_type, user_id, n, rank
             FROM r WHERE rank <= 5 ORDER BY event_type, rank
+        """,
+        "events_seasonality": """
+            SELECT (epoch_us(ts) // 86400000000 + 4) % 7 AS dow,
+                   (epoch_us(ts) // 3600000000) % 24 AS hour,
+                   count(*) AS n_events
+            FROM events GROUP BY dow, hour ORDER BY dow, hour
         """,
         "events_user_windows": """
             WITH iv AS (SELECT user_id, min(ts) AS lo
