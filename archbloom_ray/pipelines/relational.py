@@ -60,23 +60,54 @@ def grouped_agg(
             cols[out] = g.column(idx[take])
         return pa.table(cols)
 
-    def combine(group: pa.Table) -> pa.Table:
-        cols = {k: group[k].slice(0, 1) for k in keys}
-        for _, out, kind in partial_cols:
-            v = group[out]
-            if kind in ("count", "sum"):
-                s = pc.sum(v)
-            elif kind == "min":
-                s = pc.min(v)
-            else:
-                s = pc.max(v)
-            cols[out] = pa.array([s.as_py()], type=v.type)
+    def combine_partition(group: pa.Table) -> pa.Table:
+        # high-cardinality keys must NOT each become a Ray group (a
+        # Python call per group kills the reducer) — the groupby above
+        # hash-buckets keys into coarse partitions and ONE vectorized
+        # arrow group_by finishes every key in the partition.
+        comb = [(out, "sum" if kind in ("count", "sum") else kind)
+                for _, out, kind in partial_cols]
+        g = group.group_by(keys).aggregate(comb)
+        cols = {k: g[k] for k in keys}
+        seen: dict[str, int] = {}
+        for (_, out, kind), (cname, ckind) in zip(partial_cols, comb):
+            pname = f"{cname}_{ckind}"
+            idx = [i for i, n in enumerate(g.column_names) if n.startswith(pname)]
+            take = seen.get(pname, 0)
+            seen[pname] = take + 1
+            cols[out] = g.column(idx[take]).cast(group[out].type)
         return pa.table(cols)
 
     partials = ds.map_batches(
         partial, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
-    return partials.groupby(keys).map_groups(combine, batch_format="pyarrow")
+    return _coarse_key_groupby(partials, keys, combine_partition)
+
+
+def _coarse_key_groupby(ds: "ray.data.Dataset", keys: list[str], fn,
+                        num_partitions: int = 64) -> "ray.data.Dataset":
+    """Run a MULTI-KEY-vectorized reducer once per coarse key-hash
+    partition instead of once per key: a Python call per key kills the
+    reducer at high key cardinality (user ids, content hashes), while
+    one call per partition costs O(partitions).  ``fn`` must group rows
+    itself (the repo's reducers all do: one sort + segment heads); all
+    rows of a key co-locate because the partition key is a pure
+    function of the key columns."""
+    from ..hashing import mmh3_32_batch
+
+    def add_pk(batch: pa.Table) -> pa.Table:
+        parts = [pc.cast(batch[k], pa.string()) for k in keys]
+        joined = (parts[0] if len(parts) == 1
+                  else pc.binary_join_element_wise(*parts, "\x1f"))
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        pk = mmh3_32_batch(joined) % np.uint32(num_partitions)
+        return batch.append_column("gg_pkey", pa.array(pk.astype(np.int32)))
+
+    return (ds.map_batches(add_pk, batch_format="pyarrow", zero_copy_batch=True)
+            .groupby("gg_pkey")
+            .map_groups(lambda g: fn(g.drop_columns(["gg_pkey"])),
+                        batch_format="pyarrow"))
 
 
 def grouped_min_k(
@@ -123,8 +154,7 @@ def grouped_min_k(
     candidates = ds.map_batches(lambda b: _mink(b, False),
                                 batch_format="pyarrow", batch_size=batch_size,
                                 zero_copy_batch=True)
-    return candidates.groupby(keys).map_groups(
-        lambda g: _mink(g, True), batch_format="pyarrow")
+    return _coarse_key_groupby(candidates, keys, lambda g: _mink(g, True))
 
 
 _ROLLUP_REAGG: dict[str, str] = {"count": "sum", "sum": "sum", "min": "min", "max": "max"}
@@ -254,7 +284,7 @@ def grouped_mode(
 
     candidates = counts.map_batches(local_best, batch_format="pyarrow",
                                     zero_copy_batch=True)
-    return candidates.groupby(keys).map_groups(pick, batch_format="pyarrow")
+    return _coarse_key_groupby(candidates, keys, pick)
 
 
 def grouped_topk(
@@ -307,8 +337,7 @@ def grouped_topk(
 
     candidates = counts.map_batches(lambda b: _topk(b, False),
                                     batch_format="pyarrow", zero_copy_batch=True)
-    return candidates.groupby(keys).map_groups(
-        lambda g: _topk(g, True), batch_format="pyarrow")
+    return _coarse_key_groupby(candidates, keys, lambda g: _topk(g, True))
 
 
 def grouped_quantiles(

@@ -929,15 +929,46 @@ def q_joinsize_orders_lineitem(sf_dir: str):
                          "l_orderkey", mk)
     est = cms_o.inner_product(cms_l)
 
-    # exact Σ n_o·n_l without a join: orders keys are unique (n_o = 1),
-    # so the join size is the count of lineitem rows whose key exists
-    # in orders — distributed grouped counts on each side, tiny merge.
-    lcounts = grouped_agg(_read(sf_dir, "lineitem", ["l_orderkey"]),
-                          ["l_orderkey"], [("n", None, "count")]).take_all()
-    okeys_rows = grouped_agg(_read(sf_dir, "orders", ["o_orderkey"]),
-                             ["o_orderkey"], [("m", None, "count")]).take_all()
-    om = {r["o_orderkey"]: int(r["m"]) for r in okeys_rows}
-    exact = int(sum(int(r["n"]) * om.get(r["l_orderkey"], 0) for r in lcounts))
+    # exact Σ n_o·n_l fully distributed: both sides reduce to
+    # (key, count, side) rows, co-locate in coarse key-hash partitions
+    # through one unified schema + single groupby (no Ray join), and
+    # each partition multiplies the per-key count pair with one
+    # lexsort — only O(partitions) scalar partials reach the driver.
+    def side_counts(table, key, side):
+        cnts = grouped_agg(_read(sf_dir, table, [key]),
+                           [key], [("n", None, "count")])
+
+        def tag(batch: pa.Table) -> pa.Table:
+            k = np.asarray(batch[key], dtype=np.int64)
+            with np.errstate(over="ignore"):
+                pk = (k.astype(np.uint64) * np.uint64(0x9E3779B97F4A7C15)
+                      ) % np.uint64(32)
+            return pa.table({
+                "k": pa.array(k, type=pa.int64()),
+                "n": pc.cast(batch["n"], pa.int64()),
+                "side": pa.array(np.full(len(k), side, dtype=np.int8)),
+                "pkey": pa.array(pk.astype(np.int32)),
+            })
+
+        return cnts.map_batches(tag, batch_format="pyarrow",
+                                zero_copy_batch=True)
+
+    both = side_counts("orders", "o_orderkey", 0).union(
+        side_counts("lineitem", "l_orderkey", 1))
+
+    def close(group: pa.Table) -> pa.Table:
+        k = np.asarray(group["k"], dtype=np.int64)
+        n = np.asarray(group["n"], dtype=np.int64)
+        side = np.asarray(group["side"], dtype=np.int8)
+        order = np.lexsort((side, k))
+        k, n, side = k[order], n[order], side[order]
+        # a key present on both sides appears as adjacent (side 0, side 1)
+        both_sides = (k[:-1] == k[1:]) & (side[:-1] == 0) & (side[1:] == 1)
+        total = int((n[:-1][both_sides] * n[1:][both_sides]).sum())
+        return pa.table({"p": pa.array([total], type=pa.int64())})
+
+    parts = both.groupby("pkey").map_groups(close, batch_format="pyarrow")
+    exact = int(sum(r["p"] for r in parts.take_all()))
     within = exact <= est <= exact + cms_o.inner_product_bound(cms_l)
     return pa.table({
         "exact_joinsize": pa.array([exact], type=pa.int64()),

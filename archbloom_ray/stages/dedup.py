@@ -51,16 +51,39 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data
 
     hashed = ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "content_hash": group["content_hash"].slice(0, 1),
-                id_col: pa.array([pc.min(group[id_col]).as_py()], type=group[id_col].type),
-                "n_copies": pa.array([len(group)], type=pa.int64()),
-            }
-        )
+    # one Ray group per DISTINCT CONTENT would be a Python call per
+    # document at web scale — coarse-partition by hash and resolve every
+    # content group in the partition with one lexsort + segment heads.
+    num_partitions = 64
 
-    return hashed.groupby("content_hash").map_groups(keep_first, batch_format="pyarrow")
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["content_hash"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (h * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["content_hash"], dtype=np.int64)
+        ids = np.asarray(group[id_col])
+        sort_ids = ids.astype("U") if ids.dtype == object else ids
+        order = np.lexsort((sort_ids, h))
+        hs = h[order]
+        head = np.ones(hs.size, dtype=bool)
+        if hs.size > 1:
+            head[1:] = hs[1:] != hs[:-1]
+        seg = np.cumsum(head) - 1
+        n_copies = np.bincount(seg).astype(np.int64)
+        sel = pa.array(order[head])
+        return pa.table({
+            "content_hash": group["content_hash"].combine_chunks().take(sel),
+            id_col: group[id_col].combine_chunks().take(sel),
+            "n_copies": pa.array(n_copies),
+        })
+
+    return (hashed.map_batches(add_pkey, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("pkey")
+            .map_groups(keep_first, batch_format="pyarrow"))
 
 
 # ---------------------------------------------------------------------------
