@@ -2970,6 +2970,27 @@ def q_chars_percentiles_disc(sf_dir: str):
     })
 
 
+def q_length_window_ranks(sf_dir: str):
+    """Per-document SQL window ranks WITHOUT a row shuffle
+    (pipelines.relational.grouped_window_rank): PERCENT_RANK and
+    CUME_DIST of n_chars within each lang come from a broadcast
+    (lang, n_chars)-count rank table — only distinct pairs cross the
+    wire, the documents themselves never move.  Arithmetic matches
+    DuckDB's window functions bit-exactly ((rank−1)/(n−1), peers/n)."""
+    from .pipelines.relational import grouped_window_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_window_rank(ds, ["lang"], "n_chars", ["doc_id"])
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "pct_rank": pa.array([r["pct_rank"] for r in rows], type=pa.float64()),
+        "cume_dist": pa.array([r["cume_dist"] for r in rows], type=pa.float64()),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3470,6 +3491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "session_durations": q_session_durations,
         "peak_concurrency": q_peak_concurrency,
         "chars_percentiles_disc": q_chars_percentiles_disc,
+        "length_window_ranks": q_length_window_ranks,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4075,6 +4097,12 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
                    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "length_window_ranks": """
+            SELECT doc_id, lang, n_chars,
+                   PERCENT_RANK() OVER (PARTITION BY lang ORDER BY n_chars) AS pct_rank,
+                   CUME_DIST()    OVER (PARTITION BY lang ORDER BY n_chars) AS cume_dist
+            FROM documents
         """,
         "peak_concurrency": """
             WITH o AS (

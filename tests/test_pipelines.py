@@ -1171,3 +1171,35 @@ class TestNullSkippingAggs:
             FROM t GROUP BY g""").fetchall()))
         assert sa == want
         assert dc == [(g, n) for g, n, _ in want]
+
+
+class TestGroupedWindowRank:
+    def test_matches_duckdb_window_functions(self, ray_session):
+        """PERCENT_RANK/CUME_DIST from the broadcast rank table are
+        bit-identical to DuckDB's window functions, including ties and
+        a single-row partition (percent_rank := 0)."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import grouped_window_rank
+
+        rng = np.random.default_rng(11)
+        rows = [(i, ["en", "de", "fr"][int(rng.integers(0, 3))],
+                 int(rng.integers(0, 40)))
+                for i in range(400)] + [(400, "solo", 7)]
+        ds = rd.from_items(
+            [{"doc_id": i, "lang": g, "v": v} for i, g, v in rows]
+        ).repartition(5)
+        out = grouped_window_rank(ds, ["lang"], "v", ["doc_id"])
+        got = {r["doc_id"]: (r["lang"], r["v"], r["pct_rank"], r["cume_dist"])
+               for r in out.take_all()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (doc_id BIGINT, lang VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        want = {d: (g, v, p, c) for d, g, v, p, c in con.execute("""
+            SELECT doc_id, lang, v,
+                   PERCENT_RANK() OVER (PARTITION BY lang ORDER BY v),
+                   CUME_DIST()    OVER (PARTITION BY lang ORDER BY v)
+            FROM t""").fetchall()}
+        assert got == want  # exact float equality — same int/int divisions
