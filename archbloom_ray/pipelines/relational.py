@@ -464,6 +464,91 @@ def grouped_window_rank(
                           batch_size=batch_size, zero_copy_batch=True)
 
 
+def global_order_index(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_per_block: int = 256,
+    out: str = "global_rank",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Distributed ``ROW_NUMBER() OVER (ORDER BY value, id)`` — a
+    contiguous global ordinal for every row (Spark's zipWithIndex-on-
+    sorted; Ray Data has none) without funneling rows to the driver.
+
+    The standard distributed-sort plan, kept streaming:
+
+    1. stride-sample the value column per batch (deterministic — no
+       RNG) and cut ``num_buckets−1`` range boundaries on the sampled
+       quantiles;
+    2. a tiny pre-aggregated grouped count yields per-bucket sizes,
+       prefix-summed on the driver into offsets (O(buckets) scalars)
+       and broadcast;
+    3. rows hash to their range bucket via one ``searchsorted``, each
+       bucket orders itself with ONE lexsort in a ``map_groups``
+       reducer — the single row exchange any global sort pays — and
+       the ordinal is ``offset[bucket] + local index``.
+
+    Boundaries cut only on the value (ties on a boundary value stay in
+    one bucket, ordered there by the ``id_col`` tie-break), so a single
+    dominant value skews its bucket — the usual range-partitioner
+    caveat; sample more buckets for near-uniform values.
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col])
+        stride = max(1, len(v) // sample_per_block)
+        return pa.table({"v": pa.array(np.sort(v)[::stride])})
+
+    samp = np.sort(np.asarray(
+        [r["v"] for r in ds.map_batches(
+            sample, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True).take_all()]))
+    cuts = (samp[np.linspace(1, len(samp) - 1, num_buckets - 1, dtype=np.int64)]
+            if len(samp) > num_buckets else samp[:0])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col])
+        b = np.searchsorted(cuts, v, side="right").astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.select_columns([id_col, value_col]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+
+    sizes = grouped_agg(bucketed.select_columns(["bucket"]),
+                        ["bucket"], [("n", None, "count")]).take_all()
+    sizes.sort(key=lambda r: r["bucket"])
+    offsets = {}
+    acc = 0
+    for r in sizes:
+        offsets[int(r["bucket"])] = acc
+        acc += int(r["n"])
+    ref = _ray.put(offsets)
+
+    def order_bucket(group: pa.Table) -> pa.Table:
+        offs = cached_instance(("goi_offsets", ref.hex()), lambda: _ray.get(ref))
+        v = np.asarray(group[value_col])
+        ids = np.asarray(group[id_col])
+        order = np.lexsort((ids, v))
+        rank = np.empty(len(v), dtype=np.int64)
+        rank[order] = np.arange(len(v), dtype=np.int64)
+        base = offs[int(group["bucket"][0].as_py())]
+        return pa.table({
+            id_col: group[id_col],
+            value_col: group[value_col],
+            out: pa.array(rank + base + 1),
+        })
+
+    return bucketed.groupby("bucket").map_groups(
+        order_bucket, batch_format="pyarrow")
+
+
 def broadcast_lookup(
     ds: "ray.data.Dataset",
     mapping_ref,

@@ -2991,6 +2991,23 @@ def q_length_window_ranks(sf_dir: str):
     })
 
 
+def q_global_order_index(sf_dir: str):
+    """Distributed global ROW_NUMBER (ORDER BY n_chars, doc_id) via the
+    sampled range partitioner (pipelines.relational.global_order_index):
+    stride-sampled boundaries, per-bucket lexsort, driver sees only
+    O(buckets) size scalars — the zipWithIndex Ray Data lacks."""
+    from .pipelines.relational import global_order_index
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = global_order_index(ds, "n_chars", "doc_id", num_buckets=16)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "global_rank": pa.array([r["global_rank"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3492,6 +3509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "peak_concurrency": q_peak_concurrency,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "length_window_ranks": q_length_window_ranks,
+        "global_order_index": q_global_order_index,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4097,6 +4115,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p5,
                    CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY n_chars) AS BIGINT) AS p9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "global_order_index": """
+            SELECT doc_id, n_chars,
+                   ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
+            FROM documents
         """,
         "length_window_ranks": """
             SELECT doc_id, lang, n_chars,

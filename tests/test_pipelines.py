@@ -1203,3 +1203,31 @@ class TestGroupedWindowRank:
                    CUME_DIST()    OVER (PARTITION BY lang ORDER BY v)
             FROM t""").fetchall()}
         assert got == want  # exact float equality — same int/int divisions
+
+
+class TestGlobalOrderIndex:
+    def test_matches_row_number(self, ray_session):
+        """Contiguous global ordinals == ROW_NUMBER() OVER (ORDER BY v,
+        id), including heavy ties and values absent from the sample."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import global_order_index
+
+        rng = np.random.default_rng(23)
+        vals = np.concatenate([rng.integers(0, 30, 700),
+                               np.full(300, 7)])  # hot value → one bucket
+        rows = [(i, int(v)) for i, v in enumerate(vals)]
+        ds = rd.from_items([{"id": i, "v": v} for i, v in rows]).repartition(7)
+        out = global_order_index(ds, "v", "id", num_buckets=8,
+                                 sample_per_block=16)
+        got = sorted((r["id"], r["v"], r["global_rank"])
+                     for r in out.take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id BIGINT, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT id, v, ROW_NUMBER() OVER (ORDER BY v, id) FROM t
+        """).fetchall()))
+        assert got == want
