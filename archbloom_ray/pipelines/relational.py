@@ -549,6 +549,86 @@ def global_order_index(
         order_bucket, batch_format="pyarrow")
 
 
+def global_prefix_sum(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_per_block: int = 256,
+    out: str = "prefix_sum",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Distributed EXCLUSIVE prefix sum in ``id`` order — the parallel
+    scan: ``SUM(value) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED
+    PRECEDING AND 1 PRECEDING)``, 0 for the first row.
+
+    The classic two-phase scan, Ray-Data-shaped: ids range-bucket on
+    deterministic stride-sampled boundaries; per-bucket TOTALS come
+    from a tiny pre-aggregated grouped sum and prefix-sum on the driver
+    (O(buckets) scalars) into broadcast bucket bases; each bucket then
+    sorts its own rows once and adds an exclusive cumsum to its base —
+    one row exchange, no driver row traffic.
+
+    This is the sequence-packing primitive: with ``value`` = per-doc
+    token count, ``prefix_sum // budget`` is the contiguous
+    token-offset shard each document lands in (docs never split across
+    a read order, bins are byte-budget-contiguous).
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[id_col])
+        stride = max(1, len(v) // sample_per_block)
+        return pa.table({"v": pa.array(np.sort(v)[::stride])})
+
+    samp = np.sort(np.asarray(
+        [r["v"] for r in ds.map_batches(
+            sample, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True).take_all()]))
+    cuts = (samp[np.linspace(1, len(samp) - 1, num_buckets - 1, dtype=np.int64)]
+            if len(samp) > num_buckets else samp[:0])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch[id_col])
+        b = np.searchsorted(cuts, i, side="right").astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.select_columns([id_col, value_col]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+
+    totals = grouped_agg(bucketed.select_columns(["bucket", value_col]),
+                         ["bucket"], [("s", value_col, "sum")]).take_all()
+    totals.sort(key=lambda r: r["bucket"])
+    bases = {}
+    acc = 0
+    for r in totals:
+        bases[int(r["bucket"])] = acc
+        acc += int(r["s"])
+    ref = _ray.put(bases)
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        bs = cached_instance(("gps_bases", ref.hex()), lambda: _ray.get(ref))
+        ids = np.asarray(group[id_col])
+        v = np.asarray(group[value_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        excl = np.concatenate(([0], np.cumsum(v[order])[:-1]))
+        pre = np.empty(len(v), dtype=np.int64)
+        pre[order] = excl
+        base = bs[int(group["bucket"][0].as_py())]
+        return pa.table({
+            id_col: group[id_col],
+            value_col: group[value_col],
+            out: pa.array(pre + base),
+        })
+
+    return bucketed.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pyarrow")
+
+
 def broadcast_lookup(
     ds: "ray.data.Dataset",
     mapping_ref,

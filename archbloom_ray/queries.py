@@ -3008,6 +3008,27 @@ def q_global_order_index(sf_dir: str):
     })
 
 
+def q_token_shard_assignment(sf_dir: str):
+    """Sequence-packing shard assignment via the distributed parallel
+    scan (pipelines.relational.global_prefix_sum): each doc's exclusive
+    char-offset in doc_id read order, and the contiguous 20k-char
+    training shard ``offset // 20000`` it therefore lands in — docs
+    never split, shards are budget-contiguous."""
+    from .pipelines.relational import global_prefix_sum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    out = global_prefix_sum(ds, "n_chars", "doc_id", num_buckets=16,
+                            out="chars_before")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    before = np.array([r["chars_before"] for r in rows], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "chars_before": pa.array(before),
+        "shard": pa.array(before // 20000),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3510,6 +3531,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "length_window_ranks": q_length_window_ranks,
         "global_order_index": q_global_order_index,
+        "token_shard_assignment": q_token_shard_assignment,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4120,6 +4142,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "token_shard_assignment": """
+            WITH scan AS (
+                SELECT doc_id, n_chars,
+                       CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS chars_before
+                FROM documents
+            )
+            SELECT doc_id, n_chars, chars_before,
+                   chars_before // 20000 AS shard
+            FROM scan
         """,
         "length_window_ranks": """
             SELECT doc_id, lang, n_chars,

@@ -1231,3 +1231,31 @@ class TestGlobalOrderIndex:
             SELECT id, v, ROW_NUMBER() OVER (ORDER BY v, id) FROM t
         """).fetchall()))
         assert got == want
+
+
+class TestGlobalPrefixSum:
+    def test_matches_window_sum(self, ray_session):
+        """Exclusive scan == SUM OVER UNBOUNDED PRECEDING..1 PRECEDING,
+        with ids arriving shuffled across partitions."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import global_prefix_sum
+
+        rng = np.random.default_rng(31)
+        ids = rng.permutation(600)
+        rows = [(int(i), int(rng.integers(0, 50))) for i in ids]
+        ds = rd.from_items([{"id": i, "v": v} for i, v in rows]).repartition(6)
+        out = global_prefix_sum(ds, "v", "id", num_buckets=8,
+                                sample_per_block=16)
+        got = sorted((r["id"], r["v"], r["prefix_sum"])
+                     for r in out.take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id BIGINT, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT id, v, COALESCE(SUM(v) OVER (ORDER BY id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+            FROM t""").fetchall()))
+        assert got == want
