@@ -1307,6 +1307,60 @@ def q_hll_rollup(sf_dir: str):
     })
 
 
+def q_hll_window_dau(sf_dir: str):
+    """Sliding-window distinct users from MERGED per-hour HLLs: one
+    scan builds an HLL per hour (count-row shuffle), then every 2h/1h
+    hopping window is answered by register-max union of its two hour
+    sketches — merge associativity replaces a second pass over events
+    (the window pattern the north rule's mergeable UDAFs exist for).
+    Certified per window against the exact distributed windowed
+    distinct (same hopping explode as events_hopping_dau); oracle
+    checks (ws, n_users) + the 3σ/±4 verdict column."""
+    from .pipelines import grouped_distinct_count
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches.base import sketch_from_bytes
+
+    US_H = 3_600_000_000
+
+    def hours(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"], pa.int64()), US_H)
+        return pa.table({"h": hi, "user_id": batch["user_id"]})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        hours, batch_format="pyarrow", zero_copy_batch=True)
+    states = build_grouped_value_sketches(
+        ds, "h", "user_id", {"hll": lambda: HyperLogLog(14)}, salt=4)
+    hlls = {int(r["key"]): sketch_from_bytes(r["state"])
+            for r in states.take_all()}
+    empty = HyperLogLog(14)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"], pa.int64()), US_H).combine_chunks()
+        u = batch["user_id"].combine_chunks()
+        return pa.table({
+            "ws": pa.concat_arrays([pc.subtract(hi, pa.scalar(1, pa.int64())), hi]),
+            "user_id": pa.concat_arrays([u, u]),
+        })
+
+    exact_ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(grouped_distinct_count(exact_ds, ["ws"], "user_id").take_all(),
+                  key=lambda r: r["ws"])
+    ws = [int(r["ws"]) for r in rows]
+    exact = [int(r["n_distinct"]) for r in rows]
+    within = []
+    for w, e in zip(ws, exact):
+        a = hlls.get(w, empty)
+        b = hlls.get(w + 1, empty)
+        est = a.union_cardinality(b)
+        within.append(abs(est - e) <= max(3 * a.relative_error_bound() * e, 4.0))
+    return pa.table({
+        "ws": pa.array(np.array(ws, dtype=np.int64) * US_H).cast(pa.timestamp("us")),
+        "n_users": pa.array(exact, type=pa.int64()),
+        "hll_within_bound": pa.array(within, type=pa.bool_()),
+    })
+
+
 def q_cuckoo_membership(sf_dir: str):
     """Cuckoo-filter membership (reference cuckoo.c:89-156): built with
     ample headroom (~12% load) so every insert and the distributed
@@ -3532,6 +3586,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_window_ranks": q_length_window_ranks,
         "global_order_index": q_global_order_index,
         "token_shard_assignment": q_token_shard_assignment,
+        "hll_window_dau": q_hll_window_dau,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4142,6 +4197,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "hll_window_dau": """
+            WITH e AS (SELECT date_trunc('hour', ts) AS h, user_id FROM events),
+            w AS (SELECT h AS ws, user_id FROM e
+                  UNION ALL
+                  SELECT h - INTERVAL 1 HOUR AS ws, user_id FROM e)
+            SELECT ws, CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+                   TRUE AS hll_within_bound
+            FROM w GROUP BY ws ORDER BY ws
         """,
         "token_shard_assignment": """
             WITH scan AS (
