@@ -419,8 +419,8 @@ def grouped_window_rank(
         keys + [value_col], [("n", None, "count")], batch_size=batch_size)
 
     rows = counts.take_all()
-    key_of = (lambda r: r[keys[0]]) if len(keys) == 1 else (
-        lambda r: tuple(r[k] for k in keys))
+    # composite string key matches the vectorized batch-side cast below
+    key_of = lambda r: "\x1f".join(str(r[k]) for k in keys)  # noqa: E731
     by_key: dict = {}
     for r in rows:
         by_key.setdefault(key_of(r), []).append((r[value_col], int(r["n"])))
@@ -442,15 +442,17 @@ def grouped_window_rank(
         v = np.asarray(batch[value_col])
         pct = np.empty(len(v), dtype=np.float64)
         cume = np.empty(len(v), dtype=np.float64)
-        if len(keys) == 1:
-            karr = np.asarray(batch[keys[0]])
-        else:
-            karr = np.array(list(zip(*(np.asarray(batch[k]) for k in keys))),
-                            dtype=object)
-        # few distinct partition keys per batch (langs/sources, not ids)
-        for k in np.unique(karr) if len(keys) == 1 else set(map(tuple, karr)):
-            mask = karr == k if len(keys) == 1 else np.array(
-                [tuple(x) == k for x in karr])
+        parts = [pc.cast(batch[k], pa.string()) for k in keys]
+        joined = (parts[0] if len(parts) == 1
+                  else pc.binary_join_element_wise(*parts, "\x1f"))
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        karr = np.asarray(joined)
+        # one pass per distinct partition key in the batch (langs /
+        # sources, not ids) via unique+inverse — no per-row Python
+        uniq, inv = np.unique(karr, return_inverse=True)
+        for j, k in enumerate(uniq):
+            mask = inv == j
             vals, p, c = tab[k]
             idx = np.searchsorted(vals, v[mask])
             pct[mask] = p[idx]

@@ -1204,6 +1204,36 @@ class TestGroupedWindowRank:
             FROM t""").fetchall()}
         assert got == want  # exact float equality — same int/int divisions
 
+    def test_multi_key_partitions(self, ray_session):
+        """Composite (string, int) partition keys rank independently."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import grouped_window_rank
+
+        rng = np.random.default_rng(13)
+        rows = [(i, ["a", "b"][int(rng.integers(0, 2))],
+                 int(rng.integers(0, 3)), int(rng.integers(0, 25)))
+                for i in range(300)]
+        ds = rd.from_items(
+            [{"id": i, "g": g, "s": s, "v": v} for i, g, s, v in rows]
+        ).repartition(4)
+        out = grouped_window_rank(ds, ["g", "s"], "v", ["id"])
+        got = {r["id"]: (r["pct_rank"], r["cume_dist"])
+               for r in out.take_all()}
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id BIGINT, g VARCHAR, s BIGINT, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?, ?)", rows)
+        want = {i: (p, c) for i, p, c in con.execute("""
+            SELECT id, PERCENT_RANK() OVER (PARTITION BY g, s ORDER BY v),
+                   CUME_DIST() OVER (PARTITION BY g, s ORDER BY v)
+            FROM t""").fetchall()}
+        assert got == want
+
+
+
+
 
 class TestGlobalOrderIndex:
     def test_matches_row_number(self, ray_session):
