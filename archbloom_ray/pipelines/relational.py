@@ -466,6 +466,107 @@ def grouped_window_rank(
                           batch_size=batch_size, zero_copy_batch=True)
 
 
+def grouped_row_number(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    id_col: str,
+    *,
+    ntile: int = 0,
+    out_rn: str = "row_number",
+    out_ntile: str = "ntile",
+) -> "ray.data.Dataset":
+    """Per-row ``ROW_NUMBER()`` — and with ``ntile=k`` also ``NTILE(k)``
+    — OVER (PARTITION BY keys ORDER BY value, id).  ``id_col`` must be
+    unique: it is the ORDER BY tie-break that makes both outputs
+    deterministic (SQL NTILE over a non-unique order is
+    engine-arbitrary and can never hash-match).
+
+    Scale shape: the standard per-row window plan — coarse key-hash
+    partitions (one reducer call per partition, not per key), ONE
+    composite lexsort per partition, then segment-offset arithmetic;
+    NTILE uses the SQL allocation (first ``n % k`` buckets get
+    ``n//k + 1`` rows) computed vectorized from per-segment sizes.
+    Output rows = input rows; the only movement is the key-hash
+    shuffle every SQL window function pays.
+    """
+
+    def reducer(group: pa.Table) -> pa.Table:
+        n = len(group)
+        parts = [pc.cast(group[k], pa.string()) for k in keys]
+        joined = (parts[0] if len(parts) == 1
+                  else pc.binary_join_element_wise(*parts, "\x1f"))
+        if isinstance(joined, pa.ChunkedArray):
+            joined = joined.combine_chunks()
+        kcomp = np.asarray(joined)
+        vals = np.asarray(group[value_col])
+        ids = np.asarray(group[id_col])
+        order = np.lexsort((ids, vals, kcomp))
+        ks = kcomp[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = ks[1:] != ks[:-1]
+        starts = np.flatnonzero(new_key)
+        seg_id = np.cumsum(new_key) - 1
+        rn0 = np.arange(n, dtype=np.int64) - starts[seg_id]
+        sel = pa.array(order)
+        cols = {k: group[k].combine_chunks().take(sel) for k in keys}
+        cols[value_col] = group[value_col].combine_chunks().take(sel)
+        cols[id_col] = group[id_col].combine_chunks().take(sel)
+        cols[out_rn] = pa.array(rn0 + 1)
+        if ntile > 0:
+            sizes = np.diff(np.append(starts, n))[seg_id]
+            q, r = sizes // ntile, sizes % ntile
+            big = rn0 < r * (q + 1)
+            tile = np.where(
+                q == 0, rn0,
+                np.where(big, rn0 // np.maximum(q + 1, 1),
+                         r + (rn0 - r * (q + 1)) // np.maximum(q, 1)))
+            cols[out_ntile] = pa.array(tile.astype(np.int64) + 1)
+        return pa.table(cols)
+
+    return _coarse_key_groupby(
+        ds.select_columns(keys + [value_col, id_col]), keys, reducer)
+
+
+def dataset_checksum(
+    ds: "ray.data.Dataset",
+    int_cols: list[str],
+    mults: list[int],
+    *,
+    mod: int = (1 << 61) - 1,
+    batch_size: int = 65536,
+) -> tuple[int, int]:
+    """Order-independent dataset checksum ``(n_rows, Σ_rows Σ_j
+    col_j·mult_j  mod  m)`` — the cheap cross-engine migration check:
+    equal contents give equal checksums regardless of partitioning,
+    block order or engine; any dropped, duplicated or mutated row
+    changes the sum (commutative, so no ordering pass is needed).
+
+    Exact integer arithmetic end to end: per-batch int64 partial sums
+    (callers pick ``mults`` so ``|row term| ≤ ~2^44`` and a 65k batch
+    stays < 2^63), Python-int accumulation on the driver, one final
+    reduction mod ``m``.  The SQL mirror is ``SUM(c1*m1 + c2*m2) %
+    m`` — SQL engines sum in arbitrary order too, which is exactly why
+    the checksum must be commutative.
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        acc = np.zeros(len(batch), dtype=np.int64)
+        for c, m in zip(int_cols, mults):
+            acc += np.asarray(batch[c], dtype=np.int64) * np.int64(m)
+        return pa.table({
+            "s": pa.array([int(acc.sum())], type=pa.int64()),
+            "n": pa.array([len(batch)], type=pa.int64()),
+        })
+
+    rows = ds.select_columns(int_cols).map_batches(
+        partial, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True).take_all()
+    total = sum(int(r["s"]) for r in rows)
+    n = sum(int(r["n"]) for r in rows)
+    return n, total % mod
+
+
 def global_order_index(
     ds: "ray.data.Dataset",
     value_col: str,

@@ -3083,6 +3083,42 @@ def q_token_shard_assignment(sf_dir: str):
     })
 
 
+def q_length_quartile_buckets(sf_dir: str):
+    """Per-row ROW_NUMBER + NTILE(4) within each lang ordered by
+    (n_chars, doc_id) — deterministic because the tie-break is unique
+    (pipelines.relational.grouped_row_number: coarse key-hash
+    partitions, one lexsort + segment offsets, SQL NTILE allocation)."""
+    from .pipelines.relational import grouped_row_number
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    out = grouped_row_number(ds, ["lang"], "n_chars", "doc_id", ntile=4)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "rn": pa.array([r["row_number"] for r in rows], type=pa.int64()),
+        "quartile": pa.array([r["ntile"] for r in rows], type=pa.int64()),
+    })
+
+
+def q_migration_checksum(sf_dir: str):
+    """Order-independent dataset checksum for cross-engine migration
+    verification (pipelines.relational.dataset_checksum): commutative
+    Σ(doc_id·A + n_chars·B) mod 2^61−1 plus the row count — equal on
+    both engines iff the table content matches, no sort or row
+    transfer needed."""
+    from .pipelines.relational import dataset_checksum
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    n, cksum = dataset_checksum(ds, ["doc_id", "n_chars"],
+                                [1_000_003, 777_751])
+    return pa.table({
+        "n_rows": pa.array([n], type=pa.int64()),
+        "checksum": pa.array([cksum], type=pa.int64()),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3587,6 +3623,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "global_order_index": q_global_order_index,
         "token_shard_assignment": q_token_shard_assignment,
         "hll_window_dau": q_hll_window_dau,
+        "length_quartile_buckets": q_length_quartile_buckets,
+        "migration_checksum": q_migration_checksum,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4196,6 +4234,20 @@ def oracle_sql() -> dict[str, str]:
         "global_order_index": """
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
+            FROM documents
+        """,
+        "migration_checksum": """
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(SUM(doc_id * 1000003 + n_chars * 777751)
+                        % 2305843009213693951 AS BIGINT) AS checksum
+            FROM documents
+        """,
+        "length_quartile_buckets": """
+            SELECT doc_id, lang, n_chars,
+                   ROW_NUMBER() OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS rn,
+                   NTILE(4) OVER (PARTITION BY lang
+                       ORDER BY n_chars, doc_id) AS quartile
             FROM documents
         """,
         "hll_window_dau": """

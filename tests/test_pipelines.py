@@ -1235,6 +1235,37 @@ class TestGroupedWindowRank:
 
 
 
+class TestGroupedRowNumber:
+    def test_matches_row_number_and_ntile(self, ray_session):
+        """ROW_NUMBER + NTILE(k) match DuckDB for uneven buckets, heavy
+        ties (unique id tie-break), and groups smaller than k."""
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import grouped_row_number
+
+        rng = np.random.default_rng(17)
+        rows = [(i, ["en", "de", "tiny"][min(int(rng.integers(0, 3)), 2)],
+                 int(rng.integers(0, 12)))
+                for i in range(350)]
+        rows = [r for r in rows if r[1] != "tiny"] + [
+            (1000, "tiny", 5), (1001, "tiny", 5)]  # group smaller than k
+        ds = rd.from_items(
+            [{"id": i, "g": g, "v": v} for i, g, v in rows]).repartition(5)
+        out = grouped_row_number(ds, ["g"], "v", "id", ntile=4)
+        got = sorted((r["id"], r["row_number"], r["ntile"])
+                     for r in out.take_all())
+
+        con = duckdb.connect()
+        con.execute("CREATE TABLE t (id BIGINT, g VARCHAR, v BIGINT)")
+        con.executemany("INSERT INTO t VALUES (?, ?, ?)", rows)
+        want = sorted(map(tuple, con.execute("""
+            SELECT id, ROW_NUMBER() OVER (PARTITION BY g ORDER BY v, id),
+                   NTILE(4) OVER (PARTITION BY g ORDER BY v, id)
+            FROM t""").fetchall()))
+        assert got == want
+
+
 class TestGlobalOrderIndex:
     def test_matches_row_number(self, ray_session):
         """Contiguous global ordinals == ROW_NUMBER() OVER (ORDER BY v,
@@ -1289,3 +1320,23 @@ class TestGlobalPrefixSum:
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
             FROM t""").fetchall()))
         assert got == want
+
+class TestDatasetChecksum:
+    def test_order_independent_and_mutation_sensitive(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import dataset_checksum
+
+        rng = np.random.default_rng(41)
+        rows = [(int(i), int(v)) for i, v in
+                enumerate(rng.integers(0, 10_000, 500))]
+        a = rd.from_items([{"id": i, "v": v} for i, v in rows]).repartition(3)
+        perm = list(rows); rng.shuffle(perm)
+        b = rd.from_items([{"id": i, "v": v} for i, v in perm]).repartition(7)
+        ca = dataset_checksum(a, ["id", "v"], [1_000_003, 777_751])
+        cb = dataset_checksum(b, ["id", "v"], [1_000_003, 777_751])
+        assert ca == cb  # partitioning/order invariant
+        mut = [(i, v + 1 if i == 250 else v) for i, v in rows]
+        c = rd.from_items([{"id": i, "v": v} for i, v in mut]).repartition(3)
+        cc = dataset_checksum(c, ["id", "v"], [1_000_003, 777_751])
+        assert cc[0] == ca[0] and cc[1] != ca[1]  # one mutated row flips it
