@@ -87,6 +87,59 @@ def read_lines_gz(path: str, column: str = "text") -> "ray.data.Dataset":
     return ds
 
 
+_CODEC_EXT = {"gzip": ["gz"], "bz2": ["bz2"], "zstd": ["zst", "zstd"]}
+
+
+def read_jsonl_compressed(
+    path: str, codec: str, columns: list[str] | None = None
+) -> "ray.data.Dataset":
+    """Newline-delimited JSON behind any Arrow stream codec this build
+    ships (``gzip``/``bz2``/``zstd`` — zstd is the wire format of
+    RedPajama/Dolma-style corpus releases, ``*.jsonl.zst``).  Files are
+    the parallel unit: these codecs' single-member streams aren't
+    splittable, which matches how such corpora shard (thousands of ~GB
+    members)."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available(codec):
+        raise ValueError(f"codec {codec!r} not available in this Arrow build")
+    ds = ray.data.read_json(
+        path,
+        arrow_open_stream_args={"compression": codec},
+        file_extensions=_CODEC_EXT.get(codec),
+    )
+    if columns:
+        ds = ds.select_columns(columns)
+    return ds
+
+
+def read_lines_compressed(
+    path: str, codec: str, column: str = "text"
+) -> "ray.data.Dataset":
+    """Compressed line text (one row per line) for the same codec set
+    as :func:`read_jsonl_compressed`."""
+    import pyarrow as pa
+
+    if not pa.Codec.is_available(codec):
+        raise ValueError(f"codec {codec!r} not available in this Arrow build")
+    ds = ray.data.read_text(
+        path,
+        arrow_open_stream_args={"compression": codec},
+        file_extensions=_CODEC_EXT.get(codec),
+    )
+    if column != "text":
+        ds = ds.rename_columns({"text": column})
+    return ds
+
+
+def read_jsonl_zst(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return read_jsonl_compressed(path, "zstd", columns)
+
+
+def read_jsonl_bz2(path: str, columns: list[str] | None = None) -> "ray.data.Dataset":
+    return read_jsonl_compressed(path, "bz2", columns)
+
+
 def read_warc(
     path: str,
     *,

@@ -197,6 +197,37 @@ class TestSources:
         assert sorted(r["element"] for r in l.take_all()) == [
             "alpha", "beta", "gamma"]
 
+    def test_zstd_and_bz2_jsonl(self, ray_session, tmp_path):
+        import bz2
+        import json
+
+        import pyarrow as pa
+
+        from archbloom_ray.sources import (
+            read_jsonl_bz2,
+            read_jsonl_zst,
+            read_lines_compressed,
+        )
+
+        payload = "".join(json.dumps({"id": i, "v": i * 3}) + "\n"
+                          for i in range(25)).encode()
+        zp = tmp_path / "d.jsonl.zst"
+        with pa.output_stream(str(zp), compression="zstd") as f:
+            f.write(payload)
+        bp = tmp_path / "d.jsonl.bz2"
+        bp.write_bytes(bz2.compress(payload))
+
+        z = read_jsonl_zst(str(zp), columns=["id"])
+        assert sorted(r["id"] for r in z.take_all()) == list(range(25))
+        b = read_jsonl_bz2(str(bp))
+        assert sorted(r["v"] for r in b.take_all()) == [i * 3 for i in range(25)]
+
+        lp = tmp_path / "d.txt.zst"
+        with pa.output_stream(str(lp), compression="zstd") as f:
+            f.write(b"alpha\nbeta\n")
+        l = read_lines_compressed(str(lp), "zstd", column="w")
+        assert sorted(r["w"] for r in l.take_all()) == ["alpha", "beta"]
+
     def test_warc_reader(self, ray_session, tmp_path):
         import gzip
 
