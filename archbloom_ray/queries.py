@@ -3119,6 +3119,59 @@ def q_migration_checksum(sf_dir: str):
     })
 
 
+def q_dedup_shard_pipeline(sf_dir: str):
+    """Two-stage curation composition with one end-to-end SQL oracle:
+    exact dedup (64-bit content hash exchange, min-id winner per
+    content — never the text) feeds the distributed parallel scan
+    (pipelines.relational.global_prefix_sum) that packs the KEPT docs
+    into contiguous 20k-char training shards in doc_id order.  The
+    dedup exchange moves (hash, id, n_chars) rows; the scan moves the
+    winners once more — text never crosses the wire."""
+    from .hashing import mmh3_128_batch
+    from .pipelines.relational import global_prefix_sum
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, _ = mmh3_128_batch(batch["text"])
+        with np.errstate(over="ignore"):
+            pk = (h1 * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(64)
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "n_chars": batch["n_chars"],
+            "h": pa.array(h1.astype(np.int64)),
+            "pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def winners(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["h"], dtype=np.int64)
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        order = np.lexsort((ids, h))
+        hs = h[order]
+        head = np.ones(hs.size, dtype=bool)
+        if hs.size > 1:
+            head[1:] = hs[1:] != hs[:-1]
+        sel = pa.array(order[head])
+        return pa.table({
+            "doc_id": group["doc_id"].combine_chunks().take(sel),
+            "n_chars": group["n_chars"].combine_chunks().take(sel),
+        })
+
+    kept = (_read(sf_dir, "documents", ["doc_id", "text", "n_chars"])
+            .map_batches(hash_batch, batch_format="pyarrow",
+                         zero_copy_batch=True)
+            .groupby("pkey")
+            .map_groups(winners, batch_format="pyarrow"))
+    out = global_prefix_sum(kept, "n_chars", "doc_id", num_buckets=16,
+                            out="chars_before")
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    before = np.array([r["chars_before"] for r in rows], dtype=np.int64)
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_chars": pa.array([r["n_chars"] for r in rows], type=pa.int64()),
+        "chars_before": pa.array(before),
+        "shard": pa.array(before // 20000),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3625,6 +3678,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_window_dau": q_hll_window_dau,
         "length_quartile_buckets": q_length_quartile_buckets,
         "migration_checksum": q_migration_checksum,
+        "dedup_shard_pipeline": q_dedup_shard_pipeline,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4235,6 +4289,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "dedup_shard_pipeline": """
+            WITH w AS (
+                SELECT min(doc_id) AS doc_id FROM documents GROUP BY text
+            ), k AS (
+                SELECT d.doc_id, d.n_chars
+                FROM documents d JOIN w USING (doc_id)
+            ), s AS (
+                SELECT doc_id, n_chars,
+                       CAST(COALESCE(SUM(n_chars) OVER (ORDER BY doc_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                           0) AS BIGINT) AS chars_before
+                FROM k
+            )
+            SELECT doc_id, n_chars, chars_before,
+                   chars_before // 20000 AS shard
+            FROM s
         """,
         "migration_checksum": """
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
