@@ -3172,6 +3172,34 @@ def q_dedup_shard_pipeline(sf_dir: str):
     })
 
 
+def q_midband_filter(sf_dir: str):
+    """Percentile-band tail trimming, fully distributed: the broadcast
+    rank table (grouped_window_rank — no row shuffle) scores every doc
+    in-stream, the 10th–90th PERCENT_RANK gate runs inside map_batches,
+    and only per-lang (kept, total) counts reach the driver.  The
+    boundary comparisons hash-match SQL because pct_rank itself is
+    bit-identical to DuckDB's window function."""
+    from .pipelines.relational import grouped_window_rank
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    ranked = grouped_window_rank(ds, ["lang"], "n_chars", ["doc_id"])
+
+    def gate(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch["pct_rank"])
+        keep = ((p >= 0.1) & (p <= 0.9)).astype(np.int64)
+        return pa.table({"lang": batch["lang"], "keep": pa.array(keep)})
+
+    out = grouped_agg(
+        ranked.map_batches(gate, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("n_total", None, "count"), ("n_kept", "keep", "sum")])
+    rows = sorted(out.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_total": pa.array([r["n_total"] for r in rows], type=pa.int64()),
+        "n_kept": pa.array([r["n_kept"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_events_hopping_dau(sf_dir: str):
     """Hopping-window distinct users (DAU-style): exact
     count(DISTINCT user_id) per 2h/1h hopping window — both window
@@ -3679,6 +3707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "length_quartile_buckets": q_length_quartile_buckets,
         "migration_checksum": q_migration_checksum,
         "dedup_shard_pipeline": q_dedup_shard_pipeline,
+        "midband_filter": q_midband_filter,
         "chars_mad_by_lang": q_chars_mad_by_lang,
         "outliers_by_lang": q_outliers_by_lang,
         "user_retention": q_user_retention,
@@ -4289,6 +4318,18 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, n_chars,
                    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS global_rank
             FROM documents
+        """,
+        "midband_filter": """
+            WITH r AS (
+                SELECT lang,
+                       PERCENT_RANK() OVER (PARTITION BY lang
+                           ORDER BY n_chars) AS p
+                FROM documents
+            )
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_total,
+                   CAST(SUM(CASE WHEN p >= 0.1 AND p <= 0.9
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+            FROM r GROUP BY lang
         """,
         "dedup_shard_pipeline": """
             WITH w AS (
