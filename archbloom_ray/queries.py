@@ -2577,6 +2577,126 @@ def q_paragraph_dedup(sf_dir: str):
     return paragraph_dedup(ds, "text", "doc_id", words_per_para=3)
 
 
+def q_dup_span_stats(sf_dir: str):
+    """Exact-substring duplicate detection (the cluster-scale shape of
+    Lee et al. 2021 suffix-array dedup): per document, how many of its
+    sliding 5-token windows also occur in another document
+    (``stages.cleaning.duplicate_spans``).  Shuffles only distinct
+    ``(window-hash64, doc, occurrences)`` rows — never text; the SQL
+    mirror counts the same windows on the gram STRINGS, so a green
+    hash also certifies the 64-bit window hashing collision-free on
+    this corpus."""
+    from .stages.cleaning import duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return duplicate_spans(ds, "text", "doc_id", n=5)
+
+
+def q_boilerplate_removal(sf_dir: str):
+    """C4-style in-domain boilerplate scrub: non-overlapping 3-word
+    segments occurring in >= 2 distinct documents of the SAME source
+    are stripped everywhere (``stages.cleaning.boilerplate_segments``:
+    hash-only frequency pass -> bounded broadcast vocabulary -> local
+    zero-copy reassembly).  Output is the per-doc segment/boiler
+    counts plus the cleaned text, all SQL-mirrorable."""
+    from .stages.cleaning import boilerplate_segments
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "source"])
+    return boilerplate_segments(ds, "text", "doc_id", "source",
+                                words_per_seg=3, min_docs=2)
+
+
+def q_domain_mixture(sf_dir: str):
+    """Temperature-based domain mixing (alpha = 0.5): per-source token
+    masses -> integer sqrt weights -> normalized token allocation for
+    a 1M-token training budget and the implied per-domain epochs.
+    All exact-arithmetic: weights are ``floor(sqrt(tokens))`` on the
+    IEEE double (bit-identical in numpy and DuckDB), the shares are
+    single float divisions of exact integers — no order-dependent
+    float summation anywhere, so the oracle hash-matches.  The
+    grouped token mass comes from one distributed pass; the final
+    arithmetic runs on the driver over one row per SOURCE (bounded by
+    domain cardinality, not data)."""
+    from .pipelines.relational import grouped_agg
+    from .stages.text import _RE2_WS, _WS_CHARS, _np
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks()
+        filled = pc.fill_null(col, "")
+        trimmed = pc.utf8_trim(filled, _WS_CHARS)
+        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
+        return pa.table({"source": batch["source"], "n_tokens": n})
+
+    ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(ds, ["source"], [
+        ("n_docs", None, "count"), ("tokens", "n_tokens", "sum")])
+    rows = sorted(agg.take_all(), key=lambda r: r["source"])
+    tok = np.array([r["tokens"] for r in rows], dtype=np.int64)
+    w = np.floor(np.sqrt(tok.astype(np.float64))).astype(np.int64)
+    w_total = int(w.sum())
+    budget = 1_000_000
+    alloc = (budget * w).astype(np.float64) / np.float64(w_total)
+    epochs = alloc / tok.astype(np.float64)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], type=pa.int64()),
+        "tokens": pa.array(tok),
+        "w": pa.array(w),
+        "w_total": pa.array(np.full(len(rows), w_total, dtype=np.int64)),
+        "alloc_tokens": pa.array(alloc),
+        "epochs": pa.array(epochs),
+    })
+
+
+def q_sequence_packing(sf_dir: str):
+    """GPT-style sequence packing (concat-and-chunk at L=512 tokens):
+    each doc's exclusive token offset in doc_id order comes from the
+    distributed parallel scan (``global_prefix_sum``) and determines
+    the first/last training sequence the doc's tokens land in — docs
+    DO split across sequence boundaries, unlike the budget-contiguous
+    ``token_shard_assignment`` where docs never split."""
+    from .pipelines.relational import global_prefix_sum
+    from .stages.text import _RE2_WS, _WS_CHARS, _np
+
+    L = 512
+
+    def tokens(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks()
+        filled = pc.fill_null(col, "")
+        trimmed = pc.utf8_trim(filled, _WS_CHARS)
+        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "n_toks": n})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
+        tokens, batch_format="pyarrow", zero_copy_batch=True)
+    out = global_prefix_sum(ds, "n_toks", "doc_id", out="toks_before")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch["n_toks"], dtype=np.int64)
+        tb = np.asarray(batch["toks_before"], dtype=np.int64)
+        m = nt > 0
+        nt, tb = nt[m], tb[m]
+        first = tb // L
+        last = (tb + nt - 1) // L
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)[m]
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_toks": pa.array(nt),
+            "toks_before": pa.array(tb),
+            "first_seq": pa.array(first),
+            "last_seq": pa.array(last),
+            "n_seqs": pa.array(last - first + 1),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_fuzzy_join_recall(sf_dir: str):
     """Cross-table fuzzy (similarity) join, exact-certified: documents
     split by doc_id parity into a left and a right corpus, the right
@@ -3767,6 +3887,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dedup_recall": q_embedding_dedup_recall,
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "paragraph_dedup": q_paragraph_dedup,
+        "dup_span_stats": q_dup_span_stats,
+        "boilerplate_removal": q_boilerplate_removal,
+        "domain_mixture": q_domain_mixture,
+        "sequence_packing": q_sequence_packing,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
@@ -3824,6 +3948,30 @@ def _sql_lower_tokens(txt_expr: str) -> str:
     trimmed = f"regexp_replace({txt_expr}, '^{cls}+|{cls}+$', '', 'g')"
     return (f"list_transform(string_split_regex({trimmed}, '{ws_re}'),"
             " x -> lower(x))")
+
+
+def _dup_span_sql(n: int) -> str:
+    """Per-doc duplicated sliding word ``n``-gram window counts on the
+    gram STRINGS — the exact mirror of ``stages.cleaning.
+    duplicate_spans`` (same lowered-token fragment as the bigram
+    oracle, chr(31) joins, DuckDB's inclusive 1-based list slice)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {toks} AS tk
+                   FROM documents),
+        p AS (SELECT doc_id, tk,
+                     unnest(generate_series(1, len(tk) - {n - 1})) AS i
+              FROM t WHERE len(tk) >= {n}),
+        g AS (SELECT doc_id,
+                     array_to_string(tk[i:i+{n - 1}], chr(31)) AS gram
+              FROM p),
+        d AS (SELECT gram FROM g GROUP BY gram
+              HAVING count(DISTINCT doc_id) >= 2)
+        SELECT g.doc_id, CAST(count(*) AS BIGINT) AS n_windows,
+               CAST(count(d.gram) AS BIGINT) AS n_dup_windows
+        FROM g LEFT JOIN d USING (gram)
+        GROUP BY g.doc_id ORDER BY g.doc_id
+    """
 
 
 def _bigram_top_sql(k: int) -> str:
@@ -5196,6 +5344,62 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, string_agg(para, ' ' ORDER BY pos) AS text_dedup,
                    CAST(count(*) AS BIGINT) AS n_paras
             FROM sel WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dup_span_stats": _dup_span_sql(5),
+        "boilerplate_removal": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
+                              string_split(coalesce(text, ''), ' ') AS ws
+                       FROM documents),
+            p AS (SELECT doc_id, source, ws,
+                         unnest(generate_series(0,
+                             CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS pos
+                  FROM w),
+            p2 AS (SELECT doc_id, source, CAST(pos AS BIGINT) AS pos,
+                          array_to_string(ws[(pos*3+1):(pos*3+3)], ' ') AS seg
+                   FROM p),
+            b AS (SELECT source, seg FROM p2 GROUP BY source, seg
+                  HAVING count(DISTINCT doc_id) >= 2)
+            SELECT p2.doc_id,
+                   CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(count(b.seg) AS BIGINT) AS n_boiler,
+                   string_agg(CASE WHEN b.seg IS NULL THEN p2.seg END,
+                              ' ' ORDER BY pos) AS text_clean
+            FROM p2 LEFT JOIN b USING (source, seg)
+            GROUP BY p2.doc_id ORDER BY p2.doc_id
+        """,
+        "domain_mixture": r"""
+            WITH s AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+                              CAST(sum(len(string_split_regex(trim(text),
+                                   '\s+'))) AS BIGINT) AS tokens
+                       FROM documents GROUP BY source),
+            w AS (SELECT source, n_docs, tokens,
+                         CAST(floor(sqrt(CAST(tokens AS DOUBLE)))
+                              AS BIGINT) AS w
+                  FROM s),
+            t AS (SELECT CAST(sum(w) AS BIGINT) AS w_total FROM w)
+            SELECT source, n_docs, tokens, w, w_total,
+                   CAST(1000000 * w AS DOUBLE) / CAST(w_total AS DOUBLE)
+                       AS alloc_tokens,
+                   (CAST(1000000 * w AS DOUBLE) / CAST(w_total AS DOUBLE))
+                       / CAST(tokens AS DOUBLE) AS epochs
+            FROM w, t ORDER BY source
+        """,
+        "sequence_packing": r"""
+            WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              CAST(len(string_split_regex(trim(text),
+                                   '\s+')) AS BIGINT) AS n_toks
+                       FROM documents),
+            c AS (SELECT doc_id, n_toks,
+                         CAST(COALESCE(SUM(n_toks) OVER (ORDER BY doc_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING), 0) AS BIGINT) AS toks_before
+                  FROM t)
+            SELECT doc_id, n_toks, toks_before,
+                   toks_before // 512 AS first_seq,
+                   (toks_before + n_toks - 1) // 512 AS last_seq,
+                   ((toks_before + n_toks - 1) // 512
+                        - toks_before // 512 + 1) AS n_seqs
+            FROM c WHERE n_toks > 0 ORDER BY doc_id
         """,
         "bigram_lm_scores": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
