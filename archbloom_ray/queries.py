@@ -2697,6 +2697,35 @@ def q_sequence_packing(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_dsir_selection(sf_dir: str):
+    """DSIR data selection (Xie et al. 2023): importance-weight every
+    document by how target-like (lang='en' here) its unigram
+    distribution is, then keep the top-50 (``stages.selection.
+    dsir_weights`` + ``topk_rows``).  The add-one-smoothed log-ratio
+    per token is an integer micro-log computed from exact integer
+    counts through a fixed IEEE expression tree (the
+    ``bigram_lm_scores`` precedent), so the per-doc sums — and hence
+    the selection itself — hash-match the SQL oracle exactly.  The
+    synthetic corpus has no lang↔text correlation, so the weights are
+    near-noise; correctness, not signal, is what the oracle checks."""
+    from .pipelines.relational import topk_rows
+    from .stages.selection import dsir_weights
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text", "lang"])
+
+    def flag(batch: pa.Table) -> pa.Table:
+        is_t = pc.cast(pc.fill_null(pc.equal(batch["lang"], "en"), False),
+                       pa.int64())
+        return pa.table({"doc_id": batch["doc_id"], "text": batch["text"],
+                         "is_t": is_t})
+
+    flagged = ds.map_batches(flag, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    per_doc = dsir_weights(flagged, "text", "doc_id", "is_t")
+    return topk_rows(per_doc, [("sum_logw_u", "descending"),
+                               ("doc_id", "ascending")], 50)
+
+
 def q_fuzzy_join_recall(sf_dir: str):
     """Cross-table fuzzy (similarity) join, exact-certified: documents
     split by doc_id parity into a left and a right corpus, the right
@@ -3891,6 +3920,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removal": q_boilerplate_removal,
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
+        "dsir_selection": q_dsir_selection,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
@@ -3971,6 +4001,36 @@ def _dup_span_sql(n: int) -> str:
                CAST(count(d.gram) AS BIGINT) AS n_dup_windows
         FROM g LEFT JOIN d USING (gram)
         GROUP BY g.doc_id ORDER BY g.doc_id
+    """
+
+
+def _dsir_sql() -> str:
+    """DSIR unigram importance weights + top-50 selection — the exact
+    mirror of ``stages.selection.dsir_weights`` (same lowered-token
+    fragment, same fixed IEEE log-ratio expression tree over exact
+    integer counts, integer micro-log sums)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                          CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS is_t,
+                          {toks} AS tk
+                   FROM documents),
+        tok AS (SELECT doc_id, is_t, unnest(tk) AS w FROM t),
+        c AS (SELECT w, CAST(count(*) AS BIGINT) AS cr,
+                     CAST(sum(is_t) AS BIGINT) AS ct
+              FROM tok GROUP BY w),
+        g AS (SELECT CAST(sum(cr) AS BIGINT) AS cr_tot,
+                     CAST(sum(ct) AS BIGINT) AS ct_tot,
+                     CAST(count(*) AS BIGINT) AS v FROM c),
+        s AS (SELECT tok.doc_id,
+                     CAST(floor(1000000 * ln(((c.ct + 1.0) * (g.cr_tot + g.v))
+                          / ((c.cr + 1.0) * (g.ct_tot + g.v))) + 0.5)
+                          AS BIGINT) AS lp
+              FROM tok JOIN c USING (w), g)
+        SELECT doc_id, CAST(sum(lp) AS BIGINT) AS sum_logw_u,
+               CAST(count(*) AS BIGINT) AS n_toks
+        FROM s GROUP BY doc_id
+        ORDER BY sum_logw_u DESC, doc_id ASC LIMIT 50
     """
 
 
@@ -5346,6 +5406,7 @@ def oracle_sql() -> dict[str, str]:
             FROM sel WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
         """,
         "dup_span_stats": _dup_span_sql(5),
+        "dsir_selection": _dsir_sql(),
         "boilerplate_removal": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                               string_split(coalesce(text, ''), ' ') AS ws

@@ -36,6 +36,7 @@ from .similarity import (
     train_centroids,
 )
 from .cleaning import boilerplate_segments, duplicate_spans
+from .selection import dsir_weights
 from .index import build_inverted_index, query_inverted_index, query_phrase
 from .jsonfield import json_int_field, json_string_field
 from .sampling import hash_split, split_assignments, weighted_sample
@@ -72,7 +73,7 @@ __all__ = [
     "ngram_jaccard_exact_pairs", "verify_pairs_ngram", "verify_pairs_equal",
     "contamination_check", "contamination_check_partitioned", "window_hashes_batch",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
-    "duplicate_spans", "boilerplate_segments",
+    "duplicate_spans", "boilerplate_segments", "dsir_weights",
     "knn_brute", "knn_ivf", "train_centroids",
     "pca_fit", "pca_transform",
     "build_ivf_index", "query_ivf_index",

@@ -1,0 +1,76 @@
+"""DSIR importance weights: semantic direction + hashed-bucket variant."""
+import numpy as np
+
+from archbloom_ray.stages.selection import dsir_weights
+
+
+def _corpus(rd):
+    # target docs (is_t=1) overuse the token "quantum"; raw-only docs don't
+    rows = []
+    for d in range(4):
+        rows.append({"doc_id": d, "is_t": 1,
+                     "text": "quantum quantum flux node alpha"})
+    for d in range(4, 8):
+        rows.append({"doc_id": d, "is_t": 0,
+                     "text": "mundane filler words node alpha"})
+    # a raw doc that LOOKS like the target domain
+    rows.append({"doc_id": 8, "is_t": 0,
+                 "text": "quantum quantum flux node alpha"})
+    return rd.from_items(rows)
+
+
+class TestDsirWeights:
+    def test_target_like_doc_outranks(self, ray_session):
+        import ray.data as rd
+
+        out = {r["doc_id"]: r for r in dsir_weights(
+            _corpus(rd), "text", "doc_id", "is_t").take_all()}
+        assert len(out) == 9
+        assert all(r["n_toks"] == 5 for r in out.values())
+        # the target-looking raw doc must outweigh every mundane raw doc
+        assert all(out[8]["sum_logw_u"] > out[d]["sum_logw_u"]
+                   for d in range(4, 8))
+        # identical texts get identical weights
+        assert out[8]["sum_logw_u"] == out[0]["sum_logw_u"]
+
+    def test_bucketed_variant_deterministic_and_close(self, ray_session):
+        import ray.data as rd
+
+        a = {r["doc_id"]: r["sum_logw_u"] for r in dsir_weights(
+            _corpus(rd), "text", "doc_id", "is_t", buckets=4096).take_all()}
+        b = {r["doc_id"]: r["sum_logw_u"] for r in dsir_weights(
+            _corpus(rd), "text", "doc_id", "is_t", buckets=4096).take_all()}
+        assert a == b  # keyed hashing, no RNG: run-invariant
+        # with far more buckets than distinct tokens collisions are
+        # unlikely -> same values as the exact-vocabulary variant
+        exact = {r["doc_id"]: r["sum_logw_u"] for r in dsir_weights(
+            _corpus(rd), "text", "doc_id", "is_t").take_all()}
+        assert a == exact
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        out = {r["doc_id"]: r["sum_logw_u"] for r in dsir_weights(
+            _corpus(rd), "text", "doc_id", "is_t").take_all()}
+        # brute-force reference
+        docs = {d: ("quantum quantum flux node alpha"
+                    if d in (0, 1, 2, 3, 8) else
+                    "mundane filler words node alpha") for d in range(9)}
+        tgt = set(range(4))
+        cr: dict[str, int] = {}
+        ct: dict[str, int] = {}
+        for d, t in docs.items():
+            for w in t.split():
+                cr[w] = cr.get(w, 0) + 1
+                if d in tgt:
+                    ct[w] = ct.get(w, 0) + 1
+        CR, CT, V = sum(cr.values()), sum(ct.values()), len(cr)
+        expect = {}
+        for d, t in docs.items():
+            s = 0
+            for w in t.split():
+                s += int(np.floor(1_000_000 * np.log(
+                    ((ct.get(w, 0) + 1.0) * (CR + V))
+                    / ((cr[w] + 1.0) * (CT + V))) + 0.5))
+            expect[d] = s
+        assert out == expect
