@@ -2697,6 +2697,43 @@ def q_sequence_packing(sf_dir: str):
                            zero_copy_batch=True)
 
 
+def q_doc_dup_segments(sf_dir: str):
+    """Gopher-style WITHIN-document repetition signal (the duplicate-
+    paragraph-fraction gate): per doc, total vs distinct 3-word
+    segments — exact integers, embarrassingly parallel (one sort per
+    doc inside the batch, segments never leave the scan; contrast
+    ``dup_span_stats``' corpus-wide exchange)."""
+    from .stages.cleaning import _segments_of
+
+    def stats(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        segs, _, doc_rep, n_seg = _segments_of(
+            batch, "text", None, 3, " ", "\x1e")
+        n_docs = len(ids)
+        if len(segs) == 0:
+            return pa.table({
+                "doc_id": pa.array(ids),
+                "n_segs": pa.array(np.zeros(n_docs, np.int64)),
+                "n_distinct_segs": pa.array(np.zeros(n_docs, np.int64)),
+            })
+        from .hashing import mmh3_64_batch
+
+        h = mmh3_64_batch(segs)
+        order = np.lexsort((h, doc_rep))
+        hs, dr = h[order], doc_rep[order]
+        first = np.ones(hs.size, dtype=bool)
+        first[1:] = (hs[1:] != hs[:-1]) | (dr[1:] != dr[:-1])
+        return pa.table({
+            "doc_id": pa.array(ids),
+            "n_segs": pa.array(np.asarray(n_seg, dtype=np.int64)),
+            "n_distinct_segs": pa.array(
+                np.bincount(dr[first], minlength=n_docs).astype(np.int64)),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_dsir_selection(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): importance-weight every
     document by how target-like (lang='en' here) its unigram
@@ -3917,6 +3954,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters_exact": q_dedup_clusters_exact,
         "paragraph_dedup": q_paragraph_dedup,
         "dup_span_stats": q_dup_span_stats,
+        "doc_dup_segments": q_doc_dup_segments,
         "boilerplate_removal": q_boilerplate_removal,
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
@@ -5406,6 +5444,21 @@ def oracle_sql() -> dict[str, str]:
             FROM sel WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
         """,
         "dup_span_stats": _dup_span_sql(5),
+        "doc_dup_segments": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              string_split(coalesce(text, ''), ' ') AS ws
+                       FROM documents),
+            p AS (SELECT doc_id, ws,
+                         unnest(generate_series(0,
+                             CAST(ceil(len(ws)/3.0) AS BIGINT) - 1)) AS pos
+                  FROM w),
+            p2 AS (SELECT doc_id,
+                          array_to_string(ws[(pos*3+1):(pos*3+3)], ' ') AS seg
+                   FROM p)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
+                   CAST(count(DISTINCT seg) AS BIGINT) AS n_distinct_segs
+            FROM p2 GROUP BY doc_id ORDER BY doc_id
+        """,
         "dsir_selection": _dsir_sql(),
         "boilerplate_removal": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,

@@ -159,8 +159,9 @@ def _segments_of(batch: pa.Table, text_col: str, group_col: str,
 
     Returns ``(segs, keyed, doc_rep, n_seg)``: the segment strings,
     the segment||key_sep||source strings (the in-domain identity a
-    segment is counted under), the doc ordinal of each segment and
-    the per-doc segment counts.  Same zero-copy shape as
+    segment is counted under; == ``segs`` when ``group_col`` is
+    None), the doc ordinal of each segment and the per-doc segment
+    counts.  Same zero-copy shape as
     ``dedup.paragraph_explode`` (new ListArray offsets over the ONE
     flat word buffer, one ``binary_join``) — no per-row Python.
     """
@@ -185,6 +186,8 @@ def _segments_of(batch: pa.Table, text_col: str, group_col: str,
     seg_list = pa.ListArray.from_arrays(pa.array(offsets, type=pa.int32()),
                                         flat)
     segs = pc.binary_join(seg_list, sep)
+    if group_col is None:
+        return segs, segs, doc_rep, n_seg
     src = batch[group_col].combine_chunks().take(pa.array(doc_rep))
     keyed = pc.binary_join_element_wise(segs, src, key_sep)
     return segs, keyed, doc_rep, n_seg

@@ -215,6 +215,25 @@ def run_bench() -> dict:
 
     timings["pages_minhash_dedup_100k"] = _timed(minhash_dedup)
 
+    def dup_span():
+        from archbloom_ray.hashing import mmh3_64_batch
+        from archbloom_ray.stages.cleaning import duplicate_spans
+
+        rows = min(200_000, BENCH_PAGES_ROWS)
+        sub = pages_fixture(rows, seed=9)
+
+        def add_id(b: pa.Table) -> pa.Table:
+            return pa.table({
+                "doc_id": pa.array(mmh3_64_batch(b["url"]).view(np.int64)),
+                "text": b["text"],
+            })
+
+        ds = rd.read_parquet(sub, columns=["url", "text"]).map_batches(
+            add_id, batch_format="pyarrow", zero_copy_batch=True)
+        duplicate_spans(ds, "text", "doc_id", n=5).count()
+
+    timings["pages_dup_span_200k"] = _timed(dup_span)
+
     def sfdir_suite():
         from archbloom_ray import queries as Q
 
