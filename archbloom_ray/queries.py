@@ -2763,6 +2763,50 @@ def q_dsir_selection(sf_dir: str):
                                ("doc_id", "ascending")], 50)
 
 
+def q_quality_classifier(sf_dir: str):
+    """Distributed trainable quality filter: 3 full-batch GD iterations
+    of a linear probability classifier (algebraic sigmoid — bit-
+    reproducible, see ``stages.selection.train_linear_classifier``)
+    over integer doc features (bias, n_chars//100, ws-tokens//10),
+    label lang='en'.  Each iteration is one pre-combined gradient
+    pass; weights are exact micro-unit integers, so the whole training
+    trajectory — and the final weights + training accuracy — hash-match
+    a 3×-unrolled CTE oracle (the PageRank precedent).  The synthetic
+    corpus has no lang↔feature signal; the oracle certifies the
+    optimizer, not the model."""
+    from .stages.selection import train_linear_classifier
+    from .stages.text import _RE2_WS, _WS_CHARS, _np
+
+    def feats(batch: pa.Table) -> pa.Table:
+        col = batch["text"].combine_chunks()
+        filled = pc.fill_null(col, "")
+        trimmed = pc.utf8_trim(filled, _WS_CHARS)
+        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+        toks = np.where(nonempty, runs + 1, 0)
+        nch = np.asarray(batch["n_chars"], dtype=np.int64)
+        y = _np(pc.equal(pc.fill_null(batch["lang"], ""), "en")).astype(np.int64)
+        n = len(nch)
+        return pa.table({
+            "y": pa.array(y),
+            "x0": pa.array(np.ones(n, dtype=np.int64)),
+            "x1": pa.array(nch // 100),
+            "x2": pa.array(toks // 10),
+        })
+
+    fds = _read(sf_dir, "documents", ["text", "lang", "n_chars"]).map_batches(
+        feats, batch_format="pyarrow", zero_copy_batch=True)
+    res = train_linear_classifier(fds, ["x0", "x1", "x2"], "y",
+                                  iters=3, lr_den=10)
+    return pa.table({
+        "w_bias": pa.array([res["weights"][0]], pa.int64()),
+        "w_chars": pa.array([res["weights"][1]], pa.int64()),
+        "w_toks": pa.array([res["weights"][2]], pa.int64()),
+        "n_correct": pa.array([res["n_correct"]], pa.int64()),
+        "n": pa.array([res["n"]], pa.int64()),
+    })
+
+
 def q_fuzzy_join_recall(sf_dir: str):
     """Cross-table fuzzy (similarity) join, exact-certified: documents
     split by doc_id parity into a left and a right corpus, the right
@@ -3959,6 +4003,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
         "dsir_selection": q_dsir_selection,
+        "quality_classifier": q_quality_classifier,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
@@ -4069,6 +4114,56 @@ def _dsir_sql() -> str:
                CAST(count(*) AS BIGINT) AS n_toks
         FROM s GROUP BY doc_id
         ORDER BY sum_logw_u DESC, doc_id ASC LIMIT 50
+    """
+
+
+def _linclf_sql(iters: int = 3, lr_den: int = 10) -> str:
+    """K-times-unrolled CTE mirror of ``train_linear_classifier`` over
+    the documents quality features: integer micro-unit weights, the
+    algebraic sigmoid's fixed IEEE expression tree, per-doc gradient
+    contributions floored to int64 before the (order-independent) sum,
+    truncating ``//`` learning-rate steps (DuckDB BIGINT ``//``
+    truncates toward zero — mirrored exactly by ``_trunc_div``)."""
+    tok = r"CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)"
+    sig = "(0.5 + (z / (2.0*(1.0 + abs(z)))))"
+
+    def gsum(xj: str) -> str:
+        return ("CAST(sum(CAST(floor(1000000*(" + sig +
+                f" - y)*{xj} + 0.5) AS BIGINT)) AS BIGINT)")
+
+    parts = [
+        f"""f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+                   CAST(1 AS BIGINT) AS x0,
+                   CAST(n_chars // 100 AS BIGINT) AS x1,
+                   CAST({tok} // 10 AS BIGINT) AS x2
+            FROM documents)""",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM f)",
+        """w0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b,
+                       CAST(0 AS BIGINT) AS c)""",
+    ]
+    for k in range(iters):
+        parts.append(
+            f"""z{k} AS (SELECT y, x0, x1, x2,
+                 CAST(a*x0 + b*x1 + c*x2 AS DOUBLE)/1000000.0 AS z
+                 FROM f, w{k})""")
+        parts.append(
+            f"""g{k} AS (SELECT {gsum('x0')} AS ga, {gsum('x1')} AS gb,
+                 {gsum('x2')} AS gc FROM z{k})""")
+        parts.append(
+            f"""w{k + 1} AS (SELECT w{k}.a - g{k}.ga // ({lr_den}*nn.n) AS a,
+                 w{k}.b - g{k}.gb // ({lr_den}*nn.n) AS b,
+                 w{k}.c - g{k}.gc // ({lr_den}*nn.n) AS c
+                 FROM w{k}, g{k}, nn)""")
+    wf = f"w{iters}"
+    return f"""
+        WITH {','.join(parts)}
+        SELECT {wf}.a AS w_bias, {wf}.b AS w_chars, {wf}.c AS w_toks,
+               (SELECT CAST(sum(CASE WHEN ({wf}.a*x0 + {wf}.b*x1 +
+                       {wf}.c*x2 >= 0) = (y = 1) THEN 1 ELSE 0 END)
+                       AS BIGINT)
+                FROM f, {wf}) AS n_correct,
+               nn.n AS n
+        FROM {wf}, nn
     """
 
 
@@ -5460,6 +5555,7 @@ def oracle_sql() -> dict[str, str]:
             FROM p2 GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_selection": _dsir_sql(),
+        "quality_classifier": _linclf_sql(3, 10),
         "boilerplate_removal": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                               string_split(coalesce(text, ''), ' ') AS ws

@@ -26,7 +26,102 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dsir_weights"]
+__all__ = ["dsir_weights", "train_linear_classifier"]
+
+
+def _trunc_div(a: int, b: int) -> int:
+    """Truncating integer division (toward zero) on exact Python ints —
+    the semantics of DuckDB's BIGINT ``//`` (measured: -7//2 = -3),
+    unlike Python/numpy floor division."""
+    q = abs(a) // b
+    return q if a >= 0 else -q
+
+
+def train_linear_classifier(
+    ds: "ray.data.Dataset",
+    feature_cols: list[str],
+    label_col: str,
+    *,
+    iters: int = 3,
+    lr_den: int = 10,
+    scale: int = 1_000_000,
+) -> dict:
+    """Distributed full-batch gradient-descent training of a linear
+    probability classifier — the trainable quality-filter shape of a
+    curation pipeline (cf. the GaussianNB UDAF, which is closed-form).
+
+    Link function is the ALGEBRAIC sigmoid ``s(z) = 0.5 + z / (2*(1+|z|))``
+    rather than the logistic ``1/(1+exp(-z))``: libm ``exp`` is NOT
+    bit-portable (DuckDB and numpy differ by 1-2 ULP on this host —
+    measured — and one ULP at a floor boundary flips an integer), while
+    the algebraic form is a fixed tree of single correctly-rounded IEEE
+    ops, so the whole K-iteration training run is bit-reproducible in
+    any engine.  The update is the usual ``(p - y)·x`` rule with every
+    per-document contribution quantized to integer micro-units
+    (``floor(scale·(p-y)·x_j + 0.5)``) before summation — gradient
+    sums are order-independent int64, weights live in micro-units, and
+    the learning-rate step is exact truncating integer division
+    ``g_j // (lr_den·n)``.
+
+    Distributed shape: each of the K iterations is ONE pre-combined
+    map_batches pass emitting a single partial-gradient row per batch
+    (F int64 scalars); the driver reduces O(batches) tiny rows, updates
+    F weights, and the next pass broadcasts them in the task closure —
+    the honest full-batch GD layout (no parameter server needed for a
+    linear model).  A final pass counts correct predictions with a pure
+    integer dot-product sign test.
+
+    Features and labels must be exact small integers (quantize upstream);
+    per-doc gradient magnitudes must stay below 2^53 for the SQL mirror
+    (documents × scale × |feature| — holds to ~10^9 docs per group).
+
+    Returns ``{"weights": [w_0..w_F-1] (micro-units), "n_correct": int,
+    "n": int}``.
+    """
+    F = len(feature_cols)
+    w = [0] * F
+
+    def grad_pass(weights: tuple[int, ...]):
+        warr = np.array(weights, dtype=np.int64)
+
+        def fn(batch: pa.Table) -> pa.Table:
+            X = np.stack([np.asarray(batch[c], dtype=np.int64)
+                          for c in feature_cols], axis=1)
+            y = np.asarray(batch[label_col], dtype=np.float64)
+            z = (X @ warr).astype(np.float64) / float(scale)
+            p = 0.5 + z / (2.0 * (1.0 + np.abs(z)))
+            resid = p - y
+            cols = {
+                f"g{j}": pa.array([int(np.floor(
+                    scale * resid * X[:, j] + 0.5).astype(np.int64).sum())],
+                    type=pa.int64())
+                for j in range(F)
+            }
+            cols["n"] = pa.array([len(batch)], type=pa.int64())
+            return pa.table(cols)
+
+        return fn
+
+    n_total = 0
+    for _ in range(int(iters)):
+        parts = ds.map_batches(grad_pass(tuple(w)), batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        g = [sum(r[f"g{j}"] for r in parts) for j in range(F)]
+        n_total = sum(r["n"] for r in parts)
+        w = [w[j] - _trunc_div(g[j], lr_den * n_total) for j in range(F)]
+
+    warr = np.array(w, dtype=np.int64)
+
+    def correct(batch: pa.Table) -> pa.Table:
+        X = np.stack([np.asarray(batch[c], dtype=np.int64)
+                      for c in feature_cols], axis=1)
+        y = np.asarray(batch[label_col], dtype=np.int64)
+        pred = ((X @ warr) >= 0).astype(np.int64)
+        return pa.table({"c": pa.array([int((pred == y).sum())], pa.int64())})
+
+    n_correct = sum(r["c"] for r in ds.map_batches(
+        correct, batch_format="pyarrow", zero_copy_batch=True).take_all())
+    return {"weights": w, "n_correct": int(n_correct), "n": int(n_total)}
 
 
 def dsir_weights(

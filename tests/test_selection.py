@@ -1,7 +1,8 @@
-"""DSIR importance weights: semantic direction + hashed-bucket variant."""
+"""DSIR importance weights + the distributed linear-classifier trainer."""
 import numpy as np
 
-from archbloom_ray.stages.selection import dsir_weights
+from archbloom_ray.stages.selection import (dsir_weights,
+                                            train_linear_classifier)
 
 
 def _corpus(rd):
@@ -74,3 +75,40 @@ class TestDsirWeights:
                     / ((cr[w] + 1.0) * (CT + V))) + 0.5))
             expect[d] = s
         assert out == expect
+
+
+class TestLinearClassifier:
+    def _sep(self, rd, repeat=1):
+        # linearly separable: y=1 iff x1 > 5 (x2 is noise-free constant)
+        rows = []
+        for r in range(repeat):
+            for i in range(10):
+                rows.append({"rid": r * 10 + i, "y": 1 if i > 5 else 0,
+                             "x0": 1, "x1": i, "x2": 2})
+        return rd.from_items(rows)
+
+    def test_learns_separable_data(self, ray_session):
+        import ray.data as rd
+
+        res = train_linear_classifier(
+            self._sep(rd, repeat=20), ["x0", "x1", "x2"], "y",
+            iters=12, lr_den=1)
+        assert res["n"] == 200
+        assert res["n_correct"] >= 175  # decisively better than chance
+
+    def test_deterministic_across_partitionings(self, ray_session):
+        import ray.data as rd
+
+        a = train_linear_classifier(
+            self._sep(rd, repeat=8), ["x0", "x1", "x2"], "y", iters=3)
+        b = train_linear_classifier(
+            self._sep(rd, repeat=8).repartition(7), ["x0", "x1", "x2"], "y",
+            iters=3)
+        assert a == b  # integer gradient sums: partitioning-invariant
+
+    def test_trunc_div_matches_duckdb_semantics(self):
+        from archbloom_ray.stages.selection import _trunc_div
+
+        assert _trunc_div(-7, 2) == -3   # DuckDB BIGINT // truncates
+        assert _trunc_div(7, 2) == 3
+        assert _trunc_div(-1, 5) == 0
