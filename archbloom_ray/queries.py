@@ -2763,6 +2763,44 @@ def q_dsir_selection(sf_dir: str):
                                ("doc_id", "ascending")], 50)
 
 
+def q_clustered_skip_read(sf_dir: str):
+    """Clustered layout + zone-map skip read (pipelines.write
+    ``write_clustered`` / ``read_clustered``): documents re-cluster on
+    n_chars into range shards with a min/max manifest; a narrow range
+    query then opens ONLY the overlapping shards (manifest prune, no
+    I/O on the rest), applies the exact residual predicate, and
+    aggregates per lang.  The pruning is asserted in pytest (shards
+    actually skipped); this oracle certifies end-to-end data
+    correctness of the clustered roundtrip."""
+    import tempfile
+
+    from .pipelines.relational import grouped_agg
+    from .pipelines.write import read_clustered, write_clustered
+
+    LO, HI = 150, 300
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"])
+    with tempfile.TemporaryDirectory(prefix="clustered_") as tmp:
+        out_dir = os.path.join(tmp, "docs_by_chars")
+        write_clustered(ds, out_dir, "n_chars", num_shards=16)
+        got = read_clustered(out_dir, LO, HI)
+
+        def residual(batch: pa.Table) -> pa.Table:
+            m = pc.and_(pc.greater_equal(batch["n_chars"], LO),
+                        pc.less_equal(batch["n_chars"], HI))
+            return batch.filter(m)
+
+        kept = got.map_batches(residual, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = grouped_agg(kept, ["lang"], [
+            ("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")])
+        rows = sorted(agg.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "sum_chars": pa.array([r["sum_chars"] for r in rows], pa.int64()),
+    })
+
+
 def q_quality_classifier(sf_dir: str):
     """Distributed trainable quality filter: 3 full-batch GD iterations
     of a linear probability classifier (algebraic sigmoid — bit-
@@ -4004,6 +4042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sequence_packing": q_sequence_packing,
         "dsir_selection": q_dsir_selection,
         "quality_classifier": q_quality_classifier,
+        "clustered_skip_read": q_clustered_skip_read,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
@@ -5556,6 +5595,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "dsir_selection": _dsir_sql(),
         "quality_classifier": _linclf_sql(3, 10),
+        "clustered_skip_read": """
+            SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM documents WHERE n_chars BETWEEN 150 AND 300
+            GROUP BY lang ORDER BY lang
+        """,
         "boilerplate_removal": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                               string_split(coalesce(text, ''), ' ') AS ws
