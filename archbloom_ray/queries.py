@@ -2763,6 +2763,17 @@ def q_dsir_selection(sf_dir: str):
                                ("doc_id", "ascending")], 50)
 
 
+def q_cooccurrence_top(sf_dir: str):
+    """Term co-occurrence edge list: top-50 token pairs by distinct-doc
+    co-occurrence (``stages.graph.cooccurrence_pairs`` — one Arrow
+    dedupe sort + index-arithmetic pair generation per batch, in-batch
+    pre-combine, one keyed exchange, local-top-k merge)."""
+    from .stages.graph import cooccurrence_pairs
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return cooccurrence_pairs(ds, "text", "doc_id", k=50)
+
+
 def q_clustered_skip_read(sf_dir: str):
     """Clustered layout + zone-map skip read (pipelines.write
     ``write_clustered`` / ``read_clustered``): documents re-cluster on
@@ -4043,6 +4054,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dsir_selection": q_dsir_selection,
         "quality_classifier": q_quality_classifier,
         "clustered_skip_read": q_clustered_skip_read,
+        "cooccurrence_top": q_cooccurrence_top,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,
@@ -4203,6 +4215,23 @@ def _linclf_sql(iters: int = 3, lr_den: int = 10) -> str:
                 FROM f, {wf}) AS n_correct,
                nn.n AS n
         FROM {wf}, nn
+    """
+
+
+def _cooccur_sql(k: int) -> str:
+    """Top-``k`` distinct-doc token co-occurrence pairs — mirror of
+    ``stages.graph.cooccurrence_pairs`` (same lowered-token fragment,
+    binary-collation ``<`` pair ordering and tie-break)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, {toks} AS tk
+                   FROM documents),
+        u AS (SELECT DISTINCT doc_id, unnest(tk) AS w FROM t),
+        p AS (SELECT a.doc_id, a.w AS t1, b.w AS t2
+              FROM u a JOIN u b ON a.doc_id = b.doc_id AND a.w < b.w)
+        SELECT t1, t2, CAST(count(*) AS BIGINT) AS n_docs
+        FROM p GROUP BY t1, t2
+        ORDER BY n_docs DESC, t1 ASC, t2 ASC LIMIT {k}
     """
 
 
@@ -5601,6 +5630,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents WHERE n_chars BETWEEN 150 AND 300
             GROUP BY lang ORDER BY lang
         """,
+        "cooccurrence_top": _cooccur_sql(50),
         "boilerplate_removal": """
             WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id, source,
                               string_split(coalesce(text, ''), ' ') AS ws

@@ -483,3 +483,81 @@ def triangle_count(
         close_count, batch_format="pyarrow")
     total = partials.sum("c")
     return int(total) if total is not None else 0
+
+
+def cooccurrence_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    k: int = 50,
+) -> pa.Table:
+    """Term co-occurrence graph: the top-``k`` unordered pairs of
+    distinct lowercased tokens by the number of DOCUMENTS containing
+    both — the corpus-analysis edge list behind collocation mining and
+    topic seeding.
+
+    Per batch: one Arrow sort dedupes (doc, token); within-doc i<j
+    pairs generate from pure index arithmetic (repeat/arange over run
+    lengths — no Python per doc); an in-batch ``group_by`` pre-combines
+    counts before the ONE keyed exchange; the global top-k comes from
+    per-block local top-k + a driver merge (no all-to-all sort).  Pair
+    volume is Σ m_d(m_d−1)/2 over per-doc distinct-term counts — fine
+    for page-sized documents; at 100 TB restrict the token space first
+    (broadcast vocabulary filter or a document term cap) before the
+    quadratic step.  Token strings compare in UTF-8 byte order ==
+    DuckDB binary collation, so ``t1 < t2`` and the tie-break match
+    SQL exactly.
+    """
+    import pyarrow.compute as pc
+
+    from ..pipelines.relational import grouped_agg, topk_rows
+    from .text import _tokens_of
+
+    def pairs(batch: pa.Table) -> pa.Table:
+        empty = pa.table({"t1": pa.array([], pa.string()),
+                          "t2": pa.array([], pa.string()),
+                          "c": pa.array([], pa.int64())})
+        trimmed, toks = _tokens_of(batch[text_col].combine_chunks())
+        flat = pc.utf8_lower(toks.flatten())
+        n_tok = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+        if int(n_tok.sum()) == 0:
+            return empty
+        doc_of = np.repeat(np.arange(len(n_tok), dtype=np.int64), n_tok)
+        tbl = pa.table({"d": pa.array(doc_of), "w": flat})
+        idx = pc.sort_indices(tbl, sort_keys=[("d", "ascending"),
+                                              ("w", "ascending")])
+        idx_np = np.asarray(idx, dtype=np.int64)
+        d_s = doc_of[idx_np]
+        w_s = flat.take(idx)
+        first = np.ones(d_s.size, dtype=bool)
+        keepmask = pc.or_(
+            pa.array(d_s[1:] != d_s[:-1]),
+            pc.not_equal(w_s.slice(1), w_s.slice(0, len(w_s) - 1)))
+        first[1:] = np.asarray(keepmask, dtype=bool)
+        d_u = d_s[first]
+        w_u = w_s.filter(pa.array(first))
+        # per-doc distinct counts and within-doc positions
+        uniq_docs, m = np.unique(d_u, return_counts=True)
+        offs = np.concatenate(([0], np.cumsum(m)))
+        pos = np.arange(d_u.size, dtype=np.int64) - np.repeat(offs[:-1], m)
+        reps = np.repeat(m, m) - pos - 1          # pairs led by each row
+        total = int(reps.sum())
+        if total == 0:
+            return empty
+        a_idx = np.repeat(np.arange(d_u.size, dtype=np.int64), reps)
+        run_start = np.concatenate(([0], np.cumsum(reps)))
+        b_off = np.arange(total, dtype=np.int64) - np.repeat(run_start[:-1],
+                                                             reps)
+        b_idx = a_idx + 1 + b_off
+        g = pa.table({
+            "t1": w_u.take(pa.array(a_idx)),
+            "t2": w_u.take(pa.array(b_idx)),
+        }).group_by(["t1", "t2"]).aggregate([([], "count_all")])
+        return g.rename_columns(["t1", "t2", "c"])
+
+    counted = grouped_agg(
+        ds.map_batches(pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["t1", "t2"], [("n_docs", "c", "sum")])
+    return topk_rows(counted, [("n_docs", "descending"), ("t1", "ascending"),
+                               ("t2", "ascending")], k)

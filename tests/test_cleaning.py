@@ -123,3 +123,30 @@ class TestBoilerplateSegments:
             words_per_seg=3, min_docs=3).take_all()}
         assert all(r["n_boiler"] == 1 for r in out3.values())
         assert out3[1]["text_clean"] == "tail one"
+
+
+class TestCooccurrence:
+    def test_matches_brute_force(self, ray_session):
+        import itertools
+
+        import ray.data as rd
+
+        from archbloom_ray.stages.graph import cooccurrence_pairs
+
+        docs = {
+            1: "alpha beta gamma alpha",      # dup token: distinct per doc
+            2: "beta gamma delta",
+            3: "alpha beta epsilon",
+            4: "zeta eta",
+        }
+        counts: dict[tuple[str, str], int] = {}
+        for t in docs.values():
+            for a, b in itertools.combinations(sorted(set(t.split())), 2):
+                counts[(a, b)] = counts.get((a, b), 0) + 1
+        expect = sorted(counts.items(), key=lambda kv: (-kv[1], kv[0]))[:50]
+        ds = rd.from_items(
+            [{"doc_id": d, "text": t} for d, t in docs.items()])
+        out = cooccurrence_pairs(ds, "text", "doc_id", k=50)
+        got = [((r["t1"], r["t2"]), r["n_docs"]) for r in out.to_pylist()]
+        assert got == expect
+        assert (("beta", "gamma"), 2) in got  # co-occurs in docs 1 and 2
