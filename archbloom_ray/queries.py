@@ -2763,6 +2763,19 @@ def q_dsir_selection(sf_dir: str):
                                ("doc_id", "ascending")], 50)
 
 
+def q_kcenter_diverse(sf_dir: str):
+    """Greedy k-center diversity selection over the embeddings table
+    (``stages.selection.kcenter_select``): 8 maximally-spread vectors,
+    deterministic (min-id seed + tie-breaks) so the selection is run-
+    and partitioning-invariant.  No SQL oracle — iterative farthest-
+    point argmax is not SQL-expressible; brute-force parity and
+    partition invariance are pytest-gated."""
+    from .stages.selection import kcenter_select
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    return kcenter_select(ds, "embedding", "vec_id", 8)
+
+
 def q_cooccurrence_top(sf_dir: str):
     """Term co-occurrence edge list: top-50 token pairs by distinct-doc
     co-occurrence (``stages.graph.cooccurrence_pairs`` — one Arrow
@@ -4055,6 +4068,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_classifier": q_quality_classifier,
         "clustered_skip_read": q_clustered_skip_read,
         "cooccurrence_top": q_cooccurrence_top,
+        "kcenter_diverse": q_kcenter_diverse,
         "fuzzy_join_recall": q_fuzzy_join_recall,
         "bigram_lm_scores": q_bigram_lm_scores,
         "bpe_merges": q_bpe_merges,

@@ -26,7 +26,104 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["dsir_weights", "train_linear_classifier"]
+__all__ = ["dsir_weights", "kcenter_select", "train_linear_classifier"]
+
+
+def kcenter_select(
+    ds: "ray.data.Dataset",
+    vec_col: str,
+    id_col: str,
+    k: int,
+) -> pa.Table:
+    """Greedy k-center (farthest-point) diversity selection over an
+    embedding column — the coverage-maximizing counterpart of
+    importance resampling (Sener & Savarese 2018 coreset shape): each
+    round adds the point farthest (squared L2) from the chosen set.
+
+    Fully deterministic: the seed is the minimum id, every argmax
+    tie-breaks by minimum id, and per-point distances are fixed-order
+    float expressions — so the selection is partition- and
+    run-invariant (asserted in pytest against a brute-force oracle).
+
+    Distributed shape: the candidate set stays a Dataset; each of the
+    k-1 rounds is ONE map_batches pass that (a) updates the running
+    min-distance-to-set with the single NEWEST center (broadcast in
+    the task closure — O(kn) total distance work, not O(k²n)) and
+    (b) pre-reduces to a per-batch champion row; only O(blocks)
+    champion rows reach the driver per round.  State is re-materialized
+    once per round (bounded DAG depth, restartable lineage), the
+    standard iterative-refinement layout shared with k-means and
+    PageRank here.
+
+    Returns a k-row table ``(rank, id, dist_sq)`` where ``dist_sq`` is
+    the squared distance to the previously selected set (0 for the
+    seed).
+    """
+
+    def with_dist(center_vec: np.ndarray | None):
+        def fn(batch: pa.Table) -> pa.Table:
+            from .similarity import _as_matrix
+
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            if center_vec is None:
+                d = np.full(len(ids), np.inf)
+            else:
+                vecs = _as_matrix(batch[vec_col])
+                prev = np.asarray(batch["dmin"], dtype=np.float64)
+                diff = vecs - center_vec[None, :]
+                d = np.minimum(prev, np.einsum("ij,ij->i", diff, diff))
+            out = pa.table({
+                id_col: pa.array(ids),
+                vec_col: batch[vec_col],
+                "dmin": pa.array(d),
+            })
+            return out
+
+        return fn
+
+    def champion(batch: pa.Table) -> pa.Table:
+        if len(batch) == 0:
+            return pa.table({id_col: pa.array([], pa.int64()),
+                             vec_col: batch[vec_col],
+                             "dmin": pa.array([], pa.float64())})
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        d = np.asarray(batch["dmin"], dtype=np.float64)
+        best = np.lexsort((ids, -d))[0]
+        return batch.take(pa.array([int(best)]))
+
+    # deterministic seed: the minimum id (one tiny pre-reduced pass)
+    def min_id(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        j = int(np.argmin(ids)) if ids.size else 0
+        return batch.take(pa.array([j])) if ids.size else batch
+
+    seed_rows = ds.map_batches(min_id, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    seed = min(seed_rows, key=lambda r: r[id_col])
+    chosen = [(0, int(seed[id_col]), 0.0)]
+    center = np.asarray(seed[vec_col], dtype=np.float64)
+    chosen_ids = {int(seed[id_col])}
+
+    state = ds.map_batches(with_dist(None), batch_format="pyarrow",
+                           zero_copy_batch=True).materialize()
+    for rank in range(1, int(k)):
+        state = state.map_batches(with_dist(center), batch_format="pyarrow",
+                                  zero_copy_batch=True).materialize()
+        cands = [r for r in state.map_batches(
+            champion, batch_format="pyarrow", zero_copy_batch=True).take_all()
+            if int(r[id_col]) not in chosen_ids]
+        if not cands:
+            break
+        best = max(cands, key=lambda r: (r["dmin"], -int(r[id_col])))
+        chosen.append((rank, int(best[id_col]), float(best["dmin"])))
+        chosen_ids.add(int(best[id_col]))
+        center = np.asarray(best[vec_col], dtype=np.float64)
+
+    return pa.table({
+        "rank": pa.array([c[0] for c in chosen], pa.int64()),
+        id_col: pa.array([c[1] for c in chosen], pa.int64()),
+        "dist_sq": pa.array([c[2] for c in chosen], pa.float64()),
+    })
 
 
 def _trunc_div(a: int, b: int) -> int:

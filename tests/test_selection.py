@@ -112,3 +112,58 @@ class TestLinearClassifier:
         assert _trunc_div(-7, 2) == -3   # DuckDB BIGINT // truncates
         assert _trunc_div(7, 2) == 3
         assert _trunc_div(-1, 5) == 0
+
+
+class TestKCenter:
+    def _brute(self, vecs: dict[int, list[float]], k: int):
+        import numpy as np
+
+        ids = sorted(vecs)
+        chosen = [min(ids)]
+        dists = [0.0]
+        dmin = {i: float(np.sum((np.array(vecs[i]) -
+                                 np.array(vecs[chosen[0]])) ** 2))
+                for i in ids}
+        while len(chosen) < k:
+            rest = [i for i in ids if i not in chosen]
+            if not rest:
+                break
+            best = max(rest, key=lambda i: (dmin[i], -i))
+            chosen.append(best)
+            dists.append(dmin[best])
+            for i in ids:
+                d = float(np.sum((np.array(vecs[i]) -
+                                  np.array(vecs[best])) ** 2))
+                dmin[i] = min(dmin[i], d)
+        return chosen, dists
+
+    VECS = {
+        10: [0.0, 0.0], 11: [0.1, 0.0], 12: [10.0, 0.0],
+        13: [0.0, 10.0], 14: [10.0, 10.0], 15: [5.0, 5.0],
+        16: [0.2, 0.1], 17: [9.9, 9.8],
+    }
+
+    def test_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.selection import kcenter_select
+
+        ds = rd.from_items(
+            [{"vec_id": i, "embedding": v} for i, v in self.VECS.items()])
+        out = kcenter_select(ds, "embedding", "vec_id", 5)
+        ids, dists = self._brute(self.VECS, 5)
+        assert out["vec_id"].to_pylist() == ids
+        assert out["dist_sq"].to_pylist() == dists
+        # the far corners get picked before the near-duplicates
+        assert set(out["vec_id"].to_pylist()[:4]) <= {10, 12, 13, 14, 15}
+
+    def test_partition_invariant(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.selection import kcenter_select
+
+        items = [{"vec_id": i, "embedding": v} for i, v in self.VECS.items()]
+        a = kcenter_select(rd.from_items(items), "embedding", "vec_id", 4)
+        b = kcenter_select(rd.from_items(items).repartition(5),
+                           "embedding", "vec_id", 4)
+        assert a.equals(b)
