@@ -2734,6 +2734,20 @@ def q_doc_dup_segments(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_dup_span_removal(sf_dir: str):
+    """The removal half of exact-substring dedup (Lee et al. 2021):
+    duplicated 5-token windows mark their ranges, intervals union per
+    doc, covered tokens are cut and the survivors rejoined
+    (``stages.cleaning.remove_duplicate_spans`` — two keyed exchanges:
+    dup-window hashes, then text-once reassembly co-partitioned with
+    the dup positions).  Fully SQL-mirrorable: the oracle recomputes
+    coverage with a range join on the gram strings."""
+    from .stages.cleaning import remove_duplicate_spans
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    return remove_duplicate_spans(ds, "text", "doc_id", n=5)
+
+
 def q_dsir_selection(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): importance-weight every
     document by how target-like (lang='en' here) its unigram
@@ -4064,6 +4078,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "boilerplate_removal": q_boilerplate_removal,
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
+        "dup_span_removal": q_dup_span_removal,
         "dsir_selection": q_dsir_selection,
         "quality_classifier": q_quality_classifier,
         "clustered_skip_read": q_clustered_skip_read,
@@ -5635,6 +5650,35 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_segs,
                    CAST(count(DISTINCT seg) AS BIGINT) AS n_distinct_segs
             FROM p2 GROUP BY doc_id ORDER BY doc_id
+        """,
+        "dup_span_removal": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              string_split(coalesce(text, ''), ' ') AS ws
+                       FROM documents),
+            wp AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 4)) AS i
+                   FROM w WHERE len(ws) >= 5),
+            g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                         array_to_string(ws[i:i+4], ' ') AS gram FROM wp),
+            d AS (SELECT gram FROM g GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+            dw AS (SELECT g.doc_id, g.i FROM g JOIN d USING (gram)),
+            tokp AS (SELECT doc_id, ws,
+                            unnest(generate_series(1, len(ws))) AS p FROM w),
+            tk AS (SELECT doc_id, CAST(p AS BIGINT) AS p,
+                          ws[CAST(p AS BIGINT)] AS tok FROM tokp),
+            cov AS (SELECT tk.doc_id, tk.p, tk.tok,
+                           count(dw.i) > 0 AS covered
+                    FROM tk LEFT JOIN dw
+                      ON dw.doc_id = tk.doc_id
+                     AND dw.i BETWEEN tk.p - 4 AND tk.p
+                    GROUP BY tk.doc_id, tk.p, tk.tok)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_toks,
+                   CAST(sum(CASE WHEN covered THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_removed,
+                   string_agg(CASE WHEN NOT covered THEN tok END,
+                              ' ' ORDER BY p) AS text_clean
+            FROM cov GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_selection": _dsir_sql(),
         "quality_classifier": _linclf_sql(3, 10),

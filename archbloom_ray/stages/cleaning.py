@@ -26,7 +26,8 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 
-__all__ = ["duplicate_spans", "boilerplate_segments"]
+__all__ = ["duplicate_spans", "boilerplate_segments",
+           "remove_duplicate_spans"]
 
 
 def duplicate_spans(
@@ -293,3 +294,171 @@ def boilerplate_segments(
         })
 
     return ds.map_batches(scrub, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def remove_duplicate_spans(
+    ds: "ray.data.Dataset",
+    text_col: str,
+    id_col: str,
+    *,
+    n: int = 5,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2021):
+    every sliding ``n``-token window occurring in >= 2 distinct
+    documents marks its token range; a document's covered ranges merge
+    (interval union) and the covered tokens are cut, the survivors
+    rejoined in order.  Windows here are RAW space-separated tokens
+    (no lowering) so the reconstruction is the original text minus the
+    duplicated spans.
+
+    Returns one row per document: ``(id, n_toks, n_removed,
+    text_clean)`` with ``text_clean`` NULL when everything was covered.
+
+    Two keyed exchanges, the honest lower bound for the operation:
+
+    1. *Detect*: batches emit ``(window-hash64, doc, start)`` rows
+       (positions must travel — removal needs them); a hash-keyed
+       partition groupby finds hashes with >= 2 distinct docs with one
+       vectorized segmented scan and emits ONLY the duplicated
+       ``(doc, start)`` rows — output mass is the duplicated-window
+       mass, typically a sliver of the corpus.
+    2. *Apply*: text rows and dup-position rows co-partition on
+       hash(doc) through one unified-schema exchange (text travels
+       ONCE); each partition rebuilds its documents fully vectorized —
+       token coverage by scatter over repeat/arange index math, kept
+       tokens rejoined per doc via a new offsets ListArray +
+       ``binary_join`` (the ``paragraph_dedup`` reassembly shape).
+    """
+    from ..hashing import mmh3_64_batch
+    from .text import _BIGRAM_SEP
+
+    P = int(num_partitions)
+    GOLD = np.uint64(0x9E3779B97F4A7C15)
+
+    def window_rows(batch: pa.Table) -> pa.Table:
+        col = pc.fill_null(batch[text_col].combine_chunks(), "")
+        words = pc.split_pattern(col, " ")
+        flat = words.flatten()
+        n_words = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        n_flat = len(flat)
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        if n_flat < n:
+            return pa.table({"pkey": pa.array([], pa.int32()),
+                             "h": pa.array([], pa.int64()),
+                             "doc": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64())})
+        n_pos = n_flat - n + 1
+        grams = pc.binary_join_element_wise(
+            *[flat.slice(j, n_pos) for j in range(n)], _BIGRAM_SEP)
+        doc_of = np.repeat(np.arange(len(n_words), dtype=np.int64), n_words)
+        base = np.concatenate(([0], np.cumsum(n_words)))
+        valid = doc_of[:n_pos] == doc_of[n - 1:]
+        grams = grams.filter(pa.array(valid))
+        vidx = np.flatnonzero(valid)
+        docs = doc_of[vidx]
+        pos = vidx - base[docs]
+        h = (mmh3_64_batch(grams).astype(np.uint64)
+             if len(grams) else np.empty(0, np.uint64))
+        with np.errstate(over="ignore"):
+            pk = ((h * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table({
+            "pkey": pa.array(pk),
+            "h": pa.array(h.view(np.int64)),
+            "doc": pa.array(ids[docs]),
+            "pos": pa.array(pos),
+        })
+
+    def dup_positions(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["h"], dtype=np.int64)
+        doc = np.asarray(group["doc"], dtype=np.int64)
+        pos = np.asarray(group["pos"], dtype=np.int64)
+        order = np.lexsort((pos, doc, h))
+        hs, ds_, ps = h[order], doc[order], pos[order]
+        hb = np.ones(hs.size, dtype=bool)
+        hb[1:] = hs[1:] != hs[:-1]
+        seg_start = np.flatnonzero(hb)
+        seg_len = np.diff(np.append(seg_start, hs.size))
+        # distinct docs per hash segment: count doc boundaries inside it
+        db = np.ones(hs.size, dtype=bool)
+        db[1:] = hb[1:] | (ds_[1:] != ds_[:-1])
+        ndocs = np.add.reduceat(db.astype(np.int64), seg_start)
+        dup = np.repeat(ndocs >= 2, seg_len)
+        return pa.table({"doc": pa.array(ds_[dup]),
+                         "pos": pa.array(ps[dup])})
+
+    dup_pos = (
+        ds.map_batches(window_rows, batch_format="pyarrow",
+                       zero_copy_batch=True)
+        .groupby("pkey")
+        .map_groups(dup_positions, batch_format="pyarrow")
+    )
+
+    def tag_text(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch[id_col], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            pk = ((ids.astype(np.uint64) * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table({
+            "pkey": pa.array(pk),
+            "doc": pa.array(ids),
+            "pos": pa.array(np.full(ids.size, -1, np.int64)),
+            "txt": pc.fill_null(batch[text_col].combine_chunks(), ""),
+        })
+
+    def tag_pos(batch: pa.Table) -> pa.Table:
+        doc = np.asarray(batch["doc"], dtype=np.int64)
+        with np.errstate(over="ignore"):
+            pk = ((doc.astype(np.uint64) * GOLD) % np.uint64(P)).astype(np.int32)
+        return pa.table({
+            "pkey": pa.array(pk),
+            "doc": batch["doc"],
+            "pos": batch["pos"],
+            "txt": pa.nulls(len(doc), type=pa.string()).fill_null(""),
+        })
+
+    unified = (ds.map_batches(tag_text, batch_format="pyarrow",
+                              zero_copy_batch=True)
+               .union(dup_pos.map_batches(tag_pos, batch_format="pyarrow",
+                                          zero_copy_batch=True)))
+
+    def rebuild(group: pa.Table) -> pa.Table:
+        pos = np.asarray(group["pos"], dtype=np.int64)
+        doc = np.asarray(group["doc"], dtype=np.int64)
+        is_text = pos == -1
+        t_idx = np.flatnonzero(is_text)
+        # order documents by id for deterministic within-partition layout
+        t_order = t_idx[np.argsort(doc[t_idx], kind="stable")]
+        ids = doc[t_order]
+        texts = group["txt"].combine_chunks().take(pa.array(t_order))
+        words = pc.split_pattern(texts, " ")
+        flat = words.flatten()
+        n_words = np.asarray(pc.list_value_length(words), dtype=np.int64)
+        base = np.concatenate(([0], np.cumsum(n_words)))
+        covered = np.zeros(int(n_words.sum()), dtype=bool)
+        p_idx = np.flatnonzero(~is_text)
+        if p_idx.size:
+            # map dup rows to the local doc ordinal, then to flat indices
+            local = np.searchsorted(ids, doc[p_idx])
+            starts = base[local] + pos[p_idx]
+            span_idx = (np.repeat(starts, n)
+                        + np.tile(np.arange(n, dtype=np.int64), starts.size))
+            covered[span_idx] = True
+        keep = ~covered
+        kept = flat.filter(pa.array(keep))
+        kept_per_doc = np.add.reduceat(keep.astype(np.int64), base[:-1]) \
+            if n_words.size else np.empty(0, np.int64)
+        kept_per_doc = np.where(n_words > 0, kept_per_doc, 0)
+        offs = np.concatenate(([0], np.cumsum(kept_per_doc))).astype(np.int32)
+        doc_list = pa.ListArray.from_arrays(pa.array(offs), kept)
+        text_clean = pc.if_else(
+            pa.array(kept_per_doc > 0), pc.binary_join(doc_list, " "),
+            pa.nulls(len(ids), type=pa.string()))
+        n_removed = n_words - kept_per_doc
+        return pa.table({
+            id_col: pa.array(ids),
+            "n_toks": pa.array(n_words),
+            "n_removed": pa.array(n_removed),
+            "text_clean": text_clean,
+        })
+
+    return unified.groupby("pkey").map_groups(rebuild, batch_format="pyarrow")

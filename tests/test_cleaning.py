@@ -150,3 +150,67 @@ class TestCooccurrence:
         got = [((r["t1"], r["t2"]), r["n_docs"]) for r in out.to_pylist()]
         assert got == expect
         assert (("beta", "gamma"), 2) in got  # co-occurs in docs 1 and 2
+
+
+class TestRemoveDuplicateSpans:
+    def test_removal_matches_brute_force(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.cleaning import remove_duplicate_spans
+
+        shared = "one two three four five"          # a full 5-gram
+        docs = {
+            1: f"{shared} unique tail here now",
+            2: f"other opening words {shared}",
+            3: "no duplicated window in this document at all",
+            4: "tiny doc",                          # <5 tokens: no windows
+        }
+
+        def brute(docs, n=5):
+            grams = {}
+            for d, t in docs.items():
+                toks = t.split()
+                grams[d] = [tuple(toks[i:i + n])
+                            for i in range(len(toks) - n + 1)]
+            owners = {}
+            for d, gs in grams.items():
+                for g in gs:
+                    owners.setdefault(g, set()).add(d)
+            out = {}
+            for d, t in docs.items():
+                toks = t.split()
+                cov = [False] * len(toks)
+                for i, g in enumerate(grams[d]):
+                    if len(owners[g]) >= 2:
+                        for j in range(i, i + n):
+                            cov[j] = True
+                keep = [tok for tok, c in zip(toks, cov) if not c]
+                out[d] = (len(toks), sum(cov),
+                          " ".join(keep) if keep else None)
+            return out
+
+        ds = rd.from_items(
+            [{"doc_id": d, "text": t} for d, t in docs.items()])
+        got = {r["doc_id"]: (r["n_toks"], r["n_removed"], r["text_clean"])
+               for r in remove_duplicate_spans(
+                   ds, "text", "doc_id", n=5).take_all()}
+        assert got == brute(docs)
+        # the shared 5-gram vanished from both owners, the rest survived
+        assert got[1][2] == "unique tail here now"
+        assert got[2][2] == "other opening words"
+        assert got[3] == (8, 0, docs[3])
+        assert got[4] == (2, 0, docs[4])
+
+    def test_identical_docs_fully_removed(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.cleaning import remove_duplicate_spans
+
+        t = "a b c d e f g"
+        ds = rd.from_items([{"doc_id": 1, "text": t},
+                            {"doc_id": 2, "text": t}])
+        got = {r["doc_id"]: r for r in remove_duplicate_spans(
+            ds, "text", "doc_id", n=5).take_all()}
+        for d in (1, 2):
+            assert got[d]["n_removed"] == 7
+            assert got[d]["text_clean"] is None
