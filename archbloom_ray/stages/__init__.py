@@ -9,6 +9,7 @@ from .text import (
 )
 from .dedup import (
     exact_dedup,
+    lsh_plan,
     minhash_signatures,
     minhash_lsh_pairs,
     minhash_similarity_join,
@@ -35,8 +36,9 @@ from .similarity import (
     query_ivf_index,
     train_centroids,
 )
-from .cleaning import boilerplate_segments, duplicate_spans
-from .selection import dsir_weights
+from .cleaning import (boilerplate_segments, duplicate_spans,
+                       remove_duplicate_spans)
+from .selection import dsir_weights, kcenter_select, train_linear_classifier
 from .index import build_inverted_index, query_inverted_index, query_phrase
 from .jsonfield import json_int_field, json_string_field
 from .sampling import hash_split, split_assignments, weighted_sample
@@ -73,7 +75,8 @@ __all__ = [
     "ngram_jaccard_exact_pairs", "verify_pairs_ngram", "verify_pairs_equal",
     "contamination_check", "contamination_check_partitioned", "window_hashes_batch",
     "embedding_near_dup_pairs", "connected_components", "dedup_clusters",
-    "duplicate_spans", "boilerplate_segments", "dsir_weights",
+    "duplicate_spans", "boilerplate_segments", "remove_duplicate_spans",
+    "dsir_weights", "kcenter_select", "train_linear_classifier", "lsh_plan",
     "knn_brute", "knn_ivf", "train_centroids",
     "pca_fit", "pca_transform",
     "build_ivf_index", "query_ivf_index",

@@ -2050,3 +2050,53 @@ def paragraph_dedup(
 
     return kept.drop_columns(["rank"]).groupby(id_col).map_groups(
         reassemble, batch_format="pyarrow")
+
+
+def lsh_plan(
+    threshold: float,
+    num_perm: int,
+    *,
+    fp_weight: float = 0.5,
+) -> dict:
+    """Pick the (bands, rows) split of a ``num_perm``-permutation
+    MinHash signature that best matches a Jaccard ``threshold`` — the
+    standard LSH S-curve optimization (Mining of Massive Datasets
+    §3.4): candidate probability at similarity s is
+    ``1 - (1 - s^r)^b``, and the chosen split minimizes
+    ``fp_weight * FP_area + (1 - fp_weight) * FN_area`` where FP is
+    the curve's mass below the threshold and FN the miss mass above it
+    (Simpson-integrated).  Pure planning math — no Ray, no data; feed
+    the result to ``minhash_lsh_pairs(bands=...)``.
+
+    Returns ``{"bands", "rows", "threshold_50" (s where P=0.5),
+    "fp_area", "fn_area"}``.
+    """
+    t = float(threshold)
+    if not 0.0 < t < 1.0:
+        raise ValueError("threshold must be in (0, 1)")
+    best = None
+    for b in range(1, int(num_perm) + 1):
+        if num_perm % b:
+            continue
+        r = num_perm // b
+
+        def p(s: float, r=r, b=b) -> float:
+            return 1.0 - (1.0 - s ** r) ** b
+
+        def simpson(lo: float, hi: float, f, n=64) -> float:
+            h = (hi - lo) / n
+            acc = f(lo) + f(hi)
+            for i in range(1, n):
+                acc += f(lo + i * h) * (4 if i % 2 else 2)
+            return acc * h / 3.0
+
+        fp = simpson(0.0, t, p)                      # caught below t
+        fn = simpson(t, 1.0, lambda s: 1.0 - p(s))   # missed above t
+        cost = fp_weight * fp + (1.0 - fp_weight) * fn
+        if best is None or cost < best[0]:
+            t50 = (1.0 - 0.5 ** (1.0 / b)) ** (1.0 / r)
+            best = (cost, {"bands": b, "rows": r,
+                           "threshold_50": round(t50, 4),
+                           "fp_area": round(fp, 4),
+                           "fn_area": round(fn, 4)})
+    return best[1]

@@ -1866,3 +1866,31 @@ class TestCDC:
         assert hashes[0] == hashes[1]                  # exact dup: all shared
         shared = len(hashes[0] & hashes[2]) / len(hashes[0])
         assert shared >= 0.7, shared                    # shifted dup: most shared
+
+
+class TestLshPlan:
+    def test_threshold_tracks_t50(self):
+        from archbloom_ray.stages.dedup import lsh_plan
+
+        for t in (0.5, 0.7, 0.9):
+            plan = lsh_plan(t, 64)
+            assert plan["bands"] * plan["rows"] == 64
+            # the chosen S-curve midpoint sits near the requested threshold
+            assert abs(plan["threshold_50"] - t) < 0.12
+
+    def test_fp_weight_shifts_tradeoff(self):
+        from archbloom_ray.stages.dedup import lsh_plan
+
+        strict = lsh_plan(0.7, 128, fp_weight=0.95)   # hates false positives
+        loose = lsh_plan(0.7, 128, fp_weight=0.05)    # hates misses
+        assert strict["rows"] >= loose["rows"]        # steeper curve
+        assert strict["fp_area"] <= loose["fp_area"]
+        assert strict["fn_area"] >= loose["fn_area"]
+
+    def test_rejects_bad_threshold(self):
+        import pytest as _pytest
+
+        from archbloom_ray.stages.dedup import lsh_plan
+
+        with _pytest.raises(ValueError):
+            lsh_plan(1.0, 64)
