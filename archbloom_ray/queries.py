@@ -2734,6 +2734,33 @@ def q_doc_dup_segments(sf_dir: str):
     return ds.map_batches(stats, batch_format="pyarrow", zero_copy_batch=True)
 
 
+def q_expectations(sf_dir: str):
+    """Data-quality expectation gate over documents
+    (``pipelines.validate.expectations_report``): uniqueness,
+    null/empty, range, set-membership and cross-column-consistency
+    rules in one distributed pass — exact per-rule violation counts
+    (the ``max_chars_300`` rule is deliberately violated so the oracle
+    checks a real non-zero count)."""
+    from .pipelines.validate import expectations_report
+
+    def add_len(batch: pa.Table) -> pa.Table:
+        return batch.append_column(
+            "len_text", pc.cast(pc.utf8_length(
+                pc.fill_null(batch["text"], "")), pa.int64()))
+
+    ds = _read(sf_dir, "documents",
+               ["doc_id", "text", "lang", "n_chars"]).map_batches(
+        add_len, batch_format="pyarrow", zero_copy_batch=True)
+    return expectations_report(ds, [
+        ("doc_id_unique", "unique", "doc_id"),
+        ("lang_in_set", "in_set", ("lang", ["de", "en", "es", "fr", "zh"])),
+        ("text_nonempty", "nonempty", "text"),
+        ("n_chars_positive", "range", ("n_chars", 1, 1 << 40)),
+        ("n_chars_is_len", "cols_equal", ("n_chars", "len_text")),
+        ("max_chars_300", "range", ("n_chars", 0, 300)),
+    ])
+
+
 def q_dup_span_removal(sf_dir: str):
     """The removal half of exact-substring dedup (Lee et al. 2021):
     duplicated 5-token windows mark their ranges, intervals union per
@@ -4079,6 +4106,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
         "dup_span_removal": q_dup_span_removal,
+        "expectations": q_expectations,
         "dsir_selection": q_dsir_selection,
         "quality_classifier": q_quality_classifier,
         "clustered_skip_read": q_clustered_skip_read,
@@ -5681,6 +5709,28 @@ def oracle_sql() -> dict[str, str]:
             FROM cov GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_selection": _dsir_sql(),
+        "expectations": """
+            SELECT 'doc_id_unique' AS rule,
+                   CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
+                       AS n_violations FROM documents
+            UNION ALL SELECT 'lang_in_set',
+                   CAST(sum(CASE WHEN coalesce(lang, '') IN
+                        ('de','en','es','fr','zh') THEN 0 ELSE 1 END)
+                        AS BIGINT) FROM documents
+            UNION ALL SELECT 'text_nonempty',
+                   CAST(sum(CASE WHEN coalesce(text, '') = '' THEN 1
+                        ELSE 0 END) AS BIGINT) FROM documents
+            UNION ALL SELECT 'n_chars_positive',
+                   CAST(sum(CASE WHEN n_chars BETWEEN 1 AND 1099511627776
+                        THEN 0 ELSE 1 END) AS BIGINT) FROM documents
+            UNION ALL SELECT 'n_chars_is_len',
+                   CAST(sum(CASE WHEN n_chars = length(coalesce(text, ''))
+                        THEN 0 ELSE 1 END) AS BIGINT) FROM documents
+            UNION ALL SELECT 'max_chars_300',
+                   CAST(sum(CASE WHEN n_chars BETWEEN 0 AND 300 THEN 0
+                        ELSE 1 END) AS BIGINT) FROM documents
+            ORDER BY rule
+        """,
         "quality_classifier": _linclf_sql(3, 10),
         "clustered_skip_read": """
             SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
