@@ -266,11 +266,11 @@ def write_clustered(
     ``_SUCCESS`` appears after manifest + all shards are complete
     (idempotent re-runs return the existing output untouched).
     """
+    import base64
     import json
 
     import numpy as np
     import pyarrow.compute as pc
-    import ray.data as rd  # noqa: F401  (Dataset ops below)
 
     marker = os.path.join(out_dir, _MARKER)
     if os.path.exists(marker):
@@ -330,8 +330,14 @@ def write_clustered(
                      .groupby("_shard")
                      .map_groups(write_shard, batch_format="pyarrow")
                      .take_all())
+    sch = getattr(ds.schema(), "base_schema", None) or pa.schema(
+        [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)])
     manifest = {
         "cluster_col": cluster_col,
+        # schema travels in the manifest so empty layouts / fully
+        # pruned reads can still return a typed empty Dataset
+        "schema_b64": base64.b64encode(sch.serialize().to_pybytes())
+                            .decode("ascii"),
         "shards": sorted(
             ({"shard": int(r["shard"]), "lo": int(r["lo"]),
               "hi": int(r["hi"]), "rows": int(r["rows"])}
@@ -368,8 +374,13 @@ def read_clustered(
         if (lo is None or s["hi"] >= lo) and (hi is None or s["lo"] <= hi)
     ]
     if not files:
-        # empty selection: preserve schema by reading zero rows of one shard
-        any_file = os.path.join(
-            path, f"shard-{manifest['shards'][0]['shard']:05d}.parquet")
-        return rd.read_parquet(any_file, columns=columns).limit(0)
+        # empty selection (fully pruned, or the layout itself is empty):
+        # rebuild a typed empty Dataset from the manifest schema
+        import base64
+
+        sch = pa.ipc.read_schema(pa.py_buffer(
+            base64.b64decode(manifest["schema_b64"])))
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
     return rd.read_parquet(files, columns=columns)

@@ -77,19 +77,31 @@ def q_median_chars_by_lang(sf_dir: str):
     return grouped_quantiles(ds, ["lang"], "n_chars", [0.5, 0.9])
 
 
+def _ws_token_counts(col) -> np.ndarray:
+    """SQL-parity whitespace token counts: mirrors DuckDB
+    ``len(string_split_regex(trim(text), '\\s+'))`` with the
+    empty-string-counts-zero gate on the UNtrimmed value (subtle: a
+    non-empty all-whitespace text counts 1 token, exactly like the
+    SQL fragment).  The one canonical home for a fragment four
+    queries share — ``count_tokens_arrow`` is NOT a drop-in (it gates
+    on the trimmed value)."""
+    from .stages.text import _RE2_WS, _WS_CHARS, _np
+
+    filled = pc.fill_null(col, "")
+    trimmed = pc.utf8_trim(filled, _WS_CHARS)
+    runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
+    nonempty = _np(pc.not_equal(filled, "")).astype(bool)
+    return np.where(nonempty, runs + 1, 0)
+
+
 def q_token_totals(sf_dir: str):
     """Whitespace token counts per lang (Arrow re2 kernels; matches
     DuckDB ``len(string_split_regex(trim(text), '\\s+'))`` exactly —
     note a non-empty all-whitespace text counts 1 token)."""
-    from archbloom_ray.stages.text import _RE2_WS, _WS_CHARS, _np
 
     def tokens(batch: pa.Table) -> pa.Table:
-        col = batch["text"].combine_chunks()
-        filled = pc.fill_null(col, "")
-        trimmed = pc.utf8_trim(filled, _WS_CHARS)
-        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
-        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
-        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
+        n = pa.array(_ws_token_counts(batch["text"].combine_chunks()),
+                     type=pa.int64())
         return pa.table({"lang": batch["lang"], "n_tokens": n})
 
     ds = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
@@ -2618,15 +2630,10 @@ def q_domain_mixture(sf_dir: str):
     arithmetic runs on the driver over one row per SOURCE (bounded by
     domain cardinality, not data)."""
     from .pipelines.relational import grouped_agg
-    from .stages.text import _RE2_WS, _WS_CHARS, _np
 
     def tokens(batch: pa.Table) -> pa.Table:
-        col = batch["text"].combine_chunks()
-        filled = pc.fill_null(col, "")
-        trimmed = pc.utf8_trim(filled, _WS_CHARS)
-        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
-        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
-        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
+        n = pa.array(_ws_token_counts(batch["text"].combine_chunks()),
+                     type=pa.int64())
         return pa.table({"source": batch["source"], "n_tokens": n})
 
     ds = _read(sf_dir, "documents", ["source", "text"]).map_batches(
@@ -2659,17 +2666,12 @@ def q_sequence_packing(sf_dir: str):
     DO split across sequence boundaries, unlike the budget-contiguous
     ``token_shard_assignment`` where docs never split."""
     from .pipelines.relational import global_prefix_sum
-    from .stages.text import _RE2_WS, _WS_CHARS, _np
 
     L = 512
 
     def tokens(batch: pa.Table) -> pa.Table:
-        col = batch["text"].combine_chunks()
-        filled = pc.fill_null(col, "")
-        trimmed = pc.utf8_trim(filled, _WS_CHARS)
-        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
-        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
-        n = pa.array(np.where(nonempty, runs + 1, 0), type=pa.int64())
+        n = pa.array(_ws_token_counts(batch["text"].combine_chunks()),
+                     type=pa.int64())
         return pa.table({"doc_id": batch["doc_id"], "n_toks": n})
 
     ds = _read(sf_dir, "documents", ["doc_id", "text"]).map_batches(
@@ -2878,15 +2880,10 @@ def q_quality_classifier(sf_dir: str):
     corpus has no lang↔feature signal; the oracle certifies the
     optimizer, not the model."""
     from .stages.selection import train_linear_classifier
-    from .stages.text import _RE2_WS, _WS_CHARS, _np
+    from .stages.text import _np
 
     def feats(batch: pa.Table) -> pa.Table:
-        col = batch["text"].combine_chunks()
-        filled = pc.fill_null(col, "")
-        trimmed = pc.utf8_trim(filled, _WS_CHARS)
-        runs = _np(pc.count_substring_regex(trimmed, _RE2_WS)).astype(np.int64)
-        nonempty = _np(pc.not_equal(filled, "")).astype(bool)
-        toks = np.where(nonempty, runs + 1, 0)
+        toks = _ws_token_counts(batch["text"].combine_chunks())
         nch = np.asarray(batch["n_chars"], dtype=np.int64)
         y = _np(pc.equal(pc.fill_null(batch["lang"], ""), "en")).astype(np.int64)
         n = len(nch)

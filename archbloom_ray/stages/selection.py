@@ -81,15 +81,25 @@ def kcenter_select(
 
         return fn
 
-    def champion(batch: pa.Table) -> pa.Table:
-        if len(batch) == 0:
-            return pa.table({id_col: pa.array([], pa.int64()),
-                             vec_col: batch[vec_col],
-                             "dmin": pa.array([], pa.float64())})
-        ids = np.asarray(batch[id_col], dtype=np.int64)
-        d = np.asarray(batch["dmin"], dtype=np.float64)
-        best = np.lexsort((ids, -d))[0]
-        return batch.take(pa.array([int(best)]))
+    def champion(exclude: np.ndarray):
+        # exclude the ALREADY-CHOSEN ids inside the batch pass: with
+        # exact-duplicate vectors an unchosen dmin-0 point must still
+        # be eligible (brute-force greedy picks it), and the chosen
+        # point itself would otherwise shadow it as the batch champion
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch[id_col], dtype=np.int64)
+            keep = ~np.isin(ids, exclude, assume_unique=False)
+            if not keep.any():
+                return pa.table({id_col: pa.array([], pa.int64()),
+                                 vec_col: batch[vec_col].slice(0, 0),
+                                 "dmin": pa.array([], pa.float64())})
+            batch = batch.filter(pa.array(keep))
+            ids = ids[keep]
+            d = np.asarray(batch["dmin"], dtype=np.float64)
+            best = np.lexsort((ids, -d))[0]
+            return batch.take(pa.array([int(best)]))
+
+        return fn
 
     # deterministic seed: the minimum id (one tiny pre-reduced pass)
     def min_id(batch: pa.Table) -> pa.Table:
@@ -99,6 +109,10 @@ def kcenter_select(
 
     seed_rows = ds.map_batches(min_id, batch_format="pyarrow",
                                zero_copy_batch=True).take_all()
+    if not seed_rows:
+        return pa.table({"rank": pa.array([], pa.int64()),
+                         id_col: pa.array([], pa.int64()),
+                         "dist_sq": pa.array([], pa.float64())})
     seed = min(seed_rows, key=lambda r: r[id_col])
     chosen = [(0, int(seed[id_col]), 0.0)]
     center = np.asarray(seed[vec_col], dtype=np.float64)
@@ -109,9 +123,9 @@ def kcenter_select(
     for rank in range(1, int(k)):
         state = state.map_batches(with_dist(center), batch_format="pyarrow",
                                   zero_copy_batch=True).materialize()
-        cands = [r for r in state.map_batches(
-            champion, batch_format="pyarrow", zero_copy_batch=True).take_all()
-            if int(r[id_col]) not in chosen_ids]
+        excl = np.array(sorted(chosen_ids), dtype=np.int64)
+        cands = state.map_batches(champion(excl), batch_format="pyarrow",
+                                  zero_copy_batch=True).take_all()
         if not cands:
             break
         best = max(cands, key=lambda r: (r["dmin"], -int(r[id_col])))
@@ -205,6 +219,8 @@ def train_linear_classifier(
                                zero_copy_batch=True).take_all()
         g = [sum(r[f"g{j}"] for r in parts) for j in range(F)]
         n_total = sum(r["n"] for r in parts)
+        if n_total == 0:
+            return {"weights": w, "n_correct": 0, "n": 0}
         w = [w[j] - _trunc_div(g[j], lr_den * n_total) for j in range(F)]
 
     warr = np.array(w, dtype=np.int64)

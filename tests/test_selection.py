@@ -167,3 +167,17 @@ class TestKCenter:
         b = kcenter_select(rd.from_items(items).repartition(5),
                            "embedding", "vec_id", 4)
         assert a.equals(b)
+
+    def test_exact_duplicate_vectors_still_fill_k(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages.selection import kcenter_select
+
+        vecs = {1: [0.0, 0.0], 2: [0.0, 0.0], 3: [1.0, 1.0]}
+        out = kcenter_select(
+            rd.from_items([{"vec_id": i, "embedding": v}
+                           for i, v in vecs.items()]),
+            "embedding", "vec_id", 3)
+        ids, dists = self._brute(vecs, 3)
+        assert out["vec_id"].to_pylist() == ids == [1, 3, 2]
+        assert out["dist_sq"].to_pylist() == dists  # dup enters at dist 0
