@@ -384,3 +384,87 @@ def read_clustered(
             sch = pa.schema([sch.field(c) for c in columns])
         return rd.from_arrow(sch.empty_table())
     return rd.read_parquet(files, columns=columns)
+
+
+def compact_clustered(
+    path: str,
+    *,
+    min_rows: int = 4096,
+) -> int:
+    """Compact a :func:`write_clustered` layout: ADJACENT shards are
+    greedily coalesced until each output shard holds >= ``min_rows``
+    rows (except possibly the last), preserving cluster order and the
+    zone-map contract (each merged shard's lo/hi is the min/max of its
+    inputs, ranges stay non-decreasing).  The small-files problem is
+    the classic failure mode of incremental clustered ingest; periodic
+    compaction keeps the manifest short and reads coarse.
+
+    Runs as Ray tasks (one per output shard — merge groups are
+    independent); the manifest and marker rewrite atomically LAST, so
+    a crash mid-compaction leaves the old manifest pointing at the old
+    (still present) shards and the operation simply re-runs.  Returns
+    the number of shards after compaction.
+    """
+    import json
+
+    import ray
+
+    with open(os.path.join(path, "_zonemap.json")) as f:
+        manifest = json.load(f)
+    shards = manifest["shards"]
+    if not shards:
+        return 0
+    groups: list[list[dict]] = [[]]
+    acc = 0
+    for s in shards:
+        groups[-1].append(s)
+        acc += s["rows"]
+        if acc >= min_rows:
+            groups.append([])
+            acc = 0
+    if not groups[-1]:
+        groups.pop()
+    if all(len(g) == 1 for g in groups):
+        return len(shards)
+
+    @ray.remote
+    def merge(group: list[dict], out_name: str) -> dict:
+        tables = [pq.read_table(os.path.join(path,
+                                             f"shard-{s['shard']:05d}.parquet"))
+                  for s in group]
+        body = pa.concat_tables(tables)
+        tmp = os.path.join(path, f".{out_name}.tmp")
+        pq.write_table(body, tmp)
+        os.replace(tmp, os.path.join(path, out_name))
+        return {"lo": min(s["lo"] for s in group),
+                "hi": max(s["hi"] for s in group),
+                "rows": int(sum(s["rows"] for s in group))}
+
+    out_entries = []
+    futs = []
+    for i, g in enumerate(groups):
+        futs.append(merge.remote(g, f"compact-{i:05d}.parquet"))
+    merged = ray.get(futs)
+    for i, m in enumerate(merged):
+        out_entries.append({"shard": i, **m})
+
+    # rename compacted files into the canonical shard names, swap the
+    # manifest, then drop the old shards
+    old_files = [f"shard-{s['shard']:05d}.parquet" for s in shards]
+    staged = {}
+    for i in range(len(groups)):
+        staged[f"compact-{i:05d}.parquet"] = f"shard-{i:05d}.parquet"
+    # old shard names may collide with new ones: move old files aside first
+    for name in old_files:
+        os.replace(os.path.join(path, name),
+                   os.path.join(path, name + ".old"))
+    for src, dst in staged.items():
+        os.replace(os.path.join(path, src), os.path.join(path, dst))
+    manifest["shards"] = out_entries
+    tmp = os.path.join(path, "._zonemap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f)
+    os.replace(tmp, os.path.join(path, "_zonemap.json"))
+    for name in old_files:
+        os.remove(os.path.join(path, name + ".old"))
+    return len(out_entries)

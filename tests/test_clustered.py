@@ -67,3 +67,38 @@ class TestClustered:
         out2 = write_clustered(ds, str(tmp_path / "c"), "v", num_shards=4)
         m2 = json.load(open(os.path.join(out2, "_zonemap.json")))
         assert out1 == out2 and m1 == m2  # _SUCCESS short-circuits
+
+    def test_compaction_preserves_data_and_zonemaps(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.write import compact_clustered
+
+        ds, vals = _mk(rd, n=4000)
+        out = write_clustered(ds, str(tmp_path / "c"), "v", num_shards=16)
+        before = json.load(open(os.path.join(out, "_zonemap.json")))
+        n_after = compact_clustered(out, min_rows=1000)
+        after = json.load(open(os.path.join(out, "_zonemap.json")))
+        assert n_after == len(after["shards"]) < len(before["shards"])
+        assert sum(s["rows"] for s in after["shards"]) == len(vals)
+        # zone ranges still ordered and consistent
+        los = [s["lo"] for s in after["shards"]]
+        assert los == sorted(los)
+        # full data intact and a pruned read still correct
+        got = sorted(r["v"] for r in read_clustered(out).take_all())
+        assert got == sorted(vals.tolist())
+        lo, hi = 200, 900
+        rows = [r["v"] for r in read_clustered(out, lo, hi).take_all()]
+        in_range = [int(v) for v in vals if lo <= v <= hi]
+        assert sorted(v for v in rows if lo <= v <= hi) == sorted(in_range)
+
+    def test_compaction_noop_when_already_coarse(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.write import compact_clustered
+
+        ds, vals = _mk(rd, n=1000)
+        out = write_clustered(ds, str(tmp_path / "c"), "v", num_shards=2)
+        before = json.load(open(os.path.join(out, "_zonemap.json")))
+        assert compact_clustered(out, min_rows=10) == len(before["shards"])
+        after = json.load(open(os.path.join(out, "_zonemap.json")))
+        assert after == before  # untouched
