@@ -2777,6 +2777,55 @@ def q_dup_span_removal(sf_dir: str):
     return remove_duplicate_spans(ds, "text", "doc_id", n=5)
 
 
+def q_curation_v2(sf_dir: str):
+    """End-to-end curation composition over the NEW cleaning family:
+    exact-substring duplicate-span removal -> min-length quality gate
+    (>= 10 surviving tokens) -> GPT-style sequence packing (L=256) of
+    the survivors in doc_id order.  One chained CTE oracle certifies
+    the whole pipeline; the Ray side is the removal exchange piped
+    into the distributed parallel scan — cleaned text itself never
+    needs a second pass (the packing only needs the kept-token
+    counts)."""
+    from .pipelines.relational import global_prefix_sum
+    from .stages.cleaning import remove_duplicate_spans
+
+    L = 256
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    cleaned = remove_duplicate_spans(ds, "text", "doc_id", n=5)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        nt = np.asarray(batch["n_toks"], dtype=np.int64)
+        nr = np.asarray(batch["n_removed"], dtype=np.int64)
+        kept = nt - nr
+        m = kept >= 10
+        return pa.table({
+            "doc_id": pa.array(np.asarray(batch["doc_id"],
+                                          dtype=np.int64)[m]),
+            "kept_toks": pa.array(kept[m]),
+        })
+
+    gated = cleaned.map_batches(gate, batch_format="pyarrow",
+                                zero_copy_batch=True)
+    out = global_prefix_sum(gated, "kept_toks", "doc_id",
+                            out="toks_before")
+
+    def finish(batch: pa.Table) -> pa.Table:
+        kt = np.asarray(batch["kept_toks"], dtype=np.int64)
+        tb = np.asarray(batch["toks_before"], dtype=np.int64)
+        first = tb // L
+        last = (tb + kt - 1) // L
+        return pa.table({
+            "doc_id": pa.array(np.asarray(batch["doc_id"], dtype=np.int64)),
+            "kept_toks": pa.array(kt),
+            "toks_before": pa.array(tb),
+            "first_seq": pa.array(first),
+            "last_seq": pa.array(last),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_dsir_selection(sf_dir: str):
     """DSIR data selection (Xie et al. 2023): importance-weight every
     document by how target-like (lang='en' here) its unigram
@@ -4103,6 +4152,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "domain_mixture": q_domain_mixture,
         "sequence_packing": q_sequence_packing,
         "dup_span_removal": q_dup_span_removal,
+        "curation_v2": q_curation_v2,
         "expectations": q_expectations,
         "dsir_selection": q_dsir_selection,
         "quality_classifier": q_quality_classifier,
@@ -5706,6 +5756,41 @@ def oracle_sql() -> dict[str, str]:
             FROM cov GROUP BY doc_id ORDER BY doc_id
         """,
         "dsir_selection": _dsir_sql(),
+        "curation_v2": """
+            WITH w AS (SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                              string_split(coalesce(text, ''), ' ') AS ws
+                       FROM documents),
+            wp AS (SELECT doc_id, ws,
+                          unnest(generate_series(1, len(ws) - 4)) AS i
+                   FROM w WHERE len(ws) >= 5),
+            g AS (SELECT doc_id, CAST(i AS BIGINT) AS i,
+                         array_to_string(ws[i:i+4], ' ') AS gram FROM wp),
+            d AS (SELECT gram FROM g GROUP BY gram
+                  HAVING count(DISTINCT doc_id) >= 2),
+            dw AS (SELECT g.doc_id, g.i FROM g JOIN d USING (gram)),
+            tokp AS (SELECT doc_id, ws,
+                            unnest(generate_series(1, len(ws))) AS p FROM w),
+            tk AS (SELECT doc_id, CAST(p AS BIGINT) AS p FROM tokp),
+            cov AS (SELECT tk.doc_id, tk.p, count(dw.i) > 0 AS covered
+                    FROM tk LEFT JOIN dw
+                      ON dw.doc_id = tk.doc_id
+                     AND dw.i BETWEEN tk.p - 4 AND tk.p
+                    GROUP BY tk.doc_id, tk.p),
+            kept AS (SELECT doc_id,
+                            CAST(sum(CASE WHEN covered THEN 0 ELSE 1 END)
+                                 AS BIGINT) AS kept_toks
+                     FROM cov GROUP BY doc_id
+                     HAVING sum(CASE WHEN covered THEN 0 ELSE 1 END) >= 10),
+            sc AS (SELECT doc_id, kept_toks,
+                          CAST(COALESCE(SUM(kept_toks) OVER (ORDER BY doc_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING
+                               AND 1 PRECEDING), 0) AS BIGINT) AS toks_before
+                   FROM kept)
+            SELECT doc_id, kept_toks, toks_before,
+                   toks_before // 256 AS first_seq,
+                   (toks_before + kept_toks - 1) // 256 AS last_seq
+            FROM sc ORDER BY doc_id
+        """,
         "expectations": """
             SELECT 'doc_id_unique' AS rule,
                    CAST(count(*) - count(DISTINCT doc_id) AS BIGINT)
