@@ -4024,6 +4024,232 @@ def q_pii_redaction(sf_dir: str):
     ])
 
 
+def q_incremental_dedup(sf_dir: str):
+    """Cross-snapshot incremental dedup: docs in the NEW half of the
+    corpus (doc_id > max/2) whose text never appears in the OLD half —
+    the daily-increment-vs-historical-corpus shape.  The Bloom
+    prefilter certifies most novels without touching the old side; only
+    candidate hashes are exchanged (stages.dedup.incremental_dedup —
+    every shuffle is increment-scale, the old corpus is scanned but
+    never shuffled)."""
+    from .stages.dedup import incremental_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pivot = int(ds.max("doc_id")) // 2
+    out = incremental_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        pivot)
+    rows = sorted(out.take_all(), key=lambda r: r["doc_id"])
+    return pa.table({
+        "doc_id": pa.array([r["doc_id"] for r in rows], type=pa.int64()),
+        "n_new_copies": pa.array([r["n_new_copies"] for r in rows],
+                                 type=pa.int64()),
+    })
+
+
+def q_dup_cluster_sizes(sf_dir: str):
+    """Dedup survivorship histogram: how many exact-duplicate clusters
+    exist at each cluster size — the standard report before committing
+    to a dedup pass.  Two-level grouped count (content-hash → size →
+    histogram); the shuffle moves pre-aggregated (hash, count) partials
+    and then (size, count) partials, never text."""
+    from .hashing import mmh3_128_batch
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, _ = mmh3_128_batch(batch["text"])
+        return pa.table({"h": pa.array(h1.astype(np.int64))})
+
+    hashed = _read(sf_dir, "documents", ["text"]).map_batches(
+        hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+    sizes = grouped_agg(hashed, ["h"], [("cluster_size", None, "count")])
+    hist = grouped_agg(sizes.select_columns(["cluster_size"]),
+                       ["cluster_size"], [("n_clusters", None, "count")])
+    rows = sorted(hist.take_all(), key=lambda r: r["cluster_size"])
+    return pa.table({
+        "cluster_size": pa.array([r["cluster_size"] for r in rows],
+                                 type=pa.int64()),
+        "n_clusters": pa.array([r["n_clusters"] for r in rows],
+                               type=pa.int64()),
+    })
+
+
+def q_dedup_keep_best(sf_dir: str):
+    """Exact dedup with a SURVIVORSHIP POLICY: instead of min-id, keep
+    the copy from the lexicographically smallest source (tie-break min
+    doc_id) — the "prefer the curated mirror over the raw crawl" rule.
+    Shape: the tiny distinct-source table is collected once, ranked and
+    broadcast as a dictionary; each batch encodes (source_rank, id)
+    into ONE int64 composite score so the argmin-by-policy is a plain
+    grouped min over content hash — no per-group Python, no text in
+    the shuffle.  Assumes doc_id < 2⁴⁴ (13 bits of source rank ride
+    above it)."""
+    from .hashing import mmh3_128_batch
+
+    ds = _read(sf_dir, "documents", ["source"])
+    src_rows = grouped_agg(ds, ["source"], [("n", None, "count")]).take_all()
+    sources = pa.array(sorted(r["source"] for r in src_rows))
+
+    def score_batch(batch: pa.Table) -> pa.Table:
+        h1, _ = mmh3_128_batch(batch["text"])
+        rank = pc.index_in(batch["source"].combine_chunks(),
+                           value_set=sources).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        score = (rank << np.int64(44)) | ids
+        return pa.table({"h": pa.array(h1.astype(np.int64)),
+                         "score": pa.array(score)})
+
+    scored = _read(sf_dir, "documents",
+                   ["doc_id", "text", "source"]).map_batches(
+        score_batch, batch_format="pyarrow", zero_copy_batch=True)
+    groups = grouped_agg(scored, ["h"], [
+        ("best", "score", "min"), ("n_copies", None, "count")])
+    rows = groups.take_all()
+    ids = np.asarray([r["best"] for r in rows],
+                     dtype=np.int64) & ((1 << 44) - 1)
+    n = np.asarray([r["n_copies"] for r in rows], dtype=np.int64)
+    order = np.argsort(ids, kind="stable")
+    return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
+                     "n_copies": pa.array(n[order], type=pa.int64())})
+
+
+def q_pmi_top20(sf_dir: str):
+    """Collocation mining: top-20 word bigrams by pointwise mutual
+    information (min pair count 3), the LM-curation signal for "these
+    two tokens belong together".  All-integer scoring — the PMI
+    ordering key is the scaled rational ``(pair_n·T·1000) //
+    (w1_n·w2_n)`` (T = total tokens), so both engines rank identically
+    with no float in the hash.  Shape: one bigram grouped count + one
+    unigram grouped count (both shuffle pre-aggregated partials); the
+    unigram table is vocabulary-sized, collected ONCE, sorted and
+    broadcast; the per-bigram join against it is a vectorized
+    searchsorted inside map_batches; local top-k per block + tiny
+    driver merge (no global sort).  The int64 score budget holds to
+    ~10⁸ total tokens; beyond that, float-prefilter + exact-int rerank
+    of the candidate set."""
+    from .pipelines.relational import topk_rows
+    from .stages.text import _BIGRAM_SEP, bigram_flat, token_ngrams_flat
+
+    def explode_bigrams(batch: pa.Table) -> pa.Table:
+        pairs, _ = bigram_flat(batch["text"])
+        return pa.table({"bigram": pairs})
+
+    def explode_tokens(batch: pa.Table) -> pa.Table:
+        toks, _ = token_ngrams_flat(batch["text"], 1)
+        return pa.table({"w": toks})
+
+    docs = _read(sf_dir, "documents", ["text"])
+    bi = grouped_agg(docs.map_batches(explode_bigrams, batch_format="pyarrow",
+                                      zero_copy_batch=True),
+                     ["bigram"], [("pair_n", None, "count")])
+    uni_rows = grouped_agg(
+        docs.map_batches(explode_tokens, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["w"], [("c", None, "count")]).take_all()
+    vocab = sorted(uni_rows, key=lambda r: r["w"])
+    vwords = np.array([r["w"] for r in vocab])
+    vcounts = np.asarray([r["c"] for r in vocab], dtype=np.int64)
+    total = int(vcounts.sum())
+    vref = ray.put((vwords, vcounts))
+
+    def score(batch: pa.Table) -> pa.Table:
+        words, counts = ray.get(vref)
+        if len(batch) == 0:
+            return pa.table({
+                "w1": pa.array([], type=pa.string()),
+                "w2": pa.array([], type=pa.string()),
+                "pair_n": pa.array([], type=pa.int64()),
+                "w1_n": pa.array([], type=pa.int64()),
+                "w2_n": pa.array([], type=pa.int64()),
+                "pmi_scaled": pa.array([], type=pa.int64()),
+            })
+        pair_n = np.asarray(batch["pair_n"], dtype=np.int64)
+        keep = pair_n >= 3
+        split = pc.split_pattern(batch["bigram"].combine_chunks(),
+                                 pattern=_BIGRAM_SEP)
+        w1 = pc.list_element(split, 0).to_numpy(zero_copy_only=False)
+        w2 = pc.list_element(split, 1).to_numpy(zero_copy_only=False)
+        w1, w2, pair_n = w1[keep], w2[keep], pair_n[keep]
+        c1 = counts[np.searchsorted(words, w1)]
+        c2 = counts[np.searchsorted(words, w2)]
+        pmi = (pair_n * total * 1000) // (c1 * c2)
+        return pa.table({
+            "w1": pa.array(w1, type=pa.string()),
+            "w2": pa.array(w2, type=pa.string()),
+            "pair_n": pa.array(pair_n),
+            "w1_n": pa.array(c1), "w2_n": pa.array(c2),
+            "pmi_scaled": pa.array(pmi),
+        })
+
+    scored = bi.map_batches(score, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    top = topk_rows(scored, [("pmi_scaled", "descending"),
+                             ("w1", "ascending"), ("w2", "ascending")], 20)
+    return pa.table({c: top[c].combine_chunks() for c in
+                     ("w1", "w2", "pair_n", "w1_n", "w2_n", "pmi_scaled")})
+
+
+def q_drift_ks_chars(sf_dir: str):
+    """Distribution-drift monitor: the two-sample Kolmogorov–Smirnov
+    statistic between the n_chars distributions of the old half
+    (doc_id ≤ max/2) and the new half of the corpus — the data-quality
+    gate "did the length profile of the crawl shift?".  Integer-exact:
+    the statistic is reported as its numerator ``max_t |n_new·C_old(t)
+    − n_old·C_new(t)|`` (D = ks_num / (n_old·n_new)).  Shape: one
+    grouped count per (value, side) — the exchange is value-domain-
+    sized, not corpus-sized — then a driver-side cumsum over the tiny
+    distinct-value table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    pivot = int(ds.max("doc_id")) // 2
+
+    def sides(batch: pa.Table) -> pa.Table:
+        old = pc.less_equal(batch["doc_id"], pa.scalar(pivot))
+        o = np.asarray(old).astype(np.int64)
+        return pa.table({"v": batch["n_chars"],
+                         "o_n": pa.array(o), "nw_n": pa.array(1 - o)})
+
+    counts = grouped_agg(
+        _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+            sides, batch_format="pyarrow", zero_copy_batch=True),
+        ["v"], [("o_n", "o_n", "sum"), ("nw_n", "nw_n", "sum")])
+    rows = sorted(counts.take_all(), key=lambda r: r["v"])
+    o = np.asarray([r["o_n"] for r in rows], dtype=np.int64)
+    nw = np.asarray([r["nw_n"] for r in rows], dtype=np.int64)
+    n_old, n_new = int(o.sum()), int(nw.sum())
+    co, cn = np.cumsum(o), np.cumsum(nw)
+    ks_num = int(np.max(np.abs(n_new * co - n_old * cn))) if len(rows) else 0
+    return pa.table({
+        "n_old": pa.array([n_old], type=pa.int64()),
+        "n_new": pa.array([n_new], type=pa.int64()),
+        "ks_num": pa.array([ks_num], type=pa.int64()),
+    })
+
+
+def q_source_rule_filter(sf_dir: str):
+    """Ordered allow/deny rule engine over the source column — the
+    blocklist/allowlist gate every crawl pipeline runs first.  Rules
+    apply FIRST-MATCH-WINS: (1) allow sources ending in '3',
+    (2) deny sources containing '1', (3) allow sources of ≤4 chars,
+    (4) default deny.  Fully vectorized per batch (Arrow ends_with /
+    match_substring / utf8_length + one np.select), then a grouped
+    count per (source, decision)."""
+
+    def decide(batch: pa.Table) -> pa.Table:
+        src = batch["source"].combine_chunks()
+        m1 = np.asarray(pc.ends_with(src, pattern="3"))
+        m2 = np.asarray(pc.match_substring(src, pattern="1"))
+        m3 = np.asarray(pc.less_equal(pc.utf8_length(src), pa.scalar(4)))
+        dec = np.select([m1, m2, m3], ["allow", "deny", "allow"],
+                        default="deny")
+        return pa.table({"source": src,
+                         "decision": pa.array(dec, type=pa.string())})
+
+    ds = _read(sf_dir, "documents", ["source"]).map_batches(
+        decide, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(ds, ["source", "decision"],
+                       [("n_docs", None, "count")])
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4169,6 +4395,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_anomalous_hours": q_events_anomalous_hours,
         "knn_ivf": q_knn_ivf,
         "gnb_length_classes": q_gnb_length_classes,
+        # incremental curation operators (2026-08-18 batch)
+        "incremental_dedup": q_incremental_dedup,
+        "dup_cluster_sizes": q_dup_cluster_sizes,
+        "dedup_keep_best": q_dedup_keep_best,
+        "pmi_top20": q_pmi_top20,
+        "drift_ks_chars": q_drift_ks_chars,
+        "source_rule_filter": q_source_rule_filter,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -4354,6 +4587,41 @@ def _bigram_top_sql(k: int) -> str:
         )
         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         ORDER BY n DESC, bigram ASC LIMIT {k}
+    """
+
+
+def _pmi_top_sql(k: int, min_n: int) -> str:
+    """Top-``k`` bigrams by scaled-integer PMI — the SAME token
+    fragment, chr(31) pair join and ``(pair_n·T·1000) // (w1_n·w2_n)``
+    rational score as ``q_pmi_top20`` (DuckDB ``//`` and Python ``//``
+    both floor on positives), deterministic (score DESC, w1, w2)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT {toks} AS tk FROM documents),
+        u AS (SELECT unnest(tk) AS w FROM t),
+        cu AS (SELECT w, count(*) AS c FROM u GROUP BY w),
+        tot AS (SELECT CAST(sum(c) AS BIGINT) AS T FROM cu),
+        b AS (
+            SELECT unnest(list_transform(range(1, len(tk)),
+                          i -> tk[i] || chr(31) || tk[i+1])) AS bg
+            FROM t WHERE len(tk) >= 2),
+        cb AS (SELECT bg, count(*) AS pair_n FROM b GROUP BY bg
+               HAVING count(*) >= {min_n}),
+        s AS (
+            SELECT string_split(bg, chr(31))[1] AS w1,
+                   string_split(bg, chr(31))[2] AS w2,
+                   CAST(pair_n AS BIGINT) AS pair_n FROM cb),
+        j AS (
+            SELECT s.w1, s.w2, s.pair_n,
+                   CAST(cu1.c AS BIGINT) AS w1_n,
+                   CAST(cu2.c AS BIGINT) AS w2_n
+            FROM s JOIN cu cu1 ON cu1.w = s.w1
+                   JOIN cu cu2 ON cu2.w = s.w2)
+        SELECT w1, w2, pair_n, w1_n, w2_n,
+               CAST((pair_n * (SELECT T FROM tot) * 1000)
+                    // (w1_n * w2_n) AS BIGINT) AS pmi_scaled
+        FROM j
+        ORDER BY pmi_scaled DESC, w1 ASC, w2 ASC LIMIT {k}
     """
 
 
@@ -5919,6 +6187,59 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(doc_id AS BIGINT) AS doc_id,
                    CAST((doc_id // 8) * 8 AS BIGINT) AS comp
             FROM documents ORDER BY doc_id
+        """,
+        "incremental_dedup": """
+            WITH p AS (SELECT max(doc_id) // 2 AS pv FROM documents),
+            newdocs AS (
+                SELECT min(doc_id) AS doc_id, count(*) AS n_new_copies, text
+                FROM documents, p WHERE doc_id > pv GROUP BY text),
+            old AS (SELECT DISTINCT text FROM documents, p
+                    WHERE doc_id <= pv)
+            SELECT CAST(n.doc_id AS BIGINT) AS doc_id,
+                   CAST(n.n_new_copies AS BIGINT) AS n_new_copies
+            FROM newdocs n
+            WHERE NOT EXISTS (SELECT 1 FROM old o WHERE o.text = n.text)
+            ORDER BY n.doc_id
+        """,
+        "dup_cluster_sizes": """
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM (SELECT count(*) AS sz FROM documents GROUP BY text)
+            GROUP BY sz ORDER BY sz
+        """,
+        "dedup_keep_best": """
+            SELECT CAST(doc_id AS BIGINT) AS doc_id,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM (
+                SELECT doc_id, count(*) OVER (PARTITION BY text) AS n_copies,
+                       row_number() OVER (PARTITION BY text
+                                          ORDER BY source, doc_id) AS rn
+                FROM documents)
+            WHERE rn = 1 ORDER BY doc_id
+        """,
+        "pmi_top20": _pmi_top_sql(20, 3),
+        "drift_ks_chars": """
+            WITH p AS (SELECT max(doc_id) // 2 AS pv FROM documents),
+            c AS (SELECT n_chars AS v,
+                         sum(CASE WHEN doc_id <= pv THEN 1 ELSE 0 END) AS o_n,
+                         sum(CASE WHEN doc_id > pv THEN 1 ELSE 0 END) AS nw_n
+                  FROM documents, p GROUP BY n_chars),
+            cum AS (SELECT v, sum(o_n) OVER (ORDER BY v) AS co,
+                           sum(nw_n) OVER (ORDER BY v) AS cn FROM c),
+            tot AS (SELECT sum(o_n) AS n_old, sum(nw_n) AS n_new FROM c)
+            SELECT CAST(n_old AS BIGINT) AS n_old,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
+            FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "source_rule_filter": """
+            SELECT source,
+                   CASE WHEN source LIKE '%3' THEN 'allow'
+                        WHEN source LIKE '%1%' THEN 'deny'
+                        WHEN length(source) <= 4 THEN 'allow'
+                        ELSE 'deny' END AS decision,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY source, decision
         """,
         "triangles": """
             WITH nodes AS (SELECT CAST(doc_id AS BIGINT) AS n FROM documents),

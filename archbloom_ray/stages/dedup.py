@@ -2100,3 +2100,140 @@ def lsh_plan(
                            "fp_area": round(fp, 4),
                            "fn_area": round(fn, 4)})
     return best[1]
+
+
+# ---------------------------------------------------------------------------
+# Incremental (cross-snapshot) dedup
+# ---------------------------------------------------------------------------
+
+def incremental_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str,
+    text_col: str,
+    pivot: int,
+    *,
+    fpr: float = 0.005,
+) -> "ray.data.Dataset":
+    """Novel texts of a crawl INCREMENT against an existing corpus.
+
+    Rows with ``id <= pivot`` are the existing corpus ("old"); rows with
+    ``id > pivot`` are the increment ("new").  Returns one canonical row
+    per novel text — the min new-side id and the new-side copy count —
+    for every new text that never appears on the old side.
+
+    Scale shape (the sketch-accelerated anti-join): at 100 TB the old
+    corpus dwarfs the daily increment, so the classic hash-partition
+    anti-join — which shuffles the ENTIRE old side every run — is the
+    anti-pattern.  Instead:
+
+    1. ONE pruned scan of the old side builds a Bloom filter over its
+       texts (bounded O(m) state, bounded-fan-in tree merge; in steady
+       state this filter is maintained incrementally and the scan is
+       free).  The filter is broadcast once via ``ray.put``.
+    2. The new side probes the broadcast filter per batch.  Bloom
+       NEGATIVES are certified novel (no false negatives) without ever
+       touching the old corpus; the intra-new min-id/count grouped_agg
+       they still need is increment-scale.
+    3. Only the POSITIVE groups (true dups + ~fpr of the novels) become
+       a candidate hash set — increment-bounded, collected and
+       broadcast — and a second pruned old-side scan keeps just the old
+       hashes IN that set (a broadcast semi-join).  Positive groups
+       whose hash the old side confirms are dropped; the rest are Bloom
+       false positives and emitted as novel.
+
+    Every exchange is increment-scale: the old corpus is scanned (cheap,
+    column-pruned, or amortized away by filter maintenance) but never
+    shuffled.  Content equality is 64-bit ``mmh3_128(text).h1`` like
+    :func:`exact_dedup` (collision odds ~n²/2⁶⁴).
+
+    Returns a Dataset ``(id_col, n_new_copies)``, one row per novel new
+    text (unordered — streaming execution does not guarantee order).
+    """
+    from ..pipelines.build import build_sketch
+    from ..pipelines.relational import grouped_agg
+    from ..sketches import BloomFilter
+    import ray as _ray
+
+    piv = pa.scalar(int(pivot))
+
+    def old_rows(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.less_equal(batch[id_col], piv))
+
+    old_texts = ds.map_batches(old_rows, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    bloom = build_sketch(old_texts, text_col,
+                         lambda: BloomFilter(max(int(pivot) + 1, 8), fpr))
+    bloom_ref = _ray.put(bloom.to_bytes())
+
+    def classify_new(batch: pa.Table) -> pa.Table:
+        from ..sketches.base import sketch_from_bytes
+
+        bf = sketch_from_bytes(_ray.get(bloom_ref))
+        keep = pc.greater(batch[id_col], piv)
+        newb = batch.filter(keep)
+        h1, _h2 = mmh3_128_batch(newb[text_col])
+        maybe_dup = bf.lookup_batch(newb[text_col])
+        return pa.table({
+            "content_hash": pa.array(h1.astype(np.int64)),
+            id_col: newb[id_col],
+            "maybe_dup": pa.array(maybe_dup.astype(np.int64)),
+        })
+
+    new_groups = grouped_agg(
+        ds.map_batches(classify_new, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["content_hash"],
+        [(id_col, id_col, "min"),
+         ("n_new_copies", None, "count"),
+         ("n_maybe", "maybe_dup", "sum")],
+    )
+
+    # candidate set: hashes the Bloom flagged — |true dups| + fpr·|new|,
+    # increment-bounded by construction, so driver collection is safe
+    cand = new_groups.filter(expr="n_maybe > 0")
+    cand_hashes = np.asarray(
+        [r["content_hash"] for r in cand.select_columns(["content_hash"]).take_all()],
+        dtype=np.int64)
+
+    if cand_hashes.size:
+        cand_ref = _ray.put(np.sort(cand_hashes))
+
+        def old_in_candidates(batch: pa.Table) -> pa.Table:
+            s = _ray.get(cand_ref)
+            h1, _h2 = mmh3_128_batch(batch[text_col])
+            h1 = h1.astype(np.int64)
+            idx = np.searchsorted(s, h1)
+            idx[idx == s.size] = 0
+            hit = s[idx] == h1
+            return pa.table({"content_hash": pa.array(h1[hit])})
+
+        confirmed = grouped_agg(
+            old_texts.map_batches(old_in_candidates, batch_format="pyarrow",
+                                  zero_copy_batch=True),
+            ["content_hash"], [("n_old", None, "count")],
+        )
+        old_present = np.sort(np.asarray(
+            [r["content_hash"] for r in confirmed.take_all()], dtype=np.int64))
+    else:
+        old_present = np.empty(0, dtype=np.int64)
+
+    # final anti-filter stays distributed: old_present is a tiny broadcast
+    # array (candidate-bounded), so this is a vectorized searchsorted per
+    # batch — the novel set streams out without a driver round-trip
+    present_ref = _ray.put(old_present)
+
+    def drop_confirmed(batch: pa.Table) -> pa.Table:
+        s = _ray.get(present_ref)
+        h1 = np.asarray(batch["content_hash"], dtype=np.int64)
+        if s.size:
+            idx = np.searchsorted(s, h1)
+            idx[idx == s.size] = 0
+            dup = s[idx] == h1
+        else:
+            dup = np.zeros(h1.size, dtype=bool)
+        kept = batch.filter(pa.array(~dup))
+        return pa.table({id_col: kept[id_col],
+                         "n_new_copies": kept["n_new_copies"]})
+
+    return new_groups.map_batches(drop_confirmed, batch_format="pyarrow",
+                                  zero_copy_batch=True)
