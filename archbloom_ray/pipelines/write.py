@@ -468,3 +468,195 @@ def compact_clustered(
     for name in old_files:
         os.remove(os.path.join(path, name + ".old"))
     return len(out_entries)
+
+
+# ---------------------------------------------------------------------------
+# Z-order (2-D) clustered layout
+# ---------------------------------------------------------------------------
+
+def _part1by1(v: "np.ndarray") -> "np.ndarray":
+    """Spread each 16-bit value's bits into the even bit positions of a
+    32-bit word (the Morton-interleave helper, classic bit-twiddling)."""
+    import numpy as np
+
+    v = v.astype(np.uint64) & np.uint64(0xFFFF)
+    v = (v | (v << np.uint64(8))) & np.uint64(0x00FF00FF)
+    v = (v | (v << np.uint64(4))) & np.uint64(0x0F0F0F0F)
+    v = (v | (v << np.uint64(2))) & np.uint64(0x33333333)
+    v = (v | (v << np.uint64(1))) & np.uint64(0x55555555)
+    return v
+
+
+def zorder_key(x: "np.ndarray", y: "np.ndarray",
+               x_range: tuple[int, int], y_range: tuple[int, int]) -> "np.ndarray":
+    """Morton/Z-order interleave of two int columns, each rank-scaled to
+    16 bits over its global ``(min, max)`` range — the locality key that
+    makes BOTH dimensions prune after a 1-D range partition (the
+    Delta/Iceberg Z-ORDER discipline).  The mapping only shapes the
+    LAYOUT; pruning correctness rests on the per-shard raw min/max zone
+    maps, so scaling truncation is harmless."""
+    import numpy as np
+
+    def scale(v, lo, hi):
+        span = max(1, int(hi) - int(lo))
+        return ((v.astype(np.int64) - int(lo)) * 65535 // span).clip(0, 65535)
+
+    xs = scale(x, *x_range)
+    ys = scale(y, *y_range)
+    return (_part1by1(xs) | (_part1by1(ys) << np.uint64(1))).astype(np.int64)
+
+
+def write_zordered(
+    ds: "ray.data.Dataset",
+    out_dir: str,
+    col_x: str,
+    col_y: str,
+    *,
+    num_shards: int = 16,
+    sample_per_block: int = 256,
+    overwrite: bool = False,
+) -> str:
+    """Z-order clustered Parquet write: rows sort-partition on the
+    Morton interleave of ``(col_x, col_y)`` so that a range predicate
+    on EITHER column (or a 2-D box on both) prunes shards at the read.
+    Same machinery as :func:`write_clustered` — deterministic sampled
+    boundaries on the z-key, one keyed exchange, per-shard files with
+    an atomic ``_zonemap.json`` — but the manifest records the raw
+    min/max of BOTH columns per shard; :func:`read_zordered` prunes on
+    2-D box intersection.  One-column clustering leaves the second
+    column unsorted and unprunable; Z-ordering trades a little locality
+    on each axis for prunability on both."""
+    import base64
+    import json
+
+    import numpy as np
+    import pyarrow.compute as pc
+
+    marker = os.path.join(out_dir, _MARKER)
+    if os.path.exists(marker):
+        if not overwrite:
+            return out_dir
+        shutil.rmtree(out_dir)
+    elif os.path.isdir(out_dir) and os.listdir(out_dir):
+        shutil.rmtree(out_dir)
+    os.makedirs(out_dir, exist_ok=True)
+
+    # global ranges for the 16-bit scaling (pruned-column aggregate scan)
+    stats = ds.aggregate(
+        *[agg for col in (col_x, col_y) for agg in
+          (ray.data.aggregate.Min(col), ray.data.aggregate.Max(col))])
+    x_range = (int(stats[f"min({col_x})"]), int(stats[f"max({col_x})"]))
+    y_range = (int(stats[f"min({col_y})"]), int(stats[f"max({col_y})"]))
+
+    def sample(batch: pa.Table) -> pa.Table:
+        z = zorder_key(np.asarray(batch[col_x], dtype=np.int64),
+                       np.asarray(batch[col_y], dtype=np.int64),
+                       x_range, y_range)
+        if z.size == 0:
+            return pa.table({"z": pa.array([], pa.int64())})
+        stride = max(1, z.size // sample_per_block)
+        return pa.table({"z": pa.array(np.sort(z)[::stride])})
+
+    samples = np.array(
+        [r["z"] for r in ds.map_batches(
+            sample, batch_format="pyarrow", zero_copy_batch=True).take_all()],
+        dtype=np.int64)
+    if samples.size:
+        qs = np.linspace(0, 1, num_shards + 1)[1:-1]
+        bounds = np.unique(np.quantile(np.sort(samples), qs,
+                                       method="lower").astype(np.int64))
+    else:
+        bounds = np.empty(0, np.int64)
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        z = zorder_key(np.asarray(batch[col_x], dtype=np.int64),
+                       np.asarray(batch[col_y], dtype=np.int64),
+                       x_range, y_range)
+        return batch.append_column(
+            "_shard", pa.array(np.searchsorted(bounds, z, side="right")
+                               .astype(np.int32)))
+
+    def write_shard(group: pa.Table) -> pa.Table:
+        empty = pa.table({
+            "shard": pa.array([], pa.int32()),
+            "x_lo": pa.array([], pa.int64()), "x_hi": pa.array([], pa.int64()),
+            "y_lo": pa.array([], pa.int64()), "y_hi": pa.array([], pa.int64()),
+            "rows": pa.array([], pa.int64())})
+        if len(group) == 0:
+            return empty
+        sid = int(group["_shard"][0].as_py())
+        body = group.drop_columns(["_shard"])
+        tmp = os.path.join(out_dir, f".shard-{sid:05d}.parquet.tmp")
+        dst = os.path.join(out_dir, f"shard-{sid:05d}.parquet")
+        pq.write_table(body, tmp)
+        os.replace(tmp, dst)
+        return pa.table({
+            "shard": pa.array([sid], pa.int32()),
+            "x_lo": pa.array([pc.min(body[col_x]).as_py()], pa.int64()),
+            "x_hi": pa.array([pc.max(body[col_x]).as_py()], pa.int64()),
+            "y_lo": pa.array([pc.min(body[col_y]).as_py()], pa.int64()),
+            "y_hi": pa.array([pc.max(body[col_y]).as_py()], pa.int64()),
+            "rows": pa.array([len(body)], pa.int64()),
+        })
+
+    manifest_rows = (ds.map_batches(bucketize, batch_format="pyarrow",
+                                    zero_copy_batch=True)
+                     .groupby("_shard")
+                     .map_groups(write_shard, batch_format="pyarrow")
+                     .take_all())
+    sch = getattr(ds.schema(), "base_schema", None) or pa.schema(
+        [(n, t) for n, t in zip(ds.schema().names, ds.schema().types)])
+    manifest = {
+        "col_x": col_x, "col_y": col_y,
+        "schema_b64": base64.b64encode(sch.serialize().to_pybytes())
+                            .decode("ascii"),
+        "shards": sorted(
+            ({"shard": int(r["shard"]),
+              "x_lo": int(r["x_lo"]), "x_hi": int(r["x_hi"]),
+              "y_lo": int(r["y_lo"]), "y_hi": int(r["y_hi"]),
+              "rows": int(r["rows"])}
+             for r in manifest_rows), key=lambda s: s["shard"]),
+    }
+    with open(os.path.join(out_dir, "_zonemap.json"), "w") as f:
+        json.dump(manifest, f)
+    with open(marker, "w"):
+        pass
+    return out_dir
+
+
+def read_zordered(
+    path: str,
+    x_lo: int | None = None,
+    x_hi: int | None = None,
+    y_lo: int | None = None,
+    y_hi: int | None = None,
+    *,
+    columns: list[str] | None = None,
+) -> "ray.data.Dataset":
+    """2-D zone-map skip read of a :func:`write_zordered` layout: open
+    ONLY the shards whose (x, y) bounding box intersects the query box
+    (inclusive; None = unbounded on that side).  Manifest-only prune;
+    callers apply the exact residual predicate."""
+    import json
+
+    import ray.data as rd
+
+    with open(os.path.join(path, "_zonemap.json")) as f:
+        manifest = json.load(f)
+    files = [
+        os.path.join(path, f"shard-{s['shard']:05d}.parquet")
+        for s in manifest["shards"]
+        if (x_lo is None or s["x_hi"] >= x_lo)
+        and (x_hi is None or s["x_lo"] <= x_hi)
+        and (y_lo is None or s["y_hi"] >= y_lo)
+        and (y_hi is None or s["y_lo"] <= y_hi)
+    ]
+    if not files:
+        import base64
+
+        sch = pa.ipc.read_schema(pa.py_buffer(
+            base64.b64decode(manifest["schema_b64"])))
+        if columns:
+            sch = pa.schema([sch.field(c) for c in columns])
+        return rd.from_arrow(sch.empty_table())
+    return rd.read_parquet(files, columns=columns)

@@ -2917,6 +2917,61 @@ def q_clustered_skip_read(sf_dir: str):
     })
 
 
+def q_zorder_skip_read(sf_dir: str):
+    """Z-order (2-D) clustered layout + box skip read
+    (pipelines.write ``write_zordered`` / ``read_zordered``): events
+    re-cluster on the Morton interleave of (user_id, epoch-hour) so a
+    query box on BOTH dimensions prunes shards at the read — the
+    Delta/Iceberg Z-ORDER discipline, where 1-D clustering could prune
+    only one axis.  The manifest prune is asserted in pytest; this
+    oracle certifies end-to-end data correctness of the z-ordered
+    roundtrip (box aggregate per event_type)."""
+    import tempfile
+
+    from .pipelines.write import read_zordered, write_zordered
+
+    U_LO, U_HI, H_LO, H_HI = 2, 9, 473500, 473600
+    US_H = 3_600_000_000
+
+    def add_hour(batch: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                        dtype=np.int64)
+        return pa.table({
+            "event_id": batch["event_id"],
+            "user_id": batch["user_id"],
+            "event_type": batch["event_type"],
+            "hour": pa.array(us // US_H, type=pa.int64()),
+        })
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "ts", "user_id", "event_type"]).map_batches(
+        add_hour, batch_format="pyarrow", zero_copy_batch=True)
+    with tempfile.TemporaryDirectory(prefix="zorder_") as tmp:
+        out_dir = os.path.join(tmp, "events_z")
+        write_zordered(ds, out_dir, "user_id", "hour", num_shards=16)
+        got = read_zordered(out_dir, U_LO, U_HI, H_LO, H_HI)
+
+        def residual(batch: pa.Table) -> pa.Table:
+            m = pc.and_(
+                pc.and_(pc.greater_equal(batch["user_id"], U_LO),
+                        pc.less_equal(batch["user_id"], U_HI)),
+                pc.and_(pc.greater_equal(batch["hour"], H_LO),
+                        pc.less_equal(batch["hour"], H_HI)))
+            return batch.filter(m)
+
+        kept = got.map_batches(residual, batch_format="pyarrow",
+                               zero_copy_batch=True)
+        agg = grouped_agg(kept, ["event_type"], [
+            ("n_events", None, "count"), ("sum_event_id", "event_id", "sum")])
+        rows = sorted(agg.take_all(), key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_events": pa.array([r["n_events"] for r in rows], pa.int64()),
+        "sum_event_id": pa.array([r["sum_event_id"] for r in rows],
+                                 pa.int64()),
+    })
+
+
 def q_quality_classifier(sf_dir: str):
     """Distributed trainable quality filter: 3 full-batch GD iterations
     of a linear probability classifier (algebraic sigmoid — bit-
@@ -4402,6 +4457,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top20": q_pmi_top20,
         "drift_ks_chars": q_drift_ks_chars,
         "source_rule_filter": q_source_rule_filter,
+        "zorder_skip_read": q_zorder_skip_read,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6231,6 +6287,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "zorder_skip_read": """
+            SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(event_id) AS BIGINT) AS sum_event_id
+            FROM events
+            WHERE user_id BETWEEN 2 AND 9
+              AND epoch_us(ts) // 3600000000 BETWEEN 473500 AND 473600
+            GROUP BY event_type
         """,
         "source_rule_filter": """
             SELECT source,
