@@ -4305,6 +4305,72 @@ def q_source_rule_filter(sf_dir: str):
                        [("n_docs", None, "count")])
 
 
+def q_ttr_by_lang(sf_dir: str):
+    """Lexical-diversity curation signal: type-token ratio inputs per
+    language — distinct lowercased tokens and total tokens, exact
+    integers (the caller divides).  ONE token-explode scan feeds both:
+    grouped count per (lang, token-hash) → grouped (count-rows =
+    distinct, sum-counts = total) per lang.  64-bit token hashing keeps
+    token strings out of the wide exchange (the hll_distinct_by_lang
+    equality contract: collision odds ~vocab²/2⁶⁴)."""
+    from .hashing import mmh3_64_batch
+    from .stages.text import token_ngrams_flat
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, doc_idx = token_ngrams_flat(batch["text"], 1)
+        h = mmh3_64_batch(toks).astype(np.int64)
+        lang = batch["lang"].combine_chunks().take(pa.array(doc_idx))
+        return pa.table({"lang": lang, "h": pa.array(h)})
+
+    pairs = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["lang", "h"], [("c", None, "count")])
+    d2 = grouped_agg(d1, ["lang"], [
+        ("distinct_tokens", None, "count"), ("total_tokens", "c", "sum")])
+    rows = sorted(d2.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "distinct_tokens": pa.array([r["distinct_tokens"] for r in rows],
+                                    pa.int64()),
+        "total_tokens": pa.array([r["total_tokens"] for r in rows],
+                                 pa.int64()),
+    })
+
+
+def q_mode_chars_by_lang(sf_dir: str):
+    """Exact per-group MODE (most frequent n_chars value per language,
+    ties to the smallest value) — the argmax-by-composite trick: the
+    per-(lang, value) grouped count becomes one int64 score
+    ``count·2³² + (2³²−1−value)`` so the per-lang argmax is a plain
+    grouped MAX — no per-group Python, no second shuffle of raw rows.
+    Valid while value < 2³² and count < 2³¹ (any doc length / corpus
+    this engine targets)."""
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    counts = grouped_agg(ds, ["lang", "n_chars"], [("c", None, "count")])
+
+    def score(batch: pa.Table) -> pa.Table:
+        c = np.asarray(batch["c"], dtype=np.int64)
+        v = np.asarray(batch["n_chars"], dtype=np.int64)
+        return pa.table({
+            "lang": batch["lang"],
+            "score": pa.array((c << np.int64(32))
+                              | (np.int64(0xFFFFFFFF) - v)),
+        })
+
+    best = grouped_agg(
+        counts.map_batches(score, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["lang"], [("best", "score", "max")])
+    rows = sorted(best.take_all(), key=lambda r: r["lang"])
+    sc = np.asarray([r["best"] for r in rows], dtype=np.int64)
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "mode_chars": pa.array(np.int64(0xFFFFFFFF) - (sc & np.int64(0xFFFFFFFF)),
+                               type=pa.int64()),
+        "n_docs_mode": pa.array(sc >> np.int64(32), type=pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4458,6 +4524,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_ks_chars": q_drift_ks_chars,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
+        "ttr_by_lang": q_ttr_by_lang,
+        "mode_chars_by_lang": q_mode_chars_by_lang,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -4643,6 +4711,19 @@ def _bigram_top_sql(k: int) -> str:
         )
         SELECT bigram, count(*) AS n FROM b GROUP BY bigram
         ORDER BY n DESC, bigram ASC LIMIT {k}
+    """
+
+
+def _ttr_sql() -> str:
+    """Type-token-ratio inputs per lang: distinct and total lowercased
+    whitespace tokens — SAME token fragment as the Ray side."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT lang, {toks} AS tk FROM documents),
+        u AS (SELECT lang, unnest(tk) AS w FROM t)
+        SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens,
+               CAST(count(*) AS BIGINT) AS total_tokens
+        FROM u GROUP BY lang ORDER BY lang
     """
 
 
@@ -6287,6 +6368,18 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "ttr_by_lang": _ttr_sql(),
+        "mode_chars_by_lang": """
+            SELECT lang, CAST(v AS BIGINT) AS mode_chars,
+                   CAST(c AS BIGINT) AS n_docs_mode
+            FROM (
+                SELECT lang, n_chars AS v, count(*) AS c,
+                       row_number() OVER (PARTITION BY lang
+                                          ORDER BY count(*) DESC,
+                                                   n_chars ASC) AS rn
+                FROM documents GROUP BY lang, n_chars)
+            WHERE rn = 1 ORDER BY lang
         """,
         "zorder_skip_read": """
             SELECT event_type, CAST(count(*) AS BIGINT) AS n_events,
