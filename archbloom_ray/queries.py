@@ -4371,6 +4371,100 @@ def q_mode_chars_by_lang(sf_dir: str):
     })
 
 
+def q_revenue_by_region(sf_dir: str):
+    """Four-table star join region ⇠ nation ⇠ customer ⇠ orders as ONE
+    fact scan: the three dimension tables compose into a single
+    custkey → region-name mapping on the driver (dimension sides are
+    broadcast, never shuffled — the star-schema discipline), so the
+    orders fact table takes one broadcast_lookup + grouped agg.
+    Integer-cent arithmetic for the hash compare."""
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_regionkey"])
+    region = pa.parquet.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"])
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    n2r = dict(zip(nation["n_nationkey"].to_pylist(),
+                   nation["n_regionkey"].to_pylist()))
+    r2name = dict(zip(region["r_regionkey"].to_pylist(),
+                      region["r_name"].to_pylist()))
+    c2name = {ck: r2name[n2r[nk]] for ck, nk in
+              zip(cust["c_custkey"].to_pylist(),
+                  cust["c_nationkey"].to_pylist())}
+    ref = ray.put(c2name)
+
+    def add_cents(batch: pa.Table) -> pa.Table:
+        cents = np.rint(np.asarray(batch["o_totalprice"], dtype=np.float64)
+                        * 100).astype(np.int64)
+        return batch.append_column("price_cents",
+                                   pa.array(cents, type=pa.int64()))
+
+    ds = _read(sf_dir, "orders", ["o_custkey", "o_totalprice"]).map_batches(
+        add_cents, batch_format="pyarrow", zero_copy_batch=True)
+    joined = broadcast_lookup(ds, ref, "o_custkey", "r_name")
+    return grouped_agg(joined, ["r_name"], [
+        ("n_orders", None, "count"),
+        ("revenue_cents", "price_cents", "sum"),
+    ])
+
+
+def q_increment_ingest_pipeline(sf_dir: str):
+    """End-to-end INCREMENT INGEST composition — the nightly job shape:
+    novel docs from the new half (stages.dedup.incremental_dedup, the
+    Bloom-prefiltered anti-join), a length quality gate (100 ≤ n_chars
+    ≤ 2000), then contiguous 20k-char training shards via the
+    distributed parallel scan (relational.global_prefix_sum), reported
+    as per-shard doc counts and char mass.  Every stage is the
+    scale shape it came from; the novel-id set that bridges them is
+    increment-bounded (broadcast filter, not a join shuffle)."""
+    from .pipelines.relational import global_prefix_sum
+    from .stages.dedup import incremental_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    pivot = int(ds.max("doc_id")) // 2
+    novel = incremental_dedup(
+        _read(sf_dir, "documents", ["doc_id", "text"]), "doc_id", "text",
+        pivot)
+    novel_ids = np.sort(np.asarray(
+        [r["doc_id"] for r in novel.select_columns(["doc_id"]).take_all()],
+        dtype=np.int64))
+    ids_ref = ray.put(novel_ids)
+
+    def gate(batch: pa.Table) -> pa.Table:
+        ids = ray.get(ids_ref)
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        idx = np.searchsorted(ids, did)
+        idx[idx == ids.size] = 0
+        hit = (ids[idx] == did) if ids.size else np.zeros(did.size, bool)
+        nch = np.asarray(batch["n_chars"], dtype=np.int64)
+        keep = hit & (nch >= 100) & (nch <= 2000)
+        return batch.filter(pa.array(keep))
+
+    gated = _read(sf_dir, "documents", ["doc_id", "n_chars"]).map_batches(
+        gate, batch_format="pyarrow", zero_copy_batch=True)
+    scanned = global_prefix_sum(gated, "n_chars", "doc_id", num_buckets=16,
+                                out="chars_before")
+
+    def to_shard(batch: pa.Table) -> pa.Table:
+        before = np.asarray(batch["chars_before"], dtype=np.int64)
+        return pa.table({"shard": pa.array(before // 20000),
+                         "n_chars": batch["n_chars"]})
+
+    agg = grouped_agg(
+        scanned.map_batches(to_shard, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["shard"], [("n_docs", None, "count"), ("sum_chars", "n_chars", "sum")])
+    rows = sorted(agg.take_all(), key=lambda r: r["shard"])
+    return pa.table({
+        "shard": pa.array([r["shard"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "sum_chars": pa.array([r["sum_chars"] for r in rows], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4526,6 +4620,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
         "mode_chars_by_lang": q_mode_chars_by_lang,
+        "revenue_by_region": q_revenue_by_region,
+        "increment_ingest_pipeline": q_increment_ingest_pipeline,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6368,6 +6464,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "revenue_by_region": """
+            SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
+                   CAST(sum(CAST(round(o.o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_cents
+            FROM orders o
+            JOIN customer c ON c.c_custkey = o.o_custkey
+            JOIN nation n ON n.n_nationkey = c.c_nationkey
+            JOIN region r ON r.r_regionkey = n.n_regionkey
+            GROUP BY r.r_name
+        """,
+        "increment_ingest_pipeline": """
+            WITH p AS (SELECT max(doc_id) // 2 AS pv FROM documents),
+            newdocs AS (
+                SELECT min(doc_id) AS doc_id, text FROM documents, p
+                WHERE doc_id > pv GROUP BY text),
+            novel AS (
+                SELECT n.doc_id FROM newdocs n
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM documents o, p
+                    WHERE o.doc_id <= pv AND o.text = n.text)),
+            gated AS (
+                SELECT d.doc_id, d.n_chars FROM documents d
+                JOIN novel v ON v.doc_id = d.doc_id
+                WHERE d.n_chars BETWEEN 100 AND 2000),
+            scan AS (
+                SELECT doc_id, n_chars,
+                       COALESCE(sum(n_chars) OVER (
+                           ORDER BY doc_id ROWS BETWEEN UNBOUNDED
+                           PRECEDING AND 1 PRECEDING), 0) AS chars_before
+                FROM gated)
+            SELECT CAST(chars_before // 20000 AS BIGINT) AS shard,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(n_chars) AS BIGINT) AS sum_chars
+            FROM scan GROUP BY 1 ORDER BY 1
         """,
         "ttr_by_lang": _ttr_sql(),
         "mode_chars_by_lang": """

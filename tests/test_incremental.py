@@ -22,7 +22,8 @@ import pytest
 @pytest.fixture(scope="module")
 def planted_dir(tmp_path_factory):
     rng = np.random.default_rng(7)
-    pool = [f"text body number {i} with shared content" for i in range(18)]
+    # long enough to pass increment_ingest_pipeline's 100-char gate
+    pool = [f"text body number {i} with shared content " * 4 for i in range(18)]
     n = 60
     # duplicates within the old half, within the new half, and ACROSS
     texts = [pool[int(rng.integers(0, len(pool)))] for _ in range(n)]
@@ -61,7 +62,7 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "incremental_dedup", "dup_cluster_sizes", "dedup_keep_best",
-    "drift_ks_chars", "dedup_exact",
+    "drift_ks_chars", "dedup_exact", "increment_ingest_pipeline",
 ])
 def test_planted_duplicates_match_oracle(ray_session, planted_dir,
                                          planted_ddb, name):
