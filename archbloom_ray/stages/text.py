@@ -304,10 +304,15 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
     vocab = int(codes.max()) + 1 if codes.size else 1
     if n * vocab < (1 << 62):
         comp = seg * vocab + codes
-        comp.sort()
+        if n * vocab < (1 << 31):
+            comp = comp.astype(np.int32)
+        # stable = radix for ints: 3-5x faster than the default
+        # introsort on these monotone-ish composites
+        comp.sort(kind="stable")
         new = np.ones(comp.size, dtype=bool)
         np.not_equal(comp[1:], comp[:-1], out=new[1:])
-        distinct = np.bincount(comp[new] // vocab, minlength=n)
+        distinct = np.bincount(comp[new].astype(np.int64) // vocab,
+                               minlength=n)
     else:  # overflow-safe fallback (never expected at batch sizes)
         order = np.lexsort((codes, seg))
         s_seg, s_code = seg[order], codes[order]
