@@ -1957,6 +1957,68 @@ def transition_counts(
                        [("n", "n", "sum")])
 
 
+def interarrival_hist(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    tiebreak_column: str,
+    *,
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Inter-arrival-time histogram: per key, the deltas between
+    consecutive timestamps (ordered by ``(ts, tiebreak)``) bucketed by
+    BIT LENGTH of the µs delta (log₂ buckets, bucket 0 = simultaneous)
+    and counted — the burstiness / polling-cadence profile of an event
+    stream, SQL ``lag`` + ``length(bin(delta))`` semantics.
+
+    Integer-exact bucketing: ``np.frexp`` exponents equal DuckDB
+    ``length(bin(x))`` for every positive int < 2⁵³ (both are
+    ⌊log₂x⌋+1), so the histogram hash-matches a window-function
+    oracle.  Scale shape: sessionize-style coarse hash partitions, ONE
+    lexsort + vectorized diff per partition, ≤64 partial rows each,
+    summed by a tiny grouped aggregate.
+    """
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_tb": pc.cast(batch[tiebreak_column], pa.int64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def partition_hist(group: pa.Table) -> pa.Table:
+        empty = pa.table({"bucket": pa.array([], pa.int64()),
+                          "n": pa.array([], pa.int64())})
+        n = len(group)
+        if n < 2:
+            return empty
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        tb = np.asarray(group["_tb"], dtype=np.int64)
+        order = np.lexsort((tb, ts, keys))
+        keys, ts = keys[order], ts[order]
+        adj = keys[1:] == keys[:-1]
+        delta = (ts[1:] - ts[:-1])[adj]
+        if not len(delta):
+            return empty
+        bucket = np.frexp(delta.astype(np.float64))[1].astype(np.int64)
+        cnt = np.bincount(bucket, minlength=1)
+        nz = np.nonzero(cnt)[0]
+        return pa.table({"bucket": pa.array(nz.astype(np.int64)),
+                         "n": pa.array(cnt[nz].astype(np.int64))})
+
+    partials = (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(partition_hist, batch_format="pyarrow")
+    )
+    return grouped_agg(partials, ["bucket"], [("n", "n", "sum")])
+
+
 def grouped_distinct_count(
     ds: "ray.data.Dataset",
     keys: list[str],

@@ -4465,6 +4465,23 @@ def q_increment_ingest_pipeline(sf_dir: str):
     })
 
 
+def q_interarrival_hist(sf_dir: str):
+    """Per-user inter-arrival-time histogram in log₂ (bit-length)
+    buckets — the burstiness profile of the event stream
+    (pipelines.relational.interarrival_hist: coarse key-hash
+    partitions, one lexsort + vectorized diff each, ≤64 partial rows
+    per partition)."""
+    from .pipelines.relational import interarrival_hist
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "event_id"])
+    out = interarrival_hist(ds, "user_id", "ts", "event_id")
+    rows = sorted(out.take_all(), key=lambda r: r["bucket"])
+    return pa.table({
+        "bucket": pa.array([r["bucket"] for r in rows], pa.int64()),
+        "n": pa.array([r["n"] for r in rows], pa.int64()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Registry + oracle SQL
 # ---------------------------------------------------------------------------
@@ -4622,6 +4639,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "mode_chars_by_lang": q_mode_chars_by_lang,
         "revenue_by_region": q_revenue_by_region,
         "increment_ingest_pipeline": q_increment_ingest_pipeline,
+        "interarrival_hist": q_interarrival_hist,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6464,6 +6482,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "interarrival_hist": """
+            WITH d AS (
+                SELECT epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                    PARTITION BY user_id
+                    ORDER BY epoch_us(ts), event_id) AS delta
+                FROM events),
+            b AS (SELECT CASE WHEN delta = 0 THEN 0
+                              ELSE length(bin(delta)) END AS bucket
+                  FROM d WHERE delta IS NOT NULL)
+            SELECT CAST(bucket AS BIGINT) AS bucket,
+                   CAST(count(*) AS BIGINT) AS n
+            FROM b GROUP BY bucket ORDER BY bucket
         """,
         "revenue_by_region": """
             SELECT r.r_name, CAST(count(*) AS BIGINT) AS n_orders,
