@@ -4465,6 +4465,35 @@ def q_increment_ingest_pipeline(sf_dir: str):
     })
 
 
+def q_nfc_distinct(sf_dir: str):
+    """Unicode-normalized dedup counts: distinct NFC-composed texts per
+    language (stages.text.nfc_normalize_batch — ASCII fast path, scalar
+    NFC only for the non-ASCII minority) vs total docs.  Visually
+    identical strings with different combining-character encodings
+    count as ONE; the oracle is DuckDB's own ``nfc_normalize``.  The
+    exchange carries (lang, 64-bit hash) pairs, never text."""
+    from .hashing import mmh3_64_batch
+    from .stages.text import nfc_normalize_batch
+
+    def hash_norm(batch: pa.Table) -> pa.Table:
+        normed = nfc_normalize_batch(batch["text"])
+        h = mmh3_64_batch(normed).astype(np.int64)
+        return pa.table({"lang": batch["lang"], "h": pa.array(h)})
+
+    pairs = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        hash_norm, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["lang", "h"], [("c", None, "count")])
+    d2 = grouped_agg(d1, ["lang"], [
+        ("distinct_nfc", None, "count"), ("n_docs", "c", "sum")])
+    rows = sorted(d2.take_all(), key=lambda r: r["lang"])
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "distinct_nfc": pa.array([r["distinct_nfc"] for r in rows],
+                                 pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+    })
+
+
 def q_interarrival_hist(sf_dir: str):
     """Per-user inter-arrival-time histogram in log₂ (bit-length)
     buckets — the burstiness profile of the event stream
@@ -4640,6 +4669,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "revenue_by_region": q_revenue_by_region,
         "increment_ingest_pipeline": q_increment_ingest_pipeline,
         "interarrival_hist": q_interarrival_hist,
+        "nfc_distinct": q_nfc_distinct,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6482,6 +6512,13 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "nfc_distinct": """
+            SELECT lang,
+                   CAST(count(DISTINCT nfc_normalize(coalesce(text, '')))
+                        AS BIGINT) AS distinct_nfc,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "interarrival_hist": """
             WITH d AS (

@@ -642,6 +642,34 @@ def normalize_text_arrow(col) -> pa.Array:
     return out
 
 
+def nfc_normalize_batch(col) -> pa.Array:
+    """Unicode NFC canonical composition of a string column, with an
+    ASCII FAST PATH: ``pc.string_is_ascii`` masks the rows NFC cannot
+    change (ASCII is NFC-invariant), and only the non-ASCII minority
+    takes the per-string ``unicodedata.normalize`` call — Arrow ships
+    no normalization kernel, so scalar Python is the honest in-process
+    option (a production deployment would swap in a utf8proc/ICU
+    binding; the stage contract — NFC semantics matching DuckDB's
+    ``nfc_normalize`` — would not change).  Decomposed sequences
+    (e.g. ``e`` + COMBINING ACUTE) compose to their canonical form, so
+    visually identical texts dedup together."""
+    import unicodedata
+
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    filled = pc.fill_null(col, "")
+    ascii_mask = _np(pc.string_is_ascii(filled)).astype(bool)
+    if ascii_mask.all():
+        return filled
+    vals = filled.to_numpy(zero_copy_only=False)
+    idx = np.flatnonzero(~ascii_mask)
+    out = vals.copy()
+    norm = unicodedata.normalize
+    for i in idx:
+        out[i] = norm("NFC", vals[i])
+    return pa.array(out, type=pa.string())
+
+
 def add_normalized(ds: "ray.data.Dataset", text_col: str = "text",
                    out_col: str = "text_norm") -> "ray.data.Dataset":
     """Append the normalized text column (streaming map_batches)."""

@@ -101,3 +101,38 @@ def test_keep_best_policy_diverges_from_min_id(ray_session, planted_dir):
     best = q.queries()["dedup_keep_best"](planted_dir).to_pandas()
     kept = set(best["doc_id"])
     assert 45 in kept and 3 not in kept
+
+
+def test_nfc_distinct_composes_combining_chars(ray_session, tmp_path):
+    """Planted unicode: composed vs decomposed 'café' count as ONE
+    distinct NFC text; the same SQL oracle agrees on the same file."""
+    import pyarrow.parquet as _pq
+
+    from archbloom_ray import queries as q
+
+    composed = "caf\u00e9"            # \u00e9 as one codepoint
+    decomposed = "cafe\u0301"         # e + COMBINING ACUTE ACCENT
+    assert composed != decomposed     # different byte sequences...
+    texts = [composed, decomposed, composed, "plain ascii",
+             "plain ascii", "other"]  # ...but ONE text after NFC
+    tab = pa.table({
+        "doc_id": pa.array(np.arange(len(texts), dtype=np.int64)),
+        "text": pa.array(texts),
+        "lang": pa.array(["fr", "fr", "fr", "en", "en", "en"]),
+        "source": pa.array(["s"] * len(texts)),
+        "n_chars": pa.array(np.array([len(t) for t in texts],
+                                     dtype=np.int64)),
+    })
+    d = str(tmp_path / "uni")
+    import os as _os
+    _os.makedirs(d)
+    _pq.write_table(tab, _os.path.join(d, "documents.parquet"))
+
+    got = _norm(q.queries()["nfc_distinct"](d).to_pandas())
+    assert got.loc[got.lang == "fr", "distinct_nfc"].item() == 1
+    assert got.loc[got.lang == "en", "distinct_nfc"].item() == 2
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    ora = _norm(con.sql(q.oracle_sql()["nfc_distinct"]).df())
+    for c in got.columns:
+        assert got[c].equals(ora[c]), c
