@@ -4465,6 +4465,36 @@ def q_increment_ingest_pipeline(sf_dir: str):
     })
 
 
+def q_semdedup(sf_dir: str):
+    """Semantic dedup over the embeddings table (SemDeDup, Abbas et
+    al. 2023): k-means clusters then within-cluster cosine pruning at
+    0.95 (stages.dedup.semantic_dedup — pairwise work confined to
+    clusters, Gram in bounded strips).  Per-cluster kept/dropped
+    counts; no SQL oracle (float k-means) — the planted-duplicate
+    recall gate lives in pytest."""
+    from .stages.dedup import semantic_dedup
+
+    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
+    out = semantic_dedup(ds, "vec_id", "embedding", k=8, threshold=0.95)
+
+    def flag(batch: pa.Table) -> pa.Table:
+        kept = np.asarray(batch["kept"]).astype(np.int64)
+        return pa.table({"cluster": batch["cluster"],
+                         "kept_n": pa.array(kept),
+                         "dropped_n": pa.array(1 - kept)})
+
+    agg = grouped_agg(
+        out.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
+        ["cluster"], [("kept", "kept_n", "sum"),
+                      ("dropped", "dropped_n", "sum")])
+    rows = sorted(agg.take_all(), key=lambda r: r["cluster"])
+    return pa.table({
+        "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
+        "kept": pa.array([r["kept"] for r in rows], pa.int64()),
+        "dropped": pa.array([r["dropped"] for r in rows], pa.int64()),
+    })
+
+
 def q_nfc_distinct(sf_dir: str):
     """Unicode-normalized dedup counts: distinct NFC-composed texts per
     language (stages.text.nfc_normalize_batch — ASCII fast path, scalar
@@ -4670,6 +4700,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "increment_ingest_pipeline": q_increment_ingest_pipeline,
         "interarrival_hist": q_interarrival_hist,
         "nfc_distinct": q_nfc_distinct,
+        "semdedup": q_semdedup,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,

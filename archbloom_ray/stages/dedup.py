@@ -2237,3 +2237,90 @@ def incremental_dedup(
 
     return new_groups.map_batches(drop_confirmed, batch_format="pyarrow",
                                   zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Semantic (embedding-space) dedup — SemDeDup-style
+# ---------------------------------------------------------------------------
+
+def semantic_dedup(
+    ds: "ray.data.Dataset",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    *,
+    k: int = 8,
+    iters: int = 5,
+    threshold: float = 0.95,
+    max_cluster: int = 4096,
+) -> "ray.data.Dataset":
+    """Semantic dedup over an embedding column, the SemDeDup recipe
+    (Abbas et al. 2023, arXiv:2303.09540): k-means cluster the
+    embedding space, then prune WITHIN each cluster — pairwise cosine
+    work is confined to clusters, never an all-pairs pass over the
+    corpus.  Pruning policy (deterministic): drop an item iff some
+    LOWER-id item in its cluster has cosine similarity > ``threshold``
+    (the paper keeps the lowest-centroid-similarity member per dup
+    group; min-id is the reproducible choice an oracle-less gate can
+    assert on).
+
+    Shape: distributed Lloyd fit (``similarity.kmeans_fit`` — data
+    never shuffles, k×(d+1) partials per block), ONE assignment pass
+    against broadcast centroids, then ``groupby(cluster).map_groups``
+    with the Gram matrix evaluated in ``max_cluster``-wide id-order
+    strips (each strip checks itself and every earlier row), so the
+    policy stays exact while peak memory is O(max_cluster·m) — a
+    pathological one-cluster corpus degrades to strip scans, not OOM.
+
+    Returns a Dataset ``(id, cluster, kept)`` — ``kept=False`` rows are
+    the semantic near-duplicates to remove.
+    """
+    import ray as _ray
+
+    from .similarity import _as_matrix, kmeans_fit
+
+    cent = kmeans_fit(ds, vec_col=vec_col, id_col=id_col, k=k, iters=iters)
+    cent_ref = _ray.put(cent)
+
+    def assign(batch: pa.Table) -> pa.Table:
+        c = _ray.get(cent_ref)
+        x = _as_matrix(batch[vec_col]).astype(np.float64)
+        scores = x @ c.T - 0.5 * (c * c).sum(axis=1)
+        return pa.table({
+            id_col: batch[id_col],
+            vec_col: batch[vec_col],
+            "cluster": pa.array(scores.argmax(axis=1).astype(np.int64)),
+        })
+
+    def prune(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col], dtype=np.int64)
+        order = np.argsort(ids, kind="stable")
+        ids = ids[order]
+        x = _as_matrix(group[vec_col]).astype(np.float64)[order]
+        norms = np.linalg.norm(x, axis=1)
+        norms[norms == 0] = 1.0
+        xn = x / norms[:, None]
+        n = len(ids)
+        kept_mask = np.zeros(n, dtype=bool)
+        for lo in range(0, n, max_cluster):
+            hi = min(lo + max_cluster, n)
+            chunk = xn[lo:hi]
+            g = chunk @ chunk.T
+            # drop iff similar to ANY lower-id row: earlier in-chunk...
+            over = np.triu(g > threshold, k=1).any(axis=0)
+            # ...or any row of an earlier strip (the Gram matrix is
+            # evaluated in max_cluster-wide strips so peak memory stays
+            # O(max_cluster·m), never the full m×m)
+            if lo:
+                over |= (xn[:lo] @ chunk.T > threshold).any(axis=0)
+            kept_mask[lo:hi] = ~over
+        return pa.table({
+            id_col: pa.array(ids),
+            "cluster": group["cluster"].combine_chunks().take(
+                pa.array(order)),
+            "kept": pa.array(kept_mask),
+        })
+
+    assigned = ds.map_batches(assign, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return assigned.groupby("cluster").map_groups(
+        prune, batch_format="pyarrow")

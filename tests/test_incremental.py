@@ -136,3 +136,56 @@ def test_nfc_distinct_composes_combining_chars(ray_session, tmp_path):
     ora = _norm(con.sql(q.oracle_sql()["nfc_distinct"]).df())
     for c in got.columns:
         assert got[c].equals(ora[c]), c
+
+
+def test_semantic_dedup_prunes_planted_near_dups(ray_session):
+    """SemDeDup recall gate: planted near-identical vectors (copy +
+    1e-4 noise) are dropped in favor of their lowest-id original;
+    well-separated vectors all survive."""
+    import ray.data as rd
+
+    from archbloom_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(3)
+    base = rng.normal(size=(40, 16))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append({"vec_id": i, "embedding": v.astype(np.float32).tolist()})
+    # ids 100+: near-copies of the first 10 vectors
+    for j in range(10):
+        noisy = base[j] + rng.normal(scale=1e-4, size=16)
+        rows.append({"vec_id": 100 + j,
+                     "embedding": noisy.astype(np.float32).tolist()})
+    out = semantic_dedup(rd.from_items(rows), "vec_id", "embedding",
+                         k=4, threshold=0.95).take_all()
+    by_id = {r["vec_id"]: r for r in out}
+    assert len(by_id) == 50
+    # every planted copy dropped, every original kept
+    for j in range(10):
+        assert not by_id[100 + j]["kept"], j
+        assert by_id[j]["kept"], j
+    # random unit vectors in 16-d are far below 0.95 cosine
+    assert all(by_id[i]["kept"] for i in range(40))
+
+
+def test_semantic_dedup_strip_cap_matches_unchunked(ray_session):
+    """The strip-evaluated Gram (max_cluster smaller than the cluster)
+    must produce EXACTLY the same keep set as one big matrix."""
+    import ray.data as rd
+
+    from archbloom_ray.stages.dedup import semantic_dedup
+
+    rng = np.random.default_rng(5)
+    base = rng.normal(size=(30, 8))
+    dup = base[rng.integers(0, 30, 15)] + rng.normal(scale=1e-4, size=(15, 8))
+    vecs = np.concatenate([base, dup])
+    rows = [{"vec_id": i, "embedding": v.astype(np.float32).tolist()}
+            for i, v in enumerate(vecs)]
+    ref = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        rd.from_items(rows), "vec_id", "embedding", k=1, iters=1,
+        threshold=0.95, max_cluster=10_000).take_all()}
+    chunked = {r["vec_id"]: r["kept"] for r in semantic_dedup(
+        rd.from_items(rows), "vec_id", "embedding", k=1, iters=1,
+        threshold=0.95, max_cluster=7).take_all()}
+    assert ref == chunked
