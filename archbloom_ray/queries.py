@@ -4465,6 +4465,42 @@ def q_increment_ingest_pipeline(sf_dir: str):
     })
 
 
+def q_ams_selfjoin_users(sf_dir: str):
+    """F₂ (self-join size) of the user_id stream two ways: the exact
+    distributed pipeline (grouped counts → Σn², integer) and ONE
+    streaming AMS tug-of-war sketch (sketches.ams.AMSSketch — linear,
+    tree-merged partials, O(g·m) state however large the stream);
+    the sketch is certified against the exact side with the published
+    √(2/width) median-of-means bound (×4).  Oracle checks the exact
+    column and the verdict."""
+    from .pipelines.build import build_sketch
+    from .sketches.ams import AMSSketch
+
+    def as_str(batch: pa.Table) -> pa.Table:
+        return pa.table({"u": pc.cast(batch["user_id"], pa.string())})
+
+    ds = _read(sf_dir, "events", ["user_id"]).map_batches(
+        as_str, batch_format="pyarrow", zero_copy_batch=True)
+    ams = build_sketch(ds, "u", lambda: AMSSketch(depth=9, width=1024))
+
+    counts = grouped_agg(_read(sf_dir, "events", ["user_id"]),
+                         ["user_id"], [("n", None, "count")])
+
+    def local_sq(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table({"sq": pa.array([int((n * n).sum())], pa.int64())})
+
+    parts = counts.map_batches(local_sq, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    exact = int(sum(r["sq"] for r in parts))
+    est = ams.estimate_f2()
+    within = abs(est - exact) <= 4 * ams.relative_error_bound() * exact
+    return pa.table({
+        "exact_selfjoin": pa.array([exact], pa.int64()),
+        "ams_within_bound": pa.array([bool(within)], pa.bool_()),
+    })
+
+
 def q_semdedup(sf_dir: str):
     """Semantic dedup over the embeddings table (SemDeDup, Abbas et
     al. 2023): k-means clusters then within-cluster cosine pruning at
@@ -4701,6 +4737,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "interarrival_hist": q_interarrival_hist,
         "nfc_distinct": q_nfc_distinct,
         "semdedup": q_semdedup,
+        "ams_selfjoin_users": q_ams_selfjoin_users,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6543,6 +6580,11 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "ams_selfjoin_users": """
+            SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
+                   TRUE AS ams_within_bound
+            FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
         """,
         "nfc_distinct": """
             SELECT lang,

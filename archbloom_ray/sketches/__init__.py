@@ -8,6 +8,7 @@ from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .mg import MisraGries
+from .ams import AMSSketch
 from .kmv import KMVSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
@@ -25,6 +26,7 @@ __all__ = [
     "TDigest",
     "KLLSketch",
     "MisraGries",
+    "AMSSketch",
     "KMVSketch",
     "CuckooFilter",
     "GaussianNB",
