@@ -4501,6 +4501,34 @@ def q_ams_selfjoin_users(sf_dir: str):
     })
 
 
+def q_countsketch_source_counts(sf_dir: str):
+    """Per-source counts via the Count-Sketch point estimator
+    (sketches.ams.AMSSketch.estimate_counts — two-sided ±√(F₂/w)
+    error, tighter than CMS's εN on skew) certified against the exact
+    distributed grouped count.  ONE scan builds the sketch; the probe
+    candidates come from the exact grouped output, not a second
+    .unique() scan."""
+    from .pipelines.build import build_sketch
+    from .sketches.ams import AMSSketch
+
+    ds = _read(sf_dir, "documents", ["source"])
+    sk = build_sketch(ds, "source", lambda: AMSSketch(depth=9, width=1024))
+    rows = sorted(grouped_agg(_read(sf_dir, "documents", ["source"]),
+                              ["source"], [("n", None, "count")]).take_all(),
+                  key=lambda r: r["source"])
+    sources = pa.array([r["source"] for r in rows])
+    exact = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    est = sk.estimate_counts(sources)
+    f2 = float((exact.astype(np.float64) ** 2).sum())
+    bound = 4 * sk.count_error_bound() * np.sqrt(f2)
+    within = np.abs(est - exact) <= bound
+    return pa.table({
+        "source": sources,
+        "exact_count": pa.array(exact),
+        "cs_within_bound": pa.array(within.astype(bool)),
+    })
+
+
 def q_semdedup(sf_dir: str):
     """Semantic dedup over the embeddings table (SemDeDup, Abbas et
     al. 2023): k-means clusters then within-cluster cosine pruning at
@@ -4738,6 +4766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nfc_distinct": q_nfc_distinct,
         "semdedup": q_semdedup,
         "ams_selfjoin_users": q_ams_selfjoin_users,
+        "countsketch_source_counts": q_countsketch_source_counts,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6585,6 +6614,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS ams_within_bound
             FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
+        """,
+        "countsketch_source_counts": """
+            SELECT source, CAST(count(*) AS BIGINT) AS exact_count,
+                   TRUE AS cs_within_bound
+            FROM documents GROUP BY source
         """,
         "nfc_distinct": """
             SELECT lang,

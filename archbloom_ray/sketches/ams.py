@@ -100,6 +100,27 @@ class AMSSketch(Sketch):
         1 − exp(−Θ(depth)).  Gates in tests use 4× this."""
         return float(np.sqrt(2.0 / self.width))
 
+    def estimate_counts(self, arr) -> np.ndarray:
+        """Count-Sketch point-frequency estimates (Charikar et al.
+        2002): per row, ``s_j(x)·c[j, h_j(x)]`` is an unbiased
+        estimate of f_x with additive error std √(F₂/w); the MEDIAN
+        over the depth rows is returned (rounded to int64).  Unlike
+        the count-min sketch this is two-sided (can under- OR
+        over-estimate) but its error scales with √F₂ — much tighter
+        than CMS's εN on skewed streams."""
+        if len(arr) == 0:
+            return np.empty(0, np.int64)
+        buckets, signs = self._buckets_signs(arr)
+        rows = np.arange(self.depth)[:, None]
+        per_row = signs * self.counters[rows, buckets]
+        return np.rint(np.median(per_row, axis=0)).astype(np.int64)
+
+    def count_error_bound(self) -> float:
+        """One row's additive-error std as a multiple of √F₂:
+        √(1/width) (Charikar et al., Lemma 4.1); the median over
+        depth rows concentrates it.  Gates use 4·√(F₂/width)."""
+        return float(np.sqrt(1.0 / self.width))
+
     # -- merge ----------------------------------------------------------
     def merge(self, other: "AMSSketch") -> "AMSSketch":
         self._check_compatible(other)

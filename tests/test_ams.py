@@ -90,3 +90,30 @@ class TestAMS:
         assert s.estimate_f2() == 0.0
         s.update_arrow(pa.array([], type=pa.string()))
         assert s.estimate_f2() == 0.0
+
+    def test_point_counts_within_bound(self):
+        arr, f2 = _stream(n=20000, values=300)
+        s = AMSSketch(depth=9, width=1024)
+        s.update_arrow(arr)
+        import collections
+        true = collections.Counter(np.asarray(arr).tolist())
+        probes = pa.array(sorted(true))
+        est = s.estimate_counts(probes)
+        bound = 4 * s.count_error_bound() * np.sqrt(f2)
+        errs = np.abs(est - np.array([true[p] for p in sorted(true)]))
+        # median-of-rows: allow a stray probe at the tail, bulk must hold
+        assert (errs <= bound).mean() >= 0.99
+        assert errs.max() <= 2 * bound
+
+    def test_point_counts_on_heavy_hitter(self):
+        vals = ["hot"] * 50000 + [str(i) for i in range(5000)]
+        s = AMSSketch(depth=9, width=1024)
+        s.update_arrow(pa.array(vals))
+        est = s.estimate_counts(pa.array(["hot"]))[0]
+        # error scales with sqrt(F2)/sqrt(w) ~ 50000/32 — CMS with the
+        # same memory would smear the 5000 singleton mass instead
+        assert abs(est - 50000) <= 4 * s.count_error_bound() * 50100
+
+    def test_point_counts_empty_probe(self):
+        s = AMSSketch()
+        assert s.estimate_counts(pa.array([], type=pa.string())).size == 0
