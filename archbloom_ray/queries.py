@@ -4501,6 +4501,83 @@ def q_ams_selfjoin_users(sf_dir: str):
     })
 
 
+def q_tdigest_window_p95(sf_dir: str):
+    """Sliding-window P95 monitoring from MERGED per-hour t-digests:
+    one scan builds a t-digest per hour (count-row shuffle), then every
+    2h/1h hopping window is answered by merging its two hour digests —
+    merge associativity replaces a second pass (the streaming-quantile
+    analogue of hll_window_dau).  Exact side: the same hopping explode
+    through grouped_quantiles (DuckDB percentile_cont arithmetic,
+    bit-identical), which the oracle hash-checks; the digest estimate
+    carries a RANK gate — its rank among the window's values must sit
+    within 0.95 ± (0.02 + 1/n), the 1/n slack covering interpolation
+    granularity on sparse windows."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches.base import sketch_from_bytes
+
+    US_H = 3_600_000_000
+
+    def hours(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"], pa.int64()), US_H)
+        return pa.table({"h": hi, "value": batch["value"]})
+
+    ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        hours, batch_format="pyarrow", zero_copy_batch=True)
+    states = build_grouped_value_sketches(
+        ds, "h", "value", {"td": lambda: TDigest(200.0)}, salt=2)
+    digests = {int(r["key"]): sketch_from_bytes(r["state"])
+               for r in states.take_all()}
+
+    def explode(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"], pa.int64()), US_H).combine_chunks()
+        v = batch["value"].combine_chunks()
+        return pa.table({
+            "ws": pa.concat_arrays([pc.subtract(hi, pa.scalar(1, pa.int64())),
+                                    hi]),
+            "value": pa.concat_arrays([v, v]),
+        })
+
+    exact_ds = _read(sf_dir, "events", ["ts", "value"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    rows = sorted(grouped_quantiles(exact_ds, ["ws"], "value",
+                                    [0.95]).take_all(),
+                  key=lambda r: r["ws"])
+    # verdict scaffolding: the windows' raw values (fixture-scale
+    # driver collect — the certified pipeline outputs above stay
+    # distributed) for a RANK-based gate, the correct t-digest
+    # contract: |rank(est) − 0.95| small, with slack 1/n for the
+    # interpolation granularity of tiny windows
+    by_w: dict[int, list[float]] = {}
+    for rr in exact_ds.take_all():
+        by_w.setdefault(int(rr["ws"]), []).append(float(rr["value"]))
+    ws, p95, within = [], [], []
+    for r in rows:
+        w = int(r["ws"])
+        # merge() is in-place and hour digests are SHARED between the
+        # two windows that overlap them — accumulate into a fresh digest
+        merged = TDigest(200.0)
+        found = False
+        for h in (w, w + 1):
+            d = digests.get(h)
+            if d is not None:
+                merged.merge(d)
+                found = True
+        est = merged.quantile(0.95) if found else float("nan")
+        vals = np.sort(np.array(by_w.get(w, []), dtype=np.float64))
+        n = max(1, vals.size)
+        lo = np.searchsorted(vals, est, side="left") / n
+        hi = np.searchsorted(vals, est, side="right") / n
+        slack = 0.02 + 1.0 / n
+        ws.append(w)
+        p95.append(float(r["q0_95"]))
+        within.append(bool(found and lo - slack <= 0.95 <= hi + slack))
+    return pa.table({
+        "ws": pa.array(ws, pa.int64()),
+        "p95_exact": pa.array(p95, pa.float64()),
+        "tdigest_rank_ok": pa.array(within, pa.bool_()),
+    })
+
+
 def q_countsketch_source_counts(sf_dir: str):
     """Per-source counts via the Count-Sketch point estimator
     (sketches.ams.AMSSketch.estimate_counts — two-sided ±√(F₂/w)
@@ -4767,6 +4844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "countsketch_source_counts": q_countsketch_source_counts,
+        "tdigest_window_p95": q_tdigest_window_p95,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
         "pages_heavy_domains": q_pages_heavy_domains,
@@ -6619,6 +6697,17 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, CAST(count(*) AS BIGINT) AS exact_count,
                    TRUE AS cs_within_bound
             FROM documents GROUP BY source
+        """,
+        "tdigest_window_p95": """
+            WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, value
+                       FROM events),
+            x AS (SELECT h - 1 AS ws, value FROM e
+                  UNION ALL SELECT h, value FROM e)
+            SELECT CAST(ws AS BIGINT) AS ws,
+                   percentile_cont(0.95) WITHIN GROUP (ORDER BY value)
+                       AS p95_exact,
+                   TRUE AS tdigest_rank_ok
+            FROM x GROUP BY ws ORDER BY ws
         """,
         "nfc_distinct": """
             SELECT lang,
