@@ -14,6 +14,7 @@ sides, sketches for the streaming paths.
 
 from __future__ import annotations
 
+import math
 import os
 from collections.abc import Callable
 from typing import Any
@@ -1266,6 +1267,98 @@ def _grouped_quantile_cert(sf_dir: str, factory):
             [within(r, 0.5, "lt50", "le50") for r in rows], type=pa.bool_()),
         "q90_within_bound": pa.array(
             [within(r, 0.9, "lt90", "le90") for r in rows], type=pa.bool_()),
+    })
+
+
+def q_dd_quantiles_by_lang(sf_dir: str):
+    """GROUPED quantiles with a RELATIVE-error guarantee: one DDSketch
+    (Masson et al. VLDB'19, alpha=0.01) per language over text length,
+    built with the same count-row shuffle as the grouped
+    t-digest/KLL (the exchange moves pre-aggregated
+    (lang, n_chars, count) rows; sketches form reducer-side via exact
+    integer bucket counts).  Unlike t-digest, the DDSketch estimate is
+    MERGE-ORDER INDEPENDENT (counter adds commute), and the guarantee
+    is deterministic: the value x_r at target rank r satisfies
+    x_r ∈ [est/(1+α), est/(1−α)].  Certification is one exact
+    distributed pass counting strictly-below/at-most those two
+    endpoints per group; the booleans are deterministic TRUE and
+    SQL-oracle-checked."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches import DDSketch
+    from .sketches.base import sketch_from_bytes
+
+    alpha = 0.01
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+
+    def lengths(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "n_chars": pc.cast(pc.utf8_length(batch["text"]), pa.int64()),
+        })
+
+    lens = ds.map_batches(lengths, batch_format="pyarrow", zero_copy_batch=True)
+    states = build_grouped_value_sketches(
+        lens, "lang", "n_chars",
+        {"sk": lambda: DDSketch(alpha=alpha, max_bins=2048)}, salt=4)
+    dds = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
+    # per-lang certification endpoints: x_r must lie in [lo, hi]
+    spans: dict[str, tuple] = {}
+    for l, dd in dds.items():
+        ok = True
+        ends = []
+        for q in (0.5, 0.9):
+            est = dd.quantile(q)
+            ok = ok and not dd.last_collapsed
+            lo = est / (1.0 + alpha) * (1.0 - 1e-9)
+            hi = est / (1.0 - alpha) * (1.0 + 1e-9)
+            ends.append((lo, hi))
+        spans[l] = (ends, ok)
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        lang = np.asarray(batch["lang"]).astype("U")
+        v = np.asarray(batch["n_chars"], dtype=np.int64)
+        cols: dict[str, list] = {c: [] for c in
+                                 ("lang", "n", "lt50", "le50", "lt90", "le90")}
+        for l in np.unique(lang):
+            vals = v[lang == l]
+            (lo50, hi50), (lo90, hi90) = spans[str(l)][0]
+            cols["lang"].append(str(l))
+            cols["n"].append(vals.size)
+            cols["lt50"].append(int((vals < lo50).sum()))
+            cols["le50"].append(int((vals <= hi50).sum()))
+            cols["lt90"].append(int((vals < lo90).sum()))
+            cols["le90"].append(int((vals <= hi90).sum()))
+        return pa.table({
+            "lang": pa.array(cols["lang"], type=pa.string()),
+            **{c: pa.array(cols[c], type=pa.int64())
+               for c in ("n", "lt50", "le50", "lt90", "le90")},
+        })
+
+    parts = lens.map_batches(rank_partial, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    sums = grouped_agg(parts, ["lang"], [
+        ("n_docs", "n", "sum"), ("lt50", "lt50", "sum"),
+        ("le50", "le50", "sum"), ("lt90", "lt90", "sum"),
+        ("le90", "le90", "sum"),
+    ])
+    rows = sorted(sums.take_all(), key=lambda r: r["lang"])
+
+    def within(r, q, lt, le):
+        # x_r at 0-based rank r_t: at most r_t values strictly below it,
+        # at least r_t+1 values ≤ it — so lt ≤ r_t and le ≥ r_t+1 iff
+        # [lo, hi] brackets x_r.
+        rt = int(math.floor(q * (r["n_docs"] - 1)))
+        return (r[lt] <= rt) and (r[le] >= rt + 1)
+
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], type=pa.string()),
+        "n_docs": pa.array([int(r["n_docs"]) for r in rows], type=pa.int64()),
+        "p50_within_alpha": pa.array(
+            [within(r, 0.5, "lt50", "le50") and spans[r["lang"]][1]
+             for r in rows], type=pa.bool_()),
+        "p90_within_alpha": pa.array(
+            [within(r, 0.9, "lt90", "le90") and spans[r["lang"]][1]
+             for r in rows], type=pa.bool_()),
     })
 
 
@@ -4763,6 +4856,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
         "kll_by_lang": q_kll_by_lang,
+        "dd_quantiles_by_lang": q_dd_quantiles_by_lang,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
@@ -5964,6 +6058,11 @@ def oracle_sql() -> dict[str, str]:
         "kll_by_lang": """
             SELECT lang, count(*) AS n_docs,
                    TRUE AS q50_within_bound, TRUE AS q90_within_bound
+            FROM documents GROUP BY lang
+        """,
+        "dd_quantiles_by_lang": """
+            SELECT lang, count(*) AS n_docs,
+                   TRUE AS p50_within_alpha, TRUE AS p90_within_alpha
             FROM documents GROUP BY lang
         """,
         "langid_counts": _langid_oracle_sql(),

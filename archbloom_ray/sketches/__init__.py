@@ -12,6 +12,7 @@ from .ams import AMSSketch
 from .kmv import KMVSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
+from .dd import DDSketch
 
 __all__ = [
     "Sketch",
@@ -30,4 +31,5 @@ __all__ = [
     "KMVSketch",
     "CuckooFilter",
     "GaussianNB",
+    "DDSketch",
 ]

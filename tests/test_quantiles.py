@@ -218,3 +218,128 @@ class TestKLL:
             KLLSketch(k=4)
         with pytest.raises(SketchError):
             KLLSketch(k=128).merge(KLLSketch(k=64))
+
+
+class TestDDSketch:
+    """DDSketch relative-error guarantee (Masson et al. VLDB'19):
+    |est - x_r| <= alpha * |x_r| for the value x_r at the target rank,
+    deterministically, as long as the answer is outside the collapsed
+    pool."""
+
+    @pytest.mark.parametrize("name", list(_datasets()))
+    def test_relative_error_guarantee(self, name):
+        from archbloom_ray.sketches import DDSketch
+
+        data = _datasets()[name]
+        dd = DDSketch(alpha=0.01, max_bins=4096)
+        for chunk in np.array_split(data, 7):
+            dd.update_arrow(chunk)
+        s = np.sort(data)
+        for q in QS + [0.001, 0.999]:
+            rank = int(np.floor(q * (len(s) - 1)))
+            true = s[rank]
+            est = dd.quantile(q)
+            assert not dd.last_collapsed
+            assert abs(est - true) <= dd.alpha * abs(true) + 1e-12, (name, q)
+
+    def test_merge_is_exact_and_order_independent(self):
+        from archbloom_ray.sketches import DDSketch
+
+        data = _datasets()["lognormal"]
+        parts = np.array_split(data, 9)
+
+        def build(order):
+            sks = []
+            for p in parts:
+                d = DDSketch(alpha=0.02)
+                d.update_arrow(p)
+                sks.append(d)
+            acc = DDSketch(alpha=0.02)
+            for i in order:
+                acc.merge(sks[i])
+            return acc
+
+        single = DDSketch(alpha=0.02)
+        single.update_arrow(data)
+        fwd = build(range(9))
+        rev = build(range(8, -1, -1))
+        assert fwd.count == rev.count == single.count == len(data)
+        # bucket-exact: merged state identical to the one-pass build
+        np.testing.assert_array_equal(fwd.pos.counts, single.pos.counts)
+        np.testing.assert_array_equal(rev.pos.counts, single.pos.counts)
+        assert fwd.pos.lo == rev.pos.lo == single.pos.lo
+        for q in QS:
+            assert fwd.quantile(q) == rev.quantile(q) == single.quantile(q)
+
+    def test_update_weighted_matches_unit_updates(self):
+        from archbloom_ray.sketches import DDSketch
+
+        vals = np.array([3.0, 7.0, 3.0, 100.0, 7.0, 3.0])
+        a = DDSketch(alpha=0.01)
+        a.update_arrow(vals)
+        b = DDSketch(alpha=0.01)
+        b.update_weighted(np.array([3.0, 7.0, 100.0]), np.array([3, 2, 1]))
+        np.testing.assert_array_equal(a.pos.counts, b.pos.counts)
+        assert a.pos.lo == b.pos.lo
+
+    def test_zeros_and_negatives(self):
+        from archbloom_ray.sketches import DDSketch
+
+        data = np.array([-50.0, -5.0, 0.0, 0.0, 1.0, 10.0, 200.0])
+        dd = DDSketch(alpha=0.01)
+        dd.update_arrow(data)
+        assert dd.count == 7
+        assert dd.zero_count == 2
+        s = np.sort(data)
+        for q in QS:
+            rank = int(np.floor(q * (len(s) - 1)))
+            true = s[rank]
+            est = dd.quantile(q)
+            assert abs(est - true) <= dd.alpha * abs(true) + 1e-12, (q, est, true)
+
+    def test_collapse_keeps_upper_quantiles(self):
+        from archbloom_ray.sketches import DDSketch
+
+        rng = np.random.default_rng(7)
+        data = rng.lognormal(0, 4, 50_000)  # huge dynamic range
+        dd = DDSketch(alpha=0.01, max_bins=768)
+        dd.update_arrow(data)
+        assert dd.pos.collapsed
+        assert dd.pos.counts.size <= 768
+        s = np.sort(data)
+        for q in (0.95, 0.99, 0.999):
+            rank = int(np.floor(q * (len(s) - 1)))
+            true = s[rank]
+            est = dd.quantile(q)
+            assert not dd.last_collapsed, q
+            assert abs(est - true) <= dd.alpha * abs(true) + 1e-12, q
+        # a deep-low quantile lands in the pool and says so
+        dd.quantile(0.0)
+        assert dd.last_collapsed
+
+    def test_serde_roundtrip(self):
+        from archbloom_ray.sketches import DDSketch
+        from archbloom_ray.sketches.base import sketch_from_bytes
+
+        dd = DDSketch(alpha=0.015, max_bins=512, name="lens")
+        dd.update_arrow(np.array([-3.0, 0.0, 1.5, 88.0, 1e6]))
+        r = sketch_from_bytes(dd.to_bytes())
+        assert isinstance(r, DDSketch)
+        assert r.count == dd.count and r.zero_count == dd.zero_count
+        np.testing.assert_array_equal(r.pos.counts, dd.pos.counts)
+        np.testing.assert_array_equal(r.neg.counts, dd.neg.counts)
+        assert r.pos.lo == dd.pos.lo and r.neg.lo == dd.neg.lo
+        for q in QS:
+            assert r.quantile(q) == dd.quantile(q)
+
+    def test_validation(self):
+        from archbloom_ray.sketches import DDSketch
+
+        with pytest.raises(SketchError):
+            DDSketch(alpha=0.0)
+        with pytest.raises(SketchError):
+            DDSketch(alpha=1.5)
+        with pytest.raises(SketchError):
+            DDSketch(alpha=0.01).merge(DDSketch(alpha=0.02))
+        with pytest.raises(SketchError):
+            DDSketch().quantile(0.5)  # empty
