@@ -793,6 +793,22 @@ def q_bloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_xor_membership(sf_dir: str):
+    """STATIC membership via sharded xor filters (Graf & Lemire 2020):
+    the snapshot's texts build one immutable filter per hash shard (the
+    shuffle moves only 8-byte hashes), then the same texts probe them —
+    an xor filter has NO false negatives over its build set, so the
+    result is deterministically all-present.  The structure the
+    reference's bloom/cuckoo family lacks: frozen-set membership at
+    ~9.8 bits/key with 2^-8 FPR."""
+    from .pipelines.staticfilter import build_sharded_xor, sharded_xor_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    states = build_sharded_xor(ds, "text", num_shards=8, bits=8)
+    probed = sharded_xor_probe(ds, states, "text", num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_knn_cosine(sf_dir: str):
     """Brute-force cosine top-10 vs the vec_id=0 query vector via
     ``stages.similarity.knn_brute``: per-batch matmul against the
@@ -4796,6 +4812,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "bloom_membership": q_bloom_membership,
+        "xor_membership": q_xor_membership,
         "cuckoo_membership": q_cuckoo_membership,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
@@ -5963,6 +5980,7 @@ def oracle_sql() -> dict[str, str]:
             FROM lineitem GROUP BY l_returnflag, l_linestatus
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "cuckoo_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "hll_distinct_text": """
             SELECT count(DISTINCT text) AS distinct_text_exact,

@@ -13,6 +13,7 @@ from .kmv import KMVSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
+from .xorf import XorFilter
 
 __all__ = [
     "Sketch",
@@ -32,4 +33,5 @@ __all__ = [
     "CuckooFilter",
     "GaussianNB",
     "DDSketch",
+    "XorFilter",
 ]

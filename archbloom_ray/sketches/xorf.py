@@ -1,0 +1,222 @@
+"""XOR filter — STATIC membership with ~2^-bits FPR at 1.23 bits·k/key.
+
+Engine extension completing the reference's approximate-membership
+family (Bloom — reference bloom.c; counting Bloom — cbloom.c; cuckoo —
+cuckoo.c): the xor filter (Graf & Lemire, "Xor Filters: Faster and
+Smaller Than Bloom and Cuckoo Filters", JEA 2020) trades the others'
+incremental inserts for a smaller, faster immutable structure — the
+right tool for the frozen-snapshot membership checks a crawl pipeline
+does against last month's url set.
+
+Construction is the paper's 3-partite peeling: m = ⌈1.23·n⌉ slots in
+three equal segments, each key hashed to one slot per segment; repeat
+{find degree-1 slots, peel their keys} until all keys are ordered,
+then assign fingerprints in reverse peel order so that
+
+    fp(x) == B[h0(x)] ^ B[h1(x)] ^ B[h2(x)]   for every inserted x.
+
+This implementation peels in vectorized ROUNDS (the parallel-peeling
+observation: all degree-1 slots of a round are independent, and a
+round's keys only reference slots peeled in strictly later rounds or
+never peeled — so reverse round-batched assignment is exact).  No
+per-key Python loop anywhere.
+
+Not mergeable (static): ``merge``/``update_arrow`` raise — a
+distributed corpus build shards keys by hash and builds one filter per
+shard (pipelines/build.py ``build_sharded_xor``), lookups routing by
+the same shard function; shard states are independently serializable.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_64_batch
+from .base import Sketch, SketchError, register
+
+_U64 = np.uint64
+# splitmix64 constants (public domain, Steele et al.)
+_SM_GAMMA = _U64(0x9E3779B97F4A7C15)
+_SM_M1 = _U64(0xBF58476D1CE4E5B9)
+_SM_M2 = _U64(0x94D049BB133111EB)
+
+
+def _splitmix(x: np.ndarray) -> np.ndarray:
+    with np.errstate(over="ignore"):
+        x = (x + _SM_GAMMA) * _SM_M1
+        x ^= x >> _U64(30)
+        x *= _SM_M2
+        x ^= x >> _U64(27)
+        x *= _SM_M1
+        x ^= x >> _U64(31)
+    return x
+
+
+@register
+class XorFilter(Sketch):
+    MAGIC = b"!xorfltr"
+
+    def __init__(self, bits: int = 8, name: str = "DEFAULT"):
+        if bits not in (8, 16):
+            raise SketchError("bits must be 8 or 16")
+        self.bits = int(bits)
+        self.name = name
+        self.seed = 0
+        self.seg = 0          # segment length; m = 3*seg
+        self.n = 0            # keys built over (post-dedup)
+        self.slots = np.empty(0, dtype=np.uint8 if bits == 8 else np.uint16)
+
+    # -- static-build hash plumbing --------------------------------------
+    def _positions(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Three segment-local slot positions + fingerprint for 64-bit
+        key hashes ``h`` under the current attempt seed."""
+        seg = _U64(self.seg)
+        x = _splitmix(h.astype(_U64) ^ _U64(self.seed))
+        y = _splitmix(x)
+        p0 = (x % seg).astype(np.int64)
+        p1 = (y % seg).astype(np.int64) + self.seg
+        p2 = ((x >> _U64(32) ^ y >> _U64(32)) % seg).astype(np.int64) + 2 * self.seg
+        fp = (_splitmix(y) & _U64((1 << self.bits) - 1))
+        fp = fp.astype(self.slots.dtype if self.slots.size else
+                       (np.uint8 if self.bits == 8 else np.uint16))
+        return p0, p1, p2, fp
+
+    # -- construction -----------------------------------------------------
+    @classmethod
+    def build_hashes(cls, keyhashes: np.ndarray, bits: int = 8,
+                     name: str = "DEFAULT", max_attempts: int = 64) -> "XorFilter":
+        """Build from pre-hashed 64-bit keys (duplicates deduped — a
+        static filter represents a SET)."""
+        self = cls(bits=bits, name=name)
+        h = np.unique(np.asarray(keyhashes, dtype=_U64))
+        n = int(h.size)
+        self.n = n
+        if n == 0:
+            self.seg = 1
+            self.slots = np.zeros(3, dtype=self.slots.dtype)
+            return self
+        self.seg = max(1, int(np.ceil(1.23 * n / 3.0)) + 1)
+        m = 3 * self.seg
+        for attempt in range(max_attempts):
+            self.seed = attempt
+            order, slots_of = self._peel(h, m)
+            if order is not None:
+                self._assign(h, m, order, slots_of)
+                return self
+        raise SketchError(f"xor filter peeling failed after {max_attempts} seeds (n={n})")
+
+    @classmethod
+    def build_arrow(cls, arr, bits: int = 8, name: str = "DEFAULT") -> "XorFilter":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return cls.build_hashes(mmh3_64_batch(arr).astype(_U64), bits=bits, name=name)
+
+    def _peel(self, h: np.ndarray, m: int):
+        """Round-parallel peeling.  Returns (round_boundaries+key order,
+        peeled slot per key) or (None, None) if stuck."""
+        n = h.size
+        p0, p1, p2, _ = self._positions(h)
+        pos = np.stack([p0, p1, p2])                    # (3, n)
+        count = np.zeros(m, dtype=np.int64)
+        xk = np.zeros(m, dtype=np.int64)                # xor of key indices
+        for row in pos:
+            np.add.at(count, row, 1)
+            np.bitwise_xor.at(xk, row, np.arange(n))
+        order = np.empty(n, dtype=np.int64)             # peel order, by rounds
+        slot_of = np.empty(n, dtype=np.int64)
+        rounds: list[int] = [0]
+        done = 0
+        while done < n:
+            singles = np.flatnonzero(count == 1)
+            if singles.size == 0:
+                return None, None
+            keys = xk[singles]
+            # one key may be the lone occupant of 2-3 slots: keep first
+            keys, first = np.unique(keys, return_index=True)
+            slots = singles[first]
+            k = keys.size
+            order[done : done + k] = keys
+            slot_of[done : done + k] = slots
+            done += k
+            rounds.append(done)
+            # remove the peeled keys from all their slots
+            for row in pos:
+                tp = row[keys]
+                np.add.at(count, tp, -1)
+                np.bitwise_xor.at(xk, tp, keys)
+        self._rounds = rounds
+        return order, slot_of
+
+    def _assign(self, h: np.ndarray, m: int, order: np.ndarray,
+                slot_of: np.ndarray) -> None:
+        p0, p1, p2, fp = self._positions(h)
+        B = np.zeros(m, dtype=np.uint8 if self.bits == 8 else np.uint16)
+        rounds = self._rounds
+        # reverse round order; within a round all writes are independent
+        # (a peeled slot's other occupants were already gone, and a
+        # round's reads touch only later-round or never-peeled slots)
+        for r in range(len(rounds) - 2, -1, -1):
+            sl = slice(rounds[r], rounds[r + 1])
+            keys = order[sl]
+            slots = slot_of[sl]
+            B[slots] = (fp[keys] ^ B[p0[keys]] ^ B[p1[keys]] ^ B[p2[keys]]
+                        ^ B[slots])  # B[slots] is 0 here; kept for clarity
+        self.slots = B
+        del self._rounds
+
+    # -- queries ------------------------------------------------------
+    def contains_hashes(self, keyhashes: np.ndarray) -> np.ndarray:
+        h = np.asarray(keyhashes, dtype=_U64)
+        if self.n == 0:
+            return np.zeros(h.size, dtype=bool)
+        p0, p1, p2, fp = self._positions(h)
+        B = self.slots
+        return (B[p0] ^ B[p1] ^ B[p2]) == fp
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return self.contains_hashes(mmh3_64_batch(arr).astype(_U64))
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def false_positive_rate(self) -> float:
+        """The structure's FPR is 2^-bits by construction (paper §3)."""
+        return 2.0 ** -self.bits
+
+    @property
+    def bits_per_key(self) -> float:
+        return self.slots.size * self.bits / max(1, self.n)
+
+    # -- static: no incremental update / merge -------------------------
+    def update_arrow(self, arr) -> None:
+        raise SketchError("xor filter is static — use XorFilter.build_arrow()")
+
+    def merge(self, other: "Sketch") -> "Sketch":
+        raise SketchError("xor filter is static — rebuild over the union "
+                          "(distributed builds shard by key hash instead)")
+
+    # -- serialization --------------------------------------------------
+    def _meta(self) -> dict:
+        return {"bits": self.bits, "name": self.name, "seed": self.seed,
+                "seg": self.seg, "n": self.n}
+
+    def _meta_compat(self) -> dict:
+        return {"bits": self.bits}
+
+    def _arrays(self) -> list[np.ndarray]:
+        return [self.slots]
+
+    def _set_arrays(self, arrays: list[np.ndarray]) -> None:
+        self.slots = arrays[0]
+
+    @classmethod
+    def _from_meta(cls, meta: dict) -> "XorFilter":
+        obj = cls(bits=meta["bits"], name=meta.get("name", "DEFAULT"))
+        obj.seed = int(meta["seed"])
+        obj.seg = int(meta["seg"])
+        obj.n = int(meta["n"])
+        return obj

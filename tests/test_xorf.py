@@ -1,0 +1,97 @@
+"""XOR filter (Graf & Lemire 2020): peeling construction, FPR, the
+no-false-negative guarantee, serde, static semantics, sharded build."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from archbloom_ray.sketches import SketchError, XorFilter
+from archbloom_ray.sketches.base import sketch_from_bytes
+
+
+def _hashes(n, seed=0):
+    rng = np.random.default_rng(seed)
+    return rng.integers(0, 2**63, n, dtype=np.int64).astype(np.uint64)
+
+
+class TestXorFilter:
+    @pytest.mark.parametrize("n", [1, 2, 3, 17, 1000, 100_000])
+    def test_no_false_negatives(self, n):
+        keys = _hashes(n)
+        f = XorFilter.build_hashes(keys, bits=8)
+        assert f.contains_hashes(keys).all()
+
+    @pytest.mark.parametrize("bits,bound", [(8, 2**-8), (16, 2**-16)])
+    def test_fpr_near_published(self, bits, bound):
+        keys = _hashes(50_000, seed=1)
+        f = XorFilter.build_hashes(keys, bits=bits)
+        probes = _hashes(200_000, seed=2)
+        probes = probes[~np.isin(probes, keys)]
+        fpr = f.contains_hashes(probes).mean()
+        assert fpr <= 3 * bound + 1e-6, fpr  # generous sampling slack
+        assert f.false_positive_rate() == bound
+
+    def test_space_near_1_23_bits(self):
+        f = XorFilter.build_hashes(_hashes(100_000), bits=8)
+        assert f.bits_per_key <= 8 * 1.25  # 1.23 target + seg rounding
+
+    def test_duplicates_deduped(self):
+        keys = np.array([7, 7, 7, 9], dtype=np.uint64)
+        f = XorFilter.build_hashes(keys)
+        assert f.n == 2
+        assert f.contains_hashes(keys).all()
+
+    def test_string_build_and_lookup(self):
+        vals = pa.array([f"url-{i}" for i in range(5000)])
+        f = XorFilter.build_arrow(vals, bits=8)
+        assert f.lookup_batch(vals).all()
+        assert f.lookup("url-42")
+        absent = pa.array([f"missing-{i}" for i in range(5000)])
+        assert f.lookup_batch(absent).mean() < 0.02
+
+    def test_empty(self):
+        f = XorFilter.build_hashes(np.empty(0, dtype=np.uint64))
+        assert not f.contains_hashes(_hashes(100)).any()
+
+    def test_static_semantics(self):
+        f = XorFilter.build_hashes(_hashes(10))
+        with pytest.raises(SketchError):
+            f.update_arrow(pa.array(["x"]))
+        with pytest.raises(SketchError):
+            f.merge(XorFilter.build_hashes(_hashes(10)))
+        with pytest.raises(SketchError):
+            XorFilter(bits=12)
+
+    def test_serde_roundtrip(self):
+        keys = _hashes(20_000, seed=3)
+        f = XorFilter.build_hashes(keys, bits=16, name="snap")
+        r = sketch_from_bytes(f.to_bytes())
+        assert isinstance(r, XorFilter)
+        assert r.n == f.n and r.seed == f.seed and r.seg == f.seg
+        probes = _hashes(50_000, seed=4)
+        np.testing.assert_array_equal(
+            r.contains_hashes(probes), f.contains_hashes(probes))
+        assert r.contains_hashes(keys).all()
+
+
+class TestShardedXor:
+    def test_build_and_probe_sf(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.staticfilter import (
+            build_sharded_xor, sharded_xor_probe)
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "text"])
+        states = build_sharded_xor(ds, "text", num_shards=4, bits=8)
+        assert set(states) <= set(range(4)) and len(states) >= 1
+        probed = sharded_xor_probe(ds, states, "text", num_shards=4)
+        rows = probed.take_all()
+        assert len(rows) == 500
+        assert all(r["present"] for r in rows)
+        # absent probes: FPR well under 2%
+        absent = rd.from_items(
+            [{"text": f"never-in-corpus-{i}"} for i in range(2000)])
+        miss = sharded_xor_probe(absent, states, "text", num_shards=4)
+        fp = sum(r["present"] for r in miss.take_all())
+        assert fp <= 40
