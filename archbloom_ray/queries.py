@@ -1661,6 +1661,53 @@ def _pages_for(sf_dir: str) -> str:
     return pages_fixture(_PAGES_ROWS.get(tier, 2_000), seed=42)
 
 
+def q_fd_embedding_spectrum(sf_dir: str):
+    """MATRIX sketch over the embedding corpus: a Frequent-Directions
+    sketch (ℓ=16) of the n×64 embedding matrix built via the standard
+    partial→tree-merge path, certified against the EXACT Gram matrix
+    computed in the same single distributed pass (64×64 partial sums —
+    tiny).  The GLPW16 guarantee ‖AᵀA−BᵀB‖₂ ≤ ‖A‖F²/ℓ is
+    deterministic and survives any merge order, so the verdict column
+    is SQL-oracle-checkable."""
+    from .sketches import FrequentDirections
+
+    ds = _read(sf_dir, "embeddings", ["embedding"])
+
+    def partial(batch: pa.Table) -> pa.Table:
+        from .stages.similarity import _as_matrix
+
+        X = _as_matrix(batch["embedding"])
+        fd = FrequentDirections(ell=16)
+        fd.update_rows(X)
+        g = X.T @ X
+        return pa.table({
+            "state": pa.array([fd.to_bytes()], type=pa.binary()),
+            "gram": pa.array([g.ravel().tolist()],
+                             type=pa.list_(pa.float64())),
+            "n": pa.array([X.shape[0]], type=pa.int64()),
+            "d": pa.array([X.shape[1]], type=pa.int64()),
+        })
+
+    rows = ds.map_batches(partial, batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    from .sketches.base import sketch_from_bytes
+
+    fd = sketch_from_bytes(rows[0]["state"])
+    for r in rows[1:]:
+        fd.merge(sketch_from_bytes(r["state"]))
+    d = int(rows[0]["d"])
+    exact = np.zeros((d, d))
+    for r in rows:
+        exact += np.asarray(r["gram"], dtype=np.float64).reshape(d, d)
+    err = float(np.linalg.norm(exact - fd.cov_estimate(), 2))
+    within = err <= fd.error_bound() + 1e-9
+    return pa.table({
+        "n_rows": pa.array([fd.n_rows], type=pa.int64()),
+        "dim": pa.array([d], type=pa.int64()),
+        "fd_within_bound": pa.array([bool(within)], type=pa.bool_()),
+    })
+
+
 def q_pages_distinct_urls(sf_dir: str):
     """North-star query 1: distinct-url count — exact distributed count
     hash-checked by the oracle, HLL estimate certified against it with
@@ -4937,6 +4984,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "triangles": q_triangles,
         "events_anomalous_hours": q_events_anomalous_hours,
         "knn_ivf": q_knn_ivf,
+        "fd_embedding_spectrum": q_fd_embedding_spectrum,
         "gnb_length_classes": q_gnb_length_classes,
         # incremental curation operators (2026-08-18 batch)
         "incremental_dedup": q_incremental_dedup,
@@ -6485,6 +6533,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         # exhaustive probing (n_probe = n_centroids) covers every cell, so
         # the IVF result set equals the brute-force top-k by construction
+        "fd_embedding_spectrum": """
+            SELECT count(*) AS n_rows,
+                   CAST(max(len(embedding)) AS BIGINT) AS dim,
+                   TRUE AS fd_within_bound
+            FROM embeddings
+        """,
         "knn_ivf": """
             WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
             scored AS (

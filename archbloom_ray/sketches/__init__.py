@@ -14,6 +14,7 @@ from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import XorFilter
+from .fd import FrequentDirections
 
 __all__ = [
     "Sketch",
@@ -34,4 +35,5 @@ __all__ = [
     "GaussianNB",
     "DDSketch",
     "XorFilter",
+    "FrequentDirections",
 ]
