@@ -1199,6 +1199,54 @@ def q_hll_distinct_by_lang(sf_dir: str):
     })
 
 
+def q_sparse_hll_by_source(sf_dir: str):
+    """HIGH-CARDINALITY grouped distinct via the HLL++ SPARSE
+    representation: one SparseHLL per source (the many-small-groups
+    regime where dense register files explode — 10^8 domains × 16 KB =
+    1.6 TB of state; sparse stores 4·n_distinct bytes/group).  Same
+    count-row shuffle and 3σ certification as the dense grouped HLL;
+    also certifies that every group's state stayed in sparse mode
+    (deterministic: each source has ≪ m/4 distinct texts) and that the
+    sparse estimate is bit-identical to the dense one built from the
+    same registers."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches import SparseHLL
+    from .sketches.base import sketch_from_bytes
+
+    ds = _read(sf_dir, "documents", ["source", "text"])
+    states = build_grouped_value_sketches(
+        ds, "source", "text", {"sp": lambda: SparseHLL(14)}, salt=2)
+    sps = {r["key"]: sketch_from_bytes(r["state"]) for r in states.take_all()}
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        from .hashing import mmh3_128_batch
+
+        h1, _ = mmh3_128_batch(batch["text"])
+        return pa.table({"source": batch["source"],
+                         "h": pa.array(h1.astype(np.int64))})
+
+    pairs = ds.map_batches(hash_pairs, batch_format="pyarrow",
+                           zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["source", "h"], [("c", None, "count")])
+    d2 = grouped_agg(d1, ["source"], [("n_distinct_exact", None, "count")])
+    rows = sorted(d2.take_all(), key=lambda r: r["source"])
+    srcs = [r["source"] for r in rows]
+    exact = [int(r["n_distinct_exact"]) for r in rows]
+    within = [
+        abs(sps[s].cardinality() - e)
+        <= max(3 * sps[s].relative_error_bound() * e, 4.0)
+        and sps[s].cardinality() == sps[s].to_dense().cardinality()
+        for s, e in zip(srcs, exact)
+    ]
+    sparse = [sps[s].dense is None for s in srcs]
+    return pa.table({
+        "source": pa.array(srcs, type=pa.string()),
+        "n_distinct_exact": pa.array(exact, type=pa.int64()),
+        "hll_within_bound": pa.array(within, type=pa.bool_()),
+        "state_is_sparse": pa.array(sparse, type=pa.bool_()),
+    })
+
+
 def q_tdigest_by_lang(sf_dir: str):
     """GROUPED approximate quantiles: one t-digest per language over
     text length, built with the same count-row shuffle as the grouped
@@ -4921,6 +4969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "tdigest_by_lang": q_tdigest_by_lang,
         "kll_by_lang": q_kll_by_lang,
         "dd_quantiles_by_lang": q_dd_quantiles_by_lang,
+        "sparse_hll_by_source": q_sparse_hll_by_source,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
@@ -6105,6 +6154,11 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "sparse_hll_by_source": """
+            SELECT source, count(DISTINCT text) AS n_distinct_exact,
+                   TRUE AS hll_within_bound, TRUE AS state_is_sparse
+            FROM documents GROUP BY source
         """,
         "hll_rollup": """
             SELECT lang AS key,

@@ -3,7 +3,7 @@ from .bloom import BloomFilter
 from .cbloom import CountingBloomFilter
 from .tdbloom import TimeDecayingBloomFilter
 from .tdcbloom import TimeDecayingCountingBloomFilter
-from .hll import HyperLogLog
+from .hll import HyperLogLog, SparseHLL
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
@@ -25,6 +25,7 @@ __all__ = [
     "TimeDecayingBloomFilter",
     "TimeDecayingCountingBloomFilter",
     "HyperLogLog",
+    "SparseHLL",
     "CountMinSketch",
     "TDigest",
     "KLLSketch",

@@ -139,3 +139,147 @@ class HyperLogLog(Sketch):
     @classmethod
     def _from_meta(cls, meta):
         return cls(meta["precision"], meta.get("name", "DEFAULT"))
+
+
+@register
+class SparseHLL(Sketch):
+    """HLL with the HLL++ SPARSE representation (Heule, Nunkesser &
+    Hall, EDBT'13 §5.3): below ~m/4 distinct keys the sketch stores
+    sorted packed ``(register_index << 6 | rho)`` uint32 pairs instead
+    of the dense 2^p byte register file, and densifies automatically
+    past the break-even point.
+
+    Why it exists: a grouped distinct count over 10^8 web domains with
+    dense p=14 registers materializes 1.6 TB of sketch state, though
+    most domains have a handful of urls; sparse states cost
+    4·min(n_distinct, m/4) bytes per group instead.  Estimates are
+    IDENTICAL to the dense sketch's (the pair set reconstructs the
+    exact register file), so the 1.04/√m bound story is unchanged, and
+    merge (pair-union keep-max-rho, or register max once dense) stays
+    associative/commutative.
+    """
+
+    MAGIC = b"!sprshll"
+    _is_dense_flag = False  # set by _from_meta for deserialization
+
+    def __init__(self, precision: int = 14, name: str = "DEFAULT"):
+        if not (4 <= precision <= 18):
+            raise SketchError("precision must be in [4, 18]")
+        self.precision = int(precision)
+        self.m = 1 << precision
+        self.name = name
+        self.dense: np.ndarray | None = None       # uint8[m] once densified
+        self.pairs = np.empty(0, dtype=np.uint32)  # sorted packed idx<<6|rho
+        # break-even: pairs are 4 B each vs 1 B/register dense
+        self._max_pairs = self.m // 4
+
+    # -- update ---------------------------------------------------------
+    def update_arrow(self, arr) -> None:
+        if len(arr) == 0:
+            return
+        h1, _ = mmh3_128_batch(arr)
+        self.update_hashes(h1)
+
+    def update_weighted(self, arr, counts) -> None:
+        self.update_arrow(arr)
+
+    def update_hashes(self, h1, h2=None) -> None:
+        p = self.precision
+        idx = (h1 >> np.uint64(64 - p)).astype(np.int64)
+        w = h1 << np.uint64(p)
+        rho = np.minimum(_clz64(w), 64 - p).astype(np.int64) + 1
+        if self.dense is not None:
+            np.maximum.at(self.dense, idx, rho.astype(np.uint8))
+            return
+        packed = (idx.astype(np.uint32) << np.uint32(6)) | rho.astype(np.uint32)
+        self._absorb(packed)
+
+    def _absorb(self, packed: np.ndarray) -> None:
+        allp = np.concatenate([self.pairs, packed])
+        allp.sort()
+        # same idx ⇒ adjacent after sort, max rho is the LAST of the run
+        idxs = allp >> np.uint32(6)
+        last = np.ones(allp.size, dtype=bool)
+        np.not_equal(idxs[:-1], idxs[1:], out=last[:-1])
+        self.pairs = allp[last]
+        if self.pairs.size > self._max_pairs:
+            self._densify()
+
+    def _densify(self) -> None:
+        regs = np.zeros(self.m, dtype=np.uint8)
+        regs[(self.pairs >> np.uint32(6)).astype(np.int64)] = (
+            self.pairs & np.uint32(0x3F)).astype(np.uint8)
+        self.dense = regs
+        self.pairs = np.empty(0, dtype=np.uint32)
+
+    # -- queries ----------------------------------------------------------
+    def _registers(self) -> np.ndarray:
+        if self.dense is not None:
+            return self.dense
+        regs = np.zeros(self.m, dtype=np.uint8)
+        regs[(self.pairs >> np.uint32(6)).astype(np.int64)] = (
+            self.pairs & np.uint32(0x3F)).astype(np.uint8)
+        return regs
+
+    def cardinality(self) -> float:
+        """Identical estimator to the dense sketch (reconstructs the
+        register file — the pair set IS the nonzero registers)."""
+        if self.dense is None and self.pairs.size < self.m // 30:
+            # deep-sparse fast path: linear counting, which is exactly
+            # what the dense path would pick in this range
+            zeros = self.m - int(self.pairs.size)
+            return self.m * math.log(self.m / zeros)
+        tmp = HyperLogLog(self.precision)
+        tmp.registers = self._registers()
+        return tmp.cardinality()
+
+    def relative_error_bound(self) -> float:
+        return 1.04 / math.sqrt(self.m)
+
+    @property
+    def state_nbytes(self) -> int:
+        return int(self.dense.nbytes if self.dense is not None
+                   else self.pairs.nbytes)
+
+    def to_dense(self) -> HyperLogLog:
+        h = HyperLogLog(self.precision, name=self.name)
+        h.registers = self._registers().copy()
+        return h
+
+    def finalize(self) -> float:
+        return self.cardinality()
+
+    # -- merge ------------------------------------------------------------
+    def merge(self, other: "SparseHLL") -> "SparseHLL":
+        self._check_compatible(other)
+        if self.dense is None and other.dense is None:
+            self._absorb(other.pairs)
+        else:
+            if self.dense is None:
+                self._densify()
+            np.maximum(self.dense, other._registers(), out=self.dense)
+        return self
+
+    # -- serialization ------------------------------------------------------
+    def _meta(self) -> dict:
+        return {"precision": self.precision, "name": self.name,
+                "is_dense": self.dense is not None}
+
+    def _meta_compat(self) -> dict:
+        return {"precision": self.precision}
+
+    def _arrays(self):
+        return [self.dense if self.dense is not None else self.pairs]
+
+    def _set_arrays(self, arrays):
+        if self._is_dense_flag:
+            self.dense = arrays[0]
+            self.pairs = np.empty(0, dtype=np.uint32)
+        else:
+            self.pairs = arrays[0]
+
+    @classmethod
+    def _from_meta(cls, meta):
+        obj = cls(meta["precision"], meta.get("name", "DEFAULT"))
+        obj._is_dense_flag = bool(meta["is_dense"])
+        return obj

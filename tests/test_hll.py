@@ -117,3 +117,115 @@ class TestIntersection:
         assert (a.registers == a2.registers).all()
         with pytest.raises(Exception):
             a.intersection_estimate(HyperLogLog(10))
+
+
+class TestSparseHLL:
+    """HLL++ sparse representation: identical estimates to dense,
+    automatic densify at break-even, pair-union merge."""
+
+    def _vals(self, n, seed=0):
+        import numpy as np
+        rng = np.random.default_rng(seed)
+        return pa.array([f"url-{v}" for v in
+                         rng.integers(0, 10**12, n)])
+
+    def test_matches_dense_exactly(self):
+        from archbloom_ray.sketches import SparseHLL
+
+        for n in (1, 50, 1000, 3000):
+            vals = self._vals(n, seed=n)
+            sp = SparseHLL(14)
+            sp.update_arrow(vals)
+            dense = HyperLogLog(14)
+            dense.update_arrow(vals)
+            assert sp.to_dense().cardinality() == dense.cardinality()
+            # the sparse estimator itself agrees with the dense one
+            assert sp.cardinality() == pytest.approx(dense.cardinality(),
+                                                     rel=1e-12)
+
+    def test_stays_sparse_small_densifies_large(self):
+        from archbloom_ray.sketches import SparseHLL
+
+        sp = SparseHLL(14)
+        sp.update_arrow(self._vals(500))
+        assert sp.dense is None
+        assert sp.state_nbytes <= 4 * 500
+        sp.update_arrow(self._vals(20_000, seed=1))
+        assert sp.dense is not None
+        d = HyperLogLog(14)
+        d.update_arrow(self._vals(500))
+        d.update_arrow(self._vals(20_000, seed=1))
+        assert sp.cardinality() == d.cardinality()
+
+    def test_merge_matches_single_pass_and_commutes(self):
+        import numpy as np
+
+        from archbloom_ray.sketches import SparseHLL
+        from archbloom_ray.sketches.base import sketch_from_bytes
+
+        chunks = [self._vals(400, seed=s) for s in range(5)]
+        parts = []
+        for c in chunks:
+            s = SparseHLL(12)
+            s.update_arrow(c)
+            parts.append(sketch_from_bytes(s.to_bytes()))
+        fwd = SparseHLL(12)
+        for p in parts:
+            fwd.merge(p)
+        rev = SparseHLL(12)
+        for p in reversed([sketch_from_bytes(p.to_bytes()) for p in parts]):
+            rev.merge(p)
+        single = SparseHLL(12)
+        for c in chunks:
+            single.update_arrow(c)
+        np.testing.assert_array_equal(fwd._registers(), single._registers())
+        np.testing.assert_array_equal(rev._registers(), single._registers())
+
+    def test_merge_sparse_into_dense_mix(self):
+        import numpy as np
+
+        from archbloom_ray.sketches import SparseHLL
+
+        big = SparseHLL(10)
+        big.update_arrow(self._vals(5000, seed=2))
+        assert big.dense is not None
+        small = SparseHLL(10)
+        small.update_arrow(self._vals(30, seed=3))
+        big.merge(small)
+        ref = SparseHLL(10)
+        ref.update_arrow(self._vals(5000, seed=2))
+        ref.update_arrow(self._vals(30, seed=3))
+        np.testing.assert_array_equal(big._registers(), ref._registers())
+
+    def test_serde_both_modes(self):
+        import numpy as np
+
+        from archbloom_ray.sketches import SparseHLL
+        from archbloom_ray.sketches.base import sketch_from_bytes
+
+        sp = SparseHLL(14, name="domains")
+        sp.update_arrow(self._vals(200))
+        r = sketch_from_bytes(sp.to_bytes())
+        assert r.dense is None
+        np.testing.assert_array_equal(r.pairs, sp.pairs)
+        sp.update_arrow(self._vals(30_000, seed=9))
+        r2 = sketch_from_bytes(sp.to_bytes())
+        assert r2.dense is not None
+        assert r2.cardinality() == sp.cardinality()
+
+    def test_bound_holds(self):
+        from archbloom_ray.sketches import SparseHLL
+
+        n = 2000
+        vals = pa.array([f"k{i}" for i in range(n)])
+        sp = SparseHLL(14)
+        sp.update_arrow(vals)
+        assert abs(sp.cardinality() - n) <= 3 * sp.relative_error_bound() * n
+
+    def test_validation(self):
+        from archbloom_ray.sketches import SparseHLL, SketchError
+
+        with pytest.raises(SketchError):
+            SparseHLL(3)
+        with pytest.raises(Exception):
+            SparseHLL(12).merge(SparseHLL(14))
