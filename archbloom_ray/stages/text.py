@@ -89,7 +89,11 @@ def _tokens_of(col: pa.ChunkedArray | pa.Array) -> tuple[pa.Array, pa.Array]:
         col = col.combine_chunks()
     filled = pc.fill_null(col, "")
     trimmed = pc.utf8_trim(filled, _WS_CHARS)
-    return trimmed, pc.split_pattern_regex(trimmed, _RE2_WS)
+    # utf8_split_whitespace == split_pattern_regex(_RE2_WS) on every
+    # char of the WS class AND the non-whitespace lookalikes (ZWSP,
+    # word-joiner, BOM, soft hyphen) — probed exhaustively in
+    # tests/test_stages.py — at ~3x the throughput (no regex engine)
+    return trimmed, pc.utf8_split_whitespace(trimmed)
 
 
 def count_tokens_arrow(col) -> tuple[np.ndarray, np.ndarray]:
@@ -289,23 +293,26 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
         return out
     counts = _np(pc.list_value_length(toks)).astype(np.int64)  # ≥1 everywhere
     flat_lower = pc.utf8_lower(toks.flatten())
-    tok_len = _np(pc.utf8_length(flat_lower)).astype(np.int64)
+    # the flat-token arrays are ~40x the row count: keep them in their
+    # native narrow dtypes (int32 codes/lengths, bool hits) and widen
+    # only inside reduceat's accumulator — on this DRAM-bound host the
+    # int64 astype copies alone cost more than the sort
+    tok_len = _np(pc.utf8_length(flat_lower))
     starts = np.zeros(n, np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    sum_len = np.add.reduceat(tok_len, starts)
+    sum_len = np.add.reduceat(tok_len, starts, dtype=np.int64)
     stops = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
     hits = np.add.reduceat(
-        _np(pc.is_in(flat_lower, value_set=stops)).astype(np.int64), starts)
+        _np(pc.is_in(flat_lower, value_set=stops)), starts, dtype=np.int64)
     # distinct lower-cased tokens per document: dictionary-encode the
     # flat tokens, then one composite (doc, code) sort + boundary count
     # (~15x faster than a two-key lexsort)
-    codes = _np(pc.dictionary_encode(flat_lower).indices).astype(np.int64)
-    seg = np.repeat(np.arange(n, dtype=np.int64), counts)
-    vocab = int(codes.max()) + 1 if codes.size else 1
-    if n * vocab < (1 << 62):
-        comp = seg * vocab + codes
-        if n * vocab < (1 << 31):
-            comp = comp.astype(np.int32)
+    codes32 = _np(pc.dictionary_encode(flat_lower).indices)
+    vocab = int(codes32.max()) + 1 if codes32.size else 1
+    if n * vocab < (1 << 31):
+        seg32 = np.repeat(np.arange(n, dtype=np.int32), counts)
+        comp = seg32 * np.int32(vocab)
+        comp += codes32
         # stable = radix for ints: 3-5x faster than the default
         # introsort on these monotone-ish composites
         comp.sort(kind="stable")
@@ -313,7 +320,16 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
         np.not_equal(comp[1:], comp[:-1], out=new[1:])
         distinct = np.bincount(comp[new].astype(np.int64) // vocab,
                                minlength=n)
+    elif n * vocab < (1 << 62):
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        comp = seg * vocab + codes32.astype(np.int64)
+        comp.sort(kind="stable")
+        new = np.ones(comp.size, dtype=bool)
+        np.not_equal(comp[1:], comp[:-1], out=new[1:])
+        distinct = np.bincount(comp[new] // vocab, minlength=n)
     else:  # overflow-safe fallback (never expected at batch sizes)
+        seg = np.repeat(np.arange(n, dtype=np.int64), counts)
+        codes = codes32.astype(np.int64)
         order = np.lexsort((codes, seg))
         s_seg, s_code = seg[order], codes[order]
         new = np.ones(s_seg.size, dtype=bool)

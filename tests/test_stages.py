@@ -2,6 +2,7 @@
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import pyarrow.parquet as pq
 import pytest
 
@@ -1894,3 +1895,31 @@ class TestLshPlan:
 
         with _pytest.raises(ValueError):
             lsh_plan(1.0, 64)
+
+
+class TestWhitespaceSplitParity:
+    """utf8_split_whitespace replaced split_pattern_regex(_RE2_WS) in
+    the tokenizer — prove they agree on every char of the WS class, the
+    non-whitespace lookalikes, and the scalar Python re reference."""
+
+    def test_exhaustive_char_probe(self):
+        import re
+
+        import archbloom_ray.stages.text as T
+
+        ws = list(T._WS_CHARS)
+        nonws = ["​", "⁠", "﻿", "_", "-", "­"]
+        probes = ([f"a{c}b" for c in ws + nonws]
+                  + ["", "abc", " lead", "trail ", "a\x1c\x1d\x85b",
+                     "a  b   c", "\t\n", "多 空　白"])
+        # the production call site (_tokens_of) trims before splitting,
+        # so parity is asserted on trimmed strings (the kernels differ
+        # only on untrimmed all-whitespace input, which never occurs)
+        arr = pc.utf8_trim(pa.array(probes), T._WS_CHARS)
+        regex = pc.split_pattern_regex(arr, T._RE2_WS)
+        fast = pc.utf8_split_whitespace(arr)
+        for i, p in enumerate(probes):
+            assert regex[i].as_py() == fast[i].as_py(), p.encode("unicode_escape")
+            trimmed = arr[i].as_py()
+            pyref = re.split("[\\s\x1c-\x1f\x85" + T._ZS_LITERAL + "]+", trimmed)
+            assert pyref == fast[i].as_py(), p.encode("unicode_escape")
