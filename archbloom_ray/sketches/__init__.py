@@ -1,5 +1,6 @@
 from .base import Sketch, SketchError, sketch_from_bytes
 from .bloom import BloomFilter
+from .blockedbloom import BlockedBloomFilter
 from .cbloom import CountingBloomFilter
 from .tdbloom import TimeDecayingBloomFilter
 from .tdcbloom import TimeDecayingCountingBloomFilter
@@ -21,6 +22,7 @@ __all__ = [
     "SketchError",
     "sketch_from_bytes",
     "BloomFilter",
+    "BlockedBloomFilter",
     "CountingBloomFilter",
     "TimeDecayingBloomFilter",
     "TimeDecayingCountingBloomFilter",

@@ -1,0 +1,124 @@
+"""Blocked (register/cache-line) Bloom filter — the throughput variant.
+
+Engine extension of the reference's Bloom module (src/bloom.c): same
+no-false-negative contract and OR-merge algebra, different layout.  The
+standard filter's k probes each touch a random bit of the whole bitmap
+(k cache misses per key — on this host's ~4 GB/s shared DRAM bus that
+IS the build cost).  The blocked design (Putze, Sanders & Singler,
+"Cache-, Hash- and Space-Efficient Bloom Filters", WEA 2007) confines
+all k bits of a key to ONE 64-byte block:
+
+    block = h0 % n_blocks;  bits = k 9-bit slices of h1 within the
+    512-bit block
+
+so an add or lookup costs one cache-line fetch regardless of k.  The
+price is a slightly worse FPR at equal size (block-occupancy variance
+— Putze et al. §3 put it at ~1.1-1.5x for realistic parameters), so
+``ideal_size`` here up-sizes by 30% over the standard formula; the
+measured-FPR test keeps that honest.
+
+merge = bitwise OR (same-layout compatibility enforced), serialize via
+the common magic+meta framing — a drop-in Sketch for the standard
+build/merge/probe pipelines.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_128_batch
+from .base import Sketch, SketchError, register
+
+_BLOCK_BITS = 512          # one x86 cache line
+_BLOCK_WORDS = _BLOCK_BITS // 64
+
+
+@register
+class BlockedBloomFilter(Sketch):
+    MAGIC = b"!blkblom"
+
+    def __init__(self, expected: int, accuracy: float = 0.01,
+                 name: str = "DEFAULT"):
+        if expected <= 0:
+            raise SketchError("expected must be > 0")
+        self.expected = int(expected)
+        self.accuracy = float(accuracy)
+        # standard sizing + 30% blocked-layout compensation
+        bits = -(expected * math.log(float(np.float32(accuracy)))
+                 / math.log(2.0) ** 2)
+        bits = int(bits * 1.3)
+        self.n_blocks = max(1, (bits + _BLOCK_BITS - 1) // _BLOCK_BITS)
+        self.size = self.n_blocks * _BLOCK_BITS
+        k = int(round(self.size / expected * math.log(2.0)))
+        self.hashcount = min(max(k, 1), 7)  # 7×9 bits of h2 address the block
+        self.name = name
+        self.words = np.zeros(self.n_blocks * _BLOCK_WORDS, dtype=np.uint64)
+
+    # -- positions --------------------------------------------------------
+    def _word_mask(self, h1: np.ndarray, h2: np.ndarray):
+        """(k, n) global word indices + bit masks, all inside each key's
+        block: block from h1, k 9-bit in-block bit positions sliced from
+        h2 (9·7 = 63 bits — one hash covers every probe)."""
+        block = (h1 % np.uint64(self.n_blocks)).astype(np.int64)
+        k = self.hashcount
+        shifts = (np.uint64(9) * np.arange(k, dtype=np.uint64))[:, None]
+        bitpos = (h2[None, :] >> shifts) & np.uint64(_BLOCK_BITS - 1)  # (k, n)
+        word = block[None, :] * _BLOCK_WORDS + (bitpos >> np.uint64(6)).astype(np.int64)
+        mask = np.uint64(1) << (bitpos & np.uint64(63))
+        return word, mask
+
+    # -- update -----------------------------------------------------------
+    def update_arrow(self, arr) -> None:
+        if len(arr) == 0:
+            return
+        h1, h2 = mmh3_128_batch(arr)
+        self.update_hashes(h1, h2)
+
+    def update_hashes(self, h1, h2) -> None:
+        word, mask = self._word_mask(h1, h2)
+        np.bitwise_or.at(self.words, word.ravel(), mask.ravel())
+
+    # -- queries ------------------------------------------------------
+    def lookup_batch(self, arr) -> np.ndarray:
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        h1, h2 = mmh3_128_batch(arr)
+        return self.lookup_hashes(h1, h2)
+
+    def lookup_hashes(self, h1, h2) -> np.ndarray:
+        word, mask = self._word_mask(h1, h2)
+        return ((self.words[word] & mask) == mask).all(axis=0)
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def saturation(self) -> float:
+        """Set-bit fraction (the standard filter's health metric)."""
+        u8 = self.words.view(np.uint8)
+        return float(np.unpackbits(u8).sum()) / self.size
+
+    # -- merge ----------------------------------------------------------
+    def merge(self, other: "BlockedBloomFilter") -> "BlockedBloomFilter":
+        self._check_compatible(other)
+        np.bitwise_or(self.words, other.words, out=self.words)
+        return self
+
+    # -- serialization ------------------------------------------------------
+    def _meta(self) -> dict:
+        return {"expected": self.expected, "accuracy": self.accuracy,
+                "name": self.name}
+
+    def _arrays(self) -> list[np.ndarray]:
+        return [self.words]
+
+    def _set_arrays(self, arrays) -> None:
+        (self.words,) = arrays
+
+    @classmethod
+    def _from_meta(cls, meta) -> "BlockedBloomFilter":
+        return cls(meta["expected"], meta["accuracy"],
+                   meta.get("name", "DEFAULT"))
