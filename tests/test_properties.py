@@ -138,3 +138,70 @@ def test_ngram_exact_pairs_prefix_filter_complete(ray_session, docs, thr):
             if den * c >= num * u:
                 expect[(ids[i], ids[j])] = (c, u)
     assert got == expect
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.floats(min_value=-1e6, max_value=1e6,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=300),
+       st.integers(min_value=0, max_value=10))
+def test_ddsketch_relative_error_property(vals, split_seed):
+    """Random values, random split into partial sketches: the merged
+    DDSketch must satisfy |est - x_r| <= alpha*|x_r| at every decile
+    AND equal the single-pass build bucket-for-bucket."""
+    from archbloom_ray.sketches import DDSketch
+
+    data = np.asarray(vals, dtype=np.float64)
+    rng = np.random.default_rng(split_seed)
+    parts = np.array_split(data[rng.permutation(data.size)],
+                           min(4, data.size))
+    merged = DDSketch(alpha=0.02)
+    for p in parts:
+        d = DDSketch(alpha=0.02)
+        d.update_arrow(p)
+        merged.merge(d)
+    single = DDSketch(alpha=0.02)
+    single.update_arrow(data)
+    np.testing.assert_array_equal(merged.pos.counts, single.pos.counts)
+    np.testing.assert_array_equal(merged.neg.counts, single.neg.counts)
+    assert merged.zero_count == single.zero_count
+    s = np.sort(data)
+    for q in (0.0, 0.1, 0.5, 0.9, 1.0):
+        r = int(np.floor(q * (len(s) - 1)))
+        true = float(s[r])
+        est = merged.quantile(q)
+        if not merged.last_collapsed:
+            assert abs(est - true) <= 0.02 * abs(true) + 1e-9, (q, est, true)
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=24), min_size=0, max_size=200))
+def test_xor_filter_no_false_negative_property(keys):
+    """Any key multiset: every inserted key answers present."""
+    from archbloom_ray.sketches import XorFilter
+
+    col = pa.array(keys, type=pa.string())
+    f = XorFilter.build_arrow(col)
+    if len(keys):
+        assert f.lookup_batch(col).all()
+    assert f.n == len(set(k.encode() for k in keys))
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=0, max_size=150),
+       st.lists(st.text(max_size=20), min_size=0, max_size=150))
+def test_sparse_hll_merge_equals_single_pass(a_vals, b_vals):
+    """Sparse-HLL pair-union merge == one-pass build over the union,
+    register-exact, in either merge order."""
+    from archbloom_ray.sketches import SparseHLL
+
+    a = SparseHLL(10)
+    a.update_arrow(pa.array(a_vals, type=pa.string()))
+    b = SparseHLL(10)
+    b.update_arrow(pa.array(b_vals, type=pa.string()))
+    ab = SparseHLL.from_bytes(a.to_bytes()).merge(b)
+    ba = SparseHLL.from_bytes(b.to_bytes()).merge(a)
+    single = SparseHLL(10)
+    single.update_arrow(pa.array(a_vals + b_vals, type=pa.string()))
+    np.testing.assert_array_equal(ab._registers(), single._registers())
+    np.testing.assert_array_equal(ba._registers(), single._registers())
