@@ -45,22 +45,26 @@ def _ray_init(num_cpus: int | None):
 
 
 def _make_sketch(kind: str, args) -> "object":
-    from .sketches import (BloomFilter, CountingBloomFilter, CountMinSketch,
-                           CuckooFilter, HyperLogLog, KLLSketch, TDigest,
-                           TimeDecayingBloomFilter,
+    from .sketches import (BlockedBloomFilter, BloomFilter,
+                           CountingBloomFilter, CountMinSketch,
+                           CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
+                           SparseHLL, TDigest, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
 
     kinds = {
         "bloom": lambda: BloomFilter(args.expected, args.accuracy),
+        "blockedbloom": lambda: BlockedBloomFilter(args.expected, args.accuracy),
         "cbloom": lambda: CountingBloomFilter(args.expected, args.accuracy, args.counter_width),
         "tdbloom": lambda: TimeDecayingBloomFilter(args.expected, args.accuracy, args.timeout),
         "tdcbloom": lambda: TimeDecayingCountingBloomFilter(
             args.expected, args.accuracy, args.timeout),
         "cuckoo": lambda: CuckooFilter(max(16, args.expected // 4), 4),
         "hll": lambda: HyperLogLog(args.precision),
+        "sparsehll": lambda: SparseHLL(args.precision),
         "cms": lambda: CountMinSketch(epsilon=args.epsilon, delta=args.delta),
         "tdigest": lambda: TDigest(args.compression),
         "kll": lambda: KLLSketch(args.kll_k),
+        "ddsketch": lambda: DDSketch(alpha=args.dd_alpha),
     }
     return kinds[kind]()
 
@@ -139,11 +143,13 @@ def cmd_info(args):
 
 
 def _info_dict(sk) -> dict:
+    from .sketches import Sketch
+
     out = {"type": type(sk).__name__, "name": getattr(sk, "name", None)}
     fin = sk.finalize()
     if isinstance(fin, dict):
         out.update(fin)
-    else:
+    elif not isinstance(fin, Sketch):  # base-class finalize returns self
         out["estimate"] = fin
     return out
 
@@ -296,8 +302,9 @@ def main(argv=None):
 
     def common_sketch_args(sp):
         sp.add_argument("--kind", default="bloom",
-                        choices=["bloom", "cbloom", "tdbloom", "tdcbloom", "cuckoo",
-                                 "hll", "cms", "tdigest", "kll"])
+                        choices=["bloom", "blockedbloom", "cbloom", "tdbloom",
+                                 "tdcbloom", "cuckoo", "hll", "sparsehll",
+                                 "cms", "tdigest", "kll", "ddsketch"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)
@@ -307,6 +314,7 @@ def main(argv=None):
         sp.add_argument("--delta", type=float, default=0.01)
         sp.add_argument("--compression", type=float, default=200.0)
         sp.add_argument("--kll-k", type=int, default=200)
+        sp.add_argument("--dd-alpha", type=float, default=0.01)
         sp.add_argument("--batch-size", type=int, default=65536)
 
     sp = sub.add_parser("create")

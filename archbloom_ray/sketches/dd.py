@@ -214,6 +214,14 @@ class DDSketch(Sketch):
         probabilistic), for answers outside the collapsed pool."""
         return self.alpha
 
+    def finalize(self) -> dict:
+        if self.count == 0:
+            return {"count": 0}
+        return {"count": self.count,
+                "p50": self.quantile(0.5),
+                "p95": self.quantile(0.95),
+                "p99": self.quantile(0.99)}
+
     # -- serialization ----------------------------------------------------
     def _meta(self) -> dict:
         return {

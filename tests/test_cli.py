@@ -157,3 +157,27 @@ def test_index_build_and_search(ray_session, tmp_path):
         main(["index-search", pidx, "red", "fox", "--phrase", "--shards", "4"])
     out = _json.loads(buf.getvalue().strip().splitlines()[-1])
     assert out == {"n": 1, "ids": [1]}
+
+
+def test_create_new_sketch_kinds(keys_parquet, tmp_path):
+    """blockedbloom / sparsehll / ddsketch reach the CLI factory."""
+    bb = str(tmp_path / "bb.sk")
+    run_cli("create", keys_parquet, bb, "--column", "url",
+            "--kind", "blockedbloom", "--expected", "2000")
+    r = run_cli("query", bb, "https://k1.example/x")
+    assert r.returncode == 0 and json.loads(r.stdout)["present"] is True
+    assert run_cli("query", bb, "https://nope.example/x").returncode == 1
+
+    sp = str(tmp_path / "sp.sk")
+    run_cli("create", keys_parquet, sp, "--column", "url",
+            "--kind", "sparsehll", "--precision", "12")
+    info = json.loads(run_cli("info", sp).stdout.strip().splitlines()[-1])
+    assert info["type"] == "SparseHLL"
+
+    nums = str(tmp_path / "nums.parquet")
+    pq.write_table(pa.table({"v": list(range(1, 1001))}), nums)
+    dd = str(tmp_path / "dd.sk")
+    run_cli("create", nums, dd, "--column", "v",
+            "--kind", "ddsketch", "--dd-alpha", "0.02")
+    info = json.loads(run_cli("info", dd).stdout.strip().splitlines()[-1])
+    assert info["type"] == "DDSketch"
