@@ -6149,7 +6149,7 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "quantile_sketches": " UNION ALL ".join(
-            f"SELECT {q} AS q, quantile_cont(n_chars, {q}) AS exact,"
+            f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(n_chars, {q}) AS exact,"
             " TRUE AS tdigest_within_bound, TRUE AS kll_within_bound"
             " FROM documents"
             for q in (0.01, 0.25, 0.5, 0.75, 0.99)
@@ -6221,11 +6221,11 @@ def oracle_sql() -> dict[str, str]:
         "pages_url_membership": f"""
             SELECT CAST(CASE WHEN count(*) < 2000 THEN count(*) ELSE 2000 END
                         AS BIGINT) AS n_probed_present,
-                   1.0 AS recall, TRUE AS fpr_below_cap
+                   CAST(1.0 AS DOUBLE) AS recall, TRUE AS fpr_below_cap
             FROM read_parquet('{_pages_sql_path()}')
         """,
         "pages_text_quantiles": " UNION ALL ".join(
-            f"SELECT {q} AS q, quantile_cont(length(text), {q}) AS exact,"
+            f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(length(text), {q}) AS exact,"
             " TRUE AS tdigest_within_bound, TRUE AS kll_within_bound"
             f" FROM read_parquet('{_pages_sql_path()}')"
             for q in (0.01, 0.5, 0.99)
@@ -6565,7 +6565,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT count(*) AS n_urls,
                    CAST(sum(CASE WHEN last_seen >= (SELECT cutoff FROM cut)
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
-                   1.0 AS recall_recent,
+                   CAST(1.0 AS DOUBLE) AS recall_recent,
                    TRUE AS fpr_old_below_cap
             FROM u
         """,
@@ -6586,7 +6586,7 @@ def oracle_sql() -> dict[str, str]:
         "pages_recent_counts": _pages_window_sql(256) + """
             SELECT CAST(sum(CASE WHEN last_seen >= cutoff AND n_crawls >= 2
                             THEN 1 ELSE 0 END) AS BIGINT) AS n_fresh_multi,
-                   1.0 AS fresh_multi_ge2_rate,
+                   CAST(1.0 AS DOUBLE) AS fresh_multi_ge2_rate,
                    CAST(sum(CASE WHEN last_seen < cutoff THEN 1 ELSE 0 END)
                         AS BIGINT) AS n_stale,
                    TRUE AS stale_mostly_zero
