@@ -48,7 +48,8 @@ def _make_sketch(kind: str, args) -> "object":
     from .sketches import (BlockedBloomFilter, BloomFilter,
                            CountingBloomFilter, CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
-                           SparseHLL, TDigest, TimeDecayingBloomFilter,
+                           KMVSketch, SparseHLL, TDigest, ThetaSketch,
+                           TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
 
     kinds = {
@@ -65,6 +66,8 @@ def _make_sketch(kind: str, args) -> "object":
         "tdigest": lambda: TDigest(args.compression),
         "kll": lambda: KLLSketch(args.kll_k),
         "ddsketch": lambda: DDSketch(alpha=args.dd_alpha),
+        "kmv": lambda: KMVSketch(args.sketch_k),
+        "theta": lambda: ThetaSketch(args.sketch_k),
     }
     return kinds[kind]()
 
@@ -304,7 +307,8 @@ def main(argv=None):
         sp.add_argument("--kind", default="bloom",
                         choices=["bloom", "blockedbloom", "cbloom", "tdbloom",
                                  "tdcbloom", "cuckoo", "hll", "sparsehll",
-                                 "cms", "tdigest", "kll", "ddsketch"])
+                                 "cms", "tdigest", "kll", "ddsketch",
+                                 "kmv", "theta"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)
@@ -315,6 +319,7 @@ def main(argv=None):
         sp.add_argument("--compression", type=float, default=200.0)
         sp.add_argument("--kll-k", type=int, default=200)
         sp.add_argument("--dd-alpha", type=float, default=0.01)
+        sp.add_argument("--sketch-k", type=int, default=4096)
         sp.add_argument("--batch-size", type=int, default=65536)
 
     sp = sub.add_parser("create")

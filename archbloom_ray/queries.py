@@ -1149,6 +1149,46 @@ def q_kmv_set_ops(sf_dir: str):
     })
 
 
+def q_theta_set_ops_lengths(sf_dir: str):
+    """Theta-sketch set algebra (Dasgupta-Lang-Rhodes-Thaler framework,
+    sketches/theta.py): the distinct document-length profiles of the
+    English vs German streams — union, intersection AND the A-not-B
+    difference KMV's resemblance estimator cannot express ("lengths
+    seen in en but never in de"), all from two independently built
+    mergeable sketches combined WITHOUT revisiting the data.  Both
+    distinct sets sit far below k, where every theta estimator is
+    exact, so the counts hash-match the SQL set-expression oracle (the
+    at-capacity paths are bound-tested in tests/test_theta.py)."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches import ThetaSketch
+    from .sketches.base import sketch_from_bytes
+
+    def prep(batch: pa.Table) -> pa.Table:
+        t = batch.filter(pc.is_in(batch["lang"],
+                                  value_set=pa.array(["en", "de"])))
+        return pa.table({"lang": t["lang"],
+                         "len": pc.cast(t["n_chars"], pa.string())})
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    # ONE scan + count-row shuffle builds both languages' sketches
+    states = build_grouped_value_sketches(
+        ds, "lang", "len", {"theta": lambda: ThetaSketch(4096)}, salt=2)
+    by_lang = {r["key"]: sketch_from_bytes(r["state"])
+               for r in states.take_all()}
+    en, de = by_lang["en"], by_lang["de"]
+    return pa.table({
+        "n_union": pa.array([int(round(en.union_estimate(de)))],
+                            type=pa.int64()),
+        "n_intersect": pa.array([int(round(en.intersection_estimate(de)))],
+                                type=pa.int64()),
+        "n_en_not_de": pa.array([int(round(en.a_not_b_estimate(de)))],
+                                type=pa.int64()),
+        "theta_exact_mode": pa.array([en.is_exact() and de.is_exact()],
+                                     type=pa.bool_()),
+    })
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-wide top-20 word bigrams (LM-style corpus statistics):
     per-batch vectorized bigram explode → counted with in-batch
@@ -4949,6 +4989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "kmv_set_ops": q_kmv_set_ops,
+        "theta_set_ops_lengths": q_theta_set_ops_lengths,
         "bigram_top20": q_bigram_top20,
         "repetition_by_lang": q_repetition_by_lang,
         "pii_redaction": q_pii_redaction,
@@ -6166,6 +6207,22 @@ def oracle_sql() -> dict[str, str]:
                                           INTERSECT SELECT source FROM d))
                        AS n_intersect,
                    TRUE AS kmv_exact_below_k
+        """,
+        "theta_set_ops_lengths": """
+            WITH e AS (SELECT DISTINCT n_chars FROM documents
+                       WHERE lang = 'en'),
+                 d AS (SELECT DISTINCT n_chars FROM documents
+                       WHERE lang = 'de')
+            SELECT (SELECT count(*) FROM (SELECT n_chars FROM e
+                                          UNION SELECT n_chars FROM d))
+                       AS n_union,
+                   (SELECT count(*) FROM (SELECT n_chars FROM e
+                                          INTERSECT SELECT n_chars FROM d))
+                       AS n_intersect,
+                   (SELECT count(*) FROM (SELECT n_chars FROM e
+                                          EXCEPT SELECT n_chars FROM d))
+                       AS n_en_not_de,
+                   TRUE AS theta_exact_mode
         """,
         "bigram_top20": _bigram_top_sql(20),
         "repetition_by_lang": _repetition_oracle_sql(69, 1000),

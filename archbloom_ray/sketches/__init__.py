@@ -11,6 +11,7 @@ from .kll import KLLSketch
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
+from .theta import ThetaSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
@@ -34,6 +35,7 @@ __all__ = [
     "MisraGries",
     "AMSSketch",
     "KMVSketch",
+    "ThetaSketch",
     "CuckooFilter",
     "GaussianNB",
     "DDSketch",

@@ -181,3 +181,9 @@ def test_create_new_sketch_kinds(keys_parquet, tmp_path):
             "--kind", "ddsketch", "--dd-alpha", "0.02")
     info = json.loads(run_cli("info", dd).stdout.strip().splitlines()[-1])
     assert info["type"] == "DDSketch"
+
+    th = str(tmp_path / "th.sk")
+    run_cli("create", keys_parquet, th, "--column", "url",
+            "--kind", "theta", "--sketch-k", "512")
+    info = json.loads(run_cli("info", th).stdout.strip().splitlines()[-1])
+    assert info["type"] == "ThetaSketch" and info["k"] == 512
