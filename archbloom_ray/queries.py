@@ -1189,6 +1189,54 @@ def q_theta_set_ops_lengths(sf_dir: str):
     })
 
 
+def q_theta_overlap_matrix(sf_dir: str):
+    """Pairwise set-overlap matrix from ONE scan (the audience-overlap
+    pattern): build one theta sketch per language over the distinct
+    document-length profile, then compute every pairwise intersection
+    / Jaccard from the 5 sketch states alone — 10 pairs with zero data
+    revisit and no all-pairs join, the shape that matters when the
+    pairs number in the thousands over 100 TB.  Exact below k, so
+    counts AND the jaccard ratio (same int operands → bit-identical
+    float64 division) hash-match the SQL self-join oracle."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .sketches import ThetaSketch
+    from .sketches.base import sketch_from_bytes
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({"lang": batch["lang"],
+                         "len": pc.cast(batch["n_chars"], pa.string())})
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    states = build_grouped_value_sketches(
+        ds, "lang", "len", {"theta": lambda: ThetaSketch(4096)}, salt=2)
+    by_lang = {r["key"]: sketch_from_bytes(r["state"])
+               for r in states.take_all()}
+    langs = sorted(by_lang)
+    rows = {"lang_a": [], "lang_b": [], "n_a": [], "n_b": [],
+            "n_common": [], "jaccard": []}
+    for i, a in enumerate(langs):
+        for b in langs[i + 1:]:
+            sa, sb = by_lang[a], by_lang[b]
+            na = int(round(sa.cardinality()))
+            nb = int(round(sb.cardinality()))
+            nc = int(round(sa.intersection_estimate(sb)))
+            rows["lang_a"].append(a)
+            rows["lang_b"].append(b)
+            rows["n_a"].append(na)
+            rows["n_b"].append(nb)
+            rows["n_common"].append(nc)
+            rows["jaccard"].append(nc / (na + nb - nc))
+    return pa.table({
+        "lang_a": pa.array(rows["lang_a"], type=pa.string()),
+        "lang_b": pa.array(rows["lang_b"], type=pa.string()),
+        "n_a": pa.array(rows["n_a"], type=pa.int64()),
+        "n_b": pa.array(rows["n_b"], type=pa.int64()),
+        "n_common": pa.array(rows["n_common"], type=pa.int64()),
+        "jaccard": pa.array(rows["jaccard"], type=pa.float64()),
+    })
+
+
 def q_bigram_top20(sf_dir: str):
     """Corpus-wide top-20 word bigrams (LM-style corpus statistics):
     per-batch vectorized bigram explode → counted with in-batch
@@ -4990,6 +5038,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "kmv_set_ops": q_kmv_set_ops,
         "theta_set_ops_lengths": q_theta_set_ops_lengths,
+        "theta_overlap_matrix": q_theta_overlap_matrix,
         "bigram_top20": q_bigram_top20,
         "repetition_by_lang": q_repetition_by_lang,
         "pii_redaction": q_pii_redaction,
@@ -6223,6 +6272,27 @@ def oracle_sql() -> dict[str, str]:
                                           EXCEPT SELECT n_chars FROM d))
                        AS n_en_not_de,
                    TRUE AS theta_exact_mode
+        """,
+        "theta_overlap_matrix": """
+            WITH s AS (SELECT DISTINCT lang, n_chars FROM documents),
+                 card AS (SELECT lang, count(*) AS n FROM s GROUP BY lang),
+                 pairs AS (
+                     SELECT a.lang AS lang_a, b.lang AS lang_b,
+                            count(*) AS n_common
+                     FROM s a JOIN s b
+                       ON a.n_chars = b.n_chars AND a.lang < b.lang
+                     GROUP BY 1, 2),
+                 allp AS (
+                     SELECT ca.lang AS lang_a, cb.lang AS lang_b,
+                            ca.n AS n_a, cb.n AS n_b,
+                            coalesce(p.n_common, 0) AS n_common
+                     FROM card ca JOIN card cb ON ca.lang < cb.lang
+                     LEFT JOIN pairs p
+                       ON p.lang_a = ca.lang AND p.lang_b = cb.lang)
+            SELECT lang_a, lang_b, n_a, n_b, n_common,
+                   CAST(n_common AS DOUBLE) / (n_a + n_b - n_common)
+                       AS jaccard
+            FROM allp
         """,
         "bigram_top20": _bigram_top_sql(20),
         "repetition_by_lang": _repetition_oracle_sql(69, 1000),
