@@ -205,3 +205,57 @@ def test_sparse_hll_merge_equals_single_pass(a_vals, b_vals):
     single.update_arrow(pa.array(a_vals + b_vals, type=pa.string()))
     np.testing.assert_array_equal(ab._registers(), single._registers())
     np.testing.assert_array_equal(ba._registers(), single._registers())
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.text(max_size=20), min_size=0, max_size=50),
+       st.lists(st.text(max_size=20), min_size=0, max_size=50),
+       st.lists(st.text(max_size=20), min_size=0, max_size=50))
+def test_theta_exact_set_algebra_properties(a_vals, b_vals, c_vals):
+    """Below k every theta estimator is exact, so the full set algebra
+    must agree with Python sets — including composed expressions and
+    the inclusion–exclusion identity |A| = |A∩B| + |A\\B|."""
+    from archbloom_ray.sketches import ThetaSketch
+
+    sks = []
+    for vals in (a_vals, b_vals, c_vals):
+        s = ThetaSketch(256)
+        if vals:
+            s.update_arrow(pa.array(vals, type=pa.string()))
+        sks.append(s)
+    a, b, c = sks
+    sa, sb, sc = set(a_vals), set(b_vals), set(c_vals)
+    assert round(a.cardinality()) == len(sa)
+    assert round(a.union_estimate(b)) == len(sa | sb)
+    assert round(a.intersection_estimate(b)) == len(sa & sb)
+    assert round(a.a_not_b_estimate(b)) == len(sa - sb)
+    assert (round(a.intersection_estimate(b)) + round(a.a_not_b_estimate(b))
+            == len(sa))
+    # composed derived-sketch expression: (A ∩ B) \ C
+    assert round(a.intersect(b).a_not_b(c).cardinality()) == len((sa & sb) - sc)
+
+
+@settings(max_examples=30, deadline=None)
+@given(st.lists(st.lists(st.text(max_size=12), min_size=0, max_size=40),
+                min_size=1, max_size=5),
+       st.permutations(range(5)))
+def test_theta_merge_order_independent_property(shards, order):
+    """Any merge order over any sharding yields byte-identical state to
+    the one-pass build (k small enough that trims actually fire)."""
+    from archbloom_ray.sketches import ThetaSketch
+
+    one = ThetaSketch(16)
+    for vals in shards:
+        if vals:
+            one.update_arrow(pa.array(vals, type=pa.string()))
+    parts = []
+    for vals in shards:
+        s = ThetaSketch(16)
+        if vals:
+            s.update_arrow(pa.array(vals, type=pa.string()))
+        parts.append(s)
+    idx = [i for i in order if i < len(parts)]
+    m = parts[idx[0]]
+    for i in idx[1:]:
+        m.merge(parts[i])
+    assert m.to_bytes() == one.to_bytes()
