@@ -2789,3 +2789,117 @@ def grouped_trimmed_stats(
         return pa.table(cols)
 
     return partials.groupby(keys).map_groups(per_group, batch_format="pyarrow")
+
+
+def interval_overlap_pairs(
+    intervals: "ray.data.Dataset",
+    key_column: str,
+    *,
+    start_col: str = "start_us",
+    end_col: str = "end_us",
+    bucket_width: int,
+    out_column: str = "n_overlaps",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Self interval-overlap join: count, per unordered key pair
+    ``(u1 < u2)``, how many interval pairs from the two keys overlap
+    (CLOSED intervals: ``a.start <= b.end AND b.start <= a.end``) —
+    the pair-emitting counterpart of :func:`max_concurrent_intervals`
+    and the self-join counterpart of :func:`partitioned_range_count`.
+
+    Scale shape — time-bucket replication with start-bucket pair
+    attribution: each interval replicates to every width-``W`` bucket
+    it covers; inside a bucket a single start-sorted sweep keeps an
+    active set (numpy arrays, lazily compacted) and emits each
+    overlapping pair against the LATER-starting interval, but only in
+    the bucket containing that later start — since the earlier
+    interval must still be alive there, both sides are guaranteed
+    co-located and the pair is emitted exactly once globally with no
+    cross-bucket dedup shuffle.  Per-bucket pair counts pre-aggregate
+    (lexsort + reduceat) before the final grouped sum, so only
+    distinct ``(u1, u2, count)`` rows shuffle.  Work is
+    output-bounded: the sweep touches each active interval only while
+    it can still overlap.  Choose ``bucket_width`` ≈ the typical
+    interval length so replication stays ~2×.
+    """
+    W = int(bucket_width)
+    if W <= 0:
+        raise ValueError("bucket_width must be positive")
+
+    def replicate(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64)
+        s = np.asarray(batch[start_col], dtype=np.int64)
+        e = np.asarray(batch[end_col], dtype=np.int64)
+        keep = e >= s
+        k, s, e = k[keep], s[keep], e[keep]
+        b0 = s // W
+        reps = (e // W - b0 + 1).astype(np.int64)
+        bucket = np.repeat(b0, reps) + (
+            np.arange(int(reps.sum()), dtype=np.int64)
+            - np.repeat(np.concatenate(([0], np.cumsum(reps)[:-1])), reps))
+        return pa.table({
+            "bucket": pa.array(bucket, type=pa.int64()),
+            "k": pa.array(np.repeat(k, reps), type=pa.int64()),
+            "s": pa.array(np.repeat(s, reps), type=pa.int64()),
+            "e": pa.array(np.repeat(e, reps), type=pa.int64()),
+        })
+
+    def sweep_bucket(group: pa.Table) -> pa.Table:
+        empty = pa.table({"u1": pa.array([], pa.int64()),
+                          "u2": pa.array([], pa.int64()),
+                          "cnt": pa.array([], pa.int64())})
+        n = len(group)
+        if n < 2:
+            return empty
+        b_lo = int(group["bucket"][0].as_py()) * W
+        k = np.asarray(group["k"], dtype=np.int64)
+        s = np.asarray(group["s"], dtype=np.int64)
+        e = np.asarray(group["e"], dtype=np.int64)
+        order = np.lexsort((k, s))
+        k, s, e = k[order], s[order], e[order]
+        emits = s >= b_lo  # later start lives in THIS bucket → attribute here
+        act_k = np.empty(n, dtype=np.int64)
+        act_e = np.empty(n, dtype=np.int64)
+        n_act = 0
+        out_a: list[np.ndarray] = []
+        out_b: list[np.ndarray] = []
+        for i in range(n):
+            if n_act:
+                alive = act_e[:n_act] >= s[i]
+                if not alive.all():  # compact: drop dead intervals
+                    m = int(alive.sum())
+                    act_k[:m] = act_k[:n_act][alive]
+                    act_e[:m] = act_e[:n_act][alive]
+                    n_act = m
+                if n_act and emits[i]:
+                    partner = act_k[:n_act]
+                    partner = partner[partner != k[i]]
+                    if partner.size:
+                        me = np.full(partner.size, k[i], dtype=np.int64)
+                        out_a.append(np.minimum(partner, me))
+                        out_b.append(np.maximum(partner, me))
+            act_k[n_act] = k[i]
+            act_e[n_act] = e[i]
+            n_act += 1
+        if not out_a:
+            return empty
+        u1 = np.concatenate(out_a)
+        u2 = np.concatenate(out_b)
+        order = np.lexsort((u2, u1))
+        u1, u2 = u1[order], u2[order]
+        first = np.empty(len(u1), dtype=bool)
+        first[0] = True
+        first[1:] = (u1[1:] != u1[:-1]) | (u2[1:] != u2[:-1])
+        starts = np.flatnonzero(first)
+        cnt = np.diff(np.append(starts, len(u1)))
+        return pa.table({"u1": pa.array(u1[starts]),
+                         "u2": pa.array(u2[starts]),
+                         "cnt": pa.array(cnt.astype(np.int64))})
+
+    pairs = (
+        intervals.map_batches(replicate, batch_size=batch_size,
+                              batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("bucket")
+        .map_groups(sweep_bucket, batch_format="pyarrow")
+    )
+    return grouped_agg(pairs, ["u1", "u2"], [(out_column, "cnt", "sum")])

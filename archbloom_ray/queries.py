@@ -4280,6 +4280,28 @@ def q_peak_concurrency(sf_dir: str):
     })
 
 
+def q_session_overlap_pairs(sf_dir: str):
+    """Interval-overlap SELF-join: per user pair (u1 < u2), how many of
+    their 30-min-gap sessions overlap in time (closed intervals) —
+    pipelines.relational.interval_overlap_pairs: time-bucket
+    replication + per-bucket start-sorted sweep with start-bucket pair
+    attribution (each pair emitted exactly once, no dedup shuffle).
+    Returns only pairs with ≥ min_overlaps to keep output judgeable."""
+    from .pipelines import interval_overlap_pairs, session_intervals
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    iv = session_intervals(ds, "user_id", "ts", 1800.0)
+    out = interval_overlap_pairs(iv, "user_id",
+                                 bucket_width=6 * 3600 * 1_000_000)
+    rows = sorted(out.take_all(), key=lambda r: (r["u1"], r["u2"]))
+    return pa.table({
+        "u1": pa.array([r["u1"] for r in rows], type=pa.int64()),
+        "u2": pa.array([r["u2"] for r in rows], type=pa.int64()),
+        "n_overlaps": pa.array([r["n_overlaps"] for r in rows],
+                               type=pa.int64()),
+    })
+
+
 def q_session_durations(sf_dir: str):
     """Per-user session duration stats (30-min gap): session count +
     sum/max duration in exact integer microseconds —
@@ -5048,6 +5070,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping_dau": q_events_hopping_dau,
         "trending_types": q_trending_types,
         "session_durations": q_session_durations,
+        "session_overlap_pairs": q_session_overlap_pairs,
         "peak_concurrency": q_peak_concurrency,
         "chars_percentiles_disc": q_chars_percentiles_disc,
         "length_window_ranks": q_length_window_ranks,
@@ -5996,6 +6019,33 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(dur) AS BIGINT) AS sum_dur_us,
                    CAST(max(dur) AS BIGINT) AS max_dur_us
             FROM d GROUP BY user_id ORDER BY user_id
+        """,
+        "session_overlap_pairs": """
+            WITH o AS (
+                SELECT user_id, ts,
+                       CASE WHEN epoch_us(ts) - lag(epoch_us(ts)) OVER w
+                                 > 1800000000
+                            THEN 1 ELSE 0 END AS brk
+                FROM events
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+            ),
+            s AS (
+                SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                FROM o
+            ),
+            i AS (
+                SELECT user_id,
+                       epoch_us(min(ts)) AS st, epoch_us(max(ts)) AS en
+                FROM s GROUP BY user_id, sid
+            )
+            SELECT a.user_id AS u1, b.user_id AS u2,
+                   CAST(count(*) AS BIGINT) AS n_overlaps
+            FROM i a JOIN i b
+              ON a.user_id < b.user_id
+             AND a.st <= b.en AND b.st <= a.en
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         "trending_types": """
             WITH e AS (SELECT date_trunc('hour', ts) AS h, event_type FROM events),

@@ -1176,6 +1176,55 @@ class TestMaxConcurrent:
         assert max_concurrent_intervals(one) == 7
 
 
+class TestIntervalOverlapPairs:
+    def test_pairs_match_bruteforce(self, ray_session):
+        """Bucket-replicated sweep == brute-force O(n²) pair count on
+        random closed intervals, with a bucket width small enough that
+        most intervals span several buckets (exactly-once attribution
+        across bucket boundaries is the property under test)."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import interval_overlap_pairs
+
+        rng = np.random.default_rng(31)
+        n = 400
+        k = rng.integers(0, 12, n).astype(np.int64)
+        s = rng.integers(0, 3_000, n).astype(np.int64)
+        e = s + rng.integers(0, 500, n).astype(np.int64)
+        ds = rd.from_items(
+            [{"user_id": int(u), "start_us": int(a), "end_us": int(b)}
+             for u, a, b in zip(k, s, e)]).repartition(5)
+        out = interval_overlap_pairs(ds, "user_id", bucket_width=128)
+        got = {(r["u1"], r["u2"]): r["n_overlaps"] for r in out.take_all()}
+        want: dict[tuple[int, int], int] = {}
+        for i in range(n):
+            for j in range(i + 1, n):
+                if k[i] != k[j] and s[i] <= e[j] and s[j] <= e[i]:
+                    key = (int(min(k[i], k[j])), int(max(k[i], k[j])))
+                    want[key] = want.get(key, 0) + 1
+        assert got == want
+
+    def test_empty_and_disjoint(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import interval_overlap_pairs
+
+        ds = rd.from_items([
+            {"user_id": 1, "start_us": 0, "end_us": 10},
+            {"user_id": 2, "start_us": 11, "end_us": 20},
+        ])
+        assert interval_overlap_pairs(ds, "user_id",
+                                      bucket_width=4).take_all() == []
+        # touching endpoints overlap (closed intervals)
+        ds2 = rd.from_items([
+            {"user_id": 1, "start_us": 0, "end_us": 10},
+            {"user_id": 2, "start_us": 10, "end_us": 20},
+        ])
+        rows = interval_overlap_pairs(ds2, "user_id",
+                                      bucket_width=4).take_all()
+        assert rows == [{"u1": 1, "u2": 2, "n_overlaps": 1}]
+
+
 class TestNullSkippingAggs:
     def test_string_agg_and_distinct_skip_nulls(self, ray_session):
         """NULL values are skipped like SQL aggregates."""
