@@ -2903,3 +2903,59 @@ def interval_overlap_pairs(
         .map_groups(sweep_bucket, batch_format="pyarrow")
     )
     return grouped_agg(pairs, ["u1", "u2"], [(out_column, "cnt", "sum")])
+
+
+def skyline_2d(
+    ds: "ray.data.Dataset",
+    min_col: str,
+    max_col: str,
+    *,
+    batch_size: int = 65536,
+) -> pa.Table:
+    """2-D skyline (Pareto frontier): the DISTINCT points not dominated
+    by any other point, where ``p`` dominates ``q`` iff
+    ``p.min_col <= q.min_col AND p.max_col >= q.max_col`` with at least
+    one strict — the classic minimize-one / maximize-other dominance
+    query (Börzsönyi et al., "The Skyline Operator", ICDE 2001).
+
+    Scale shape: dominance is closed under union — ``skyline(S) =
+    skyline(∪ skyline(block_i))`` — so every block reduces to its own
+    frontier with one vectorized lexsort + shifted running max (no
+    quadratic dominance test anywhere), and only frontier-sized
+    candidate sets reach the driver for one final identical pass.  A
+    frontier over a 2-D numeric domain is bounded by the number of
+    distinct ``min_col`` values, orders of magnitude below the input;
+    no shuffle at all.  Returns a pyarrow Table sorted by ``min_col``
+    ascending (columns named after the inputs).
+    """
+
+    def _frontier(p: np.ndarray, q: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        # dedupe identical points, sort by (p asc, q desc)
+        order = np.lexsort((-q, p))
+        p, q = p[order], q[order]
+        if p.size == 0:
+            return p, q
+        prevmax = np.empty(len(q), dtype=np.float64)
+        prevmax[0] = -np.inf
+        np.maximum.accumulate(q[:-1], out=prevmax[1:])
+        keep = q > prevmax
+        return p[keep], q[keep]
+
+    def local_sky(batch: pa.Table) -> pa.Table:
+        p = np.asarray(batch[min_col], dtype=np.float64)
+        q = np.asarray(batch[max_col], dtype=np.float64)
+        fp, fq = _frontier(p, q)
+        return pa.table({min_col: pa.array(fp, type=pa.float64()),
+                         max_col: pa.array(fq, type=pa.float64())})
+
+    cand = ds.map_batches(local_sky, batch_size=batch_size,
+                          batch_format="pyarrow",
+                          zero_copy_batch=True).take_all()
+    if not cand:
+        return pa.table({min_col: pa.array([], pa.float64()),
+                         max_col: pa.array([], pa.float64())})
+    p = np.array([r[min_col] for r in cand], dtype=np.float64)
+    q = np.array([r[max_col] for r in cand], dtype=np.float64)
+    fp, fq = _frontier(p, q)
+    return pa.table({min_col: pa.array(fp, type=pa.float64()),
+                     max_col: pa.array(fq, type=pa.float64())})

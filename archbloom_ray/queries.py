@@ -783,6 +783,40 @@ def q_lineitem_pricing(sf_dir: str):
     ])
 
 
+def q_lineitem_skyline(sf_dir: str):
+    """Skyline (Pareto-frontier) operator: the distinct
+    (l_extendedprice, l_quantity) points with no other point both
+    cheaper-or-equal AND higher-or-equal quantity (one strict) —
+    pipelines.relational.skyline_2d: per-block vectorized frontier
+    (lexsort + running max), closed under union, frontier-sized
+    candidates only to the driver, zero shuffle."""
+    from .pipelines import skyline_2d
+
+    ds = _read(sf_dir, "lineitem", ["l_extendedprice", "l_quantity"])
+    out = skyline_2d(ds, "l_extendedprice", "l_quantity")
+    return pa.table({"price": out["l_extendedprice"],
+                     "qty": out["l_quantity"]})
+
+
+def q_vocab_fuzzy_pairs(sf_dir: str):
+    """Edit-distance self-join over the corpus vocabulary: all distinct
+    lowercased token pairs within Levenshtein distance 2, exact
+    distance attached — stages.text.edit_distance_pairs: symmetric-
+    delete (SymSpell) blocking (deletion-variant block keys, provably
+    complete for lev ≤ d), grouped pair dedup, ONE vectorized
+    char-level DP verify per batch (levenshtein_batch)."""
+    from .stages.text import edit_distance_pairs
+
+    ds = _read(sf_dir, "documents", ["text"])
+    out = edit_distance_pairs(ds, "text", max_dist=2)
+    rows = sorted(out.take_all(), key=lambda r: (r["w1"], r["w2"]))
+    return pa.table({
+        "w1": pa.array([r["w1"] for r in rows], type=pa.string()),
+        "w2": pa.array([r["w2"] for r in rows], type=pa.string()),
+        "dist": pa.array([r["dist"] for r in rows], type=pa.int64()),
+    })
+
+
 def q_bloom_membership(sf_dir: str):
     """Bloom over every document text, probed with the same texts:
     no-false-negative guarantee ⇒ deterministically all-present."""
@@ -4285,8 +4319,7 @@ def q_session_overlap_pairs(sf_dir: str):
     their 30-min-gap sessions overlap in time (closed intervals) —
     pipelines.relational.interval_overlap_pairs: time-bucket
     replication + per-bucket start-sorted sweep with start-bucket pair
-    attribution (each pair emitted exactly once, no dedup shuffle).
-    Returns only pairs with ≥ min_overlaps to keep output judgeable."""
+    attribution (each pair emitted exactly once, no dedup shuffle)."""
     from .pipelines import interval_overlap_pairs, session_intervals
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
@@ -5033,6 +5066,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": q_suppliers_by_region,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
+        "lineitem_skyline": q_lineitem_skyline,
+        "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
         "bloom_membership": q_bloom_membership,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
@@ -5382,6 +5417,24 @@ def _ttr_sql() -> str:
         SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens,
                CAST(count(*) AS BIGINT) AS total_tokens
         FROM u GROUP BY lang ORDER BY lang
+    """
+
+
+def _fuzzy_pairs_sql(max_dist: int) -> str:
+    """Vocabulary edit-distance pairs — the SAME lowercased-token
+    fragment as the Ray side, then a quadratic ``levenshtein`` join
+    (fine as an ORACLE over the distinct vocabulary; the Ray pipeline
+    is the non-quadratic SymSpell-blocked path)."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT {toks} AS tk FROM documents),
+        u AS (SELECT DISTINCT unnest(tk) AS w FROM t),
+        v AS (SELECT w FROM u WHERE w <> '')
+        SELECT a.w AS w1, b.w AS w2,
+               CAST(levenshtein(a.w, b.w) AS BIGINT) AS dist
+        FROM v a JOIN v b ON a.w < b.w
+        WHERE levenshtein(a.w, b.w) <= {max_dist}
+        ORDER BY 1, 2
     """
 
 
@@ -6233,6 +6286,22 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_base_cents,
                    count(*) AS count_order
             FROM lineitem GROUP BY l_returnflag, l_linestatus
+        """,
+        "lineitem_skyline": """
+            WITH pts AS (
+                SELECT DISTINCT l_extendedprice AS price, l_quantity AS qty
+                FROM lineitem
+            ),
+            r AS (
+                SELECT price, qty,
+                       max(qty) OVER (ORDER BY price ASC, qty DESC
+                                      ROWS BETWEEN UNBOUNDED PRECEDING
+                                      AND 1 PRECEDING) AS best_prev
+                FROM pts
+            )
+            SELECT price, qty FROM r
+            WHERE best_prev IS NULL OR qty > best_prev
+            ORDER BY price
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
@@ -7186,6 +7255,7 @@ def oracle_sql() -> dict[str, str]:
             FROM scan GROUP BY 1 ORDER BY 1
         """,
         "ttr_by_lang": _ttr_sql(),
+        "vocab_fuzzy_pairs": _fuzzy_pairs_sql(2),
         "mode_chars_by_lang": """
             SELECT lang, CAST(v AS BIGINT) AS mode_chars,
                    CAST(c AS BIGINT) AS n_docs_mode

@@ -904,3 +904,140 @@ def bigram_lm_scores(
         ("sum_logprob_u", "lp", "sum"),
         ("n_bigrams", None, "count"),
     ])
+
+
+def levenshtein_batch(a_words: list[str], b_words: list[str]) -> np.ndarray:
+    """Exact character-level Levenshtein distance for N word pairs at
+    once: code-point matrices (utf-32 decode, so multi-byte characters
+    count as one edit like DuckDB's ``levenshtein``) + the textbook DP
+    with BOTH loops over character positions and every cell update
+    vectorized across the pair axis — O(Lmax²) numpy kernels instead of
+    O(N·L²) Python steps.  Each pair's answer is harvested from the DP
+    row matching its left length, so ragged lengths need no per-pair
+    code path."""
+    n = len(a_words)
+    if n == 0:
+        return np.zeros(0, dtype=np.int64)
+    a_cp = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+            for w in a_words]
+    b_cp = [np.frombuffer(w.encode("utf-32-le"), dtype=np.uint32)
+            for w in b_words]
+    la = np.array([len(x) for x in a_cp], dtype=np.int64)
+    lb = np.array([len(x) for x in b_cp], dtype=np.int64)
+    L1, L2 = int(la.max(initial=0)), int(lb.max(initial=0))
+    A = np.zeros((n, max(L1, 1)), dtype=np.uint32)
+    B = np.zeros((n, max(L2, 1)), dtype=np.uint32)
+    for i, x in enumerate(a_cp):
+        A[i, :len(x)] = x
+    for i, x in enumerate(b_cp):
+        B[i, :len(x)] = x
+    prev = np.tile(np.arange(L2 + 1, dtype=np.int64), (n, 1))
+    final = np.where(la == 0, lb, 0).astype(np.int64)
+    for i in range(1, L1 + 1):
+        cur = np.empty_like(prev)
+        cur[:, 0] = i
+        ai = A[:, i - 1]
+        for j in range(1, L2 + 1):
+            cost = (ai != B[:, j - 1]).astype(np.int64)
+            np.minimum(prev[:, j] + 1, cur[:, j - 1] + 1, out=cur[:, j])
+            np.minimum(cur[:, j], prev[:, j - 1] + cost, out=cur[:, j])
+        done = la == i
+        if done.any():
+            final[done] = cur[done, lb[done]]
+        prev = cur
+    return final
+
+
+def edit_distance_pairs(
+    ds: "ray.data.Dataset",
+    text_col: str = "text",
+    max_dist: int = 2,
+    *,
+    max_bucket: int = 512,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Fuzzy string self-join over the corpus VOCABULARY: all unordered
+    pairs of distinct lowercased whitespace tokens within Levenshtein
+    distance ``max_dist``, with the exact distance attached — spelling
+    variants / OCR-noise mining for a crawl corpus.
+
+    Scale shape — symmetric-delete (SymSpell) blocking, never all
+    pairs: if ``lev(a, b) ≤ d`` then deleting the substituted/deleted
+    chars from ``a`` and the substituted/inserted chars from ``b``
+    (any optimal alignment) leaves the SAME subsequence, so the two
+    ≤ d-deletion neighborhoods intersect — candidates are exactly the
+    words sharing a deletion-variant block key (a hash shuffle), no
+    quadratic scan.  Corpus-scale work is one tokenize + per-batch
+    unique; everything after operates on the DISTINCT vocabulary
+    (orders of magnitude smaller), where the per-word Python variant
+    loop is acceptable.  Buckets cap at ``max_bucket`` words
+    (deterministic lexicographic truncation, same convention as the
+    LSH families); candidate pairs dedupe in one grouped count before
+    ONE vectorized DP verify (:func:`levenshtein_batch`) per batch.
+    """
+    from ..pipelines.relational import grouped_agg
+
+    if max_dist < 1:
+        raise ValueError("max_dist must be >= 1")
+
+    def vocab_batch(batch: pa.Table) -> pa.Table:
+        trimmed, toks = _tokens_of(batch[text_col])
+        mask = pc.not_equal(trimmed, "")
+        flat = pc.list_flatten(toks.filter(mask))
+        return pa.table({"w": pc.unique(pc.utf8_lower(flat))})
+
+    vocab = grouped_agg(
+        ds.map_batches(vocab_batch, batch_size=batch_size,
+                       batch_format="pyarrow", zero_copy_batch=True),
+        ["w"], [("n", None, "count")])
+
+    def explode_deletions(batch: pa.Table) -> pa.Table:
+        keys: list[str] = []
+        words: list[str] = []
+        for w in batch["w"].to_pylist():
+            L = len(w)
+            var = {w}
+            if max_dist >= 1:
+                for i in range(L):
+                    var.add(w[:i] + w[i + 1:])
+            if max_dist >= 2:
+                for i in range(L):
+                    for j in range(i + 1, L):
+                        var.add(w[:i] + w[i + 1:j] + w[j + 1:])
+            keys.extend(var)
+            words.extend([w] * len(var))
+        return pa.table({"key": pa.array(keys, type=pa.string()),
+                         "w": pa.array(words, type=pa.string())})
+
+    def bucket_pairs(group: pa.Table) -> pa.Table:
+        ws = sorted(set(group["w"].to_pylist()))[:max_bucket]
+        lens = np.array([len(w) for w in ws], dtype=np.int64)
+        w1: list[str] = []
+        w2: list[str] = []
+        for i in range(len(ws)):
+            for j in range(i + 1, len(ws)):
+                if abs(int(lens[i] - lens[j])) <= max_dist:
+                    w1.append(ws[i])
+                    w2.append(ws[j])
+        return pa.table({"w1": pa.array(w1, type=pa.string()),
+                         "w2": pa.array(w2, type=pa.string())})
+
+    cand = grouped_agg(
+        vocab.map_batches(explode_deletions, batch_size=batch_size,
+                          batch_format="pyarrow")
+        .groupby("key").map_groups(bucket_pairs, batch_format="pyarrow"),
+        ["w1", "w2"], [("c", None, "count")])
+
+    def verify(batch: pa.Table) -> pa.Table:
+        a = batch["w1"].to_pylist()
+        b = batch["w2"].to_pylist()
+        dist = levenshtein_batch(a, b)
+        keep = dist <= max_dist
+        return pa.table({
+            "w1": batch["w1"].combine_chunks().filter(pa.array(keep)),
+            "w2": batch["w2"].combine_chunks().filter(pa.array(keep)),
+            "dist": pa.array(dist[keep], type=pa.int64()),
+        })
+
+    return cand.map_batches(verify, batch_size=batch_size,
+                            batch_format="pyarrow")

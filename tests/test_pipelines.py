@@ -1225,6 +1225,32 @@ class TestIntervalOverlapPairs:
         assert rows == [{"u1": 1, "u2": 2, "n_overlaps": 1}]
 
 
+class TestSkyline2D:
+    def test_matches_bruteforce_dominance(self, ray_session):
+        """Block-local frontier + driver re-pass == quadratic dominance
+        scan (minimize p, maximize q; ties and duplicate points
+        included in the generator on purpose)."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import skyline_2d
+
+        rng = np.random.default_rng(47)
+        p = rng.integers(0, 40, 800).astype(np.float64)
+        q = rng.integers(0, 40, 800).astype(np.float64)
+        ds = rd.from_items(
+            [{"a": float(x), "b": float(y)}
+             for x, y in zip(p, q)]).repartition(7)
+        out = skyline_2d(ds, "a", "b")
+        got = set(zip(out["a"].to_pylist(), out["b"].to_pylist()))
+        pts = set(zip(p, q))
+        want = {(x, y) for x, y in pts
+                if not any(u <= x and v >= y and (u < x or v > y)
+                           for u, v in pts)}
+        assert got == want
+        # output is sorted by the minimized column
+        assert out["a"].to_pylist() == sorted(out["a"].to_pylist())
+
+
 class TestNullSkippingAggs:
     def test_string_agg_and_distinct_skip_nulls(self, ray_session):
         """NULL values are skipped like SQL aggregates."""

@@ -1923,3 +1923,61 @@ class TestWhitespaceSplitParity:
             trimmed = arr[i].as_py()
             pyref = re.split("[\\s\x1c-\x1f\x85" + T._ZS_LITERAL + "]+", trimmed)
             assert pyref == fast[i].as_py(), p.encode("unicode_escape")
+
+
+class TestEditDistancePairs:
+    @staticmethod
+    def _lev(a: str, b: str) -> int:
+        if not a:
+            return len(b)
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i]
+            for j, cb in enumerate(b, 1):
+                cur.append(min(prev[j] + 1, cur[j - 1] + 1,
+                               prev[j - 1] + (ca != cb)))
+            prev = cur
+        return prev[-1]
+
+    def test_levenshtein_batch_parity(self):
+        """Vectorized pair-axis DP == scalar DP, incl. empty strings,
+        multi-byte code points and ragged lengths in one batch."""
+        import itertools
+
+        from archbloom_ray.stages.text import levenshtein_batch
+
+        words = ["", "a", "ab", "ba", "café", "cafe", "face", "sort",
+                 "short", "sho", "ünïcødé", "unicode", "xxxxxxxxxx"]
+        pairs = list(itertools.product(words, repeat=2))
+        got = levenshtein_batch([p[0] for p in pairs],
+                                [p[1] for p in pairs])
+        want = [self._lev(a, b) for a, b in pairs]
+        assert list(got) == want
+
+    def test_symspell_join_matches_bruteforce(self, ray_session):
+        """SymSpell-blocked join == brute-force quadratic scan over the
+        distinct vocabulary of a synthetic corpus with planted 1- and
+        2-edit variants (substitution, deletion, insertion, transposed
+        = 2 substitutions)."""
+        import itertools
+
+        import ray.data as rd
+
+        from archbloom_ray.stages.text import edit_distance_pairs
+
+        base = ["stream", "sturm", "steam", "stream", "dream", "Dreams",
+                "batch", "patch", "match", "watch", "btch", "baatch",
+                "table", "cable", "tble", "tablet", "stable", "zzz"]
+        docs = [" ".join(base[i::3]) for i in range(3)] + ["", "   "]
+        ds = rd.from_items([{"text": t} for t in docs]).repartition(4)
+        out = edit_distance_pairs(ds, "text", max_dist=2).take_all()
+        got = {(r["w1"], r["w2"]): r["dist"] for r in out}
+        vocab = sorted({w.lower() for d in docs for w in d.split()})
+        want = {}
+        for a, b in itertools.combinations(vocab, 2):
+            d = self._lev(a, b)
+            if d <= 2:
+                want[(a, b)] = d
+        assert got == want
+        assert any(d == 1 for d in got.values())
+        assert any(d == 2 for d in got.values())
