@@ -2959,3 +2959,69 @@ def skyline_2d(
     fp, fq = _frontier(p, q)
     return pa.table({min_col: pa.array(fp, type=pa.float64()),
                      max_col: pa.array(fq, type=pa.float64())})
+
+
+def grouped_weighted_median(
+    ds: "ray.data.Dataset",
+    keys: list[str],
+    value_col: str,
+    weight_col: str,
+    *,
+    out_column: str = "wmedian",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Exact per-group WEIGHTED lower median of an integer value
+    column: the smallest value ``v`` whose cumulative weight (values
+    sorted ascending) reaches half the group's total weight
+    (``2·cum ≥ total``) — e.g. "the median token lives in a document
+    of length v", the length-distribution statistic corpus curation
+    reports instead of the document-count median.
+
+    Scale shape: same as grouped_quantiles' count-row plan — each
+    batch pre-aggregates to distinct ``(keys, value, Σweight)`` rows
+    (an Arrow hash aggregation), so only the distinct-value histogram
+    shuffles, never rows; per group one vectorized sort + weight
+    cumsum picks the median.  Integer weights make the ``2·cum``
+    threshold exact (no float ULP hazards in either engine).
+    """
+
+    def partial(batch: pa.Table) -> pa.Table:
+        # weight under a temp name so value_col == weight_col (e.g.
+        # length-weighted median of length) still groups unambiguously
+        pre = pa.table({**{k: batch[k] for k in keys},
+                        "v": batch[value_col],
+                        "__w": batch[weight_col]})
+        g = pre.group_by(keys + ["v"]).aggregate([("__w", "sum")])
+        cols = {k: g[k] for k in keys}
+        cols["v"] = g["v"]
+        cols["wt"] = pc.cast(g["__w_sum"], pa.int64())
+        return pa.table(cols)
+
+    partials = ds.map_batches(partial, batch_size=batch_size,
+                              batch_format="pyarrow", zero_copy_batch=True)
+
+    def per_group(group: pa.Table) -> pa.Table:
+        v = np.asarray(group["v"], dtype=np.int64)
+        w = np.asarray(group["wt"], dtype=np.int64)
+        order = np.argsort(v, kind="stable")
+        v, w = v[order], w[order]
+        # merge duplicate values across batch partials
+        uniq = np.empty(len(v), dtype=bool)
+        uniq[0] = True
+        uniq[1:] = v[1:] != v[:-1]
+        seg = np.cumsum(uniq) - 1
+        u_v = v[uniq]
+        u_w = np.zeros(len(u_v), dtype=np.int64)
+        np.add.at(u_w, seg, w)
+        cum = np.cumsum(u_w)
+        tot = int(cum[-1])
+        if tot <= 0:
+            return pa.table({**{k: group[k].slice(0, 0) for k in keys},
+                             out_column: pa.array([], pa.int64())})
+        med = int(u_v[np.argmax(cum * 2 >= tot)])
+        cols = {k: group[k].slice(0, 1) for k in keys}
+        cols[out_column] = pa.array([med], type=pa.int64())
+        return pa.table(cols)
+
+    return partials.groupby(keys).map_groups(per_group,
+                                             batch_format="pyarrow")

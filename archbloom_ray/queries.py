@@ -78,6 +78,19 @@ def q_median_chars_by_lang(sf_dir: str):
     return grouped_quantiles(ds, ["lang"], "n_chars", [0.5, 0.9])
 
 
+def q_weighted_median_chars(sf_dir: str):
+    """Length-weighted median document length per lang: the smallest
+    n_chars v such that documents of length ≤ v hold at least half
+    the corpus' characters — "the median character lives in a
+    document of length v", the statistic corpus-curation reports
+    instead of the document-count median."""
+    from .pipelines.relational import grouped_weighted_median
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_weighted_median(ds, ["lang"], "n_chars", "n_chars",
+                                   out_column="wmedian_chars")
+
+
 def _ws_token_counts(col) -> np.ndarray:
     """SQL-parity whitespace token counts: mirrors DuckDB
     ``len(string_split_regex(trim(text), '\\s+'))`` with the
@@ -5056,6 +5069,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "source_counts": q_source_counts,
         "distinct_text": q_distinct_text,
         "median_chars_by_lang": q_median_chars_by_lang,
+        "weighted_median_chars": q_weighted_median_chars,
         "token_totals": q_token_totals,
         "dedup_exact": q_dedup_exact,
         "events_hourly": q_events_hourly,
@@ -6205,6 +6219,18 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
             FROM documents GROUP BY lang
+        """,
+        "weighted_median_chars": """
+            WITH agg AS (
+              SELECT lang, n_chars AS v, sum(n_chars) AS wt
+              FROM documents GROUP BY lang, n_chars),
+            c AS (
+              SELECT lang, v,
+                     sum(wt) OVER (PARTITION BY lang ORDER BY v) AS cum,
+                     sum(wt) OVER (PARTITION BY lang) AS tot
+              FROM agg)
+            SELECT lang, CAST(min(v) AS BIGINT) AS wmedian_chars
+            FROM c WHERE 2 * cum >= tot GROUP BY lang
         """,
         "token_totals": r"""
             SELECT lang,

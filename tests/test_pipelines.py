@@ -1100,6 +1100,53 @@ class TestGroupedMad:
         assert got == want  # exact float equality, not approx
 
 
+class TestGroupedWeightedMedian:
+    def test_matches_bruteforce(self, ray_session):
+        """Smallest v with 2·cumweight ≥ total, per group — checked
+        against a per-group brute force incl. value==weight aliasing
+        and duplicate values split across partitions."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_weighted_median
+
+        rng = np.random.default_rng(97)
+        rows = [(g, int(v), int(w)) for g, v, w in zip(
+            rng.choice(["a", "b", "c"], 700),
+            rng.integers(0, 25, 700),       # heavy ties
+            rng.integers(1, 9, 700))]
+        ds = rd.from_items(
+            [{"g": g, "v": v, "w": w} for g, v, w in rows]).repartition(7)
+        got = sorted((r["g"], r["wmedian"]) for r in grouped_weighted_median(
+            ds, ["g"], "v", "w").take_all())
+
+        def brute(grp):
+            vw = {}
+            for g, v, w in rows:
+                if g == grp:
+                    vw[v] = vw.get(v, 0) + w
+            tot = sum(vw.values())
+            cum = 0
+            for v in sorted(vw):
+                cum += vw[v]
+                if 2 * cum >= tot:
+                    return v
+
+        assert got == [(g, brute(g)) for g in ["a", "b", "c"]]
+
+    def test_weight_equals_value(self, ray_session):
+        """value_col == weight_col (length-weighted median of length)
+        must not trip duplicate-column grouping."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import grouped_weighted_median
+
+        ds = rd.from_items(
+            [{"g": "x", "v": v} for v in [1, 1, 2, 10]]).repartition(2)
+        # weights 1,1,2,10 → total 14, cum at v=2 is 4 (<7), at v=10 is 14
+        out = grouped_weighted_median(ds, ["g"], "v", "v").take_all()
+        assert out == [{"g": "x", "wmedian": 10}]
+
+
 class TestTrendingTypes:
     def test_query_matches_oracle_sf0001(self, ray_session):
         """Hopping-window top-3 composition == rank-window oracle."""
