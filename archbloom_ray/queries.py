@@ -91,6 +91,46 @@ def q_weighted_median_chars(sf_dir: str):
                                    out_column="wmedian_chars")
 
 
+def q_docs_schema_union(sf_dir: str):
+    """Heterogeneous-shard ingest: "old" shards (even doc_id) lack the
+    later-added ``source`` column and store ``n_chars`` as int32;
+    "new" shards have the full schema.  ``union_harmonized`` aligns by
+    name (null-fill ``source``, promote int32→int64) — DuckDB
+    ``UNION ALL BY NAME`` semantics — then one grouped aggregate over
+    the union proves rows, null-fills and promotion all landed."""
+    from .sources import union_harmonized
+
+    def old_shard(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 0)
+        t = batch.filter(keep)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "n_chars": pc.cast(t["n_chars"], pa.int32())})
+
+    def new_shard(batch: pa.Table) -> pa.Table:
+        return batch.filter(pc.equal(pc.bit_wise_and(batch["doc_id"], 1), 1))
+
+    old = _read(sf_dir, "documents", ["doc_id", "lang", "n_chars"]).map_batches(
+        old_shard, batch_format="pyarrow", zero_copy_batch=True)
+    new = _read(sf_dir, "documents",
+                ["doc_id", "lang", "source", "n_chars"]).map_batches(
+        new_shard, batch_format="pyarrow", zero_copy_batch=True)
+    u = union_harmonized([old, new])
+
+    def ind(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "lang": batch["lang"],
+            "with_source": pc.cast(pc.is_valid(batch["source"]), pa.int64()),
+            "n_chars": pc.cast(batch["n_chars"], pa.int64()),
+        })
+
+    u2 = u.map_batches(ind, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_agg(u2, ["lang"], [
+        ("n_rows", None, "count"),
+        ("n_with_source", "with_source", "sum"),
+        ("total_chars", "n_chars", "sum"),
+    ])
+
+
 def _ws_token_counts(col) -> np.ndarray:
     """SQL-parity whitespace token counts: mirrors DuckDB
     ``len(string_split_regex(trim(text), '\\s+'))`` with the
@@ -5070,6 +5110,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distinct_text": q_distinct_text,
         "median_chars_by_lang": q_median_chars_by_lang,
         "weighted_median_chars": q_weighted_median_chars,
+        "docs_schema_union": q_docs_schema_union,
         "token_totals": q_token_totals,
         "dedup_exact": q_dedup_exact,
         "events_hourly": q_events_hourly,
@@ -6219,6 +6260,19 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
             FROM documents GROUP BY lang
+        """,
+        "docs_schema_union": """
+            WITH u AS (
+              SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS n_chars,
+                     NULL AS source
+              FROM documents WHERE doc_id % 2 = 0
+              UNION ALL
+              SELECT doc_id, lang, n_chars, source
+              FROM documents WHERE doc_id % 2 = 1)
+            SELECT lang, count(*) AS n_rows,
+                   count(source) AS n_with_source,
+                   CAST(sum(n_chars) AS BIGINT) AS total_chars
+            FROM u GROUP BY lang
         """,
         "weighted_median_chars": """
             WITH agg AS (

@@ -213,3 +213,59 @@ def read_warc(
         })
 
     return ds.map_batches(parse, batch_format="pyarrow", batch_size=1)
+
+
+def union_harmonized(dss: list["ray.data.Dataset"]) -> "ray.data.Dataset":
+    """Union datasets whose schemas drifted apart — the heterogeneous-
+    shard ingest a years-long crawl produces (old shards miss columns
+    added later; a column that was int32 in 2021 is int64 in 2024).
+
+    Align-by-NAME semantics (DuckDB ``UNION ALL BY NAME``): the target
+    schema is ``pyarrow.unify_schemas(..., permissive)`` over every
+    input — missing columns null-fill, numeric widths promote
+    (int32+int64 → int64, int+float → float64).  Each branch is fitted
+    by ONE zero-copy-in map_batches (a cast is the only copy, and only
+    on branches that need one), so harmonisation adds no extra pass
+    over branches already on the target schema — then a plain
+    streaming union (no shuffle, no repartition; Ray unions block
+    lists lazily).
+
+    The alternative — make every producer rewrite old shards — is a
+    100-TB rewrite; fitting at read time costs one cast on the narrow
+    columns only.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not dss:
+        raise ValueError("union_harmonized needs at least one dataset")
+    schemas = []
+    for d in dss:
+        s = d.schema()
+        schemas.append(pa.schema(list(zip(s.names, s.types))))
+    target = pa.unify_schemas(schemas, promote_options="permissive")
+
+    def fit_fn(src: pa.Schema):
+        need = src != target
+
+        def fit(batch: pa.Table) -> pa.Table:
+            n = len(batch)
+            cols = {}
+            for f in target:
+                if f.name in batch.column_names:
+                    col = batch[f.name]
+                    cols[f.name] = (pc.cast(col, f.type)
+                                    if col.type != f.type else col)
+                else:
+                    cols[f.name] = pa.nulls(n, f.type)
+            return pa.table(cols)
+
+        return fit if need else None
+
+    fitted = []
+    for d, s in zip(dss, schemas):
+        fn = fit_fn(s)
+        fitted.append(d.map_batches(fn, batch_format="pyarrow",
+                                    zero_copy_batch=True) if fn else d)
+    out = fitted[0]
+    return out.union(*fitted[1:]) if len(fitted) > 1 else out

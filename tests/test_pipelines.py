@@ -148,6 +148,46 @@ class TestEventTimeBuild:
                               ref.lookup_batch(probe, now=now))
 
 
+class TestUnionHarmonized:
+    def test_null_fill_and_promotion(self, ray_session):
+        """Missing columns in BOTH directions null-fill; int32+int64 →
+        int64; int64+float64 → float64; branches already on the target
+        schema pass through un-fitted."""
+        import ray.data as rd
+
+        from archbloom_ray.sources import union_harmonized
+
+        a = rd.from_arrow(pa.table({
+            "id": pa.array([1, 2], pa.int32()),
+            "x": pa.array([1.5, 2.5], pa.float64()),
+        }))
+        b = rd.from_arrow(pa.table({
+            "id": pa.array([3, 4], pa.int64()),
+            "y": pa.array(["p", "q"], pa.string()),
+        }))
+        u = union_harmonized([a, b])
+        t = pa.Table.from_pylist(u.take_all())
+        got = sorted(t.to_pylist(), key=lambda r: r["id"])
+        assert got == [
+            {"id": 1, "x": 1.5, "y": None},
+            {"id": 2, "x": 2.5, "y": None},
+            {"id": 3, "x": None, "y": "p"},
+            {"id": 4, "x": None, "y": "q"},
+        ]
+
+    def test_int_float_promotion(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.sources import union_harmonized
+
+        a = rd.from_arrow(pa.table({"v": pa.array([1, 2], pa.int64())}))
+        b = rd.from_arrow(pa.table({"v": pa.array([0.5], pa.float64())}))
+        u = union_harmonized([a, b])
+        vals = sorted(r["v"] for r in u.take_all())
+        assert vals == [0.5, 1.0, 2.0]
+        assert all(isinstance(v, float) for v in vals)
+
+
 class TestSources:
     def test_jsonl_csv_lines_roundtrip(self, ray_session, tmp_path):
         import json
