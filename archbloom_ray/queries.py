@@ -4697,6 +4697,47 @@ def q_drift_ks_chars(sf_dir: str):
     })
 
 
+def q_drift_chi2_source(sf_dir: str):
+    """Categorical-drift monitor, the companion to `drift_ks_chars`:
+    two-sample chi-squared homogeneity terms between the source-mix of
+    the old half (doc_id ≤ max/2) and the new half of the corpus —
+    "did the domain mix of the crawl shift?".  Per category c the term
+    is (a_c·N_b − b_c·N_a)² / (N_a·N_b·(a_c+b_c)); χ² is their sum
+    with df = C−1.  ULP-safe cross-engine: counts and both the
+    numerator and denominator are exact int64 (overflow only beyond
+    ~2e9 rows/side — switch the products to double past that), the
+    only float op is ONE square-then-divide per row, identical in
+    DuckDB.  Shape: one grouped count per (source, side) — the
+    exchange is category-domain-sized — then a driver pass over the
+    tiny category table."""
+    ds = _read(sf_dir, "documents", ["doc_id", "source"])
+    pivot = int(ds.max("doc_id")) // 2
+
+    def sides(batch: pa.Table) -> pa.Table:
+        old = np.asarray(pc.less_equal(batch["doc_id"], pa.scalar(pivot)))
+        o = old.astype(np.int64)
+        return pa.table({"source": batch["source"],
+                         "o_n": pa.array(o), "nw_n": pa.array(1 - o)})
+
+    counts = grouped_agg(
+        _read(sf_dir, "documents", ["doc_id", "source"]).map_batches(
+            sides, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_old", "o_n", "sum"), ("n_new", "nw_n", "sum")])
+    rows = sorted(counts.take_all(), key=lambda r: r["source"])
+    a = np.asarray([r["n_old"] for r in rows], dtype=np.int64)
+    b = np.asarray([r["n_new"] for r in rows], dtype=np.int64)
+    na, nb = int(a.sum()), int(b.sum())
+    num = a * nb - b * na
+    den = (na * nb) * (a + b)
+    term = (num.astype(np.float64) * num.astype(np.float64)) \
+        / den.astype(np.float64)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_old": pa.array(a), "n_new": pa.array(b),
+        "chi2_term": pa.array(term, type=pa.float64()),
+    })
+
+
 def q_source_rule_filter(sf_dir: str):
     """Ordered allow/deny rule engine over the source column — the
     blocklist/allowlist gate every crawl pipeline runs first.  Rules
@@ -5262,6 +5303,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_keep_best": q_dedup_keep_best,
         "pmi_top20": q_pmi_top20,
         "drift_ks_chars": q_drift_ks_chars,
+        "drift_chi2_source": q_drift_chi2_source,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7257,6 +7299,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(n_new AS BIGINT) AS n_new,
                    CAST(max(abs(n_new * co - n_old * cn)) AS BIGINT) AS ks_num
             FROM cum, tot GROUP BY n_old, n_new
+        """,
+        "drift_chi2_source": """
+            WITH p AS (SELECT max(doc_id) // 2 AS pv FROM documents),
+            c AS (SELECT source,
+                         sum(CASE WHEN doc_id <= pv THEN 1 ELSE 0 END)
+                             AS n_old,
+                         sum(CASE WHEN doc_id > pv THEN 1 ELSE 0 END)
+                             AS n_new
+                  FROM documents, p GROUP BY source),
+            tot AS (SELECT sum(n_old) AS na, sum(n_new) AS nb FROM c)
+            SELECT source,
+                   CAST(n_old AS BIGINT) AS n_old,
+                   CAST(n_new AS BIGINT) AS n_new,
+                   (CAST(n_old * nb - n_new * na AS DOUBLE)
+                    * CAST(n_old * nb - n_new * na AS DOUBLE))
+                       / CAST(na * nb * (n_old + n_new) AS DOUBLE)
+                       AS chi2_term
+            FROM c, tot ORDER BY source
         """,
         "ams_selfjoin_users": """
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,

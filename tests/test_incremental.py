@@ -62,7 +62,8 @@ def _norm(df: pd.DataFrame) -> pd.DataFrame:
 
 @pytest.mark.parametrize("name", [
     "incremental_dedup", "dup_cluster_sizes", "dedup_keep_best",
-    "drift_ks_chars", "dedup_exact", "increment_ingest_pipeline",
+    "drift_ks_chars", "drift_chi2_source", "dedup_exact",
+    "increment_ingest_pipeline",
 ])
 def test_planted_duplicates_match_oracle(ray_session, planted_dir,
                                          planted_ddb, name):
