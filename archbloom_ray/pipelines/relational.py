@@ -1349,6 +1349,92 @@ def running_window(
     )
 
 
+def rolling_median_k(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    ts_column: str,
+    value_column: str,
+    id_column: str,
+    *,
+    window: int = 4,
+    out_col: str = "roll_median",
+    num_partitions: int = 32,
+) -> "ray.data.Dataset":
+    """Per-row trailing ORDER-STATISTIC window: for every row, the
+    exact median of the key's last ``window`` values up to and
+    including it — SQL ``median(v) OVER (PARTITION BY key ORDER BY ts,
+    id ROWS BETWEEN window-1 PRECEDING AND CURRENT ROW)``.  Uses
+    DuckDB's even-count interpolation ``a*0.5 + b*0.5`` (quantile_cont
+    arithmetic, see :func:`grouped_quantiles`) so results hash-compare;
+    for odd counts ``m*0.5 + m*0.5 == m`` exactly in IEEE, so one
+    formula covers both parities.  Values must be non-NaN (the lag
+    matrix pads with +inf, which must sort after every real value).
+
+    Scale shape: the :func:`running_window` discipline — coarse
+    key-HASH buckets (one ``map_groups`` per partition, not per key),
+    one composite lexsort per partition, then a fully vectorized
+    ``(n, window)`` lag-gather + row-wise partial sort.  ``window`` is
+    a small constant, so per-partition work is O(n·w·log w) with no
+    Python row loop; the only exchange is the key-hash shuffle.
+    """
+    if window < 1:
+        raise ValueError("window must be >= 1")
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        k = np.asarray(batch[key_column], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (k * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return pa.table({
+            id_column: batch[id_column],
+            key_column: batch[key_column],
+            "_ts_us": pc.cast(batch[ts_column], pa.int64()),
+            "_v": pc.cast(batch[value_column], pa.float64()),
+            "_pkey": pa.array(pk.astype(np.int32)),
+        })
+
+    def part(group: pa.Table) -> pa.Table:
+        n = len(group)
+        if n == 0:
+            return pa.table({
+                id_column: pa.array([], group[id_column].type),
+                key_column: pa.array([], group[key_column].type),
+                out_col: pa.array([], pa.float64()),
+            })
+        keys = np.asarray(group[key_column], dtype=np.int64)
+        ts = np.asarray(group["_ts_us"], dtype=np.int64)
+        ids = np.asarray(group[id_column], dtype=np.int64)
+        vals = np.asarray(group["_v"], dtype=np.float64)
+        order = np.lexsort((ids, ts, keys))
+        keys, ids, vals = keys[order], ids[order], vals[order]
+        new_key = np.ones(n, dtype=bool)
+        new_key[1:] = keys[1:] != keys[:-1]
+        seg_id = np.cumsum(new_key) - 1
+        starts = np.flatnonzero(new_key)
+        pos = np.arange(n, dtype=np.int64) - starts[seg_id]
+        lag = np.full((n, window), np.inf, dtype=np.float64)
+        for j in range(window):
+            ok = pos >= j          # lag j stays inside the key segment
+            lag[j:, j] = np.where(ok[j:], vals[: n - j] if j else vals,
+                                  np.inf)
+        lag.sort(axis=1)
+        c = np.minimum(pos + 1, window).astype(np.int64)
+        rows_ix = np.arange(n)
+        lo = lag[rows_ix, (c - 1) // 2]
+        hi = lag[rows_ix, c // 2]
+        med = lo * 0.5 + hi * 0.5
+        return pa.table({
+            id_column: pa.array(ids, type=group[id_column].type),
+            key_column: pa.array(keys, type=group[key_column].type),
+            out_col: pa.array(med, type=pa.float64()),
+        })
+
+    return (
+        ds.map_batches(add_pkey, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("_pkey")
+        .map_groups(part, batch_format="pyarrow")
+    )
+
+
 def asof_join_broadcast(
     ds: "ray.data.Dataset",
     right: pa.Table,

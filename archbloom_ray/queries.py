@@ -4738,6 +4738,138 @@ def q_drift_chi2_source(sf_dir: str):
     })
 
 
+def q_user_rolling_median(sf_dir: str):
+    """Per-event trailing order-statistic window: the exact median of
+    each user's last 4 values (3 preceding + current, ordered by ts
+    with event_id tie-break) — the smoothing/outlier-robust baseline a
+    streaming anomaly monitor keeps per entity.  Rank windows don't
+    decompose into running sums, so this is the genuinely-hard window
+    family; ``pipelines.relational.rolling_median_k`` does it with
+    coarse key-hash buckets + one lexsort + a vectorized (n, w)
+    lag-gather per partition (w is a small constant — no per-row or
+    per-key Python).  DuckDB's quantile_cont interpolation arithmetic
+    (a*0.5 + b*0.5) is replicated exactly so value-hashes match."""
+    from .pipelines.relational import rolling_median_k
+
+    ds = _read(sf_dir, "events", ["event_id", "user_id", "ts", "value"])
+    out = rolling_median_k(ds, "user_id", "ts", "value", "event_id",
+                           window=4)
+    rows = sorted(out.take_all(), key=lambda r: r["event_id"])
+    return pa.table({
+        "event_id": pa.array([r["event_id"] for r in rows], pa.int64()),
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "roll_median": pa.array([r["roll_median"] for r in rows],
+                                pa.float64()),
+    })
+
+
+def q_diversity_by_source(sf_dir: str):
+    """Corpus-mix diversity monitor: the Gini–Simpson index of each
+    source's language mix (1 − Σp²  — the probability two random docs
+    from the source differ in language), the curation dashboard's
+    "is this domain a language monoculture?" gauge.  Integer-exact
+    core: per-(source, lang) counts and Σn² stay int64; the ONLY float
+    ops are one division and one subtraction, identical in DuckDB.
+    Shape: grouped count per (source, lang) — category-domain-sized
+    exchange — then a per-source sum of squares; nothing touches text."""
+    ds = _read(sf_dir, "documents", ["source", "lang"])
+    c = grouped_agg(ds, ["source", "lang"], [("n", None, "count")])
+
+    def sq(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table({"source": batch["source"],
+                         "n": pa.array(n), "nn": pa.array(n * n)})
+
+    g = grouped_agg(
+        c.map_batches(sq, batch_format="pyarrow", zero_copy_batch=True),
+        ["source"], [("n_docs", "n", "sum"), ("sum_sq", "nn", "sum")])
+    rows = sorted(g.take_all(), key=lambda r: r["source"])
+    nd = np.asarray([r["n_docs"] for r in rows], dtype=np.int64)
+    ss = np.asarray([r["sum_sq"] for r in rows], dtype=np.int64)
+    gini = 1.0 - ss.astype(np.float64) / (nd * nd).astype(np.float64)
+    return pa.table({
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array(nd), "sum_sq": pa.array(ss),
+        "gini_simpson": pa.array(gini, type=pa.float64()),
+    })
+
+
+def q_vocab_overlap_exact(sf_dir: str):
+    """EXACT pairwise vocabulary overlap between sources — the
+    oracle-green twin of the theta-sketch estimate
+    (`theta_overlap_matrix`): |Vᵢ ∩ Vⱼ|, |Vᵢ|, |Vⱼ| and Jaccard for
+    every source pair sharing ≥1 distinct lowercased token.  Shape:
+    the source domain is tiny (≲64), so each token's source-SET is one
+    uint64 BITMASK — explode → distinct (source, token-hash) → grouped
+    mask-sum per hash (distinct rows ⇒ sum == OR) → grouped count per
+    mask.  The driver then reads a #distinct-masks-sized table (≤2^|S|,
+    in practice tens of rows) and computes all pair intersections with
+    bit tests — the corpus-sized data moves through exactly two
+    hash-domain exchanges, no token strings, no pair blowup.  Same
+    2⁻⁶⁴ token-hash equality contract as `ttr_by_lang`."""
+    from .hashing import mmh3_64_batch
+    from .stages.text import token_ngrams_flat
+
+    srcs = sorted(r["source"] for r in grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"],
+        [("n", None, "count")]).take_all())
+    if len(srcs) > 63:
+        raise NotImplementedError("bitmask plan assumes <=63 sources; "
+                                  "shard the mask into uint64 words past that")
+    sid = {s: i for i, s in enumerate(srcs)}
+    sid_ref = ray.put(sid)
+
+    def explode(batch: pa.Table) -> pa.Table:
+        toks, doc_idx = token_ngrams_flat(batch["text"], 1)
+        h = mmh3_64_batch(toks).astype(np.int64)
+        src = batch["source"].combine_chunks().take(pa.array(doc_idx))
+        return pa.table({"source": src, "h": pa.array(h)})
+
+    pairs = _read(sf_dir, "documents", ["source", "text"]).map_batches(
+        explode, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["source", "h"], [("c", None, "count")])
+
+    def to_mask(batch: pa.Table) -> pa.Table:
+        lut = ray.get(sid_ref)
+        enc = batch["source"].combine_chunks().dictionary_encode()
+        dict_ids = np.asarray([lut[s] for s in enc.dictionary.to_pylist()],
+                              dtype=np.int64)          # tiny: one per source
+        ids = dict_ids[np.asarray(enc.indices)]
+        return pa.table({"h": batch["h"],
+                         "m": pa.array(np.int64(1) << ids)})
+
+    masks = grouped_agg(
+        d1.map_batches(to_mask, batch_format="pyarrow",
+                       zero_copy_batch=True),
+        ["h"], [("mask", "m", "sum")])
+    hist = grouped_agg(masks, ["mask"], [("n_tokens", None, "count")])
+    hrows = hist.take_all()
+    mk = np.asarray([r["mask"] for r in hrows], dtype=np.int64)
+    cnt = np.asarray([r["n_tokens"] for r in hrows], dtype=np.int64)
+    vocab = [int(cnt[((mk >> i) & 1).astype(bool)].sum())
+             for i in range(len(srcs))]
+    out = {"src_a": [], "src_b": [], "inter": [],
+           "vocab_a": [], "vocab_b": []}
+    for i in range(len(srcs)):
+        for j in range(i + 1, len(srcs)):
+            inter = int(cnt[(((mk >> i) & (mk >> j)) & 1).astype(bool)].sum())
+            if inter:
+                out["src_a"].append(srcs[i]); out["src_b"].append(srcs[j])
+                out["inter"].append(inter)
+                out["vocab_a"].append(vocab[i]); out["vocab_b"].append(vocab[j])
+    inter = np.asarray(out["inter"], dtype=np.int64)
+    va = np.asarray(out["vocab_a"], dtype=np.int64)
+    vb = np.asarray(out["vocab_b"], dtype=np.int64)
+    jac = inter.astype(np.float64) / (va + vb - inter).astype(np.float64)
+    return pa.table({
+        "src_a": pa.array(out["src_a"], pa.string()),
+        "src_b": pa.array(out["src_b"], pa.string()),
+        "inter": pa.array(inter), "vocab_a": pa.array(va),
+        "vocab_b": pa.array(vb),
+        "jaccard": pa.array(jac, type=pa.float64()),
+    })
+
+
 def q_source_rule_filter(sf_dir: str):
     """Ordered allow/deny rule engine over the source column — the
     blocklist/allowlist gate every crawl pipeline runs first.  Rules
@@ -5304,6 +5436,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pmi_top20": q_pmi_top20,
         "drift_ks_chars": q_drift_ks_chars,
         "drift_chi2_source": q_drift_chi2_source,
+        "user_rolling_median": q_user_rolling_median,
+        "diversity_by_source": q_diversity_by_source,
+        "vocab_overlap_exact": q_vocab_overlap_exact,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -5514,6 +5649,30 @@ def _ttr_sql() -> str:
         SELECT lang, CAST(count(DISTINCT w) AS BIGINT) AS distinct_tokens,
                CAST(count(*) AS BIGINT) AS total_tokens
         FROM u GROUP BY lang ORDER BY lang
+    """
+
+
+def _vocab_overlap_sql() -> str:
+    """Exact pairwise source-vocabulary overlap — the SAME lowercased
+    token fragment as the Ray side; DISTINCT (source, token) sets,
+    per-w self-join for intersections, Jaccard as one double divide."""
+    toks = _sql_lower_tokens("coalesce(text, '')")
+    return f"""
+        WITH t AS (SELECT source, {toks} AS tk FROM documents),
+        u AS (SELECT DISTINCT source, unnest(tk) AS w FROM t),
+        v AS (SELECT source, count(*) AS vocab FROM u GROUP BY source),
+        p AS (SELECT a.source AS src_a, b.source AS src_b,
+                     count(*) AS inter
+              FROM u a JOIN u b ON a.w = b.w AND a.source < b.source
+              GROUP BY 1, 2)
+        SELECT p.src_a, p.src_b, CAST(inter AS BIGINT) AS inter,
+               CAST(va.vocab AS BIGINT) AS vocab_a,
+               CAST(vb.vocab AS BIGINT) AS vocab_b,
+               CAST(inter AS DOUBLE)
+                   / CAST(va.vocab + vb.vocab - inter AS DOUBLE) AS jaccard
+        FROM p JOIN v va ON va.source = p.src_a
+               JOIN v vb ON vb.source = p.src_b
+        ORDER BY 1, 2
     """
 
 
@@ -7318,6 +7477,26 @@ def oracle_sql() -> dict[str, str]:
                        AS chi2_term
             FROM c, tot ORDER BY source
         """,
+        "user_rolling_median": """
+            SELECT event_id, user_id,
+                   median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 3 PRECEDING AND CURRENT ROW)
+                       AS roll_median
+            FROM events ORDER BY event_id
+        """,
+        "diversity_by_source": """
+            WITH c AS (SELECT source, lang, count(*) AS n
+                       FROM documents GROUP BY source, lang),
+            g AS (SELECT source, sum(n) AS nd, sum(n * n) AS ss
+                  FROM c GROUP BY source)
+            SELECT source, CAST(nd AS BIGINT) AS n_docs,
+                   CAST(ss AS BIGINT) AS sum_sq,
+                   1 - CAST(ss AS DOUBLE) / CAST(nd * nd AS DOUBLE)
+                       AS gini_simpson
+            FROM g ORDER BY source
+        """,
+        "vocab_overlap_exact": _vocab_overlap_sql(),
         "ams_selfjoin_users": """
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS ams_within_bound

@@ -1533,3 +1533,38 @@ class TestDatasetChecksum:
         c = rd.from_items([{"id": i, "v": v} for i, v in mut]).repartition(3)
         cc = dataset_checksum(c, ["id", "v"], [1_000_003, 777_751])
         assert cc[0] == ca[0] and cc[1] != ca[1]  # one mutated row flips it
+
+
+class TestRollingMedianK:
+    @pytest.mark.parametrize("window", [1, 3, 4, 7])
+    def test_matches_duckdb_windowed_median(self, ray_session, window):
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import rolling_median_k
+
+        rng = np.random.default_rng(window)
+        n = 2000
+        tbl = pa.table({
+            "event_id": pa.array(np.arange(n, dtype=np.int64)),
+            "user_id": pa.array(rng.integers(0, 37, n).astype(np.int64)),
+            # duplicate timestamps on purpose: the id tie-break must hold
+            "ts": pa.array(rng.integers(0, 500, n).astype(np.int64)).cast(
+                pa.timestamp("us")),
+            "value": pa.array(rng.normal(size=n)),
+        })
+        out = rolling_median_k(
+            rd.from_arrow(tbl), "user_id", "ts", "value", "event_id",
+            window=window).to_pandas().sort_values(
+                "event_id", ignore_index=True)
+        con = duckdb.connect()
+        con.register("events", tbl)
+        want = con.sql(f"""
+            SELECT event_id,
+                   median(value) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN {window - 1} PRECEDING AND CURRENT ROW)
+                       AS roll_median
+            FROM events ORDER BY event_id""").df()
+        # bit-exact, including the even-count interpolation arithmetic
+        assert out["roll_median"].equals(want["roll_median"])
