@@ -4870,6 +4870,26 @@ def q_vocab_overlap_exact(sf_dir: str):
     })
 
 
+def q_chars_quantiles_sel(sf_dir: str):
+    """Exact global p50/p90/p99 of document length via DISTRIBUTED
+    SELECTION (pipelines.relational.quantiles_by_selection): iterative
+    histogram range-narrowing — each pass is one column scan that moves
+    only a ≤4096-row count histogram, converging ~4096× per pass.  The
+    scale story vs the engine's other exact paths: a sort shuffles the
+    whole column, `exact_quantiles` funnels it into one group; selection
+    touches the data O(log) times and exchanges O(buckets) counts.
+    Same quantile_cont interpolation arithmetic as DuckDB."""
+    from .pipelines.relational import quantiles_by_selection
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    v50, v90, v99 = quantiles_by_selection(ds, "n_chars", [0.5, 0.9, 0.99])
+    return pa.table({
+        "q0_5": pa.array([v50], pa.float64()),
+        "q0_9": pa.array([v90], pa.float64()),
+        "q0_99": pa.array([v99], pa.float64()),
+    })
+
+
 def q_source_rule_filter(sf_dir: str):
     """Ordered allow/deny rule engine over the source column — the
     blocklist/allowlist gate every crawl pipeline runs first.  Rules
@@ -5439,6 +5459,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_rolling_median": q_user_rolling_median,
         "diversity_by_source": q_diversity_by_source,
         "vocab_overlap_exact": q_vocab_overlap_exact,
+        "chars_quantiles_sel": q_chars_quantiles_sel,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7497,6 +7518,12 @@ def oracle_sql() -> dict[str, str]:
             FROM g ORDER BY source
         """,
         "vocab_overlap_exact": _vocab_overlap_sql(),
+        "chars_quantiles_sel": """
+            SELECT quantile_cont(n_chars, 0.5) AS q0_5,
+                   quantile_cont(n_chars, 0.9) AS q0_9,
+                   quantile_cont(n_chars, 0.99) AS q0_99
+            FROM documents
+        """,
         "ams_selfjoin_users": """
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS ams_within_bound

@@ -1568,3 +1568,35 @@ class TestRollingMedianK:
             FROM events ORDER BY event_id""").df()
         # bit-exact, including the even-count interpolation arithmetic
         assert out["roll_median"].equals(want["roll_median"])
+
+
+class TestQuantilesBySelection:
+    def test_multi_pass_narrowing_matches_duckdb(self, ray_session):
+        import duckdb
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import quantiles_by_selection
+
+        rng = np.random.default_rng(99)
+        # wide domain + tiny bucket count forces several narrowing passes
+        v = np.concatenate([
+            rng.integers(-10**9, 10**9, 3000),
+            rng.integers(0, 50, 1000),        # duplicate-heavy hot range
+            np.full(17, 123456789),
+        ]).astype(np.int64)
+        ds = rd.from_arrow(pa.table({"x": pa.array(v)})).repartition(5)
+        qs = [0.0, 0.25, 0.5, 0.9, 0.99, 1.0]
+        got = quantiles_by_selection(ds, "x", qs, buckets=16)
+        con = duckdb.connect()
+        con.register("t", pa.table({"x": pa.array(v)}))
+        want = [con.sql(f"SELECT quantile_cont(x, {q}) FROM t").fetchone()[0]
+                for q in qs]
+        assert got == want  # bit-exact, incl. interpolation arithmetic
+
+    def test_constant_column(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import quantiles_by_selection
+
+        ds = rd.from_arrow(pa.table({"x": pa.array([7] * 100, pa.int64())}))
+        assert quantiles_by_selection(ds, "x", [0.5, 0.9]) == [7.0, 7.0]
