@@ -4870,6 +4870,38 @@ def q_vocab_overlap_exact(sf_dir: str):
     })
 
 
+def q_cusum_daily_events(sf_dir: str):
+    """CUSUM changepoint statistic over the daily event rate — the
+    drift family's "WHEN did the rate shift?" companion (drift_ks /
+    drift_chi2 answer "did it shift?").  The clamped recursion
+    ``C_d = max(0, C_{d-1} + (c_d − μ))`` is not directly a SQL window,
+    but it equals ``S_d − min_{e≤d} S_e`` for the plain running sum S —
+    two windows SQL *can* express, so the query is oracle-green.
+    Integer-exact throughout: residuals are scaled to ``c_d·D − total``
+    (avoiding the float mean), so both engines compare int64.  Shape:
+    one grouped count per day (calendar-domain exchange), then a
+    driver cumsum over the tiny day table."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"].combine_chunks(), pa.int64())
+        return pa.table({"day": pc.divide(us, pa.scalar(86_400_000_000))})
+
+    counts = grouped_agg(
+        ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("n", None, "count")])
+    rows = sorted(counts.take_all(), key=lambda r: r["day"])
+    day = np.asarray([r["day"] for r in rows], dtype=np.int64)
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    dd, tot = len(rows), int(n.sum())
+    run = np.cumsum(n * dd - tot)
+    cusum = run - np.minimum.accumulate(run)
+    return pa.table({
+        "day": pa.array(day), "n_events": pa.array(n),
+        "cusum": pa.array(cusum, type=pa.int64()),
+    })
+
+
 def q_chars_quantiles_sel(sf_dir: str):
     """Exact global p50/p90/p99 of document length via DISTRIBUTED
     SELECTION (pipelines.relational.quantiles_by_selection): iterative
@@ -5460,6 +5492,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "diversity_by_source": q_diversity_by_source,
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chars_quantiles_sel": q_chars_quantiles_sel,
+        "cusum_daily_events": q_cusum_daily_events,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7523,6 +7556,20 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9) AS q0_9,
                    quantile_cont(n_chars, 0.99) AS q0_99
             FROM documents
+        """,
+        "cusum_daily_events": """
+            WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS dd, sum(n) AS tot FROM c),
+            s AS (SELECT day, n,
+                         sum(n * dd - tot) OVER (ORDER BY day) AS run
+                  FROM c, t)
+            SELECT CAST(day AS BIGINT) AS day,
+                   CAST(n AS BIGINT) AS n_events,
+                   CAST(run - min(run) OVER (ORDER BY day) AS BIGINT)
+                       AS cusum
+            FROM s ORDER BY day
         """,
         "ams_selfjoin_users": """
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
