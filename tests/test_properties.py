@@ -259,3 +259,68 @@ def test_theta_merge_order_independent_property(shards, order):
     for i in idx[1:]:
         m.merge(parts[i])
     assert m.to_bytes() == one.to_bytes()
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.integers(min_value=-10**12, max_value=10**12),
+                min_size=1, max_size=300),
+       st.integers(min_value=2, max_value=64))
+def test_selection_quantiles_match_sorted_interpolation(
+        ray_session, vals, buckets):
+    """quantiles_by_selection must equal the sorted-array quantile_cont
+    (a*(1-frac)+b*frac) for ANY int column and ANY bucket count —
+    including duplicate-heavy and single-value inputs."""
+    import ray.data as rd
+
+    from archbloom_ray.pipelines.relational import quantiles_by_selection
+
+    qs = [0.0, 0.37, 0.5, 0.91, 1.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.int64())}))
+    got = quantiles_by_selection(ds, "x", qs, buckets=buckets)
+    sv = np.sort(np.asarray(vals, dtype=np.int64))
+    n = len(sv)
+    want = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        frac = h - lo
+        if frac == 0.0 or lo + 1 >= n:
+            want.append(float(sv[lo]))
+        else:
+            want.append(float(sv[lo]) * (1 - frac) + float(sv[lo + 1]) * frac)
+    assert got == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 5),      # user
+                          st.integers(0, 20),     # ts
+                          st.floats(-100, 100, allow_nan=False)),
+                min_size=1, max_size=120),
+       st.integers(min_value=1, max_value=6))
+def test_rolling_median_matches_bruteforce(ray_session, rows, window):
+    import ray.data as rd
+
+    from archbloom_ray.pipelines.relational import rolling_median_k
+
+    tbl = pa.table({
+        "event_id": pa.array(np.arange(len(rows), dtype=np.int64)),
+        "user_id": pa.array([r[0] for r in rows], pa.int64()),
+        "ts": pa.array([r[1] for r in rows], pa.int64()).cast(
+            pa.timestamp("us")),
+        "value": pa.array([r[2] for r in rows], pa.float64()),
+    })
+    got = {r["event_id"]: r["roll_median"]
+           for r in rolling_median_k(rd.from_arrow(tbl), "user_id", "ts",
+                                     "value", "event_id",
+                                     window=window).take_all()}
+    per_user: dict[int, list] = {}
+    for eid, (u, ts, v) in enumerate(rows):
+        per_user.setdefault(u, []).append((ts, eid, v))
+    want = {}
+    for u, evs in per_user.items():
+        evs.sort()
+        for i in range(len(evs)):
+            w = sorted(v for _, _, v in evs[max(0, i - window + 1): i + 1])
+            c = len(w)
+            want[evs[i][1]] = w[(c - 1) // 2] * 0.5 + w[c // 2] * 0.5
+    assert got == want
