@@ -1129,6 +1129,167 @@ def quantiles_by_selection(
     return out
 
 
+def grouped_quantiles_by_selection(
+    ds: "ray.data.Dataset",
+    key: str,
+    value_col: str,
+    qs: list[float],
+    *,
+    buckets: int = 1024,
+    max_passes: int = 64,
+    out_prefix: str = "q",
+) -> pa.Table:
+    """PER-GROUP exact ``quantile_cont`` over an INTEGER column via the
+    same histogram range-narrowing as :func:`quantiles_by_selection`,
+    but for every group at once.  This closes the skew hole in
+    :func:`grouped_quantiles`, which ships each group's FULL value
+    column into one ``map_groups`` task — at web scale the 'en' group
+    is most of the corpus, so that one task is a funnel.  Here no task
+    ever sees more than a batch: each pass is one scan emitting
+    ``np.bincount`` partials per (group, active-range) SLOT, folded by
+    a grouped sum into a ≤ slots×buckets count table; every group's
+    range shrinks ~buckets× per pass and groups that resolve early just
+    drop out of the slot table.  Per-batch work is vectorized over rows
+    with a loop only over the ≤ len(qs)·2 slot INDEXES (constant).
+
+    Returns a driver-side ``pa.Table`` — one row per group — because
+    the result is group-domain-sized by construction.  Interpolation is
+    DuckDB's ``a*(1-frac) + b*frac``.
+    """
+    import ray as _ray
+
+    base = grouped_agg(
+        ds.select_columns([key, value_col]), [key],
+        [("n", None, "count"), ("lo", value_col, "min"),
+         ("hi", value_col, "max")]).take_all()
+    groups = sorted(base, key=lambda r: r[key])
+    gid_of = {r[key]: i for i, r in enumerate(groups)}
+    gid_ref = _ray.put(gid_of)
+
+    # per-(gid, rank): value range + below-count; ranks from the q plan
+    plan = []  # per group: list of (k, frac)
+    state: dict[tuple[int, int], tuple[int, int, int]] = {}
+    resolved: dict[tuple[int, int], int] = {}
+    for g, r in enumerate(groups):
+        n = r["n"]
+        pl = []
+        for q in qs:
+            h = q * (n - 1)
+            k = int(np.floor(h))
+            frac = h - k
+            pl.append((k, frac))
+            for kk in ([k] if (frac == 0.0 or k + 1 >= n) else [k, k + 1]):
+                if (g, kk) not in state:
+                    state[(g, kk)] = (r["lo"], r["hi"], 0)
+        plan.append(pl)
+
+    for _ in range(max_passes):
+        for gk, (lo, hi, below) in list(state.items()):
+            if gk not in resolved and lo == hi:
+                resolved[gk] = lo
+        active = {gk: s for gk, s in state.items() if gk not in resolved}
+        if not active:
+            break
+        # one SLOT per distinct (gid, lo, hi); ranks of a group usually share
+        slot_of: dict[tuple[int, int, int], int] = {}
+        slots: list[tuple[int, int, int, int]] = []  # (gid, lo, hi, chunk)
+        for (g, _k), (lo, hi, _b) in active.items():
+            if (g, lo, hi) not in slot_of:
+                chunk = -((hi - lo + 1) // -buckets)
+                slot_of[(g, lo, hi)] = len(slots)
+                slots.append((g, lo, hi, chunk))
+        max_per_g = max(
+            sum(1 for s in slots if s[0] == g) for g in {s[0] for s in slots})
+        # dense (gid, j) -> slot lookup arrays for the vectorized scan
+        G = len(groups)
+        slot_lo = np.full((G, max_per_g), 1, dtype=np.int64)
+        slot_hi = np.full((G, max_per_g), 0, dtype=np.int64)   # empty: lo>hi
+        slot_chunk = np.ones((G, max_per_g), dtype=np.int64)
+        slot_id = np.full((G, max_per_g), -1, dtype=np.int64)
+        fill = {g: 0 for g in range(G)}
+        for sid, (g, lo, hi, chunk) in enumerate(slots):
+            j = fill[g]
+            slot_lo[g, j], slot_hi[g, j] = lo, hi
+            slot_chunk[g, j], slot_id[g, j] = chunk, sid
+            fill[g] = j + 1
+        luts_ref = _ray.put((slot_lo, slot_hi, slot_chunk, slot_id))
+        nbuckets = buckets + 1  # ceil-div chunk can leave a partial last bucket
+
+        def hist(batch: pa.Table) -> pa.Table:
+            lut = _ray.get(gid_ref)
+            s_lo, s_hi, s_ch, s_id = _ray.get(luts_ref)
+            enc = batch[key].combine_chunks().dictionary_encode()
+            dgid = np.asarray([lut[x] for x in enc.dictionary.to_pylist()],
+                              dtype=np.int64)
+            gid = dgid[np.asarray(enc.indices)]
+            v = np.asarray(batch[value_col], dtype=np.int64)
+            parts = []
+            for j in range(s_lo.shape[1]):
+                lo, hi = s_lo[gid, j], s_hi[gid, j]
+                sid = s_id[gid, j]
+                m = (v >= lo) & (v <= hi) & (sid >= 0)
+                if not m.any():
+                    continue
+                bkt = (v[m] - lo[m]) // s_ch[gid[m], j]
+                comp = sid[m] * nbuckets + bkt
+                bc = np.bincount(comp)
+                nz = np.flatnonzero(bc)
+                parts.append((nz, bc[nz]))
+            if not parts:
+                return pa.table({"sb": pa.array([], pa.int64()),
+                                 "n": pa.array([], pa.int64())})
+            sb = np.concatenate([p[0] for p in parts])
+            nn = np.concatenate([p[1] for p in parts])
+            return pa.table({"sb": pa.array(sb.astype(np.int64)),
+                             "n": pa.array(nn.astype(np.int64))})
+
+        rows = grouped_agg(
+            ds.map_batches(hist, batch_format="pyarrow",
+                           zero_copy_batch=True),
+            ["sb"], [("n", "n", "sum")]).take_all()
+        by_sid: dict[int, list] = {}
+        for r in rows:
+            by_sid.setdefault(r["sb"] // nbuckets, []).append(
+                (r["sb"] % nbuckets, r["n"]))
+        for (g, k), (lo, hi, below) in active.items():
+            sid = slot_of[(g, lo, hi)]
+            chunk = slots[sid][3]
+            cum = 0
+            target = k - below
+            for bkt, cnt in sorted(by_sid.get(sid, [])):
+                if cum + cnt > target:
+                    nlo = lo + bkt * chunk
+                    nhi = min(hi, lo + (bkt + 1) * chunk - 1)
+                    state[(g, k)] = (nlo, nhi, below + cum)
+                    if nlo == nhi:
+                        resolved[(g, k)] = nlo
+                    break
+                cum += cnt
+            else:
+                raise RuntimeError("selection rank fell outside histogram")
+    else:
+        raise RuntimeError(f"did not converge in {max_passes} passes")
+
+    cols: dict[str, list] = {key: [r[key] for r in groups]}
+    for qi, q in enumerate(qs):
+        name = f"{out_prefix}{str(q).replace('.', '_')}"
+        vals = []
+        for g, r in enumerate(groups):
+            k, frac = plan[g][qi]
+            a = float(resolved[(g, k)])
+            if frac == 0.0 or k + 1 >= r["n"]:
+                vals.append(a)
+            else:
+                b = float(resolved[(g, k + 1)])
+                vals.append(a * (1 - frac) + b * frac)
+        cols[name] = vals
+    out = {key: pa.array(cols[key])}
+    for q in qs:
+        name = f"{out_prefix}{str(q).replace('.', '_')}"
+        out[name] = pa.array(cols[name], type=pa.float64())
+    return pa.table(out)
+
+
 def rank_counts(
     ds: "ray.data.Dataset", value_col: str, values: list[float],
     *, batch_size: int = 65536,

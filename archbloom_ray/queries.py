@@ -4922,6 +4922,22 @@ def q_chars_quantiles_sel(sf_dir: str):
     })
 
 
+def q_lang_chars_quantiles_sel(sf_dir: str):
+    """Per-language exact p50/p90 of document length via GROUPED
+    distributed selection (relational.grouped_quantiles_by_selection)
+    — the skew-proof exact path for the north-star "text-length
+    quantiles per lang": unlike `grouped_quantiles` (each group's full
+    column lands in ONE map_groups task — 'en' is most of a crawl), no
+    task here ever holds more than a batch; each pass exchanges only a
+    slots×buckets count histogram and every group's range shrinks
+    ~1024× per pass."""
+    from .pipelines.relational import grouped_quantiles_by_selection
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    return grouped_quantiles_by_selection(ds, "lang", "n_chars",
+                                          [0.5, 0.9])
+
+
 def q_source_rule_filter(sf_dir: str):
     """Ordered allow/deny rule engine over the source column — the
     blocklist/allowlist gate every crawl pipeline runs first.  Rules
@@ -5493,6 +5509,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chars_quantiles_sel": q_chars_quantiles_sel,
         "cusum_daily_events": q_cusum_daily_events,
+        "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7556,6 +7573,11 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(n_chars, 0.9) AS q0_9,
                    quantile_cont(n_chars, 0.99) AS q0_99
             FROM documents
+        """,
+        "lang_chars_quantiles_sel": """
+            SELECT lang, quantile_cont(n_chars, 0.5) AS q0_5,
+                   quantile_cont(n_chars, 0.9) AS q0_9
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "cusum_daily_events": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,

@@ -324,3 +324,38 @@ def test_rolling_median_matches_bruteforce(ray_session, rows, window):
             c = len(w)
             want[evs[i][1]] = w[(c - 1) // 2] * 0.5 + w[c // 2] * 0.5
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.lists(st.tuples(st.sampled_from(["en", "de", "fr"]),
+                          st.integers(min_value=-10**10, max_value=10**10)),
+                min_size=1, max_size=200),
+       st.integers(min_value=2, max_value=32))
+def test_grouped_selection_quantiles_match_sorted(ray_session, rows, buckets):
+    import ray.data as rd
+
+    from archbloom_ray.pipelines.relational import (
+        grouped_quantiles_by_selection)
+
+    tbl = pa.table({"k": pa.array([r[0] for r in rows]),
+                    "x": pa.array([r[1] for r in rows], pa.int64())})
+    got = grouped_quantiles_by_selection(
+        rd.from_arrow(tbl).repartition(3), "k", "x",
+        [0.0, 0.5, 0.73, 1.0], buckets=buckets).to_pandas()
+    got = got.sort_values("k", ignore_index=True)
+    per = {}
+    for k, x in rows:
+        per.setdefault(k, []).append(x)
+    for _, r in got.iterrows():
+        sv = np.sort(np.asarray(per[r["k"]], dtype=np.int64))
+        n = len(sv)
+        for q, col in [(0.0, "q0_0"), (0.5, "q0_5"),
+                       (0.73, "q0_73"), (1.0, "q1_0")]:
+            h = q * (n - 1)
+            lo = int(np.floor(h))
+            frac = h - lo
+            if frac == 0.0 or lo + 1 >= n:
+                want = float(sv[lo])
+            else:
+                want = float(sv[lo]) * (1 - frac) + float(sv[lo + 1]) * frac
+            assert r[col] == want, (r["k"], q)
