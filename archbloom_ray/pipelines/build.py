@@ -148,14 +148,44 @@ def build_sketches(
     ids = list(specs)
 
     def update(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         from ..hashing import mmh3_128_batch
 
         hash_cache: dict[str, tuple] = {}  # column → (h1, h2): hash ONCE per batch
+        vc_cache: dict[str, tuple | None] = {}  # column → (values, counts) | None
+
+        def value_counts(col: str):
+            """Adaptive per-batch pre-aggregation: when a 4096-row probe
+            says the column is low-cardinality (< 25% distinct), ONE
+            Arrow value_counts pass replaces per-row sketch work — a
+            5-language column then costs 5 hash/insert ops per sketch
+            instead of 262k, and numeric sketches skip sorting the raw
+            column.  High-cardinality columns (urls) pay only the tiny
+            probe and keep the shared-full-hash path."""
+            if col not in vc_cache:
+                arr = batch[col]
+                probe = arr.slice(0, 4096) if len(arr) > 4096 else arr
+                if (len(probe) < 64 or
+                        pc.count_distinct(probe).as_py() > 0.25 * len(probe)):
+                    vc_cache[col] = None
+                else:
+                    vc = pc.value_counts(arr.combine_chunks())
+                    vc_cache[col] = (vc.field("values"),
+                                     np.asarray(vc.field("counts"),
+                                                dtype=np.int64))
+            return vc_cache[col]
+
         rows_id, rows_state = [], []
         for sid in ids:
             col, factory = specs[sid]
             sk = factory()
-            if hasattr(sk, "update_hashes"):
+            dv = value_counts(col)
+            if dv is not None and hasattr(sk, "update_weighted"):
+                sk.update_weighted(dv[0], dv[1])
+            elif dv is not None and getattr(sk, "SET_SEMANTICS", False):
+                sk.update_arrow(dv[0])  # multiplicity irrelevant
+            elif hasattr(sk, "update_hashes"):
                 if col not in hash_cache:
                     hash_cache[col] = mmh3_128_batch(batch[col])
                 sk.update_hashes(*hash_cache[col])

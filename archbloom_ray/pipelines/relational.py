@@ -1709,7 +1709,7 @@ def rolling_median_k(
         starts = np.flatnonzero(new_key)
         pos = np.arange(n, dtype=np.int64) - starts[seg_id]
         lag = np.full((n, window), np.inf, dtype=np.float64)
-        for j in range(window):
+        for j in range(min(window, n)):   # j >= n: no row has a j-lag
             ok = pos >= j          # lag j stays inside the key segment
             lag[j:, j] = np.where(ok[j:], vals[: n - j] if j else vals,
                                   np.inf)

@@ -39,6 +39,7 @@ _BLOCK_WORDS = _BLOCK_BITS // 64
 @register
 class BlockedBloomFilter(Sketch):
     MAGIC = b"!blkblom"
+    SET_SEMANTICS = True  # multiplicity-blind, like BloomFilter
 
     def __init__(self, expected: int, accuracy: float = 0.01,
                  name: str = "DEFAULT"):

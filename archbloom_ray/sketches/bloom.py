@@ -50,6 +50,10 @@ def _hashcount_trunc(size: int, expected: int) -> int:
 @register
 class BloomFilter(Sketch):
     MAGIC = b"!bloomf!"
+    # membership is multiplicity-blind: updating with the distinct
+    # values of a batch is identical to updating with every row —
+    # lets build_sketches feed value_counts pre-aggregates
+    SET_SEMANTICS = True
 
     def __init__(self, expected: int, accuracy: float = 0.01, name: str = "DEFAULT"):
         if expected <= 0:

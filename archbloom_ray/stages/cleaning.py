@@ -60,9 +60,8 @@ def duplicate_spans(
     probability per pair — the standard trade of hash-based substring
     dedup at scale.
     """
-    from ..hashing import mmh3_64_batch
     from ..pipelines.relational import grouped_agg
-    from .text import token_ngrams_flat
+    from .text import token_window_hash64
 
     P = int(num_partitions)
     GOLD = np.uint64(0x9E3779B97F4A7C15)
@@ -70,11 +69,13 @@ def duplicate_spans(
     def rows(batch: pa.Table) -> pa.Table:
         col = batch[text_col].combine_chunks()
         ids = np.asarray(batch[id_col], dtype=np.int64)
-        grams, doc_idx = token_ngrams_flat(col, n)
+        # window IDENTITY only → hash tokens once + positional window
+        # mix (token_window_hash64): no gram-string column, no
+        # long-string hash passes — same 2^-64 collision contract
+        h, doc_idx = token_window_hash64(col, n)
         tot = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
         present = np.flatnonzero(tot > 0)
-        if len(grams):
-            h = mmh3_64_batch(grams).astype(np.uint64)
+        if len(h):
             # distinct (hash, doc) with occurrence count, in one sort
             order = np.lexsort((h, doc_idx))
             hs, dsx = h[order], doc_idx[order]

@@ -590,16 +590,17 @@ def contamination_check(
     bool — metadata columns ride along, so no re-join is needed."""
     import ray as _ray
 
-    from ..hashing import mmh3_64_batch
     from ..proc_cache import cached_instance
-    from .text import token_ngrams_flat
+    from .text import token_window_hash64
 
     def windows_of(col):
         if mode == "bytes":
             return window_hashes_batch(col, n)
-        grams, doc_idx = token_ngrams_flat(col, n)
-        h = (mmh3_64_batch(grams).astype(np.uint64) if len(grams)
-             else np.empty(0, np.uint64))
+        # window IDENTITY only → token-hash + positional window mix
+        # (no gram-string materialization); both the bench side and
+        # the corpus side go through THIS function, so the equality
+        # contract is internal and the oracle compares only counts
+        h, doc_idx = token_window_hash64(col, n)
         counts = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
         return h, counts
 
@@ -658,18 +659,19 @@ def contamination_check_partitioned(
 
     Returns the DISTINCT contaminated docs: ``id_col`` + ``carry_cols``.
     """
-    from ..hashing import mmh3_64_batch
     from ..pipelines.relational import grouped_agg
-    from .text import token_ngrams_flat
+    from .text import token_window_hash64
 
     carry = list(carry_cols or [])
 
     def windows_of(col):
         if mode == "bytes":
             return window_hashes_batch(col, n)
-        grams, doc_idx = token_ngrams_flat(col, n)
-        h = (mmh3_64_batch(grams).astype(np.uint64) if len(grams)
-             else np.empty(0, np.uint64))
+        # window IDENTITY only → token-hash + positional window mix
+        # (no gram-string materialization); both the bench side and
+        # the corpus side go through THIS function, so the equality
+        # contract is internal and the oracle compares only counts
+        h, doc_idx = token_window_hash64(col, n)
         counts = np.bincount(doc_idx, minlength=len(col)).astype(np.int64)
         return h, counts
 

@@ -553,6 +553,48 @@ def token_ngrams_flat(col, n: int) -> tuple[pa.Array, np.ndarray]:
     return grams.filter(pa.array(mask)), doc_of[: n_pos][mask]
 
 
+def token_window_hash64(col, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """uint64 hashes of every within-document lowercased word
+    ``n``-gram WITHOUT materializing gram strings: tokens are
+    mmh3_64-hashed ONCE (short strings — 1 mixing block instead of the
+    3+ a joined 35-byte gram costs), then each window combines its
+    ``n`` consecutive token hashes with a positional rotate-multiply-
+    xor chain + final avalanche.  Equal token sequences hash equal;
+    distinct sequences collide with ~2⁻⁶⁴ probability — the same
+    contract as mmh3-over-gram-string, minus the gram-column
+    allocation and the long-string hash passes (the DRAM economy this
+    host rewards; see CLAUDE.md).  Positional (non-commutative) mix:
+    "a b" and "b a" differ.
+
+    Returns ``(h, doc_idx)`` aligned with
+    ``token_ngrams_flat(col, n)``'s windows.  Use where only window
+    IDENTITY is consumed (duplicate-span counts, decontamination);
+    keep :func:`token_ngrams_flat` where the gram STRINGS survive
+    (indexes, PMI, top-k reports)."""
+    from ..hashing import mmh3_64_batch
+
+    trimmed, toks = _tokens_of(col)
+    flat = pc.utf8_lower(toks.flatten())
+    n_flat = len(flat)
+    tok_counts = np.asarray(pc.list_value_length(toks), dtype=np.int64)
+    if n_flat < n:
+        return np.empty(0, np.uint64), np.empty(0, np.int64)
+    h = mmh3_64_batch(flat).astype(np.uint64)
+    n_pos = n_flat - n + 1
+    with np.errstate(over="ignore"):
+        acc = h[:n_pos].copy()
+        for j in range(1, n):
+            acc = ((acc << np.uint64(31)) | (acc >> np.uint64(33))) \
+                * np.uint64(0x87C37B91114253D5)
+            acc ^= h[j: j + n_pos]
+        acc ^= acc >> np.uint64(33)
+        acc *= np.uint64(0xFF51AFD7ED558CCD)
+        acc ^= acc >> np.uint64(33)
+    doc_of = np.repeat(np.arange(len(toks), dtype=np.int64), tok_counts)
+    mask = doc_of[: n_pos] == doc_of[n - 1:]
+    return acc[mask], doc_of[: n_pos][mask]
+
+
 def top_bigrams(ds: "ray.data.Dataset", text_col: str = "text",
                 k: int = 20) -> pa.Table:
     """Corpus-wide top-``k`` word bigrams by exact count, deterministic
