@@ -235,6 +235,39 @@ def cmd_transform(args):
     print(json.dumps({"output": args.output, **report}))
 
 
+def cmd_run(args):
+    """Run any named ``queries()`` pipeline over a table directory and
+    print (or write) the result — the ``ray job submit`` entry point:
+    ``python -m archbloom_ray.cli run lang_doc_counts --sf-dir DIR
+    [--out out.parquet]``.  ``--list`` enumerates the catalog."""
+    from . import queries as q
+
+    catalog = q.queries()
+    if args.name == "list":
+        for name in sorted(catalog):
+            print(name)
+        return
+    if args.name not in catalog:
+        raise SystemExit(f"unknown query {args.name!r} — try 'run list'")
+    _ray_init(args.num_cpus)
+    res = catalog[args.name](args.sf_dir)
+    import pyarrow as pa
+
+    if isinstance(res, pa.Table):
+        pass
+    elif hasattr(res, "to_pandas"):      # ray Dataset
+        res = pa.Table.from_pandas(res.to_pandas())
+    else:                                # pandas DataFrame
+        res = pa.Table.from_pandas(res)
+    if args.out:
+        pa.parquet.write_table(res, args.out)
+        print(json.dumps({"query": args.name, "rows": res.num_rows,
+                          "out": args.out}))
+    else:
+        print(res.slice(0, args.limit).to_pandas().to_string())
+        print(json.dumps({"query": args.name, "rows": res.num_rows}))
+
+
 def cmd_index_build(args):
     """Build a persisted inverted index (stages.index) over a parquet
     corpus: distinct (term, doc) postings hive-partitioned by term
@@ -409,6 +442,14 @@ def main(argv=None):
                     help="comma list of quality,fingerprint,langid")
     sp.add_argument("--batch-size", type=int, default=65536)
     sp.set_defaults(fn=cmd_transform)
+
+    sp = sub.add_parser("run")
+    sp.add_argument("name", help="queries() pipeline name, or 'list'")
+    sp.add_argument("--sf-dir", default="/root/testdata/sf0.001")
+    sp.add_argument("--out", default=None, help="write result parquet here")
+    sp.add_argument("--limit", type=int, default=20,
+                    help="rows to print when --out is not given")
+    sp.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)
     args.fn(args)

@@ -187,3 +187,20 @@ def test_create_new_sketch_kinds(keys_parquet, tmp_path):
             "--kind", "theta", "--sketch-k", "512")
     info = json.loads(run_cli("info", th).stdout.strip().splitlines()[-1])
     assert info["type"] == "ThetaSketch" and info["k"] == 512
+
+
+def test_run_named_query(ray_session, tmp_path, capsys):
+    from archbloom_ray.cli import main
+
+    main(["run", "list"])
+    names = capsys.readouterr().out.split()
+    assert "lang_doc_counts" in names and "diversity_by_source" in names
+
+    out = str(tmp_path / "res.parquet")
+    main(["run", "diversity_by_source",
+          "--sf-dir", "/root/testdata/sf0.001", "--out", out])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["rows"] == pq.read_table(out).num_rows > 0
+
+    with pytest.raises(SystemExit):
+        main(["run", "no_such_query"])
