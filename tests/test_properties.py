@@ -359,3 +359,24 @@ def test_grouped_selection_quantiles_match_sorted(ray_session, rows, buckets):
             else:
                 want = float(sv[lo]) * (1 - frac) + float(sv[lo + 1]) * frac
             assert r[col] == want, (r["k"], q)
+
+
+@settings(max_examples=40, deadline=None)
+@given(texts, st.integers(min_value=1, max_value=6))
+def test_token_window_hash_matches_gram_identity(docs, n):
+    """token_window_hash64 must induce EXACTLY the same equality
+    partition as the gram strings: equal n-grams → equal hashes,
+    distinct n-grams → distinct hashes (2^-64 collisions are
+    practically unobservable at test sizes)."""
+    from archbloom_ray.stages.text import token_ngrams_flat, token_window_hash64
+
+    col = pa.array(docs, type=pa.string())
+    h, di = token_window_hash64(col, n)
+    g, dg = token_ngrams_flat(col, n)
+    assert np.array_equal(di, dg)
+    assert len(h) == len(g)
+    seen: dict = {}
+    rev: dict = {}
+    for gram, hh in zip(g.to_pylist(), h.tolist()):
+        assert seen.setdefault(gram, hh) == hh        # consistency
+        assert rev.setdefault(hh, gram) == gram       # injectivity
