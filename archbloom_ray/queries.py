@@ -4938,6 +4938,54 @@ def q_lang_chars_quantiles_sel(sf_dir: str):
                                           [0.5, 0.9])
 
 
+def q_winsorized_chars_by_lang(sf_dir: str):
+    """Winsorized per-language length statistics: clip n_chars into the
+    language's DISCRETE [p05, p95] band, then exact sums — the robust
+    mean a curation dashboard reports when tails are corrupt but n must
+    stay constant (contrast `chars_trimmed_by_lang`, which DROPS the
+    tails).  percentile_disc bounds keep every clipped value int64, so
+    the whole aggregate is integer-exact and the only float op is the
+    final mean division.  Shape: one distinct-histogram exchange for
+    the bounds (grouped_percentile_disc), bounds broadcast back as a
+    tiny per-lang lut, one grouped sum/count scan."""
+    from .pipelines.relational import grouped_percentile_disc
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    brows = grouped_percentile_disc(ds, ["lang"], "n_chars",
+                                    [0.05, 0.95]).take_all()
+    lo = {r["lang"]: int(r["p05"]) for r in brows}
+    hi = {r["lang"]: int(r["p95"]) for r in brows}
+    ref = ray.put((lo, hi))
+
+    def clip(batch: pa.Table) -> pa.Table:
+        lut_lo, lut_hi = ray.get(ref)
+        enc = batch["lang"].combine_chunks().dictionary_encode()
+        dl = np.asarray([lut_lo[s] for s in enc.dictionary.to_pylist()],
+                        dtype=np.int64)
+        dh = np.asarray([lut_hi[s] for s in enc.dictionary.to_pylist()],
+                        dtype=np.int64)
+        idx = np.asarray(enc.indices)
+        v = np.asarray(batch["n_chars"], dtype=np.int64)
+        return pa.table({"lang": batch["lang"],
+                         "w": pa.array(np.clip(v, dl[idx], dh[idx]))})
+
+    agg = grouped_agg(
+        ds.map_batches(clip, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [("wins_sum", "w", "sum"), ("n_docs", None, "count")])
+    rows = sorted(agg.take_all(), key=lambda r: r["lang"])
+    ws = np.asarray([r["wins_sum"] for r in rows], dtype=np.int64)
+    nd = np.asarray([r["n_docs"] for r in rows], dtype=np.int64)
+    langs = [r["lang"] for r in rows]
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "lo_disc": pa.array([lo[x] for x in langs], pa.int64()),
+        "hi_disc": pa.array([hi[x] for x in langs], pa.int64()),
+        "wins_sum": pa.array(ws), "n_docs": pa.array(nd),
+        "wins_mean": pa.array(ws.astype(np.float64) / nd.astype(np.float64),
+                              type=pa.float64()),
+    })
+
+
 def q_source_rule_filter(sf_dir: str):
     """Ordered allow/deny rule engine over the source column — the
     blocklist/allowlist gate every crawl pipeline runs first.  Rules
@@ -5510,6 +5558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_sel": q_chars_quantiles_sel,
         "cusum_daily_events": q_cusum_daily_events,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
+        "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7578,6 +7627,24 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "winsorized_chars_by_lang": """
+            WITH b AS (
+                SELECT lang,
+                       percentile_disc(0.05) WITHIN GROUP (ORDER BY n_chars)
+                           AS lo,
+                       percentile_disc(0.95) WITHIN GROUP (ORDER BY n_chars)
+                           AS hi
+                FROM documents GROUP BY lang)
+            SELECT d.lang, CAST(lo AS BIGINT) AS lo_disc,
+                   CAST(hi AS BIGINT) AS hi_disc,
+                   CAST(sum(greatest(lo, least(hi, n_chars))) AS BIGINT)
+                       AS wins_sum,
+                   CAST(count(*) AS BIGINT) AS n_docs,
+                   CAST(sum(greatest(lo, least(hi, n_chars))) AS DOUBLE)
+                       / count(*) AS wins_mean
+            FROM documents d JOIN b USING (lang)
+            GROUP BY d.lang, lo, hi ORDER BY d.lang
         """,
         "cusum_daily_events": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
