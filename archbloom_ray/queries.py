@@ -4938,6 +4938,30 @@ def q_lang_chars_quantiles_sel(sf_dir: str):
                                           [0.5, 0.9])
 
 
+def q_roaring_distinct_users(sf_dir: str):
+    """EXACT per-event-type distinct-user counts via the Roaring
+    compressed bitmap (sketches/roaring.py) — the LOSSLESS mergeable
+    UDAF beside the approximate distinct family: same distributed build
+    as hll_distinct_by_lang (per-batch partial states → salted groupby
+    OR-merge; merge is associative/commutative set union), but because
+    the union is exact the count hash-matches SQL COUNT(DISTINCT)
+    instead of being bound-certified.  State is Θ(distinct) with a hard
+    8 KB ceiling per 64 Ki-value range — the OLAP engines' standard
+    count-distinct materialization for integer keys."""
+    from .pipelines import build_grouped_sketches, grouped_to_dict
+    from .sketches import RoaringBitmap
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id"])
+    sks = grouped_to_dict(build_grouped_sketches(
+        ds, "event_type", "user_id", RoaringBitmap, salt=4))
+    rows = sorted(sks.items())
+    return pa.table({
+        "event_type": pa.array([k for k, _ in rows], pa.string()),
+        "distinct_users": pa.array([s.cardinality() for _, s in rows],
+                                   pa.int64()),
+    })
+
+
 def q_winsorized_chars_by_lang(sf_dir: str):
     """Winsorized per-language length statistics: clip n_chars into the
     language's DISCRETE [p05, p95] band, then exact sums — the robust
@@ -5559,6 +5583,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": q_cusum_daily_events,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
+        "roaring_distinct_users": q_roaring_distinct_users,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7627,6 +7652,12 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "roaring_distinct_users": """
+            SELECT event_type,
+                   CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS distinct_users
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "winsorized_chars_by_lang": """
             WITH b AS (

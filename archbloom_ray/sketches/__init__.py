@@ -17,6 +17,7 @@ from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import XorFilter
 from .fd import FrequentDirections
+from .roaring import RoaringBitmap
 
 __all__ = [
     "Sketch",
@@ -41,4 +42,5 @@ __all__ = [
     "DDSketch",
     "XorFilter",
     "FrequentDirections",
+    "RoaringBitmap",
 ]
