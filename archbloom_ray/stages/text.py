@@ -297,17 +297,24 @@ def quality_features_arrow(col) -> dict[str, np.ndarray]:
     # native narrow dtypes (int32 codes/lengths, bool hits) and widen
     # only inside reduceat's accumulator — on this DRAM-bound host the
     # int64 astype copies alone cost more than the sort
-    tok_len = _np(pc.utf8_length(flat_lower))
+    # dictionary-encode FIRST and answer every per-token string question
+    # on the (tiny) dictionary, gathering through the int32 codes:
+    # utf8_length and stopword is_in over 4M flat tokens each stream the
+    # full string payload; over a ~3k-word dictionary they're free
+    # (measured 0.134 → 0.028 s per 100k docs, and two fewer full-string
+    # DRAM passes under concurrency)
+    enc = pc.dictionary_encode(flat_lower)
+    codes32 = _np(enc.indices)
+    dict_len = _np(pc.utf8_length(enc.dictionary)).astype(np.int32)
+    stops = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
+    dict_stop = np.asarray(pc.is_in(enc.dictionary, value_set=stops))
     starts = np.zeros(n, np.int64)
     np.cumsum(counts[:-1], out=starts[1:])
-    sum_len = np.add.reduceat(tok_len, starts, dtype=np.int64)
-    stops = pa.array(sorted(_STOPWORDS["en"]), type=pa.string())
-    hits = np.add.reduceat(
-        _np(pc.is_in(flat_lower, value_set=stops)), starts, dtype=np.int64)
-    # distinct lower-cased tokens per document: dictionary-encode the
-    # flat tokens, then one composite (doc, code) sort + boundary count
-    # (~15x faster than a two-key lexsort)
-    codes32 = _np(pc.dictionary_encode(flat_lower).indices)
+    sum_len = np.add.reduceat(dict_len[codes32], starts, dtype=np.int64)
+    hits = np.add.reduceat(dict_stop[codes32], starts, dtype=np.int64)
+    # distinct lower-cased tokens per document: one composite
+    # (doc, code) sort + boundary count (~15x faster than a two-key
+    # lexsort)
     vocab = int(codes32.max()) + 1 if codes32.size else 1
     if n * vocab < (1 << 31):
         seg32 = np.repeat(np.arange(n, dtype=np.int32), counts)
