@@ -49,7 +49,7 @@ def _make_sketch(kind: str, args) -> "object":
                            CountingBloomFilter, CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
                            KMVSketch, SparseHLL, TDigest, ThetaSketch,
-                           TimeDecayingBloomFilter,
+                           RoaringBitmap, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
 
     kinds = {
@@ -68,6 +68,8 @@ def _make_sketch(kind: str, args) -> "object":
         "ddsketch": lambda: DDSketch(alpha=args.dd_alpha),
         "kmv": lambda: KMVSketch(args.sketch_k),
         "theta": lambda: ThetaSketch(args.sketch_k),
+        # integer-key exact set (raises a clean SketchError on strings)
+        "roaring": lambda: RoaringBitmap(),
     }
     return kinds[kind]()
 
@@ -341,7 +343,7 @@ def main(argv=None):
                         choices=["bloom", "blockedbloom", "cbloom", "tdbloom",
                                  "tdcbloom", "cuckoo", "hll", "sparsehll",
                                  "cms", "tdigest", "kll", "ddsketch",
-                                 "kmv", "theta"])
+                                 "kmv", "theta", "roaring"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)

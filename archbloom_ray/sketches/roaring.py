@@ -131,6 +131,10 @@ class RoaringBitmap(Sketch):
                 out[m] = res
         return out
 
+    def finalize(self) -> dict:
+        return {"cardinality": self.cardinality(),
+                "n_containers": len(self.containers)}
+
     # -- merge ---------------------------------------------------------
     def merge(self, other: "RoaringBitmap") -> "RoaringBitmap":
         self._check_compatible(other)
