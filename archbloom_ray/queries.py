@@ -4938,6 +4938,36 @@ def q_lang_chars_quantiles_sel(sf_dir: str):
                                           [0.5, 0.9])
 
 
+def q_script_mix_by_lang(sf_dir: str):
+    """Unicode-SCRIPT character mix per language — the script-vs-label
+    consistency audit a multilingual crawl runs to catch mislabeled or
+    transliterated docs (a 'ru' doc with zero Cyrillic chars is
+    suspect).  One Arrow re2 `count_substring_regex` pass per script
+    class (`\\p{Latin}` etc.) + a grouped int64 sum; DuckDB's regexp
+    engine is the same RE2, so `len(regexp_extract_all(...))` counts
+    identically and the query is oracle-green."""
+    scripts = [("n_latin", r"\p{Latin}"), ("n_cyrillic", r"\p{Cyrillic}"),
+               ("n_han", r"\p{Han}"), ("n_arabic", r"\p{Arabic}")]
+
+    def count(batch: pa.Table) -> pa.Table:
+        txt = pc.fill_null(batch["text"].combine_chunks(), "")
+        cols = {"lang": batch["lang"]}
+        for name, pat in scripts:
+            cols[name] = pc.cast(pc.count_substring_regex(txt, pat),
+                                 pa.int64())
+        return pa.table(cols)
+
+    agg = grouped_agg(
+        _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+            count, batch_format="pyarrow", zero_copy_batch=True),
+        ["lang"], [(n, n, "sum") for n, _ in scripts])
+    rows = sorted(agg.take_all(), key=lambda r: r["lang"])
+    out = {"lang": pa.array([r["lang"] for r in rows], pa.string())}
+    for name, _ in scripts:
+        out[name] = pa.array([r[name] for r in rows], pa.int64())
+    return pa.table(out)
+
+
 def q_roaring_distinct_users(sf_dir: str):
     """EXACT per-event-type distinct-user counts via the Roaring
     compressed bitmap (sketches/roaring.py) — the LOSSLESS mergeable
@@ -5584,6 +5614,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
+        "script_mix_by_lang": q_script_mix_by_lang,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7651,6 +7682,18 @@ def oracle_sql() -> dict[str, str]:
         "lang_chars_quantiles_sel": """
             SELECT lang, quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
+            FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "script_mix_by_lang": r"""
+            SELECT lang,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\p{Latin}'))) AS BIGINT) AS n_latin,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\p{Cyrillic}'))) AS BIGINT) AS n_cyrillic,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\p{Han}'))) AS BIGINT) AS n_han,
+                   CAST(sum(len(regexp_extract_all(coalesce(text, ''),
+                       '\p{Arabic}'))) AS BIGINT) AS n_arabic
             FROM documents GROUP BY lang ORDER BY lang
         """,
         "roaring_distinct_users": """
