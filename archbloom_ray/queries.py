@@ -4902,6 +4902,38 @@ def q_cusum_daily_events(sf_dir: str):
     })
 
 
+def q_autocorr_daily_events(sf_dir: str):
+    """Lag-1 autocovariance diagnostics of the daily event rate — the
+    time-series health check beside cusum (is the rate trending /
+    mean-reverting or i.i.d.?).  Integer-exact via mean-scaling: with
+    S = Σc and D = #days, the centered product Σ(c_t·D − S)(c_{t+1}·D
+    − S) and the variance term Σ(c_t·D − S)² are exact int64 (the
+    autocorrelation is their ratio, left to the caller — no float
+    enters the hash compare).  Shape: grouped count per day, driver
+    pass over the tiny day table; SQL mirror is lead() OVER day order."""
+    ds = _read(sf_dir, "events", ["ts"])
+
+    def to_day(batch: pa.Table) -> pa.Table:
+        us = pc.cast(batch["ts"].combine_chunks(), pa.int64())
+        return pa.table({"day": pc.divide(us, pa.scalar(86_400_000_000))})
+
+    counts = grouped_agg(
+        ds.map_batches(to_day, batch_format="pyarrow", zero_copy_batch=True),
+        ["day"], [("n", None, "count")])
+    rows = sorted(counts.take_all(), key=lambda r: r["day"])
+    n = np.asarray([r["n"] for r in rows], dtype=np.int64)
+    dd, tot = len(rows), int(n.sum())
+    r = n * dd - tot                      # scaled residuals, exact
+    num = int((r[:-1] * r[1:]).sum()) if dd > 1 else 0
+    den = int((r * r).sum())
+    return pa.table({
+        "n_days": pa.array([dd], pa.int64()),
+        "total_events": pa.array([tot], pa.int64()),
+        "autocov_num": pa.array([num], pa.int64()),
+        "var_den": pa.array([den], pa.int64()),
+    })
+
+
 def q_chars_quantiles_sel(sf_dir: str):
     """Exact global p50/p90/p99 of document length via DISTRIBUTED
     SELECTION (pipelines.relational.quantiles_by_selection): iterative
@@ -5611,6 +5643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chars_quantiles_sel": q_chars_quantiles_sel,
         "cusum_daily_events": q_cusum_daily_events,
+        "autocorr_daily_events": q_autocorr_daily_events,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
@@ -7719,6 +7752,21 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS wins_mean
             FROM documents d JOIN b USING (lang)
             GROUP BY d.lang, lo, hi ORDER BY d.lang
+        """,
+        "autocorr_daily_events": """
+            WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1),
+            t AS (SELECT count(*) AS dd, sum(n) AS tot FROM c),
+            r AS (SELECT day, n * dd - tot AS res,
+                         lead(n * dd - tot) OVER (ORDER BY day) AS nxt
+                  FROM c, t)
+            SELECT (SELECT CAST(dd AS BIGINT) FROM t) AS n_days,
+                   (SELECT CAST(tot AS BIGINT) FROM t) AS total_events,
+                   CAST(coalesce(sum(res * nxt), 0) AS BIGINT)
+                       AS autocov_num,
+                   CAST(sum(res * res) AS BIGINT) AS var_den
+            FROM r
         """,
         "cusum_daily_events": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
