@@ -4902,6 +4902,76 @@ def q_cusum_daily_events(sf_dir: str):
     })
 
 
+def q_q3_unshipped_orders(sf_dir: str):
+    """TPC-H Q3 shape — top-10 'unshipped' orders by revenue for one
+    market segment: dim-filter (BUILDING custkeys, broadcast as a
+    sorted array — the customer dim stays a dim at 100 TB), fact
+    filters pushed into the pre-join preps (orders before / lineitems
+    shipped after the cut date), ONE large-large hash join, grouped
+    integer-micro revenue, local-top-k merge (no global sort).
+    Revenue is exact: price_cents · (100 − discount_pct) int64."""
+    from .pipelines import topk_rows
+    from .pipelines.relational import hash_join
+
+    CUT_US = 883_612_800_000_000  # 1998-01-01 epoch µs
+
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_mktsegment"])
+    keys = np.sort(np.asarray(
+        cust.filter(pc.equal(cust["c_mktsegment"], "BUILDING"))["c_custkey"],
+        dtype=np.int64))
+    ref = ray.put(keys)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        ks = ray.get(ref)
+        pos = np.searchsorted(ks, ck)
+        pos_ok = np.minimum(pos, ks.size - 1)
+        keep = (dt < CUT_US) & (ks.size > 0) & (ks[pos_ok] == ck)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "o_date_us": pa.array(dt[keep]),
+        })
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = sd > CUT_US
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "rev_micros": pa.array(rev),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount",
+                "l_shipdate"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = hash_join(li, orders, "l_orderkey", "o_orderkey")
+    scored = grouped_agg(joined, ["l_orderkey", "o_date_us"],
+                         [("revenue_micros", "rev_micros", "sum")])
+    top = topk_rows(scored, [("revenue_micros", "descending"),
+                             ("o_date_us", "ascending"),
+                             ("l_orderkey", "ascending")], 10)
+    return pa.table({
+        "l_orderkey": pc.cast(top["l_orderkey"].combine_chunks(), pa.int64()),
+        "o_date_us": pc.cast(top["o_date_us"].combine_chunks(), pa.int64()),
+        "revenue_micros": pc.cast(top["revenue_micros"].combine_chunks(),
+                                  pa.int64()),
+    })
+
+
 def q_autocorr_daily_events(sf_dir: str):
     """Lag-1 autocovariance diagnostics of the daily event rate — the
     time-series health check beside cusum (is the rate trending /
@@ -5644,6 +5714,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "chars_quantiles_sel": q_chars_quantiles_sel,
         "cusum_daily_events": q_cusum_daily_events,
         "autocorr_daily_events": q_autocorr_daily_events,
+        "q3_unshipped_orders": q_q3_unshipped_orders,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
@@ -7752,6 +7823,22 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS wins_mean
             FROM documents d JOIN b USING (lang)
             GROUP BY d.lang, lo, hi ORDER BY d.lang
+        """,
+        "q3_unshipped_orders": """
+            SELECT l_orderkey,
+                   CAST(epoch_us(o_orderdate) AS BIGINT) AS o_date_us,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))) AS BIGINT)
+                       AS revenue_micros
+            FROM customer, orders, lineitem
+            WHERE c_mktsegment = 'BUILDING'
+              AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate < TIMESTAMP '1998-01-01'
+              AND l_shipdate > TIMESTAMP '1998-01-01'
+            GROUP BY l_orderkey, o_orderdate
+            ORDER BY revenue_micros DESC, o_date_us, l_orderkey
+            LIMIT 10
         """,
         "autocorr_daily_events": """
             WITH c AS (SELECT epoch_us(ts) // 86400000000 AS day,
