@@ -1000,6 +1000,7 @@ def quantiles_by_selection(
     *,
     buckets: int = 4096,
     max_passes: int = 64,
+    decode=float,
 ) -> list[float]:
     """Exact ungrouped ``quantile_cont`` over an INTEGER column with NO
     global sort and NO single-group funnel: iterative histogram
@@ -1079,7 +1080,12 @@ def quantiles_by_selection(
                 m = v[(v >= lo) & (v <= hi)]
                 if len(m) == 0:
                     continue
-                bc = np.bincount((m - lo) // chunk)
+                # wrap-safe uint64 subtraction: a full-int64-domain range
+                # (float order keys) overflows (m - lo) in int64
+                with np.errstate(over="ignore"):
+                    diff = m.astype(np.uint64) \
+                        - np.int64(lo).astype(np.uint64)
+                bc = np.bincount((diff // np.uint64(chunk)).astype(np.int64))
                 nz = np.flatnonzero(bc)
                 rid_o.append(np.full(len(nz), rid, dtype=np.int64))
                 bkt_o.append(nz.astype(np.int64))
@@ -1120,13 +1126,60 @@ def quantiles_by_selection(
 
     out = []
     for (k, frac), q in zip(plan, qs):
-        a = float(resolved[k])
+        a = decode(resolved[k])
         if frac == 0.0 or k + 1 >= n:
             out.append(a)
         else:
-            b = float(resolved[k + 1])
+            b = decode(resolved[k + 1])
             out.append(a * (1 - frac) + b * frac)
     return out
+
+
+def _f64_order_keys(v: np.ndarray) -> np.ndarray:
+    """Order-preserving, exactly invertible float64 → int64 map (the
+    IEEE total-order trick: flip all bits of negatives, nothing of
+    positives, then re-bias into signed range).  NaNs are rejected —
+    they have no place in a total value order."""
+    if np.isnan(v).any():
+        raise ValueError("float selection: NaNs in value column")
+    u = v.view(np.uint64)
+    m2 = np.where((u >> np.uint64(63)) == np.uint64(1),
+                  np.uint64(0x7FFFFFFFFFFFFFFF), np.uint64(0))
+    return (u ^ m2).view(np.int64)
+
+
+def _f64_from_order_key(k: int) -> float:
+    u = np.int64(k).view(np.uint64)
+    if (u >> np.uint64(63)) == np.uint64(1):
+        u = u ^ np.uint64(0x7FFFFFFFFFFFFFFF)
+    return float(u.view(np.float64))
+
+
+def float_quantiles_by_selection(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    qs: list[float],
+    *,
+    buckets: int = 4096,
+    max_passes: int = 64,
+) -> list[float]:
+    """Exact ``quantile_cont`` over a FLOAT column by the same
+    histogram-narrowing selection: floats are mapped through the
+    order-preserving IEEE bit trick (:func:`_f64_order_keys`) so the
+    integer core applies unchanged, and each resolved rank decodes back
+    to the EXACT double before DuckDB's ``a*(1-frac)+b*frac``
+    interpolation — bit-exact against SQL.  64-bit key space ⇒ ≤6
+    passes at the default 4096 buckets."""
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[value_col], dtype=np.float64)
+        return pa.table({"_ok": pa.array(_f64_order_keys(v))})
+
+    keyed_ds = ds.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    return quantiles_by_selection(keyed_ds, "_ok", qs, buckets=buckets,
+                                  max_passes=max_passes,
+                                  decode=_f64_from_order_key)
 
 
 def grouped_quantiles_by_selection(
@@ -1230,7 +1283,10 @@ def grouped_quantiles_by_selection(
                 m = (v >= lo) & (v <= hi) & (sid >= 0)
                 if not m.any():
                     continue
-                bkt = (v[m] - lo[m]) // s_ch[gid[m], j]
+                with np.errstate(over="ignore"):  # wrap-safe full-domain diff
+                    diff = v[m].astype(np.uint64) - lo[m].astype(np.uint64)
+                bkt = (diff // s_ch[gid[m], j].astype(np.uint64)) \
+                    .astype(np.int64)
                 comp = sid[m] * nbuckets + bkt
                 bc = np.bincount(comp)
                 nz = np.flatnonzero(bc)

@@ -4972,6 +4972,25 @@ def q_q3_unshipped_orders(sf_dir: str):
     })
 
 
+def q_value_quantiles_sel(sf_dir: str):
+    """Exact p50/p95/p99 of the FLOAT event-value column via
+    distributed selection over the order-preserving IEEE bit map
+    (relational.float_quantiles_by_selection): each resolved rank
+    decodes back to the exact double, so even a float column gets the
+    sort-free, funnel-free selection plan with bit-exact SQL parity —
+    64-bit key space converges in ≤6 histogram passes."""
+    from .pipelines.relational import float_quantiles_by_selection
+
+    ds = _read(sf_dir, "events", ["value"])
+    v50, v95, v99 = float_quantiles_by_selection(ds, "value",
+                                                 [0.5, 0.95, 0.99])
+    return pa.table({
+        "q0_5": pa.array([v50], pa.float64()),
+        "q0_95": pa.array([v95], pa.float64()),
+        "q0_99": pa.array([v99], pa.float64()),
+    })
+
+
 def q_autocorr_daily_events(sf_dir: str):
     """Lag-1 autocovariance diagnostics of the daily event rate — the
     time-series health check beside cusum (is the rate trending /
@@ -5715,6 +5734,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": q_cusum_daily_events,
         "autocorr_daily_events": q_autocorr_daily_events,
         "q3_unshipped_orders": q_q3_unshipped_orders,
+        "value_quantiles_sel": q_value_quantiles_sel,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
@@ -7823,6 +7843,12 @@ def oracle_sql() -> dict[str, str]:
                        / count(*) AS wins_mean
             FROM documents d JOIN b USING (lang)
             GROUP BY d.lang, lo, hi ORDER BY d.lang
+        """,
+        "value_quantiles_sel": """
+            SELECT quantile_cont(value, 0.5) AS q0_5,
+                   quantile_cont(value, 0.95) AS q0_95,
+                   quantile_cont(value, 0.99) AS q0_99
+            FROM events
         """,
         "q3_unshipped_orders": """
             SELECT l_orderkey,

@@ -380,3 +380,33 @@ def test_token_window_hash_matches_gram_identity(docs, n):
     for gram, hh in zip(g.to_pylist(), h.tolist()):
         assert seen.setdefault(gram, hh) == hh        # consistency
         assert rev.setdefault(hh, gram) == gram       # injectivity
+
+
+@settings(max_examples=15, deadline=None)
+@given(st.lists(st.floats(allow_nan=False, allow_infinity=False,
+                          width=64),
+                min_size=1, max_size=250),
+       st.integers(min_value=2, max_value=64))
+def test_float_selection_quantiles_match_sorted(ray_session, vals, buckets):
+    """Float selection must be bit-exact vs sorted-array quantile_cont
+    over ANY doubles — subnormals, huge magnitudes, negatives, ±0."""
+    import ray.data as rd
+
+    from archbloom_ray.pipelines.relational import (
+        float_quantiles_by_selection)
+
+    qs = [0.0, 0.31, 0.5, 0.97, 1.0]
+    ds = rd.from_arrow(pa.table({"x": pa.array(vals, pa.float64())}))
+    got = float_quantiles_by_selection(ds, "x", qs, buckets=buckets)
+    sv = np.sort(np.asarray(vals, dtype=np.float64))
+    n = len(sv)
+    want = []
+    for q in qs:
+        h = q * (n - 1)
+        lo = int(np.floor(h))
+        frac = h - lo
+        if frac == 0.0 or lo + 1 >= n:
+            want.append(float(sv[lo]))
+        else:
+            want.append(float(sv[lo]) * (1 - frac) + float(sv[lo + 1]) * frac)
+    assert got == want
