@@ -5059,6 +5059,55 @@ def q_lang_chars_quantiles_sel(sf_dir: str):
                                           [0.5, 0.9])
 
 
+def q_multimodal_dhash_clusters(sf_dir: str):
+    """Multimodal plumbing exercised through the driver contract:
+    deterministic P6 PPM payloads are planted per document (pattern
+    index ``doc_id % 37`` — 37 distinct seeded-random 16×24 RGB images,
+    pairwise-distinct dHashes ASSERTED at build), decoded by the REAL
+    library-free PPM codec (stages.multimodal.DecodeImage), perceptual-
+    hashed (dhash64) and exact-grouped into duplicate clusters.  The
+    output cluster-size histogram mirrors the PLANT in SQL
+    (``doc_id % 37``), so the whole binary-column → decode → hash →
+    group pipeline is oracle-green rather than rows-only.  The payload
+    LUT builds once per worker process (proc_cache)."""
+    from .proc_cache import cached_instance
+    from .stages.multimodal import DecodeImage, ImageDHash, dhash64, encode_ppm
+
+    K = 37
+
+    def _payload_lut():
+        lut, hashes = [], set()
+        for p in range(K):
+            rng = np.random.default_rng(1000 + p)
+            img = rng.integers(0, 256, (16, 24, 3), dtype=np.uint8)
+            h = dhash64(img)
+            if h in hashes:  # pragma: no cover — seeds chosen collision-free
+                raise RuntimeError("planted pattern dhash collision")
+            hashes.add(h)
+            lut.append(encode_ppm(img))
+        return lut
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lut = cached_instance(("mm_dhash_lut", K), _payload_lut)
+        pay = [lut[int(j)] for j in ids % K]
+        return pa.table({"doc_id": pa.array(ids),
+                         "image": pa.array(pay, pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True)
+    decoded = ds.map_batches(DecodeImage("image"), batch_format="pyarrow")
+    hashed = decoded.map_batches(ImageDHash("doc_id"),
+                                 batch_format="pyarrow")
+    sizes = grouped_agg(hashed, ["dhash"], [("sz", None, "count")])
+    hist = grouped_agg(sizes, ["sz"], [("n_clusters", None, "count")])
+    rows = sorted(hist.take_all(), key=lambda r: r["sz"])
+    return pa.table({
+        "cluster_size": pa.array([r["sz"] for r in rows], pa.int64()),
+        "n_clusters": pa.array([r["n_clusters"] for r in rows], pa.int64()),
+    })
+
+
 def q_script_mix_by_lang(sf_dir: str):
     """Unicode-SCRIPT character mix per language — the script-vs-label
     consistency audit a multilingual crawl runs to catch mislabeled or
@@ -5739,6 +5788,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
         "script_mix_by_lang": q_script_mix_by_lang,
+        "multimodal_dhash_clusters": q_multimodal_dhash_clusters,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7807,6 +7857,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, quantile_cont(n_chars, 0.5) AS q0_5,
                    quantile_cont(n_chars, 0.9) AS q0_9
             FROM documents GROUP BY lang ORDER BY lang
+        """,
+        "multimodal_dhash_clusters": """
+            WITH g AS (SELECT doc_id % 37 AS grp, count(*) AS sz
+                       FROM documents GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY sz ORDER BY sz
         """,
         "script_mix_by_lang": r"""
             SELECT lang,
