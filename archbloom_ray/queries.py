@@ -5108,6 +5108,56 @@ def q_multimodal_dhash_clusters(sf_dir: str):
     })
 
 
+def q_multimodal_audio_clusters(sf_dir: str):
+    """The audio twin of `multimodal_dhash_clusters`, exercising the
+    ACTOR-POOL stages in the driver contract: planted WAV payloads
+    (pattern ``doc_id % 23`` — 23 seeded int16 PCM clips with
+    pairwise-distinct zero-crossing counts, asserted at build) run
+    through stages.multimodal.audio_pipeline (DecodeAudio →
+    AudioFeatures actor pools, real RIFF/WAV codec), then exact
+    clustering on the integer zero-crossings feature.  The cluster-size
+    histogram mirrors the plant in SQL (``doc_id % 23``) — oracle-green
+    through two actor-pool stages and a binary column."""
+    from .proc_cache import cached_instance
+    from .stages.multimodal import audio_pipeline, decode_wav, encode_wav
+
+    K = 23
+
+    def _wav_lut():
+        lut, zcs = [], set()
+        for p in range(K):
+            rng = np.random.default_rng(2000 + p)
+            pcm = rng.integers(-20000, 20000,
+                               640 + 16 * p).astype(np.int16)
+            payload = encode_wav(pcm, 16_000)
+            mono, _ = decode_wav(payload)
+            zc = int((np.signbit(mono[1:]) != np.signbit(mono[:-1])).sum())
+            if zc in zcs:  # pragma: no cover — seeds chosen distinct
+                raise RuntimeError("planted audio zc collision")
+            zcs.add(zc)
+            lut.append(payload)
+        return lut
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lut = cached_instance(("mm_wav_lut", K), _wav_lut)
+        pay = [lut[int(j)] for j in ids % K]
+        return pa.table({"doc_id": pa.array(ids),
+                         "audio": pa.array(pay, pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True)
+    feats = audio_pipeline(ds, concurrency=2, batch_size=256)
+    sizes = grouped_agg(feats.select_columns(["zero_crossings"]),
+                        ["zero_crossings"], [("sz", None, "count")])
+    hist = grouped_agg(sizes, ["sz"], [("n_clusters", None, "count")])
+    rows = sorted(hist.take_all(), key=lambda r: r["sz"])
+    return pa.table({
+        "cluster_size": pa.array([r["sz"] for r in rows], pa.int64()),
+        "n_clusters": pa.array([r["n_clusters"] for r in rows], pa.int64()),
+    })
+
+
 def q_script_mix_by_lang(sf_dir: str):
     """Unicode-SCRIPT character mix per language — the script-vs-label
     consistency audit a multilingual crawl runs to catch mislabeled or
@@ -5789,6 +5839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "roaring_distinct_users": q_roaring_distinct_users,
         "script_mix_by_lang": q_script_mix_by_lang,
         "multimodal_dhash_clusters": q_multimodal_dhash_clusters,
+        "multimodal_audio_clusters": q_multimodal_audio_clusters,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7860,6 +7911,13 @@ def oracle_sql() -> dict[str, str]:
         """,
         "multimodal_dhash_clusters": """
             WITH g AS (SELECT doc_id % 37 AS grp, count(*) AS sz
+                       FROM documents GROUP BY 1)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM g GROUP BY sz ORDER BY sz
+        """,
+        "multimodal_audio_clusters": """
+            WITH g AS (SELECT doc_id % 23 AS grp, count(*) AS sz
                        FROM documents GROUP BY 1)
             SELECT CAST(sz AS BIGINT) AS cluster_size,
                    CAST(count(*) AS BIGINT) AS n_clusters
