@@ -5158,6 +5158,50 @@ def q_multimodal_audio_clusters(sf_dir: str):
     })
 
 
+def q_multimodal_video_frames(sf_dir: str):
+    """The video leg of the multimodal triad: planted PVID payloads
+    (PPM-stream container, ``3 + doc_id % 17`` frames of seeded 8×8
+    RGB) run through stages.multimodal.DecodeVideo (real container
+    parse + every-2nd frame sampling), then exact grouping on the
+    (n_frames, n_sampled) integers.  The frame-sampling arithmetic is
+    mirrored literally in SQL (``(n_frames + 1) // 2``), so container
+    parsing AND the sampling stage are oracle-green."""
+    from .proc_cache import cached_instance
+    from .stages.multimodal import DecodeVideo, encode_ppm_stream
+
+    K = 17
+
+    def _vid_lut():
+        lut = []
+        for p in range(K):
+            rng = np.random.default_rng(3000 + p)
+            frames = [rng.integers(0, 256, (8, 8, 3), dtype=np.uint8)
+                      for _ in range(3 + p)]
+            lut.append(encode_ppm_stream(frames))
+        return lut
+
+    def synth(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        lut = cached_instance(("mm_vid_lut", K), _vid_lut)
+        pay = [lut[int(j)] for j in ids % K]
+        return pa.table({"doc_id": pa.array(ids),
+                         "video": pa.array(pay, pa.binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        synth, batch_format="pyarrow", zero_copy_batch=True)
+    dec = ds.map_batches(DecodeVideo, fn_constructor_args=("video", 2),
+                         batch_format="pyarrow", batch_size=256,
+                         concurrency=2)
+    agg = grouped_agg(dec.select_columns(["n_frames", "n_sampled"]),
+                      ["n_frames", "n_sampled"], [("n_docs", None, "count")])
+    rows = sorted(agg.take_all(), key=lambda r: r["n_frames"])
+    return pa.table({
+        "n_frames": pa.array([r["n_frames"] for r in rows], pa.int64()),
+        "n_sampled": pa.array([r["n_sampled"] for r in rows], pa.int64()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+    })
+
+
 def q_script_mix_by_lang(sf_dir: str):
     """Unicode-SCRIPT character mix per language — the script-vs-label
     consistency audit a multilingual crawl runs to catch mislabeled or
@@ -5840,6 +5884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "script_mix_by_lang": q_script_mix_by_lang,
         "multimodal_dhash_clusters": q_multimodal_dhash_clusters,
         "multimodal_audio_clusters": q_multimodal_audio_clusters,
+        "multimodal_video_frames": q_multimodal_video_frames,
         "source_rule_filter": q_source_rule_filter,
         "zorder_skip_read": q_zorder_skip_read,
         "ttr_by_lang": q_ttr_by_lang,
@@ -7922,6 +7967,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sz AS BIGINT) AS cluster_size,
                    CAST(count(*) AS BIGINT) AS n_clusters
             FROM g GROUP BY sz ORDER BY sz
+        """,
+        "multimodal_video_frames": """
+            WITH g AS (SELECT 3 + doc_id % 17 AS n_frames FROM documents)
+            SELECT CAST(n_frames AS BIGINT) AS n_frames,
+                   CAST((n_frames + 1) // 2 AS BIGINT) AS n_sampled,
+                   CAST(count(*) AS BIGINT) AS n_docs
+            FROM g GROUP BY n_frames ORDER BY n_frames
         """,
         "script_mix_by_lang": r"""
             SELECT lang,
