@@ -5147,7 +5147,11 @@ def q_multimodal_audio_clusters(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
         synth, batch_format="pyarrow", zero_copy_batch=True)
-    feats = audio_pipeline(ds, concurrency=2, batch_size=256)
+    # concurrency=1 per actor stage: two chained pools must leave CPUs
+    # for the read/synth tasks even in a 4-CPU test session (2+2 actors
+    # starve the streaming executor there); at production num_cpus
+    # raise per-stage concurrency with the CPU budget
+    feats = audio_pipeline(ds, concurrency=1, batch_size=256)
     sizes = grouped_agg(feats.select_columns(["zero_crossings"]),
                         ["zero_crossings"], [("sz", None, "count")])
     hist = grouped_agg(sizes, ["sz"], [("n_clusters", None, "count")])
@@ -5191,7 +5195,7 @@ def q_multimodal_video_frames(sf_dir: str):
         synth, batch_format="pyarrow", zero_copy_batch=True)
     dec = ds.map_batches(DecodeVideo, fn_constructor_args=("video", 2),
                          batch_format="pyarrow", batch_size=256,
-                         concurrency=2)
+                         concurrency=1)
     agg = grouped_agg(dec.select_columns(["n_frames", "n_sampled"]),
                       ["n_frames", "n_sampled"], [("n_docs", None, "count")])
     rows = sorted(agg.take_all(), key=lambda r: r["n_frames"])
