@@ -1600,3 +1600,52 @@ class TestQuantilesBySelection:
 
         ds = rd.from_arrow(pa.table({"x": pa.array([7] * 100, pa.int64())}))
         assert quantiles_by_selection(ds, "x", [0.5, 0.9]) == [7.0, 7.0]
+
+
+class TestBuildValueCountsFastPath:
+    def test_low_cardinality_fast_path_equivalent(self, ray_session):
+        """build_sketches' adaptive value_counts pre-aggregation must be
+        OUTPUT-IDENTICAL to per-row updates for the multiplicity-blind
+        and linear sketches, and within-bounds for the quantile ones."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import build_sketches
+        from archbloom_ray.sketches import (BloomFilter, CountMinSketch,
+                                            HyperLogLog, KLLSketch, TDigest)
+
+        rng = np.random.default_rng(11)
+        n = 20_000
+        tbl = pa.table({
+            "lang": pa.array(rng.choice(["en", "de", "fr"], n)),  # low-card
+            "url": pa.array([f"u{i}" for i in range(n)]),          # high-card
+            "n_chars": pa.array(rng.integers(10, 400, n).astype(np.int64)),
+        })
+        specs = {
+            "bloom": ("lang", lambda: BloomFilter(100, 0.01)),
+            "hll": ("lang", lambda: HyperLogLog(12)),
+            "cms": ("lang", lambda: CountMinSketch(epsilon=0.01, delta=0.01)),
+            "bloom_u": ("url", lambda: BloomFilter(n, 0.01)),
+            "td": ("n_chars", lambda: TDigest(100)),
+            "kll": ("n_chars", lambda: KLLSketch(100)),
+        }
+        built = build_sketches(rd.from_arrow(tbl).repartition(4), specs,
+                               batch_size=4096)
+        # reference: per-row updates on one process
+        refs = {}
+        for sid, (col, f) in specs.items():
+            sk = f()
+            sk.update_arrow(tbl[col])
+            refs[sid] = sk
+        # multiplicity-blind: identical states
+        assert bytes(built["bloom"].to_bytes()) == bytes(refs["bloom"].to_bytes())
+        assert bytes(built["bloom_u"].to_bytes()) == bytes(refs["bloom_u"].to_bytes())
+        np.testing.assert_array_equal(built["hll"].registers,
+                                      refs["hll"].registers)
+        # linear: identical counts
+        np.testing.assert_array_equal(built["cms"].table, refs["cms"].table)
+        assert built["cms"].total == refs["cms"].total == n
+        # quantile sketches: exact median of a 390-value domain within
+        # the sketches' rank error of the true median
+        true_med = float(np.median(np.asarray(tbl["n_chars"])))
+        assert abs(built["td"].quantile(0.5) - true_med) <= 0.05 * true_med + 5
+        assert abs(built["kll"].quantile(0.5) - true_med) <= 0.05 * true_med + 5
