@@ -827,6 +827,68 @@ def hash_join(
     )
 
 
+def adaptive_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    value_columns: list[str] | None = None,
+    *,
+    broadcast_limit_rows: int = 500_000,
+) -> tuple["ray.data.Dataset", str]:
+    """Size-adaptive INNER equijoin — the tiny planner every pipeline
+    ends up writing by hand: probe the right side's row count; if it
+    fits ``broadcast_limit_rows`` ship it ONCE via ``ray.put`` and join
+    with a per-batch sorted-array lookup (no shuffle at all), else fall
+    back to the hash-partitioned shuffle join (:func:`hash_join`).
+    Returns ``(dataset, strategy)`` with strategy ``"broadcast"`` or
+    ``"shuffle"`` so callers/tests can assert the plan.
+
+    The count probe is metadata-cheap on parquet-backed inputs and a
+    small pipeline execution otherwise — cheap relative to a mis-chosen
+    all-to-all.  Broadcast output column order: left columns then
+    ``value_columns``; rows without a match are dropped (inner).
+    """
+    import ray as _ray
+
+    rkey = right_on or on
+    n_right = right.count()
+    if n_right > broadcast_limit_rows:
+        joined = hash_join(left, right, on, rkey)
+        if value_columns is not None:
+            joined = joined.select_columns(
+                [c for c in left.schema().names] + value_columns)
+        return joined, "shuffle"
+
+    rows = right.take_all()
+    if value_columns is None:
+        value_columns = [c for c in (right.schema().names) if c != rkey]
+    keys = np.asarray([r[rkey] for r in rows])
+    order = np.argsort(keys, kind="stable")
+    keys = keys[order]
+    vals = {c: np.asarray([r[c] for r in rows], dtype=object)[order]
+            for c in value_columns}
+    ref = _ray.put((keys, vals))
+
+    from ..proc_cache import cached_instance
+
+    def lookup(batch: pa.Table) -> pa.Table:
+        ks, vs = cached_instance(("adaptive_join", ref.hex()),
+                                 lambda: _ray.get(ref))
+        k = np.asarray(batch[on])
+        if ks.size == 0:
+            return batch.slice(0, 0)
+        idx = np.clip(np.searchsorted(ks, k), 0, ks.size - 1)
+        hit = ks[idx] == k
+        out = batch.filter(pa.array(hit))
+        for c in value_columns:
+            out = out.append_column(c, pa.array(vs[c][idx[hit]].tolist()))
+        return out
+
+    return left.map_batches(lookup, batch_format="pyarrow",
+                            zero_copy_batch=True), "broadcast"
+
+
 def bloom_semijoin(
     fact: "ray.data.Dataset",
     fact_key: str,

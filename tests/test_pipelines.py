@@ -1649,3 +1649,39 @@ class TestBuildValueCountsFastPath:
         true_med = float(np.median(np.asarray(tbl["n_chars"])))
         assert abs(built["td"].quantile(0.5) - true_med) <= 0.05 * true_med + 5
         assert abs(built["kll"].quantile(0.5) - true_med) <= 0.05 * true_med + 5
+
+
+class TestAdaptiveJoin:
+    def _tables(self):
+        rng = np.random.default_rng(5)
+        left = pa.table({
+            "k": pa.array(rng.integers(0, 40, 500).astype(np.int64)),
+            "x": pa.array(np.arange(500, dtype=np.int64)),
+        })
+        right = pa.table({
+            "k": pa.array(np.arange(0, 30, dtype=np.int64)),  # keys 30+ miss
+            "label": pa.array([f"v{i}" for i in range(30)]),
+        })
+        return left, right
+
+    def _expected(self, left, right):
+        lab = dict(zip(right["k"].to_pylist(), right["label"].to_pylist()))
+        return sorted((k, x, lab[k])
+                      for k, x in zip(left["k"].to_pylist(),
+                                      left["x"].to_pylist()) if k in lab)
+
+    @pytest.mark.parametrize("limit,want", [(10_000, "broadcast"),
+                                            (5, "shuffle")])
+    def test_both_strategies_equal_inner_join(self, ray_session, limit, want):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import adaptive_join
+
+        left, right = self._tables()
+        out, strategy = adaptive_join(
+            rd.from_arrow(left).repartition(3),
+            rd.from_arrow(right).repartition(2),
+            "k", value_columns=["label"], broadcast_limit_rows=limit)
+        assert strategy == want
+        got = sorted((r["k"], r["x"], r["label"]) for r in out.take_all())
+        assert got == self._expected(left, right)
