@@ -403,7 +403,9 @@ def build_grouped_sketches(
             out_states.append(sk.to_bytes())
         return pa.table(
             {
-                "key": pa.array(out_keys, type=pa.string()),
+                # keep the key column's own type (int hours group as
+                # naturally as string langs)
+                "key": pa.array(out_keys, type=enc.dictionary.type),
                 "state": pa.array(out_states, type=pa.large_binary()),
             }
         )

@@ -5260,6 +5260,45 @@ def q_roaring_distinct_users(sf_dir: str):
     })
 
 
+def q_roaring_window_dau(sf_dir: str):
+    """Sliding-window distinct users, EXACT, from merged per-hour
+    Roaring bitmaps — the lossless twin of `hll_window_dau`: one scan
+    builds a roaring per hour, then every trailing 3-hour window is
+    answered by container-OR union of its three hour bitmaps.  Merge
+    associativity replaces a second pass over events AND the answer is
+    exact, so the whole (window, dau3) table hash-matches SQL
+    COUNT(DISTINCT) over the window join — the sliding-window pattern
+    the north rule's mergeable UDAFs exist for, with zero error."""
+    from .pipelines import build_grouped_sketches, grouped_to_dict
+    from .sketches import RoaringBitmap
+
+    US_H = 3_600_000_000
+
+    def hours(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                       pa.scalar(US_H))
+        return pa.table({"h": hi, "user_id": batch["user_id"]})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        hours, batch_format="pyarrow", zero_copy_batch=True)
+    per_hour = grouped_to_dict(build_grouped_sketches(
+        ds, "h", "user_id", RoaringBitmap, salt=4))
+    hs = sorted(int(h) for h in per_hour)
+    out_h, out_n = [], []
+    for h in hs:
+        acc = RoaringBitmap()
+        for back in (2, 1, 0):
+            rb = per_hour.get(h - back)
+            if rb is not None:
+                acc.merge(rb)
+        out_h.append(h)
+        out_n.append(acc.cardinality())
+    return pa.table({
+        "hour": pa.array(out_h, pa.int64()),
+        "dau3": pa.array(out_n, pa.int64()),
+    })
+
+
 def q_winsorized_chars_by_lang(sf_dir: str):
     """Winsorized per-language length statistics: clip n_chars into the
     language's DISCRETE [p05, p95] band, then exact sums — the robust
@@ -5885,6 +5924,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
+        "roaring_window_dau": q_roaring_window_dau,
         "script_mix_by_lang": q_script_mix_by_lang,
         "multimodal_dhash_clusters": q_multimodal_dhash_clusters,
         "multimodal_audio_clusters": q_multimodal_audio_clusters,
@@ -7996,6 +8036,15 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT)
                        AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "roaring_window_dau": """
+            WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id
+                       FROM events),
+            hours AS (SELECT DISTINCT h FROM e)
+            SELECT CAST(hours.h AS BIGINT) AS hour,
+                   CAST(count(DISTINCT e.user_id) AS BIGINT) AS dau3
+            FROM hours JOIN e ON e.h BETWEEN hours.h - 2 AND hours.h
+            GROUP BY hours.h ORDER BY hours.h
         """,
         "winsorized_chars_by_lang": """
             WITH b AS (
