@@ -5299,6 +5299,44 @@ def q_roaring_window_dau(sf_dir: str):
     })
 
 
+def q_returning_users_daily(sf_dir: str):
+    """Exact day-over-day RETURNING users per hour — |U_h ∩ U_{h−24}|
+    from the same per-hour roaring bitmaps as `roaring_window_dau`,
+    via container-wise intersect-cardinality (sorted-array intersect /
+    AND-popcount; nothing materialized).  Set INTERSECTION is the
+    operation approximate distinct sketches only bound loosely
+    (inclusion–exclusion error grows with disjointness) — the roaring
+    answer is exact and the whole table hash-matches the SQL self-join.
+    Hours with zero overlap are omitted, mirroring the inner join."""
+    from .pipelines import build_grouped_sketches, grouped_to_dict
+    from .sketches import RoaringBitmap
+
+    US_H = 3_600_000_000
+
+    def hours(batch: pa.Table) -> pa.Table:
+        hi = pc.divide(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                       pa.scalar(US_H))
+        return pa.table({"h": hi, "user_id": batch["user_id"]})
+
+    ds = _read(sf_dir, "events", ["ts", "user_id"]).map_batches(
+        hours, batch_format="pyarrow", zero_copy_batch=True)
+    per_hour = grouped_to_dict(build_grouped_sketches(
+        ds, "h", "user_id", RoaringBitmap, salt=4))
+    out_h, out_n = [], []
+    for h in sorted(int(x) for x in per_hour):
+        prev = per_hour.get(h - 24)
+        if prev is None:
+            continue
+        c = per_hour[h].intersect_cardinality(prev)
+        if c:
+            out_h.append(h)
+            out_n.append(c)
+    return pa.table({
+        "hour": pa.array(out_h, pa.int64()),
+        "returning_users": pa.array(out_n, pa.int64()),
+    })
+
+
 def q_winsorized_chars_by_lang(sf_dir: str):
     """Winsorized per-language length statistics: clip n_chars into the
     language's DISCRETE [p05, p95] band, then exact sums — the robust
@@ -5925,6 +5963,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
         "roaring_window_dau": q_roaring_window_dau,
+        "returning_users_daily": q_returning_users_daily,
         "script_mix_by_lang": q_script_mix_by_lang,
         "multimodal_dhash_clusters": q_multimodal_dhash_clusters,
         "multimodal_audio_clusters": q_multimodal_audio_clusters,
@@ -8036,6 +8075,16 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(DISTINCT user_id) AS BIGINT)
                        AS distinct_users
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "returning_users_daily": """
+            WITH e AS (SELECT DISTINCT epoch_us(ts) // 3600000000 AS h,
+                              user_id
+                       FROM events)
+            SELECT CAST(a.h AS BIGINT) AS hour,
+                   CAST(count(*) AS BIGINT) AS returning_users
+            FROM e a JOIN e b ON a.user_id = b.user_id
+                             AND b.h = a.h - 24
+            GROUP BY a.h ORDER BY a.h
         """,
         "roaring_window_dau": """
             WITH e AS (SELECT epoch_us(ts) // 3600000000 AS h, user_id

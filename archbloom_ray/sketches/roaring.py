@@ -131,6 +131,27 @@ class RoaringBitmap(Sketch):
                 out[m] = res
         return out
 
+    def intersect_cardinality(self, other: "RoaringBitmap") -> int:
+        """|self ∩ other| without materializing the intersection —
+        container-wise: sorted-array ∩ sorted-array via intersect1d
+        (both sides distinct by construction), bitmap ∩ bitmap via
+        AND-popcount, mixed via bit tests on the array side."""
+        total = 0
+        for key, a in self.containers.items():
+            b = other.containers.get(key)
+            if b is None:
+                continue
+            if a.dtype == np.uint16 and b.dtype == np.uint16:
+                total += np.intersect1d(a, b, assume_unique=True).size
+            elif a.dtype == np.uint64 and b.dtype == np.uint64:
+                total += _popcount64(a & b)
+            else:
+                arr, bmp = (a, b) if a.dtype == np.uint16 else (b, a)
+                w = bmp[(arr >> 6).astype(np.int64)]
+                total += int((((w >> (arr.astype(np.uint64) & np.uint64(63)))
+                               & np.uint64(1)) != 0).sum())
+        return total
+
     def finalize(self) -> dict:
         return {"cardinality": self.cardinality(),
                 "n_containers": len(self.containers)}

@@ -102,3 +102,27 @@ def test_mixed_container_merges():
     b = sparse.copy().merge(dense)
     assert a.cardinality() == b.cardinality() == len(truth)
     assert _set_of(a) == _set_of(b) == truth
+
+
+@settings(max_examples=40, deadline=None)
+@given(st.lists(st.integers(0, 1 << 18), max_size=400),
+       st.lists(st.integers(0, 1 << 18), max_size=400))
+def test_intersect_cardinality_matches_sets(a, b):
+    ra, rb = RoaringBitmap(), RoaringBitmap()
+    if a:
+        ra.add_u32(np.asarray(a, dtype=np.uint32))
+    if b:
+        rb.add_u32(np.asarray(b, dtype=np.uint32))
+    want = len(set(a) & set(b))
+    assert ra.intersect_cardinality(rb) == want
+    assert rb.intersect_cardinality(ra) == want
+
+
+def test_intersect_mixed_containers():
+    dense = RoaringBitmap()
+    dense.add_u32(np.arange(0, 60_000, 3, dtype=np.uint32))  # bitmaps
+    sparse = RoaringBitmap()
+    sparse.add_u32(np.arange(0, 1200, 2, dtype=np.uint32))   # arrays
+    want = len(set(range(0, 60_000, 3)) & set(range(0, 1200, 2)))
+    assert dense.intersect_cardinality(sparse) == want
+    assert sparse.intersect_cardinality(dense) == want
