@@ -1253,6 +1253,7 @@ def grouped_quantiles_by_selection(
     buckets: int = 1024,
     max_passes: int = 64,
     out_prefix: str = "q",
+    decode=float,
 ) -> pa.Table:
     """PER-GROUP exact ``quantile_cont`` over an INTEGER column via the
     same histogram range-narrowing as :func:`quantiles_by_selection`,
@@ -1394,11 +1395,11 @@ def grouped_quantiles_by_selection(
         vals = []
         for g, r in enumerate(groups):
             k, frac = plan[g][qi]
-            a = float(resolved[(g, k)])
+            a = decode(resolved[(g, k)])
             if frac == 0.0 or k + 1 >= r["n"]:
                 vals.append(a)
             else:
-                b = float(resolved[(g, k + 1)])
+                b = decode(resolved[(g, k + 1)])
                 vals.append(a * (1 - frac) + b * frac)
         cols[name] = vals
     out = {key: pa.array(cols[key])}

@@ -4991,6 +4991,36 @@ def q_value_quantiles_sel(sf_dir: str):
     })
 
 
+def q_value_quantiles_by_type(sf_dir: str):
+    """Per-event-type exact p50/p95 of the FLOAT value column — the
+    full selection matrix closed out: GROUPED histogram narrowing over
+    the order-preserving IEEE bit map, every group's ranks resolving to
+    exact doubles in shared scans (relational.
+    grouped_quantiles_by_selection with the float decode).  Skew-proof
+    (no group's column ever lands in one task) AND float-exact."""
+    from .pipelines.relational import (_f64_from_order_key,
+                                       _f64_order_keys,
+                                       grouped_quantiles_by_selection)
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        return pa.table({"event_type": batch["event_type"],
+                         "_ok": pa.array(_f64_order_keys(v))})
+
+    ds = _read(sf_dir, "events", ["event_type", "value"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    out = grouped_quantiles_by_selection(
+        ds, "event_type", "_ok", [0.5, 0.95],
+        decode=_f64_from_order_key)
+    idx = pc.sort_indices(out, sort_keys=[("event_type", "ascending")])
+    out = out.take(idx)
+    return pa.table({
+        "event_type": out["event_type"].combine_chunks(),
+        "q0_5": out["q0_5"].combine_chunks(),
+        "q0_95": out["q0_95"].combine_chunks(),
+    })
+
+
 def q_autocorr_daily_events(sf_dir: str):
     """Lag-1 autocovariance diagnostics of the daily event rate — the
     time-series health check beside cusum (is the rate trending /
@@ -5959,6 +5989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "autocorr_daily_events": q_autocorr_daily_events,
         "q3_unshipped_orders": q_q3_unshipped_orders,
         "value_quantiles_sel": q_value_quantiles_sel,
+        "value_quantiles_by_type": q_value_quantiles_by_type,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
         "winsorized_chars_by_lang": q_winsorized_chars_by_lang,
         "roaring_distinct_users": q_roaring_distinct_users,
@@ -8118,6 +8149,12 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.95) AS q0_95,
                    quantile_cont(value, 0.99) AS q0_99
             FROM events
+        """,
+        "value_quantiles_by_type": """
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS q0_5,
+                   quantile_cont(value, 0.95) AS q0_95
+            FROM events GROUP BY event_type ORDER BY event_type
         """,
         "q3_unshipped_orders": """
             SELECT l_orderkey,
