@@ -410,3 +410,43 @@ def test_float_selection_quantiles_match_sorted(ray_session, vals, buckets):
         else:
             want.append(float(sv[lo]) * (1 - frac) + float(sv[lo + 1]) * frac)
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(st.lists(st.text(alphabet="ab ", min_size=0, max_size=50),
+                min_size=1, max_size=15),
+       st.integers(min_value=1, max_value=4))
+def test_duplicate_spans_match_bruteforce(ray_session, docs, n):
+    """duplicate_spans (token-window hashing) vs a scalar brute force:
+    per-doc window totals and corpus-duplicated-window counts must
+    match exactly on adversarially-shared vocab ('ab ')."""
+    import re
+
+    import ray.data as rd
+
+    from archbloom_ray.stages.cleaning import duplicate_spans
+
+    ds = rd.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(len(docs), dtype=np.int64)),
+        "text": pa.array(docs, type=pa.string()),
+    }))
+    got = {r["doc_id"]: (r["n_windows"], r["n_dup_windows"])
+           for r in duplicate_spans(ds, "text", "doc_id", n=n).take_all()}
+
+    def grams(t):
+        s = (t or "").strip()
+        toks = [x.lower() for x in re.split(r"\s+", s)] if s else [""]
+        return [tuple(toks[i: i + n]) for i in range(len(toks) - n + 1)]
+
+    per_doc = {i: grams(t) for i, t in enumerate(docs)}
+    docs_of: dict[tuple, set] = {}
+    for i, gs in per_doc.items():
+        for g in gs:
+            docs_of.setdefault(g, set()).add(i)
+    want = {}
+    for i, gs in per_doc.items():
+        if not gs:
+            continue
+        dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
+        want[i] = (len(gs), dup)
+    assert got == want
