@@ -131,6 +131,9 @@ class RoaringBitmap(Sketch):
                 out[m] = res
         return out
 
+    # pipelines.query.membership / CLI probe speak ``lookup_batch``
+    lookup_batch = contains_batch
+
     def intersect_cardinality(self, other: "RoaringBitmap") -> int:
         """|self ∩ other| without materializing the intersection —
         container-wise: sorted-array ∩ sorted-array via intersect1d
