@@ -4902,6 +4902,34 @@ def q_cusum_daily_events(sf_dir: str):
     })
 
 
+def q_benford_first_digit(sf_dir: str):
+    """Benford's-law audit input: the first-significant-digit histogram
+    of order totals (integer cents) — the classic fabricated-data smell
+    test.  The first digit is extracted with an ITERATED integer
+    divide-by-10 (≤13 vectorized passes for int64) — no float log10,
+    whose 10^k edge rounding differs across engines; SQL mirrors it by
+    taking the decimal string's first character.  One grouped count,
+    digit-domain exchange."""
+    def first_digit(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["o_totalprice"], dtype=np.float64)
+        cents = np.rint(price * 100).astype(np.int64)
+        d = np.abs(cents)
+        while (d >= 10).any():
+            big = d >= 10
+            d[big] //= 10
+        return pa.table({"digit": pa.array(d)})
+
+    counts = grouped_agg(
+        _read(sf_dir, "orders", ["o_totalprice"]).map_batches(
+            first_digit, batch_format="pyarrow", zero_copy_batch=True),
+        ["digit"], [("n_orders", None, "count")])
+    rows = sorted(counts.take_all(), key=lambda r: r["digit"])
+    return pa.table({
+        "digit": pa.array([r["digit"] for r in rows], pa.int64()),
+        "n_orders": pa.array([r["n_orders"] for r in rows], pa.int64()),
+    })
+
+
 def q_q3_unshipped_orders(sf_dir: str):
     """TPC-H Q3 shape — top-10 'unshipped' orders by revenue for one
     market segment: dim-filter (BUILDING custkeys, broadcast as a
@@ -5988,6 +6016,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cusum_daily_events": q_cusum_daily_events,
         "autocorr_daily_events": q_autocorr_daily_events,
         "q3_unshipped_orders": q_q3_unshipped_orders,
+        "benford_first_digit": q_benford_first_digit,
         "value_quantiles_sel": q_value_quantiles_sel,
         "value_quantiles_by_type": q_value_quantiles_by_type,
         "lang_chars_quantiles_sel": q_lang_chars_quantiles_sel,
@@ -8155,6 +8184,13 @@ def oracle_sql() -> dict[str, str]:
                    quantile_cont(value, 0.5) AS q0_5,
                    quantile_cont(value, 0.95) AS q0_95
             FROM events GROUP BY event_type ORDER BY event_type
+        """,
+        "benford_first_digit": """
+            SELECT CAST(substr(CAST(CAST(round(o_totalprice * 100)
+                                          AS BIGINT) AS VARCHAR), 1, 1)
+                        AS BIGINT) AS digit,
+                   CAST(count(*) AS BIGINT) AS n_orders
+            FROM orders GROUP BY 1 ORDER BY 1
         """,
         "q3_unshipped_orders": """
             SELECT l_orderkey,
