@@ -853,7 +853,9 @@ def adaptive_join(
 
     rkey = right_on or on
     n_right = right.count()
-    if n_right > broadcast_limit_rows:
+    # empty right side: the shuffle join yields the (correctly-typed)
+    # empty result; the broadcast path can't type absent value columns
+    if n_right == 0 or n_right > broadcast_limit_rows:
         joined = hash_join(left, right, on, rkey)
         if value_columns is not None:
             joined = joined.select_columns(
