@@ -841,30 +841,46 @@ def adaptive_join(
     fits ``broadcast_limit_rows`` ship it ONCE via ``ray.put`` and join
     with a per-batch sorted-array lookup (no shuffle at all), else fall
     back to the hash-partitioned shuffle join (:func:`hash_join`).
-    Returns ``(dataset, strategy)`` with strategy ``"broadcast"`` or
-    ``"shuffle"`` so callers/tests can assert the plan.
+    Returns ``(dataset, strategy)`` with strategy ``"broadcast"``,
+    ``"shuffle"`` or ``"empty"`` so callers/tests can assert the plan.
 
     The count probe is metadata-cheap on parquet-backed inputs and a
     small pipeline execution otherwise — cheap relative to a mis-chosen
     all-to-all.  Broadcast output column order: left columns then
-    ``value_columns``; rows without a match are dropped (inner).
+    ``value_columns``; rows without a match are dropped (inner), and
+    duplicate right keys expand one-to-many exactly like the shuffle
+    path (searchsorted left/right bounds).
     """
     import ray as _ray
 
     rkey = right_on or on
+    rschema = right.schema()  # ray.data.Schema: parallel names/types lists
+    if value_columns is None:
+        value_columns = [c for c in rschema.names if c != rkey]
+    rtypes = dict(zip(rschema.names, rschema.types))
+    vtypes = {c: rtypes[c] for c in value_columns}
     n_right = right.count()
-    # empty right side: the shuffle join yields the (correctly-typed)
-    # empty result; the broadcast path can't type absent value columns
-    if n_right == 0 or n_right > broadcast_limit_rows:
+
+    if n_right == 0:
+        # Ray's hash join chokes on schema-less empty partitions (see
+        # CLAUDE.md join→join gotcha) — build the typed empty result
+        # directly: zero left rows + explicitly-typed empty value cols.
+        def empty_out(batch: pa.Table) -> pa.Table:
+            out = batch.slice(0, 0)
+            for c in value_columns:
+                out = out.append_column(c, pa.array([], type=vtypes[c]))
+            return out
+
+        return left.map_batches(empty_out, batch_format="pyarrow",
+                                zero_copy_batch=True), "empty"
+
+    if n_right > broadcast_limit_rows:
         joined = hash_join(left, right, on, rkey)
-        if value_columns is not None:
-            joined = joined.select_columns(
-                [c for c in left.schema().names] + value_columns)
+        joined = joined.select_columns(
+            [c for c in left.schema().names] + value_columns)
         return joined, "shuffle"
 
     rows = right.take_all()
-    if value_columns is None:
-        value_columns = [c for c in (right.schema().names) if c != rkey]
     keys = np.asarray([r[rkey] for r in rows])
     order = np.argsort(keys, kind="stable")
     keys = keys[order]
@@ -878,13 +894,25 @@ def adaptive_join(
         ks, vs = cached_instance(("adaptive_join", ref.hex()),
                                  lambda: _ray.get(ref))
         k = np.asarray(batch[on])
-        if ks.size == 0:
-            return batch.slice(0, 0)
-        idx = np.clip(np.searchsorted(ks, k), 0, ks.size - 1)
-        hit = ks[idx] == k
-        out = batch.filter(pa.array(hit))
+        # one-to-many: every right row whose key equals k[i] produces an
+        # output row (bounds via two searchsorteds, same as SQL inner)
+        lo = np.searchsorted(ks, k, side="left")
+        hi = np.searchsorted(ks, k, side="right")
+        cnt = hi - lo
+        total = int(cnt.sum())
+        if total == 0:
+            out = batch.slice(0, 0)
+            for c in value_columns:
+                out = out.append_column(c, pa.array([], type=vtypes[c]))
+            return out
+        sel = np.repeat(np.arange(len(k)), cnt)
+        starts = np.repeat(lo, cnt)
+        offs = np.arange(total) - np.repeat(np.cumsum(cnt) - cnt, cnt)
+        ridx = starts + offs
+        out = batch.take(pa.array(sel))
         for c in value_columns:
-            out = out.append_column(c, pa.array(vs[c][idx[hit]].tolist()))
+            out = out.append_column(
+                c, pa.array(vs[c][ridx].tolist(), type=vtypes[c]))
         return out
 
     return left.map_batches(lookup, batch_format="pyarrow",

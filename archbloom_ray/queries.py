@@ -1853,7 +1853,9 @@ def q_dedup_clusters(sf_dir: str):
 def q_simhash_near_dups(sf_dir: str):
     from .stages import simhash_pairs
 
-    ds = rd.read_parquet(_pages_for(sf_dir))
+    # columns= matters: the pages fixture carries an `html` binary
+    # column — an unpruned scan drags raw HTML through the object store
+    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
     pairs = simhash_pairs(ds, "text", "url", max_hamming=3)
     n = pairs.count()
     return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
@@ -4697,17 +4699,34 @@ def q_drift_ks_chars(sf_dir: str):
     })
 
 
+def _chi2_terms(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Per-category χ² homogeneity terms (a·N_b − b·N_a)²/(N_a·N_b·(a+b))
+    in exact Python big-int math (the denominator is CUBIC in corpus
+    size — int64 wraps at only ~3M rows with a dominant category), with
+    ONE int→double rounding per operand to match DuckDB's hugeint →
+    CAST(... AS DOUBLE) bit-for-bit.  The category table is tiny, so
+    the Python loop is free."""
+    na, nb = int(a.sum()), int(b.sum())
+    return np.array(
+        [float(ai * nb - bi * na) * float(ai * nb - bi * na)
+         / float(na * nb * (ai + bi))
+         for ai, bi in zip(a.tolist(), b.tolist())],
+        dtype=np.float64)
+
+
 def q_drift_chi2_source(sf_dir: str):
     """Categorical-drift monitor, the companion to `drift_ks_chars`:
     two-sample chi-squared homogeneity terms between the source-mix of
     the old half (doc_id ≤ max/2) and the new half of the corpus —
     "did the domain mix of the crawl shift?".  Per category c the term
     is (a_c·N_b − b_c·N_a)² / (N_a·N_b·(a_c+b_c)); χ² is their sum
-    with df = C−1.  ULP-safe cross-engine: counts and both the
-    numerator and denominator are exact int64 (overflow only beyond
-    ~2e9 rows/side — switch the products to double past that), the
-    only float op is ONE square-then-divide per row, identical in
-    DuckDB.  Shape: one grouped count per (source, side) — the
+    with df = C−1.  ULP-safe cross-engine: both numerator and
+    denominator are computed per category in exact Python big ints
+    (DuckDB uses hugeint — the denominator N_a·N_b·(a+b) is CUBIC in
+    corpus size and wraps int64 at only ~3M rows with a dominant
+    source), then each operand takes ONE int→double rounding before
+    the square-then-divide, matching DuckDB's CAST(... AS DOUBLE)
+    bit-for-bit.  Shape: one grouped count per (source, side) — the
     exchange is category-domain-sized — then a driver pass over the
     tiny category table."""
     ds = _read(sf_dir, "documents", ["doc_id", "source"])
@@ -4726,11 +4745,7 @@ def q_drift_chi2_source(sf_dir: str):
     rows = sorted(counts.take_all(), key=lambda r: r["source"])
     a = np.asarray([r["n_old"] for r in rows], dtype=np.int64)
     b = np.asarray([r["n_new"] for r in rows], dtype=np.int64)
-    na, nb = int(a.sum()), int(b.sum())
-    num = a * nb - b * na
-    den = (na * nb) * (a + b)
-    term = (num.astype(np.float64) * num.astype(np.float64)) \
-        / den.astype(np.float64)
+    term = _chi2_terms(a, b)
     return pa.table({
         "source": pa.array([r["source"] for r in rows], pa.string()),
         "n_old": pa.array(a), "n_new": pa.array(b),
@@ -4956,9 +4971,13 @@ def q_q3_unshipped_orders(sf_dir: str):
         dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
                                 pa.int64()))
         ks = ray.get(ref)
-        pos = np.searchsorted(ks, ck)
-        pos_ok = np.minimum(pos, ks.size - 1)
-        keep = (dt < CUT_US) & (ks.size > 0) & (ks[pos_ok] == ck)
+        if ks.size == 0:  # no customer in segment — numpy's & does not
+            # short-circuit, so ks[pos_ok] with pos_ok == -1 would raise
+            keep = np.zeros(len(ck), dtype=bool)
+        else:
+            pos = np.searchsorted(ks, ck)
+            pos_ok = np.minimum(pos, ks.size - 1)
+            keep = (dt < CUT_US) & (ks[pos_ok] == ck)
         return pa.table({
             "o_orderkey": pa.array(
                 np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),

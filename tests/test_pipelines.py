@@ -1685,3 +1685,97 @@ class TestAdaptiveJoin:
         assert strategy == want
         got = sorted((r["k"], r["x"], r["label"]) for r in out.take_all())
         assert got == self._expected(left, right)
+
+
+class TestAdaptiveJoinOneToMany:
+    """ADVICE r2: the broadcast path must emit EVERY matching right row
+    (searchsorted left/right bounds), exactly like the shuffle path."""
+
+    def _tables(self):
+        left = pa.table({
+            "k": pa.array([1, 2, 3, 1], type=pa.int64()),
+            "x": pa.array([10, 20, 30, 40], type=pa.int64()),
+        })
+        right = pa.table({
+            "k": pa.array([1, 1, 2, 5], type=pa.int64()),
+            "label": pa.array(["a", "b", "c", "z"]),
+        })
+        return left, right
+
+    def _expected(self, left, right):
+        out = []
+        for k, x in zip(left["k"].to_pylist(), left["x"].to_pylist()):
+            for rk, lab in zip(right["k"].to_pylist(),
+                               right["label"].to_pylist()):
+                if rk == k:
+                    out.append((k, x, lab))
+        return sorted(out)
+
+    @pytest.mark.parametrize("limit,want", [(10_000, "broadcast"),
+                                            (2, "shuffle")])
+    def test_duplicate_right_keys_expand(self, ray_session, limit, want):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import adaptive_join
+
+        left, right = self._tables()
+        out, strategy = adaptive_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right).repartition(2),
+            "k", value_columns=["label"], broadcast_limit_rows=limit)
+        assert strategy == want
+        got = sorted((r["k"], r["x"], r["label"]) for r in out.take_all())
+        assert got == self._expected(left, right)
+
+    def test_empty_right_side_typed_empty(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import adaptive_join
+
+        left, right = self._tables()
+        out, strategy = adaptive_join(
+            rd.from_arrow(left).repartition(2),
+            rd.from_arrow(right.slice(0, 0)),
+            "k", value_columns=["label"])
+        assert strategy == "empty"
+        assert out.count() == 0
+        schema = out.schema()
+        assert schema.names == ["k", "x", "label"]
+        assert schema.types[2] == pa.string()
+
+    def test_broadcast_batch_with_zero_hits_keeps_types(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import adaptive_join
+
+        left = pa.table({"k": pa.array([7, 8], type=pa.int64()),
+                         "x": pa.array([1, 2], type=pa.int64())})
+        right = pa.table({"k": pa.array([1], type=pa.int64()),
+                          "label": pa.array(["a"])})
+        out, strategy = adaptive_join(
+            rd.from_arrow(left), rd.from_arrow(right),
+            "k", value_columns=["label"])
+        assert strategy == "broadcast"
+        assert out.count() == 0
+        assert out.schema().types[2] == pa.string()
+
+
+class TestChi2Terms:
+    def test_no_int64_overflow_at_4m_dominant_source(self):
+        """ADVICE r2: den = N_a·N_b·(a+b) is cubic — int64 wrapped at
+        ~3M rows with a dominant category; exact big-int math must
+        yield the positive fraction-exact value."""
+        from fractions import Fraction
+
+        from archbloom_ray.queries import _chi2_terms
+
+        a = np.array([3_900_000, 100_000], dtype=np.int64)
+        b = np.array([50_000, 3_950_000], dtype=np.int64)
+        terms = _chi2_terms(a, b)
+        assert (terms >= 0).all()
+        na, nb = int(a.sum()), int(b.sum())
+        for t, ai, bi in zip(terms, a.tolist(), b.tolist()):
+            num = Fraction(ai * nb - bi * na) ** 2
+            den = Fraction(na * nb * (ai + bi))
+            exact = num / den
+            assert abs(t - float(exact)) <= 1e-9 * float(exact)
