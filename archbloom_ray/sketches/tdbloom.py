@@ -319,6 +319,78 @@ class TimeDecayingBloomFilter(Sketch):
             "bytes": self.bytes,
         }
 
+    # -- reference on-disk format (migration shim) --------------------
+    # tdbloom_file (tdbloom.h:68-79, x86-64 natural alignment):
+    #   uint8 magic[8] | uint8 name[256] | u64 size | u64 filter_size |
+    #   u64 hashcount | u64 expected | u64 max_time | u64 start_time |
+    #   int bytes | float accuracy                    == 320 bytes
+    # followed by filter_size = size·bytes payload bytes (slot ticks,
+    # little-endian).  The reference's own save/load are buggy
+    # (tdbloom.c:528-713): save never sets max_time (stays 0), its
+    # inverted fwrite check reports failure on success, timeout is not
+    # in the format at all, and load's size sanity compares against
+    # sizeof(tdbloom) instead of sizeof(tdbloom_file) so it rejects
+    # every valid file.  We implement the INTENDED semantics: write the
+    # real max_time (which actually REPAIRS the file for the reference's
+    # own loader), accept max_time==0 on import by recovering it from
+    # the slot width, and validate against the on-disk header size.
+    _REF_STRUCT = "<8s256sQQQQQQif"
+    _MAX_TIME_FOR_BYTES = {1: 255, 2: 65535, 4: 4294967295, 8: (1 << 64) - 1}
+
+    def to_reference_bytes(self, *, reference_quirks: bool = False) -> bytes:
+        """Serialize to the reference ``tdbloom_save`` layout.  With
+        ``reference_quirks=True`` the max_time field is zeroed exactly
+        as the reference's save leaves it (byte-identical to a
+        C-written file, for golden round-trip tests)."""
+        import struct
+
+        name = self.name.encode("utf-8")[:255]
+        header = struct.pack(
+            self._REF_STRUCT, self.MAGIC, name, self.size,
+            self.size * self.bytes, self.hashcount, self.expected,
+            0 if reference_quirks else self.max_time, self.start_time,
+            self.bytes, float(np.float32(self.accuracy)),
+        )
+        return header + self.filter.tobytes()
+
+    @classmethod
+    def from_reference_bytes(cls, data: bytes,
+                             timeout: int | None = None
+                             ) -> "TimeDecayingBloomFilter":
+        """Load a reference-engine ``!tdbloo!`` file.  ``timeout`` is
+        NOT part of the reference format (its load leaves the field
+        uninitialized); pass the original value, or the widest timeout
+        the stored slot width supports (max_time − 1) is assumed."""
+        import struct
+
+        header_size = struct.calcsize(cls._REF_STRUCT)
+        if len(data) < header_size:
+            raise SketchError("reference tdbloom file: truncated header")
+        (magic, name, size, filter_size, hashcount, expected, max_time,
+         start_time, nbytes, accuracy) = struct.unpack_from(cls._REF_STRUCT, data)
+        if magic != cls.MAGIC:
+            raise SketchError("reference tdbloom file: bad magic")
+        if nbytes not in _DTYPES:
+            raise SketchError("reference tdbloom file: invalid slot width")
+        # intended sanity checks (tdbloom.c:612-616 minus its sizeof bug)
+        if filter_size != size * nbytes or header_size + filter_size != len(data):
+            raise SketchError("reference tdbloom file: invalid geometry")
+        if max_time == 0:  # reference-save quirk: recover from the width
+            max_time = cls._MAX_TIME_FOR_BYTES[nbytes]
+        obj = cls.__new__(cls)
+        obj.expected = int(expected)
+        obj.accuracy = float(accuracy)
+        obj.timeout = int(timeout) if timeout is not None else int(max_time) - 1
+        obj.start_time = int(start_time)
+        obj.size = int(size)
+        obj.hashcount = int(hashcount)
+        obj.bytes = int(nbytes)
+        obj.max_time = int(max_time)
+        obj.name = name.split(b"\0", 1)[0].decode("utf-8", "replace")
+        obj.filter = np.frombuffer(
+            data, dtype=_DTYPES[nbytes], count=size, offset=header_size).copy()
+        return obj
+
     # -- ser/de (real round-trip — the reference's tdcbloom save/load
     # are stubs and tdbloom_load drops timeout; we keep full fidelity,
     # tdbloom.c:528-713 bug notes in SURVEY §2.4) ----------------------

@@ -204,3 +204,45 @@ def test_run_named_query(ray_session, tmp_path, capsys):
 
     with pytest.raises(SystemExit):
         main(["run", "no_such_query"])
+
+
+def test_import_export_ref_cbloom_tdbloom(tmp_path):
+    """--kind cbloom / tdbloom round-trip the reference counting and
+    time-decaying formats byte-identically (golden bytes + geometry in
+    tests/test_cbloom.py / test_tdbloom.py ReferenceFileFormat)."""
+    from archbloom_ray.sketches.cbloom import CountingBloomFilter
+    from archbloom_ray.sketches.tdbloom import TimeDecayingBloomFilter
+
+    cbf = CountingBloomFilter(300, 0.01, width=4, name="clic")
+    cbf.update_arrow(pa.array(["a", "a", "b"], type=pa.string()))
+    ref = str(tmp_path / "in.cbf")
+    with open(ref, "wb") as f:
+        f.write(cbf.to_reference_bytes())
+    sk = str(tmp_path / "conv.sk")
+    info = json.loads(run_cli("import-ref", "--kind", "cbloom", ref, sk)
+                      .stdout.strip().splitlines()[-1])
+    assert info["name"] == "clic" and info["type"] == "CountingBloomFilter"
+    back = str(tmp_path / "out.cbf")
+    run_cli("export-ref", "--kind", "cbloom", sk, back)
+    with open(back, "rb") as f:
+        assert f.read() == cbf.to_reference_bytes()
+
+    td = TimeDecayingBloomFilter(100, 0.01, timeout=60, start_time=500,
+                                 name="clit")
+    td.update_arrow(pa.array(["x", "y"]), now=500)
+    ref2 = str(tmp_path / "in.tdb")
+    with open(ref2, "wb") as f:
+        f.write(td.to_reference_bytes())
+    sk2 = str(tmp_path / "conv2.sk")
+    info2 = json.loads(
+        run_cli("import-ref", "--kind", "tdbloom", "--timeout", "60",
+                ref2, sk2).stdout.strip().splitlines()[-1])
+    assert info2["type"] == "TimeDecayingBloomFilter"
+    back2 = str(tmp_path / "out.tdb")
+    run_cli("export-ref", "--kind", "tdbloom", sk2, back2)
+    with open(back2, "rb") as f:
+        assert f.read() == td.to_reference_bytes()
+
+    # kind mismatch is a clean error, not a crash
+    r = run_cli("export-ref", "--kind", "bloom", sk2, back2, check=False)
+    assert r.returncode == 2

@@ -245,3 +245,96 @@ class TestDeclaredOnlyOps:
         # expired slots are excluded
         avg_late = td.get_average_lifetime(now=1200)    # "a" expired (age 1100)
         assert avg_late <= 1000
+
+
+class TestReferenceFileFormat:
+    """Golden-file compatibility with the reference's ``tdbloom_save``
+    layout (tdbloom.c:528-713) — INTENDED semantics, not its bugs (the
+    reference's save leaves max_time 0, its inverted fwrite check
+    reports failure on success, and its load's sizeof(tdbloom) size
+    check rejects every valid file).  The blob was produced by the
+    reference C code: tdbloom_init(100, 0.01, timeout=60) + set_name
+    ("goldentd") + add alpha/beta/gamma within the init second
+    (tick 1), start_time 112297 — output-only use per SURVEY.md."""
+
+    GOLDEN_B64 = (
+        "IXRkYmxvbyFnb2xkZW50ZAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAvgMAAAAA"
+        "AAC+AwAAAAAAAAYAAAAAAAAAZAAAAAAAAAAAAAAAAAAAAKm2AQAAAAAAAQAAAArXIzwAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAABAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAQAAAAAAAAAAAAAAAAABAAAAAAAAAAAAAAAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAQAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAEAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAABAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA"
+        "AAAAAQAAAAAAAAAAAAAAAAABAAAAAAAAAAEAAAAAAAEAAAAAAAAAAAAAAAAAAAEAAAAAAAAA"
+        "AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAEAAAAAAAAAAAAAAAAA"
+    )
+    GOLDEN_START = 112297
+
+    def _golden(self) -> bytes:
+        import base64
+
+        return base64.b64decode("".join(self.GOLDEN_B64))
+
+    def test_import_golden(self):
+        f = TimeDecayingBloomFilter.from_reference_bytes(
+            self._golden(), timeout=60)
+        assert (f.name, f.size, f.hashcount, f.bytes, f.expected,
+                f.start_time) == ("goldentd", 958, 6, 1, 100,
+                                  self.GOLDEN_START)
+        assert f.max_time == 255  # recovered from width (save bug leaves 0)
+        for k in ["alpha", "beta", "gamma"]:
+            assert f.lookup(k, now=self.GOLDEN_START), k
+        assert not f.lookup("zeta", now=self.GOLDEN_START)
+        # expired after timeout passes
+        assert not f.lookup("alpha", now=self.GOLDEN_START + 100)
+
+    def test_roundtrip_bytes_identical(self):
+        data = self._golden()
+        f = TimeDecayingBloomFilter.from_reference_bytes(data, timeout=60)
+        assert f.to_reference_bytes(reference_quirks=True) == data
+
+    def test_repaired_header_sets_max_time(self):
+        import struct
+
+        f = TimeDecayingBloomFilter.from_reference_bytes(
+            self._golden(), timeout=60)
+        repaired = f.to_reference_bytes()  # intended format
+        # max_time is the 5th u64 after the 264-byte magic+name prefix
+        vals = struct.unpack_from("<QQQQQQ", repaired, 264)
+        assert vals[4] == 255
+        back = TimeDecayingBloomFilter.from_reference_bytes(
+            repaired, timeout=60)
+        assert back.to_bytes() == f.to_bytes()
+
+    def test_engine_built_filter_exports_identically(self):
+        f = TimeDecayingBloomFilter(100, 0.01, timeout=60,
+                                    start_time=self.GOLDEN_START,
+                                    name="goldentd")
+        f.update_arrow(pa.array(["alpha", "beta", "gamma"]),
+                       now=self.GOLDEN_START)
+        assert f.to_reference_bytes(reference_quirks=True) == self._golden()
+
+    def test_invalid_files_rejected(self):
+        data = self._golden()
+        with pytest.raises(SketchError):
+            TimeDecayingBloomFilter.from_reference_bytes(data[:100])
+        with pytest.raises(SketchError):
+            TimeDecayingBloomFilter.from_reference_bytes(
+                b"!wrongm!" + data[8:])
+        with pytest.raises(SketchError):
+            TimeDecayingBloomFilter.from_reference_bytes(data + b"x")
