@@ -670,6 +670,100 @@ def build_sharded_cbloom_states(
     return {r["shard"]: r["state"] for r in states.take_all()}
 
 
+def build_sharded_tdbloom_states(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    secs_column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded TIME-DECAYING Bloom build → ``{shard: slot-slice bytes}``.
+
+    Same shard→reduce shape as the sharded Bloom/cbloom paths: the scan
+    emits per-batch pre-aggregated ``(shard, pos, tick)`` rows (max tick
+    per position within the batch — slot writes are a position-wise MAX,
+    associative and commutative, so any max-merge order equals the
+    sequential slot-max build bit-for-bit), reducers take the global max
+    per position and own one contiguous slot range.  Shuffle volume is
+    ≤ k×~20 bytes per row — independent of slot-array size m, which for
+    a tdbloom is m×slot_width bytes (2-byte slots at 10^12 keys ≈ 2 TB;
+    the per-batch-partial path is untenable there).
+
+    ``secs_column`` must be an int64 event-time seconds column (the
+    caller derives it from its timestamp column; timestamp→seconds cast
+    rules live with the data, not here).  ``factory`` must pin an
+    explicit ``start_time`` epoch, like :func:`build_event_time_sketch`.
+    """
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    max_time, start = tpl.max_time, tpl.start_time
+    dtype = tpl.filter.dtype
+    C = max(1, math.ceil(m / int(num_shards)))
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[key_column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        secs = np.asarray(batch[secs_column], dtype=np.int64)
+        tick = (secs - start) % max_time + 1  # 1-based wrapped tick
+        flat_pos = pos.ravel()
+        flat_tick = np.broadcast_to(tick, pos.shape).ravel()
+        # per-batch pre-agg: max tick per position (sort + reduceat)
+        order = np.argsort(flat_pos, kind="stable")
+        p_sorted = flat_pos[order]
+        t_sorted = flat_tick[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], p_sorted[1:] != p_sorted[:-1])))
+        uniq = p_sorted[starts]
+        tmax = np.maximum.reduceat(t_sorted, starts)
+        return pa.table({
+            "shard": pa.array((uniq // C).astype(np.int32)),
+            "pos": pa.array(uniq),
+            "tick": pa.array(tmax.astype(np.int64)),
+        })
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        agg = pa.table({"p": g["pos"], "t": g["tick"]}).group_by(
+            ["p"]).aggregate([("t", "max")])
+        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
+        t = np.asarray(agg["t_max"], dtype=np.int64)
+        buf = np.zeros(min(C, m - shard * C), dtype=dtype)
+        buf[p] = t.astype(dtype)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([buf.tobytes()], type=pa.large_binary()),
+        })
+
+    states = (
+        ds.map_batches(hash_batch, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+    )
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def assemble_sharded_tdbloom(
+    states: dict[int, bytes],
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> "Sketch":
+    """Concatenate slot shards into ONE TimeDecayingBloomFilter —
+    bit-for-bit equal to :func:`build_event_time_sketch` (driver-side,
+    O(m); only for filters that fit one machine)."""
+    sk = factory()
+    C = max(1, math.ceil(sk.size / int(num_shards)))
+    for s, b in states.items():
+        arr = np.frombuffer(b, dtype=sk.filter.dtype)
+        sk.filter[s * C: s * C + arr.size] = arr
+    return sk
+
+
 def assemble_sharded_cbloom(
     states: dict[int, bytes],
     factory: Callable[[], "Sketch"],

@@ -205,6 +205,47 @@ def run_bench() -> dict:
 
     timings["pages_quality_fingerprint"] = _timed(quality_fingerprint)
 
+    def tdbloom_event_time():
+        """North-star time-decay family at bench scale, built on the
+        SHARDED slot-max path (build_sharded_tdbloom_states): shuffle
+        moves pre-aggregated (shard, pos, tick) rows — independent of
+        the m×slot_width state size that made per-batch tdbloom
+        partials untenable (153 MB each at this m)."""
+        from archbloom_ray.pipelines import build_sharded_tdbloom_states
+        from archbloom_ray.sketches import TimeDecayingBloomFilter
+
+        def ts_bounds(batch: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                          pa.scalar(1_000_000, pa.int64()))
+            return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
+                             "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+
+        bounds = rd.read_parquet(pages_path, columns=["warc_ts"]).map_batches(
+            ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
+        lo = min(r["lo"] for r in bounds)
+        hi = max(r["hi"] for r in bounds)
+        span = max(hi - lo, 4)
+        unit = max(1, span // 4000)  # coarsen so ticks fit 2-byte slots
+        timeout_u = max((span // unit) // 4, 255)
+
+        def to_units(batch: pa.Table) -> pa.Table:
+            s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                          pa.scalar(1_000_000, pa.int64()))
+            u = pc.divide(pc.subtract(s, pa.scalar(lo, pa.int64())),
+                          pa.scalar(unit, pa.int64()))
+            return pa.table({"url": batch["url"], "secs": u})
+
+        extra = {"num_cpus": TASK_CPUS} if TASK_CPUS != 1 else {}
+        ds = rd.read_parquet(pages_path, columns=["url", "warc_ts"]).map_batches(
+            to_units, batch_format="pyarrow", zero_copy_batch=True, **extra)
+        build_sharded_tdbloom_states(
+            ds, "url", "secs",
+            lambda: TimeDecayingBloomFilter(n_pages, 0.01, timeout=timeout_u,
+                                            start_time=0),
+            num_shards=max(16, NUM_CPUS), batch_size=262144)
+
+    timings["pages_tdbloom_event_time"] = _timed(tdbloom_event_time)
+
     def minhash_dedup():
         rows = min(100_000, BENCH_PAGES_ROWS)
         sub = pages_fixture(rows, seed=9)

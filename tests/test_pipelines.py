@@ -1880,3 +1880,52 @@ class TestShardedBloomBuild:
         # 1000× bigger m: row volume within the dedup-collision wiggle
         assert n_huge <= n_small * BloomFilter(600_000, 0.0001).hashcount \
             / max(BloomFilter(600, 0.01).hashcount, 1) * 1.2
+
+
+class TestShardedTdbloomBuild:
+    def test_bit_for_bit_vs_event_time_build(self, ray_session):
+        """Sharded slot-max build ≡ build_event_time_sketch ≡ sequential
+        adds (max is associative/commutative under one shared epoch)."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (
+            assemble_sharded_tdbloom,
+            build_event_time_sketch,
+            build_sharded_tdbloom_states,
+        )
+        from archbloom_ray.sketches import TimeDecayingBloomFilter
+
+        rng = np.random.default_rng(7)
+        n = 4000
+        keys = [f"url-{i}" for i in rng.integers(0, 1500, n)]
+        secs = rng.integers(1000, 1000 + 200, n).astype(np.int64)
+        tbl = pa.table({
+            "url": pa.array(keys),
+            "ts": pa.array(secs, type=pa.int64()),
+            "warc_ts": pa.array(secs * 1_000_000,
+                                type=pa.int64()).cast(pa.timestamp("us")),
+        })
+        ds = rd.from_arrow(tbl).repartition(5)
+        factory = lambda: TimeDecayingBloomFilter(
+            1500, 0.01, timeout=60, start_time=1000, name="tdshard")
+
+        mono = build_event_time_sketch(ds, "url", "warc_ts", factory,
+                                       batch_size=512)
+        states = build_sharded_tdbloom_states(
+            ds, "url", "ts", factory, num_shards=6, batch_size=512)
+        sharded = assemble_sharded_tdbloom(states, factory, num_shards=6)
+        assert sharded.to_bytes() == mono.to_bytes()
+
+        seq = factory()
+        for k, s in zip(keys, secs.tolist()):
+            seq.update_arrow(pa.array([k]), now=s)
+        assert sharded.to_bytes() == seq.to_bytes()
+
+        # freshness behaves: keys whose LAST add is inside the 60 s
+        # window are always fresh (no false negatives)
+        now = int(secs.max())
+        last: dict[str, int] = {}
+        for k, s in zip(keys, secs.tolist()):
+            last[k] = max(last.get(k, 0), s)
+        fresh = [k for k, s in last.items() if now - s <= 60][:50]
+        assert sharded.lookup_batch(pa.array(fresh), now=now).all()

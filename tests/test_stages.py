@@ -1981,3 +1981,41 @@ class TestEditDistancePairs:
         assert got == want
         assert any(d == 1 for d in got.values())
         assert any(d == 2 for d in got.values())
+
+
+class TestNgramJaccardGroupGuard:
+    def test_oversized_group_raises_with_reroute_hint(self, ray_session):
+        """VERDICT r2 item 5: a group above max_group_rows must fail
+        loudly with the LSH escape hatch named, not OOM the task."""
+        import ray.data as rd
+
+        from archbloom_ray.stages import ngram_jaccard_exact_pairs
+
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(50, dtype=np.int64)),
+            "lang": pa.array(["en"] * 50),
+            "text": pa.array([f"document number {i} padded text" for i in range(50)]),
+        })
+        out = ngram_jaccard_exact_pairs(
+            rd.from_arrow(tbl), "text", "doc_id", "lang",
+            max_group_rows=10)
+        with pytest.raises(Exception, match="verify_pairs_ngram"):
+            out.materialize()
+
+    def test_cap_at_group_size_passes(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import ngram_jaccard_exact_pairs
+
+        tbl = pa.table({
+            "doc_id": pa.array(np.arange(4, dtype=np.int64)),
+            "lang": pa.array(["en"] * 4),
+            "text": pa.array(["shared prefix words here alpha",
+                              "shared prefix words here alpha",
+                              "totally different body entirely",
+                              "another unrelated sentence four"]),
+        })
+        rows = ngram_jaccard_exact_pairs(
+            rd.from_arrow(tbl), "text", "doc_id", "lang",
+            max_group_rows=4).take_all()
+        assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
