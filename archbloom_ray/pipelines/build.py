@@ -670,6 +670,78 @@ def build_sharded_cbloom_states(
     return {r["shard"]: r["state"] for r in states.take_all()}
 
 
+def plan_filter_build(
+    n_rows: int,
+    template: "Sketch",
+    *,
+    batch_size: int = 65536,
+) -> str:
+    """Cost-model chooser between the two exact build paths:
+
+    * ``monolithic`` (per-batch partial states + tree merge): shuffle
+      volume ≈ ceil(n/batch_size) × state_bytes — wins while the
+      structure is small relative to the corpus (the bench regime).
+    * ``sharded`` (position rows + per-shard reducers): volume ≈
+      n × k × 9 bytes — independent of m; the only viable path once
+      n_batches × m outgrows it (m ~ 1 TB at 10^12 keys).
+
+    Both produce bit-identical structures (pytest-proved), so the
+    planner is free to pick purely on exchange volume."""
+    state_bytes = len(template.to_bytes())
+    n_batches = max(1, math.ceil(max(n_rows, 1) / batch_size))
+    monolithic_traffic = n_batches * state_bytes
+    sharded_traffic = max(n_rows, 1) * template.hashcount * 9
+    return "monolithic" if monolithic_traffic <= sharded_traffic else "sharded"
+
+
+def build_filter_auto(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    batch_size: int = 65536,
+    num_shards: int | None = None,
+    n_rows: int | None = None,
+) -> tuple["Sketch", str]:
+    """Size-adaptive EXACT filter build (Bloom / counting Bloom):
+    probe the row count, run :func:`plan_filter_build`, and execute the
+    winning path.  Returns ``(sketch, plan)`` so callers/tests can
+    assert the chosen strategy.  The sharded path sizes ``num_shards``
+    so one reducer owns ≲64 MB of structure unless overridden.
+
+    The assembled result is returned either way (bit-identical by
+    construction); at true 10^12-key scale callers should keep the
+    sharded states distributed instead — use
+    :func:`build_sharded_bloom_states` + :func:`sharded_bloom_probe`
+    directly when m itself cannot fit one machine."""
+    from ..sketches.bloom import BloomFilter
+    from ..sketches.cbloom import CountingBloomFilter
+
+    tpl = factory()
+    if not isinstance(tpl, (BloomFilter, CountingBloomFilter)):
+        raise TypeError(
+            f"build_filter_auto supports Bloom/CountingBloom; got "
+            f"{type(tpl).__name__} (use build_sketch or the dedicated "
+            "sharded builders)")
+    n = ds.count() if n_rows is None else int(n_rows)
+    plan = plan_filter_build(n, tpl, batch_size=batch_size)
+    if plan == "monolithic":
+        return build_sketch(ds, column, factory, batch_size=batch_size), plan
+    if num_shards is None:
+        num_shards = max(8, math.ceil(len(tpl.to_bytes()) / (64 << 20)))
+    if isinstance(tpl, CountingBloomFilter):
+        states = build_sharded_cbloom_states(
+            ds, column, factory, num_shards=num_shards,
+            batch_size=batch_size)
+        return assemble_sharded_cbloom(states, factory,
+                                       num_shards=num_shards), plan
+    states = build_sharded_bloom_states(
+        ds, column, factory, num_shards=num_shards,
+        batch_size=batch_size)
+    return assemble_sharded_bloom(states, factory,
+                                  num_shards=num_shards), plan
+
+
 def build_sharded_tdbloom_states(
     ds: "ray.data.Dataset",
     key_column: str,

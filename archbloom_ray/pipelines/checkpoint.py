@@ -28,6 +28,7 @@ from __future__ import annotations
 
 import hashlib
 import json
+import math
 import os
 import time
 from typing import Callable
@@ -190,3 +191,125 @@ def partition_metrics(ckpt_dir: str) -> pa.Table:
         return pa.table({"shard_id": pa.array([], pa.string())})
     cols = {k: [r.get(k) for r in rows] for k in rows[0]}
     return pa.table(cols)
+
+
+def checkpointed_sharded_bloom(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], Sketch],
+    ckpt_dir: str,
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> tuple[dict[int, bytes], dict]:
+    """Resumable SHARDED Bloom build: per-OUTPUT-shard checkpoints for
+    the 10^12-key path (``build.build_sharded_bloom_states``), where a
+    "partition" is a contiguous bitmap byte range rather than an input
+    file.  A resumed run verifies the manifest (exists + sha256; a torn
+    write fails closed), re-runs the hash scan FILTERED to the missing
+    shards only (the position→shard routing is a pure function, so
+    filtering at the scan is exact), rebuilds just those reducers, and
+    returns the complete ``{shard: bitmap-slice}`` map.  Shards with no
+    set bits are recorded explicitly as empty states so a resume can
+    distinguish "done, all-zero" from "never built".
+
+    Returns ``(states, report)`` with report = {total_shards,
+    resumed_shards, built_shards, wall_ms}.
+    """
+    import numpy as np
+
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+    from .build import _bloom_shard_bytes
+
+    os.makedirs(ckpt_dir, exist_ok=True)
+    manifest_path = os.path.join(ckpt_dir, "manifest.jsonl")
+    t0 = time.monotonic()
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    total_bytes = (m + 7) // 8
+    B = _bloom_shard_bytes(total_bytes, int(num_shards))
+    n_shards_real = math.ceil(total_bytes / B)
+
+    done = read_manifest(ckpt_dir)
+    valid = {row["shard_id"]: row for row in done.values()
+             if row.get("kind") == "bloom_shard" and _verify(ckpt_dir, row)}
+    missing = sorted(s for s in range(n_shards_real)
+                     if str(s) not in valid)
+
+    if missing:
+        missing_arr = np.array(missing, dtype=np.int64)
+
+        def hash_batch(batch: pa.Table) -> pa.Table:
+            h1, h2 = mmh3_128_batch(batch[column])
+            pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+            pos = np.unique(pos.ravel())
+            shard = (pos >> 3) // B
+            keep = np.isin(shard, missing_arr)
+            return pa.table({
+                "shard": pa.array(shard[keep].astype(np.int32)),
+                "pos": pa.array(pos[keep]),
+            })
+
+        def build_shard(g: pa.Table) -> pa.Table:
+            shard = g["shard"][0].as_py()
+            pos = np.asarray(g["pos"], dtype=np.int64)
+            local = pos - shard * B * 8
+            buf = np.zeros(min(B, total_bytes - shard * B), dtype=np.uint8)
+            np.bitwise_or.at(buf, local >> 3,
+                             np.uint8(1) << (local & 7).astype(np.uint8))
+            state = buf.tobytes()
+            # task-side durable write (atomic); only metrics return
+            state_path = os.path.join(ckpt_dir, f"part-{shard}.state")
+            tmp = state_path + f".tmp-{os.getpid()}"
+            with open(tmp, "wb") as f:
+                f.write(state)
+            os.replace(tmp, state_path)
+            return pa.table({"metrics": pa.array([json.dumps({
+                "shard_id": str(shard), "kind": "bloom_shard",
+                "n_positions": int(pos.size),
+                "state_sha256": _sha256(state),
+                "state_bytes": len(state),
+                "engine_version": ENGINE_VERSION,
+            })], type=pa.string())})
+
+        results = (
+            ds.map_batches(hash_batch, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+            .groupby("shard")
+            .map_groups(build_shard, batch_format="pyarrow")
+        ).take_all()
+        built_rows = [json.loads(r["metrics"]) for r in results]
+        built_ids = {row["shard_id"] for row in built_rows}
+        # shards that produced no positions at all: durable empty states
+        for s in missing:
+            if str(s) not in built_ids:
+                state = np.zeros(min(B, total_bytes - s * B),
+                                 dtype=np.uint8).tobytes()
+                state_path = os.path.join(ckpt_dir, f"part-{s}.state")
+                tmp = state_path + f".tmp-{os.getpid()}"
+                with open(tmp, "wb") as f:
+                    f.write(state)
+                os.replace(tmp, state_path)
+                built_rows.append({
+                    "shard_id": str(s), "kind": "bloom_shard",
+                    "n_positions": 0, "state_sha256": _sha256(state),
+                    "state_bytes": len(state),
+                    "engine_version": ENGINE_VERSION,
+                })
+        with open(manifest_path, "a") as mf:
+            for row in built_rows:
+                mf.write(json.dumps(row) + "\n")
+                valid[row["shard_id"]] = row
+
+    states: dict[int, bytes] = {}
+    for s in range(n_shards_real):
+        with open(os.path.join(ckpt_dir, f"part-{s}.state"), "rb") as f:
+            states[s] = f.read()
+    report = {
+        "total_shards": n_shards_real,
+        "resumed_shards": n_shards_real - len(missing),
+        "built_shards": len(missing),
+        "wall_ms": int((time.monotonic() - t0) * 1000),
+    }
+    return states, report

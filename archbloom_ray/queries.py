@@ -2257,6 +2257,43 @@ def q_pages_extract_invariant(sf_dir: str):
     )
 
 
+def q_nation_supplier_expand(sf_dir: str):
+    """One-to-MANY broadcast join through the adaptive planner: left =
+    nation (25 rows), right = supplier keyed by s_nationkey — duplicate
+    right keys, so every (nation, supplier) pair must materialize
+    (searchsorted left/right-bound expansion in adaptive_join's
+    broadcast path; ADVICE r2 fix, certified here in the driver gate).
+    Per-nation supplier count + integer-cent balance total, plus the
+    planner's chosen strategy as a checkable column."""
+    from .pipelines import adaptive_join
+
+    nat = _read(sf_dir, "nation", ["n_nationkey", "n_name"])
+    sup = _read(sf_dir, "supplier", ["s_nationkey", "s_acctbal"])
+
+    def cents(batch: pa.Table) -> pa.Table:
+        c = np.rint(np.asarray(batch["s_acctbal"], dtype=np.float64)
+                    * 100).astype(np.int64)
+        return pa.table({"s_nationkey": batch["s_nationkey"],
+                         "acct_cents": pa.array(c, type=pa.int64())})
+
+    sup = sup.map_batches(cents, batch_format="pyarrow",
+                          zero_copy_batch=True)
+    joined, strategy = adaptive_join(
+        nat, sup, "n_nationkey", right_on="s_nationkey",
+        value_columns=["acct_cents"])
+    agg = grouped_agg(joined, ["n_name"], [
+        ("n_suppliers", None, "count"),
+        ("acct_cents", "acct_cents", "sum"),
+    ])
+    rows = sorted(agg.take_all(), key=lambda r: r["n_name"])
+    return pa.table({
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "n_suppliers": pa.array([r["n_suppliers"] for r in rows], pa.int64()),
+        "acct_cents": pa.array([r["acct_cents"] for r in rows], pa.int64()),
+        "strategy": pa.array([strategy] * len(rows), pa.string()),
+    })
+
+
 def q_suppliers_by_region(sf_dir: str):
     """Two-hop broadcast join supplier ⇢ nation ⇢ region (both dimension
     sides via one ray.put each — no shuffle), counting suppliers and
@@ -5969,6 +6006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof_order": q_events_asof_order,
         "user_peak_hour": q_user_peak_hour,
         "suppliers_by_region": q_suppliers_by_region,
+        "nation_supplier_expand": q_nation_supplier_expand,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "lineitem_skyline": q_lineitem_skyline,
@@ -7222,6 +7260,15 @@ def oracle_sql() -> dict[str, str]:
                                      AND CURRENT ROW) AS cnt
                 FROM events
             ) GROUP BY user_id
+        """,
+        "nation_supplier_expand": """
+            SELECT n_name,
+                   count(*) AS n_suppliers,
+                   CAST(sum(CAST(round(s_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS acct_cents,
+                   'broadcast' AS strategy
+            FROM nation JOIN supplier ON s_nationkey = n_nationkey
+            GROUP BY n_name ORDER BY n_name
         """,
         "suppliers_by_region": """
             SELECT r.r_name,

@@ -157,3 +157,81 @@ class TestKeyedStoreUpsert:
         want = (pd.concat([base[~base["k"].isin(upd["k"])], upd])
                 .sort_values("k").reset_index(drop=True))
         pd.testing.assert_frame_equal(got.astype("int64"), want.astype("int64"))
+
+
+class TestCheckpointedShardedBloom:
+    FACTORY = staticmethod(lambda: __import__(
+        "archbloom_ray.sketches", fromlist=["BloomFilter"]
+    ).BloomFilter(600, 0.01, name="ck"))
+
+    def _docs(self):
+        import ray.data as rd
+
+        import pyarrow.parquet as pq
+        from conftest import SF_DIR
+
+        return rd.read_parquet(f"{SF_DIR}/documents.parquet",
+                               columns=["text"]).repartition(4)
+
+    def test_fresh_run_equals_unchekpointed(self, ray_session, tmp_path):
+        from archbloom_ray.pipelines.build import (
+            assemble_sharded_bloom,
+            build_sharded_bloom_states,
+            build_sketch,
+        )
+        from archbloom_ray.pipelines.checkpoint import (
+            checkpointed_sharded_bloom,
+        )
+
+        ds = self._docs()
+        states, report = checkpointed_sharded_bloom(
+            ds, "text", self.FACTORY, str(tmp_path / "ck"),
+            num_shards=7, batch_size=128)
+        assert report["built_shards"] == report["total_shards"]
+        ref = build_sharded_bloom_states(ds, "text", self.FACTORY,
+                                         num_shards=7, batch_size=128)
+        got = assemble_sharded_bloom(states, self.FACTORY, num_shards=7)
+        want = build_sketch(ds, "text", self.FACTORY)
+        assert got.to_bytes() == want.to_bytes()
+        # every non-zero shard byte-matches the uncheckpointed build
+        for s, b in ref.items():
+            assert states[s] == b
+
+    def test_resume_skips_done_shards(self, ray_session, tmp_path):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.build import assemble_sharded_bloom
+        from archbloom_ray.pipelines.checkpoint import (
+            checkpointed_sharded_bloom,
+        )
+
+        ck = str(tmp_path / "ck")
+        ds = self._docs()
+        states1, r1 = checkpointed_sharded_bloom(
+            ds, "text", self.FACTORY, ck, num_shards=7, batch_size=128)
+        # resume over an EMPTY dataset: all shards done ⇒ no scan work
+        # needed, and the full result must still come back from disk
+        empty = rd.from_arrow(pa.table({"text": pa.array([], pa.string())}))
+        states2, r2 = checkpointed_sharded_bloom(
+            empty, "text", self.FACTORY, ck, num_shards=7, batch_size=128)
+        assert r2["resumed_shards"] == r2["total_shards"]
+        assert r2["built_shards"] == 0
+        assert states2 == states1
+
+    def test_torn_state_fails_closed_and_rebuilds(self, ray_session,
+                                                  tmp_path):
+        from archbloom_ray.pipelines.checkpoint import (
+            checkpointed_sharded_bloom,
+        )
+
+        ck = str(tmp_path / "ck")
+        ds = self._docs()
+        states1, _ = checkpointed_sharded_bloom(
+            ds, "text", self.FACTORY, ck, num_shards=7, batch_size=128)
+        victim = sorted(k for k, v in states1.items() if any(v))[0]
+        with open(f"{ck}/part-{victim}.state", "wb") as f:
+            f.write(b"\x00" * 3)  # torn write
+        states2, r2 = checkpointed_sharded_bloom(
+            ds, "text", self.FACTORY, ck, num_shards=7, batch_size=128)
+        assert r2["built_shards"] == 1
+        assert states2 == states1

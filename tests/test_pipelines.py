@@ -1929,3 +1929,52 @@ class TestShardedTdbloomBuild:
             last[k] = max(last.get(k, 0), s)
         fresh = [k for k, s in last.items() if now - s <= 60][:50]
         assert sharded.lookup_batch(pa.array(fresh), now=now).all()
+
+
+class TestBuildFilterAuto:
+    def test_plan_crossover(self):
+        """Small filter over many batches → monolithic; huge filter
+        over few rows → sharded (n_batches×m vs n×k×9 cost model)."""
+        from archbloom_ray.pipelines import plan_filter_build
+
+        small = BloomFilter(10_000, 0.01)        # ~12 KB state
+        assert plan_filter_build(1_000_000, small,
+                                 batch_size=65536) == "monolithic"
+        huge = BloomFilter(500_000_000, 0.001)   # ~0.9 GB state
+        assert plan_filter_build(100_000, huge,
+                                 batch_size=65536) == "sharded"
+
+    def test_both_paths_bit_identical(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import build_filter_auto, build_sketch
+
+        # force each plan via batch_size (state ~720 B at expected=600)
+        factory = lambda: BloomFilter(600, 0.01, name="auto")
+        mono_ref = build_sketch(docs_ds, "text", factory)
+        got_m, plan_m = build_filter_auto(docs_ds, "text", factory,
+                                          batch_size=16)
+        assert plan_m == "monolithic"
+        big_factory = lambda: BloomFilter(2_000_000, 0.001, name="auto")
+        got_s, plan_s = build_filter_auto(docs_ds, "text", big_factory,
+                                          batch_size=65536)
+        assert plan_s == "sharded"
+        assert got_m.to_bytes() == mono_ref.to_bytes()
+        assert got_s.to_bytes() == build_sketch(
+            docs_ds, "text", big_factory).to_bytes()
+
+    def test_cbloom_auto_sharded(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import build_filter_auto, build_sketch
+        from archbloom_ray.sketches import CountingBloomFilter
+
+        factory = lambda: CountingBloomFilter(1_000_000, 0.001, width=16,
+                                              name="auto")
+        got, plan = build_filter_auto(docs_ds, "text", factory)
+        assert plan == "sharded"
+        assert got.to_bytes() == build_sketch(docs_ds, "text",
+                                              factory).to_bytes()
+
+    def test_unsupported_type_raises(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import build_filter_auto
+        from archbloom_ray.sketches import HyperLogLog
+
+        with pytest.raises(TypeError):
+            build_filter_auto(docs_ds, "text", lambda: HyperLogLog(12))
