@@ -836,6 +836,109 @@ def assemble_sharded_tdbloom(
     return sk
 
 
+def build_sharded_tdcbloom_states(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    secs_column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded TIME-DECAYING COUNTING Bloom build → ``{shard: bytes}``
+    where each shard's payload is its counter slice followed by its
+    timer slice.  Position-wise decomposition is exact: counters are
+    +1-increment saturating sums (any clamping order = min(cap, total))
+    and timers are maxes of width-truncated ticks (commutative), which
+    is precisely the engine's tdcbloom merge rule.  The scan emits one
+    pre-aggregated (shard, pos, cnt, tick) row per touched position per
+    batch — independent of the counters+timers state size.
+
+    ``secs_column``: int64 event-time seconds (see the tdbloom variant).
+    """
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    cmax = tpl._cmax
+    cdtype, tdtype = tpl.counters.dtype, tpl.timers.dtype
+    C = max(1, math.ceil(m / int(num_shards)))
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[key_column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        secs = np.asarray(batch[secs_column], dtype=np.int64)
+        # the C cast to the timer width (set_timestamp) happens BEFORE
+        # the slot max in update_arrow — replicate, then widen for Arrow
+        tick = secs.astype(tdtype).astype(np.int64)
+        flat_pos = pos.ravel()
+        flat_tick = np.broadcast_to(tick, pos.shape).ravel()
+        order = np.argsort(flat_pos, kind="stable")
+        p_sorted = flat_pos[order]
+        t_sorted = flat_tick[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], p_sorted[1:] != p_sorted[:-1])))
+        uniq = p_sorted[starts]
+        cnt = np.diff(np.append(starts, p_sorted.size))
+        tmax = np.maximum.reduceat(t_sorted, starts)
+        return pa.table({
+            "shard": pa.array((uniq // C).astype(np.int32)),
+            "pos": pa.array(uniq),
+            "cnt": pa.array(cnt.astype(np.int64)),
+            "tick": pa.array(tmax),
+        })
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        agg = pa.table({"p": g["pos"], "c": g["cnt"], "t": g["tick"]}) \
+            .group_by(["p"]).aggregate([("c", "sum"), ("t", "max")])
+        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
+        c = np.asarray(agg["c_sum"], dtype=np.int64)
+        t = np.asarray(agg["t_max"], dtype=np.int64)
+        n_slots = min(C, m - shard * C)
+        cbuf = np.zeros(n_slots, dtype=cdtype)
+        if cdtype == np.uint64:
+            cbuf[p] = c.astype(np.uint64)
+        else:
+            cbuf[p] = np.minimum(c, cmax).astype(cdtype)
+        tbuf = np.zeros(n_slots, dtype=tdtype)
+        tbuf[p] = t.astype(tdtype)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([cbuf.tobytes() + tbuf.tobytes()],
+                              type=pa.large_binary()),
+        })
+
+    states = (
+        ds.map_batches(hash_batch, batch_format="pyarrow",
+                       batch_size=batch_size, zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(build_shard, batch_format="pyarrow")
+    )
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def assemble_sharded_tdcbloom(
+    states: dict[int, bytes],
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> "Sketch":
+    """Concatenate counter+timer shards into ONE tdcbloom — bit-for-bit
+    equal to the event-time build (driver-side, O(m))."""
+    sk = factory()
+    C = max(1, math.ceil(sk.size / int(num_shards)))
+    cw = sk.counters.dtype.itemsize
+    for s, b in states.items():
+        n_slots = min(C, sk.size - s * C)
+        carr = np.frombuffer(b, dtype=sk.counters.dtype, count=n_slots)
+        tarr = np.frombuffer(b, dtype=sk.timers.dtype,
+                             offset=n_slots * cw)
+        sk.counters[s * C: s * C + n_slots] = carr
+        sk.timers[s * C: s * C + n_slots] = tarr
+    return sk
+
+
 def assemble_sharded_cbloom(
     states: dict[int, bytes],
     factory: Callable[[], "Sketch"],

@@ -2257,6 +2257,123 @@ def q_pages_extract_invariant(sf_dir: str):
     )
 
 
+def q_q5_local_supplier_revenue(sf_dir: str):
+    """TPC-H Q5 (local-supplier volume), Ray-Data-first: ASIA-region
+    revenue per nation for 1996 orders where customer and supplier
+    share the nation.  Plan — all three dimension hops (region→nation,
+    customer→nation, supplier→nation) ride ONE broadcast each
+    (``ray.put`` maps, no shuffle); the orders scan filters the date
+    year and attaches the customer's nation; the lineitem scan attaches
+    the supplier's nation and integer-micro revenue; the single
+    large-large exchange is ONE adaptive_join on orderkey (count-probed
+    broadcast vs hash shuffle); the same-nation predicate filters after
+    the join and a category-sized grouped sum finishes.  Revenue is
+    exact int64 micros: rint(price·100)·(100 − rint(disc·100))."""
+    from .pipelines import adaptive_join
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pa.parquet.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"])
+    asia = {r["r_regionkey"] for r in region.to_pylist()
+            if r["r_name"] == "ASIA"}
+    nk_in_asia = {r["n_nationkey"]: r["n_name"]
+                  for r in nation.to_pylist() if r["n_regionkey"] in asia}
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    def _sorted_map(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    asia_arr = np.sort(np.fromiter(nk_in_asia, dtype=np.int64))
+    dims_ref = ray.put((_sorted_map(cust["c_custkey"], cust["c_nationkey"]),
+                        _sorted_map(supp["s_suppkey"], supp["s_nationkey"]),
+                        asia_arr))
+
+    from .proc_cache import cached_instance
+
+    def _gather(keys_sorted, vals_sorted, probe):
+        """Vectorized dict.get(probe, -1) over a sorted key array."""
+        if keys_sorted.size == 0:
+            return np.full(probe.size, -1, dtype=np.int64)
+        pos = np.clip(np.searchsorted(keys_sorted, probe), 0,
+                      keys_sorted.size - 1)
+        out = vals_sorted[pos]
+        out[keys_sorted[pos] != probe] = -1
+        return out
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        (ck_s, cn_s), _, asia_nk = cached_instance(
+            ("q5_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        ck = np.asarray(batch["o_custkey"], dtype=np.int64)
+        cn = _gather(ck_s, cn_s, ck)
+        keep = (dt >= LO_US) & (dt < HI_US) & np.isin(cn, asia_nk)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "cust_nation": pa.array(cn[keep]),
+        })
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        _, (sk_s, sn_s), asia_nk = cached_instance(
+            ("q5_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        sn = _gather(sk_s, sn_s, sk)
+        keep = np.isin(sn, asia_nk)
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "supp_nation": pa.array(sn[keep]),
+            "rev_micros": pa.array(rev),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["cust_nation"])
+
+    def local_only(batch: pa.Table) -> pa.Table:
+        keep = pc.equal(batch["supp_nation"], batch["cust_nation"])
+        kept = batch.filter(keep)
+        return pa.table({"nk": kept["supp_nation"],
+                         "rev_micros": kept["rev_micros"]})
+
+    agg = grouped_agg(
+        joined.map_batches(local_only, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["nk"], [("revenue_micros", "rev_micros", "sum")])
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["revenue_micros"], r["nk"]))
+    return pa.table({
+        "n_name": pa.array([nk_in_asia[r["nk"]] for r in rows], pa.string()),
+        "revenue_micros": pa.array(
+            [r["revenue_micros"] for r in rows], pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -6007,6 +6124,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_peak_hour": q_user_peak_hour,
         "suppliers_by_region": q_suppliers_by_region,
         "nation_supplier_expand": q_nation_supplier_expand,
+        "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "lineitem_skyline": q_lineitem_skyline,
@@ -7260,6 +7378,20 @@ def oracle_sql() -> dict[str, str]:
                                      AND CURRENT ROW) AS cnt
                 FROM events
             ) GROUP BY user_id
+        """,
+        "q5_local_supplier_revenue": """
+            SELECT n_name,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_micros
+            FROM customer, orders, lineitem, supplier, nation, region
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+              AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+              AND r_name = 'ASIA'
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY n_name
         """,
         "nation_supplier_expand": """
             SELECT n_name,

@@ -1978,3 +1978,42 @@ class TestBuildFilterAuto:
 
         with pytest.raises(TypeError):
             build_filter_auto(docs_ds, "text", lambda: HyperLogLog(12))
+
+
+class TestShardedTdcbloomBuild:
+    def test_bit_for_bit_vs_event_time_and_sequential(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (
+            assemble_sharded_tdcbloom,
+            build_event_time_sketch,
+            build_sharded_tdcbloom_states,
+        )
+        from archbloom_ray.sketches import TimeDecayingCountingBloomFilter
+
+        rng = np.random.default_rng(11)
+        n = 3000
+        keys = [f"k-{i}" for i in rng.integers(0, 400, n)]  # hot keys
+        secs = rng.integers(2000, 2000 + 150, n).astype(np.int64)
+        tbl = pa.table({
+            "k": pa.array(keys),
+            "ts": pa.array(secs, type=pa.int64()),
+            "warc_ts": pa.array(secs * 1_000_000,
+                                type=pa.int64()).cast(pa.timestamp("us")),
+        })
+        ds = rd.from_arrow(tbl).repartition(4)
+        factory = lambda: TimeDecayingCountingBloomFilter(
+            400, 0.01, timeout=60, start_time=2000, name="tdc",
+            counter_width=8)
+
+        mono = build_event_time_sketch(ds, "k", "warc_ts", factory,
+                                       batch_size=256)
+        states = build_sharded_tdcbloom_states(
+            ds, "k", "ts", factory, num_shards=5, batch_size=256)
+        sharded = assemble_sharded_tdcbloom(states, factory, num_shards=5)
+        assert sharded.to_bytes() == mono.to_bytes()
+
+        seq = factory()
+        for k, s in zip(keys, secs.tolist()):
+            seq.update_arrow(pa.array([k]), now=s)
+        assert sharded.to_bytes() == seq.to_bytes()
