@@ -495,6 +495,9 @@ def sharded_bloom_partials(
     m, k = tpl.size, tpl.hashcount
     total_bytes = (m + 7) // 8
     B = _bloom_shard_bytes(total_bytes, int(num_shards))
+    # halve shuffle bytes when positions fit int32 (m < 2^31 bits =
+    # bitmaps up to 256 MB; bigger filters keep int64)
+    pos_dtype = np.int32 if m < (1 << 31) else np.int64
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h1, h2 = mmh3_128_batch(batch[column])
@@ -502,7 +505,7 @@ def sharded_bloom_partials(
         pos = np.unique(pos.ravel())
         return pa.table({
             "shard": pa.array(((pos >> 3) // B).astype(np.int32)),
-            "pos": pa.array(pos),
+            "pos": pa.array(pos.astype(pos_dtype)),
         })
 
     parts = ds.map_batches(hash_batch, batch_format="pyarrow",
@@ -634,6 +637,7 @@ def build_sharded_cbloom_states(
     cap = tpl._max
     dtype = tpl.counters.dtype
     C = max(1, math.ceil(m / int(num_shards)))
+    pos_dtype = np.int32 if m < (1 << 31) else np.int64
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h1, h2 = mmh3_128_batch(batch[column])
@@ -641,8 +645,8 @@ def build_sharded_cbloom_states(
         uniq, cnt = np.unique(pos.ravel(), return_counts=True)
         return pa.table({
             "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq),
-            "cnt": pa.array(cnt.astype(np.int64)),
+            "pos": pa.array(uniq.astype(pos_dtype)),
+            "cnt": pa.array(cnt.astype(np.int32)),  # ≤ k·batch per batch
         })
 
     def build_shard(g: pa.Table) -> pa.Table:
@@ -775,6 +779,8 @@ def build_sharded_tdbloom_states(
     max_time, start = tpl.max_time, tpl.start_time
     dtype = tpl.filter.dtype
     C = max(1, math.ceil(m / int(num_shards)))
+    pos_dtype = np.int32 if m < (1 << 31) else np.int64
+    tick_dtype = np.int32 if max_time < (1 << 31) else np.int64
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h1, h2 = mmh3_128_batch(batch[key_column])
@@ -793,8 +799,8 @@ def build_sharded_tdbloom_states(
         tmax = np.maximum.reduceat(t_sorted, starts)
         return pa.table({
             "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq),
-            "tick": pa.array(tmax.astype(np.int64)),
+            "pos": pa.array(uniq.astype(pos_dtype)),
+            "tick": pa.array(tmax.astype(tick_dtype)),
         })
 
     def build_shard(g: pa.Table) -> pa.Table:
@@ -863,6 +869,8 @@ def build_sharded_tdcbloom_states(
     cmax = tpl._cmax
     cdtype, tdtype = tpl.counters.dtype, tpl.timers.dtype
     C = max(1, math.ceil(m / int(num_shards)))
+    pos_dtype = np.int32 if m < (1 << 31) else np.int64
+    tick_dtype = np.int32 if tdtype.itemsize <= 4 else np.int64
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h1, h2 = mmh3_128_batch(batch[key_column])
@@ -883,9 +891,9 @@ def build_sharded_tdcbloom_states(
         tmax = np.maximum.reduceat(t_sorted, starts)
         return pa.table({
             "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq),
-            "cnt": pa.array(cnt.astype(np.int64)),
-            "tick": pa.array(tmax),
+            "pos": pa.array(uniq.astype(pos_dtype)),
+            "cnt": pa.array(cnt.astype(np.int32)),
+            "tick": pa.array(tmax.astype(tick_dtype)),
         })
 
     def build_shard(g: pa.Table) -> pa.Table:
