@@ -4992,6 +4992,56 @@ def q_drift_chi2_source(sf_dir: str):
     })
 
 
+def q_dgim_window_counts(sf_dir: str):
+    """Per-user sliding-window event counts via the DGIM sketch
+    (Datar et al. SODA'02, `sketches/dgim.py`) — the O(log²W)-memory
+    streaming answer to "how many events in the last W?".  Distributed
+    shape: one groupby(user).map_groups; each group sorts its own
+    timestamps once, builds TWO time-partitioned DGIMs (first/second
+    half) and MERGES them — exercising the engine's time-partitioned
+    merge in the driver gate — then certifies the estimate against the
+    group's exact numpy count with the absolute half-oldest-bucket
+    bound (contractual after merges).  Oracle: exact per-user window
+    count + TRUE, the quantile_sketches bound-gate pattern."""
+    from .sketches import DGIM
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    ts_all = pc.cast(pa.parquet.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts"])["ts"].combine_chunks(), pa.int64())
+    hi = int(pc.max(ts_all).as_py())
+    lo = int(pc.min(ts_all).as_py())
+    window = max((hi - lo) // 4, 1)  # µs ticks
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        ts = np.sort(np.asarray(pc.cast(group["ts"].combine_chunks(),
+                                        pa.int64())))
+        exact = int(((ts > hi - window) & (ts <= hi)).sum())
+        cut = ts.size // 2
+        a, b = DGIM(window), DGIM(window)
+        a.update_arrow(ts[:cut])
+        b.update_arrow(ts[cut:])
+        a.merge(b)
+        est = a.estimate(hi)
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "exact_in_window": pa.array([exact], type=pa.int64()),
+            "dgim_within_bound": pa.array(
+                [abs(est - exact) <= a.error_bound()], type=pa.bool_()),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "exact_in_window": pa.array(
+            [r["exact_in_window"] for r in rows], pa.int64()),
+        "dgim_within_bound": pa.array(
+            [r["dgim_within_bound"] for r in rows], pa.bool_()),
+    })
+
+
 def q_user_rolling_median(sf_dir: str):
     """Per-event trailing order-statistic window: the exact median of
     each user's last 4 values (3 preceding + current, ordered by ts
@@ -6272,6 +6322,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_ks_chars": q_drift_ks_chars,
         "drift_chi2_source": q_drift_chi2_source,
         "user_rolling_median": q_user_rolling_median,
+        "dgim_window_counts": q_dgim_window_counts,
         "diversity_by_source": q_diversity_by_source,
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chars_quantiles_sel": q_chars_quantiles_sel,
@@ -8386,6 +8437,17 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(na * nb * (n_old + n_new) AS DOUBLE)
                        AS chi2_term
             FROM c, tot ORDER BY source
+        """,
+        "dgim_window_counts": """
+            WITH b AS (SELECT max(epoch_us(ts)) AS hi,
+                              min(epoch_us(ts)) AS lo FROM events),
+            w AS (SELECT hi, greatest((hi - lo) // 4, 1) AS win FROM b)
+            SELECT user_id,
+                   CAST(count(*) FILTER (WHERE epoch_us(ts) > hi - win
+                                           AND epoch_us(ts) <= hi)
+                        AS BIGINT) AS exact_in_window,
+                   TRUE AS dgim_within_bound
+            FROM events, w GROUP BY user_id ORDER BY user_id
         """,
         "user_rolling_median": """
             SELECT event_id, user_id,

@@ -18,6 +18,7 @@ from .dd import DDSketch
 from .xorf import XorFilter
 from .fd import FrequentDirections
 from .roaring import RoaringBitmap
+from .dgim import DGIM
 
 __all__ = [
     "Sketch",
@@ -43,4 +44,5 @@ __all__ = [
     "XorFilter",
     "FrequentDirections",
     "RoaringBitmap",
+    "DGIM",
 ]
