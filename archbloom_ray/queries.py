@@ -2374,6 +2374,126 @@ def q_q5_local_supplier_revenue(sf_dir: str):
     })
 
 
+def q_q6_forecast_revenue(sf_dir: str):
+    """TPC-H Q6 (forecast revenue change): pure filter + global sum —
+    the canonical prune-at-the-read query.  Only the four needed
+    columns leave storage; the predicate and the revenue product run
+    as one vectorized pass per batch; the 'shuffle' is a single
+    scalar-per-batch sum.  Exact integer math: cents × discount-pct
+    (both rint-quantized) = revenue in ten-thousandths of a dollar."""
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        disc = np.rint(np.asarray(batch["l_discount"], dtype=np.float64)
+                       * 100).astype(np.int64)
+        keep = (sd >= LO_US) & (sd < HI_US) & (qty < 24) \
+            & (disc >= 5) & (disc <= 7)
+        price = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        rev = price * disc[keep]
+        return pa.table({"rev": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_shipdate", "l_quantity", "l_discount",
+                   "l_extendedprice"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_e4": pa.array([sum(r["rev"] for r in parts)], pa.int64()),
+        "n_lineitems": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+    })
+
+
+def q_q18_large_volume_customers(sf_dir: str):
+    """TPC-H Q18 (large-volume customers): orders whose total lineitem
+    quantity exceeds 250, with customer name and integer-cent order
+    total, top 100 by (totalprice desc, orderdate asc).  Plan — the
+    lineitem scan pre-aggregates (orderkey → Σqty) per batch, ONE
+    grouped sum shuffles only those count rows, the (tiny) qualifying
+    orderkey set broadcasts into the orders scan (no fact-fact join),
+    and the customer name map is a driver-side dimension broadcast."""
+    from .pipelines import topk_rows
+
+    QTY = 250
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": batch["l_orderkey"],
+            "q": pa.array(np.rint(np.asarray(batch["l_quantity"],
+                                             dtype=np.float64))
+                          .astype(np.int64)),
+        }).group_by(["k"]).aggregate([("q", "sum")])
+        return pa.table({"l_orderkey": t["k"], "qty": t["q_sum"]})
+
+    sums = grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_quantity"]).map_batches(
+            li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("total_qty", "qty", "sum")])
+    big = {r["l_orderkey"]: r["total_qty"]
+           for r in sums.filter(expr=f"total_qty > {QTY}").take_all()}
+    if not big:
+        return pa.table({
+            "c_name": pa.array([], pa.string()),
+            "o_orderkey": pa.array([], pa.int64()),
+            "o_date_us": pa.array([], pa.int64()),
+            "total_cents": pa.array([], pa.int64()),
+            "total_qty": pa.array([], pa.int64()),
+        })
+    keys = np.sort(np.fromiter(big, dtype=np.int64))
+    ref = ray.put(keys)
+
+    from .proc_cache import cached_instance
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        ks = cached_instance(("q18_keys", ref.hex()), lambda: ray.get(ref))
+        ok = np.asarray(batch["o_orderkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(ks, ok), 0, ks.size - 1)
+        keep = ks[pos] == ok
+        cents = np.rint(np.asarray(batch["o_totalprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))[keep]
+        return pa.table({
+            "o_orderkey": pa.array(ok[keep]),
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[keep]),
+            "o_date_us": pa.array(dt),
+            "total_cents": pa.array(cents),
+        })
+
+    hits = _read(sf_dir, "orders",
+                 ["o_orderkey", "o_custkey", "o_orderdate",
+                  "o_totalprice"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    top = topk_rows(hits, [("total_cents", "descending"),
+                           ("o_date_us", "ascending"),
+                           ("o_orderkey", "ascending")], 100)
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name"])
+    c2n = dict(zip(cust["c_custkey"].to_pylist(),
+                   cust["c_name"].to_pylist()))
+    okeys = pc.cast(top["o_orderkey"].combine_chunks(), pa.int64())
+    return pa.table({
+        "c_name": pa.array(
+            [c2n.get(k) for k in
+             pc.cast(top["o_custkey"].combine_chunks(),
+                     pa.int64()).to_pylist()], pa.string()),
+        "o_orderkey": okeys,
+        "o_date_us": pc.cast(top["o_date_us"].combine_chunks(), pa.int64()),
+        "total_cents": pc.cast(top["total_cents"].combine_chunks(),
+                               pa.int64()),
+        "total_qty": pa.array([big[k] for k in okeys.to_pylist()],
+                              pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -6175,6 +6295,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "suppliers_by_region": q_suppliers_by_region,
         "nation_supplier_expand": q_nation_supplier_expand,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q18_large_volume_customers": q_q18_large_volume_customers,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "lineitem_skyline": q_lineitem_skyline,
@@ -7429,6 +7551,33 @@ def oracle_sql() -> dict[str, str]:
                                      AND CURRENT ROW) AS cnt
                 FROM events
             ) GROUP BY user_id
+        """,
+        "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "q18_large_volume_customers": """
+            WITH sums AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY l_orderkey
+                HAVING total_qty > 250)
+            SELECT c_name, o_orderkey,
+                   epoch_us(o_orderdate) AS o_date_us,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS total_cents,
+                   total_qty
+            FROM sums JOIN orders ON o_orderkey = l_orderkey
+                      JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_cents DESC, o_date_us ASC, o_orderkey ASC
+            LIMIT 100
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
