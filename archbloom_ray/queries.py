@@ -5162,6 +5162,57 @@ def q_dgim_window_counts(sf_dir: str):
     })
 
 
+def q_dgim_window_sum(sf_dir: str):
+    """Per-user sliding-window SUM estimate via DGIM (the paper's §5
+    reduction: an integer value v at time t is v unit events at t, so
+    the windowed sum inherits the half-oldest-bucket bound in value
+    units).  Same distributed shape as `dgim_window_counts`; the
+    in-group expansion is Σv units per user — bounded by the per-key
+    value mass, never corpus-sized.  Oracle: exact per-user windowed
+    sum + TRUE bound flags."""
+    from .sketches import DGIM
+
+    ds = _read(sf_dir, "events", ["user_id", "ts", "value"])
+    ts_all = pc.cast(pa.parquet.read_table(
+        os.path.join(sf_dir, "events.parquet"),
+        columns=["ts"])["ts"].combine_chunks(), pa.int64())
+    hi = int(pc.max(ts_all).as_py())
+    lo = int(pc.min(ts_all).as_py())
+    window = max((hi - lo) // 4, 1)
+
+    def per_user(group: pa.Table) -> pa.Table:
+        uid = group["user_id"][0].as_py()
+        ts = np.asarray(pc.cast(group["ts"].combine_chunks(), pa.int64()))
+        # DuckDB round() is half-AWAY-from-zero; np.rint is banker's —
+        # and 2-decimal values hit exact .5 often.  floor(v+0.5) matches
+        # for the non-negative domain.
+        v = np.maximum(np.floor(np.asarray(group["value"],
+                                           dtype=np.float64) + 0.5), 0
+                       ).astype(np.int64)
+        order = np.argsort(ts, kind="stable")
+        ts, v = ts[order], v[order]
+        exact = int(v[(ts > hi - window) & (ts <= hi)].sum())
+        d = DGIM(window)
+        d.update_arrow(np.repeat(ts, v))  # §5 unit-event reduction
+        est = d.estimate(hi)
+        return pa.table({
+            "user_id": pa.array([uid], type=pa.int64()),
+            "exact_sum_in_window": pa.array([exact], type=pa.int64()),
+            "dgim_within_bound": pa.array(
+                [abs(est - exact) <= d.error_bound()], type=pa.bool_()),
+        })
+
+    out = ds.groupby("user_id").map_groups(per_user, batch_format="pyarrow")
+    rows = sorted(out.take_all(), key=lambda r: r["user_id"])
+    return pa.table({
+        "user_id": pa.array([r["user_id"] for r in rows], pa.int64()),
+        "exact_sum_in_window": pa.array(
+            [r["exact_sum_in_window"] for r in rows], pa.int64()),
+        "dgim_within_bound": pa.array(
+            [r["dgim_within_bound"] for r in rows], pa.bool_()),
+    })
+
+
 def q_user_rolling_median(sf_dir: str):
     """Per-event trailing order-statistic window: the exact median of
     each user's last 4 values (3 preceding + current, ordered by ts
@@ -6445,6 +6496,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "drift_chi2_source": q_drift_chi2_source,
         "user_rolling_median": q_user_rolling_median,
         "dgim_window_counts": q_dgim_window_counts,
+        "dgim_window_sum": q_dgim_window_sum,
         "diversity_by_source": q_diversity_by_source,
         "vocab_overlap_exact": q_vocab_overlap_exact,
         "chars_quantiles_sel": q_chars_quantiles_sel,
@@ -8586,6 +8638,18 @@ def oracle_sql() -> dict[str, str]:
                        / CAST(na * nb * (n_old + n_new) AS DOUBLE)
                        AS chi2_term
             FROM c, tot ORDER BY source
+        """,
+        "dgim_window_sum": """
+            WITH b AS (SELECT max(epoch_us(ts)) AS hi,
+                              min(epoch_us(ts)) AS lo FROM events),
+            w AS (SELECT hi, greatest((hi - lo) // 4, 1) AS win FROM b)
+            SELECT user_id,
+                   CAST(coalesce(sum(greatest(CAST(round(value) AS BIGINT), 0))
+                            FILTER (WHERE epoch_us(ts) > hi - win
+                                      AND epoch_us(ts) <= hi), 0)
+                        AS BIGINT) AS exact_sum_in_window,
+                   TRUE AS dgim_within_bound
+            FROM events, w GROUP BY user_id ORDER BY user_id
         """,
         "dgim_window_counts": """
             WITH b AS (SELECT max(epoch_us(ts)) AS hi,
