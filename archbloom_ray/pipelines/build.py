@@ -746,6 +746,71 @@ def build_filter_auto(
                                   num_shards=num_shards), plan
 
 
+def merge_sharded_states(
+    a: dict[int, bytes],
+    b: dict[int, bytes],
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> dict[int, bytes]:
+    """Merge two sharded state maps built with the SAME factory/shard
+    count — the incremental-ingest step for the scale path (yesterday's
+    shards ∪ today's increment, no rebuild): Bloom shards OR, cbloom
+    counter shards saturating-add, tdbloom slot shards max, tdcbloom
+    counter+timer shards add/max.  Shard-local and embarrassingly
+    parallel; runs driver-side here because each shard slice is small —
+    at true scale map the same kernel over a Dataset of shard ids."""
+    from ..sketches.bloom import BloomFilter
+    from ..sketches.cbloom import CountingBloomFilter
+    from ..sketches.tdbloom import TimeDecayingBloomFilter
+    from ..sketches.tdcbloom import TimeDecayingCountingBloomFilter
+
+    tpl = factory()
+    out: dict[int, bytes] = {}
+    for s in sorted(set(a) | set(b)):
+        if s not in a:
+            out[s] = b[s]
+            continue
+        if s not in b:
+            out[s] = a[s]
+            continue
+        if isinstance(tpl, BloomFilter):
+            x = np.frombuffer(a[s], dtype=np.uint8)
+            y = np.frombuffer(b[s], dtype=np.uint8)
+            out[s] = (x | y).tobytes()
+        elif isinstance(tpl, TimeDecayingCountingBloomFilter):
+            cw = tpl.counters.dtype.itemsize
+            n = len(a[s]) // (cw + tpl.timers.dtype.itemsize)
+            xc = np.frombuffer(a[s], dtype=tpl.counters.dtype, count=n)
+            yc = np.frombuffer(b[s], dtype=tpl.counters.dtype, count=n)
+            xt = np.frombuffer(a[s], dtype=tpl.timers.dtype, offset=n * cw)
+            yt = np.frombuffer(b[s], dtype=tpl.timers.dtype, offset=n * cw)
+            if tpl.counters.dtype == np.uint64:
+                sc = xc + yc
+                sc = np.where(sc < xc, np.uint64(tpl._cmax), sc)
+            else:
+                sc = np.minimum(xc.astype(np.int64) + yc.astype(np.int64),
+                                tpl._cmax).astype(tpl.counters.dtype)
+            out[s] = sc.tobytes() + np.maximum(xt, yt).tobytes()
+        elif isinstance(tpl, TimeDecayingBloomFilter):
+            x = np.frombuffer(a[s], dtype=tpl.filter.dtype)
+            y = np.frombuffer(b[s], dtype=tpl.filter.dtype)
+            out[s] = np.maximum(x, y).tobytes()
+        elif isinstance(tpl, CountingBloomFilter):
+            x = np.frombuffer(a[s], dtype=tpl.counters.dtype)
+            y = np.frombuffer(b[s], dtype=tpl.counters.dtype)
+            if tpl.counters.dtype == np.uint64:
+                sm = x + y
+                sm = np.where(sm < x, np.uint64(tpl._max), sm)
+            else:
+                sm = np.minimum(x.astype(np.int64) + y.astype(np.int64),
+                                tpl._max).astype(tpl.counters.dtype)
+            out[s] = sm.tobytes()
+        else:
+            raise TypeError(f"no sharded merge rule for {type(tpl).__name__}")
+    return out
+
+
 def build_sharded_tdbloom_states(
     ds: "ray.data.Dataset",
     key_column: str,

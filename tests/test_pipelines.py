@@ -2017,3 +2017,92 @@ class TestShardedTdcbloomBuild:
         for k, s in zip(keys, secs.tolist()):
             seq.update_arrow(pa.array([k]), now=s)
         assert sharded.to_bytes() == seq.to_bytes()
+
+
+class TestMergeShardedStates:
+    """Incremental ingest on the scale path: split the corpus in two,
+    build each half sharded, merge state maps — must equal the
+    one-shot build bit-for-bit for every filter family."""
+
+    def _halves(self, docs_ds):
+        import ray.data as rd
+
+        from conftest import SF_DIR
+        tbl = pa.parquet.read_table(f"{SF_DIR}/documents.parquet",
+                                    columns=["text"])
+        cut = tbl.num_rows // 2
+        return (rd.from_arrow(tbl.slice(0, cut)).repartition(2),
+                rd.from_arrow(tbl.slice(cut)).repartition(2),
+                rd.from_arrow(tbl).repartition(3))
+
+    def test_bloom_and_cbloom_increment(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import (
+            assemble_sharded_bloom,
+            assemble_sharded_cbloom,
+            build_sharded_bloom_states,
+            build_sharded_cbloom_states,
+            merge_sharded_states,
+        )
+        from archbloom_ray.sketches import CountingBloomFilter
+
+        d1, d2, full = self._halves(docs_ds)
+        bf = lambda: BloomFilter(600, 0.01, name="inc")
+        s1 = build_sharded_bloom_states(d1, "text", bf, num_shards=7)
+        s2 = build_sharded_bloom_states(d2, "text", bf, num_shards=7)
+        merged = merge_sharded_states(s1, s2, bf, num_shards=7)
+        want = build_sharded_bloom_states(full, "text", bf, num_shards=7)
+        assert assemble_sharded_bloom(merged, bf, num_shards=7).to_bytes() \
+            == assemble_sharded_bloom(want, bf, num_shards=7).to_bytes()
+
+        cf = lambda: CountingBloomFilter(600, 0.01, width=4, name="inc")
+        c1 = build_sharded_cbloom_states(d1, "text", cf, num_shards=5)
+        c2 = build_sharded_cbloom_states(d2, "text", cf, num_shards=5)
+        cm = merge_sharded_states(c1, c2, cf, num_shards=5)
+        cw = build_sharded_cbloom_states(full, "text", cf, num_shards=5)
+        assert assemble_sharded_cbloom(cm, cf, num_shards=5).to_bytes() \
+            == assemble_sharded_cbloom(cw, cf, num_shards=5).to_bytes()
+
+    def test_td_families_increment(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (
+            assemble_sharded_tdbloom,
+            assemble_sharded_tdcbloom,
+            build_sharded_tdbloom_states,
+            build_sharded_tdcbloom_states,
+            merge_sharded_states,
+        )
+        from archbloom_ray.sketches import (
+            TimeDecayingBloomFilter,
+            TimeDecayingCountingBloomFilter,
+        )
+
+        rng = np.random.default_rng(5)
+        n = 2000
+        tbl = pa.table({
+            "k": pa.array([f"u-{i}" for i in rng.integers(0, 300, n)]),
+            "ts": pa.array(rng.integers(100, 260, n).astype(np.int64)),
+        })
+        d1 = rd.from_arrow(tbl.slice(0, n // 2)).repartition(2)
+        d2 = rd.from_arrow(tbl.slice(n // 2)).repartition(2)
+        full = rd.from_arrow(tbl).repartition(3)
+
+        tf = lambda: TimeDecayingBloomFilter(300, 0.01, timeout=60,
+                                             start_time=100, name="inc")
+        t1 = build_sharded_tdbloom_states(d1, "k", "ts", tf, num_shards=6)
+        t2 = build_sharded_tdbloom_states(d2, "k", "ts", tf, num_shards=6)
+        tm = merge_sharded_states(t1, t2, tf, num_shards=6)
+        tw = build_sharded_tdbloom_states(full, "k", "ts", tf, num_shards=6)
+        assert assemble_sharded_tdbloom(tm, tf, num_shards=6).to_bytes() \
+            == assemble_sharded_tdbloom(tw, tf, num_shards=6).to_bytes()
+
+        cf = lambda: TimeDecayingCountingBloomFilter(
+            300, 0.01, timeout=60, start_time=100, name="inc",
+            counter_width=8)
+        c1 = build_sharded_tdcbloom_states(d1, "k", "ts", cf, num_shards=6)
+        c2 = build_sharded_tdcbloom_states(d2, "k", "ts", cf, num_shards=6)
+        cm = merge_sharded_states(c1, c2, cf, num_shards=6)
+        cw = build_sharded_tdcbloom_states(full, "k", "ts", cf,
+                                           num_shards=6)
+        assert assemble_sharded_tdcbloom(cm, cf, num_shards=6).to_bytes() \
+            == assemble_sharded_tdcbloom(cw, cf, num_shards=6).to_bytes()
