@@ -35,9 +35,16 @@ def _ray_init(num_cpus: int | None):
     import ray
 
     if not ray.is_initialized():
-        ray.init(address="local",
-                 num_cpus=num_cpus or int(os.environ.get("RAY_GRAFT_CPUS", "8")),
-                 include_dashboard=False, logging_level="ERROR")
+        addr = os.environ.get("RAY_ADDRESS", "local")
+        if addr and addr != "local":
+            # inside `ray job submit` / an attached cluster: join it and
+            # let the cluster own resources (num_cpus is a LOCAL knob)
+            ray.init(address=addr, logging_level="ERROR")
+        else:
+            ray.init(address="local",
+                     num_cpus=num_cpus or int(
+                         os.environ.get("RAY_GRAFT_CPUS", "8")),
+                     include_dashboard=False, logging_level="ERROR")
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
