@@ -477,6 +477,28 @@ def _bloom_shard_bytes(total_bytes: int, num_shards: int) -> int:
     return max(1, math.ceil(total_bytes / num_shards))
 
 
+def _pack_lists(shard_per_row: np.ndarray,
+                cols: dict[str, np.ndarray]) -> pa.Table:
+    """Pack parallel per-position arrays (already sorted by position,
+    hence by shard — shard is monotone in position) into one LIST row
+    per shard: {shard, col: list<...>}.  Keeps shuffle bytes identical
+    while shrinking row count by the positions-per-shard factor."""
+    starts = np.flatnonzero(np.concatenate(
+        ([True], shard_per_row[1:] != shard_per_row[:-1])))
+    offsets = np.append(starts, shard_per_row.size).astype(np.int32)
+    out = {"shard": pa.array(shard_per_row[starts], type=pa.int32())}
+    for name, arr in cols.items():
+        out[name] = pa.ListArray.from_arrays(pa.array(offsets),
+                                             pa.array(arr))
+    return pa.table(out)
+
+
+def _unpack_list(col) -> np.ndarray:
+    """Flatten a list column back to its value array (int64)."""
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.flatten(), dtype=np.int64)
+
+
 def sharded_bloom_partials(
     ds: "ray.data.Dataset",
     column: str,
@@ -503,10 +525,11 @@ def sharded_bloom_partials(
         h1, h2 = mmh3_128_batch(batch[column])
         pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
         pos = np.unique(pos.ravel())
-        return pa.table({
-            "shard": pa.array(((pos >> 3) // B).astype(np.int32)),
-            "pos": pa.array(pos.astype(pos_dtype)),
-        })
+        shard = ((pos >> 3) // B).astype(np.int32)
+        # pack per-shard position LISTS: the groupby then shuffles one
+        # fat row per (batch, shard) — same bytes, ~10^4× fewer rows,
+        # so the exchange's sort cost collapses
+        return _pack_lists(shard, {"pos": pos.astype(pos_dtype)})
 
     parts = ds.map_batches(hash_batch, batch_format="pyarrow",
                            batch_size=batch_size, zero_copy_batch=True)
@@ -534,7 +557,7 @@ def build_sharded_bloom_states(
 
     def build_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
-        pos = np.asarray(g["pos"], dtype=np.int64)
+        pos = _unpack_list(g["pos"])
         local = pos - shard * B * 8
         buf = np.zeros(min(B, total_bytes - shard * B), dtype=np.uint8)
         np.bitwise_or.at(buf, local >> 3,
@@ -643,23 +666,24 @@ def build_sharded_cbloom_states(
         h1, h2 = mmh3_128_batch(batch[column])
         pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
         uniq, cnt = np.unique(pos.ravel(), return_counts=True)
-        return pa.table({
-            "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq.astype(pos_dtype)),
-            "cnt": pa.array(cnt.astype(np.int32)),  # ≤ k·batch per batch
-        })
+        return _pack_lists((uniq // C).astype(np.int32),
+                           {"pos": uniq.astype(pos_dtype),
+                            "cnt": cnt.astype(np.int32)})
 
     def build_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
-        agg = pa.table({"p": g["pos"], "c": g["cnt"]}).group_by(
-            ["p"]).aggregate([("c", "sum")])
-        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
-        c = np.asarray(agg["c_sum"], dtype=np.int64)
+        p = _unpack_list(g["pos"]) - shard * C
+        c = _unpack_list(g["cnt"])
+        order = np.argsort(p, kind="stable")
+        ps, cs = p[order], c[order]
+        starts = np.flatnonzero(
+            np.concatenate(([True], ps[1:] != ps[:-1])))
+        sums = np.add.reduceat(cs, starts)
         buf = np.zeros(min(C, m - shard * C), dtype=dtype)
         if dtype == np.uint64:
-            buf[p] = c.astype(np.uint64)  # int64 sums can't reach 2^64−1
+            buf[ps[starts]] = sums.astype(np.uint64)  # can't reach 2^64−1
         else:
-            buf[p] = np.minimum(c, cap).astype(dtype)
+            buf[ps[starts]] = np.minimum(sums, cap).astype(dtype)
         return pa.table({
             "shard": pa.array([shard], type=pa.int32()),
             "state": pa.array([buf.tobytes()], type=pa.large_binary()),
@@ -862,20 +886,20 @@ def build_sharded_tdbloom_states(
             np.concatenate(([True], p_sorted[1:] != p_sorted[:-1])))
         uniq = p_sorted[starts]
         tmax = np.maximum.reduceat(t_sorted, starts)
-        return pa.table({
-            "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq.astype(pos_dtype)),
-            "tick": pa.array(tmax.astype(tick_dtype)),
-        })
+        return _pack_lists((uniq // C).astype(np.int32),
+                           {"pos": uniq.astype(pos_dtype),
+                            "tick": tmax.astype(tick_dtype)})
 
     def build_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
-        agg = pa.table({"p": g["pos"], "t": g["tick"]}).group_by(
-            ["p"]).aggregate([("t", "max")])
-        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
-        t = np.asarray(agg["t_max"], dtype=np.int64)
+        p = _unpack_list(g["pos"]) - shard * C
+        t = _unpack_list(g["tick"])
+        order = np.argsort(p, kind="stable")  # ufunc.at is slow; sort+
+        ps, ts_ = p[order], t[order]          # reduceat is the fast max
+        starts = np.flatnonzero(
+            np.concatenate(([True], ps[1:] != ps[:-1])))
         buf = np.zeros(min(C, m - shard * C), dtype=dtype)
-        buf[p] = t.astype(dtype)
+        buf[ps[starts]] = np.maximum.reduceat(ts_, starts).astype(dtype)
         return pa.table({
             "shard": pa.array([shard], type=pa.int32()),
             "state": pa.array([buf.tobytes()], type=pa.large_binary()),
@@ -954,28 +978,31 @@ def build_sharded_tdcbloom_states(
         uniq = p_sorted[starts]
         cnt = np.diff(np.append(starts, p_sorted.size))
         tmax = np.maximum.reduceat(t_sorted, starts)
-        return pa.table({
-            "shard": pa.array((uniq // C).astype(np.int32)),
-            "pos": pa.array(uniq.astype(pos_dtype)),
-            "cnt": pa.array(cnt.astype(np.int32)),
-            "tick": pa.array(tmax.astype(tick_dtype)),
-        })
+        return _pack_lists((uniq // C).astype(np.int32),
+                           {"pos": uniq.astype(pos_dtype),
+                            "cnt": cnt.astype(np.int32),
+                            "tick": tmax.astype(tick_dtype)})
 
     def build_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
-        agg = pa.table({"p": g["pos"], "c": g["cnt"], "t": g["tick"]}) \
-            .group_by(["p"]).aggregate([("c", "sum"), ("t", "max")])
-        p = np.asarray(agg["p"], dtype=np.int64) - shard * C
-        c = np.asarray(agg["c_sum"], dtype=np.int64)
-        t = np.asarray(agg["t_max"], dtype=np.int64)
+        p = _unpack_list(g["pos"]) - shard * C
+        c = _unpack_list(g["cnt"])
+        t = _unpack_list(g["tick"])
+        order = np.argsort(p, kind="stable")
+        ps, cs, ts_ = p[order], c[order], t[order]
+        starts2 = np.flatnonzero(
+            np.concatenate(([True], ps[1:] != ps[:-1])))
+        sums = np.add.reduceat(cs, starts2)
+        tmx = np.maximum.reduceat(ts_, starts2)
+        pu = ps[starts2]
         n_slots = min(C, m - shard * C)
         cbuf = np.zeros(n_slots, dtype=cdtype)
         if cdtype == np.uint64:
-            cbuf[p] = c.astype(np.uint64)
+            cbuf[pu] = sums.astype(np.uint64)
         else:
-            cbuf[p] = np.minimum(c, cmax).astype(cdtype)
+            cbuf[pu] = np.minimum(sums, cmax).astype(cdtype)
         tbuf = np.zeros(n_slots, dtype=tdtype)
-        tbuf[p] = t.astype(tdtype)
+        tbuf[pu] = tmx.astype(tdtype)
         return pa.table({
             "shard": pa.array([shard], type=pa.int32()),
             "state": pa.array([cbuf.tobytes() + tbuf.tobytes()],

@@ -1863,21 +1863,28 @@ class TestShardedBloomBuild:
         assert sharded.count("hot") == 15  # clamped at width-4 max
 
     def test_partial_traffic_independent_of_m(self, ray_session, docs_ds):
-        """The scan's shuffle rows are (shard, pos) int64 pairs — the
-        count depends on keys×k, never on m (the whole point)."""
+        """The scan ships per-shard POSITION LISTS — the flattened
+        position volume depends on keys×k, never on m (the whole
+        point)."""
         from archbloom_ray.pipelines.build import sharded_bloom_partials
+
+        def n_positions(parts):
+            total = 0
+            for b in parts.iter_batches(batch_format="pyarrow",
+                                        batch_size=None):
+                col = b["pos"].combine_chunks()
+                total += len(col.flatten())
+            return total
 
         small, _ = sharded_bloom_partials(
             docs_ds, "text", lambda: BloomFilter(600, 0.01),
             num_shards=7, batch_size=128)
-        big, _ = sharded_bloom_partials(
-            docs_ds, "text", lambda: BloomFilter(600, 0.01, name="D"),
-            num_shards=7, batch_size=128)
         huge, _ = sharded_bloom_partials(
             docs_ds, "text", lambda: BloomFilter(600_000, 0.0001),
             num_shards=64, batch_size=128)
-        n_small, n_huge = small.count(), huge.count()
-        # 1000× bigger m: row volume within the dedup-collision wiggle
+        n_small, n_huge = n_positions(small), n_positions(huge)
+        # 1000× bigger m: position volume grows only with k (plus the
+        # vanishing in-batch dedup-collision wiggle)
         assert n_huge <= n_small * BloomFilter(600_000, 0.0001).hashcount \
             / max(BloomFilter(600, 0.01).hashcount, 1) * 1.2
 
