@@ -241,19 +241,23 @@ def checkpointed_sharded_bloom(
         missing_arr = np.array(missing, dtype=np.int64)
 
         def hash_batch(batch: pa.Table) -> pa.Table:
+            from .build import _pack_lists
+
             h1, h2 = mmh3_128_batch(batch[column])
             pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
             pos = np.unique(pos.ravel())
             shard = (pos >> 3) // B
             keep = np.isin(shard, missing_arr)
-            return pa.table({
-                "shard": pa.array(shard[keep].astype(np.int32)),
-                "pos": pa.array(pos[keep]),
-            })
+            # pack per-shard position lists (see build._pack_lists):
+            # same bytes, ~10^4× fewer shuffle rows
+            return _pack_lists(shard[keep].astype(np.int32),
+                               {"pos": pos[keep]})
 
         def build_shard(g: pa.Table) -> pa.Table:
+            from .build import _unpack_list
+
             shard = g["shard"][0].as_py()
-            pos = np.asarray(g["pos"], dtype=np.int64)
+            pos = _unpack_list(g["pos"])
             local = pos - shard * B * 8
             buf = np.zeros(min(B, total_bytes - shard * B), dtype=np.uint8)
             np.bitwise_or.at(buf, local >> 3,
