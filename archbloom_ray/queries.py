@@ -2161,6 +2161,76 @@ def q_pages_url_membership(sf_dir: str):
     )
 
 
+def q_sharded_td_recent_urls(sf_dir: str):
+    """`pages_recent_urls` built on the SHARDED slot-max path
+    (pipelines.build.build_sharded_tdbloom_states — the 10^12-key
+    route where a 2-byte-slot state is m×2 bytes and per-batch
+    partials are untenable): the scan ships packed (shard, position,
+    tick) lists, reducers own slot ranges, assembly is bit-for-bit the
+    monolithic event-time filter, so the same freshness certificate
+    (recall 1.0 on recently-crawled urls, FPR-capped stale probes) and
+    the same SQL oracle apply."""
+    from .pipelines import (
+        assemble_sharded_tdbloom,
+        build_sharded_tdbloom_states,
+    )
+    from .sketches import TimeDecayingBloomFilter
+
+    path = _pages_for(sf_dir)
+
+    def ts_bounds(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                      pa.scalar(1_000_000, pa.int64()))
+        return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
+                         "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+
+    bounds = rd.read_parquet(path, columns=["warc_ts"]).map_batches(
+        ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    lo = min(r["lo"] for r in bounds)
+    hi = max(r["hi"] for r in bounds)
+    span = max(hi - lo, 4)
+    unit = max(1, span // 4000)
+    span_u = span // unit
+    timeout_u = max(span_u // 4, 255)
+
+    ds = rd.read_parquet(path, columns=["url", "warc_ts"])
+    n = ds.count()
+
+    def to_units(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                      pa.scalar(1_000_000, pa.int64()))
+        u = pc.divide(pc.subtract(s, pa.scalar(lo, pa.int64())),
+                      pa.scalar(unit, pa.int64()))
+        return pa.table({"url": batch["url"], "t_units": u})
+
+    units_ds = ds.map_batches(to_units, batch_format="pyarrow",
+                              zero_copy_batch=True)
+    factory = lambda: TimeDecayingBloomFilter(max(n, 10), 0.01, timeout_u,
+                                              start_time=0)
+    states = build_sharded_tdbloom_states(units_ds, "url", "t_units",
+                                          factory, num_shards=8)
+    sk = assemble_sharded_tdbloom(states, factory, num_shards=8)
+
+    last = grouped_agg(units_ds, ["url"],
+                       [("last_seen", "t_units", "max")]).take_all()
+    cutoff = span_u - timeout_u
+    recent = [r["url"] for r in last if r["last_seen"] >= cutoff]
+    old = [r["url"] for r in last if r["last_seen"] < cutoff]
+    ok_recent = sk.lookup_batch(pa.array(recent, type=pa.string()),
+                                now=span_u)
+    fp_old = sk.lookup_batch(pa.array(old, type=pa.string()), now=span_u)
+    return pa.table({
+        "n_urls": pa.array([len(last)], type=pa.int64()),
+        "n_recent": pa.array([len(recent)], type=pa.int64()),
+        "recall_recent": pa.array(
+            [float(ok_recent.mean()) if len(recent) else 1.0],
+            type=pa.float64()),
+        "fpr_old_below_cap": pa.array(
+            [bool(fp_old.mean() <= 0.05) if len(old) else True],
+            type=pa.bool_()),
+    })
+
+
 def q_pages_recent_urls(sf_dir: str):
     """North-star time-decay query: url membership restricted to the
     final quarter of the crawl window.  Distributed
@@ -6534,6 +6604,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pages_text_quantiles": q_pages_text_quantiles,
         "pages_url_membership": q_pages_url_membership,
         "pages_recent_urls": q_pages_recent_urls,
+        "sharded_td_recent_urls": q_sharded_td_recent_urls,
         "pages_recent_counts": q_pages_recent_counts,
         "pages_extract_invariant": q_pages_extract_invariant,
     }
@@ -8218,6 +8289,14 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT lang, domain, exact, TRUE AS cms_within_bound
             FROM r WHERE rn <= 5
+        """,
+        "sharded_td_recent_urls": _pages_window_sql(255) + """
+            SELECT count(*) AS n_urls,
+                   CAST(sum(CASE WHEN last_seen >= (SELECT cutoff FROM cut)
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_recent,
+                   CAST(1.0 AS DOUBLE) AS recall_recent,
+                   TRUE AS fpr_old_below_cap
+            FROM u
         """,
         "pages_recent_urls": _pages_window_sql(255) + """
             SELECT count(*) AS n_urls,
