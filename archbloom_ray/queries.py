@@ -2564,6 +2564,213 @@ def q_q18_large_volume_customers(sf_dir: str):
     })
 
 
+def q_q4_order_priority(sf_dir: str):
+    """TPC-H Q4 (order-priority checking), adapted to this schema's
+    columns: count Q1-1996 orders per priority that had at least one
+    LATE lineitem (shipped > 60 days after the order date — the
+    EXISTS(commit < receipt) stand-in; EXISTS ≡ max(l_shipdate) over
+    the order's lineitems exceeding the cutoff).  Plan — the lineitem
+    scan pre-aggregates (orderkey → max shipdate) per batch, ONE
+    grouped max shuffles only those rows; the quarter's orders are a
+    tiny filtered set, so adaptive_join broadcasts them into the
+    max-shipdate stream (no fact-fact exchange); a category-sized
+    grouped count finishes."""
+    from .pipelines import adaptive_join
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 828_316_800_000_000   # 1996-04-01
+    LATE_US = 60 * 86_400_000_000  # 60 days
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        t = pa.table({
+            "k": batch["l_orderkey"],
+            "s": pc.cast(batch["l_shipdate"].combine_chunks(), pa.int64()),
+        }).group_by(["k"]).aggregate([("s", "max")])
+        return pa.table({"l_orderkey": t["k"], "ship_us": t["s_max"]})
+
+    sums = grouped_agg(
+        _read(sf_dir, "lineitem", ["l_orderkey", "l_shipdate"]).map_batches(
+            li_prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_orderkey"], [("max_ship_us", "ship_us", "max")])
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (dt >= LO_US) & (dt < HI_US)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "o_date_us": pa.array(dt[keep]),
+            "o_orderpriority": batch["o_orderpriority"].combine_chunks()
+                                                       .filter(pa.array(keep)),
+        })
+
+    orders_q = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_orderdate",
+                      "o_orderpriority"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(sums, orders_q, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["o_date_us", "o_orderpriority"])
+
+    def late_only(batch: pa.Table) -> pa.Table:
+        ship = np.asarray(batch["max_ship_us"], dtype=np.int64)
+        odate = np.asarray(batch["o_date_us"], dtype=np.int64)
+        keep = ship > odate + LATE_US
+        return pa.table({
+            "o_orderpriority": batch["o_orderpriority"].combine_chunks()
+                                                       .filter(pa.array(keep)),
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(late_only, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["o_orderpriority"], [("late_orders", None, "count")])
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["o_orderpriority"])
+    return pa.table({
+        "o_orderpriority": pa.array(
+            [r["o_orderpriority"] for r in rows], pa.string()),
+        "late_orders": pa.array([r["late_orders"] for r in rows], pa.int64()),
+    })
+
+
+def q_q10_returned_customers(sf_dir: str):
+    """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
+    lost to returns (``l_returnflag = 'R'``) on Q3-1996 orders, with
+    name / nation / integer-cent balance.  Plan — the lineitem scan
+    keeps only R rows and pre-aggregates (orderkey → Σrev) per batch;
+    the quarter's orders broadcast through adaptive_join (no fact-fact
+    shuffle); ONE customer-sized grouped sum, a driver-side top-20 over
+    that aggregate table, and dimension maps (c_name/acctbal, nation)
+    attach at the very end.  Revenue is exact int64 micros."""
+    from .pipelines import adaptive_join
+
+    LO_US = 836_179_200_000_000   # 1996-07-01 epoch µs
+    HI_US = 844_128_000_000_000   # 1996-10-01
+
+    def li_prep(batch: pa.Table) -> pa.Table:
+        flag = np.asarray(batch["l_returnflag"]) == "R"
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[flag]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[flag]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        t = pa.table({
+            "k": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[flag]),
+            "r": pa.array(rev),
+        }).group_by(["k"]).aggregate([("r", "sum")])
+        return pa.table({"l_orderkey": t["k"], "rev_micros": t["r_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_returnflag", "l_extendedprice",
+                "l_discount"]).map_batches(
+        li_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (dt >= LO_US) & (dt < HI_US)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[keep]),
+        })
+
+    orders_q = _read(sf_dir, "orders",
+                     ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders_q, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["o_custkey"])
+    agg = grouped_agg(joined, ["o_custkey"],
+                      [("revenue_micros", "rev_micros", "sum")])
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (-r["revenue_micros"], r["o_custkey"]))
+    rows = rows[:20]
+
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_name", "c_nationkey", "c_acctbal"])
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    cmap = {k: (nm, nk, int(round(ab * 100))) for k, nm, nk, ab in zip(
+        cust["c_custkey"].to_pylist(), cust["c_name"].to_pylist(),
+        cust["c_nationkey"].to_pylist(), cust["c_acctbal"].to_pylist())}
+    return pa.table({
+        "c_custkey": pa.array([r["o_custkey"] for r in rows], pa.int64()),
+        "c_name": pa.array(
+            [cmap[r["o_custkey"]][0] for r in rows], pa.string()),
+        "n_name": pa.array(
+            [n2name[cmap[r["o_custkey"]][1]] for r in rows], pa.string()),
+        "acct_cents": pa.array(
+            [cmap[r["o_custkey"]][2] for r in rows], pa.int64()),
+        "revenue_micros": pa.array(
+            [r["revenue_micros"] for r in rows], pa.int64()),
+    })
+
+
+def q_q14_promo_revenue(sf_dir: str):
+    """TPC-H Q14 (promotion effect): share of September-1996 lineitem
+    revenue attributable to PROMO-type parts.  Plan — part is a
+    dimension, so (sorted partkey array, promo bitmask) ships ONCE via
+    ``ray.put``; the lineitem scan filters the month, gathers the
+    promo flag per row, and reduces each batch to TWO int64 scalars
+    (promo rev, total rev); the driver sums the per-batch rows in
+    arbitrary-precision Python ints and emits the exact ppm share
+    (floor division, matching DuckDB hugeint ``//``)."""
+    LO_US = 841_536_000_000_000   # 1996-09-01 epoch µs
+    HI_US = 844_128_000_000_000   # 1996-10-01
+
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_type"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    promo = np.asarray(part["p_type"]) == "PROMO"
+    order = np.argsort(pk)
+    dims_ref = ray.put((pk[order], promo[order]))
+
+    from .proc_cache import cached_instance
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pk_s, promo_s = cached_instance(
+            ("q14_parts", dims_ref.hex()), lambda: ray.get(dims_ref))
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (sd >= LO_US) & (sd < HI_US)
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)[keep]
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        hit = pk_s.size > 0
+        match = pk_s[pos] == lpk if hit else np.zeros(lpk.size, dtype=bool)
+        price = np.asarray(batch["l_extendedprice"],
+                           dtype=np.float64)[keep][match]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep][match]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        is_promo = promo_s[pos[match]] if hit else match
+        return pa.table({
+            "promo": pa.array([int(rev[is_promo].sum())], pa.int64()),
+            "total": pa.array([int(rev.sum())], pa.int64()),
+        })
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_shipdate", "l_extendedprice",
+                   "l_discount"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    promo_rev = sum(int(r["promo"]) for r in parts)
+    total_rev = sum(int(r["total"]) for r in parts)
+    share = (promo_rev * 1_000_000) // total_rev if total_rev else 0
+    return pa.table({
+        "promo_rev_micros": pa.array([promo_rev], pa.int64()),
+        "total_rev_micros": pa.array([total_rev], pa.int64()),
+        "promo_share_e6": pa.array([share], pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -6415,8 +6622,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_peak_hour": q_user_peak_hour,
         "suppliers_by_region": q_suppliers_by_region,
         "nation_supplier_expand": q_nation_supplier_expand,
+        "q4_order_priority": q_q4_order_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q10_returned_customers": q_q10_returned_customers,
+        "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
@@ -7701,6 +7911,49 @@ def oracle_sql() -> dict[str, str]:
                       JOIN customer ON c_custkey = o_custkey
             ORDER BY total_cents DESC, o_date_us ASC, o_orderkey ASC
             LIMIT 100
+        """,
+        "q4_order_priority": """
+            SELECT o_orderpriority, count(*) AS late_orders
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1996-04-01'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+            GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q10_returned_customers": """
+            SELECT c_custkey, c_name, n_name,
+                   CAST(round(c_acctbal * 100) AS BIGINT) AS acct_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_micros
+            FROM customer, orders, lineitem, nation
+            WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-07-01'
+              AND o_orderdate < TIMESTAMP '1996-10-01'
+              AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+            GROUP BY c_custkey, c_name, n_name, acct_cents
+            ORDER BY revenue_micros DESC, c_custkey ASC
+            LIMIT 20
+        """,
+        "q14_promo_revenue": """
+            WITH f AS (
+                SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       (p_type = 'PROMO') AS is_promo
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+                  AND l_shipdate < TIMESTAMP '1996-10-01')
+            SELECT CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                        AS BIGINT) AS promo_rev_micros,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_micros,
+                   CAST((CAST(sum(CASE WHEN is_promo THEN rev ELSE 0 END)
+                              AS HUGEINT) * 1000000)
+                        // CAST(sum(rev) AS HUGEINT) AS BIGINT)
+                       AS promo_share_e6
+            FROM f
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
