@@ -2635,6 +2635,131 @@ def q_q4_order_priority(sf_dir: str):
     })
 
 
+def q_q7_nation_volume(sf_dir: str):
+    """TPC-H Q7 (volume shipping): 1995–1996 revenue between
+    NATION_11 and NATION_20 in both directions, per (supp nation, cust
+    nation, ship year).  Plan — supplier and customer nation maps are
+    broadcast dimensions (ONE ``ray.put``, vectorized searchsorted
+    gathers); the lineitem scan date-prunes and keeps only rows whose
+    supplier sits in either nation (the selective side, so the join's
+    left input is already ~2 nations / 25 wide); the orders scan keeps
+    only customers in either nation; ONE adaptive large-large join on
+    orderkey, a cross-pair filter, and a 4-row grouped integer-micro
+    sum finish.  Ship year derives from epoch-µs thresholds (no
+    per-row datetime objects)."""
+    from .pipelines import adaptive_join
+    from .proc_cache import cached_instance
+
+    LO_US = 788_918_400_000_000   # 1995-01-01 epoch µs
+    MID_US = 820_454_400_000_000  # 1996-01-01
+    HI_US = 852_076_800_000_000   # 1997-01-01
+    NK_A, NK_B = 11, 20           # NATION_11 / NATION_20 (non-empty at
+                                  # every test SF, both directions at 0.01+)
+
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+
+    def _sorted_map(keys, vals):
+        k = np.asarray(keys, dtype=np.int64)
+        v = np.asarray(vals, dtype=np.int64)
+        order = np.argsort(k)
+        return k[order], v[order]
+
+    dims_ref = ray.put((_sorted_map(supp["s_suppkey"], supp["s_nationkey"]),
+                        _sorted_map(cust["c_custkey"], cust["c_nationkey"])))
+
+    def _gather(keys_sorted, vals_sorted, probe):
+        if keys_sorted.size == 0:
+            return np.full(probe.size, -1, dtype=np.int64)
+        pos = np.clip(np.searchsorted(keys_sorted, probe), 0,
+                      keys_sorted.size - 1)
+        out = vals_sorted[pos]
+        out[keys_sorted[pos] != probe] = -1
+        return out
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        (sk_s, sn_s), _ = cached_instance(
+            ("q7_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        sn = _gather(sk_s, sn_s,
+                     np.asarray(batch["l_suppkey"], dtype=np.int64))
+        keep = (sd >= LO_US) & (sd < HI_US) & ((sn == NK_A) | (sn == NK_B))
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "supp_nk": pa.array(sn[keep]),
+            "l_year": pa.array(
+                np.where(sd[keep] < MID_US, 1995, 1996).astype(np.int64)),
+            "rev_micros": pa.array(rev),
+        })
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        _, (ck_s, cn_s) = cached_instance(
+            ("q7_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        cn = _gather(ck_s, cn_s,
+                     np.asarray(batch["o_custkey"], dtype=np.int64))
+        keep = (cn == NK_A) | (cn == NK_B)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "cust_nk": pa.array(cn[keep]),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["cust_nk"])
+
+    def cross_pair(batch: pa.Table) -> pa.Table:
+        sn = np.asarray(batch["supp_nk"], dtype=np.int64)
+        cn = np.asarray(batch["cust_nk"], dtype=np.int64)
+        keep = sn != cn   # both already ∈ {NK_A, NK_B}
+        return pa.table({
+            "supp_nk": pa.array(sn[keep]),
+            "cust_nk": pa.array(cn[keep]),
+            "l_year": batch["l_year"].combine_chunks().filter(pa.array(keep)),
+            "rev_micros": batch["rev_micros"].combine_chunks()
+                                             .filter(pa.array(keep)),
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(cross_pair, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["supp_nk", "cust_nk", "l_year"],
+        [("revenue_micros", "rev_micros", "sum")])
+    rows = agg.take_all()
+    rows.sort(key=lambda r: (r["supp_nk"], r["cust_nk"], r["l_year"]))
+    return pa.table({
+        "supp_nation": pa.array(
+            [n2name[r["supp_nk"]] for r in rows], pa.string()),
+        "cust_nation": pa.array(
+            [n2name[r["cust_nk"]] for r in rows], pa.string()),
+        "l_year": pa.array([r["l_year"] for r in rows], pa.int64()),
+        "revenue_micros": pa.array(
+            [r["revenue_micros"] for r in rows], pa.int64()),
+    })
+
+
 def q_q10_returned_customers(sf_dir: str):
     """TPC-H Q10 (returned-item reporting): top-20 customers by revenue
     lost to returns (``l_returnflag = 'R'``) on Q3-1996 orders, with
@@ -6625,6 +6750,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": q_q4_order_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q7_nation_volume": q_q7_nation_volume,
         "q10_returned_customers": q_q10_returned_customers,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
@@ -7921,6 +8047,25 @@ def oracle_sql() -> dict[str, str]:
                           WHERE l_orderkey = o_orderkey
                             AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
             GROUP BY o_orderpriority ORDER BY o_orderpriority
+        """,
+        "q7_nation_volume": """
+            SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+                   CAST(year(l_shipdate) AS BIGINT) AS l_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_micros
+            FROM supplier, lineitem, orders, customer,
+                 nation ns, nation nc
+            WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+              AND c_custkey = o_custkey
+              AND s_nationkey = ns.n_nationkey
+              AND c_nationkey = nc.n_nationkey
+              AND ((ns.n_name = 'NATION_11' AND nc.n_name = 'NATION_20')
+                   OR (ns.n_name = 'NATION_20' AND nc.n_name = 'NATION_11'))
+              AND l_shipdate >= TIMESTAMP '1995-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY supp_nation, cust_nation, l_year
+            ORDER BY supp_nation, cust_nation, l_year
         """,
         "q10_returned_customers": """
             SELECT c_custkey, c_name, n_name,
