@@ -880,6 +880,22 @@ def q_bloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_sbloom_membership(sf_dir: str):
+    """Scalable-Bloom membership (unknown-``n`` ingest): the factory
+    declares a deliberately tiny ``initial_capacity`` so the build is
+    forced through several growth stages (Almeida et al. 2007 chain),
+    partials merge by stage concatenation, and the probe ORs across
+    stages — no false negatives ⇒ deterministically all-present.  The
+    FPR union bound is probe-verified in tests/test_sbf.py."""
+    from .sketches import ScalableBloomFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    sk = build_sketch(ds, "text",
+                      lambda: ScalableBloomFilter(64, 0.001))
+    probed = membership(ds, sk, "text", concurrency=2)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_sharded_bloom_membership(sf_dir: str):
     """Membership via the SHARDED Bloom build+probe (the 10^12-key
     scale path, pipelines/build.py sharded section): the scan shuffles
@@ -6759,6 +6775,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lineitem_skyline": q_lineitem_skyline,
         "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
         "bloom_membership": q_bloom_membership,
+        "sbloom_membership": q_sbloom_membership,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "sharded_bloom_membership": q_sharded_bloom_membership,
@@ -8180,6 +8197,7 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY price
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "sbloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",

@@ -1,6 +1,7 @@
 from .base import Sketch, SketchError, sketch_from_bytes
 from .bloom import BloomFilter
 from .blockedbloom import BlockedBloomFilter
+from .sbf import ScalableBloomFilter
 from .cbloom import CountingBloomFilter
 from .tdbloom import TimeDecayingBloomFilter
 from .tdcbloom import TimeDecayingCountingBloomFilter
@@ -26,6 +27,7 @@ __all__ = [
     "sketch_from_bytes",
     "BloomFilter",
     "BlockedBloomFilter",
+    "ScalableBloomFilter",
     "CountingBloomFilter",
     "TimeDecayingBloomFilter",
     "TimeDecayingCountingBloomFilter",
