@@ -55,13 +55,17 @@ def _make_sketch(kind: str, args) -> "object":
     from .sketches import (BlockedBloomFilter, BloomFilter,
                            CountingBloomFilter, CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
-                           KMVSketch, SparseHLL, TDigest, ThetaSketch,
+                           KMVSketch, ScalableBloomFilter, SparseHLL,
+                           TDigest, ThetaSketch,
                            RoaringBitmap, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
 
     kinds = {
         "bloom": lambda: BloomFilter(args.expected, args.accuracy),
         "blockedbloom": lambda: BlockedBloomFilter(args.expected, args.accuracy),
+        # unknown-n: --expected seeds only the FIRST stage's capacity
+        "sbloom": lambda: ScalableBloomFilter(
+            max(args.expected, 1), args.accuracy),
         "cbloom": lambda: CountingBloomFilter(args.expected, args.accuracy, args.counter_width),
         "tdbloom": lambda: TimeDecayingBloomFilter(args.expected, args.accuracy, args.timeout),
         "tdcbloom": lambda: TimeDecayingCountingBloomFilter(
@@ -365,10 +369,10 @@ def main(argv=None):
 
     def common_sketch_args(sp):
         sp.add_argument("--kind", default="bloom",
-                        choices=["bloom", "blockedbloom", "cbloom", "tdbloom",
-                                 "tdcbloom", "cuckoo", "hll", "sparsehll",
-                                 "cms", "tdigest", "kll", "ddsketch",
-                                 "kmv", "theta", "roaring"])
+                        choices=["bloom", "blockedbloom", "sbloom", "cbloom",
+                                 "tdbloom", "tdcbloom", "cuckoo", "hll",
+                                 "sparsehll", "cms", "tdigest", "kll",
+                                 "ddsketch", "kmv", "theta", "roaring"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)

@@ -188,6 +188,17 @@ def test_create_new_sketch_kinds(keys_parquet, tmp_path):
     info = json.loads(run_cli("info", th).stdout.strip().splitlines()[-1])
     assert info["type"] == "ThetaSketch" and info["k"] == 512
 
+    sb = str(tmp_path / "sb.sk")
+    # --expected seeds only the first stage, so 64 forces real growth;
+    # 0.001 keeps the single absent probe below the compound FPR
+    run_cli("create", keys_parquet, sb, "--column", "url",
+            "--kind", "sbloom", "--expected", "64", "--accuracy", "0.001")
+    r = run_cli("query", sb, "https://k1.example/x")
+    assert r.returncode == 0 and json.loads(r.stdout)["present"] is True
+    assert run_cli("query", sb, "https://nope.example/x").returncode == 1
+    info = json.loads(run_cli("info", sb).stdout.strip().splitlines()[-1])
+    assert info["type"] == "ScalableBloomFilter" and info["n_stages"] >= 3
+
 
 def test_run_named_query(ray_session, tmp_path, capsys):
     from archbloom_ray.cli import main
