@@ -1053,3 +1053,123 @@ def assemble_sharded_cbloom(
         arr = np.frombuffer(b, dtype=sk.counters.dtype)
         sk.counters[s * C: s * C + arr.size] = arr
     return sk
+
+# ---------------------------------------------------------------------------
+# Sharded scalable-Bloom build — the unknown-n scale path.
+#
+# The position-sharded builds above need m up front; a scalable Bloom
+# (sketches/sbf.py) exists precisely because nobody can declare m.  So
+# the shard function moves from bit positions to KEYS: shard =
+# h1 % num_shards routes each key's 128-bit pair to one reducer, every
+# reducer grows its OWN stage chain over its key range, and probes
+# route by the same pure function — shuffle volume is 16 bytes/key,
+# independent of whatever the chains grow to.  There is no assembly
+# step and none is needed: the shard map IS the filter (lookup = route
+# + per-shard chain OR), exactly how a 10^12-key deployment would keep
+# it — each shard's chain living on its owning node.
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_sbf_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Key-hash-sharded ScalableBloomFilter build → ``{shard: bytes}``.
+
+    Deterministic: reducers sort the (h1, h2) pairs before the single
+    ``update_hashes`` call, so the stage fill order — and therefore the
+    serialized bytes — do not depend on shuffle arrival order.
+
+    Routing is ``fmix64(h1) % num_shards`` — NOT raw ``h1 % S``: the
+    stage position hashes also consume h1, so conditioning members and
+    probes of a shard on a raw residue class correlates their position
+    distributions (7× measured FPR inflation at S=8); the bijective
+    finalizer mix breaks the congruence."""
+    from ..hashing import fmix64_batch, mmh3_128_batch
+
+    S = int(num_shards)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[column])
+        # per-batch dedup on the pair (the reducer dedups again; this
+        # just trims shuffle bytes)
+        pairs = np.unique(np.stack([h1, h2]), axis=1)
+        h1, h2 = pairs[0], pairs[1]
+        shard = (fmix64_batch(h1) % np.uint64(S)).astype(np.int32)
+        order = np.argsort(shard, kind="stable")
+        shard = shard[order]
+        return _pack_lists(shard, {"h1": h1[order], "h2": h2[order]})
+
+    parts = ds.map_batches(hash_batch, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        h1 = _unpack_uint64_list(g["h1"])
+        h2 = _unpack_uint64_list(g["h2"])
+        order = np.lexsort((h2, h1))
+        sk = factory()
+        sk.update_hashes(h1[order], h2[order])
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
+        })
+
+    states = parts.groupby("shard").map_groups(
+        build_shard, batch_format="pyarrow")
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def _unpack_uint64_list(col) -> np.ndarray:
+    arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+    return np.asarray(arr.flatten(), dtype=np.uint64)
+
+
+def sharded_sbf_probe(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    *,
+    num_shards: int = 32,
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Probe the sharded chains WITHOUT assembling them: broadcast the
+    shard map once, route each probe key by ``h1 % num_shards``, and OR
+    across the owning shard's stages.  An absent shard saw no keys ⇒
+    not present.
+
+    Because every key consults exactly ONE shard's chain, the compound
+    false-positive bound stays the single-writer ``p0/(1−r)`` — unlike
+    stage-concatenation merge, whose union bound ADDS across partials.
+    Sharding is therefore both the traffic fix and the tighter-error
+    fix for distributed scalable-Bloom builds."""
+    from ..proc_cache import cached_instance
+    from ..hashing import fmix64_batch, mmh3_128_batch
+    from ..sketches.base import sketch_from_bytes
+
+    S = int(num_shards)
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        shards = cached_instance(
+            ("sharded_sbf_probe", ref.hex()),
+            lambda: {s: sketch_from_bytes(b)
+                     for s, b in ray.get(ref).items()},
+        )
+        h1, h2 = mmh3_128_batch(batch[column])
+        shard = (fmix64_batch(h1) % np.uint64(S)).astype(np.int64)
+        present = np.zeros(h1.size, dtype=bool)
+        for s in np.unique(shard):
+            msk = shard == s
+            sk = shards.get(int(s))
+            if sk is not None:
+                present[msk] = sk._lookup_hashes(h1[msk], h2[msk])
+        return batch.append_column(out_column, pa.array(present))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

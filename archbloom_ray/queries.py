@@ -896,6 +896,24 @@ def q_sbloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_sharded_sbloom_membership(sf_dir: str):
+    """Membership via the key-hash-sharded scalable-Bloom build (the
+    unknown-n scale path, pipelines/build.py sharded-SBF section): the
+    scan shuffles 16-byte (h1, h2) pairs routed by ``fmix64(h1) % S``
+    — independent of whatever the stage chains grow to — each reducer
+    grows its own chain, and probes route to exactly ONE shard, so the
+    single-writer p0/(1−r) bound survives distribution.  No false
+    negatives ⇒ deterministically all-present."""
+    from .pipelines import build_sharded_sbf_states, sharded_sbf_probe
+    from .sketches import ScalableBloomFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    states = build_sharded_sbf_states(
+        ds, "text", lambda: ScalableBloomFilter(64, 0.001), num_shards=8)
+    probed = sharded_sbf_probe(ds, states, "text", num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_sharded_bloom_membership(sf_dir: str):
     """Membership via the SHARDED Bloom build+probe (the 10^12-key
     scale path, pipelines/build.py sharded section): the scan shuffles
@@ -6776,6 +6794,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "vocab_fuzzy_pairs": q_vocab_fuzzy_pairs,
         "bloom_membership": q_bloom_membership,
         "sbloom_membership": q_sbloom_membership,
+        "sharded_sbloom_membership": q_sharded_sbloom_membership,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "sharded_bloom_membership": q_sharded_bloom_membership,
@@ -8198,6 +8217,8 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sbloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "sharded_sbloom_membership":
+            "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",

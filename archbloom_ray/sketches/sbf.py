@@ -124,6 +124,14 @@ class ScalableBloomFilter(Sketch):
         if len(arr) == 0:
             return
         h1, h2 = mmh3_128_batch(arr)
+        self.update_hashes(h1, h2)
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Add from precomputed ``mmh3_128`` pairs — the sharded build
+        path shuffles (h1, h2) and feeds each shard's reducer here, so
+        keys are hashed exactly once engine-wide."""
+        if h1.size == 0:
+            return
         # intra-batch dedup on the 128-bit pair (same pair ⇒ same bits)
         _, first_idx = np.unique(np.stack([h1, h2]), axis=1,
                                  return_index=True)
