@@ -1173,3 +1173,159 @@ def sharded_sbf_probe(
 
     return ds.map_batches(probe, batch_format="pyarrow",
                           batch_size=batch_size, zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded cuckoo build — distributed DELETABLE membership.
+#
+# Cuckoo filters are not shuffle-mergeable (kick chains are order-
+# dependent and two full filters can exceed joint capacity — reference
+# cuckoo.c merge TODO; sketches/cuckoo.py documents the best-effort
+# re-insert).  Key-hash sharding sidesteps merge entirely: the filter
+# only ever consumes mmh3_32(key), so the scan ships 4-byte hashes
+# routed by fmix64(h) % S, each reducer owns an independent filter
+# over its key range, and lookup/REMOVE route by the same pure
+# function.  Deletion — the cuckoo family's raison d'être — therefore
+# works distributed: a delete batch regroups by shard and rewrites
+# only the touched shards' states.
+# ---------------------------------------------------------------------------
+
+
+def build_sharded_cuckoo_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Key-hash-sharded CuckooFilter build → ``{shard: bytes}``.
+
+    ``factory`` sizes ONE shard (≈ n/num_shards keys; keep load factor
+    under ~85% so kick chains terminate).  Duplicates are inserted
+    like the monolithic ``update_arrow`` (reference add semantics —
+    no dedup); reducers sort hashes so the serialized states are
+    deterministic regardless of shuffle arrival order."""
+    from ..hashing import fmix64_batch, mmh3_32_batch
+
+    S = int(num_shards)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = mmh3_32_batch(batch[column])
+        shard = (fmix64_batch(h.astype(np.uint64)) % np.uint64(S)).astype(
+            np.int32)
+        order = np.argsort(shard, kind="stable")
+        return _pack_lists(shard[order], {"h": h[order]})
+
+    parts = ds.map_batches(hash_batch, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        col = g["h"].combine_chunks() if isinstance(g["h"], pa.ChunkedArray) \
+            else g["h"]
+        h = np.asarray(col.flatten(), dtype=np.uint32)
+        sk = factory()
+        sk.update_hashes32(np.sort(h))
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
+        })
+
+    states = parts.groupby("shard").map_groups(
+        build_shard, batch_format="pyarrow")
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def sharded_cuckoo_probe(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    *,
+    num_shards: int = 32,
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Route each probe key to its owning shard's filter (broadcast
+    once); an absent shard saw no keys ⇒ not present."""
+    from ..proc_cache import cached_instance
+    from ..hashing import fmix64_batch, mmh3_32_batch
+    from ..sketches.base import sketch_from_bytes
+
+    S = int(num_shards)
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        shards = cached_instance(
+            ("sharded_cuckoo_probe", ref.hex()),
+            lambda: {s: sketch_from_bytes(b)
+                     for s, b in ray.get(ref).items()},
+        )
+        h = mmh3_32_batch(batch[column])
+        shard = (fmix64_batch(h.astype(np.uint64)) % np.uint64(S)).astype(
+            np.int64)
+        present = np.zeros(h.size, dtype=bool)
+        for s in np.unique(shard):
+            msk = shard == s
+            sk = shards.get(int(s))
+            if sk is not None:
+                present[msk] = sk.lookup_hashes32(h[msk])
+        return batch.append_column(out_column, pa.array(present))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
+def sharded_cuckoo_delete(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    *,
+    num_shards: int = 32,
+) -> dict[int, bytes]:
+    """Distributed delete: group the delete keys by shard, rewrite ONLY
+    the touched shards (one task each), return the updated shard map.
+    Standard cuckoo deletion caveat applies (cuckoo.c:158-193): delete
+    only keys that were inserted, and a removed slot clears ONE
+    matching fingerprint — a same-(bucket, fp) twin key keeps the slot
+    occupied for the other.  Each shard's deletes are hash-sorted, so
+    the result is deterministic."""
+    from ..hashing import fmix64_batch, mmh3_32_batch
+    from ..sketches.base import sketch_from_bytes
+
+    S = int(num_shards)
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = mmh3_32_batch(batch[column])
+        shard = (fmix64_batch(h.astype(np.uint64)) % np.uint64(S)).astype(
+            np.int32)
+        order = np.argsort(shard, kind="stable")
+        return _pack_lists(shard[order], {"h": h[order]})
+
+    def delete_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        blob = ray.get(ref).get(int(shard))
+        if blob is None:          # nothing built for this shard
+            return pa.table({"shard": pa.array([shard], type=pa.int32()),
+                             "state": pa.array([None],
+                                               type=pa.large_binary())})
+        col = g["h"].combine_chunks() if isinstance(g["h"], pa.ChunkedArray) \
+            else g["h"]
+        h = np.sort(np.asarray(col.flatten(), dtype=np.uint32))
+        sk = sketch_from_bytes(blob)
+        sk.remove_hashes32(h)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
+        })
+
+    updated = ds.map_batches(hash_batch, batch_format="pyarrow",
+                             zero_copy_batch=True) \
+                .groupby("shard").map_groups(delete_shard,
+                                             batch_format="pyarrow")
+    out = dict(states)
+    for r in updated.take_all():
+        if r["state"] is not None:
+            out[r["shard"]] = r["state"]
+    return out

@@ -914,6 +914,51 @@ def q_sharded_sbloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_sharded_cuckoo_deletes(sf_dir: str):
+    """Distributed DELETABLE membership (the cuckoo family's point):
+    key-hash-sharded cuckoo build (4-byte hash shuffle routed by
+    ``fmix64(h) % S`` — no merge, sidestepping the non-mergeable kick
+    chains), then a DISTRIBUTED delete of every ``doc_id % 10 == 0``
+    key (only touched shards rewritten), then a probe of the kept
+    keys — all present (removal clears one matching fingerprint slot;
+    kept keys keep theirs; verified deterministic on this corpus at
+    every test SF).  Keys are the unique doc_ids (text dedup planted
+    duplicates would make delete semantics multiset-ambiguous)."""
+    from .pipelines import (
+        build_sharded_cuckoo_states,
+        sharded_cuckoo_delete,
+        sharded_cuckoo_probe,
+    )
+    from .sketches import CuckooFilter
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "key": pc.cast(batch["doc_id"], pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    n = ds.count()
+    # size ONE shard for n/8 keys at ≤ ~50% load (pow2 bucket count)
+    states = build_sharded_cuckoo_states(
+        ds, "key", lambda: CuckooFilter(max(64, n // 8), 4), num_shards=8)
+    def _mod10(want_zero: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            keep = (ids % 10 == 0) if want_zero else (ids % 10 != 0)
+            return batch.filter(pa.array(keep))
+        return fn
+
+    dels = ds.map_batches(_mod10(True), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    updated = sharded_cuckoo_delete(dels, states, "key", num_shards=8)
+    kept = ds.map_batches(_mod10(False), batch_format="pyarrow",
+                          zero_copy_batch=True)
+    probed = sharded_cuckoo_probe(kept, updated, "key", num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_sharded_bloom_membership(sf_dir: str):
     """Membership via the SHARDED Bloom build+probe (the 10^12-key
     scale path, pipelines/build.py sharded section): the scan shuffles
@@ -6795,6 +6840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bloom_membership": q_bloom_membership,
         "sbloom_membership": q_sbloom_membership,
         "sharded_sbloom_membership": q_sharded_sbloom_membership,
+        "sharded_cuckoo_deletes": q_sharded_cuckoo_deletes,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "sharded_bloom_membership": q_sharded_bloom_membership,
@@ -8219,6 +8265,10 @@ def oracle_sql() -> dict[str, str]:
         "sbloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_sbloom_membership":
             "SELECT doc_id, TRUE AS present FROM documents",
+        "sharded_cuckoo_deletes": """
+            SELECT doc_id, TRUE AS present FROM documents
+            WHERE doc_id % 10 <> 0
+        """,
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",

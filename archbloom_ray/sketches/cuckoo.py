@@ -77,12 +77,56 @@ class CuckooFilter(Sketch):
         return x
 
     def _fp_and_buckets(self, arr) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        h = mmh3_32_batch(arr)
+        return self._fp_and_buckets_from_h(mmh3_32_batch(arr))
+
+    def _fp_and_buckets_from_h(self, h: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Derive (fp, i1, i2) from precomputed ``mmh3_32`` values —
+        the filter only ever sees the 32-bit hash, so shipping ``h``
+        (4 bytes/key) is lossless for filter semantics; the sharded
+        build exploits this."""
         fp = (h & np.uint32(0xFFFF)).astype(np.uint16)
         fp[fp == 0] = 1  # fp 0 is the empty sentinel
         i1 = (h % np.uint32(self.num_buckets)).astype(np.int64)
         i2 = self._partner(i1, fp)
         return fp, i1, i2
+
+    def update_hashes32(self, h: np.ndarray) -> None:
+        """Batch insert from precomputed ``mmh3_32`` values (same
+        sequential order-dependent placement as :meth:`update_arrow`)."""
+        if h.size == 0:
+            return
+        fp, i1, i2 = self._fp_and_buckets_from_h(h.astype(np.uint32))
+        for j in range(len(fp)):
+            self._add_one(int(fp[j]), int(i1[j]), int(i2[j]))
+
+    def lookup_hashes32(self, h: np.ndarray) -> np.ndarray:
+        if h.size == 0:
+            return np.empty(0, dtype=bool)
+        fp, i1, i2 = self._fp_and_buckets_from_h(h.astype(np.uint32))
+        in1 = (self.buckets[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.buckets[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def remove_hashes32(self, h: np.ndarray) -> np.ndarray:
+        """Batch remove from precomputed ``mmh3_32`` values; bool per
+        element (removed?).  Sequential, same one-slot-per-call
+        semantics as :meth:`remove` (cuckoo.c:158-193)."""
+        fp, i1, i2 = self._fp_and_buckets_from_h(h.astype(np.uint32))
+        out = np.zeros(h.size, dtype=bool)
+        for j in range(h.size):
+            f = int(fp[j])
+            for bucket in (int(i1[j]), int(i2[j])):
+                row = self.buckets[bucket]
+                hit = np.flatnonzero(row == f)
+                if hit.size:
+                    row[hit[0]] = 0
+                    if self.bucket_insertions[bucket] > 0:
+                        self.bucket_insertions[bucket] -= 1
+                    if self.total_insertions > 0:
+                        self.total_insertions -= 1
+                    out[j] = True
+                    break
+        return out
 
     def _partner(self, i: np.ndarray, fp: np.ndarray) -> np.ndarray:
         mask = self.num_buckets - 1

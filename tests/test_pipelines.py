@@ -2166,3 +2166,63 @@ class TestShardedScalableBloom:
         n_distinct = len(set(
             pq.read_table(DOCS, columns=["text"])["text"].to_pylist()))
         assert total == n_distinct  # shards partition the key space
+
+
+class TestShardedCuckoo:
+    """Distributed DELETABLE membership: key-hash-sharded cuckoo build
+    sidesteps the non-mergeable kick chains (cuckoo.c merge TODO) —
+    4 bytes/key shuffle, probe AND delete route by fmix64(h) % S."""
+
+    SHARDS = 8
+
+    def _states(self, docs_ds):
+        from archbloom_ray.pipelines import build_sharded_cuckoo_states
+        from archbloom_ray.sketches import CuckooFilter
+
+        # ~500 docs / 8 shards ≈ 63 keys; 64 buckets × 4 slots = 256
+        return build_sharded_cuckoo_states(
+            docs_ds, "text", lambda: CuckooFilter(64, 4),
+            num_shards=self.SHARDS)
+
+    def test_membership_and_fpr(self, ray_session, docs_ds):
+        import ray.data
+        import pyarrow as pa
+        from archbloom_ray.pipelines import sharded_cuckoo_probe
+
+        states = self._states(docs_ds)
+        assert all(r["present"] for r in sharded_cuckoo_probe(
+            docs_ds, states, "text", num_shards=self.SHARDS).take_all())
+        absent = ray.data.from_arrow(pa.table(
+            {"text": [f"never-{i}" for i in range(20_000)]}))
+        fp = sum(r["present"] for r in sharded_cuckoo_probe(
+            absent, states, "text", num_shards=self.SHARDS).take_all())
+        # 16-bit fps, 2 buckets × 4 slots consulted ⇒ ~8·2^-16 ≈ 1.2e-4
+        assert fp / 20_000 <= 2e-3
+
+    def test_build_deterministic(self, ray_session, docs_ds):
+        a, b = self._states(docs_ds), self._states(docs_ds)
+        assert a.keys() == b.keys() and all(a[s] == b[s] for s in a)
+
+    def test_distributed_delete(self, ray_session, docs_ds):
+        import ray.data
+        import pyarrow as pa
+        from archbloom_ray.pipelines import (
+            sharded_cuckoo_delete,
+            sharded_cuckoo_probe,
+        )
+
+        states = self._states(docs_ds)
+        texts = pq.read_table(DOCS, columns=["text"])["text"].to_pylist()
+        gone, kept = sorted(set(texts))[:40], sorted(set(texts))[40:]
+        dels = ray.data.from_arrow(pa.table({"text": gone}))
+        updated = sharded_cuckoo_delete(dels, states, "text",
+                                        num_shards=self.SHARDS)
+        # untouched shards keep their exact bytes
+        assert set(updated) == set(states)
+        # deleted keys gone (no same-(bucket,fp) twins in this corpus —
+        # deterministic given the fixed data), kept keys still present
+        probe = ray.data.from_arrow(pa.table({"text": gone + kept}))
+        res = {r["text"]: r["present"] for r in sharded_cuckoo_probe(
+            probe, updated, "text", num_shards=self.SHARDS).take_all()}
+        assert not any(res[t] for t in gone)
+        assert all(res[t] for t in kept)
