@@ -1290,31 +1290,62 @@ def sharded_cuckoo_delete(
     matching fingerprint — a same-(bucket, fp) twin key keeps the slot
     occupied for the other.  Each shard's deletes are hash-sorted, so
     the result is deterministic."""
-    from ..hashing import fmix64_batch, mmh3_32_batch
+    return _sharded_keyhash_apply(
+        ds, states, column, num_shards, bits=32,
+        apply_fn=lambda sk, h: sk.remove_hashes32(h),
+        factory=None)
+
+
+def _sharded_keyhash_apply(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    num_shards: int,
+    *,
+    bits: int,
+    apply_fn,
+    factory: Callable[[], "Sketch"] | None = None,
+) -> dict[int, bytes]:
+    """Shared shape for incremental ops on key-hash-sharded states:
+    hash the new keys (32- or 128-bit per ``bits``), route by
+    ``fmix64 % S``, group by shard, and let ``apply_fn(sketch, ...)``
+    mutate ONLY the touched shards (hash-sorted for determinism).
+    ``factory`` constructs a fresh sketch when a shard has no state yet
+    (None ⇒ untouched-absent stays absent, e.g. delete)."""
+    from ..hashing import fmix64_batch, mmh3_32_batch, mmh3_128_batch
     from ..sketches.base import sketch_from_bytes
 
     S = int(num_shards)
     ref = ray.put({int(s): b for s, b in states.items()})
 
     def hash_batch(batch: pa.Table) -> pa.Table:
-        h = mmh3_32_batch(batch[column])
-        shard = (fmix64_batch(h.astype(np.uint64)) % np.uint64(S)).astype(
-            np.int32)
+        if bits == 32:
+            h = mmh3_32_batch(batch[column])
+            shard = (fmix64_batch(h.astype(np.uint64))
+                     % np.uint64(S)).astype(np.int32)
+            order = np.argsort(shard, kind="stable")
+            return _pack_lists(shard[order], {"h": h[order]})
+        h1, h2 = mmh3_128_batch(batch[column])
+        shard = (fmix64_batch(h1) % np.uint64(S)).astype(np.int32)
         order = np.argsort(shard, kind="stable")
-        return _pack_lists(shard[order], {"h": h[order]})
+        return _pack_lists(shard[order], {"h1": h1[order], "h2": h2[order]})
 
-    def delete_shard(g: pa.Table) -> pa.Table:
+    def apply_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
         blob = ray.get(ref).get(int(shard))
-        if blob is None:          # nothing built for this shard
+        if blob is None and factory is None:
             return pa.table({"shard": pa.array([shard], type=pa.int32()),
                              "state": pa.array([None],
                                                type=pa.large_binary())})
-        col = g["h"].combine_chunks() if isinstance(g["h"], pa.ChunkedArray) \
-            else g["h"]
-        h = np.sort(np.asarray(col.flatten(), dtype=np.uint32))
-        sk = sketch_from_bytes(blob)
-        sk.remove_hashes32(h)
+        sk = sketch_from_bytes(blob) if blob is not None else factory()
+        if bits == 32:
+            h = np.sort(_unpack_uint64_list(g["h"]).astype(np.uint32))
+            apply_fn(sk, h)
+        else:
+            h1 = _unpack_uint64_list(g["h1"])
+            h2 = _unpack_uint64_list(g["h2"])
+            order = np.lexsort((h2, h1))
+            apply_fn(sk, h1[order], h2[order])
         return pa.table({
             "shard": pa.array([shard], type=pa.int32()),
             "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
@@ -1322,10 +1353,48 @@ def sharded_cuckoo_delete(
 
     updated = ds.map_batches(hash_batch, batch_format="pyarrow",
                              zero_copy_batch=True) \
-                .groupby("shard").map_groups(delete_shard,
+                .groupby("shard").map_groups(apply_shard,
                                              batch_format="pyarrow")
     out = dict(states)
     for r in updated.take_all():
         if r["state"] is not None:
             out[r["shard"]] = r["state"]
     return out
+
+
+def sharded_sbf_ingest(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> dict[int, bytes]:
+    """Incremental ingest for the unknown-n path: new keys route to
+    their shards and GROW the existing chains in place — the same
+    stage chain keeps filling, so the single-writer p0/(1−r) bound
+    holds across any number of increments (a stage-concat merge of
+    separately built increments would ADD bounds instead).  Only
+    touched shards are rewritten; a brand-new shard starts from
+    ``factory()``."""
+    return _sharded_keyhash_apply(
+        ds, states, column, num_shards, bits=128,
+        apply_fn=lambda sk, h1, h2: sk.update_hashes(h1, h2),
+        factory=factory)
+
+
+def sharded_cuckoo_ingest(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+) -> dict[int, bytes]:
+    """Incremental adds into an existing sharded cuckoo map (duplicate
+    inserts keep reference add semantics); only touched shards are
+    rewritten."""
+    return _sharded_keyhash_apply(
+        ds, states, column, num_shards, bits=32,
+        apply_fn=lambda sk, h: sk.update_hashes32(h),
+        factory=factory)

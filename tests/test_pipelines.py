@@ -2226,3 +2226,65 @@ class TestShardedCuckoo:
             probe, updated, "text", num_shards=self.SHARDS).take_all()}
         assert not any(res[t] for t in gone)
         assert all(res[t] for t in kept)
+
+
+class TestShardedKeyhashIngest:
+    """Incremental ingest into key-hash-sharded states: only touched
+    shards rewritten; SBF chains GROW in place so the single-writer
+    p0/(1−r) bound holds across increments (concat-merge would add)."""
+
+    def _halves(self, docs_ds):
+        import pyarrow as pa
+
+        def half(lo: bool):
+            def fn(batch: pa.Table) -> pa.Table:
+                import numpy as np
+                ids = np.asarray(batch["doc_id"], dtype=np.int64)
+                return batch.filter(pa.array((ids % 2 == 0) == lo))
+            return fn
+        a = docs_ds.map_batches(half(True), batch_format="pyarrow")
+        b = docs_ds.map_batches(half(False), batch_format="pyarrow")
+        return a, b
+
+    def test_sbf_ingest_grows_in_place(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import (
+            build_sharded_sbf_states,
+            sharded_sbf_ingest,
+            sharded_sbf_probe,
+        )
+        from archbloom_ray.sketches import ScalableBloomFilter
+        from archbloom_ray.sketches.base import sketch_from_bytes
+
+        fac = lambda: ScalableBloomFilter(32, 0.001)
+        first, second = self._halves(docs_ds)
+        states = build_sharded_sbf_states(first, "text", fac, num_shards=8)
+        updated = sharded_sbf_ingest(second, states, "text", fac,
+                                     num_shards=8)
+        probed = sharded_sbf_probe(docs_ds, updated, "text", num_shards=8)
+        assert all(r["present"] for r in probed.take_all())
+        # every chain is still a single-writer chain: bound ≤ p0/(1−r)
+        for b in updated.values():
+            assert sketch_from_bytes(b).error_bound() <= 0.001 / (1 - 0.9)
+
+    def test_cuckoo_ingest_only_touched_shards(self, ray_session, docs_ds):
+        import pyarrow as pa
+        import ray.data
+        from archbloom_ray.pipelines import (
+            build_sharded_cuckoo_states,
+            sharded_cuckoo_ingest,
+            sharded_cuckoo_probe,
+        )
+        from archbloom_ray.sketches import CuckooFilter
+
+        fac = lambda: CuckooFilter(64, 4)
+        states = build_sharded_cuckoo_states(docs_ds, "text", fac,
+                                             num_shards=8)
+        add = ray.data.from_arrow(pa.table({"text": ["brand-new-key-1"]}))
+        updated = sharded_cuckoo_ingest(add, states, "text", fac,
+                                        num_shards=8)
+        changed = [s for s in updated if updated[s] != states.get(s)]
+        assert len(changed) == 1        # one key ⇒ one touched shard
+        probe = ray.data.from_arrow(pa.table(
+            {"text": ["brand-new-key-1"]}))
+        assert all(r["present"] for r in sharded_cuckoo_probe(
+            probe, updated, "text", num_shards=8).take_all())
