@@ -143,6 +143,11 @@ def _fresh_like(sk):
     cls = type(sk)
     meta = sk._meta()
     fresh = cls._from_meta(meta)
+    if hasattr(fresh, "stages"):
+        # scalable chains: the stage list is accumulated STATE, not a
+        # parameter — a delta build must start empty or it would carry
+        # phantom fill counts into the concat merge
+        fresh.clear()
     return fresh
 
 

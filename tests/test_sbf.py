@@ -107,3 +107,18 @@ class TestScalableBloom:
         f.update_arrow(_keys(100))
         f.clear()
         assert f.n_stages == 0 and f.items_added() == 0
+
+
+def test_cli_fresh_like_starts_empty():
+    """cmd_add's delta factory must not inherit the base's stage state
+    (the stage list is state, not a parameter)."""
+    from archbloom_ray.cli import _fresh_like
+
+    base = ScalableBloomFilter(128, 0.01)
+    base.update_arrow(_keys(5000))
+    fresh = _fresh_like(base)
+    assert fresh.n_stages == 0 and fresh.items_added() == 0
+    fresh.update_arrow(_keys(100, "delta"))
+    base.merge(fresh)
+    assert base.lookup_batch(_keys(100, "delta")).all()
+    assert base.lookup_batch(_keys(5000)).all()
