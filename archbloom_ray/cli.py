@@ -126,6 +126,144 @@ def cmd_create(args):
     print(json.dumps({"saved": args.output, **_info_dict(built)}))
 
 
+def _persist_sharded(outdir: str, states: dict, kind: str) -> int:
+    """Write ``{shard: bytes}`` as part-<s>.state files + a checkpoint-
+    style manifest (sha256 per shard, torn writes fail closed on any
+    later verify)."""
+    from .pipelines.checkpoint import ENGINE_VERSION, _sha256
+
+    os.makedirs(outdir, exist_ok=True)
+    rows = []
+    for s, b in sorted(states.items()):
+        path = os.path.join(outdir, f"part-{s}.state")
+        tmp = path + f".tmp-{os.getpid()}"
+        with open(tmp, "wb") as f:
+            f.write(b)
+        os.replace(tmp, path)
+        rows.append({"shard_id": str(s), "kind": f"{kind}_shard",
+                     "state_sha256": _sha256(b), "state_bytes": len(b),
+                     "engine_version": ENGINE_VERSION})
+    with open(os.path.join(outdir, "manifest.jsonl"), "a") as mf:
+        for row in rows:
+            mf.write(json.dumps(row) + "\n")
+    return len(rows)
+
+
+def cmd_create_sharded(args):
+    """Build a key-range/key-hash SHARDED filter into a directory —
+    the 10^12-key layout where the shard map IS the filter and no
+    single machine ever holds the whole structure.  bloom shards the
+    bitmap by position (bit-for-bit vs monolithic, resumable via the
+    checkpoint manifest); sbloom/cuckoo shard by key hash
+    (fmix64-routed; unknown-n growth / distributed deletes)."""
+    _ray_init(args.num_cpus)
+
+    ds, col = _input_dataset(args)
+    outdir = args.output
+    os.makedirs(outdir, exist_ok=True)
+    S = args.num_shards
+    report = {}
+    if args.kind == "bloom":
+        from .pipelines.checkpoint import checkpointed_sharded_bloom
+
+        exp, acc = args.expected, args.accuracy
+        states, report = checkpointed_sharded_bloom(
+            ds, col, lambda: __import__(
+                "archbloom_ray.sketches", fromlist=["BloomFilter"]
+            ).BloomFilter(exp, acc),
+            outdir, num_shards=S, batch_size=args.batch_size)
+        params = {"expected": exp, "accuracy": acc}
+    elif args.kind == "sbloom":
+        from .pipelines import build_sharded_sbf_states
+
+        cap = max(1, args.expected // S)
+        acc = args.accuracy
+        states = build_sharded_sbf_states(
+            ds, col, lambda: __import__(
+                "archbloom_ray.sketches", fromlist=["ScalableBloomFilter"]
+            ).ScalableBloomFilter(cap, acc),
+            num_shards=S, batch_size=args.batch_size)
+        _persist_sharded(outdir, states, "sbloom")
+        params = {"initial_capacity": cap, "accuracy": acc}
+    else:  # cuckoo
+        from .pipelines import build_sharded_cuckoo_states
+
+        buckets = max(16, args.expected // S // 2)  # ≤ ~50% load at 4/slot
+        states = build_sharded_cuckoo_states(
+            ds, col, lambda: __import__(
+                "archbloom_ray.sketches", fromlist=["CuckooFilter"]
+            ).CuckooFilter(buckets, 4),
+            num_shards=S, batch_size=args.batch_size)
+        _persist_sharded(outdir, states, "cuckoo")
+        params = {"num_buckets": buckets, "bucket_size": 4}
+    shardmap = {"kind": args.kind, "num_shards": S, "params": params,
+                "column": col}
+    tmp = os.path.join(outdir, "shardmap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(shardmap, f)
+    os.replace(tmp, os.path.join(outdir, "shardmap.json"))
+    print(json.dumps({"saved": outdir, "shards": len(states),
+                      **shardmap, **report}))
+
+
+def cmd_query_sharded(args):
+    """Single-key probe of a sharded-filter directory — LOCAL and
+    Ray-free: route the key with the same pure shard function the
+    build used, read ONLY the owning shard's state file, and check.
+    Exit code 0 present / 1 absent, like ``query``."""
+    import numpy as np
+    import pyarrow as pa
+
+    with open(os.path.join(args.dir, "shardmap.json")) as f:
+        meta = json.load(f)
+    kind, S, params = meta["kind"], meta["num_shards"], meta["params"]
+    elem = pa.array([args.element], type=pa.string())
+
+    def shard_bytes(s: int) -> bytes | None:
+        path = os.path.join(args.dir, f"part-{s}.state")
+        if not os.path.exists(path):
+            return None
+        with open(path, "rb") as f:
+            return f.read()
+
+    if kind == "bloom":
+        from .pipelines.build import _bloom_shard_bytes
+        from .sketches import BloomFilter
+
+        tpl = BloomFilter(params["expected"], params["accuracy"])
+        B = _bloom_shard_bytes((tpl.size + 7) // 8, S)
+        pos = tpl._positions(elem).ravel()
+        present = True
+        for p in pos:
+            blob = shard_bytes(int((p >> 3) // B))
+            if blob is None:
+                present = False
+                break
+            byte = blob[int(p >> 3) - int((p >> 3) // B) * B]
+            if not (byte >> (int(p) & 7)) & 1:
+                present = False
+                break
+    else:
+        from .hashing import fmix64_batch, mmh3_128_batch, mmh3_32_batch
+        from .sketches.base import sketch_from_bytes
+
+        if kind == "sbloom":
+            h1, h2 = mmh3_128_batch(elem)
+            s = int(fmix64_batch(h1)[0] % np.uint64(S))
+            blob = shard_bytes(s)
+            present = bool(blob is not None and
+                           sketch_from_bytes(blob)._lookup_hashes(h1, h2)[0])
+        else:  # cuckoo
+            h = mmh3_32_batch(elem)
+            s = int(fmix64_batch(h.astype(np.uint64))[0] % np.uint64(S))
+            blob = shard_bytes(s)
+            present = bool(blob is not None and
+                           sketch_from_bytes(blob).lookup_hashes32(h)[0])
+    print(json.dumps({"element": args.element, "present": present,
+                      "kind": kind}))
+    sys.exit(0 if present else 1)
+
+
 def cmd_add(args):
     _ray_init(args.num_cpus)
     from .pipelines.build import build_sketch
@@ -398,6 +536,26 @@ def main(argv=None):
     sp.add_argument("--name", default=None)
     common_sketch_args(sp)
     sp.set_defaults(fn=cmd_create)
+
+    sp = sub.add_parser("create-sharded")
+    sp.add_argument("input")
+    sp.add_argument("output", help="output DIRECTORY (shard states + "
+                                   "manifest + shardmap.json)")
+    sp.add_argument("--column", default="url")
+    sp.add_argument("--kind", default="bloom",
+                    choices=["bloom", "sbloom", "cuckoo"])
+    sp.add_argument("--num-shards", type=int, default=32)
+    sp.add_argument("--expected", type=int, default=100000,
+                    help="total expected keys (per-shard sizing is "
+                         "derived; sbloom uses it only as a seed)")
+    sp.add_argument("--accuracy", type=float, default=0.01)
+    sp.add_argument("--batch-size", type=int, default=65536)
+    sp.set_defaults(fn=cmd_create_sharded)
+
+    sp = sub.add_parser("query-sharded")
+    sp.add_argument("dir", help="create-sharded output directory")
+    sp.add_argument("element")
+    sp.set_defaults(fn=cmd_query_sharded)
 
     sp = sub.add_parser("add")
     sp.add_argument("sketch")

@@ -257,3 +257,28 @@ def test_import_export_ref_cbloom_tdbloom(tmp_path):
     # kind mismatch is a clean error, not a crash
     r = run_cli("export-ref", "--kind", "bloom", sk2, back2, check=False)
     assert r.returncode == 2
+
+
+def test_create_query_sharded(keys_parquet, tmp_path):
+    """Sharded-directory surface: build each kind, probe locally
+    (query-sharded is Ray-free), resume skips built shards."""
+    for kind in ("bloom", "sbloom", "cuckoo"):
+        d = str(tmp_path / f"sh-{kind}")
+        out = run_cli("create-sharded", keys_parquet, d, "--kind", kind,
+                      "--num-shards", "4", "--expected", "1000",
+                      "--accuracy", "0.001")
+        info = json.loads(out.stdout.strip().splitlines()[-1])
+        assert info["saved"] == d and info["shards"] >= 1
+        assert os.path.exists(os.path.join(d, "shardmap.json"))
+        assert os.path.exists(os.path.join(d, "manifest.jsonl"))
+        r = run_cli("query-sharded", d, "https://k1.example/x")
+        assert r.returncode == 0 and json.loads(r.stdout)["present"] is True
+        r = run_cli("query-sharded", d, "https://nope.example/zz")
+        assert r.returncode == 1 and json.loads(r.stdout)["present"] is False
+    # resume: a second bloom build touches nothing
+    d = str(tmp_path / "sh-bloom")
+    info = json.loads(run_cli(
+        "create-sharded", keys_parquet, d, "--kind", "bloom",
+        "--num-shards", "4", "--expected", "1000", "--accuracy", "0.001",
+    ).stdout.strip().splitlines()[-1])
+    assert info["built_shards"] == 0 and info["resumed_shards"] >= 1
