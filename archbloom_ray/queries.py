@@ -914,6 +914,40 @@ def q_sharded_sbloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_sharded_sbf_ingest(sf_dir: str):
+    """Two-increment unknown-n ingest: build the sharded scalable-Bloom
+    map over the even doc_ids, then ``sharded_sbf_ingest`` the odd half
+    — chains GROW IN PLACE (only touched shards rewritten), so every
+    shard keeps the single-writer p0/(1−r) bound however many
+    increments arrive (pipelines/build.py sharded-SBF section).  Probe
+    of all documents: no false negatives ⇒ all-present."""
+    from .pipelines import (
+        build_sharded_sbf_states,
+        sharded_sbf_ingest,
+        sharded_sbf_probe,
+    )
+    from .sketches import ScalableBloomFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+
+    def _parity(even: bool):
+        def fn(batch: pa.Table) -> pa.Table:
+            ids = np.asarray(batch["doc_id"], dtype=np.int64)
+            return batch.filter(pa.array((ids % 2 == 0) == even))
+        return fn
+
+    fac = lambda: ScalableBloomFilter(64, 0.001)
+    states = build_sharded_sbf_states(
+        ds.map_batches(_parity(True), batch_format="pyarrow",
+                       zero_copy_batch=True), "text", fac, num_shards=8)
+    updated = sharded_sbf_ingest(
+        ds.map_batches(_parity(False), batch_format="pyarrow",
+                       zero_copy_batch=True), states, "text", fac,
+        num_shards=8)
+    probed = sharded_sbf_probe(ds, updated, "text", num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_sharded_cuckoo_deletes(sf_dir: str):
     """Distributed DELETABLE membership (the cuckoo family's point):
     key-hash-sharded cuckoo build (4-byte hash shuffle routed by
@@ -6841,6 +6875,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sbloom_membership": q_sbloom_membership,
         "sharded_sbloom_membership": q_sharded_sbloom_membership,
         "sharded_cuckoo_deletes": q_sharded_cuckoo_deletes,
+        "sharded_sbf_ingest": q_sharded_sbf_ingest,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "sharded_bloom_membership": q_sharded_bloom_membership,
@@ -8269,6 +8304,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id, TRUE AS present FROM documents
             WHERE doc_id % 10 <> 0
         """,
+        "sharded_sbf_ingest": "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
