@@ -341,9 +341,40 @@ def cmd_probe(args):
 
     from .pipelines.query import membership
 
-    sk = _load(args.sketch)
     ds = rd.read_parquet(args.input, columns=[args.column])
-    out = membership(ds, sk, args.column, concurrency=args.concurrency)
+    if os.path.isdir(args.sketch):
+        # create-sharded directory: batch probe without assembly —
+        # the shard map broadcasts once, keys route per batch
+        with open(os.path.join(args.sketch, "shardmap.json")) as f:
+            meta = json.load(f)
+        states = {}
+        import glob as _glob
+        for p in _glob.glob(os.path.join(args.sketch, "part-*.state")):
+            s = int(os.path.basename(p)[len("part-"):-len(".state")])
+            with open(p, "rb") as f:
+                states[s] = f.read()
+        kind, S = meta["kind"], meta["num_shards"]
+        if kind == "bloom":
+            from .pipelines import sharded_bloom_probe
+            from .sketches import BloomFilter
+
+            p_ = meta["params"]
+            out = sharded_bloom_probe(
+                ds, states, args.column,
+                lambda: BloomFilter(p_["expected"], p_["accuracy"]),
+                num_shards=S)
+        elif kind == "sbloom":
+            from .pipelines import sharded_sbf_probe
+
+            out = sharded_sbf_probe(ds, states, args.column, num_shards=S)
+        else:
+            from .pipelines import sharded_cuckoo_probe
+
+            out = sharded_cuckoo_probe(ds, states, args.column,
+                                       num_shards=S)
+    else:
+        sk = _load(args.sketch)
+        out = membership(ds, sk, args.column, concurrency=args.concurrency)
     out.write_parquet(args.output)
     print(json.dumps({"written": args.output}))
 

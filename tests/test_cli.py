@@ -282,3 +282,18 @@ def test_create_query_sharded(keys_parquet, tmp_path):
         "--num-shards", "4", "--expected", "1000", "--accuracy", "0.001",
     ).stdout.strip().splitlines()[-1])
     assert info["built_shards"] == 0 and info["resumed_shards"] >= 1
+
+
+def test_probe_sharded_directory(keys_parquet, tmp_path):
+    """`probe` accepts a create-sharded directory: batch membership via
+    the no-assembly sharded probes, written as parquet."""
+    import pyarrow.dataset as pads
+
+    d = str(tmp_path / "shp")
+    run_cli("create-sharded", keys_parquet, d, "--kind", "sbloom",
+            "--num-shards", "4", "--expected", "1000",
+            "--accuracy", "0.001")
+    out = str(tmp_path / "probed")
+    run_cli("probe", d, keys_parquet, out, "--column", "url")
+    t = pads.dataset(out).to_table()
+    assert t.num_rows == 500 and all(t["present"].to_pylist())
