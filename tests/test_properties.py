@@ -450,3 +450,27 @@ def test_duplicate_spans_match_bruteforce(ray_session, docs, n):
         dup = sum(1 for g in gs if len(docs_of[g]) >= 2)
         want[i] = (len(gs), dup)
     assert got == want
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    st.lists(st.text(alphabet=st.characters(blacklist_categories=("Cs",)),
+                     max_size=30), min_size=0, max_size=200),
+    st.integers(min_value=1, max_value=5),
+)
+def test_scalable_bloom_properties(keys, n_splits):
+    """SBF invariants under arbitrary batch splits: never a false
+    negative, stage fills never exceed declared capacity, the
+    single-writer bound telescopes under p0/(1−r), and items_added
+    never exceeds the true distinct count."""
+    from archbloom_ray.sketches import ScalableBloomFilter
+
+    f = ScalableBloomFilter(8, 0.01)
+    step = max(1, len(keys) // n_splits)
+    for i in range(0, len(keys), step):
+        f.update_arrow(pa.array(keys[i:i + step], type=pa.string()))
+    if keys:
+        assert f.lookup_batch(pa.array(keys, type=pa.string())).all()
+    assert all(i <= c for i, c in zip(f.stage_items, f.stage_capacity))
+    assert f.error_bound() <= 0.01 / (1 - 0.9) + 1e-9
+    assert f.items_added() <= len(set(keys))
