@@ -1398,3 +1398,70 @@ def sharded_cuckoo_ingest(
         ds, states, column, num_shards, bits=32,
         apply_fn=lambda sk, h: sk.update_hashes32(h),
         factory=factory)
+
+
+def sharded_keyhash_probe_routed(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    *,
+    kind: str,
+    num_shards: int = 32,
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SHUFFLE-ROUTED probe for key-hash-sharded structures (``kind``
+    in {"sbf", "cuckoo"}) — the true-scale counterpart of the
+    broadcast probes: those ship EVERY shard's state to EVERY worker
+    process (fine while Σ states fit a heap; wrong when the sharded
+    structure is TBs).  Here each shard's state becomes its OWN object
+    ref, probe rows shuffle to their owning shard (hash columns ride
+    along so keys hash exactly once), and each reducer task holds ONE
+    shard's state — per-task memory is one shard + its rows, however
+    big the whole map grows.  Output rows keep all input columns plus
+    ``out_column`` (row order is NOT preserved — Ray groupby semantics)."""
+    from ..hashing import fmix64_batch, mmh3_32_batch, mmh3_128_batch
+    from ..proc_cache import cached_instance
+    from ..sketches.base import sketch_from_bytes
+
+    if kind not in ("sbf", "cuckoo"):
+        raise ValueError(f"kind must be 'sbf' or 'cuckoo', got {kind!r}")
+    S = int(num_shards)
+    refs = {int(s): ray.put(b) for s, b in states.items()}  # one ref EACH
+
+    def route(batch: pa.Table) -> pa.Table:
+        if kind == "cuckoo":
+            h = mmh3_32_batch(batch[column])
+            shard = (fmix64_batch(h.astype(np.uint64))
+                     % np.uint64(S)).astype(np.int32)
+            return batch.append_column("__h", pa.array(h)) \
+                        .append_column("__shard", pa.array(shard))
+        h1, h2 = mmh3_128_batch(batch[column])
+        shard = (fmix64_batch(h1) % np.uint64(S)).astype(np.int32)
+        return batch.append_column("__h1", pa.array(h1)) \
+                    .append_column("__h2", pa.array(h2)) \
+                    .append_column("__shard", pa.array(shard))
+
+    def lookup_group(g: pa.Table) -> pa.Table:
+        shard = int(g["__shard"][0].as_py())
+        ref = refs.get(shard)
+        if ref is None:
+            present = np.zeros(len(g), dtype=bool)
+        else:
+            sk = cached_instance(("routed_probe", kind, ref.hex()),
+                                 lambda: sketch_from_bytes(ray.get(ref)))
+            if kind == "cuckoo":
+                present = sk.lookup_hashes32(
+                    np.asarray(g["__h"], dtype=np.uint32))
+            else:
+                present = sk._lookup_hashes(
+                    np.asarray(g["__h1"], dtype=np.uint64),
+                    np.asarray(g["__h2"], dtype=np.uint64))
+        drop = [c for c in g.column_names if c.startswith("__")]
+        return g.drop_columns(drop).append_column(out_column,
+                                                  pa.array(present))
+
+    return ds.map_batches(route, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True) \
+             .groupby("__shard").map_groups(lookup_group,
+                                            batch_format="pyarrow")

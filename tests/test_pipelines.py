@@ -2288,3 +2288,42 @@ class TestShardedKeyhashIngest:
             {"text": ["brand-new-key-1"]}))
         assert all(r["present"] for r in sharded_cuckoo_probe(
             probe, updated, "text", num_shards=8).take_all())
+
+
+class TestRoutedProbe:
+    """Shuffle-routed probe ≡ broadcast probe for both key-hash
+    families; each reducer holds exactly ONE shard's state."""
+
+    def test_routed_equals_broadcast(self, ray_session, docs_ds):
+        import pyarrow as pa
+        import ray.data
+        from archbloom_ray.pipelines import (
+            build_sharded_cuckoo_states,
+            build_sharded_sbf_states,
+            sharded_cuckoo_probe,
+            sharded_keyhash_probe_routed,
+            sharded_sbf_probe,
+        )
+        from archbloom_ray.sketches import CuckooFilter, ScalableBloomFilter
+
+        mixed = ray.data.from_arrow(pa.table({
+            "text": pq.read_table(DOCS, columns=["text"])["text"].to_pylist()
+                    + [f"absent-{i}" for i in range(3000)]}))
+
+        sbf_states = build_sharded_sbf_states(
+            docs_ds, "text", lambda: ScalableBloomFilter(32, 0.001),
+            num_shards=8)
+        want = {r["text"]: r["present"] for r in sharded_sbf_probe(
+            mixed, sbf_states, "text", num_shards=8).take_all()}
+        got = {r["text"]: r["present"] for r in sharded_keyhash_probe_routed(
+            mixed, sbf_states, "text", kind="sbf", num_shards=8).take_all()}
+        assert got == want
+
+        ck_states = build_sharded_cuckoo_states(
+            docs_ds, "text", lambda: CuckooFilter(64, 4), num_shards=8)
+        want = {r["text"]: r["present"] for r in sharded_cuckoo_probe(
+            mixed, ck_states, "text", num_shards=8).take_all()}
+        got = {r["text"]: r["present"] for r in sharded_keyhash_probe_routed(
+            mixed, ck_states, "text", kind="cuckoo",
+            num_shards=8).take_all()}
+        assert got == want
