@@ -1465,3 +1465,87 @@ def sharded_keyhash_probe_routed(
                           batch_size=batch_size, zero_copy_batch=True) \
              .groupby("__shard").map_groups(lookup_group,
                                             batch_format="pyarrow")
+
+
+def sharded_bloom_probe_routed(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    id_column: str,
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """SHUFFLE-ROUTED probe for the position-sharded Bloom map — the
+    true-scale counterpart of :func:`sharded_bloom_probe`, which
+    broadcasts the WHOLE bitmap to every worker (wrong once m is TBs).
+
+    A key's k bit positions live in up to k different shards, so the
+    probe fans out position rows: stage 1 hashes each key once and
+    emits packed ``(shard, pos, id)`` rows; stage 2 reducers hold ONE
+    bitmap slice each (own object ref) and count set bits per id;
+    stage 3 sums per id — ``present ⇔ Σ set == k`` (an absent shard
+    contributes zero set bits, correctly absent).  Returns
+    ``(id_column, present)`` rows; ``id_column`` must be unique
+    (callers join back by it — the row payload cannot ride a one-to-k
+    fan-out)."""
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    total_bytes = (m + 7) // 8
+    B = _bloom_shard_bytes(total_bytes, int(num_shards))
+    refs = {int(s): ray.put(b) for s, b in states.items()}
+
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+    from ..proc_cache import cached_instance
+
+    def fanout(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch[column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        ids = np.asarray(batch[id_column], dtype=np.int64)
+        flat_pos = pos.ravel()                       # (k, n) row-major
+        flat_id = np.broadcast_to(ids, pos.shape).ravel()
+        shard = ((flat_pos >> 3) // B).astype(np.int32)
+        order = np.argsort(shard, kind="stable")
+        return _pack_lists(shard[order], {"pos": flat_pos[order],
+                                          "id": flat_id[order]})
+
+    def count_bits(g: pa.Table) -> pa.Table:
+        shard = int(g["shard"][0].as_py())
+        pos = _unpack_list(g["pos"])
+        ids = _unpack_list(g["id"])
+        ref = refs.get(shard)
+        if ref is None:
+            nset = np.zeros(pos.size, dtype=np.int64)
+        else:
+            arr = cached_instance(
+                ("bloom_routed", ref.hex()),
+                lambda: np.frombuffer(ray.get(ref), dtype=np.uint8))
+            local = pos - shard * B * 8
+            nset = ((arr[local >> 3] >> (local & 7).astype(np.uint8)) & 1
+                    ).astype(np.int64)
+        t = pa.table({"id": pa.array(ids), "nset": pa.array(nset)}) \
+            .group_by(["id"]).aggregate([("nset", "sum")])
+        return pa.table({"id": t["id"], "nset": t["nset_sum"]})
+
+    checked = ds.map_batches(fanout, batch_format="pyarrow",
+                             batch_size=batch_size, zero_copy_batch=True) \
+                .groupby("shard").map_groups(count_bits,
+                                             batch_format="pyarrow")
+
+    # high-cardinality id sum: coarse-partition grouped_agg, NOT a Ray
+    # group per id (a Python call per key would kill the reducer)
+    from .relational import grouped_agg
+
+    summed = grouped_agg(checked, ["id"], [("nset_total", "nset", "sum")])
+
+    def finish(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            id_column: batch["id"],
+            out_column: pa.array(
+                np.asarray(batch["nset_total"], dtype=np.int64) == k),
+        })
+
+    return summed.map_batches(finish, batch_format="pyarrow",
+                              zero_copy_batch=True)

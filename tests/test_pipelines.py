@@ -2327,3 +2327,33 @@ class TestRoutedProbe:
             mixed, ck_states, "text", kind="cuckoo",
             num_shards=8).take_all()}
         assert got == want
+
+
+class TestRoutedBloomProbe:
+    """Position-sharded Bloom's routed probe ≡ broadcast probe — each
+    reducer holds one bitmap slice; a key's k positions fan out and
+    re-AND by id."""
+
+    def test_routed_equals_broadcast(self, ray_session, docs_ds):
+        import pyarrow as pa
+        import ray.data
+        from archbloom_ray.pipelines import (
+            build_sharded_bloom_states,
+            sharded_bloom_probe,
+            sharded_bloom_probe_routed,
+        )
+        from archbloom_ray.sketches import BloomFilter
+
+        fac = lambda: BloomFilter(500, 0.01)
+        states = build_sharded_bloom_states(docs_ds, "text", fac,
+                                            num_shards=8)
+        texts = pq.read_table(DOCS, columns=["text"])["text"].to_pylist()
+        mixed = ray.data.from_arrow(pa.table({
+            "pid": pa.array(range(len(texts) + 3000), type=pa.int64()),
+            "text": texts + [f"absent-{i}" for i in range(3000)]}))
+        want = {r["pid"]: r["present"] for r in sharded_bloom_probe(
+            mixed, states, "text", fac, num_shards=8).take_all()}
+        got = {r["pid"]: r["present"] for r in sharded_bloom_probe_routed(
+            mixed, states, "pid", "text", fac, num_shards=8).take_all()}
+        assert got == want
+        assert all(want[i] for i in range(len(texts)))  # members present
