@@ -914,6 +914,27 @@ def q_sharded_sbloom_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_routed_bloom_membership(sf_dir: str):
+    """Membership via the SHUFFLE-ROUTED sharded-Bloom probe — the
+    probe shape for bitmaps too big to broadcast: a key's k positions
+    fan out to their owning slices (each reducer holds ONE slice via
+    its own object ref), set-bit counts re-AND by doc_id through a
+    coarse-partition grouped sum (pipelines/build.py
+    ``sharded_bloom_probe_routed``).  Proved ≡ the broadcast probe in
+    pytest; no false negatives ⇒ all-present."""
+    from .pipelines import (
+        build_sharded_bloom_states,
+        sharded_bloom_probe_routed,
+    )
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    factory = lambda: BloomFilter(max(n, 10), 0.01)
+    states = build_sharded_bloom_states(ds, "text", factory, num_shards=8)
+    return sharded_bloom_probe_routed(
+        ds, states, "doc_id", "text", factory, num_shards=8)
+
+
 def q_sharded_sbf_ingest(sf_dir: str):
     """Two-increment unknown-n ingest: build the sharded scalable-Bloom
     map over the even doc_ids, then ``sharded_sbf_ingest`` the odd half
@@ -6876,6 +6897,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_sbloom_membership": q_sharded_sbloom_membership,
         "sharded_cuckoo_deletes": q_sharded_cuckoo_deletes,
         "sharded_sbf_ingest": q_sharded_sbf_ingest,
+        "routed_bloom_membership": q_routed_bloom_membership,
         "xor_membership": q_xor_membership,
         "blocked_bloom_membership": q_blocked_bloom_membership,
         "sharded_bloom_membership": q_sharded_bloom_membership,
@@ -8305,6 +8327,8 @@ def oracle_sql() -> dict[str, str]:
             WHERE doc_id % 10 <> 0
         """,
         "sharded_sbf_ingest": "SELECT doc_id, TRUE AS present FROM documents",
+        "routed_bloom_membership":
+            "SELECT doc_id, TRUE AS present FROM documents",
         "xor_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "blocked_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "sharded_bloom_membership": "SELECT doc_id, TRUE AS present FROM documents",
