@@ -297,6 +297,26 @@ def cmd_query(args):
 
 
 def cmd_info(args):
+    if os.path.isdir(args.sketch):
+        # create-sharded directory: shard-map level report
+        import glob as _glob
+
+        with open(os.path.join(args.sketch, "shardmap.json")) as f:
+            meta = json.load(f)
+        parts = sorted(_glob.glob(os.path.join(args.sketch, "part-*.state")))
+        sizes = [os.path.getsize(p) for p in parts]
+        manifest_rows = 0
+        mpath = os.path.join(args.sketch, "manifest.jsonl")
+        if os.path.exists(mpath):
+            with open(mpath) as f:
+                manifest_rows = sum(1 for _ in f)
+        print(json.dumps({
+            "type": "sharded", **meta, "shards_present": len(parts),
+            "total_state_bytes": sum(sizes),
+            "max_shard_bytes": max(sizes) if sizes else 0,
+            "manifest_rows": manifest_rows,
+        }))
+        return
     sk = _load(args.sketch)
     print(json.dumps(_info_dict(sk)))
 

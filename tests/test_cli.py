@@ -297,3 +297,14 @@ def test_probe_sharded_directory(keys_parquet, tmp_path):
     run_cli("probe", d, keys_parquet, out, "--column", "url")
     t = pads.dataset(out).to_table()
     assert t.num_rows == 500 and all(t["present"].to_pylist())
+
+
+def test_info_sharded_directory(keys_parquet, tmp_path):
+    d = str(tmp_path / "shinfo")
+    run_cli("create-sharded", keys_parquet, d, "--kind", "cuckoo",
+            "--num-shards", "4", "--expected", "1000")
+    info = json.loads(run_cli("info", d).stdout.strip().splitlines()[-1])
+    assert info["type"] == "sharded" and info["kind"] == "cuckoo"
+    assert info["shards_present"] >= 1
+    assert info["manifest_rows"] >= info["shards_present"]
+    assert info["total_state_bytes"] > 0
