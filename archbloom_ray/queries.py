@@ -3030,6 +3030,64 @@ def q_q14_promo_revenue(sf_dir: str):
     })
 
 
+def q_q19_bracketed_revenue(sf_dir: str):
+    """TPC-H Q19 (discounted revenue, disjunctive brackets): revenue
+    from lineitems matching ANY of three (brand, size-range,
+    qty-range) condition sets.  Plan — the disjunction's part-side
+    predicates compile to a per-partkey 3-bit BRANCH BITMASK on the
+    broadcast dimension (one ``ray.put``); the lineitem scan gathers
+    each row's mask, applies the branch's quantity range vectorized,
+    and reduces to one (matched rows, revenue) pair per batch — no
+    join, no shuffle, exact int64 micros."""
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    brand = np.asarray(part["p_brand"])
+    size = np.asarray(part["p_size"], dtype=np.int64)
+    mask = np.zeros(pk.size, dtype=np.uint8)
+    BRANCHES = [                      # (brand, size_hi, qty_lo, qty_hi)
+        ("Brand#1", 15, 1, 20),
+        ("Brand#12", 25, 10, 30),
+        ("Brand#21", 35, 20, 40),
+    ]
+    for b, (bname, shi, _, _) in enumerate(BRANCHES):
+        mask |= ((brand == bname) & (size >= 1) & (size <= shi)
+                 ).astype(np.uint8) << b
+    order = np.argsort(pk)
+    dims_ref = ray.put((pk[order], mask[order]))
+
+    from .proc_cache import cached_instance
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pk_s, mask_s = cached_instance(
+            ("q19_parts", dims_ref.hex()), lambda: ray.get(dims_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        hit = (pk_s[pos] == lpk) if pk_s.size else np.zeros(lpk.size, bool)
+        m = np.where(hit, mask_s[pos], 0).astype(np.uint8)
+        qty = np.asarray(batch["l_quantity"], dtype=np.float64)
+        keep = np.zeros(lpk.size, dtype=bool)
+        for b, (_, _, qlo, qhi) in enumerate(BRANCHES):
+            keep |= ((m >> b) & 1).astype(bool) & (qty >= qlo) & (qty <= qhi)
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({"rev": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_quantity", "l_extendedprice",
+                   "l_discount"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_micros": pa.array([sum(r["rev"] for r in parts)],
+                                   pa.int64()),
+        "n_lineitems": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -6888,6 +6946,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q10_returned_customers": q_q10_returned_customers,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
+        "q19_bracketed_revenue": q_q19_bracketed_revenue,
         "orders_by_segment": q_orders_by_segment,
         "lineitem_pricing": q_lineitem_pricing,
         "lineitem_skyline": q_lineitem_skyline,
@@ -8238,6 +8297,19 @@ def oracle_sql() -> dict[str, str]:
                         // CAST(sum(rev) AS HUGEINT) AS BIGINT)
                        AS promo_share_e6
             FROM f
+        """,
+        "q19_bracketed_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                        AS BIGINT) AS revenue_micros,
+                   count(*) AS n_lineitems
+            FROM lineitem JOIN part ON p_partkey = l_partkey
+            WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+                   AND l_quantity BETWEEN 1 AND 20)
+               OR (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 25
+                   AND l_quantity BETWEEN 10 AND 30)
+               OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
+                   AND l_quantity BETWEEN 20 AND 40)
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
