@@ -732,6 +732,87 @@ def global_prefix_sum(
         scan_bucket, batch_format="pyarrow")
 
 
+def global_prefix_max(
+    ds: "ray.data.Dataset",
+    value_col: str,
+    id_col: str,
+    *,
+    num_buckets: int = 64,
+    sample_per_block: int = 256,
+    out: str = "prefix_max",
+    batch_size: int = 65536,
+    carry_columns: tuple = (),
+) -> "ray.data.Dataset":
+    """Distributed EXCLUSIVE prefix MAX in ``id`` order — the running
+    high-water-mark scan: ``MAX(value) OVER (ORDER BY id ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)``, ``-inf`` for the first row
+    (the float sentinel for SQL's leading NULL; compare with an
+    ``== -inf`` guard).  Same two-phase shape as
+    :func:`global_prefix_sum` — max is associative, so per-bucket
+    maxes prefix-combine on the driver (O(buckets) scalars) and each
+    bucket runs one local exclusive ``maximum.accumulate``.
+
+    This is the watermark / record-breaking primitive: with ``id`` =
+    arrival order and ``value`` = event time, ``row.ts < out − lag``
+    flags late data; with ``value`` = a measurement, ``value > out``
+    flags new records.  ``carry_columns`` ride through untouched."""
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    def sample(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch[id_col])
+        stride = max(1, len(v) // sample_per_block)
+        return pa.table({"v": pa.array(np.sort(v)[::stride])})
+
+    samp = np.sort(np.asarray(
+        [r["v"] for r in ds.map_batches(
+            sample, batch_format="pyarrow", batch_size=batch_size,
+            zero_copy_batch=True).take_all()]))
+    cuts = (samp[np.linspace(1, len(samp) - 1, num_buckets - 1,
+                             dtype=np.int64)]
+            if len(samp) > num_buckets else samp[:0])
+
+    def bucketize(batch: pa.Table) -> pa.Table:
+        i = np.asarray(batch[id_col])
+        b = np.searchsorted(cuts, i, side="right").astype(np.int32)
+        return batch.append_column("bucket", pa.array(b))
+
+    bucketed = ds.select_columns(
+        [id_col, value_col, *carry_columns]).map_batches(
+        bucketize, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+
+    totals = grouped_agg(bucketed.select_columns(["bucket", value_col]),
+                         ["bucket"], [("m", value_col, "max")]).take_all()
+    totals.sort(key=lambda r: r["bucket"])
+    bases = {}
+    acc = float("-inf")
+    for r in totals:
+        bases[int(r["bucket"])] = acc
+        acc = max(acc, float(r["m"]))
+    ref = _ray.put(bases)
+
+    def scan_bucket(group: pa.Table) -> pa.Table:
+        bs = cached_instance(("gpm_bases", ref.hex()), lambda: _ray.get(ref))
+        ids = np.asarray(group[id_col])
+        v = np.asarray(group[value_col], dtype=np.float64)
+        order = np.argsort(ids, kind="stable")
+        excl = np.concatenate(
+            ([-np.inf], np.maximum.accumulate(v[order])[:-1]))
+        pre = np.empty(len(v), dtype=np.float64)
+        pre[order] = excl
+        base = bs[int(group["bucket"][0].as_py())]
+        cols = {id_col: group[id_col], value_col: group[value_col]}
+        for c in carry_columns:
+            cols[c] = group[c]
+        cols[out] = pa.array(np.maximum(pre, base))
+        return pa.table(cols)
+
+    return bucketed.groupby("bucket").map_groups(
+        scan_bucket, batch_format="pyarrow")
+
+
 def broadcast_lookup(
     ds: "ray.data.Dataset",
     mapping_ref,

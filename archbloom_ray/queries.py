@@ -3357,6 +3357,53 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_events_record_breaks(sf_dir: str):
+    """Record-breaking events: rows whose ``value`` beats the running
+    GLOBAL maximum over all earlier arrivals (arrival = event_id
+    order), counted per event_type.  Runs on the distributed exclusive
+    prefix-MAX scan (``pipelines.global_prefix_max`` — per-bucket
+    maxes prefix-combine on the driver, one local
+    ``maximum.accumulate`` per bucket; the watermark primitive).
+    First arrival is a record by definition (the scan's −inf
+    sentinel ≙ SQL's leading NULL)."""
+    from .pipelines import global_prefix_max
+
+    def prep(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": batch["event_id"],
+            "value": batch["value"],
+            "event_type": batch["event_type"],
+        })
+
+    ds = _read(sf_dir, "events",
+               ["event_id", "value", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    scanned = global_prefix_max(ds, "value", "event_id", out="wm",
+                                carry_columns=("event_type",))
+
+    def flag(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value"], dtype=np.float64)
+        wm = np.asarray(batch["wm"], dtype=np.float64)
+        rec = np.isneginf(wm) | (v > wm)
+        return pa.table({
+            "event_type": batch["event_type"],
+            "rec": pa.array(rec.astype(np.int64)),
+        })
+
+    agg = grouped_agg(
+        scanned.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["event_type"], [("n_records", "rec", "sum"),
+                         ("n_total", None, "count")])
+    rows = agg.take_all()
+    rows.sort(key=lambda r: r["event_type"])
+    return pa.table({
+        "event_type": pa.array([r["event_type"] for r in rows], pa.string()),
+        "n_records": pa.array([r["n_records"] for r in rows], pa.int64()),
+        "n_total": pa.array([r["n_total"] for r in rows], pa.int64()),
+    })
+
+
 def q_events_running(sf_dir: str):
     """Per-row window functions over event time: for every event, the
     lag gap to the user's previous event and the running sum of the
@@ -7027,6 +7074,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_quantiles_by_lang": q_dd_quantiles_by_lang,
         "sparse_hll_by_source": q_sparse_hll_by_source,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "events_record_breaks": q_events_record_breaks,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
         "events_seasonality": q_events_seasonality,
@@ -8623,6 +8671,19 @@ def oracle_sql() -> dict[str, str]:
             WHERE l_orderkey IN (SELECT o_orderkey FROM orders
                                  WHERE o_orderpriority = '1-URGENT')
             GROUP BY l_returnflag
+        """,
+        "events_record_breaks": """
+            WITH w AS (
+                SELECT event_type, value,
+                       max(value) OVER (ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING) AS wm
+                FROM events)
+            SELECT event_type,
+                   CAST(sum(CASE WHEN wm IS NULL OR value > wm
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_records,
+                   count(*) AS n_total
+            FROM w GROUP BY event_type ORDER BY event_type
         """,
         "events_running": """
             SELECT event_id, user_id,
