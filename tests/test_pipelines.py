@@ -2357,3 +2357,31 @@ class TestRoutedBloomProbe:
             mixed, states, "pid", "text", fac, num_shards=8).take_all()}
         assert got == want
         assert all(want[i] for i in range(len(texts)))  # members present
+
+
+def test_global_prefix_max_matches_numpy(ray_session):
+    """Exclusive prefix max over shuffled-block input ≡ the sequential
+    scan; −inf sentinel on the first id; carry column rides through."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+    from archbloom_ray.pipelines import global_prefix_max
+
+    rng = np.random.default_rng(7)
+    n = 20_000
+    ids = rng.permutation(n).astype(np.int64)
+    vals = rng.normal(size=n)
+    tag = (ids % 3).astype(np.int64)
+    ds = ray.data.from_arrow(pa.table(
+        {"i": ids, "v": vals, "tag": tag})).repartition(13)
+    out = global_prefix_max(ds, "v", "i", out="wm",
+                            carry_columns=("tag",))
+    rows = {r["i"]: (r["wm"], r["tag"]) for r in out.take_all()}
+    assert len(rows) == n
+    order = np.argsort(ids)
+    seq = np.concatenate(([-np.inf],
+                          np.maximum.accumulate(vals[order])[:-1]))
+    for idx, i in enumerate(ids[order]):
+        wm, t = rows[i]
+        assert (np.isneginf(wm) and np.isneginf(seq[idx])) or wm == seq[idx]
+        assert t == i % 3
