@@ -1411,7 +1411,7 @@ def sharded_keyhash_probe_routed(
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """SHUFFLE-ROUTED probe for key-hash-sharded structures (``kind``
-    in {"sbf", "cuckoo"}) — the true-scale counterpart of the
+    in {"sbf", "cuckoo", "xor"}) — the true-scale counterpart of the
     broadcast probes: those ship EVERY shard's state to EVERY worker
     process (fine while Σ states fit a heap; wrong when the sharded
     structure is TBs).  Here each shard's state becomes its OWN object
@@ -1419,13 +1419,23 @@ def sharded_keyhash_probe_routed(
     along so keys hash exactly once), and each reducer task holds ONE
     shard's state — per-task memory is one shard + its rows, however
     big the whole map grows.  Output rows keep all input columns plus
-    ``out_column`` (row order is NOT preserved — Ray groupby semantics)."""
-    from ..hashing import fmix64_batch, mmh3_32_batch, mmh3_128_batch
+    ``out_column`` (row order is NOT preserved — Ray groupby semantics).
+
+    Shard routing matches each family's build: fmix64(h1) for sbf,
+    fmix64(mmh3_32) for cuckoo, top hash bits for xor
+    (staticfilter._shard_of)."""
+    from ..hashing import (
+        fmix64_batch,
+        mmh3_32_batch,
+        mmh3_64_batch,
+        mmh3_128_batch,
+    )
     from ..proc_cache import cached_instance
     from ..sketches.base import sketch_from_bytes
 
-    if kind not in ("sbf", "cuckoo"):
-        raise ValueError(f"kind must be 'sbf' or 'cuckoo', got {kind!r}")
+    if kind not in ("sbf", "cuckoo", "xor"):
+        raise ValueError(
+            f"kind must be 'sbf', 'cuckoo' or 'xor', got {kind!r}")
     S = int(num_shards)
     refs = {int(s): ray.put(b) for s, b in states.items()}  # one ref EACH
 
@@ -1434,6 +1444,13 @@ def sharded_keyhash_probe_routed(
             h = mmh3_32_batch(batch[column])
             shard = (fmix64_batch(h.astype(np.uint64))
                      % np.uint64(S)).astype(np.int32)
+            return batch.append_column("__h", pa.array(h)) \
+                        .append_column("__shard", pa.array(shard))
+        if kind == "xor":
+            from .staticfilter import _shard_of
+
+            h = mmh3_64_batch(batch[column]).astype(np.uint64)
+            shard = _shard_of(h, S).astype(np.int32)
             return batch.append_column("__h", pa.array(h)) \
                         .append_column("__shard", pa.array(shard))
         h1, h2 = mmh3_128_batch(batch[column])
@@ -1453,6 +1470,9 @@ def sharded_keyhash_probe_routed(
             if kind == "cuckoo":
                 present = sk.lookup_hashes32(
                     np.asarray(g["__h"], dtype=np.uint32))
+            elif kind == "xor":
+                present = sk.contains_hashes(
+                    np.asarray(g["__h"], dtype=np.uint64))
             else:
                 present = sk._lookup_hashes(
                     np.asarray(g["__h1"], dtype=np.uint64),

@@ -2385,3 +2385,23 @@ def test_global_prefix_max_matches_numpy(ray_session):
         wm, t = rows[i]
         assert (np.isneginf(wm) and np.isneginf(seq[idx])) or wm == seq[idx]
         assert t == i % 3
+
+
+def test_routed_xor_probe_equals_broadcast(ray_session, docs_ds):
+    import pyarrow as pa
+    import ray.data
+    from archbloom_ray.pipelines import sharded_keyhash_probe_routed
+    from archbloom_ray.pipelines.staticfilter import (
+        build_sharded_xor,
+        sharded_xor_probe,
+    )
+
+    states = build_sharded_xor(docs_ds, "text", num_shards=4)
+    mixed = ray.data.from_arrow(pa.table({
+        "text": pq.read_table(DOCS, columns=["text"])["text"].to_pylist()
+                + [f"absent-{i}" for i in range(3000)]}))
+    want = {r["text"]: r["present"] for r in sharded_xor_probe(
+        mixed, states, "text", num_shards=4).take_all()}
+    got = {r["text"]: r["present"] for r in sharded_keyhash_probe_routed(
+        mixed, states, "text", kind="xor", num_shards=4).take_all()}
+    assert got == want
