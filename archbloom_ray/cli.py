@@ -206,6 +206,61 @@ def cmd_create_sharded(args):
                       **shardmap, **report}))
 
 
+def cmd_merge_sharded(args):
+    """Fold sharded directory B into A → OUT (daily-increment algebra
+    at the directory surface).  Requires identical shardmaps.  bloom
+    merges by shard-local OR (`pipelines.merge_sharded_states`),
+    sbloom by per-shard stage concatenation (union FPR bound ADDS —
+    prefer `sharded_sbf_ingest` with raw keys when the increment is
+    still available), cuckoo by best-effort re-insert (raises when a
+    shard exceeds capacity, like the in-memory merge)."""
+    import glob as _glob
+
+    def load_dir(d):
+        with open(os.path.join(d, "shardmap.json")) as f:
+            meta = json.load(f)
+        states = {}
+        for p in _glob.glob(os.path.join(d, "part-*.state")):
+            s = int(os.path.basename(p)[len("part-"):-len(".state")])
+            with open(p, "rb") as f:
+                states[s] = f.read()
+        return meta, states
+
+    ma, sa = load_dir(args.a)
+    mb, sb = load_dir(args.b)
+    if ma != mb:
+        print(json.dumps({"error": f"shardmap mismatch: {ma} != {mb}"}))
+        sys.exit(2)
+    kind, S, p_ = ma["kind"], ma["num_shards"], ma["params"]
+    if kind == "bloom":
+        from .pipelines import merge_sharded_states
+        from .sketches import BloomFilter
+
+        merged = merge_sharded_states(
+            sa, sb, lambda: BloomFilter(p_["expected"], p_["accuracy"]),
+            num_shards=S)
+    else:
+        from .sketches.base import sketch_from_bytes
+
+        merged = {}
+        for s in sorted(set(sa) | set(sb)):
+            if s not in sa:
+                merged[s] = sb[s]
+            elif s not in sb:
+                merged[s] = sa[s]
+            else:
+                x = sketch_from_bytes(sa[s])
+                x.merge(sketch_from_bytes(sb[s]))
+                merged[s] = x.to_bytes()
+    os.makedirs(args.output, exist_ok=True)
+    n = _persist_sharded(args.output, merged, kind)
+    tmp = os.path.join(args.output, "shardmap.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(ma, f)
+    os.replace(tmp, os.path.join(args.output, "shardmap.json"))
+    print(json.dumps({"saved": args.output, "shards": n, "kind": kind}))
+
+
 def cmd_query_sharded(args):
     """Single-key probe of a sharded-filter directory — LOCAL and
     Ray-free: route the key with the same pure shard function the
@@ -607,6 +662,12 @@ def main(argv=None):
     sp.add_argument("dir", help="create-sharded output directory")
     sp.add_argument("element")
     sp.set_defaults(fn=cmd_query_sharded)
+
+    sp = sub.add_parser("merge-sharded")
+    sp.add_argument("a", help="sharded directory (base)")
+    sp.add_argument("b", help="sharded directory (increment)")
+    sp.add_argument("output", help="merged output directory")
+    sp.set_defaults(fn=cmd_merge_sharded)
 
     sp = sub.add_parser("add")
     sp.add_argument("sketch")

@@ -308,3 +308,31 @@ def test_info_sharded_directory(keys_parquet, tmp_path):
     assert info["shards_present"] >= 1
     assert info["manifest_rows"] >= info["shards_present"]
     assert info["total_state_bytes"] > 0
+
+
+def test_merge_sharded_directories(keys_parquet, tmp_path):
+    """merge-sharded folds an increment directory in: both key sets
+    answer present afterwards (bloom: shard OR; sbloom: stage concat)."""
+    inc_keys = str(tmp_path / "inc.parquet")
+    pq.write_table(pa.table(
+        {"url": [f"https://inc{i}.example/y" for i in range(200)]}),
+        inc_keys)
+    for kind in ("bloom", "sbloom"):
+        a = str(tmp_path / f"a-{kind}")
+        b = str(tmp_path / f"b-{kind}")
+        m = str(tmp_path / f"m-{kind}")
+        run_cli("create-sharded", keys_parquet, a, "--kind", kind,
+                "--num-shards", "4", "--expected", "1000",
+                "--accuracy", "0.001")
+        run_cli("create-sharded", inc_keys, b, "--kind", kind,
+                "--num-shards", "4", "--expected", "1000",
+                "--accuracy", "0.001")
+        out = json.loads(run_cli("merge-sharded", a, b, m)
+                         .stdout.strip().splitlines()[-1])
+        assert out["kind"] == kind and out["shards"] >= 1
+        assert run_cli("query-sharded", m,
+                       "https://k1.example/x").returncode == 0
+        assert run_cli("query-sharded", m,
+                       "https://inc7.example/y").returncode == 0
+        assert run_cli("query-sharded", m,
+                       "https://nope.example/zz").returncode == 1
