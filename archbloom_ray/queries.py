@@ -1578,6 +1578,46 @@ def q_hll_distinct_by_lang(sf_dir: str):
     })
 
 
+def q_bound_pass_rate(sf_dir: str):
+    """The BASELINE.json metric as ONE artifact: 'HLL/CMS/Bloom
+    error-bound pass rate' — per-family cell counts and the ppm pass
+    rate over every (sketch, group) cell this corpus produces.
+    Composes the certified builders: grouped HLL per lang (3σ /
+    linear-range-floored verdicts, `q_hll_distinct_by_lang`), CMS per
+    source (ε·N contract, `q_cms_source_counts`), and one Bloom cell —
+    measured FPR on 20k deterministic absent probes vs the
+    reference-formula estimate (bloom.c:201-218, which intentionally
+    overestimates via n := popcount).  All verdicts are deterministic
+    (fixed hash seed), so the oracle pins pass = cells per family."""
+    hll_t = q_hll_distinct_by_lang(sf_dir)
+    cms_t = q_cms_source_counts(sf_dir)
+
+    ds = _read(sf_dir, "documents", ["text"])
+    n = ds.count()
+    bf = build_sketch(ds, "text", lambda: BloomFilter(max(n, 10), 0.01))
+    absent = pa.array([f"__bound_pass_absent_{i}__" for i in range(20_000)])
+    fpr = float(bf.lookup_batch(absent).mean())
+    bloom_ok = int(fpr <= bf.estimate_false_positive_rate())
+
+    fam = ["bloom", "cms", "hll"]
+    cells = [1, len(cms_t), len(hll_t)]
+    within = [bloom_ok,
+              int(pc.sum(pc.cast(cms_t["cms_within_bound"],
+                                 pa.int64())).as_py()),
+              int(pc.sum(pc.cast(hll_t["hll_within_bound"],
+                                 pa.int64())).as_py())]
+    total_c, total_w = sum(cells), sum(within)
+    rate = (total_w * 1_000_000) // total_c if total_c else 0
+    return pa.table({
+        "family": pa.array(fam + ["all"], pa.string()),
+        "n_cells": pa.array(cells + [total_c], pa.int64()),
+        "n_within_bound": pa.array(within + [total_w], pa.int64()),
+        "pass_rate_e6": pa.array(
+            [(w * 1_000_000) // c if c else 0
+             for w, c in zip(within, cells)] + [rate], pa.int64()),
+    })
+
+
 def q_sparse_hll_by_source(sf_dir: str):
     """HIGH-CARDINALITY grouped distinct via the HLL++ SPARSE
     representation: one SparseHLL per source (the many-small-groups
@@ -7068,6 +7108,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
         "kll_by_lang": q_kll_by_lang,
@@ -8565,6 +8606,23 @@ def oracle_sql() -> dict[str, str]:
         """,
         "bigram_top20": _bigram_top_sql(20),
         "repetition_by_lang": _repetition_oracle_sql(69, 1000),
+        "bound_pass_rate": """
+            WITH c AS (
+                SELECT 'bloom' AS family, CAST(1 AS BIGINT) AS n_cells
+                UNION ALL
+                SELECT 'cms', count(DISTINCT source) FROM documents
+                UNION ALL
+                SELECT 'hll', count(DISTINCT lang) FROM documents),
+            t AS (
+                SELECT family, n_cells FROM c
+                UNION ALL
+                SELECT 'all', CAST(sum(n_cells) AS BIGINT) FROM c)
+            SELECT family,
+                   CAST(n_cells AS BIGINT) AS n_cells,
+                   CAST(n_cells AS BIGINT) AS n_within_bound,
+                   CAST(1000000 AS BIGINT) AS pass_rate_e6
+            FROM t ORDER BY family
+        """,
         "hll_distinct_by_lang": """
             SELECT lang, count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
