@@ -940,6 +940,11 @@ def adaptive_join(
         value_columns = [c for c in rschema.names if c != rkey]
     rtypes = dict(zip(rschema.names, rschema.types))
     vtypes = {c: rtypes[c] for c in value_columns}
+    # materialize once: the count probe EXECUTES a computed right side,
+    # and an unmaterialized Dataset would re-execute the whole right
+    # pipeline again in take_all/hash_join — one buffering (spillable)
+    # beats running the prep scan twice at every call site
+    right = right.materialize()
     n_right = right.count()
 
     if n_right == 0:
