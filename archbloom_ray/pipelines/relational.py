@@ -1039,9 +1039,12 @@ def bloom_semijoin(
     def keys_as_str(batch: pa.Table) -> pa.Table:
         return pa.table({"k": pc.cast(batch[dim_key], pa.string())})
 
+    # materialize the (narrow) key column once: counting an
+    # unmaterialized dim would execute its pipeline, then the Bloom
+    # build and the exact-keyset pass would each re-execute it
     dim_keys = dim.map_batches(keys_as_str, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    n_real = dim.count()
+                               zero_copy_batch=True).materialize()
+    n_real = dim_keys.count()
     if n_real == 0:  # nothing can match — empty result, same schema
         return fact.map_batches(lambda b: b.slice(0, 0),
                                 batch_format="pyarrow", zero_copy_batch=True)
@@ -1112,9 +1115,12 @@ def bloom_antijoin(
     def keys_as_str(batch: pa.Table) -> pa.Table:
         return pa.table({"k": pc.cast(batch[dim_key], pa.string())})
 
+    # materialize the (narrow) key column once: counting an
+    # unmaterialized dim would execute its pipeline, then the Bloom
+    # build and the exact-keyset pass would each re-execute it
     dim_keys = dim.map_batches(keys_as_str, batch_format="pyarrow",
-                               zero_copy_batch=True)
-    n_real = dim.count()
+                               zero_copy_batch=True).materialize()
+    n_real = dim_keys.count()
     if n_real == 0:  # nothing to exclude — fact passes through
         return fact
     n_dim = max(n_real, 10)
