@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from typing import Literal
 
+import math
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
@@ -1238,6 +1239,13 @@ def quantiles_by_selection(
     state = {k: (gmin, gmax, 0) for k in need}
     resolved: dict[int, int] = {}
 
+    # per-pass shrink is only ~buckets× (ceil'd chunks shave a little
+    # less), so tiny bucket counts over the full 64-bit key domain
+    # legitimately need >64 passes (buckets=2 ⇒ ~66): floor the budget
+    # at the domain-derived requirement instead of failing at the cap
+    max_passes = max(max_passes,
+                     math.ceil(64 / math.log2(max(buckets, 2))) + 3)
+
     for _ in range(max_passes):
         active = {k: s for k, s in state.items() if k not in resolved}
         for k, (lo, hi, below) in list(active.items()):
@@ -1420,6 +1428,11 @@ def grouped_quantiles_by_selection(
                 if (g, kk) not in state:
                     state[(g, kk)] = (r["lo"], r["hi"], 0)
         plan.append(pl)
+
+    # same domain-derived pass floor as quantiles_by_selection: tiny
+    # bucket counts over a 64-bit key domain need >64 ~buckets× shrinks
+    max_passes = max(max_passes,
+                     math.ceil(64 / math.log2(max(buckets, 2))) + 3)
 
     for _ in range(max_passes):
         for gk, (lo, hi, below) in list(state.items()):
