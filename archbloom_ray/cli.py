@@ -185,6 +185,77 @@ def cmd_create_sharded(args):
             num_shards=S, batch_size=args.batch_size)
         _persist_sharded(outdir, states, "sbloom")
         params = {"initial_capacity": cap, "accuracy": acc}
+    elif args.kind == "tdbloom":
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        from .pipelines import build_sharded_tdbloom_states
+
+        if not args.secs_column:
+            print(json.dumps({"error": "--secs-column is required for "
+                                       "--kind tdbloom"}))
+            sys.exit(2)
+        import ray.data as rd
+
+        ds2 = rd.read_parquet(args.input, columns=[col, args.secs_column])
+
+        def to_secs(batch: pa.Table) -> pa.Table:
+            c = batch[args.secs_column]
+            if pa.types.is_timestamp(c.type):
+                s = pc.divide(pc.cast(c, pa.int64()),
+                              pa.scalar(1_000_000, pa.int64()))
+            else:
+                s = pc.cast(c, pa.int64())
+            return pa.table({col: batch[col], "__secs": s})
+
+        keyed = ds2.map_batches(to_secs, batch_format="pyarrow",
+                                zero_copy_batch=True).materialize()
+
+        def bounds(batch: pa.Table) -> pa.Table:
+            return pa.table({
+                "lo": pa.array([pc.min(batch["__secs"]).as_py()],
+                               pa.int64()),
+                "hi": pa.array([pc.max(batch["__secs"]).as_py()],
+                               pa.int64())})
+
+        bd = keyed.map_batches(bounds, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+        lo = min(r["lo"] for r in bd)
+        hi = max(r["hi"] for r in bd)
+        exp, acc, to_ = args.expected, args.accuracy, args.timeout
+        # coarsen the clock so the whole ingest span fits inside the
+        # slot width's max_time (tdbloom.c:92-102 wrap) — otherwise the
+        # global guard / tick wrap corrupts freshness.  Quantization
+        # error of the user's timeout is ≤ one unit (reported below).
+        from .sketches.tdbloom import _pick_width
+
+        span = max(hi - lo, 1)
+        unit = max(1, span // 4000)
+        for _ in range(4):
+            timeout_u = max(1, to_ // unit)
+            _, max_time = _pick_width(timeout_u)
+            if span // unit < max_time:
+                break
+            unit = span // (max_time - 1) + 1
+
+        def to_units(batch: pa.Table) -> pa.Table:
+            u = pc.divide(pc.subtract(batch["__secs"],
+                                      pa.scalar(lo, pa.int64())),
+                          pa.scalar(unit, pa.int64()))
+            return pa.table({col: batch[col], "__units": u})
+
+        units_ds = keyed.map_batches(to_units, batch_format="pyarrow",
+                                     zero_copy_batch=True)
+        states = build_sharded_tdbloom_states(
+            units_ds, col, "__units", lambda: __import__(
+                "archbloom_ray.sketches",
+                fromlist=["TimeDecayingBloomFilter"]
+            ).TimeDecayingBloomFilter(exp, acc, timeout_u, start_time=0),
+            num_shards=S, batch_size=args.batch_size)
+        _persist_sharded(outdir, states, "tdbloom")
+        params = {"expected": exp, "accuracy": acc, "timeout": to_,
+                  "timeout_units": timeout_u, "unit": unit,
+                  "start_time": lo, "max_secs": hi}
     else:  # cuckoo
         from .pipelines import build_sharded_cuckoo_states
 
@@ -298,6 +369,27 @@ def cmd_query_sharded(args):
             if not (byte >> (int(p) & 7)) & 1:
                 present = False
                 break
+    elif kind == "tdbloom":
+        # freshness needs the global max-time guard, so the slot map
+        # assembles locally (still Ray-free; states live on one disk
+        # at CLI scale).  --at defaults to the newest ingested second.
+        import glob as _glob
+
+        from .pipelines import assemble_sharded_tdbloom
+        from .sketches import TimeDecayingBloomFilter
+
+        factory = lambda: TimeDecayingBloomFilter(
+            params["expected"], params["accuracy"],
+            params["timeout_units"], start_time=0)
+        states = {}
+        for p in _glob.glob(os.path.join(args.dir, "part-*.state")):
+            s = int(os.path.basename(p)[len("part-"):-len(".state")])
+            with open(p, "rb") as f:
+                states[s] = f.read()
+        sk = assemble_sharded_tdbloom(states, factory, num_shards=S)
+        at = args.at if args.at is not None else params["max_secs"]
+        now_u = (at - params["start_time"]) // params["unit"]
+        present = bool(sk.lookup(args.element, now=now_u))
     else:
         from .hashing import fmix64_batch, mmh3_128_batch, mmh3_32_batch
         from .sketches.base import sketch_from_bytes
@@ -649,8 +741,14 @@ def main(argv=None):
                                    "manifest + shardmap.json)")
     sp.add_argument("--column", default="url")
     sp.add_argument("--kind", default="bloom",
-                    choices=["bloom", "sbloom", "cuckoo"])
+                    choices=["bloom", "sbloom", "cuckoo", "tdbloom"])
     sp.add_argument("--num-shards", type=int, default=32)
+    sp.add_argument("--secs-column", default=None,
+                    help="tdbloom: int64-seconds or timestamp column "
+                         "carrying each key's event time")
+    sp.add_argument("--timeout", type=int, default=3600,
+                    help="tdbloom: freshness window in the secs "
+                         "column's units")
     sp.add_argument("--expected", type=int, default=100000,
                     help="total expected keys (per-shard sizing is "
                          "derived; sbloom uses it only as a seed)")
@@ -661,6 +759,13 @@ def main(argv=None):
     sp = sub.add_parser("query-sharded")
     sp.add_argument("dir", help="create-sharded output directory")
     sp.add_argument("element")
+    sp.add_argument("--at", type=int, default=None,
+                    help="tdbloom: probe time in the secs column's "
+                         "units (default: newest ingested).  Must be "
+                         ">= the newest ingested time — the filter is "
+                         "the END-of-ingest state, and probing the "
+                         "past against later slot writes reads stale "
+                         "(reference tick-wrap semantics)")
     sp.set_defaults(fn=cmd_query_sharded)
 
     sp = sub.add_parser("merge-sharded")

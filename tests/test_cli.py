@@ -336,3 +336,34 @@ def test_merge_sharded_directories(keys_parquet, tmp_path):
                        "https://inc7.example/y").returncode == 0
         assert run_cli("query-sharded", m,
                        "https://nope.example/zz").returncode == 1
+
+
+def test_create_query_sharded_tdbloom(tmp_path):
+    """Event-time sharded tdbloom at the CLI: unit-coarsened clock fits
+    the slot width's max_time; fresh keys present at end-of-ingest,
+    stale keys (older than --timeout) absent, never-seen keys absent."""
+    import numpy as np
+
+    n = 1500
+    rng = np.random.default_rng(11)
+    secs = (1_700_000_000 + rng.integers(0, 100_000, n)).astype(np.int64)
+    urls = [f"https://td{i}.example/x" for i in range(n)]
+    src = str(tmp_path / "td.parquet")
+    pq.write_table(pa.table({"url": urls, "secs": secs}), src)
+    d = str(tmp_path / "shtd")
+    out = run_cli("create-sharded", src, d, "--kind", "tdbloom",
+                  "--column", "url", "--secs-column", "secs",
+                  "--timeout", "20000", "--num-shards", "4",
+                  "--expected", "3000")
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["kind"] == "tdbloom" and info["params"]["unit"] >= 1
+    hi = int(secs.max())
+    fresh = urls[int(np.argmax(secs))]
+    stale = urls[int(np.argmin(secs))]          # ~100k s old >> 20k
+    assert run_cli("query-sharded", d, fresh).returncode == 0
+    assert run_cli("query-sharded", d, stale).returncode == 1
+    assert run_cli("query-sharded", d,
+                   "https://never.example/x").returncode == 1
+    # explicit --at at end-of-ingest behaves identically
+    assert run_cli("query-sharded", d, fresh,
+                   "--at", str(hi)).returncode == 0
