@@ -534,6 +534,40 @@ def cmd_probe(args):
             from .pipelines import sharded_sbf_probe
 
             out = sharded_sbf_probe(ds, states, args.column, num_shards=S)
+        elif kind == "tdbloom":
+            import pyarrow as pa
+
+            from .pipelines import assemble_sharded_tdbloom
+            from .sketches import TimeDecayingBloomFilter
+
+            p_ = meta["params"]
+            sk = assemble_sharded_tdbloom(
+                states, lambda: TimeDecayingBloomFilter(
+                    p_["expected"], p_["accuracy"], p_["timeout_units"],
+                    start_time=0),
+                num_shards=S)
+            at = args.at if getattr(args, "at", None) is not None \
+                else p_["max_secs"]
+            now_u = (at - p_["start_time"]) // p_["unit"]
+            import ray as _ray
+
+            from .proc_cache import cached_instance
+
+            blob_ref = _ray.put(sk.to_bytes())
+
+            def td_probe(batch: pa.Table) -> pa.Table:
+                from .sketches.base import sketch_from_bytes
+
+                f = cached_instance(("cli_td_probe", blob_ref.hex()),
+                                    lambda: sketch_from_bytes(
+                                        _ray.get(blob_ref)))
+                return batch.append_column(
+                    "present",
+                    pa.array(f.lookup_batch(batch[args.column],
+                                            now=now_u)))
+
+            out = ds.map_batches(td_probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
         else:
             from .pipelines import sharded_cuckoo_probe
 
@@ -813,6 +847,8 @@ def main(argv=None):
     sp.add_argument("output")
     sp.add_argument("--column", default="url")
     sp.add_argument("--concurrency", type=int, default=4)
+    sp.add_argument("--at", type=int, default=None,
+                    help="tdbloom dirs: probe time (see query-sharded)")
     sp.set_defaults(fn=cmd_probe)
 
     sp = sub.add_parser("import-ref")

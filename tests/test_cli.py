@@ -367,3 +367,31 @@ def test_create_query_sharded_tdbloom(tmp_path):
     # explicit --at at end-of-ingest behaves identically
     assert run_cli("query-sharded", d, fresh,
                    "--at", str(hi)).returncode == 0
+
+
+def test_probe_sharded_tdbloom_directory(tmp_path):
+    """`probe` on a tdbloom directory: batch freshness at end-of-ingest
+    (fresh keys all present, stale keys at the Bloom FPR only)."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    n = 1200
+    rng = np.random.default_rng(23)
+    secs = (1_700_000_000 + rng.integers(0, 80_000, n)).astype(np.int64)
+    urls = [f"https://pb{i}.example/x" for i in range(n)]
+    src = str(tmp_path / "td.parquet")
+    pq.write_table(pa.table({"url": urls, "secs": secs}), src)
+    d = str(tmp_path / "shtd")
+    run_cli("create-sharded", src, d, "--kind", "tdbloom",
+            "--column", "url", "--secs-column", "secs",
+            "--timeout", "15000", "--num-shards", "4",
+            "--expected", "2400")
+    out = str(tmp_path / "probed")
+    run_cli("probe", d, src, out, "--column", "url")
+    t = pads.dataset(out).to_table()
+    pres = dict(zip(t["url"].to_pylist(), t["present"].to_pylist()))
+    hi = int(secs.max())
+    fresh = [u for u, s in zip(urls, secs) if hi - s <= 10_000]
+    stale = [u for u, s in zip(urls, secs) if hi - s > 20_000]
+    assert all(pres[u] for u in fresh)
+    assert np.mean([pres[u] for u in stale]) <= 0.05
