@@ -303,6 +303,18 @@ def cmd_merge_sharded(args):
         print(json.dumps({"error": f"shardmap mismatch: {ma} != {mb}"}))
         sys.exit(2)
     kind, S, p_ = ma["kind"], ma["num_shards"], ma["params"]
+    if kind == "tdbloom":
+        # td shard states are raw slot slices on a per-directory unit
+        # clock (start_time/unit derive from each ingest's own span) —
+        # two directories share a shardmap only when the clocks agree,
+        # and even then slot-max merging belongs to the library path
+        # with ONE pinned clock.  Re-ingest increments with
+        # build_sharded_tdbloom_states / merge_sharded_states instead.
+        print(json.dumps({"error": "merge-sharded does not support "
+                                   "tdbloom directories; rebuild with a "
+                                   "shared pinned clock via the library "
+                                   "(merge_sharded_states)"}))
+        sys.exit(2)
     if kind == "bloom":
         from .pipelines import merge_sharded_states
         from .sketches import BloomFilter
