@@ -317,7 +317,7 @@ def test_merge_sharded_directories(keys_parquet, tmp_path):
     pq.write_table(pa.table(
         {"url": [f"https://inc{i}.example/y" for i in range(200)]}),
         inc_keys)
-    for kind in ("bloom", "sbloom"):
+    for kind in ("bloom", "sbloom", "cuckoo"):
         a = str(tmp_path / f"a-{kind}")
         b = str(tmp_path / f"b-{kind}")
         m = str(tmp_path / f"m-{kind}")
