@@ -3128,6 +3128,564 @@ def q_q19_bracketed_revenue(sf_dir: str):
     })
 
 
+_YEAR_BOUNDS_US = np.array(
+    [788_918_400, 820_454_400, 852_076_800, 883_612_800,
+     915_148_800, 946_684_800, 978_307_200, 1_009_843_200],
+    dtype=np.int64) * 1_000_000   # 1995-01-01 .. 2002-01-01
+
+
+def _year_of_us(dt_us: np.ndarray) -> np.ndarray:
+    """Vectorized calendar year for epoch-µs timestamps in [1995, 2002)
+    (the corpus's full date span) — threshold searchsorted, no per-row
+    datetime objects."""
+    return (1994 + np.searchsorted(_YEAR_BOUNDS_US, dt_us, side="right")
+            ).astype(np.int64)
+
+
+def _sorted_i64_map(keys, vals):
+    """(sorted int64 key array, value array in key order) for the
+    broadcast-dimension searchsorted-gather pattern."""
+    k = np.asarray(keys, dtype=np.int64)
+    v = np.asarray(vals, dtype=np.int64)
+    order = np.argsort(k)
+    return k[order], v[order]
+
+
+def _gather_i64(keys_sorted, vals_sorted, probe):
+    """Vectorized dict.get(probe, -1) over a sorted int64 key array."""
+    if keys_sorted.size == 0:
+        return np.full(probe.size, -1, dtype=np.int64)
+    pos = np.clip(np.searchsorted(keys_sorted, probe), 0,
+                  keys_sorted.size - 1)
+    out = vals_sorted[pos].copy()
+    out[keys_sorted[pos] != probe] = -1
+    return out
+
+
+def q_q8_market_share(sf_dir: str):
+    """TPC-H Q8 (national market share, adapted to this corpus — no
+    partsupp table): among ECONOMY-type parts sold to ASIA-region
+    customers in 1995–1996, the NATION_7-supplier share of revenue per
+    order year.  Plan — the part keyset and the supplier→nation /
+    customer→nation maps ride ONE broadcast (``ray.put``); the orders
+    scan date+region-prunes and derives the year from epoch-µs bounds;
+    the lineitem scan keeps ECONOMY parts and emits (rev, rev·is_target)
+    so the share needs no second pass; ONE adaptive large-large join on
+    orderkey and a year-sized grouped sum finish.  Share is exact ppm
+    (floor division on driver-side Python ints — no hugeint overflow)."""
+    from .pipelines import adaptive_join
+    from .proc_cache import cached_instance
+
+    LO_US = 788_918_400_000_000   # 1995-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+    TARGET = "NATION_7"
+
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name", "n_regionkey"])
+    region = pa.parquet.read_table(
+        os.path.join(sf_dir, "region.parquet"),
+        columns=["r_regionkey", "r_name"])
+    asia = {r["r_regionkey"] for r in region.to_pylist()
+            if r["r_name"] == "ASIA"}
+    asia_nk = np.sort(np.array(
+        [r["n_nationkey"] for r in nation.to_pylist()
+         if r["n_regionkey"] in asia], dtype=np.int64))
+    target_nk = next(r["n_nationkey"] for r in nation.to_pylist()
+                     if r["n_name"] == TARGET)
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_type"])
+    econ_pk = np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[
+        np.asarray(part["p_type"]) == "ECONOMY"])
+    cust = pa.parquet.read_table(
+        os.path.join(sf_dir, "customer.parquet"),
+        columns=["c_custkey", "c_nationkey"])
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    dims_ref = ray.put((
+        _sorted_i64_map(cust["c_custkey"], cust["c_nationkey"]),
+        _sorted_i64_map(supp["s_suppkey"], supp["s_nationkey"]),
+        asia_nk, econ_pk))
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        (ck_s, cn_s), _, asia_arr, _ = cached_instance(
+            ("q8_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        cn = _gather_i64(ck_s, cn_s,
+                         np.asarray(batch["o_custkey"], dtype=np.int64))
+        keep = (dt >= LO_US) & (dt < HI_US) & np.isin(cn, asia_arr)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "o_year": pa.array(_year_of_us(dt[keep])),
+        })
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        _, (sk_s, sn_s), _, pk_s = cached_instance(
+            ("q8_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        keep = (pk_s[pos] == lpk) if pk_s.size else np.zeros(lpk.size, bool)
+        sn = _gather_i64(sk_s, sn_s,
+                         np.asarray(batch["l_suppkey"], dtype=np.int64)[keep])
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "rev_micros": pa.array(rev),
+            "target_micros": pa.array(np.where(sn == target_nk, rev, 0)),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_custkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["o_year"])
+    agg = grouped_agg(joined, ["o_year"], [
+        ("target_rev_micros", "target_micros", "sum"),
+        ("total_rev_micros", "rev_micros", "sum"),
+    ])
+    rows = sorted(agg.take_all(), key=lambda r: r["o_year"])
+    share = [(r["target_rev_micros"] * 1_000_000) // r["total_rev_micros"]
+             if r["total_rev_micros"] else 0 for r in rows]
+    return pa.table({
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "target_rev_micros": pa.array(
+            [r["target_rev_micros"] for r in rows], pa.int64()),
+        "total_rev_micros": pa.array(
+            [r["total_rev_micros"] for r in rows], pa.int64()),
+        "mkt_share_e6": pa.array(share, pa.int64()),
+    })
+
+
+def q_q9_product_profit(sf_dir: str):
+    """TPC-H Q9 (product-type profit, adapted — no partsupp, so profit
+    = discounted revenue): revenue from parts whose name contains
+    'widget', per supplier nation × order year, over the full corpus.
+    Plan — widget partkeys and the supplier→nation map broadcast once;
+    the lineitem scan filters + attaches the supplier nation; the
+    orders scan carries only (orderkey, year); ONE adaptive join, a
+    (nation×year)-sized grouped sum, names attached at the driver."""
+    from .pipelines import adaptive_join
+    from .proc_cache import cached_instance
+
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"), columns=["p_partkey", "p_name"])
+    widget = np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[
+        np.char.find(np.asarray(part["p_name"], dtype=str), "widget") >= 0])
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_nationkey"])
+    nation = pa.parquet.read_table(
+        os.path.join(sf_dir, "nation.parquet"),
+        columns=["n_nationkey", "n_name"])
+    n2name = dict(zip(nation["n_nationkey"].to_pylist(),
+                      nation["n_name"].to_pylist()))
+    dims_ref = ray.put((
+        _sorted_i64_map(supp["s_suppkey"], supp["s_nationkey"]), widget))
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        (sk_s, sn_s), pk_s = cached_instance(
+            ("q9_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        keep = (pk_s[pos] == lpk) if pk_s.size else np.zeros(lpk.size, bool)
+        sn = _gather_i64(sk_s, sn_s,
+                         np.asarray(batch["l_suppkey"], dtype=np.int64)[keep])
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "supp_nk": pa.array(sn),
+            "rev_micros": pa.array(rev),
+        })
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)),
+            "o_year": pa.array(_year_of_us(dt)),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice",
+                "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["o_year"])
+    agg = grouped_agg(joined, ["supp_nk", "o_year"], [
+        ("profit_micros", "rev_micros", "sum")])
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (n2name[r["supp_nk"]], -r["o_year"]))
+    return pa.table({
+        "nation": pa.array([n2name[r["supp_nk"]] for r in rows],
+                           pa.string()),
+        "o_year": pa.array([r["o_year"] for r in rows], pa.int64()),
+        "profit_micros": pa.array(
+            [r["profit_micros"] for r in rows], pa.int64()),
+    })
+
+
+def q_q12_late_priority_lines(sf_dir: str):
+    """TPC-H Q12 (shipping-mode priority, adapted — the corpus has no
+    l_shipmode / l_receiptdate, so 'mode' = l_linestatus and 'late' =
+    shipped ≥90 days after the order date): for 1996 shipments, count
+    critical-priority (1-URGENT / 2-HIGH) vs lower-priority lineitems
+    per linestatus.  Plan — both scans stay narrow (the lineitem side
+    date-prunes first), ONE adaptive join carries (orderdate µs,
+    is_high) across, the lateness predicate is pure int64 arithmetic,
+    and the 2-row grouped sum finishes."""
+    from .pipelines import adaptive_join
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+    LATE_US = 90 * 86_400 * 1_000_000
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (sd >= LO_US) & (sd < HI_US)
+        mask = pa.array(keep)
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)[keep]),
+            "sd_us": pa.array(sd[keep]),
+            "l_linestatus": batch["l_linestatus"].combine_chunks()
+                                                 .filter(mask),
+        })
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        prio = np.asarray(batch["o_orderpriority"])
+        high = ((prio == "1-URGENT") | (prio == "2-HIGH")).astype(np.int64)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)),
+            "od_us": pa.array(dt),
+            "is_high": pa.array(high),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_shipdate", "l_linestatus"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined, _ = adaptive_join(li, orders, "l_orderkey",
+                              right_on="o_orderkey",
+                              value_columns=["od_us", "is_high"])
+
+    def classify(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(batch["sd_us"], dtype=np.int64)
+        od = np.asarray(batch["od_us"], dtype=np.int64)
+        late = sd >= od + LATE_US
+        kept = batch.filter(pa.array(late))
+        high = np.asarray(kept["is_high"], dtype=np.int64)
+        return pa.table({
+            "l_linestatus": kept["l_linestatus"],
+            "high": pa.array(high),
+            "low": pa.array(1 - high),
+        })
+
+    agg = grouped_agg(
+        joined.map_batches(classify, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["l_linestatus"], [
+            ("high_line_count", "high", "sum"),
+            ("low_line_count", "low", "sum"),
+        ])
+    rows = sorted(agg.take_all(), key=lambda r: r["l_linestatus"])
+    return pa.table({
+        "l_linestatus": pa.array(
+            [r["l_linestatus"] for r in rows], pa.string()),
+        "high_line_count": pa.array(
+            [r["high_line_count"] for r in rows], pa.int64()),
+        "low_line_count": pa.array(
+            [r["low_line_count"] for r in rows], pa.int64()),
+    })
+
+
+def q_q13_customer_distribution(sf_dir: str):
+    """TPC-H Q13 (customer order-count distribution, adapted — no
+    o_comment column, so the excluded class is 1-URGENT orders): how
+    many customers placed exactly k non-urgent orders, including the
+    zero bucket.  Plan — the LEFT OUTER JOIN is algebraized away: a
+    grouped count per custkey over the filtered orders scan yields
+    every k≥1 bucket, and the k=0 bucket is n_customers − Σcustdist,
+    with n_customers read from parquet METADATA (no customer scan at
+    all).  Relies on o_custkey ⊆ customer (the corpus's foreign-key
+    integrity).  Both group-bys are pre-combined grouped_agg; nothing
+    driver-side exceeds the distribution's own size."""
+    import pyarrow.parquet as pq
+
+    n_customers = pq.ParquetFile(
+        os.path.join(sf_dir, "customer.parquet")).metadata.num_rows
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        prio = np.asarray(batch["o_orderpriority"])
+        keep = prio != "1-URGENT"
+        return pa.table({
+            "o_custkey": pa.array(
+                np.asarray(batch["o_custkey"], dtype=np.int64)[keep]),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_custkey", "o_orderpriority"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+    per_cust = grouped_agg(orders, ["o_custkey"],
+                           [("c_count", None, "count")])
+    dist = grouped_agg(per_cust, ["c_count"],
+                       [("custdist", None, "count")])
+    rows = sorted(dist.take_all(), key=lambda r: -r["c_count"])
+    zero = n_customers - sum(r["custdist"] for r in rows)
+    counts = [r["c_count"] for r in rows]
+    dists = [r["custdist"] for r in rows]
+    if zero > 0:
+        counts.append(0)
+        dists.append(zero)
+    return pa.table({
+        "c_count": pa.array(counts, pa.int64()),
+        "custdist": pa.array(dists, pa.int64()),
+    })
+
+
+def q_q15_top_supplier(sf_dir: str):
+    """TPC-H Q15 (top supplier): supplier(s) achieving the maximum
+    Q1-1996 lineitem revenue — the revenue-view + max-subquery
+    formulation.  Plan — the lineitem scan date-prunes and
+    pre-aggregates (suppkey → Σrev) per batch; ONE supplier-sized
+    grouped sum; the max + tie filter runs on that aggregate at the
+    driver; names attach from the broadcast supplier dimension.
+    Exact int64 micros throughout."""
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 828_316_800_000_000   # 1996-04-01
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (sd >= LO_US) & (sd < HI_US)
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)[keep]
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)[keep]
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        t = pa.table({
+            "k": pa.array(
+                np.asarray(batch["l_suppkey"], dtype=np.int64)[keep]),
+            "r": pa.array(rev),
+        }).group_by(["k"]).aggregate([("r", "sum")])
+        return pa.table({"l_suppkey": t["k"], "rev_micros": t["r_sum"]})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_suppkey", "l_shipdate", "l_extendedprice",
+                "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(li, ["l_suppkey"],
+                      [("total_rev_micros", "rev_micros", "sum")])
+    rows = agg.take_all()
+    if not rows:
+        return pa.table({"s_suppkey": pa.array([], pa.int64()),
+                         "s_name": pa.array([], pa.string()),
+                         "total_rev_micros": pa.array([], pa.int64())})
+    mx = max(r["total_rev_micros"] for r in rows)
+    top = sorted((r for r in rows if r["total_rev_micros"] == mx),
+                 key=lambda r: r["l_suppkey"])
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"])
+    s2name = dict(zip(supp["s_suppkey"].to_pylist(),
+                      supp["s_name"].to_pylist()))
+    return pa.table({
+        "s_suppkey": pa.array([r["l_suppkey"] for r in top], pa.int64()),
+        "s_name": pa.array([s2name[r["l_suppkey"]] for r in top],
+                           pa.string()),
+        "total_rev_micros": pa.array(
+            [r["total_rev_micros"] for r in top], pa.int64()),
+    })
+
+
+def q_q17_small_qty_revenue(sf_dir: str):
+    """TPC-H Q17 (small-quantity-order revenue, adapted — no
+    p_container column, so the part class is p_brand alone): revenue
+    from Brand#13 lineitems whose quantity is below 20% of that
+    part's average quantity.  Plan — the brand keyset broadcasts; ONE
+    lineitem pass materializes the narrow brand sliver (partkey, qty,
+    cents — brand_share·|lineitem| rows, object-store-resident); the
+    per-part (Σqty, n) stats are one grouped_agg over the sliver,
+    broadcast back for the threshold pass.  The compare is EXACT
+    integer math: qty < avg/5 ⇔ 5·qty·n < Σqty (quantities are
+    integer-valued), dodging float-avg ULP divergence from DuckDB."""
+    from .proc_cache import cached_instance
+
+    BRAND = "Brand#13"
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand"])
+    brand_pk = np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[
+        np.asarray(part["p_brand"]) == BRAND])
+    pk_ref = ray.put(brand_pk)
+
+    def sliver(batch: pa.Table) -> pa.Table:
+        pk_s = cached_instance(("q17_parts", pk_ref.hex()),
+                               lambda: ray.get(pk_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        keep = (pk_s[pos] == lpk) if pk_s.size else np.zeros(lpk.size, bool)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)[keep]).astype(np.int64)
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        return pa.table({
+            "l_partkey": pa.array(lpk[keep]),
+            "qty": pa.array(qty),
+            "cents": pa.array(cents),
+        })
+
+    rows_ds = _read(sf_dir, "lineitem",
+                    ["l_partkey", "l_quantity",
+                     "l_extendedprice"]).map_batches(
+        sliver, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    stats = grouped_agg(rows_ds, ["l_partkey"], [
+        ("sum_qty", "qty", "sum"),
+        ("n", None, "count"),
+    ]).take_all()
+    st_pk = np.array([r["l_partkey"] for r in stats], dtype=np.int64)
+    st_sum = np.array([r["sum_qty"] for r in stats], dtype=np.int64)
+    st_n = np.array([r["n"] for r in stats], dtype=np.int64)
+    order = np.argsort(st_pk)
+    stats_ref = ray.put((st_pk[order], st_sum[order], st_n[order]))
+
+    def below(batch: pa.Table) -> pa.Table:
+        pk_s, sum_s, n_s = cached_instance(
+            ("q17_stats", stats_ref.hex()), lambda: ray.get(stats_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        qty = np.asarray(batch["qty"], dtype=np.int64)
+        keep = (pk_s.size > 0) & (pk_s[pos] == lpk) \
+            & (5 * qty * n_s[pos] < sum_s[pos])
+        cents = np.asarray(batch["cents"], dtype=np.int64)[keep]
+        return pa.table({
+            "c": pa.array([int(cents.sum())], pa.int64()),
+            "n": pa.array([int(keep.sum())], pa.int64()),
+        })
+
+    parts = rows_ds.map_batches(below, batch_format="pyarrow",
+                                zero_copy_batch=True).take_all()
+    return pa.table({
+        "total_cents": pa.array([sum(r["c"] for r in parts)], pa.int64()),
+        "n_lines": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+    })
+
+
+def q_q22_dormant_customers(sf_dir: str):
+    """TPC-H Q22 (global sales opportunity, adapted — no c_phone, so
+    the 'country code' class is c_mktsegment ∈ {BUILDING, MACHINERY}):
+    customers in those segments with above-average positive balances
+    and NO order since 2001-01-01 (every customer has ~10 lifetime
+    orders in this corpus, so the classic no-orders-ever predicate is
+    vacuously empty — 'dormant this year' keeps the anti-join
+    selective BOTH ways), counted + totaled per segment.  Plan — the
+    scalar avg subquery is a per-batch (Σ positive cents, n) partial
+    reduced at the driver; 'above average' compares EXACTLY in
+    integers (cents·n > Σcents — no float avg, products stay < 2^63 up
+    to ~10^12 customers); the NOT EXISTS anti-join runs through the
+    broadcast-Bloom antijoin over the date-pruned orders slice (a
+    Bloom miss is definitively dormant; positives re-check against the
+    exact keyset), so no customer×orders shuffle; a segment-sized
+    grouped sum finishes."""
+    from .pipelines.relational import bloom_antijoin
+
+    SEGS = ("BUILDING", "MACHINERY")
+    SINCE_US = 978_307_200_000_000   # 2001-01-01 epoch µs
+
+    def c_prep(batch: pa.Table) -> pa.Table:
+        seg = np.asarray(batch["c_mktsegment"])
+        keep = np.isin(seg, SEGS)
+        cents = np.rint(np.asarray(batch["c_acctbal"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        return pa.table({
+            "c_custkey": pa.array(
+                np.asarray(batch["c_custkey"], dtype=np.int64)[keep]),
+            "c_mktsegment": pa.array(seg[keep]),
+            "cents": pa.array(cents),
+        })
+
+    cust = _read(sf_dir, "customer",
+                 ["c_custkey", "c_mktsegment", "c_acctbal"]).map_batches(
+        c_prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+
+    def pos_partial(batch: pa.Table) -> pa.Table:
+        cents = np.asarray(batch["cents"], dtype=np.int64)
+        pos = cents[cents > 0]
+        return pa.table({"s": pa.array([int(pos.sum())], pa.int64()),
+                         "n": pa.array([int(pos.size)], pa.int64())})
+
+    parts = cust.map_batches(pos_partial, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    S = sum(r["s"] for r in parts)
+    N = sum(r["n"] for r in parts)
+    empty = pa.table({"c_mktsegment": pa.array([], pa.string()),
+                      "numcust": pa.array([], pa.int64()),
+                      "total_cents": pa.array([], pa.int64())})
+    if N == 0:
+        return empty
+
+    def above_avg(batch: pa.Table) -> pa.Table:
+        cents = np.asarray(batch["cents"], dtype=np.int64)
+        return batch.filter(pa.array(cents * N > S))
+
+    above = cust.map_batches(above_avg, batch_format="pyarrow",
+                             zero_copy_batch=True)
+
+    def recent_orders(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        return pa.table({"o_custkey": pa.array(
+            np.asarray(batch["o_custkey"], dtype=np.int64)[dt >= SINCE_US])})
+
+    orders_keys = _read(sf_dir, "orders",
+                        ["o_custkey", "o_orderdate"]).map_batches(
+        recent_orders, batch_format="pyarrow", zero_copy_batch=True)
+    dormant = bloom_antijoin(above, "c_custkey", orders_keys, "o_custkey",
+                             exact=True)
+    agg = grouped_agg(dormant, ["c_mktsegment"], [
+        ("numcust", None, "count"),
+        ("total_cents", "cents", "sum"),
+    ])
+    rows = sorted(agg.take_all(), key=lambda r: r["c_mktsegment"])
+    if not rows:
+        return empty
+    return pa.table({
+        "c_mktsegment": pa.array(
+            [r["c_mktsegment"] for r in rows], pa.string()),
+        "numcust": pa.array([r["numcust"] for r in rows], pa.int64()),
+        "total_cents": pa.array(
+            [r["total_cents"] for r in rows], pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -7030,7 +7588,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q7_nation_volume": q_q7_nation_volume,
+        "q8_market_share": q_q8_market_share,
+        "q9_product_profit": q_q9_product_profit,
         "q10_returned_customers": q_q10_returned_customers,
+        "q12_late_priority_lines": q_q12_late_priority_lines,
+        "q13_customer_distribution": q_q13_customer_distribution,
+        "q15_top_supplier": q_q15_top_supplier,
+        "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q22_dormant_customers": q_q22_dormant_customers,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
         "q19_bracketed_revenue": q_q19_bracketed_revenue,
@@ -8399,6 +8964,126 @@ def oracle_sql() -> dict[str, str]:
                    AND l_quantity BETWEEN 10 AND 30)
                OR (p_brand = 'Brand#21' AND p_size BETWEEN 1 AND 35
                    AND l_quantity BETWEEN 20 AND 40)
+        """,
+        "q8_market_share": """
+            WITH vol AS (
+                SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                           AS rev,
+                       (n2.n_name = 'NATION_7') AS is_target
+                FROM part, lineitem, orders, customer, supplier,
+                     nation n1, nation n2, region
+                WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+                  AND o_custkey = c_custkey
+                  AND c_nationkey = n1.n_nationkey
+                  AND n1.n_regionkey = r_regionkey AND r_name = 'ASIA'
+                  AND l_suppkey = s_suppkey
+                  AND s_nationkey = n2.n_nationkey
+                  AND o_orderdate >= TIMESTAMP '1995-01-01'
+                  AND o_orderdate < TIMESTAMP '1997-01-01'
+                  AND p_type = 'ECONOMY')
+            SELECT o_year,
+                   CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END)
+                        AS BIGINT) AS target_rev_micros,
+                   CAST(sum(rev) AS BIGINT) AS total_rev_micros,
+                   CAST(CASE WHEN sum(rev) = 0 THEN 0 ELSE
+                        (CAST(sum(CASE WHEN is_target THEN rev ELSE 0 END)
+                              AS HUGEINT) * 1000000)
+                        // CAST(sum(rev) AS HUGEINT) END AS BIGINT)
+                       AS mkt_share_e6
+            FROM vol GROUP BY o_year
+        """,
+        "q9_product_profit": """
+            SELECT n_name AS nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS o_year,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS profit_micros
+            FROM part, lineitem, orders, supplier, nation
+            WHERE p_partkey = l_partkey AND l_orderkey = o_orderkey
+              AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+              AND p_name LIKE '%widget%'
+            GROUP BY n_name, o_year
+        """,
+        "q12_late_priority_lines": """
+            SELECT l_linestatus,
+                   CAST(sum(CASE WHEN o_orderpriority
+                                      IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS high_line_count,
+                   CAST(sum(CASE WHEN o_orderpriority
+                                      NOT IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END) AS BIGINT)
+                       AS low_line_count
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND l_shipdate >= o_orderdate + INTERVAL 90 DAY
+              AND l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+            GROUP BY l_linestatus
+        """,
+        "q13_customer_distribution": """
+            WITH per_cust AS (
+                SELECT c_custkey, count(o_orderkey) AS c_count
+                FROM customer LEFT OUTER JOIN orders
+                  ON c_custkey = o_custkey
+                     AND o_orderpriority <> '1-URGENT'
+                GROUP BY c_custkey)
+            SELECT c_count, count(*) AS custdist
+            FROM per_cust GROUP BY c_count
+        """,
+        "q15_top_supplier": """
+            WITH revenue AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                                * (100 - CAST(round(l_discount * 100)
+                                              AS BIGINT)))
+                            AS BIGINT) AS total_rev_micros
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1996-04-01'
+                GROUP BY l_suppkey)
+            SELECT s_suppkey, s_name, total_rev_micros
+            FROM supplier JOIN revenue ON s_suppkey = l_suppkey
+            WHERE total_rev_micros =
+                  (SELECT max(total_rev_micros) FROM revenue)
+        """,
+        "q17_small_qty_revenue": """
+            WITH sliver AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_brand = 'Brand#13'),
+            stats AS (
+                SELECT l_partkey, CAST(sum(qty) AS BIGINT) AS s,
+                       count(*) AS n
+                FROM sliver GROUP BY l_partkey)
+            SELECT CAST(coalesce(sum(cents), 0) AS BIGINT) AS total_cents,
+                   count(*) AS n_lines
+            FROM sliver JOIN stats USING (l_partkey)
+            WHERE 5 * qty * n < s
+        """,
+        "q22_dormant_customers": """
+            WITH seg AS (
+                SELECT c_custkey, c_mktsegment,
+                       CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+                FROM customer
+                WHERE c_mktsegment IN ('BUILDING', 'MACHINERY')),
+            stats AS (
+                SELECT CAST(sum(cents) AS BIGINT) AS s, count(*) AS n
+                FROM seg WHERE cents > 0)
+            SELECT c_mktsegment, count(*) AS numcust,
+                   CAST(sum(cents) AS BIGINT) AS total_cents
+            FROM seg, stats
+            WHERE cents * n > s
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = seg.c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2001-01-01')
+            GROUP BY c_mktsegment
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
