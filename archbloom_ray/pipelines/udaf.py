@@ -1,0 +1,132 @@
+"""Sketches as native Ray Data aggregations (``AggregateFnV2``).
+
+The north-star contract calls each sketch "a serializable UDAF"; this
+module is the literal reading of that: any engine :class:`Sketch` drops
+into ``Dataset.aggregate(...)`` or ``Dataset.groupby(key).aggregate(...)``
+next to the built-ins (``Count()``, ``Sum()``, ...), so one pass over the
+data can mix exact and sketched aggregates.
+
+The accumulator is the sketch's serialized byte state (``to_bytes`` /
+``sketch_from_bytes`` — the same save format the CLI and checkpoints
+use, reference bloom.c:525-733), so the aggregation is a proper monoid:
+
+    zero     = factory().to_bytes()            (empty sketch)
+    block    → factory().update_arrow(col)     (partial state)
+    combine  = merge (associative + commutative for every engine sketch)
+    finalize = identity (the state bytes) or a caller-supplied estimator
+
+Scale note: ``Dataset.aggregate`` ships one O(m) partial per BLOCK into
+Ray's aggregation machinery — fine for register/compact sketches (HLL,
+t-digest, KLL, MG, KMV, theta) and for grouped builds where each group's
+state is small.  For whole-dataset builds of BIG bitmap sketches
+(Bloom/cbloom at 10^12 keys) prefer the sharded builds in
+``pipelines/build.py`` whose shuffle volume is independent of m; and for
+many-sketches-one-scan builds prefer :func:`build.build_sketches`.
+This module is the idiomatic Dataset-API surface, not a replacement for
+those scale paths.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from ray.data.aggregate import AggregateFnV2
+from ray.data.block import Block, BlockAccessor
+
+from ..sketches.base import Sketch, sketch_from_bytes
+
+
+class SketchAgg(AggregateFnV2):
+    """Any engine sketch as a Ray Data aggregation.
+
+    Example::
+
+        from archbloom_ray.sketches import HyperLogLog
+        ds.groupby("lang").aggregate(
+            SketchAgg("text", lambda: HyperLogLog(12),
+                      finalize=lambda sk: sk.cardinality(),
+                      alias_name="distinct_est"))
+
+    Args:
+        on: column whose values feed ``Sketch.update_arrow``.
+        factory: zero-argument sketch constructor; every partial and the
+            zero state come from it, so parameters are consistent and
+            merge is always legal.
+        finalize: optional ``Sketch -> value`` estimator applied to the
+            final merged sketch (per group, when grouping).  ``None``
+            returns the serialized sketch bytes — feed them to
+            ``sketch_from_bytes`` for further algebra.
+        alias_name: output column name (default ``sketch(<on>)``).
+    """
+
+    def __init__(
+        self,
+        on: str,
+        factory: Callable[[], Sketch],
+        *,
+        finalize: Optional[Callable[[Sketch], Any]] = None,
+        alias_name: Optional[str] = None,
+        ignore_nulls: bool = True,
+    ):
+        self._factory = factory
+        self._finalize_fn = finalize
+        super().__init__(
+            alias_name or f"sketch({on})",
+            zero_factory=lambda: factory().to_bytes(),
+            on=on,
+            ignore_nulls=ignore_nulls,
+        )
+
+    def aggregate_block(self, block: Block) -> bytes:
+        table = BlockAccessor.for_block(block).to_arrow()
+        sk = self._factory()
+        col = table[self._target_col_name]
+        if col.null_count:
+            col = col.drop_null()
+        sk.update_arrow(col)
+        return sk.to_bytes()
+
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        acc = sketch_from_bytes(current)
+        acc.merge(sketch_from_bytes(new))
+        return acc.to_bytes()
+
+    def finalize(self, accumulator: bytes) -> Any:
+        if self._finalize_fn is None:
+            return accumulator
+        return self._finalize_fn(sketch_from_bytes(accumulator))
+
+
+class HLLDistinct(SketchAgg):
+    """Approximate COUNT(DISTINCT on) via HyperLogLog, finalized to the
+    cardinality estimate (float64)."""
+
+    def __init__(self, on: str, *, p: int = 14,
+                 alias_name: Optional[str] = None):
+        from ..sketches.hll import HyperLogLog
+
+        super().__init__(
+            on, lambda: HyperLogLog(p),
+            finalize=lambda sk: float(sk.cardinality()),
+            alias_name=alias_name or f"hll_distinct({on})",
+        )
+
+
+class SketchQuantile(SketchAgg):
+    """Approximate quantile of a numeric column via t-digest (default)
+    or KLL, finalized to the quantile estimate (float64)."""
+
+    def __init__(self, on: str, q: float, *, kind: str = "tdigest",
+                 compression: int = 200,
+                 alias_name: Optional[str] = None):
+        if kind == "tdigest":
+            from ..sketches.tdigest import TDigest as _S
+        elif kind == "kll":
+            from ..sketches.kll import KLLSketch as _S
+        else:
+            raise ValueError(f"unknown quantile sketch kind: {kind!r}")
+        super().__init__(
+            on, lambda: _S(compression),
+            finalize=lambda sk: float(sk.quantile(q)),
+            alias_name=alias_name or f"{kind}_q{q:g}({on})",
+        )

@@ -1578,6 +1578,53 @@ def q_hll_distinct_by_lang(sf_dir: str):
     })
 
 
+def q_udaf_lang_profile(sf_dir: str):
+    """Sketches as NATIVE Ray Data aggregations: one
+    ``groupby("lang").aggregate(Count(), HLLDistinct("text"))`` call —
+    the AggregateFnV2 UDAF surface (pipelines/udaf.py), where the
+    accumulator is the serialized sketch state and combine is the
+    sketch merge — mixed with a built-in exact aggregate in the same
+    pass.  Certified: the exact doc count comes straight out of the
+    mixed aggregate, and the HLL estimate is bound-checked per group
+    against the exact distributed distinct count (hash + two-level
+    grouped_agg, never a driver-side set)."""
+    from ray.data.aggregate import Count
+
+    from .pipelines.udaf import HLLDistinct
+
+    ds = _read(sf_dir, "documents", ["lang", "text"])
+    rows = ds.groupby("lang").aggregate(
+        Count(), HLLDistinct("text", p=14)).take_all()
+
+    def hash_pairs(batch: pa.Table) -> pa.Table:
+        from .hashing import mmh3_128_batch
+
+        h1, _ = mmh3_128_batch(batch["text"])
+        return pa.table({"lang": batch["lang"],
+                         "h": pa.array(h1.astype(np.int64))})
+
+    pairs = _read(sf_dir, "documents", ["lang", "text"]).map_batches(
+        hash_pairs, batch_format="pyarrow", zero_copy_batch=True)
+    d1 = grouped_agg(pairs, ["lang", "h"], [("c", None, "count")])
+    d2 = grouped_agg(d1, ["lang"], [("n_exact", None, "count")])
+    exact = {r["lang"]: int(r["n_exact"]) for r in d2.take_all()}
+
+    rows.sort(key=lambda r: r["lang"])
+    rel = 3 * 1.04 / math.sqrt(2 ** 14)
+    within = [
+        abs(r["hll_distinct(text)"] - exact[r["lang"]])
+        <= max(rel * exact[r["lang"]], 4.0)
+        for r in rows
+    ]
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["count()"] for r in rows], pa.int64()),
+        "distinct_text_exact": pa.array(
+            [exact[r["lang"]] for r in rows], pa.int64()),
+        "hll_within_bound": pa.array(within, pa.bool_()),
+    })
+
+
 def q_bound_pass_rate(sf_dir: str):
     """The BASELINE.json metric as ONE artifact: 'HLL/CMS/Bloom
     error-bound pass rate' — per-family cell counts and the ppm pass
@@ -7673,6 +7720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "byte_entropy_by_lang": q_byte_entropy_by_lang,
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
+        "udaf_lang_profile": q_udaf_lang_profile,
         "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
@@ -9310,6 +9358,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "hll_distinct_by_lang": """
             SELECT lang, count(DISTINCT text) AS distinct_text_exact,
+                   TRUE AS hll_within_bound
+            FROM documents GROUP BY lang
+        """,
+        "udaf_lang_profile": """
+            SELECT lang, count(*) AS n_docs,
+                   count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
         """,

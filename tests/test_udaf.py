@@ -1,0 +1,88 @@
+"""Sketches as native Ray Data aggregations (pipelines/udaf.py)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data as rd
+from ray.data.aggregate import Count
+
+from archbloom_ray.pipelines import HLLDistinct, SketchAgg, SketchQuantile
+from archbloom_ray.pipelines.build import build_sketch
+from archbloom_ray.sketches import BloomFilter, HyperLogLog
+from archbloom_ray.sketches.base import sketch_from_bytes
+
+
+@pytest.fixture(scope="module")
+def docs(ray_session):
+    rng = np.random.default_rng(7)
+    n = 4000
+    langs = rng.choice(["en", "de", "fr"], size=n, p=[0.7, 0.2, 0.1])
+    # duplicates on purpose: value space smaller than row count
+    texts = [f"{l}-doc-{rng.integers(0, 600)}" for l in langs]
+    chars = rng.integers(10, 1000, size=n)
+    table = pa.table({"lang": pa.array(langs), "text": pa.array(texts),
+                      "n_chars": pa.array(chars, pa.int64())})
+    return rd.from_arrow(table).repartition(8), table
+
+
+def test_whole_dataset_hll_equals_build_sketch(docs):
+    ds, table = docs
+    est = ds.aggregate(HLLDistinct("text", p=14))["hll_distinct(text)"]
+    ref = build_sketch(ds, "text", lambda: HyperLogLog(14)).cardinality()
+    # register-max merge is order-independent: identical estimate
+    assert est == pytest.approx(ref, abs=1e-9)
+    exact = len(set(table["text"].to_pylist()))
+    assert abs(est - exact) <= max(3 * 1.04 / 2 ** 7 * exact, 4.0)
+
+
+def test_grouped_hll_with_builtin_count(docs):
+    ds, table = docs
+    rows = ds.groupby("lang").aggregate(
+        Count(), HLLDistinct("text", p=12)).take_all()
+    by_lang = {}
+    for lang, text in zip(table["lang"].to_pylist(),
+                          table["text"].to_pylist()):
+        by_lang.setdefault(lang, set()).add(text)
+    assert {r["lang"] for r in rows} == set(by_lang)
+    for r in rows:
+        exact = len(by_lang[r["lang"]])
+        bound = max(3 * 1.04 / 2 ** 6 * exact, 4.0)
+        assert abs(r["hll_distinct(text)"] - exact) <= bound
+        assert r["count()"] == sum(
+            1 for l in table["lang"].to_pylist() if l == r["lang"])
+
+
+def test_generic_sketch_agg_returns_state_bytes(docs):
+    ds, table = docs
+    out = ds.aggregate(SketchAgg(
+        "text", lambda: BloomFilter(5000, 0.01), alias_name="bf"))
+    bf = sketch_from_bytes(out["bf"])
+    assert bf.lookup_batch(table["text"].combine_chunks()).all()
+    absent = pa.array([f"missing-{i}" for i in range(2000)])
+    fpr = bf.lookup_batch(absent).mean()
+    assert fpr < 0.05
+
+
+def test_quantile_aggs_within_rank_tolerance(docs):
+    ds, table = docs
+    out = ds.aggregate(SketchQuantile("n_chars", 0.5),
+                       SketchQuantile("n_chars", 0.9, kind="kll"))
+    vals = np.asarray(table["n_chars"], dtype=np.float64)
+    for key, q in [("tdigest_q0.5(n_chars)", 0.5), ("kll_q0.9(n_chars)", 0.9)]:
+        est = out[key]
+        # rank tolerance: the estimate's rank sits within ±2% of q
+        rank = (vals <= est).mean()
+        assert abs(rank - q) <= 0.02, (key, est, rank)
+
+
+def test_empty_groups_and_nulls_are_skipped(ray_session):
+    table = pa.table({
+        "k": pa.array(["a", "a", "b", "b"]),
+        "v": pa.array(["x", None, None, None]),
+    })
+    rows = rd.from_arrow(table).groupby("k").aggregate(
+        HLLDistinct("v", p=10)).take_all()
+    got = {r["k"]: r["hll_distinct(v)"] for r in rows}
+    assert got["a"] == pytest.approx(1.0, abs=0.5)
+    # all-null group: empty sketch -> estimate 0
+    assert got["b"] == pytest.approx(0.0, abs=0.5)
