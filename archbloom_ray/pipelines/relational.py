@@ -909,6 +909,60 @@ def hash_join(
     )
 
 
+def bloom_pruned_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    *,
+    fpr: float = 1e-3,
+    num_partitions: int | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Fact-fact INNER equijoin with a Bloom prune of the RIGHT side
+    before the shuffle — the classic distributed "Bloom join".  The
+    left side's keys build ONE merged Bloom (distributed partials +
+    tree merge, reference bloom.c's filter as join infrastructure);
+    every right-side task drops rows whose key cannot appear on the
+    left BEFORE paying the all-to-all.  No exact re-check is needed:
+    a Bloom miss has no false negatives (dropping is safe for an
+    inner join) and the ε false-positive survivors are eliminated by
+    the hash join itself — the result is EXACTLY
+    ``hash_join(left, right)``, only cheaper to shuffle.
+
+    Wins when the join is selective (|right ⋉ left| ≪ |right|): the
+    exchange then moves ~(|left| + |match| + ε·|right|) rows instead
+    of |left| + |right|.  At 10^9 left keys the broadcast Bloom is
+    ~1.7 GB at fpr=1e-3 — shipped once per worker process via
+    ``ray.put``; beyond that, route probes through the sharded filter
+    builds (``pipelines/build.py``) instead of broadcasting.
+
+    Inner-only by construction (pruning the probe side breaks outer
+    semantics).  The left pipeline executes twice (Bloom build + join
+    sides); parquet-backed lefts just re-scan their key column — a
+    COMPUTED left should be ``materialize()``d by the caller first.
+    An empty left short-circuits to a TYPED empty result (left columns
+    + right value columns) instead of feeding ``Dataset.join`` empty
+    inputs (the schema-less-empty-block crash).
+    """
+    rkey = right_on or on
+    left_keys = left.select_columns([on]).materialize()
+    if left_keys.count() == 0:
+        lsch, rsch = left.schema(), right.schema()
+        fields = list(zip(lsch.names, lsch.types)) + [
+            (n, t) for n, t in zip(rsch.names, rsch.types) if n != rkey]
+        empty = pa.table(
+            {n: pa.array([], type=t) for n, t in fields})
+        import ray.data as _rd
+
+        return _rd.from_arrow(empty)
+    pruned = bloom_semijoin(
+        right, rkey, left_keys, on,
+        fpr=fpr, exact=False, batch_size=batch_size)
+    return hash_join(left, pruned, on, right_on,
+                     how="inner", num_partitions=num_partitions)
+
+
 def adaptive_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -4002,6 +4002,68 @@ def q_bloom_semijoin_urgent(sf_dir: str):
     ])
 
 
+def q_bloom_join_priority_revenue(sf_dir: str):
+    """Bloom-pruned fact-fact JOIN (the classic distributed Bloom
+    join, ``pipelines.relational.bloom_pruned_join``): 1996 orders ⋈
+    lineitem, revenue + line count per order priority.  The 1996
+    orderkeys build ONE broadcast Bloom that drops non-matching
+    lineitem rows BEFORE the hash shuffle — with ~1/7 of orders in the
+    window the exchange moves ~1/7 of lineitem instead of all of it —
+    and the join itself eliminates the ε false-positive survivors, so
+    the result is exactly the unpruned join's.  Exact int64 micros."""
+    from .pipelines.relational import bloom_pruned_join
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+
+    def o_prep(batch: pa.Table) -> pa.Table:
+        dt = np.asarray(pc.cast(batch["o_orderdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (dt >= LO_US) & (dt < HI_US)
+        mask = pa.array(keep)
+        return pa.table({
+            "o_orderkey": pa.array(
+                np.asarray(batch["o_orderkey"], dtype=np.int64)[keep]),
+            "o_orderpriority": batch["o_orderpriority"].combine_chunks()
+                                                       .filter(mask),
+        })
+
+    orders = _read(sf_dir, "orders",
+                   ["o_orderkey", "o_orderdate",
+                    "o_orderpriority"]).map_batches(
+        o_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        price = np.asarray(batch["l_extendedprice"], dtype=np.float64)
+        disc = np.asarray(batch["l_discount"], dtype=np.float64)
+        rev = np.rint(price * 100).astype(np.int64) \
+            * (100 - np.rint(disc * 100).astype(np.int64))
+        return pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)),
+            "rev_micros": pa.array(rev),
+        })
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_extendedprice", "l_discount"]).map_batches(
+        l_prep, batch_format="pyarrow", zero_copy_batch=True)
+    joined = bloom_pruned_join(orders, li, "o_orderkey",
+                               right_on="l_orderkey", fpr=1e-4)
+    agg = grouped_agg(joined, ["o_orderpriority"], [
+        ("revenue_micros", "rev_micros", "sum"),
+        ("n_lineitems", None, "count"),
+    ])
+    rows = sorted(agg.take_all(), key=lambda r: r["o_orderpriority"])
+    return pa.table({
+        "o_orderpriority": pa.array(
+            [r["o_orderpriority"] for r in rows], pa.string()),
+        "revenue_micros": pa.array(
+            [r["revenue_micros"] for r in rows], pa.int64()),
+        "n_lineitems": pa.array(
+            [r["n_lineitems"] for r in rows], pa.int64()),
+    })
+
+
 def q_events_record_breaks(sf_dir: str):
     """Record-breaking events: rows whose ``value`` beats the running
     GLOBAL maximum over all earlier arrivals (arrival = event_id
@@ -7728,6 +7790,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dd_quantiles_by_lang": q_dd_quantiles_by_lang,
         "sparse_hll_by_source": q_sparse_hll_by_source,
         "bloom_semijoin_urgent": q_bloom_semijoin_urgent,
+        "bloom_join_priority_revenue": q_bloom_join_priority_revenue,
         "events_record_breaks": q_events_record_breaks,
         "events_running": q_events_running,
         "events_window_counts": q_events_window_counts,
@@ -9460,6 +9523,19 @@ def oracle_sql() -> dict[str, str]:
                        AS sum_qty
             FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             GROUP BY o.o_orderpriority
+        """,
+        "bloom_join_priority_revenue": """
+            SELECT o_orderpriority,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS revenue_micros,
+                   count(*) AS n_lineitems
+            FROM orders, lineitem
+            WHERE o_orderkey = l_orderkey
+              AND o_orderdate >= TIMESTAMP '1996-01-01'
+              AND o_orderdate < TIMESTAMP '1997-01-01'
+            GROUP BY o_orderpriority
         """,
         "bloom_semijoin_urgent": """
             SELECT l_returnflag, count(*) AS n_items,

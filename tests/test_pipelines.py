@@ -1687,6 +1687,55 @@ class TestAdaptiveJoin:
         assert got == self._expected(left, right)
 
 
+class TestBloomPrunedJoin:
+    """bloom_pruned_join must equal hash_join exactly — the Bloom
+    prune has no false negatives and the join kills false positives."""
+
+    def _tables(self):
+        rng = np.random.default_rng(11)
+        # selective join: only keys 0..49 of the right's 0..999 match
+        left = pa.table({
+            "k": pa.array(rng.integers(0, 50, 300).astype(np.int64)),
+            "prio": pa.array([f"p{i % 4}" for i in range(300)]),
+        })
+        right = pa.table({
+            "k": pa.array(rng.integers(0, 1000, 5000).astype(np.int64)),
+            "v": pa.array(rng.integers(0, 10**6, 5000).astype(np.int64)),
+        })
+        return left, right
+
+    def test_equals_plain_hash_join(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import (
+            bloom_pruned_join,
+            hash_join,
+        )
+
+        left, right = self._tables()
+        lds = rd.from_arrow(left).repartition(3)
+        rds = rd.from_arrow(right).repartition(4)
+        got = sorted((r["k"], r["prio"], r["v"]) for r in
+                     bloom_pruned_join(lds, rds, "k", fpr=0.01,
+                                       num_partitions=4).take_all())
+        want = sorted((r["k"], r["prio"], r["v"]) for r in
+                      hash_join(lds, rds, "k",
+                                num_partitions=4).take_all())
+        assert got == want and len(got) > 0
+
+    def test_empty_left_yields_empty(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import bloom_pruned_join
+
+        left = pa.table({"k": pa.array([], pa.int64()),
+                         "prio": pa.array([], pa.string())})
+        _, right = self._tables()
+        out = bloom_pruned_join(rd.from_arrow(left),
+                                rd.from_arrow(right).repartition(2), "k")
+        assert out.count() == 0
+
+
 class TestAdaptiveJoinOneToMany:
     """ADVICE r2: the broadcast path must emit EVERY matching right row
     (searchsorted left/right bounds), exactly like the shuffle path."""
