@@ -3733,6 +3733,145 @@ def q_q22_dormant_customers(sf_dir: str):
     })
 
 
+def q_q16_supplier_part_counts(sf_dir: str):
+    """TPC-H Q16 (parts/supplier relationship, adapted — no partsupp
+    table, so supply facts come from lineitem; no p_container, so the
+    class is (p_brand, p_size)): distinct suppliers that shipped each
+    non-PROMO (brand, size) class, excluding negative-balance
+    suppliers (the NOT IN).  Plan — both dimension filters ride one
+    broadcast (part attr arrays + excluded-supplier keyset); the
+    lineitem scan gathers brand/size, drops excluded rows, and the
+    exact COUNT(DISTINCT) runs as the engine's pair-dedup-then-count
+    shuffle (`relational.grouped_distinct_count` — per-block distinct
+    pairs travel, never raw rows)."""
+    from .pipelines.relational import grouped_distinct_count
+    from .proc_cache import cached_instance
+
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_brand", "p_size", "p_type"])
+    pk = np.asarray(part["p_partkey"], dtype=np.int64)
+    keepable = np.asarray(part["p_type"]) != "PROMO"
+    order = np.argsort(pk)
+    brands = np.asarray(part["p_brand"])[order]
+    sizes = np.asarray(part["p_size"], dtype=np.int64)[order]
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_acctbal"])
+    excluded = np.sort(np.asarray(supp["s_suppkey"], dtype=np.int64)[
+        np.asarray(supp["s_acctbal"], dtype=np.float64) < 0])
+    dims_ref = ray.put((pk[order], keepable[order], brands, sizes, excluded))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        pk_s, keep_s, brand_s, size_s, excl = cached_instance(
+            ("q16_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        sk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        pos = np.clip(np.searchsorted(pk_s, lpk), 0, max(pk_s.size - 1, 0))
+        hit = (pk_s[pos] == lpk) if pk_s.size else np.zeros(lpk.size, bool)
+        keep = hit & keep_s[pos]
+        if excl.size:
+            epos = np.clip(np.searchsorted(excl, sk), 0, excl.size - 1)
+            keep &= excl[epos] != sk
+        return pa.table({
+            "p_brand": pa.array(brand_s[pos[keep]]),
+            "p_size": pa.array(size_s[pos[keep]]),
+            "l_suppkey": pa.array(sk[keep]),
+        })
+
+    pairs = _read(sf_dir, "lineitem",
+                  ["l_partkey", "l_suppkey"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    counts = grouped_distinct_count(pairs, ["p_brand", "p_size"],
+                                    "l_suppkey")
+    rows = sorted(counts.take_all(),
+                  key=lambda r: (r["p_brand"], r["p_size"]))
+    return pa.table({
+        "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+        "p_size": pa.array([r["p_size"] for r in rows], pa.int64()),
+        "supplier_cnt": pa.array(
+            [r["n_distinct"] for r in rows], pa.int64()),
+    })
+
+
+def q_q21_sole_latest_shipper(sf_dir: str):
+    """TPC-H Q21 (waiting-orders culprit, adapted — no
+    commit/receiptdate, so 'the supplier everyone waited on' = the
+    UNIQUE supplier holding an order's latest ship date, on orders
+    with ≥2 distinct suppliers): per supplier, how many such orders.
+    Plan — the exists/not-exists pair becomes pure aggregation
+    algebra: (orderkey, suppkey) pairs pre-dedup per batch with their
+    per-supplier max shipdate; one grouped roll-up per order gives
+    (n_supp, order max); pairs rejoin that order table (adaptive) and
+    only at-max pairs survive; a second order-level roll-up counts
+    at-max suppliers (unique ⇒ winner = max = the one suppkey); a
+    supplier-sized grouped count finishes.  All exchanges carry
+    order-supplier pairs, never raw lineitems."""
+    from .pipelines import adaptive_join
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        t = pa.table({
+            "l_orderkey": pa.array(
+                np.asarray(batch["l_orderkey"], dtype=np.int64)),
+            "l_suppkey": pa.array(
+                np.asarray(batch["l_suppkey"], dtype=np.int64)),
+            "sd": pa.array(sd),
+        }).group_by(["l_orderkey", "l_suppkey"]).aggregate([("sd", "max")])
+        return t.rename_columns(["l_orderkey", "l_suppkey", "max_sd"])
+
+    pairs = _read(sf_dir, "lineitem",
+                  ["l_orderkey", "l_suppkey", "l_shipdate"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    pairs = grouped_agg(pairs, ["l_orderkey", "l_suppkey"],
+                        [("max_sd", "max_sd", "max")]).materialize()
+    orders = grouped_agg(pairs, ["l_orderkey"], [
+        ("n_supp", None, "count"),
+        ("omax", "max_sd", "max"),
+    ])
+    joined, _ = adaptive_join(pairs, orders, "l_orderkey",
+                              value_columns=["n_supp", "omax"])
+
+    def at_max(batch: pa.Table) -> pa.Table:
+        keep = pc.and_(
+            pc.equal(batch["max_sd"], batch["omax"]),
+            pc.greater_equal(batch["n_supp"], pa.scalar(2, pa.int64())))
+        kept = batch.filter(keep)
+        return pa.table({"l_orderkey": kept["l_orderkey"],
+                         "l_suppkey": kept["l_suppkey"]})
+
+    winners = grouped_agg(
+        joined.map_batches(at_max, batch_format="pyarrow",
+                           zero_copy_batch=True),
+        ["l_orderkey"], [
+            ("n_at_max", None, "count"),
+            ("winner", "l_suppkey", "max"),
+        ])
+
+    def unique_only(batch: pa.Table) -> pa.Table:
+        kept = batch.filter(pc.equal(batch["n_at_max"],
+                                     pa.scalar(1, pa.int64())))
+        return pa.table({"winner": kept["winner"]})
+
+    numwait = grouped_agg(
+        winners.map_batches(unique_only, batch_format="pyarrow",
+                            zero_copy_batch=True),
+        ["winner"], [("numwait", None, "count")])
+    rows = numwait.take_all()
+    supp = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name"])
+    s2name = dict(zip(supp["s_suppkey"].to_pylist(),
+                      supp["s_name"].to_pylist()))
+    rows.sort(key=lambda r: (-r["numwait"], s2name[r["winner"]]))
+    return pa.table({
+        "s_name": pa.array([s2name[r["winner"]] for r in rows],
+                           pa.string()),
+        "numwait": pa.array([r["numwait"] for r in rows], pa.int64()),
+    })
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -7703,7 +7842,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q12_late_priority_lines": q_q12_late_priority_lines,
         "q13_customer_distribution": q_q13_customer_distribution,
         "q15_top_supplier": q_q15_top_supplier,
+        "q16_supplier_part_counts": q_q16_supplier_part_counts,
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
+        "q21_sole_latest_shipper": q_q21_sole_latest_shipper,
         "q22_dormant_customers": q_q22_dormant_customers,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
@@ -9176,6 +9317,35 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_lines
             FROM sliver JOIN stats USING (l_partkey)
             WHERE 5 * qty * n < s
+        """,
+        "q16_supplier_part_counts": """
+            SELECT p_brand, CAST(p_size AS BIGINT) AS p_size,
+                   count(DISTINCT l_suppkey) AS supplier_cnt
+            FROM lineitem, part
+            WHERE p_partkey = l_partkey AND p_type <> 'PROMO'
+              AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+            GROUP BY p_brand, p_size
+        """,
+        "q21_sole_latest_shipper": """
+            WITH pairs AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(l_shipdate) AS max_sd
+                FROM lineitem GROUP BY l_orderkey, l_suppkey),
+            o AS (
+                SELECT l_orderkey, count(*) AS n_supp,
+                       max(max_sd) AS omax
+                FROM pairs GROUP BY l_orderkey),
+            winners AS (
+                SELECT p.l_orderkey, count(*) AS n_at_max,
+                       max(p.l_suppkey) AS winner
+                FROM pairs p JOIN o ON p.l_orderkey = o.l_orderkey
+                     AND p.max_sd = o.omax AND o.n_supp >= 2
+                GROUP BY p.l_orderkey)
+            SELECT s_name, count(*) AS numwait
+            FROM winners JOIN supplier ON s_suppkey = winner
+            WHERE n_at_max = 1
+            GROUP BY s_name
         """,
         "q22_dormant_customers": """
             WITH seg AS (
