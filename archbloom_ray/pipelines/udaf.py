@@ -130,3 +130,61 @@ class SketchQuantile(SketchAgg):
             finalize=lambda sk: float(sk.quantile(q)),
             alias_name=alias_name or f"{kind}_q{q:g}({on})",
         )
+
+
+class TopKItems(SketchAgg):
+    """Approximate heavy hitters via Misra-Gries, finalized to the
+    top-k ``[{item, count}, ...]`` list (descending count, item
+    tie-break).  Counts are the MG lower-bound estimates — within
+    N/capacity of truth, and EXACT whenever the column's distinct
+    count fits ``capacity`` (no decrements ever happen)."""
+
+    def __init__(self, on: str, k: int = 10, *,
+                 capacity: Optional[int] = None,
+                 alias_name: Optional[str] = None):
+        from ..sketches.mg import MisraGries
+
+        cap = capacity or max(4 * k, 50)
+
+        def fin(sk: "MisraGries"):
+            cands = sorted(sk.candidates(),
+                           key=lambda kv: (-kv[1], kv[0]))[:k]
+            return [{"item": b.decode("utf-8", "replace"),
+                     "count": int(c)} for b, c in cands]
+
+        super().__init__(on, lambda: MisraGries(cap), finalize=fin,
+                         alias_name=alias_name or f"top{k}({on})")
+
+
+def dataset_profile(
+    ds: "Any",
+    columns: dict[str, str],
+    *,
+    hll_p: int = 14,
+    topk: int = 5,
+    quantiles: tuple[float, ...] = (0.5, 0.9),
+) -> dict[str, Any]:
+    """One-pass profile of a Dataset — ``describe()`` for data too big
+    to look at: exact built-ins (row count, min/max/sum) and sketched
+    estimates (HLL distinct, t-digest quantiles, Misra-Gries top-k)
+    run together in a SINGLE ``Dataset.aggregate`` call, i.e. one scan
+    of the input however many metrics are requested.
+
+    ``columns`` maps column name → ``"numeric"`` (min/max/sum +
+    quantiles + distinct) or ``"string"`` (distinct + top-k).
+    Returns the flat ``{output_name: value}`` dict from Ray.
+    """
+    from ray.data.aggregate import Count, Max, Min, Sum
+
+    aggs: list[Any] = [Count()]
+    for col, kind in columns.items():
+        if kind == "numeric":
+            aggs += [Min(col), Max(col), Sum(col),
+                     HLLDistinct(col, p=hll_p)]
+            aggs += [SketchQuantile(col, q) for q in quantiles]
+        elif kind == "string":
+            aggs += [HLLDistinct(col, p=hll_p),
+                     TopKItems(col, topk)]
+        else:
+            raise ValueError(f"unknown column kind for {col!r}: {kind!r}")
+    return ds.aggregate(*aggs)

@@ -1625,6 +1625,76 @@ def q_udaf_lang_profile(sf_dir: str):
     })
 
 
+def q_dataset_profile_docs(sf_dir: str):
+    """ONE-PASS dataset profile (``pipelines.udaf.dataset_profile``):
+    exact built-ins (row count, min/max/sum) and sketched estimates
+    (HLL distinct, t-digest quantiles, Misra-Gries top-k) in a single
+    ``Dataset.aggregate`` call — describe() for data too big to look
+    at.  Certification: exact metrics and the top-5 lang counts (MG is
+    exact when distincts fit capacity) hash-match SQL directly; the
+    approximate rows are emitted as within-bound flags checked against
+    exact distributed counts (distinct via grouped count; quantiles
+    via a rank pass tolerant of ties — the true rank interval
+    [rank_lt, rank_le] must come within 2% of q)."""
+    from .pipelines.udaf import dataset_profile
+
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    prof = dataset_profile(ds, {"n_chars": "numeric", "lang": "string"},
+                           topk=5, quantiles=(0.5, 0.9))
+    n = int(prof["count()"])
+
+    nd_chars = grouped_agg(_read(sf_dir, "documents", ["n_chars"]),
+                           ["n_chars"], [("c", None, "count")]).count()
+    nd_lang = grouped_agg(_read(sf_dir, "documents", ["lang"]),
+                          ["lang"], [("c", None, "count")]).count()
+    rel = 3 * 1.04 / math.sqrt(2 ** 14)
+
+    ests = {q: float(prof[f"tdigest_q{q:g}(n_chars)"]) for q in (0.5, 0.9)}
+
+    def rank_part(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["n_chars"], dtype=np.float64)
+        cols = {}
+        for q, est in ests.items():
+            cols[f"le{q}"] = pa.array([int((v <= est).sum())], pa.int64())
+            cols[f"lt{q}"] = pa.array([int((v < est).sum())], pa.int64())
+        return pa.table(cols)
+
+    parts = _read(sf_dir, "documents", ["n_chars"]).map_batches(
+        rank_part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+
+    def q_ok(q: float) -> bool:
+        le = sum(r[f"le{q}"] for r in parts) / max(n, 1)
+        lt = sum(r[f"lt{q}"] for r in parts) / max(n, 1)
+        # est may sit on a heavy tie: the true rank interval is
+        # [rank_lt, rank_le] — within tolerance if it approaches q
+        return (lt - 0.02) <= q <= (le + 0.02)
+
+    def d_ok(est: float, exact: int) -> bool:
+        return abs(est - exact) <= max(rel * exact, 4.0)
+
+    rows = [
+        ("_table", "count", "", float(n)),
+        ("n_chars", "min", "", float(prof["min(n_chars)"])),
+        ("n_chars", "max", "", float(prof["max(n_chars)"])),
+        ("n_chars", "sum", "", float(prof["sum(n_chars)"])),
+        ("n_chars", "q0.5_within_rank_tol", "", float(q_ok(0.5))),
+        ("n_chars", "q0.9_within_rank_tol", "", float(q_ok(0.9))),
+        ("n_chars", "distinct_within_bound", "",
+         float(d_ok(prof["hll_distinct(n_chars)"], nd_chars))),
+        ("lang", "distinct_within_bound", "",
+         float(d_ok(prof["hll_distinct(lang)"], nd_lang))),
+    ] + [
+        ("lang", "topk", e["item"], float(e["count"]))
+        for e in prof["top5(lang)"]
+    ]
+    return pa.table({
+        "col_name": pa.array([r[0] for r in rows], pa.string()),
+        "metric": pa.array([r[1] for r in rows], pa.string()),
+        "item": pa.array([r[2] for r in rows], pa.string()),
+        "value": pa.array([r[3] for r in rows], pa.float64()),
+    })
+
+
 def q_bound_pass_rate(sf_dir: str):
     """The BASELINE.json metric as ONE artifact: 'HLL/CMS/Bloom
     error-bound pass rate' — per-family cell counts and the ppm pass
@@ -7924,6 +7994,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmeans_clusters": q_kmeans_clusters,
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "udaf_lang_profile": q_udaf_lang_profile,
+        "dataset_profile_docs": q_dataset_profile_docs,
         "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
@@ -9599,6 +9670,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "dataset_profile_docs": """
+            SELECT '_table' AS col_name, 'count' AS metric, '' AS item,
+                   CAST(count(*) AS DOUBLE) AS value FROM documents
+            UNION ALL SELECT 'n_chars', 'min', '',
+                   CAST(min(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'max', '',
+                   CAST(max(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'sum', '',
+                   CAST(sum(n_chars) AS DOUBLE) FROM documents
+            UNION ALL SELECT 'n_chars', 'q0.5_within_rank_tol', '', 1.0
+            UNION ALL SELECT 'n_chars', 'q0.9_within_rank_tol', '', 1.0
+            UNION ALL SELECT 'n_chars', 'distinct_within_bound', '', 1.0
+            UNION ALL SELECT 'lang', 'distinct_within_bound', '', 1.0
+            UNION ALL (SELECT 'lang', 'topk', lang,
+                              CAST(count(*) AS DOUBLE)
+                       FROM documents GROUP BY lang
+                       ORDER BY count(*) DESC, lang LIMIT 5)
         """,
         "sparse_hll_by_source": """
             SELECT source, count(DISTINCT text) AS n_distinct_exact,

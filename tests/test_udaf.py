@@ -75,6 +75,50 @@ def test_quantile_aggs_within_rank_tolerance(docs):
         assert abs(rank - q) <= 0.02, (key, est, rank)
 
 
+def test_topk_items_exact_when_capacity_covers(docs):
+    from archbloom_ray.pipelines import TopKItems
+
+    ds, table = docs
+    out = ds.aggregate(TopKItems("lang", 3, capacity=50))
+    got = out["top3(lang)"]
+    import collections
+    exact = collections.Counter(table["lang"].to_pylist())
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+    assert [(e["item"], e["count"]) for e in got] == want
+
+
+def test_topk_counts_within_mg_bound_when_capacity_tight(docs):
+    from archbloom_ray.pipelines import TopKItems
+
+    ds, table = docs
+    cap = 8
+    out = ds.aggregate(TopKItems("text", 5, capacity=cap))
+    import collections
+    exact = collections.Counter(table["text"].to_pylist())
+    n = len(table)
+    for e in out["top5(text)"]:
+        true = exact[e["item"]]
+        # MG estimate is a lower bound within N/capacity of truth
+        assert true - n / cap <= e["count"] <= true
+
+
+def test_dataset_profile_one_call(docs):
+    from archbloom_ray.pipelines import dataset_profile
+
+    ds, table = docs
+    prof = dataset_profile(ds, {"n_chars": "numeric", "lang": "string"},
+                           topk=2, quantiles=(0.5,))
+    vals = np.asarray(table["n_chars"], dtype=np.float64)
+    assert prof["count()"] == len(table)
+    assert prof["min(n_chars)"] == vals.min()
+    assert prof["max(n_chars)"] == vals.max()
+    assert prof["sum(n_chars)"] == vals.sum()
+    est = prof["tdigest_q0.5(n_chars)"]
+    assert abs((vals <= est).mean() - 0.5) <= 0.02
+    assert abs(prof["hll_distinct(lang)"] - 3) <= 4.0
+    assert len(prof["top2(lang)"]) == 2
+
+
 def test_empty_groups_and_nulls_are_skipped(ray_session):
     table = pa.table({
         "k": pa.array(["a", "a", "b", "b"]),
