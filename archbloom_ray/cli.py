@@ -668,6 +668,35 @@ def cmd_run(args):
         print(json.dumps({"query": args.name, "rows": res.num_rows}))
 
 
+def cmd_profile(args):
+    """One-pass dataset profile (``pipelines.udaf.dataset_profile``):
+    exact built-ins + HLL distinct + t-digest quantiles + Misra-Gries
+    top-k in a single ``Dataset.aggregate`` over one scan.
+    ``profile data.parquet --numeric n_chars --string lang``."""
+    _ray_init(args.num_cpus)
+    import ray.data as rd
+
+    from .pipelines.udaf import dataset_profile
+
+    cols = {c: "numeric" for c in args.numeric or []}
+    cols.update({c: "string" for c in args.string or []})
+    if not cols:
+        raise SystemExit("pass at least one --numeric/--string column")
+    ds = rd.read_parquet(args.input, columns=sorted(cols))
+    prof = dataset_profile(ds, cols, topk=args.topk,
+                           quantiles=tuple(args.quantile or (0.5, 0.9)))
+    out = {}
+    for key, val in prof.items():
+        if isinstance(val, list):  # top-k [{item, count}]
+            out[key] = [{"item": e["item"], "count": int(e["count"])}
+                        for e in val]
+        elif isinstance(val, float):
+            out[key] = round(val, 6)
+        else:
+            out[key] = int(val)
+    print(json.dumps(out, sort_keys=True))
+
+
 def cmd_index_build(args):
     """Build a persisted inverted index (stages.index) over a parquet
     corpus: distinct (term, doc) postings hive-partitioned by term
@@ -908,6 +937,17 @@ def main(argv=None):
                     help="comma list of quality,fingerprint,langid")
     sp.add_argument("--batch-size", type=int, default=65536)
     sp.set_defaults(fn=cmd_transform)
+
+    sp = sub.add_parser("profile")
+    sp.add_argument("input")
+    sp.add_argument("--numeric", action="append", default=None,
+                    help="numeric column (repeatable)")
+    sp.add_argument("--string", action="append", default=None,
+                    help="string column (repeatable)")
+    sp.add_argument("--topk", type=int, default=5)
+    sp.add_argument("--quantile", type=float, action="append",
+                    default=None, help="repeatable; default 0.5 and 0.9")
+    sp.set_defaults(fn=cmd_profile)
 
     sp = sub.add_parser("run")
     sp.add_argument("name", help="queries() pipeline name, or 'list'")

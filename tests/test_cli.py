@@ -217,6 +217,32 @@ def test_run_named_query(ray_session, tmp_path, capsys):
         main(["run", "no_such_query"])
 
 
+def test_profile_command(ray_session, capsys):
+    from archbloom_ray.cli import main
+
+    main(["profile", "/root/testdata/sf0.001/documents.parquet",
+          "--numeric", "n_chars", "--string", "lang",
+          "--topk", "2", "--quantile", "0.5"])
+    prof = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    t = pq.read_table("/root/testdata/sf0.001/documents.parquet",
+                      columns=["n_chars", "lang"])
+    import numpy as np
+    vals = np.asarray(t["n_chars"], dtype=np.float64)
+    assert prof["count()"] == len(t)
+    assert prof["min(n_chars)"] == vals.min()
+    assert prof["max(n_chars)"] == vals.max()
+    assert prof["sum(n_chars)"] == vals.sum()
+    # --quantile 0.5 must REPLACE the default pair, not append to it
+    assert "tdigest_q0.9(n_chars)" not in prof
+    import collections
+    exact = collections.Counter(t["lang"].to_pylist())
+    want = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+    assert [(e["item"], e["count"]) for e in prof["top2(lang)"]] == want
+
+    with pytest.raises(SystemExit):  # no columns given
+        main(["profile", "/root/testdata/sf0.001/documents.parquet"])
+
+
 def test_import_export_ref_cbloom_tdbloom(tmp_path):
     """--kind cbloom / tdbloom round-trip the reference counting and
     time-decaying formats byte-identically (golden bytes + geometry in
