@@ -963,6 +963,107 @@ def bloom_pruned_join(
                      how="inner", num_partitions=num_partitions)
 
 
+def skew_salted_join(
+    left: "ray.data.Dataset",
+    right: "ray.data.Dataset",
+    on: str,
+    right_on: str | None = None,
+    *,
+    salts: int = 8,
+    hot_keys: list | None = None,
+    hot_frac: float = 0.002,
+    mg_capacity: int = 512,
+    num_partitions: int | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Skew-resilient INNER equijoin: a dominant key (lang='en'-style
+    skew) melts exactly one reducer in a plain hash join; here HOT keys
+    are salted ``salts`` ways on the left and REPLICATED ``salts`` ways
+    on the right, then ONE ``Dataset.join`` runs on the composite
+    (key, salt) — the hot key's probe rows spread over ``salts``
+    reducers while every row still meets all its partners.  Result is
+    EXACTLY ``hash_join(left, right)`` (pytest-proved), because any
+    salt assignment is correct for a left row once the right copies
+    cover every salt.
+
+    Hot detection (when ``hot_keys`` is None) is ONE distributed
+    Misra-Gries pass over the left key column; a key is hot when its
+    UPPER-bound frequency (lower bound + deterministic MG error) hits
+    ``hot_frac``·n — biased toward recall, since a false-positive hot
+    key only costs ``salts − 1`` duplicate right rows, while a missed
+    hot key re-creates the hotspot.  Int and string keys (compared
+    through their canonical string form, matching MG's encoding).
+
+    Scale shape: the exchange adds only (#hot-right-rows)·(salts−1)
+    replicas — hot keys are by definition few, and the RIGHT side's
+    per-key row count is expected dim-like; put the skewed/big side on
+    the LEFT.  Cold rows ride salt 0 untouched.
+    """
+    import ray as _ray
+
+    from ..proc_cache import cached_instance
+
+    rkey = right_on or on
+    if hot_keys is None:
+        from ..sketches.mg import MisraGries
+        from .build import build_sketch
+
+        mg = build_sketch(left.select_columns([on]), on,
+                          lambda: MisraGries(mg_capacity),
+                          batch_size=batch_size)
+        eb = mg.error_bound()
+        hot_keys = [k.decode("utf-8", "replace")
+                    for k, c in mg.candidates()
+                    if c + eb >= hot_frac * max(mg.n, 1)]
+    hot_ref = _ray.put(sorted(str(k) for k in hot_keys))
+
+    def _hot_set():
+        return pa.array(_ray.get(hot_ref), type=pa.string())
+
+    def _is_hot(batch: pa.Table, key: str) -> np.ndarray:
+        hot = cached_instance(("salted_join_hot", hot_ref.hex()), _hot_set)
+        if len(hot) == 0:
+            return np.zeros(len(batch), dtype=bool)
+        ks = pc.cast(batch[key].combine_chunks(), pa.string())
+        return np.asarray(pc.is_in(ks, value_set=hot))
+
+    def salt_left(batch: pa.Table) -> pa.Table:
+        salt = np.zeros(len(batch), dtype=np.int64)
+        idx = np.flatnonzero(_is_hot(batch, on))
+        salt[idx] = np.arange(idx.size, dtype=np.int64) % salts
+        return batch.append_column("__salt", pa.array(salt))
+
+    def salt_right(batch: pa.Table) -> pa.Table:
+        ish = _is_hot(batch, rkey)
+        cold = batch.filter(pa.array(~ish))
+        parts = [cold.append_column(
+            "__salt", pa.array(np.zeros(len(cold), dtype=np.int64)))]
+        if ish.any():
+            hotb = batch.filter(pa.array(ish))
+            parts += [hotb.append_column(
+                "__salt", pa.array(np.full(len(hotb), s, dtype=np.int64)))
+                for s in range(salts)]
+        return pa.concat_tables(parts)
+
+    l2 = left.map_batches(salt_left, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+    r2 = right.map_batches(salt_right, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+    if num_partitions is None:
+        num_partitions = max(8, int(_ray.cluster_resources().get("CPU", 8)))
+    out = l2.join(r2, join_type="inner", num_partitions=num_partitions,
+                  on=(on, "__salt"), right_on=(rkey, "__salt"))
+
+    # drop the salt inside map_batches: empty join blocks pass through
+    # un-run (the schema-less-empty-block gotcha), non-empty ones lose
+    # the helper column
+    def _drop(batch: pa.Table) -> pa.Table:
+        return batch.drop_columns(["__salt"])
+
+    return out.map_batches(_drop, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def adaptive_join(
     left: "ray.data.Dataset",
     right: "ray.data.Dataset",

@@ -1625,6 +1625,38 @@ def q_udaf_lang_profile(sf_dir: str):
     })
 
 
+def q_salted_join_lang_shares(sf_dir: str):
+    """Skew-salted join on the corpus's REAL hot key (lang — 'en'
+    carries ~43% of documents): attach each language's total chars to
+    every doc through ``relational.skew_salted_join`` (Misra-Gries
+    hot-key detection, hot probe rows salted across reducers, right
+    rows replicated per salt — a plain hash join would funnel 'en'
+    through ONE reducer), then per (lang, source) doc counts and exact
+    ppm char shares.  Certifies the salted path end-to-end against
+    plain SQL."""
+    from .pipelines.relational import skew_salted_join
+
+    docs = _read(sf_dir, "documents", ["lang", "source", "n_chars"])
+    lang_tot = grouped_agg(_read(sf_dir, "documents", ["lang", "n_chars"]),
+                           ["lang"], [("lang_chars", "n_chars", "sum")])
+    joined = skew_salted_join(docs, lang_tot, "lang", salts=4,
+                              hot_frac=0.05)
+    agg = grouped_agg(joined, ["lang", "source"], [
+        ("n_docs", None, "count"),
+        ("chars", "n_chars", "sum"),
+        ("lang_chars", "lang_chars", "max"),
+    ])
+    rows = sorted(agg.take_all(), key=lambda r: (r["lang"], r["source"]))
+    return pa.table({
+        "lang": pa.array([r["lang"] for r in rows], pa.string()),
+        "source": pa.array([r["source"] for r in rows], pa.string()),
+        "n_docs": pa.array([r["n_docs"] for r in rows], pa.int64()),
+        "chars_share_e6": pa.array(
+            [(r["chars"] * 1_000_000) // r["lang_chars"] for r in rows],
+            pa.int64()),
+    })
+
+
 def q_dataset_profile_docs(sf_dir: str):
     """ONE-PASS dataset profile (``pipelines.udaf.dataset_profile``):
     exact built-ins (row count, min/max/sum) and sketched estimates
@@ -7995,6 +8027,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_distinct_by_lang": q_hll_distinct_by_lang,
         "udaf_lang_profile": q_udaf_lang_profile,
         "dataset_profile_docs": q_dataset_profile_docs,
+        "salted_join_lang_shares": q_salted_join_lang_shares,
         "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
@@ -9670,6 +9703,16 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "salted_join_lang_shares": """
+            WITH lt AS (
+                SELECT lang, CAST(sum(n_chars) AS BIGINT) AS lang_chars
+                FROM documents GROUP BY lang)
+            SELECT d.lang, source, count(*) AS n_docs,
+                   CAST((CAST(sum(n_chars) AS HUGEINT) * 1000000)
+                        // max(lang_chars) AS BIGINT) AS chars_share_e6
+            FROM documents d JOIN lt ON d.lang = lt.lang
+            GROUP BY d.lang, source
         """,
         "dataset_profile_docs": """
             SELECT '_table' AS col_name, 'count' AS metric, '' AS item,

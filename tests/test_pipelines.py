@@ -1736,6 +1736,61 @@ class TestBloomPrunedJoin:
         assert out.count() == 0
 
 
+class TestSkewSaltedJoin:
+    """skew_salted_join ≡ hash_join with a dominant key: salting the
+    hot key's probe rows across reducers must not change the result."""
+
+    def _tables(self):
+        rng = np.random.default_rng(23)
+        # 70% of left rows carry key 7 — the lang='en' hotspot shape
+        keys = np.where(rng.random(2000) < 0.7, 7,
+                        rng.integers(0, 100, 2000)).astype(np.int64)
+        left = pa.table({
+            "k": pa.array(keys),
+            "x": pa.array(np.arange(2000, dtype=np.int64)),
+        })
+        right = pa.table({
+            "k": pa.array(np.repeat(np.arange(0, 50, dtype=np.int64), 2)),
+            "v": pa.array(np.arange(100, dtype=np.int64)),  # 2 rows/key
+        })
+        return left, right
+
+    @pytest.mark.parametrize("hot", [None, [7]])
+    def test_equals_plain_hash_join(self, ray_session, hot):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines.relational import (
+            hash_join,
+            skew_salted_join,
+        )
+
+        left, right = self._tables()
+        lds = rd.from_arrow(left).repartition(4)
+        rds = rd.from_arrow(right).repartition(2)
+        got = sorted((r["k"], r["x"], r["v"]) for r in
+                     skew_salted_join(lds, rds, "k", salts=4,
+                                      hot_keys=hot, hot_frac=0.05,
+                                      num_partitions=4).take_all())
+        want = sorted((r["k"], r["x"], r["v"]) for r in
+                      hash_join(lds, rds, "k",
+                                num_partitions=4).take_all())
+        assert got == want and len(got) > 2000  # hot key matched 2-ways
+
+    def test_detects_dominant_key(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.sketches.mg import MisraGries
+        from archbloom_ray.pipelines.build import build_sketch
+
+        left, _ = self._tables()
+        mg = build_sketch(rd.from_arrow(left).repartition(4), "k",
+                          lambda: MisraGries(64))
+        eb = mg.error_bound()
+        hot = {k.decode() for k, c in mg.candidates()
+               if c + eb >= 0.05 * mg.n}
+        assert "7" in hot and len(hot) < 10
+
+
 class TestAdaptiveJoinOneToMany:
     """ADVICE r2: the broadcast path must emit EVERY matching right row
     (searchsorted left/right bounds), exactly like the shuffle path."""
