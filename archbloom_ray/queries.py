@@ -2802,6 +2802,50 @@ def q_q6_forecast_revenue(sf_dir: str):
     })
 
 
+def q_q6_pushdown_revenue(sf_dir: str):
+    """TPC-H Q6 again, with the predicates pushed INTO the read
+    (``read_parquet(filter=<pyarrow expression>)``): date and quantity
+    push down exactly; the discount band pushes down as a conservative
+    float range and the exact rint-quantized band re-checks on the
+    (already pruned) survivors.  On statistics-bearing parquet whole
+    row groups skip before decode — the row-filter half of
+    prune-at-the-read (the column half is ``columns=``).  Result ≡
+    ``q6_forecast_revenue``."""
+    import pyarrow.dataset as pads
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+    lo_ts = pa.scalar(LO_US, pa.timestamp("us"))
+    hi_ts = pa.scalar(HI_US, pa.timestamp("us"))
+    expr = ((pads.field("l_shipdate") >= lo_ts)
+            & (pads.field("l_shipdate") < hi_ts)
+            & (pads.field("l_quantity") < 24)
+            & (pads.field("l_discount") > 0.04)
+            & (pads.field("l_discount") < 0.08))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        disc = np.rint(np.asarray(batch["l_discount"], dtype=np.float64)
+                       * 100).astype(np.int64)
+        keep = (disc >= 5) & (disc <= 7)  # exact band on the survivors
+        price = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        rev = price * disc[keep]
+        return pa.table({"rev": pa.array([int(rev.sum())], pa.int64()),
+                         "n": pa.array([int(keep.sum())], pa.int64())})
+
+    parts = rd.read_parquet(
+        os.path.join(sf_dir, "lineitem.parquet"),
+        columns=["l_shipdate", "l_quantity", "l_discount",
+                 "l_extendedprice"],
+        filter=expr).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return pa.table({
+        "revenue_e4": pa.array([sum(r["rev"] for r in parts)], pa.int64()),
+        "n_lineitems": pa.array([sum(r["n"] for r in parts)], pa.int64()),
+    })
+
+
 def q_q18_large_volume_customers(sf_dir: str):
     """TPC-H Q18 (large-volume customers): orders whose total lineitem
     quantity exceeds 250, with customer name and integer-cent order
@@ -7937,6 +7981,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q4_order_priority": q_q4_order_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
         "q6_forecast_revenue": q_q6_forecast_revenue,
+        "q6_pushdown_revenue": q_q6_pushdown_revenue,
         "q7_nation_volume": q_q7_nation_volume,
         "q8_market_share": q_q8_market_share,
         "q9_product_profit": q_q9_product_profit,
@@ -9220,6 +9265,17 @@ def oracle_sql() -> dict[str, str]:
             ) GROUP BY user_id
         """,
         "q6_forecast_revenue": """
+            SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * CAST(round(l_discount * 100) AS BIGINT))
+                        AS BIGINT) AS revenue_e4,
+                   count(*) AS n_lineitems
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+              AND l_shipdate < TIMESTAMP '1997-01-01'
+              AND l_quantity < 24
+              AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "q6_pushdown_revenue": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
                             * CAST(round(l_discount * 100) AS BIGINT))
                         AS BIGINT) AS revenue_e4,
