@@ -2802,6 +2802,87 @@ def q_q6_forecast_revenue(sf_dir: str):
     })
 
 
+def q_q1_pricing_full(sf_dir: str):
+    """TPC-H Q1 at full fidelity (all eight aggregates): per
+    (returnflag, linestatus) over shipments before 2001 — Σqty, Σbase
+    price, Σdiscounted price, Σcharge, three averages, row count.
+    Everything is EXACT integer math: prices in cents, discount/tax as
+    rint-quantized percent, so disc_price lands in 1e-4 dollars and
+    charge (price·(1−d)·(1+t)) in 1e-6 dollars; the averages are e6
+    fixed-point floor divisions done in driver-side Python ints
+    (hugeint-safe), matching DuckDB's ``//``.  One scan, per-batch
+    pre-aggregation, 4-row grouped sum."""
+    CUT_US = 978_307_200_000_000   # 2001-01-01 epoch µs
+
+    def prep(batch: pa.Table) -> pa.Table:
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = sd < CUT_US
+        mask = pa.array(keep)
+        qty = np.rint(np.asarray(batch["l_quantity"],
+                                 dtype=np.float64)[keep]).astype(np.int64)
+        cents = np.rint(np.asarray(batch["l_extendedprice"],
+                                   dtype=np.float64)[keep]
+                        * 100).astype(np.int64)
+        disc = np.rint(np.asarray(batch["l_discount"],
+                                  dtype=np.float64)[keep]
+                       * 100).astype(np.int64)
+        tax = np.rint(np.asarray(batch["l_tax"], dtype=np.float64)[keep]
+                      * 100).astype(np.int64)
+        disc_price = cents * (100 - disc)
+        return pa.table({
+            "l_returnflag": batch["l_returnflag"].combine_chunks()
+                                                 .filter(mask),
+            "l_linestatus": batch["l_linestatus"].combine_chunks()
+                                                 .filter(mask),
+            "qty": pa.array(qty),
+            "cents": pa.array(cents),
+            "disc_pct": pa.array(disc),
+            "disc_price_e4": pa.array(disc_price),
+            "charge_e6": pa.array(disc_price * (100 + tax)),
+        })
+
+    ds = _read(sf_dir, "lineitem",
+               ["l_returnflag", "l_linestatus", "l_quantity",
+                "l_extendedprice", "l_discount", "l_tax",
+                "l_shipdate"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    agg = grouped_agg(ds, ["l_returnflag", "l_linestatus"], [
+        ("sum_qty", "qty", "sum"),
+        ("sum_base_cents", "cents", "sum"),
+        ("sum_disc_price_e4", "disc_price_e4", "sum"),
+        ("sum_charge_e6", "charge_e6", "sum"),
+        ("sum_disc_pct", "disc_pct", "sum"),
+        ("count_order", None, "count"),
+    ])
+    rows = sorted(agg.take_all(),
+                  key=lambda r: (r["l_returnflag"], r["l_linestatus"]))
+    return pa.table({
+        "l_returnflag": pa.array(
+            [r["l_returnflag"] for r in rows], pa.string()),
+        "l_linestatus": pa.array(
+            [r["l_linestatus"] for r in rows], pa.string()),
+        "sum_qty": pa.array([r["sum_qty"] for r in rows], pa.int64()),
+        "sum_base_cents": pa.array(
+            [r["sum_base_cents"] for r in rows], pa.int64()),
+        "sum_disc_price_e4": pa.array(
+            [r["sum_disc_price_e4"] for r in rows], pa.int64()),
+        "sum_charge_e6": pa.array(
+            [r["sum_charge_e6"] for r in rows], pa.int64()),
+        "avg_qty_e6": pa.array(
+            [(r["sum_qty"] * 1_000_000) // r["count_order"]
+             for r in rows], pa.int64()),
+        "avg_price_cents_e6": pa.array(
+            [(r["sum_base_cents"] * 1_000_000) // r["count_order"]
+             for r in rows], pa.int64()),
+        "avg_disc_e6": pa.array(
+            [(r["sum_disc_pct"] * 10_000) // r["count_order"]
+             for r in rows], pa.int64()),
+        "count_order": pa.array(
+            [r["count_order"] for r in rows], pa.int64()),
+    })
+
+
 def q_q6_pushdown_revenue(sf_dir: str):
     """TPC-H Q6 again, with the predicates pushed INTO the read
     (``read_parquet(filter=<pyarrow expression>)``): date and quantity
@@ -7980,6 +8061,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "nation_supplier_expand": q_nation_supplier_expand,
         "q4_order_priority": q_q4_order_priority,
         "q5_local_supplier_revenue": q_q5_local_supplier_revenue,
+        "q1_pricing_full": q_q1_pricing_full,
         "q6_forecast_revenue": q_q6_forecast_revenue,
         "q6_pushdown_revenue": q_q6_pushdown_revenue,
         "q7_nation_volume": q_q7_nation_volume,
@@ -9274,6 +9356,35 @@ def oracle_sql() -> dict[str, str]:
               AND l_shipdate < TIMESTAMP '1997-01-01'
               AND l_quantity < 24
               AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+        """,
+        "q1_pricing_full": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_base_cents,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT)))
+                        AS BIGINT) AS sum_disc_price_e4,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (100 - CAST(round(l_discount * 100)
+                                          AS BIGINT))
+                            * (100 + CAST(round(l_tax * 100) AS BIGINT)))
+                        AS BIGINT) AS sum_charge_e6,
+                   CAST((CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                              AS HUGEINT) * 1000000) // count(*)
+                        AS BIGINT) AS avg_qty_e6,
+                   CAST((CAST(sum(CAST(round(l_extendedprice * 100)
+                                       AS BIGINT)) AS HUGEINT) * 1000000)
+                        // count(*) AS BIGINT) AS avg_price_cents_e6,
+                   CAST((CAST(sum(CAST(round(l_discount * 100) AS BIGINT))
+                              AS HUGEINT) * 10000) // count(*)
+                        AS BIGINT) AS avg_disc_e6,
+                   count(*) AS count_order
+            FROM lineitem
+            WHERE l_shipdate < TIMESTAMP '2001-01-01'
+            GROUP BY l_returnflag, l_linestatus
         """,
         "q6_pushdown_revenue": """
             SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
