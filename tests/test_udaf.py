@@ -119,6 +119,31 @@ def test_dataset_profile_one_call(docs):
     assert len(prof["top2(lang)"]) == 2
 
 
+def test_topk_int_keys_come_back_as_canonical_strings(ray_session):
+    from archbloom_ray.pipelines import TopKItems
+
+    table = pa.table({"k": pa.array([7, 7, 7, 3, 3, 9], pa.int64())})
+    out = rd.from_arrow(table).aggregate(TopKItems("k", 2, capacity=16))
+    assert [(e["item"], e["count"]) for e in out["top2(k)"]] == \
+        [("7", 3), ("3", 2)]
+
+
+def test_profile_with_nulls_in_numeric_column(ray_session):
+    from archbloom_ray.pipelines import dataset_profile
+
+    table = pa.table({
+        "v": pa.array([1, None, 5, None, 9], pa.int64()),
+        "s": pa.array(["a", "b", "a", None, "c"]),
+    })
+    prof = dataset_profile(rd.from_arrow(table).repartition(3),
+                           {"v": "numeric", "s": "string"},
+                           topk=2, quantiles=(0.5,))
+    assert prof["count()"] == 5          # rows, not non-null values
+    assert prof["min(v)"] == 1 and prof["max(v)"] == 9
+    assert prof["sum(v)"] == 15          # nulls ignored
+    assert abs(prof["hll_distinct(s)"] - 3) <= 1.0  # null skipped
+
+
 def test_empty_groups_and_nulls_are_skipped(ray_session):
     table = pa.table({
         "k": pa.array(["a", "a", "b", "b"]),
