@@ -269,3 +269,37 @@ def union_harmonized(dss: list["ray.data.Dataset"]) -> "ray.data.Dataset":
                                     zero_copy_batch=True) if fn else d)
     out = fitted[0]
     return out.union(*fitted[1:]) if len(fitted) > 1 else out
+
+
+def parquet_column_bounds(path: str, column: str):
+    """(min, max) of a column across a parquet file or directory, from
+    footer ROW-GROUP STATISTICS only — no data pages are read.  The
+    metadata analogue of prune-at-the-read: the bounds of a 10^12-row
+    corpus cost one footer per file.  Returns ``None`` when the column
+    is absent or any non-empty row group lacks min/max stats (callers
+    fall back to a scan — see bench.py's event-time stage)."""
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
+             if os.path.isdir(path) else [path])
+    if not files:
+        return None
+    lo = hi = None
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        names = [md.schema.column(i).name for i in range(md.num_columns)]
+        if column not in names:
+            return None
+        ci = names.index(column)
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(ci).statistics
+            if st is None or not st.has_min_max:
+                if st is not None and st.num_values == st.null_count:
+                    continue  # all-null row group constrains nothing
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+    return None if lo is None else (lo, hi)

@@ -214,16 +214,25 @@ def run_bench() -> dict:
         from archbloom_ray.pipelines import build_sharded_tdbloom_states
         from archbloom_ray.sketches import TimeDecayingBloomFilter
 
-        def ts_bounds(batch: pa.Table) -> pa.Table:
-            s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
-                          pa.scalar(1_000_000, pa.int64()))
-            return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
-                             "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+        from archbloom_ray.sources import parquet_column_bounds
 
-        bounds = rd.read_parquet(pages_path, columns=["warc_ts"]).map_batches(
-            ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
-        lo = min(r["lo"] for r in bounds)
-        hi = max(r["hi"] for r in bounds)
+        meta_bounds = parquet_column_bounds(pages_path, "warc_ts")
+        if meta_bounds is not None:
+            # footer statistics only — no data pages read for the bounds
+            lo, hi = (pa.scalar(b, pa.timestamp("us"))
+                      .cast(pa.int64()).as_py() // 1_000_000
+                      for b in meta_bounds)
+        else:  # stats-less files: fall back to the narrow scan
+            def ts_bounds(batch: pa.Table) -> pa.Table:
+                s = pc.divide(pc.cast(batch["warc_ts"], pa.int64()),
+                              pa.scalar(1_000_000, pa.int64()))
+                return pa.table({"lo": pa.array([pc.min(s).as_py()], type=pa.int64()),
+                                 "hi": pa.array([pc.max(s).as_py()], type=pa.int64())})
+
+            bounds = rd.read_parquet(pages_path, columns=["warc_ts"]).map_batches(
+                ts_bounds, batch_format="pyarrow", zero_copy_batch=True).take_all()
+            lo = min(r["lo"] for r in bounds)
+            hi = max(r["hi"] for r in bounds)
         span = max(hi - lo, 4)
         unit = max(1, span // 4000)  # coarsen so ticks fit 2-byte slots
         timeout_u = max((span // unit) // 4, 255)

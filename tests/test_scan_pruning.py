@@ -38,3 +38,30 @@ def test_every_read_parquet_is_column_pruned():
         "read_parquet without columns= (unpruned scan): "
         + ", ".join(offenders)
     )
+
+
+def test_parquet_column_bounds_matches_scan(tmp_path):
+    """Footer-statistics bounds == scan bounds; stats-less files return
+    None (the scan fallback signal)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archbloom_ray.sources import parquet_column_bounds
+
+    rng = np.random.default_rng(3)
+    ts = rng.integers(1_700_000_000, 1_800_000_000, 5000)
+    t = pa.table({"ts": pa.array(ts, pa.int64()),
+                  "x": pa.array(rng.random(5000))})
+    d = tmp_path / "dir"
+    d.mkdir()
+    pq.write_table(t.slice(0, 2500), d / "a.parquet", row_group_size=512)
+    pq.write_table(t.slice(2500), d / "b.parquet", row_group_size=512)
+    assert parquet_column_bounds(str(d), "ts") == (ts.min(), ts.max())
+    assert parquet_column_bounds(str(d / "a.parquet"), "ts") == \
+        (ts[:2500].min(), ts[:2500].max())
+    assert parquet_column_bounds(str(d), "missing") is None
+
+    nostats = tmp_path / "nostats.parquet"
+    pq.write_table(t, nostats, write_statistics=False)
+    assert parquet_column_bounds(str(nostats), "ts") is None
