@@ -1740,6 +1740,7 @@ def q_bound_pass_rate(sf_dir: str):
     (fixed hash seed), so the oracle pins pass = cells per family."""
     hll_t = q_hll_distinct_by_lang(sf_dir)
     cms_t = q_cms_source_counts(sf_dir)
+    qnt_t = q_quantile_sketches(sf_dir)   # t-digest/KLL rank error
 
     ds = _read(sf_dir, "documents", ["text"])
     n = ds.count()
@@ -1748,13 +1749,16 @@ def q_bound_pass_rate(sf_dir: str):
     fpr = float(bf.lookup_batch(absent).mean())
     bloom_ok = int(fpr <= bf.estimate_false_positive_rate())
 
-    fam = ["bloom", "cms", "hll"]
-    cells = [1, len(cms_t), len(hll_t)]
+    def _nsum(col):
+        return int(pc.sum(pc.cast(col, pa.int64())).as_py())
+
+    fam = ["bloom", "cms", "hll", "kll", "tdigest"]
+    cells = [1, len(cms_t), len(hll_t), len(qnt_t), len(qnt_t)]
     within = [bloom_ok,
-              int(pc.sum(pc.cast(cms_t["cms_within_bound"],
-                                 pa.int64())).as_py()),
-              int(pc.sum(pc.cast(hll_t["hll_within_bound"],
-                                 pa.int64())).as_py())]
+              _nsum(cms_t["cms_within_bound"]),
+              _nsum(hll_t["hll_within_bound"]),
+              _nsum(qnt_t["kll_within_bound"]),
+              _nsum(qnt_t["tdigest_within_bound"])]
     total_c, total_w = sum(cells), sum(within)
     rate = (total_w * 1_000_000) // total_c if total_c else 0
     return pa.table({
@@ -9849,7 +9853,11 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'cms', count(DISTINCT source) FROM documents
                 UNION ALL
-                SELECT 'hll', count(DISTINCT lang) FROM documents),
+                SELECT 'hll', count(DISTINCT lang) FROM documents
+                UNION ALL
+                SELECT 'kll', CAST(5 AS BIGINT)
+                UNION ALL
+                SELECT 'tdigest', CAST(5 AS BIGINT)),
             t AS (
                 SELECT family, n_cells FROM c
                 UNION ALL
