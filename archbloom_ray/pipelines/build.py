@@ -257,9 +257,18 @@ def build_event_time_sketch(
 
     def update(batch: pa.Table) -> pa.Table:
         sk = factory()
-        secs = pa.compute.cast(
-            pa.compute.cast(batch[ts_column], pa.timestamp("s")), pa.int64()
-        )
+        col = batch[ts_column]
+        if pa.types.is_timestamp(col.type):
+            # floor epoch-µs to seconds via int64 divide: a direct cast
+            # to timestamp[s] RAISES on fractional seconds (CLAUDE.md
+            # gotcha), and whole-second data is bit-identical either way
+            unit = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                    "ns": 1_000_000_000}[col.type.unit]
+            secs = pa.compute.divide(
+                pa.compute.cast(col, pa.int64()),
+                pa.scalar(unit, pa.int64()))
+        else:  # already integer seconds
+            secs = pa.compute.cast(col, pa.int64())
         sk.update_arrow(batch[key_column], now=np.asarray(secs))
         return pa.table({"state": pa.array([sk.to_bytes()], type=pa.large_binary())})
 

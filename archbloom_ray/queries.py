@@ -1625,6 +1625,57 @@ def q_udaf_lang_profile(sf_dir: str):
     })
 
 
+def q_events_sliding_distinct_users(sf_dir: str):
+    """Sliding-window distinct: ONE SlidingHyperLogLog build over the
+    events stream (sketches/slidinghll.py — per-register pareto lists
+    of (rank, last-seen)) answers "distinct users active in the last
+    w days" for EVERY w at end-of-ingest; certified per window against
+    the exact distributed count (per-user max-seconds grouped_agg)
+    with the 3σ HLL bound.  End-of-ingest comes from parquet FOOTER
+    statistics (no scan); the cardinality complement of the
+    time-decaying Bloom freshness family."""
+    from .pipelines.build import build_event_time_sketch
+    from .sources import parquet_column_bounds
+    from .sketches import SlidingHyperLogLog
+
+    bounds = parquet_column_bounds(
+        os.path.join(sf_dir, "events.parquet"), "ts")
+    end_s = pa.scalar(bounds[1], pa.timestamp("us")) \
+        .cast(pa.int64()).as_py() // 1_000_000
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"])
+    sk = build_event_time_sketch(ds, "user_id", "ts",
+                                 lambda: SlidingHyperLogLog(14))
+
+    def per_user(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                      pa.scalar(1_000_000, pa.int64()))
+        t = pa.table({"u": batch["user_id"], "s": s}).group_by(
+            ["u"]).aggregate([("s", "max")])
+        return pa.table({"user_id": t["u"], "last_s": t["s_max"]})
+
+    per = grouped_agg(
+        _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+            per_user, batch_format="pyarrow", zero_copy_batch=True),
+        ["user_id"], [("last_s", "last_s", "max")]).take_all()
+    last = np.array([r["last_s"] for r in per], dtype=np.int64)
+
+    rel = 3 * 1.04 / math.sqrt(2 ** 14)
+    days, exacts, within = [], [], []
+    for d in (1, 7, 30):
+        cutoff = end_s - d * 86_400
+        exact = int((last >= cutoff).sum())
+        est = sk.cardinality(since=cutoff)
+        days.append(d)
+        exacts.append(exact)
+        within.append(abs(est - exact) <= max(rel * exact, 4.0))
+    return pa.table({
+        "window_days": pa.array(days, pa.int64()),
+        "distinct_exact": pa.array(exacts, pa.int64()),
+        "hll_within_bound": pa.array(within, pa.bool_()),
+    })
+
+
 def q_salted_join_lang_shares(sf_dir: str):
     """Skew-salted join on the corpus's REAL hot key (lang — 'en'
     carries ~43% of documents): attach each language's total chars to
@@ -8159,6 +8210,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "udaf_lang_profile": q_udaf_lang_profile,
         "dataset_profile_docs": q_dataset_profile_docs,
         "salted_join_lang_shares": q_salted_join_lang_shares,
+        "events_sliding_distinct_users": q_events_sliding_distinct_users,
         "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
@@ -9878,6 +9930,24 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "events_sliding_distinct_users": """
+            WITH e AS (
+                SELECT (SELECT epoch_us(max(ts)) // 1000000 FROM events)
+                    AS end_s)
+            SELECT CAST(1 AS BIGINT) AS window_days,
+                   count(DISTINCT user_id) AS distinct_exact,
+                   TRUE AS hll_within_bound
+            FROM events, e
+            WHERE epoch_us(ts) // 1000000 >= end_s - 1 * 86400
+            UNION ALL
+            SELECT CAST(7 AS BIGINT), count(DISTINCT user_id), TRUE
+            FROM events, e
+            WHERE epoch_us(ts) // 1000000 >= end_s - 7 * 86400
+            UNION ALL
+            SELECT CAST(30 AS BIGINT), count(DISTINCT user_id), TRUE
+            FROM events, e
+            WHERE epoch_us(ts) // 1000000 >= end_s - 30 * 86400
         """,
         "salted_join_lang_shares": """
             WITH lt AS (

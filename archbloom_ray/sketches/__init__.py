@@ -6,6 +6,7 @@ from .cbloom import CountingBloomFilter
 from .tdbloom import TimeDecayingBloomFilter
 from .tdcbloom import TimeDecayingCountingBloomFilter
 from .hll import HyperLogLog, SparseHLL
+from .slidinghll import SlidingHyperLogLog
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
@@ -33,6 +34,7 @@ __all__ = [
     "TimeDecayingCountingBloomFilter",
     "HyperLogLog",
     "SparseHLL",
+    "SlidingHyperLogLog",
     "CountMinSketch",
     "TDigest",
     "KLLSketch",
