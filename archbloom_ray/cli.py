@@ -55,7 +55,8 @@ def _make_sketch(kind: str, args) -> "object":
     from .sketches import (BlockedBloomFilter, BloomFilter,
                            CountingBloomFilter, CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
-                           KMVSketch, ScalableBloomFilter, SparseHLL,
+                           KMVSketch, ScalableBloomFilter,
+                           SlidingHyperLogLog, SparseHLL,
                            TDigest, ThetaSketch,
                            RoaringBitmap, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
@@ -73,6 +74,7 @@ def _make_sketch(kind: str, args) -> "object":
         "cuckoo": lambda: CuckooFilter(max(16, args.expected // 4), 4),
         "hll": lambda: HyperLogLog(args.precision),
         "sparsehll": lambda: SparseHLL(args.precision),
+        "slidinghll": lambda: SlidingHyperLogLog(args.precision),
         "cms": lambda: CountMinSketch(epsilon=args.epsilon, delta=args.delta),
         "tdigest": lambda: TDigest(args.compression),
         "kll": lambda: KLLSketch(args.kll_k),
@@ -113,6 +115,30 @@ def _input_dataset(args):
 def cmd_create(args):
     _ray_init(args.num_cpus)
     from .pipelines.build import build_sketch
+
+    if args.kind == "slidinghll":
+        # event-time sketch: needs (key, time) — parquet two-column read
+        if not getattr(args, "secs_column", None) \
+                or not args.input.endswith(".parquet"):
+            print(json.dumps({"error": "--kind slidinghll needs a parquet "
+                                       "input and --secs-column"}))
+            sys.exit(2)
+        import ray.data as rd
+
+        from .pipelines.build import build_event_time_sketch
+        from .sketches import SlidingHyperLogLog
+
+        ds2 = rd.read_parquet(args.input,
+                              columns=[args.column, args.secs_column])
+        built = build_event_time_sketch(
+            ds2, args.column, args.secs_column,
+            lambda: SlidingHyperLogLog(args.precision),
+            batch_size=args.batch_size)
+        if args.name:
+            built.name = args.name
+        _save(built, args.output)
+        print(json.dumps({"saved": args.output, **_info_dict(built)}))
+        return
 
     ds, col = _input_dataset(args)
     sk = _make_sketch(args.kind, args)
@@ -484,6 +510,8 @@ def _info_dict(sk) -> dict:
     from .sketches import Sketch
 
     out = {"type": type(sk).__name__, "name": getattr(sk, "name", None)}
+    if hasattr(sk, "n_entries"):
+        out["n_entries"] = sk.n_entries()
     fin = sk.finalize()
     if isinstance(fin, dict):
         out.update(fin)
@@ -787,8 +815,9 @@ def main(argv=None):
         sp.add_argument("--kind", default="bloom",
                         choices=["bloom", "blockedbloom", "sbloom", "cbloom",
                                  "tdbloom", "tdcbloom", "cuckoo", "hll",
-                                 "sparsehll", "cms", "tdigest", "kll",
-                                 "ddsketch", "kmv", "theta", "roaring"])
+                                 "sparsehll", "slidinghll", "cms", "tdigest",
+                                 "kll", "ddsketch", "kmv", "theta",
+                                 "roaring"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)
@@ -807,6 +836,8 @@ def main(argv=None):
     sp.add_argument("output")
     sp.add_argument("--column", default="url")
     sp.add_argument("--name", default=None)
+    sp.add_argument("--secs-column", default=None,
+                    help="event-time column (required for slidinghll)")
     common_sketch_args(sp)
     sp.set_defaults(fn=cmd_create)
 

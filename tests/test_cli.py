@@ -243,6 +243,44 @@ def test_profile_command(ray_session, capsys):
         main(["profile", "/root/testdata/sf0.001/documents.parquet"])
 
 
+def test_create_slidinghll_event_time(ray_session, tmp_path, capsys):
+    import numpy as np
+
+    from archbloom_ray.cli import main
+    from archbloom_ray.sketches import SlidingHyperLogLog
+    from archbloom_ray.sketches.base import sketch_from_bytes
+
+    rng = np.random.default_rng(9)
+    n = 2000
+    t = pa.table({
+        "k": pa.array([f"u{rng.integers(0, 80)}" for _ in range(n)]),
+        "ts": pa.array((rng.integers(0, 5000, n) * 1_000_000 + 123)
+                       .astype("datetime64[us]")),
+    })
+    src = str(tmp_path / "ev.parquet")
+    pq.write_table(t, src)
+    out = str(tmp_path / "ev.shll")
+    main(["create", src, out, "--kind", "slidinghll", "--column", "k",
+          "--secs-column", "ts", "--precision", "12"])
+    rep = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert rep["type"] == "SlidingHyperLogLog" and rep["n_entries"] > 0
+    with open(out, "rb") as f:
+        sk = sketch_from_bytes(f.read())
+    assert isinstance(sk, SlidingHyperLogLog)
+    # window estimate within bound of the brute-force distinct
+    secs = (np.asarray(t["ts"].cast(pa.int64())) // 1_000_000)
+    last = {}
+    for k, s in zip(t["k"].to_pylist(), secs):
+        last[k] = max(last.get(k, -1), int(s))
+    for cut in (0, 2500, 4500):
+        exact = sum(1 for s in last.values() if s >= cut)
+        bound = max(3 * sk.relative_error_bound() * exact, 4.0)
+        assert abs(sk.cardinality(since=cut) - exact) <= bound
+
+    with pytest.raises(SystemExit):  # missing --secs-column
+        main(["create", src, out, "--kind", "slidinghll", "--column", "k"])
+
+
 def test_import_export_ref_cbloom_tdbloom(tmp_path):
     """--kind cbloom / tdbloom round-trip the reference counting and
     time-decaying formats byte-identically (golden bytes + geometry in
