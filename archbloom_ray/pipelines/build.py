@@ -258,18 +258,9 @@ def build_event_time_sketch(
     def update(batch: pa.Table) -> pa.Table:
         sk = factory()
         col = batch[ts_column]
-        if pa.types.is_timestamp(col.type):
-            # floor epoch-µs to seconds via int64 divide: a direct cast
-            # to timestamp[s] RAISES on fractional seconds (CLAUDE.md
-            # gotcha), and whole-second data is bit-identical either way
-            unit = {"s": 1, "ms": 1_000, "us": 1_000_000,
-                    "ns": 1_000_000_000}[col.type.unit]
-            secs = pa.compute.divide(
-                pa.compute.cast(col, pa.int64()),
-                pa.scalar(unit, pa.int64()))
-        else:  # already integer seconds
-            secs = pa.compute.cast(col, pa.int64())
-        sk.update_arrow(batch[key_column], now=np.asarray(secs))
+        sk.update_arrow(batch[key_column], now=_epoch_seconds(
+            col.combine_chunks() if isinstance(col, pa.ChunkedArray)
+            else col))
         return pa.table({"state": pa.array([sk.to_bytes()], type=pa.large_binary())})
 
     partials = ds.map_batches(
@@ -422,16 +413,23 @@ def build_grouped_sketches(
     partials = ds.map_batches(
         update, batch_format="pyarrow", batch_size=batch_size, zero_copy_batch=True
     )
+    return _grouped_state_merge(partials, salt)
 
-    def merge_group(group: pa.Table, key_cols: list[str]) -> pa.Table:
-        states = group["state"].to_pylist()
-        acc = sketch_from_bytes(states[0])
-        for s in states[1:]:
-            acc.merge(sketch_from_bytes(s))
-        cols = {c: pa.array([group[c][0].as_py()]) for c in key_cols}
-        cols["state"] = pa.array([acc.to_bytes()], type=pa.large_binary())
-        return pa.table(cols)
 
+def _merge_state_group(group: pa.Table, key_cols: list[str]) -> pa.Table:
+    states = group["state"].to_pylist()
+    acc = sketch_from_bytes(states[0])
+    for s in states[1:]:
+        acc.merge(sketch_from_bytes(s))
+    cols = {c: pa.array([group[c][0].as_py()]) for c in key_cols}
+    cols["state"] = pa.array([acc.to_bytes()], type=pa.large_binary())
+    return pa.table(cols)
+
+
+def _grouped_state_merge(partials: "ray.data.Dataset",
+                         salt: int) -> "ray.data.Dataset":
+    """Per-key merge of ``{key, state}`` partial rows, with an optional
+    salted pre-merge level bounding per-reducer fan-in for hot keys."""
     if salt > 0:
         # level 1: merge within (key, salt) buckets.  The salt must spread
         # the partials of ONE key across buckets; a per-batch round-robin
@@ -445,13 +443,74 @@ def build_grouped_sketches(
 
         salted = partials.map_batches(add_salt, batch_format="pyarrow")
         level1 = salted.groupby(["key", "salt"]).map_groups(
-            lambda g: merge_group(g, ["key", "salt"]), batch_format="pyarrow"
+            lambda g: _merge_state_group(g, ["key", "salt"]),
+            batch_format="pyarrow"
         )
         partials = level1.drop_columns(["salt"])
 
     return partials.groupby("key").map_groups(
-        lambda g: merge_group(g, ["key"]), batch_format="pyarrow"
+        lambda g: _merge_state_group(g, ["key"]), batch_format="pyarrow"
     )
+
+
+def _epoch_seconds(col) -> np.ndarray:
+    """Column → int64 epoch seconds: timestamps floor-divide through
+    int64 (a direct cast to timestamp[s] RAISES on fractional seconds);
+    integer columns cast."""
+    if pa.types.is_timestamp(col.type):
+        unit = {"s": 1, "ms": 1_000, "us": 1_000_000,
+                "ns": 1_000_000_000}[col.type.unit]
+        return np.asarray(pa.compute.cast(col, pa.int64())) // unit
+    return np.asarray(pa.compute.cast(col, pa.int64()))
+
+
+def build_grouped_event_time_sketches(
+    ds: "ray.data.Dataset",
+    key_column: str,
+    value_column: str,
+    ts_column: str,
+    factory: Callable[[], Sketch],
+    *,
+    batch_size: int = 65536,
+    salt: int = 0,
+) -> "ray.data.Dataset":
+    """One EVENT-TIME sketch per key (e.g. a SlidingHyperLogLog per
+    event_type): stage A pre-combines inside each batch — one
+    ``(key, state)`` row per key per batch, with per-row ticks fed to
+    ``update_arrow(values, now=secs)`` — so the shuffle moves partial
+    states, not rows; the merge is the same salted per-key tree as
+    :func:`build_grouped_sketches`.  Returns ``{key, state}`` rows."""
+
+    def update(batch: pa.Table) -> pa.Table:
+        keys = batch[key_column].combine_chunks() \
+            if isinstance(batch[key_column], pa.ChunkedArray) \
+            else batch[key_column]
+        enc = pa.compute.dictionary_encode(keys)
+        codes = np.asarray(enc.indices)
+        uniq = enc.dictionary.to_pylist()
+        vals = batch[value_column]
+        vals_c = vals.combine_chunks() \
+            if isinstance(vals, pa.ChunkedArray) else vals
+        secs = _epoch_seconds(batch[ts_column].combine_chunks()
+                              if isinstance(batch[ts_column],
+                                            pa.ChunkedArray)
+                              else batch[ts_column])
+        out_keys, out_states = [], []
+        for code, key in enumerate(uniq):
+            mask = codes == code
+            sk = factory()
+            sk.update_arrow(vals_c.filter(pa.array(mask)), now=secs[mask])
+            out_keys.append(key)
+            out_states.append(sk.to_bytes())
+        return pa.table({
+            "key": pa.array(out_keys, type=enc.dictionary.type),
+            "state": pa.array(out_states, type=pa.large_binary()),
+        })
+
+    partials = ds.map_batches(
+        update, batch_format="pyarrow", batch_size=batch_size,
+        zero_copy_batch=True)
+    return _grouped_state_merge(partials, salt)
 
 
 def grouped_to_dict(grouped: "ray.data.Dataset") -> dict[str, Sketch]:

@@ -1676,6 +1676,60 @@ def q_events_sliding_distinct_users(sf_dir: str):
     })
 
 
+def q_events_sliding_dau_by_type(sf_dir: str):
+    """GROUPED sliding-window distinct: one SlidingHyperLogLog per
+    event_type (``build_grouped_event_time_sketches`` — per-batch
+    pre-combine, salted per-key state merge), queried for distinct
+    users active in the final 7 days; certified per type against the
+    exact pair-dedup distinct count over the same window."""
+    from .pipelines.build import build_grouped_event_time_sketches, \
+        grouped_to_dict
+    from .pipelines.relational import grouped_distinct_count
+    from .sketches import SlidingHyperLogLog
+    from .sources import parquet_column_bounds
+
+    bounds = parquet_column_bounds(
+        os.path.join(sf_dir, "events.parquet"), "ts")
+    end_s = pa.scalar(bounds[1], pa.timestamp("us")) \
+        .cast(pa.int64()).as_py() // 1_000_000
+    cutoff = end_s - 7 * 86_400
+
+    ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])
+    sks = grouped_to_dict(build_grouped_event_time_sketches(
+        ds, "event_type", "user_id", "ts",
+        lambda: SlidingHyperLogLog(14), salt=4))
+
+    def window_pairs(batch: pa.Table) -> pa.Table:
+        s = pc.divide(pc.cast(batch["ts"].combine_chunks(), pa.int64()),
+                      pa.scalar(1_000_000, pa.int64()))
+        keep = pa.array(np.asarray(s) >= cutoff)
+        return pa.table({
+            "event_type": batch["event_type"].combine_chunks()
+                                             .filter(keep),
+            "user_id": batch["user_id"].combine_chunks().filter(keep),
+        })
+
+    exact_rows = grouped_distinct_count(
+        _read(sf_dir, "events",
+              ["event_type", "user_id", "ts"]).map_batches(
+            window_pairs, batch_format="pyarrow", zero_copy_batch=True),
+        ["event_type"], "user_id").take_all()
+    exact = {r["event_type"]: int(r["n_distinct"]) for r in exact_rows}
+
+    rel = 3 * 1.04 / math.sqrt(2 ** 14)
+    types = sorted(exact)
+    within = [
+        abs(sks[t].cardinality(since=cutoff) - exact[t])
+        <= max(rel * exact[t], 4.0)
+        for t in types
+    ]
+    return pa.table({
+        "event_type": pa.array(types, pa.string()),
+        "distinct_exact": pa.array([exact[t] for t in types], pa.int64()),
+        "hll_within_bound": pa.array(within, pa.bool_()),
+    })
+
+
 def q_salted_join_lang_shares(sf_dir: str):
     """Skew-salted join on the corpus's REAL hot key (lang — 'en'
     carries ~43% of documents): attach each language's total chars to
@@ -8211,6 +8265,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dataset_profile_docs": q_dataset_profile_docs,
         "salted_join_lang_shares": q_salted_join_lang_shares,
         "events_sliding_distinct_users": q_events_sliding_distinct_users,
+        "events_sliding_dau_by_type": q_events_sliding_dau_by_type,
         "bound_pass_rate": q_bound_pass_rate,
         "hll_rollup": q_hll_rollup,
         "tdigest_by_lang": q_tdigest_by_lang,
@@ -9930,6 +9985,17 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound
             FROM documents GROUP BY lang
+        """,
+        "events_sliding_dau_by_type": """
+            WITH e AS (
+                SELECT (SELECT epoch_us(max(ts)) // 1000000 FROM events)
+                    AS end_s)
+            SELECT event_type,
+                   count(DISTINCT user_id) AS distinct_exact,
+                   TRUE AS hll_within_bound
+            FROM events, e
+            WHERE epoch_us(ts) // 1000000 >= end_s - 7 * 86400
+            GROUP BY event_type
         """,
         "events_sliding_distinct_users": """
             WITH e AS (
