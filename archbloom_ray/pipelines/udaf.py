@@ -132,6 +132,59 @@ class SketchQuantile(SketchAgg):
         )
 
 
+class SlidingDistinct(AggregateFnV2):
+    """Sliding-window distinct count as a native aggregation — the
+    TWO-COLUMN UDAF shape (``on=None``: the whole block arrives and the
+    key + event-time columns are read explicitly).  Accumulator =
+    serialized SlidingHyperLogLog; combine = pareto merge.  With
+    ``since`` set, finalizes to the window's cardinality estimate
+    (float64); otherwise returns the sketch bytes so callers can ask
+    for ANY window later."""
+
+    def __init__(self, key_col: str, ts_col: str, *, p: int = 14,
+                 since: Optional[int] = None,
+                 horizon: Optional[int] = None,
+                 alias_name: Optional[str] = None):
+        from ..sketches.slidinghll import SlidingHyperLogLog
+
+        self._key_col, self._ts_col = key_col, ts_col
+        self._p, self._since, self._horizon = p, since, horizon
+        super().__init__(
+            alias_name or f"sliding_distinct({key_col})",
+            zero_factory=lambda: SlidingHyperLogLog(
+                p, horizon=horizon).to_bytes(),
+            on=None, ignore_nulls=True)
+
+    def aggregate_block(self, block: Block) -> bytes:
+        from .build import _epoch_seconds
+        from ..sketches.slidinghll import SlidingHyperLogLog
+
+        t = BlockAccessor.for_block(block).to_arrow()
+        sk = SlidingHyperLogLog(self._p, horizon=self._horizon)
+        keys = t[self._key_col].combine_chunks()
+        ts = t[self._ts_col].combine_chunks()
+        valid = None
+        if keys.null_count or ts.null_count:
+            import pyarrow.compute as _pc
+
+            valid = _pc.and_(_pc.is_valid(keys), _pc.is_valid(ts))
+            keys, ts = keys.filter(valid), ts.filter(valid)
+        if len(keys):
+            sk.update_arrow(keys, now=_epoch_seconds(ts))
+        return sk.to_bytes()
+
+    def combine(self, current: bytes, new: bytes) -> bytes:
+        acc = sketch_from_bytes(current)
+        acc.merge(sketch_from_bytes(new))
+        return acc.to_bytes()
+
+    def finalize(self, accumulator: bytes) -> Any:
+        if self._since is None:
+            return accumulator
+        return float(sketch_from_bytes(accumulator)
+                     .cardinality(since=self._since))
+
+
 class TopKItems(SketchAgg):
     """Approximate heavy hitters via Misra-Gries, finalized to the
     top-k ``[{item, count}, ...]`` list (descending count, item

@@ -55,12 +55,21 @@ def _pareto(regs: np.ndarray, ranks: np.ndarray, times: np.ndarray):
 class SlidingHyperLogLog(Sketch):
     MAGIC = b"!slidhll"
 
-    def __init__(self, precision: int = 14, name: str = "DEFAULT"):
+    def __init__(self, precision: int = 14, name: str = "DEFAULT",
+                 horizon: int | None = None):
+        """``horizon`` (seconds) bounds state on infinite streams:
+        entries older than max_seen − horizon are pruned — every window
+        ≤ horizon stays exact-HLL, while the all-time query degrades to
+        "since max_seen − horizon".  None (default) keeps everything
+        (state is O(m·log n) anyway)."""
         if not (4 <= precision <= 18):
             raise SketchError("precision must be in [4, 18]")
+        if horizon is not None and horizon <= 0:
+            raise SketchError("horizon must be positive")
         self.precision = int(precision)
         self.m = 1 << precision
         self.name = name
+        self.horizon = int(horizon) if horizon is not None else None
         self.regs = np.empty(0, dtype=np.int32)
         self.ranks = np.empty(0, dtype=np.uint8)
         self.times = np.empty(0, dtype=np.int64)
@@ -88,6 +97,19 @@ class SlidingHyperLogLog(Sketch):
             np.concatenate([self.regs, idx]),
             np.concatenate([self.ranks, rho]),
             np.concatenate([self.times, np.asarray(times, dtype=np.int64)]))
+        self._prune()
+
+    def _prune(self) -> None:
+        """Drop entries older than max_seen − horizon: no window ≤
+        horizon can ever select them (queries further back are out of
+        contract once a horizon is set)."""
+        if self.horizon is None or self.times.size == 0:
+            return
+        keep = self.times >= int(self.times.max()) - self.horizon
+        if not keep.all():
+            self.regs = self.regs[keep]
+            self.ranks = self.ranks[keep]
+            self.times = self.times[keep]
 
     # -- query ---------------------------------------------------------
     def registers_since(self, since: int | None = None) -> np.ndarray:
@@ -128,6 +150,7 @@ class SlidingHyperLogLog(Sketch):
             np.concatenate([self.regs, other.regs]),
             np.concatenate([self.ranks, other.ranks]),
             np.concatenate([self.times, other.times]))
+        self._prune()
         return self
 
     def n_entries(self) -> int:
@@ -135,10 +158,11 @@ class SlidingHyperLogLog(Sketch):
 
     # -- serialization ---------------------------------------------------
     def _meta_compat(self) -> dict:
-        return {"precision": self.precision}
+        return {"precision": self.precision, "horizon": self.horizon}
 
     def _meta(self) -> dict:
-        return {"precision": self.precision, "name": self.name}
+        return {"precision": self.precision, "name": self.name,
+                "horizon": self.horizon}
 
     def _arrays(self):
         return [self.regs, self.ranks, self.times]
@@ -148,4 +172,5 @@ class SlidingHyperLogLog(Sketch):
 
     @classmethod
     def _from_meta(cls, meta) -> "SlidingHyperLogLog":
-        return cls(meta["precision"], name=meta.get("name", "DEFAULT"))
+        return cls(meta["precision"], name=meta.get("name", "DEFAULT"),
+                   horizon=meta.get("horizon"))

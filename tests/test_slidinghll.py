@@ -111,6 +111,52 @@ def test_distributed_build_equals_sequential(ray_session):
     assert (sk.regs == seq.regs).all() and (sk.times == seq.times).all()
 
 
+def test_horizon_prunes_state_but_keeps_windows_exact():
+    vals, times = _stream(span=10_000)
+    bounded = SlidingHyperLogLog(11, horizon=2_000)
+    full = SlidingHyperLogLog(11)
+    bounded.update_arrow(vals, now=times)
+    full.update_arrow(vals, now=times)
+    assert bounded.n_entries() < full.n_entries()
+    tmax = int(times.max())
+    for back in (100, 1000, 2000):
+        cut = tmax - back
+        assert (bounded.registers_since(cut)
+                == full.registers_since(cut)).all()
+    # horizon is a merge-compat parameter
+    with pytest.raises(Exception):
+        full.merge(bounded)
+
+
+def test_sliding_distinct_udaf_grouped(ray_session):
+    import ray.data as rd
+
+    from archbloom_ray.pipelines import SlidingDistinct
+
+    rng = np.random.default_rng(13)
+    n = 3000
+    t = pa.table({
+        "g": pa.array(rng.choice(["a", "b"], n)),
+        "k": pa.array([f"u{rng.integers(0, 200)}" for _ in range(n)]),
+        "ts": pa.array((rng.integers(0, 1000, n) * 1_000_000 + 5)
+                       .astype("datetime64[us]")),
+    })
+    cut = 600
+    rows = rd.from_arrow(t).repartition(5).groupby("g").aggregate(
+        SlidingDistinct("k", "ts", p=12, since=cut)).take_all()
+    got = {r["g"]: r["sliding_distinct(k)"] for r in rows}
+    for g in ("a", "b"):
+        last = {}
+        mask = np.asarray(t["g"]) == g
+        secs = np.asarray(t["ts"].cast(pa.int64())) // 1_000_000
+        for k, s, m in zip(t["k"].to_pylist(), secs, mask):
+            if m:
+                last[k] = max(last.get(k, -1), int(s))
+        exact = sum(1 for s in last.values() if s >= cut)
+        bound = max(3 * 1.04 / 2 ** 6 * exact, 4.0)
+        assert abs(got[g] - exact) <= bound
+
+
 def test_duplicate_key_keeps_latest_time():
     s = SlidingHyperLogLog(8)
     s.update_arrow(pa.array(["x"]), now=np.array([10]))
