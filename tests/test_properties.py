@@ -474,3 +474,44 @@ def test_scalable_bloom_properties(keys, n_splits):
     assert all(i <= c for i, c in zip(f.stage_items, f.stage_capacity))
     assert f.error_bound() <= 0.01 / (1 - 0.9) + 1e-9
     assert f.items_added() <= len(set(keys))
+
+
+@settings(deadline=None)
+@given(st.lists(st.tuples(st.integers(min_value=0, max_value=60),
+                          st.integers(min_value=0, max_value=500)),
+                min_size=0, max_size=300),
+       st.integers(min_value=0, max_value=500),
+       st.integers(min_value=1, max_value=7))
+def test_sliding_hll_window_registers_exact(events, cut, nsplits):
+    """STRUCTURAL property, not a statistical bound: for any stream,
+    any batch split, and any cutoff, the sliding HLL's window register
+    file equals the brute-force per-register max rank over keys whose
+    LAST occurrence is >= cutoff — the pareto lists lose nothing a
+    window query can see."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archbloom_ray.hashing import mmh3_128_batch
+    from archbloom_ray.sketches.hll import _clz64
+    from archbloom_ray.sketches.slidinghll import SlidingHyperLogLog
+
+    p = 6
+    sk = SlidingHyperLogLog(p)
+    vals = pa.array([f"k{k}" for k, _ in events], type=pa.string())
+    times = np.array([t for _, t in events], dtype=np.int64)
+    step = max(1, (len(events) + nsplits - 1) // nsplits)
+    for i in range(0, len(events), step):
+        sk.update_arrow(vals.slice(i, step), now=times[i:i + step])
+
+    # brute force: last-seen per key, then HLL register maxima
+    last = {}
+    for k, t in events:
+        last[k] = max(last.get(k, -(1 << 62)), t)
+    keep = [k for k, t in last.items() if t >= cut]
+    want = np.zeros(1 << p, dtype=np.uint8)
+    if keep:
+        h1, _ = mmh3_128_batch(pa.array([f"k{k}" for k in keep]))
+        idx = (h1 >> np.uint64(64 - p)).astype(np.int64)
+        rho = (np.minimum(_clz64(h1 << np.uint64(p)), 64 - p) + 1)
+        np.maximum.at(want, idx, rho.astype(np.uint8))
+    assert (sk.registers_since(cut) == want).all()
