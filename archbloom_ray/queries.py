@@ -4208,6 +4208,275 @@ def q_q21_sole_latest_shipper(sf_dir: str):
     })
 
 
+def _partsupp_slots(pk: np.ndarray, s_cnt: int):
+    """Deterministically derived partsupp rows for one batch of parts.
+
+    The corpus has no partsupp table (TPC-H Q2/Q11/Q20 need one), so
+    both the Ray pipelines and their DuckDB oracles derive the SAME
+    table from pure integer arithmetic on the keys — the TPC-H dbgen
+    supplier-assignment rule adapted to this corpus's 0-based keys
+    (reference has no relational layer at all; this is north-rule
+    surface).  For part p and slot i ∈ {0..3}, with S = supplier
+    count:
+
+        ps_suppkey    = (p + i·(S//4 + p//S)) mod S
+        ps_availqty   = (p·(i+1)) mod 9999 + 1
+        ps_cost_cents = (7p + 3·ps_suppkey) mod 99900 + 100
+
+    Costs live in integer cents so sums/compares are exact in both
+    engines.  Returns (suppkey, availqty, cost_cents) as (n, 4) int64
+    arrays — all four rows of a part are derived IN the batch that
+    carries the part, so per-part reductions over partsupp are
+    batch-local (no shuffle ever materializes the derived table).
+    """
+    pk = np.asarray(pk, dtype=np.int64)
+    i = np.arange(4, dtype=np.int64)[None, :]
+    step = (s_cnt // 4 + pk // s_cnt)[:, None]
+    sk = (pk[:, None] + i * step) % s_cnt
+    avail = (pk[:, None] * (i + 1)) % 9999 + 1
+    cost = (pk[:, None] * 7 + sk * 3) % 99900 + 100
+    return sk, avail, cost
+
+
+_PARTSUPP_CTE = """
+    WITH scnt AS (SELECT count(*) AS n FROM supplier),
+    ps0 AS (
+        SELECT p_partkey,
+               (p_partkey + t.i * (scnt.n // 4 + p_partkey // scnt.n))
+                   % scnt.n AS ps_suppkey,
+               t.i AS i
+        FROM part, scnt, (SELECT unnest([0, 1, 2, 3]) AS i) t),
+    partsupp AS (
+        SELECT p_partkey AS ps_partkey,
+               ps_suppkey,
+               (p_partkey * (i + 1)) % 9999 + 1 AS ps_availqty,
+               (p_partkey * 7 + ps_suppkey * 3) % 99900 + 100
+                   AS ps_cost_cents
+        FROM ps0)
+"""
+
+
+def _supplier_nation_arrays(sf_dir: str):
+    """Dense supplier-indexed dim arrays (suppkey is 0..S-1):
+    (s_cnt, s_name, s_acctbal, s_nationkey, n_name by nationkey,
+    n_regionkey by nationkey, region name -> regionkey)."""
+    sup = pa.parquet.read_table(
+        os.path.join(sf_dir, "supplier.parquet"),
+        columns=["s_suppkey", "s_name", "s_acctbal", "s_nationkey"])
+    sk = np.asarray(sup["s_suppkey"], dtype=np.int64)
+    s_cnt = sk.size
+    s_name = np.empty(s_cnt, dtype=object)
+    s_acct = np.empty(s_cnt, dtype=np.float64)
+    s_nat = np.empty(s_cnt, dtype=np.int64)
+    s_name[sk] = np.asarray(sup["s_name"])
+    s_acct[sk] = np.asarray(sup["s_acctbal"], dtype=np.float64)
+    s_nat[sk] = np.asarray(sup["s_nationkey"], dtype=np.int64)
+    nat = pa.parquet.read_table(os.path.join(sf_dir, "nation.parquet"))
+    nk = np.asarray(nat["n_nationkey"], dtype=np.int64)
+    n_name = np.empty(nk.max() + 1, dtype=object)
+    n_reg = np.empty(nk.max() + 1, dtype=np.int64)
+    n_name[nk] = np.asarray(nat["n_name"])
+    n_reg[nk] = np.asarray(nat["n_regionkey"], dtype=np.int64)
+    reg = pa.parquet.read_table(os.path.join(sf_dir, "region.parquet"))
+    r2k = dict(zip(reg["r_name"].to_pylist(),
+                   reg["r_regionkey"].to_pylist()))
+    return s_cnt, s_name, s_acct, s_nat, n_name, n_reg, r2k
+
+
+def q_q2_min_cost_supplier(sf_dir: str):
+    """TPC-H Q2 (minimum-cost supplier) over the derived partsupp
+    (`_partsupp_slots`; no p_mfgr in the corpus, so p_brand stands in;
+    filters: p_type='LARGE', p_size>=25, region EUROPE).  Plan — all
+    dims (supplier ⋈ nation ⋈ region) fold into supplier-indexed
+    arrays riding ONE broadcast; the part scan derives its own four
+    partsupp rows per part, so the correlated min-cost subquery is a
+    masked row-wise min INSIDE the batch (no shuffle, no join), and
+    each batch pre-truncates to its local top-100 by the output sort
+    key before the driver's final 100-row merge."""
+    from .proc_cache import cached_instance
+
+    s_cnt, s_name, s_acct, s_nat, n_name, n_reg, r2k = \
+        _supplier_nation_arrays(sf_dir)
+    eu = r2k["EUROPE"]
+    in_eu = n_reg[s_nat] == eu            # by suppkey
+    supp_nname = n_name[s_nat]            # by suppkey
+    dims_ref = ray.put((s_cnt, in_eu, s_name, s_acct, supp_nname))
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s_cnt, in_eu, s_name, s_acct, supp_nname = cached_instance(
+            ("q2_dims", dims_ref.hex()), lambda: ray.get(dims_ref))
+        keep = ((np.asarray(batch["p_type"]) == "LARGE")
+                & (np.asarray(batch["p_size"], dtype=np.int64) >= 25))
+        pk = np.asarray(batch["p_partkey"], dtype=np.int64)[keep]
+        brand = np.asarray(batch["p_brand"])[keep]
+        if pk.size == 0:
+            return pa.table({
+                "s_acctbal": pa.array([], pa.float64()),
+                "s_name": pa.array([], pa.string()),
+                "n_name": pa.array([], pa.string()),
+                "p_partkey": pa.array([], pa.int64()),
+                "p_brand": pa.array([], pa.string()),
+                "ps_cost_cents": pa.array([], pa.int64()),
+            })
+        sk, _avail, cost = _partsupp_slots(pk, s_cnt)
+        mask = in_eu[sk]
+        big = np.iinfo(np.int64).max
+        mn = np.where(mask, cost, big).min(axis=1)
+        hit = mask & (cost == mn[:, None])        # all min-cost slots
+        ridx, slot = np.nonzero(hit)
+        out_pk, out_sk = pk[ridx], sk[ridx, slot]
+        out_cost = cost[ridx, slot]
+        acct, nm, nn = s_acct[out_sk], s_name[out_sk], supp_nname[out_sk]
+        # local top-100 by the global sort key (valid: final answer is
+        # a global top-100 over row-level keys)
+        order = np.lexsort((out_pk, nm, nn, -acct))[:100]
+        return pa.table({
+            "s_acctbal": pa.array(acct[order]),
+            "s_name": pa.array(nm[order].astype(str)),
+            "n_name": pa.array(nn[order].astype(str)),
+            "p_partkey": pa.array(out_pk[order]),
+            "p_brand": pa.array(brand[ridx][order].astype(str)),
+            "ps_cost_cents": pa.array(out_cost[order]),
+        })
+
+    cand = _read(sf_dir, "part",
+                 ["p_partkey", "p_brand", "p_type", "p_size"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    rows = cand.take_all()
+    rows.sort(key=lambda r: (-r["s_acctbal"], r["n_name"], r["s_name"],
+                             r["p_partkey"]))
+    rows = rows[:100]
+    return pa.table({
+        "s_acctbal": pa.array([r["s_acctbal"] for r in rows], pa.float64()),
+        "s_name": pa.array([r["s_name"] for r in rows], pa.string()),
+        "n_name": pa.array([r["n_name"] for r in rows], pa.string()),
+        "p_partkey": pa.array([r["p_partkey"] for r in rows], pa.int64()),
+        "p_brand": pa.array([r["p_brand"] for r in rows], pa.string()),
+        "ps_cost_cents": pa.array([r["ps_cost_cents"] for r in rows],
+                                  pa.int64()),
+    })
+
+
+def q_q11_important_stock(sf_dir: str):
+    """TPC-H Q11 (important stock) over the derived partsupp: per-part
+    value = Σ cost·availqty across NATION_7 suppliers, keeping parts
+    whose value exceeds 2× the average part share (the spec's
+    0.0001/SF fraction re-expressed scale-invariantly as
+    value·n_parts > 2·total, exact in int64).  Plan — the nation
+    filter is a broadcast bool array by suppkey; each part's value is
+    a masked row-wise dot product inside its own batch (the derived
+    partsupp never shuffles); the narrow (partkey, value) table
+    materializes ONCE (count/sum then filter would re-execute the
+    pipeline otherwise), the global total is one Dataset.sum, and the
+    HAVING filter streams."""
+    from .proc_cache import cached_instance
+
+    s_cnt, _s_name, _s_acct, s_nat, n_name, _n_reg, _r2k = \
+        _supplier_nation_arrays(sf_dir)
+    in_nat = n_name[s_nat] == "NATION_7"  # by suppkey
+    nat_ref = ray.put((s_cnt, in_nat))
+    n_parts = pa.parquet.ParquetFile(
+        os.path.join(sf_dir, "part.parquet")).metadata.num_rows
+
+    def prep(batch: pa.Table) -> pa.Table:
+        s_cnt, in_nat = cached_instance(
+            ("q11_dims", nat_ref.hex()), lambda: ray.get(nat_ref))
+        pk = np.asarray(batch["p_partkey"], dtype=np.int64)
+        sk, avail, cost = _partsupp_slots(pk, s_cnt)
+        val = np.where(in_nat[sk], cost * avail, 0).sum(axis=1)
+        keep = val > 0
+        return pa.table({
+            "ps_partkey": pa.array(pk[keep]),
+            "value_cents": pa.array(val[keep]),
+        })
+
+    vals = _read(sf_dir, "part", ["p_partkey"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    total = int(vals.sum("value_cents", ignore_nulls=True) or 0)
+
+    def having(batch: pa.Table) -> pa.Table:
+        v = np.asarray(batch["value_cents"], dtype=np.int64)
+        return batch.filter(pa.array(v * n_parts > 2 * total))
+
+    out = vals.map_batches(having, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    out.sort(key=lambda r: (-r["value_cents"], r["ps_partkey"]))
+    return pa.table({
+        "ps_partkey": pa.array([r["ps_partkey"] for r in out], pa.int64()),
+        "value_cents": pa.array([r["value_cents"] for r in out], pa.int64()),
+    })
+
+
+def q_q20_potential_promotion(sf_dir: str):
+    """TPC-H Q20 (potential part promotion) over the derived partsupp
+    (p_name LIKE 'red%', NATION_3, shipments in 1996): suppliers
+    holding more than half the year's shipped quantity of a red part
+    (2·availqty > Σqty, exact in int64 — l_quantity is integral).
+    Mirrors the spec's correlated-subquery NULL semantics: a
+    (part, supplier) pair with NO 1996 shipments never qualifies.
+    Plan — the red-part keyset broadcasts into the lineitem scan
+    (date + key prune before anything leaves the read); the grouped
+    quantity sum is the engine's pre-combined `grouped_agg`; the
+    surviving pair table is red-part-sized, so the partsupp probe
+    (re-derive the part's four slots, match the suppkey) and the
+    nation filter finish on the driver."""
+    from .pipelines.relational import grouped_agg
+    from .proc_cache import cached_instance
+
+    s_cnt, s_name, _s_acct, s_nat, n_name, _n_reg, _r2k = \
+        _supplier_nation_arrays(sf_dir)
+    part = pa.parquet.read_table(
+        os.path.join(sf_dir, "part.parquet"),
+        columns=["p_partkey", "p_name"])
+    nm = np.asarray(part["p_name"])
+    red = np.sort(np.asarray(part["p_partkey"], dtype=np.int64)[
+        np.char.startswith(nm.astype(str), "red")])
+    red_ref = ray.put(red)
+
+    LO_US = 820_454_400_000_000   # 1996-01-01 epoch µs
+    HI_US = 852_076_800_000_000   # 1997-01-01
+
+    def l_prep(batch: pa.Table) -> pa.Table:
+        red = cached_instance(("q20_red", red_ref.hex()),
+                              lambda: ray.get(red_ref))
+        sd = np.asarray(pc.cast(batch["l_shipdate"].combine_chunks(),
+                                pa.int64()))
+        keep = (sd >= LO_US) & (sd < HI_US)
+        lpk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        if red.size:
+            pos = np.clip(np.searchsorted(red, lpk), 0, red.size - 1)
+            keep &= red[pos] == lpk
+        else:
+            keep &= False
+        return pa.table({
+            "l_partkey": pa.array(lpk[keep]),
+            "l_suppkey": pa.array(
+                np.asarray(batch["l_suppkey"], dtype=np.int64)[keep]),
+            "qty": pa.array(np.asarray(
+                batch["l_quantity"], dtype=np.float64)[keep]
+                .astype(np.int64)),
+        })
+
+    shipped = grouped_agg(
+        _read(sf_dir, "lineitem",
+              ["l_partkey", "l_suppkey", "l_quantity",
+               "l_shipdate"]).map_batches(
+            l_prep, batch_format="pyarrow", zero_copy_batch=True),
+        ["l_partkey", "l_suppkey"], [("qty", "qty", "sum")])
+    pairs = shipped.take_all()
+    qual: set[int] = set()
+    if pairs:
+        ppk = np.array([r["l_partkey"] for r in pairs], dtype=np.int64)
+        psk = np.array([r["l_suppkey"] for r in pairs], dtype=np.int64)
+        qty = np.array([r["qty"] for r in pairs], dtype=np.int64)
+        sk, avail, _cost = _partsupp_slots(ppk, s_cnt)
+        ok = (sk == psk[:, None]) & (2 * avail > qty[:, None])
+        qual = set(psk[ok.any(axis=1)].tolist())
+    names = sorted(
+        str(s_name[k]) for k in qual if n_name[s_nat[k]] == "NATION_3")
+    return pa.table({"s_name": pa.array(names, pa.string())})
+
+
 def q_nation_supplier_expand(sf_dir: str):
     """One-to-MANY broadcast join through the adaptive planner: left =
     nation (25 rows), right = supplier keyed by s_nationkey — duplicate
@@ -8184,6 +8453,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty_revenue": q_q17_small_qty_revenue,
         "q21_sole_latest_shipper": q_q21_sole_latest_shipper,
         "q22_dormant_customers": q_q22_dormant_customers,
+        "q2_min_cost_supplier": q_q2_min_cost_supplier,
+        "q11_important_stock": q_q11_important_stock,
+        "q20_potential_promotion": q_q20_potential_promotion,
         "q14_promo_revenue": q_q14_promo_revenue,
         "q18_large_volume_customers": q_q18_large_volume_customers,
         "q19_bracketed_revenue": q_q19_bracketed_revenue,
@@ -9747,6 +10019,67 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2001-01-01')
             GROUP BY c_mktsegment
+        """,
+        "q2_min_cost_supplier": _PARTSUPP_CTE + """,
+            eu AS (
+                SELECT s_suppkey, s_name, s_acctbal, n_name
+                FROM supplier, nation, region
+                WHERE s_nationkey = n_nationkey
+                  AND n_regionkey = r_regionkey AND r_name = 'EUROPE'),
+            cand AS (
+                SELECT ps_partkey, ps_suppkey, ps_cost_cents
+                FROM partsupp, eu WHERE eu.s_suppkey = partsupp.ps_suppkey),
+            best AS (
+                SELECT ps_partkey, min(ps_cost_cents) AS mc
+                FROM cand GROUP BY ps_partkey)
+            SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
+                   ps_cost_cents
+            FROM cand, best, part, eu
+            WHERE cand.ps_partkey = best.ps_partkey
+              AND cand.ps_cost_cents = best.mc
+              AND part.p_partkey = cand.ps_partkey
+              AND eu.s_suppkey = cand.ps_suppkey
+              AND p_type = 'LARGE' AND p_size >= 25
+            ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+            LIMIT 100
+        """,
+        "q11_important_stock": _PARTSUPP_CTE + """,
+            nsup AS (
+                SELECT s_suppkey FROM supplier, nation
+                WHERE s_nationkey = n_nationkey AND n_name = 'NATION_7'),
+            vals AS (
+                SELECT ps_partkey,
+                       CAST(sum(ps_cost_cents * ps_availqty) AS BIGINT)
+                           AS value_cents
+                FROM partsupp, nsup
+                WHERE nsup.s_suppkey = partsupp.ps_suppkey
+                GROUP BY ps_partkey),
+            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+                           (SELECT count(*) FROM part) AS np FROM vals)
+            SELECT ps_partkey, value_cents
+            FROM vals, tot
+            WHERE value_cents * np > 2 * t
+        """,
+        "q20_potential_promotion": _PARTSUPP_CTE + """,
+            red AS (
+                SELECT p_partkey FROM part WHERE p_name LIKE 'red%'),
+            shipped AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT)
+                           AS qty
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+                  AND l_shipdate < TIMESTAMP '1997-01-01'
+                GROUP BY l_partkey, l_suppkey)
+            SELECT s_name
+            FROM supplier, nation
+            WHERE s_nationkey = n_nationkey AND n_name = 'NATION_3'
+              AND s_suppkey IN (
+                  SELECT ps_suppkey FROM partsupp, red, shipped
+                  WHERE partsupp.ps_partkey = red.p_partkey
+                    AND shipped.l_partkey = partsupp.ps_partkey
+                    AND shipped.l_suppkey = partsupp.ps_suppkey
+                    AND 2 * ps_availqty > shipped.qty)
         """,
         "q5_local_supplier_revenue": """
             SELECT n_name,
