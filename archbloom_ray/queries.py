@@ -8312,6 +8312,59 @@ def q_tdigest_window_p95(sf_dir: str):
     })
 
 
+def q_events_window_topk(sf_dir: str):
+    """Per-window heavy hitters from MERGED per-day Misra-Gries
+    sketches (the north star's 'per-lang heavy-hitter domains' shape,
+    windowed): ONE grouped build makes a daily MG sketch per day
+    (weighted (day, type, count) rows travel, never states —
+    `build_grouped_sketches` routes MG through the value-sketch path),
+    then every 3-day hopping window is answered by merging that
+    window's ≤3 daily sketches (merge associativity — no re-scan per
+    window).  Top-3 types per window by (count desc, type asc).
+    Exact, not approximate: distinct event_type ≤ capacity ⇒ MG never
+    evicts (error_bound() == 0, asserted), so merged counts are true
+    counts and the DuckDB window oracle hash-matches."""
+    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+    from .sketches.mg import MisraGries
+
+    DAY_US = 86_400_000_000
+    CAP = 64
+
+    def prep(batch: pa.Table) -> pa.Table:
+        ts = np.asarray(pc.cast(batch["ts"].combine_chunks(),
+                                pa.int64()))
+        return pa.table({
+            "day": pa.array(ts - ts % DAY_US),
+            "event_type": batch["event_type"].combine_chunks(),
+        })
+
+    ds = _read(sf_dir, "events", ["ts", "event_type"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    daily = grouped_to_dict(build_grouped_sketches(
+        ds, "day", "event_type", lambda: MisraGries(CAP)))
+    days = sorted(int(d) for d in daily)
+    win_end, etype, cnt, rk = [], [], [], []
+    for d in days:
+        w = MisraGries(CAP)
+        for dd in days:
+            if d - 2 * DAY_US <= dd <= d:
+                w.merge(daily[dd])
+        if w.error_bound() != 0:  # >CAP distinct types: not exact
+            raise RuntimeError("MG capacity exceeded; raise CAP")
+        top = sorted(w.finalize(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        for r, (key, c) in enumerate(top, start=1):
+            win_end.append(d)
+            etype.append(key.decode())
+            cnt.append(c)
+            rk.append(r)
+    return pa.table({
+        "win_end": pa.array(win_end, pa.int64()).cast(pa.timestamp("us")),
+        "event_type": pa.array(etype, pa.string()),
+        "cnt": pa.array(cnt, pa.int64()),
+        "rk": pa.array(rk, pa.int64()),
+    })
+
+
 def q_countsketch_source_counts(sf_dir: str):
     """Per-source counts via the Count-Sketch point estimator
     (sketches.ams.AMSSketch.estimate_counts — two-sided ±√(F₂/w)
@@ -8650,6 +8703,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "semdedup": q_semdedup,
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "countsketch_source_counts": q_countsketch_source_counts,
+        "events_window_topk": q_events_window_topk,
         "tdigest_window_p95": q_tdigest_window_p95,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
@@ -11415,6 +11469,28 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS ams_within_bound
             FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
+        """,
+        "events_window_topk": """
+            WITH daily AS (
+                SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                       event_type, count(*) AS c
+                FROM events GROUP BY 1, 2),
+            days AS (SELECT DISTINCT day FROM daily),
+            win AS (
+                SELECT d.day AS win_end, dd.event_type,
+                       CAST(sum(dd.c) AS BIGINT) AS cnt
+                FROM days d JOIN daily dd
+                     ON dd.day <= d.day
+                    AND dd.day > d.day - INTERVAL 3 DAY
+                GROUP BY 1, 2),
+            ranked AS (
+                SELECT win_end, event_type, cnt,
+                       row_number() OVER (PARTITION BY win_end
+                                          ORDER BY cnt DESC, event_type)
+                           AS rk
+                FROM win)
+            SELECT win_end, event_type, cnt, CAST(rk AS BIGINT) AS rk
+            FROM ranked WHERE rk <= 3
         """,
         "countsketch_source_counts": """
             SELECT source, CAST(count(*) AS BIGINT) AS exact_count,
