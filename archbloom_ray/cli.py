@@ -681,12 +681,19 @@ def cmd_run(args):
     res = catalog[args.name](args.sf_dir)
     import pyarrow as pa
 
+    stats = None
     if isinstance(res, pa.Table):
         pass
-    elif hasattr(res, "to_pandas"):      # ray Dataset
-        res = pa.Table.from_pandas(res.to_pandas())
+    elif hasattr(res, "stats"):          # ray Dataset
+        df = res.to_pandas()
+        if getattr(args, "stats", False):
+            stats = res.stats()          # per-operator wall/rows/bytes
+        res = pa.Table.from_pandas(df)
     else:                                # pandas DataFrame
         res = pa.Table.from_pandas(res)
+    if stats:
+        import sys
+        print(stats, file=sys.stderr)
     if args.out:
         pa.parquet.write_table(res, args.out)
         print(json.dumps({"query": args.name, "rows": res.num_rows,
@@ -986,6 +993,10 @@ def main(argv=None):
     sp.add_argument("--out", default=None, help="write result parquet here")
     sp.add_argument("--limit", type=int, default=20,
                     help="rows to print when --out is not given")
+    sp.add_argument("--stats", action="store_true",
+                    help="print per-operator execution stats (wall "
+                         "time, rows, bytes per stage) to stderr when "
+                         "the pipeline returns a Dataset")
     sp.set_defaults(fn=cmd_run)
 
     args = p.parse_args(argv)

@@ -4463,15 +4463,23 @@ def q_q20_potential_promotion(sf_dir: str):
                "l_shipdate"]).map_batches(
             l_prep, batch_format="pyarrow", zero_copy_batch=True),
         ["l_partkey", "l_suppkey"], [("qty", "qty", "sum")])
-    pairs = shipped.take_all()
-    qual: set[int] = set()
-    if pairs:
-        ppk = np.array([r["l_partkey"] for r in pairs], dtype=np.int64)
-        psk = np.array([r["l_suppkey"] for r in pairs], dtype=np.int64)
-        qty = np.array([r["qty"] for r in pairs], dtype=np.int64)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        # the pair table scales with |red parts| — probe the derived
+        # partsupp IN the batch so only distinct suppkeys (bounded by
+        # |supplier|) ever reach the driver
+        ppk = np.asarray(batch["l_partkey"], dtype=np.int64)
+        psk = np.asarray(batch["l_suppkey"], dtype=np.int64)
+        qty = np.asarray(batch["qty"], dtype=np.int64)
+        if ppk.size == 0:
+            return pa.table({"s_suppkey": pa.array([], pa.int64())})
         sk, avail, _cost = _partsupp_slots(ppk, s_cnt)
         ok = (sk == psk[:, None]) & (2 * avail > qty[:, None])
-        qual = set(psk[ok.any(axis=1)].tolist())
+        return pa.table({"s_suppkey": pa.array(
+            np.unique(psk[ok.any(axis=1)]))})
+
+    qual = {r["s_suppkey"] for r in shipped.map_batches(
+        probe, batch_format="pyarrow", zero_copy_batch=True).take_all()}
     names = sorted(
         str(s_name[k]) for k in qual if n_name[s_nat[k]] == "NATION_3")
     return pa.table({"s_name": pa.array(names, pa.string())})
