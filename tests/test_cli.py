@@ -217,6 +217,19 @@ def test_run_named_query(ray_session, tmp_path, capsys):
         main(["run", "no_such_query"])
 
 
+def test_run_stats_flag(ray_session, capsys):
+    """--stats prints per-operator execution metrics to stderr when
+    the pipeline returns a Dataset (the per-partition-metrics surface
+    of the job-submission path)."""
+    from archbloom_ray.cli import main
+
+    main(["run", "lang_doc_counts",
+          "--sf-dir", "/root/testdata/sf0.001", "--stats"])
+    captured = capsys.readouterr()
+    assert json.loads(captured.out.strip().splitlines()[-1])["rows"] > 0
+    assert "Operator" in captured.err and "wall time" in captured.err
+
+
 def test_profile_command(ray_session, capsys):
     from archbloom_ray.cli import main
 
