@@ -8373,6 +8373,43 @@ def q_events_window_topk(sf_dir: str):
     })
 
 
+def q_url_canonical_dedup(sf_dir: str):
+    """Crawl-URL canonicalization + dedup (`stages.url.canonical_urls`
+    — fragment strip, scheme/host lowercasing, default-port drop,
+    trailing-utm strip, every step an RE2 kernel).  The corpus has no
+    messy-URL column, so the messy variants are DERIVED from doc_id by
+    shared integer/string arithmetic (the `_partsupp_slots` pattern):
+    four consecutive doc_ids map to one canonical URL through four
+    different raw forms (case, #fragment, ?utm tracker, :443 port).
+    Output: row count, distinct raw URLs, distinct canonical URLs —
+    the DuckDB oracle runs the identical regex pipeline, so the match
+    certifies the kernel byte-for-byte."""
+    from .pipelines.relational import distinct_count
+    from .stages.url import canonical_urls
+
+    def prep(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        k = did // 4
+        case = pa.array(np.where(did % 2 == 0, "www.", "WWW."))
+        port = pa.array(np.where(did % 4 == 3, ":443", ""))
+        sufx = np.where(did % 4 == 1, "#sec",
+                        np.where(did % 4 == 2, "?utm_source=feed", ""))
+        url = pc.binary_join_element_wise(
+            "https://", case, "site",
+            pc.cast(pa.array(k % 50), pa.string()), ".example.com", port,
+            "/p/", pc.cast(pa.array(k), pa.string()), pa.array(sufx), "")
+        return pa.table({"url": url, "curl": canonical_urls(url)})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    return pa.table({
+        "n_rows": pa.array([ds.count()], pa.int64()),
+        "raw_urls": pa.array([distinct_count(ds, "url")], pa.int64()),
+        "canonical_urls": pa.array(
+            [distinct_count(ds, "curl")], pa.int64()),
+    })
+
+
 def q_countsketch_source_counts(sf_dir: str):
     """Per-source counts via the Count-Sketch point estimator
     (sketches.ams.AMSSketch.estimate_counts — two-sided ±√(F₂/w)
@@ -8712,6 +8749,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ams_selfjoin_users": q_ams_selfjoin_users,
         "countsketch_source_counts": q_countsketch_source_counts,
         "events_window_topk": q_events_window_topk,
+        "url_canonical_dedup": q_url_canonical_dedup,
         "tdigest_window_p95": q_tdigest_window_p95,
         # north-star pages pipeline (BASELINE.json)
         "pages_distinct_urls": q_pages_distinct_urls,
@@ -11477,6 +11515,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(sum(n * n) AS BIGINT) AS exact_selfjoin,
                    TRUE AS ams_within_bound
             FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
+        """,
+        "url_canonical_dedup": """
+            WITH raw AS (
+                SELECT 'https://' ||
+                       CASE WHEN doc_id % 2 = 0 THEN 'www.'
+                            ELSE 'WWW.' END ||
+                       'site' || CAST((doc_id // 4) % 50 AS VARCHAR) ||
+                       '.example.com' ||
+                       CASE WHEN doc_id % 4 = 3 THEN ':443'
+                            ELSE '' END ||
+                       '/p/' || CAST(doc_id // 4 AS VARCHAR) ||
+                       CASE WHEN doc_id % 4 = 1 THEN '#sec'
+                            WHEN doc_id % 4 = 2 THEN '?utm_source=feed'
+                            ELSE '' END AS url
+                FROM documents),
+            step AS (
+                SELECT url, regexp_replace(url, '#.*$', '') AS u1
+                FROM raw),
+            pref AS (
+                SELECT url, u1,
+                       regexp_extract(u1, '^[^:/?#]+://[^/]*') AS pre
+                FROM step),
+            canon AS (
+                SELECT url,
+                       regexp_replace(regexp_replace(lower(pre),
+                           '^(https://[^:/?]*):443$', '\\1'),
+                           '^(http://[^:/?]*):80$', '\\1')
+                       || substr(u1, length(pre) + 1) AS c0
+                FROM pref),
+            final AS (
+                SELECT url,
+                       regexp_replace(c0, '\\?utm_[^&#]*$', '') AS curl
+                FROM canon)
+            SELECT CAST(count(*) AS BIGINT) AS n_rows,
+                   CAST(count(DISTINCT url) AS BIGINT) AS raw_urls,
+                   CAST(count(DISTINCT curl) AS BIGINT)
+                       AS canonical_urls
+            FROM final
         """,
         "events_window_topk": """
             WITH daily AS (

@@ -51,6 +51,41 @@ def parse_urls(col) -> pa.Table:
     })
 
 
+def canonical_urls(col) -> pa.Array:
+    """Vectorized crawl-URL canonicalization — the normalization a
+    frontier/dedup stage applies before URL-keyed membership or exact
+    dedup.  Spec (each step an RE2 kernel, so a SQL oracle using the
+    SAME regexes matches byte-for-byte):
+
+    1. drop the fragment (``#.*$``);
+    2. lowercase the ``scheme://hostport`` prefix (hostnames are
+       case-insensitive; paths are NOT touched);
+    3. drop a default port (``:443`` under https, ``:80`` under http);
+    4. drop a TRAILING ``?utm_*=...`` tracker (the lone-tracker case;
+       full query-param reordering is deliberately out of scope).
+
+    Rows without a ``scheme://`` prefix pass through steps 2-3
+    unchanged.  Returns a string array aligned with ``col``.
+    """
+    if isinstance(col, pa.ChunkedArray):
+        col = col.combine_chunks()
+    col = pc.fill_null(col, "")
+    u1 = pc.replace_substring_regex(col, r"#.*$", "")
+    pre = pc.fill_null(pc.struct_field(pc.extract_regex(
+        u1, r"^(?P<p>[^:/?#]+://[^/]*)"), "p"), "")
+    lowered = pc.replace_substring_regex(
+        pc.replace_substring_regex(pc.utf8_lower(pre),
+                                   r"^(https://[^:/?]*):443$", r"\1"),
+        r"^(http://[^:/?]*):80$", r"\1")
+    # tail = u1 with the matched prefix removed (anchored, so only the
+    # leading occurrence can match; count the prefix once)
+    tail = pc.if_else(pc.equal(pre, ""), u1,
+                      pc.replace_substring_regex(
+                          u1, r"^[^:/?#]+://[^/]*", "", max_replacements=1))
+    joined = pc.binary_join_element_wise(lowered, tail, "")
+    return pc.replace_substring_regex(joined, r"\?utm_[^&#]*$", "")
+
+
 def add_url_parts(ds: "ray.data.Dataset", url_col: str = "url") -> "ray.data.Dataset":
     """Append the parsed URL columns."""
 

@@ -2019,3 +2019,40 @@ class TestNgramJaccardGroupGuard:
             rd.from_arrow(tbl), "text", "doc_id", "lang",
             max_group_rows=4).take_all()
         assert {(r["id_a"], r["id_b"]) for r in rows} == {(0, 1)}
+
+
+class TestCanonicalUrls:
+    def test_spec_cases(self):
+        import pyarrow as pa
+        from archbloom_ray.stages.url import canonical_urls
+
+        cases = [
+            # fragment stripped
+            ("https://a.com/p#frag", "https://a.com/p"),
+            # scheme+host lowered, path case kept
+            ("HTTPS://WWW.A.com/KeepCase", "https://www.a.com/KeepCase"),
+            # default ports dropped (scheme-matched)
+            ("https://a.com:443/p", "https://a.com/p"),
+            ("http://a.com:80/p", "http://a.com/p"),
+            ("http://a.com:443/p", "http://a.com:443/p"),  # not http's default
+            ("https://a.com:8443/p", "https://a.com:8443/p"),
+            # trailing lone utm tracker dropped; mid-query utm kept
+            ("https://a.com/p?utm_source=x", "https://a.com/p"),
+            ("https://a.com/p?utm_a=1&real=2", "https://a.com/p?utm_a=1&real=2"),
+            ("https://a.com/p#f?utm_x=1", "https://a.com/p"),  # frag first
+            # scheme-less rows pass through lowering untouched
+            ("WWW.A.com/Path", "WWW.A.com/Path"),
+            # host-only URL (no path)
+            ("HTTP://A.COM:80", "http://a.com"),
+            ("", ""),
+        ]
+        out = canonical_urls(pa.array([c[0] for c in cases])).to_pylist()
+        assert out == [c[1] for c in cases]
+
+    def test_null_safe(self):
+        import pyarrow as pa
+        from archbloom_ray.stages.url import canonical_urls
+
+        assert canonical_urls(
+            pa.array([None, "https://B.com:443/x#y"])).to_pylist() == \
+            ["", "https://b.com/x"]
