@@ -9232,13 +9232,18 @@ def _tfidf_oracle_sql() -> str:
 
 
 def _pages_sql_path() -> str:
-    """Parquet glob of the sf0.01 pages fixture (the driver runs the
-    correctness gate at sf0.01).  Calling this from ``oracle_sql()``
-    materializes the fixture, so the oracle side works even if DuckDB
-    runs before the Ray side has created it."""
+    """Parquet glob of the pages fixture the ORACLE side reads.
+    Default tier sf0.01 (the driver runs the correctness gate there);
+    set ``GRAFT_PAGES_ORACLE_TIER=sf0.1`` (etc.) BEFORE calling
+    ``oracle_sql()`` when re-driving the pages family at another SF —
+    the SQL strings are rendered at call time.  Calling this from
+    ``oracle_sql()`` materializes the fixture, so the oracle side
+    works even if DuckDB runs before the Ray side has created it."""
     from .datagen import pages_fixture
 
-    return pages_fixture(_PAGES_ROWS["sf0.01"], seed=42) + "/*.parquet"
+    tier = os.environ.get("GRAFT_PAGES_ORACLE_TIER", "sf0.01")
+    rows = _PAGES_ROWS.get(tier, _PAGES_ROWS["sf0.01"])
+    return pages_fixture(rows, seed=42) + "/*.parquet"
 
 
 def _pages_window_sql(timeout_floor: int) -> str:
