@@ -1324,6 +1324,38 @@ def q_quantile_sketches(sf_dir: str):
     )
 
 
+def q_req_tail_quantiles(sf_dir: str):
+    """REQ sketch (Cormode et al. PODS'21 — RELATIVE rank error, HRA)
+    tail quantiles of document length, certified with a distributed
+    rank pass: the q-quantile estimate's true rank must sit within
+    5% OF THE DISTANCE TO THE TOP (|rank−q| ≤ 0.05·(1−q) + 2/n — the
+    relative guarantee KLL's additive ±εn cannot make at p999), plus
+    the additive sanity gate KLL itself meets.  Exact values via the
+    engine's quantile_cont-parity pass; oracle checks (q, exact,
+    verdicts)."""
+    from .pipelines.relational import exact_quantiles, rank_errors
+    from .sketches.req import ReqSketch
+
+    ds = _read(sf_dir, "documents", ["n_chars"])
+    out = build_sketches(ds, {
+        "req": ("n_chars", lambda: ReqSketch(32)),
+    })
+    n = max(1, out["req"].n)
+    qs = [0.5, 0.9, 0.99, 0.999]
+    exact = exact_quantiles(
+        _read(sf_dir, "documents", ["n_chars"]), "n_chars", qs)
+    est = out["req"].quantiles(qs)
+    err = rank_errors(
+        _read(sf_dir, "documents", ["n_chars"]), "n_chars", est, qs)
+    rel_ok = err <= 0.05 * (1.0 - np.array(qs)) + 2.0 / n
+    return pa.table({
+        "q": pa.array(qs, type=pa.float64()),
+        "exact": pa.array(exact, type=pa.float64()),
+        "req_rel_within_bound": pa.array(rel_ok, type=pa.bool_()),
+        "req_add_within_bound": pa.array(err <= 0.05, type=pa.bool_()),
+    })
+
+
 def q_cbloom_source_membership(sf_dir: str):
     """Counting-Bloom per-source min-count estimates certified against
     exact grouped counts (one grouped_agg scan supplies candidates +
@@ -8584,6 +8616,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "joinsize_orders_lineitem": q_joinsize_orders_lineitem,
         "hll_intersection_users": q_hll_intersection_users,
         "quantile_sketches": q_quantile_sketches,
+        "req_tail_quantiles": q_req_tail_quantiles,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
         "langid_counts": q_langid_counts,
@@ -10334,6 +10367,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
             FROM documents GROUP BY source
         """,
+        "req_tail_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q,"
+            f" quantile_cont(n_chars, {q}) AS exact,"
+            " TRUE AS req_rel_within_bound, TRUE AS req_add_within_bound"
+            " FROM documents"
+            for q in (0.5, 0.9, 0.99, 0.999)
+        ),
         "quantile_sketches": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, quantile_cont(n_chars, {q}) AS exact,"
             " TRUE AS tdigest_within_bound, TRUE AS kll_within_bound"

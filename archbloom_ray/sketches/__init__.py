@@ -10,6 +10,7 @@ from .slidinghll import SlidingHyperLogLog
 from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
+from .req import ReqSketch
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
@@ -38,6 +39,7 @@ __all__ = [
     "CountMinSketch",
     "TDigest",
     "KLLSketch",
+    "ReqSketch",
     "MisraGries",
     "AMSSketch",
     "KMVSketch",
