@@ -1324,6 +1324,26 @@ def q_quantile_sketches(sf_dir: str):
     )
 
 
+def _skew_key_stream(batch: pa.Table):
+    """DERIVED skewed key stream over lineitem (the derived-partsupp
+    pattern — the corpus has no Zipf column): rows with orderkey % 4
+    == 0 map to 8 planted hot keys (~rows/32 arrivals each); every
+    other LINE gets its own ~10⁶-space cold key (~1 arrival at every
+    sf).  Occurrence id = 16·orderkey + linenumber (unique per row ⇒
+    arrival-keyed sketches stay idempotent under retries).  The SQL
+    twin lives in the `llf_cold_filter` / `groupby_size_estimate`
+    oracles — keep them in lockstep."""
+    ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
+    ln = np.asarray(batch["l_linenumber"], dtype=np.int64)
+    occ = ok * 16 + ln
+    hot = ok % 4 == 0
+    key = np.where(
+        hot,
+        np.char.add("hot_", ((ok // 4) % 8).astype(str)),
+        np.char.add("cold_", ((occ * 2654435761) % 1000000).astype(str)))
+    return key, occ
+
+
 def q_llf_cold_filter(sf_dir: str):
     """LogLog Filter (ICDE'21, a retrieved paper) cold-item routing
     over a DERIVED skewed key stream (the derived-partsupp pattern —
@@ -1346,19 +1366,7 @@ def q_llf_cold_filter(sf_dir: str):
     from .sketches.llf import LogLogFilter
 
     HOT_C, T, M = 64, 6, 1 << 20
-
-    def derive(batch: pa.Table):
-        ok = np.asarray(batch["l_orderkey"], dtype=np.int64)
-        ln = np.asarray(batch["l_linenumber"], dtype=np.int64)
-        occ = ok * 16 + ln
-        hot = ok % 4 == 0
-        # cold keys hash PER LINE (not per order) so the cold tail is
-        # genuinely cold (~1 arrival) at every sf
-        key = np.where(
-            hot,
-            np.char.add("hot_", ((ok // 4) % 8).astype(str)),
-            np.char.add("cold_", ((occ * 2654435761) % 1000000).astype(str)))
-        return key, occ
+    derive = _skew_key_stream
 
     def partial(batch: pa.Table) -> pa.Table:
         key, occ = derive(batch)
@@ -1411,6 +1419,61 @@ def q_llf_cold_filter(sf_dir: str):
             [hot_fl * 10 >= n_hot * 8], pa.bool_()),
         "llf_prune_ok": pa.array(
             [cold_fl * 10 <= n_cold], pa.bool_()),
+    })
+
+
+def q_groupby_size_estimate(sf_dir: str):
+    """Sketch+sample group-by result estimation (CIDR'19 "Every Row
+    Counts", a retrieved paper) over the derived skewed key stream:
+    ONE pass builds a mergeable (HLL + bottom-k-with-exact-counts)
+    state (`sketches.gss.GroupSizeSampler`; per-batch value_counts
+    pre-agg, ~70 KB partials) and answers BOTH group-by planning
+    questions a row sample gets wrong — how many groups, and how many
+    are near-singletons (a 1% row sample sees ~1% of singleton
+    groups; the group-uniform bottom-k sample sees them in
+    proportion).  Gates: HLL 3σ on the group count; singleton-group
+    estimate within 10% (3σ binomial 2% at k=4096 + 3σ HLL 2.4% at
+    p=14).  Oracle checks the exact counts + verdicts."""
+    from .sketches.gss import GroupSizeSampler
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key, _ = _skew_key_stream(batch)
+        g = GroupSizeSampler(4096, 14)
+        g.update_arrow(pa.array(key))
+        return pa.table({"state": pa.array([g.to_bytes()],
+                                           type=pa.large_binary())})
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    states = li.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    from .sketches.base import sketch_from_bytes
+    gss = sketch_from_bytes(states[0]["state"])
+    for r in states[1:]:
+        gss.merge(sketch_from_bytes(r["state"]))
+
+    def key_rows(batch: pa.Table) -> pa.Table:
+        key, _ = _skew_key_stream(batch)
+        return pa.table({"key": pa.array(key)})
+
+    exact_parts = grouped_agg(li.map_batches(
+        key_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], [("n", None, "count")]).map_batches(
+        lambda b: pa.table({
+            "d": pa.array([b.num_rows], pa.int64()),
+            "s": pa.array([int((np.asarray(b["n"], dtype=np.int64) == 1)
+                               .sum())], pa.int64()),
+        }), batch_format="pyarrow", zero_copy_batch=True).take_all()
+    d_exact = sum(r["d"] for r in exact_parts)
+    s_exact = sum(r["s"] for r in exact_parts)
+    d_ok = abs(gss.n_groups() - d_exact) <= \
+        3 * gss.n_groups_error_bound() * max(1, d_exact)
+    s_est = gss.groups_le(1)
+    s_ok = abs(s_est - s_exact) <= 0.10 * max(1, s_exact)
+    return pa.table({
+        "n_groups_exact": pa.array([d_exact], pa.int64()),
+        "n_singletons_exact": pa.array([s_exact], pa.int64()),
+        "hll_within_bound": pa.array([bool(d_ok)], pa.bool_()),
+        "singleton_est_ok": pa.array([bool(s_ok)], pa.bool_()),
     })
 
 
@@ -8708,6 +8771,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketches": q_quantile_sketches,
         "req_tail_quantiles": q_req_tail_quantiles,
         "llf_cold_filter": q_llf_cold_filter,
+        "groupby_size_estimate": q_groupby_size_estimate,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
         "langid_counts": q_langid_counts,
@@ -10457,6 +10521,25 @@ def oracle_sql() -> dict[str, str]:
         "cbloom_source_membership": """
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
             FROM documents GROUP BY source
+        """,
+        "groupby_size_estimate": """
+            WITH keys AS (
+                SELECT CASE WHEN l_orderkey % 4 = 0
+                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
+                                               AS VARCHAR)
+                            ELSE 'cold_' || CAST(((l_orderkey * 16
+                                                   + l_linenumber)
+                                                  * 2654435761)
+                                                 % 1000000 AS VARCHAR)
+                       END AS key
+                FROM lineitem),
+            c AS (SELECT key, count(*) AS n FROM keys GROUP BY key)
+            SELECT CAST(count(*) AS BIGINT) AS n_groups_exact,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_singletons_exact,
+                   TRUE AS hll_within_bound,
+                   TRUE AS singleton_est_ok
+            FROM c
         """,
         "llf_cold_filter": """
             WITH keys AS (

@@ -12,6 +12,7 @@ from .tdigest import TDigest
 from .kll import KLLSketch
 from .req import ReqSketch
 from .llf import LogLogFilter
+from .gss import GroupSizeSampler
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
@@ -42,6 +43,7 @@ __all__ = [
     "KLLSketch",
     "ReqSketch",
     "LogLogFilter",
+    "GroupSizeSampler",
     "MisraGries",
     "AMSSketch",
     "KMVSketch",
