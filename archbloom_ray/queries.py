@@ -1477,6 +1477,63 @@ def q_groupby_size_estimate(sf_dir: str):
     })
 
 
+def q_dynamic_distinct_keys(sf_dir: str):
+    """Fully-DYNAMIC distinct count (SIGMOD'25 retrieved-paper
+    setting: tables that see row deletes): the derived skew stream
+    inserts every line's key and RETRACTS the keys of returned
+    (l_returnflag='R') lines — insert-only sketches (HLL/KMV/theta)
+    cannot answer this; `sketches.dyndist.DynamicDistinct` is LINEAR
+    (state = sum of signed updates), so delete = −1 update, merge =
+    cell addition, and batch/build order is irrelevant.  Strict
+    turnstile holds by construction (each R line retracts exactly its
+    own insert).  One scan emits per-batch 2 MB grid partials; the
+    exact live-key count runs as a distributed grouped sum.  Gate:
+    |D̂ − D| ≤ 6/√s · D (linear-counting 3σ + level noise)."""
+    from .sketches.dyndist import DynamicDistinct
+
+    def partial(batch: pa.Table) -> pa.Table:
+        key, _ = _skew_key_stream(batch)
+        rf = np.asarray(batch["l_returnflag"])
+        d = DynamicDistinct(8192)
+        d.update_arrow(pa.array(key))                       # inserts
+        ret = rf == "R"
+        if ret.any():
+            d.update_arrow(pa.array(key[ret]),
+                           signs=-np.ones(int(ret.sum()),
+                                          dtype=np.int64))  # retracts
+        return pa.table({"state": pa.array([d.to_bytes()],
+                                           type=pa.large_binary())})
+
+    li = _read(sf_dir, "lineitem",
+               ["l_orderkey", "l_linenumber", "l_returnflag"])
+    states = li.map_batches(partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    from .sketches.base import sketch_from_bytes
+    dd = sketch_from_bytes(states[0]["state"])
+    for r in states[1:]:
+        dd.merge(sketch_from_bytes(r["state"]))
+
+    def live_rows(batch: pa.Table) -> pa.Table:
+        key, _ = _skew_key_stream(batch)
+        live = (np.asarray(batch["l_returnflag"]) != "R").astype(np.int64)
+        return pa.table({"key": pa.array(key), "live": pa.array(live)})
+
+    exact_parts = grouped_agg(li.map_batches(
+        live_rows, batch_format="pyarrow", zero_copy_batch=True),
+        ["key"], [("live", "live", "sum")]).map_batches(
+        lambda b: pa.table({"d": pa.array(
+            [int((np.asarray(b["live"], dtype=np.int64) > 0).sum())],
+            pa.int64())}), batch_format="pyarrow",
+        zero_copy_batch=True).take_all()
+    d_exact = sum(r["d"] for r in exact_parts)
+    est = dd.estimate()
+    ok = abs(est - d_exact) <= dd.relative_error_bound() * max(1, d_exact)
+    return pa.table({
+        "n_live_exact": pa.array([d_exact], pa.int64()),
+        "dyn_within_bound": pa.array([bool(ok)], pa.bool_()),
+    })
+
+
 def q_req_tail_quantiles(sf_dir: str):
     """REQ sketch (Cormode et al. PODS'21 — RELATIVE rank error, HRA)
     tail quantiles of document length, certified with a distributed
@@ -8772,6 +8829,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_tail_quantiles": q_req_tail_quantiles,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
+        "dynamic_distinct_keys": q_dynamic_distinct_keys,
         "cbloom_source_membership": q_cbloom_source_membership,
         # training-data operators
         "langid_counts": q_langid_counts,
@@ -10521,6 +10579,25 @@ def oracle_sql() -> dict[str, str]:
         "cbloom_source_membership": """
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
             FROM documents GROUP BY source
+        """,
+        "dynamic_distinct_keys": """
+            WITH keys AS (
+                SELECT CASE WHEN l_orderkey % 4 = 0
+                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
+                                               AS VARCHAR)
+                            ELSE 'cold_' || CAST(((l_orderkey * 16
+                                                   + l_linenumber)
+                                                  * 2654435761)
+                                                 % 1000000 AS VARCHAR)
+                       END AS key,
+                       CASE WHEN l_returnflag = 'R' THEN 0
+                            ELSE 1 END AS live
+                FROM lineitem),
+            c AS (SELECT key, sum(live) AS n FROM keys GROUP BY key)
+            SELECT CAST(sum(CASE WHEN n > 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_live_exact,
+                   TRUE AS dyn_within_bound
+            FROM c
         """,
         "groupby_size_estimate": """
             WITH keys AS (

@@ -13,6 +13,7 @@ from .kll import KLLSketch
 from .req import ReqSketch
 from .llf import LogLogFilter
 from .gss import GroupSizeSampler
+from .dyndist import DynamicDistinct
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
@@ -44,6 +45,7 @@ __all__ = [
     "ReqSketch",
     "LogLogFilter",
     "GroupSizeSampler",
+    "DynamicDistinct",
     "MisraGries",
     "AMSSketch",
     "KMVSketch",

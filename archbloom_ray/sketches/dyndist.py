@@ -1,0 +1,146 @@
+"""Fully-dynamic distinct counting — inserts AND deletes.
+
+Engine extension beyond the reference scope, motivated by the
+retrieved paper "A Fast, Mergeable, and LDP Compatible Sketch for
+Counting the Number of Distinct Values in Fully Dynamic Tables"
+(SIGMOD 2025): HLL/KMV/theta are insert-only (a register max cannot
+be un-taken), so a table that sees row DELETES needs a LINEAR sketch
+— one whose state is a sum over updates, making delete = insert with
+weight −1 and merge = cell-wise addition.
+
+Construction (the classic multiresolution linear-counting ladder,
+Estan–Varghese–Fisk style, with geometric level assignment): an item
+hashes to level ℓ with probability 2^−(ℓ+1) (trailing zeros of its
+64-bit hash) and to one of ``s`` cells within the level; the cell
+holds the item's NET count.  Under the strict turnstile model (an
+item is never deleted below zero — enforce upstream) a cell is zero
+iff no live item occupies it, so each level is a linear-counting
+bitmap of a 2^−(ℓ+1) sample of the live distinct set:
+
+    D̂ = 2^(ℓ+1) · (−s · ln(1 − nz_ℓ/s))
+
+read at the shallowest level whose occupancy nz_ℓ ≤ 0.7·s (load
+where linear counting is accurate).  Relative error ≈ 1.3/√s at the
+chosen load, doubling-noise ≤ √2 across the level choice — the
+3·(2/√s) gate used by the query holds with wide margin at s=8192.
+
+Everything is vectorized (one mmh3 batch pass + np.add.at), the
+state is an (L, s) int64 grid (L=32, s=8192 → 2 MB; int64 so a
+billion-row cell never wraps), and the sketch is FULLY linear:
+merge(a, b) = a + b, delete = negative update, build order and
+batching irrelevant — the properties the paper's "fully dynamic"
+setting demands.
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+
+from .base import Sketch, SketchError, register
+from ..hashing import fmix64_batch, mmh3_128_batch
+
+_LEVELS = 32
+
+
+@register
+class DynamicDistinct(Sketch):
+    MAGIC = b"!dyndist"
+
+    def __init__(self, s: int = 8192, seed: int = 0,
+                 name: str = "DEFAULT"):
+        if s < 64:
+            raise SketchError("s must be >= 64 cells per level")
+        self.s = int(s)
+        self.seed = int(seed)
+        self.name = name
+        self.cells = np.zeros((_LEVELS, self.s), dtype=np.int64)
+        self.updates = 0  # signed updates observed (diagnostics)
+
+    # -- update -------------------------------------------------------
+    def update_arrow(self, arr, signs=None) -> None:
+        """Apply signed updates: ``signs`` +1 (insert) / −1 (delete),
+        default all inserts.  Strict turnstile: never delete an item
+        below zero — the caller owns that invariant (a violated cell
+        can go negative and silently skew occupancy)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        n = len(arr)
+        if n == 0:
+            return
+        if signs is None:
+            sg = np.ones(n, dtype=np.int64)
+        else:
+            sg = np.asarray(signs, dtype=np.int64)
+        h1, _ = mmh3_128_batch(arr, seed=self.seed)
+        h = h1.astype(np.uint64)
+        # level = trailing zeros (geometric, capped at the last level)
+        low = (h & (~h + np.uint64(1)))
+        tz = np.zeros(n)
+        nzm = h != 0
+        tz[nzm] = np.round(np.log2(low[nzm].astype(np.float64)))
+        lvl = np.minimum(tz.astype(np.int64), _LEVELS - 1)
+        cell = (fmix64_batch(h) % np.uint64(self.s)).astype(np.int64)
+        np.add.at(self.cells.reshape(-1), lvl * self.s + cell, sg)
+        self.updates += n
+
+    # -- queries ------------------------------------------------------
+    def estimate(self) -> float:
+        nz = (self.cells != 0).sum(axis=1)
+        for lvl in range(_LEVELS):
+            if nz[lvl] <= 0.7 * self.s:
+                if nz[lvl] == 0:
+                    return 0.0
+                lc = -self.s * math.log(1.0 - nz[lvl] / self.s)
+                return float(2 ** (lvl + 1) * lc)
+        raise SketchError("sketch saturated at every level; raise s")
+
+    def relative_error_bound(self) -> float:
+        """~3σ relative bound at the read level (linear-counting σ
+        plus level-subsample noise)."""
+        return 6.0 / math.sqrt(self.s)
+
+    def saturation(self) -> float:
+        return float((self.cells[0] != 0).mean())
+
+    # -- algebra ------------------------------------------------------
+    def merge(self, other: "DynamicDistinct") -> "DynamicDistinct":
+        self._check_compatible(other)
+        self.cells += other.cells
+        self.updates += other.updates
+        return self
+
+    def invert(self) -> "DynamicDistinct":
+        """The linear-sketch inverse: merge(a, b.invert()) retracts b's
+        updates (the delete path at sketch granularity)."""
+        out = DynamicDistinct(self.s, self.seed, self.name)
+        np.negative(self.cells, out=out.cells)
+        out.updates = self.updates
+        return out
+
+    def finalize(self) -> dict:
+        return {"estimate": self.estimate(), "updates": self.updates}
+
+    def _meta_compat(self) -> dict:
+        return {"s": self.s, "seed": self.seed}
+
+    # -- ser/de -------------------------------------------------------
+    def _meta(self) -> dict:
+        return {"s": self.s, "seed": self.seed, "name": self.name,
+                "updates": self.updates}
+
+    def _arrays(self):
+        return [self.cells]
+
+    def _set_arrays(self, arrays):
+        self.cells = arrays[0].astype(np.int64, copy=True).reshape(
+            (_LEVELS, self.s))
+
+    @classmethod
+    def _from_meta(cls, meta):
+        obj = cls(meta["s"], meta.get("seed", 0),
+                  meta.get("name", "DEFAULT"))
+        obj.updates = meta.get("updates", 0)
+        return obj
