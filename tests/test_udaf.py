@@ -155,3 +155,31 @@ def test_empty_groups_and_nulls_are_skipped(ray_session):
     assert got["a"] == pytest.approx(1.0, abs=0.5)
     # all-null group: empty sketch -> estimate 0
     assert got["b"] == pytest.approx(0.0, abs=0.5)
+
+
+def test_new_sketches_drop_into_sketchagg(ray_session):
+    """The session-8 sketches are ordinary Sketch subclasses, so the
+    generic SketchAgg wrapper distributes them with no extra code."""
+    import numpy as np
+
+    from archbloom_ray.pipelines.udaf import SketchAgg
+    from archbloom_ray.sketches import DynamicDistinct, ReqSketch
+
+    vals = np.arange(10_000, dtype=np.float64)
+    keys = np.where(np.arange(10_000) % 2 == 0, "a", "b")
+    ds = rd.from_arrow(pa.table({"k": keys, "v": vals})).repartition(4)
+
+    rows = ds.groupby("k").aggregate(
+        SketchAgg("v", lambda: ReqSketch(32),
+                  finalize=lambda sk: sk.quantile(0.99),
+                  alias_name="p99")).take_all()
+    got = {r["k"]: r["p99"] for r in rows}
+    # per-group p99 of evens/odds in [0, 10000): near 9900
+    assert abs(got["a"] - 9900) <= 200 and abs(got["b"] - 9900) <= 200
+
+    keys2 = pa.array([f"u{i % 737}" for i in range(5_000)])
+    est = rd.from_arrow(pa.table({"u": keys2})).repartition(3).aggregate(
+        SketchAgg("u", lambda: DynamicDistinct(4096),
+                  finalize=lambda sk: sk.estimate(),
+                  alias_name="d"))["d"]
+    assert abs(est - 737) / 737 <= 0.10
