@@ -60,6 +60,7 @@ def _make_sketch(kind: str, args) -> "object":
                            TDigest, ThetaSketch,
                            RoaringBitmap, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
+    from .sketches import DynamicDistinct, GroupSizeSampler, ReqSketch
 
     kinds = {
         "bloom": lambda: BloomFilter(args.expected, args.accuracy),
@@ -83,6 +84,11 @@ def _make_sketch(kind: str, args) -> "object":
         "theta": lambda: ThetaSketch(args.sketch_k),
         # integer-key exact set (raises a clean SketchError on strings)
         "roaring": lambda: RoaringBitmap(),
+        # session-8 additions; llf is deliberately absent (its arrival-
+        # keyed update needs occurrence ids this path doesn't carry)
+        "req": lambda: ReqSketch(args.kll_k),
+        "dyndist": lambda: DynamicDistinct(),
+        "gss": lambda: GroupSizeSampler(args.sketch_k, args.precision),
     }
     return kinds[kind]()
 
@@ -824,7 +830,7 @@ def main(argv=None):
                                  "tdbloom", "tdcbloom", "cuckoo", "hll",
                                  "sparsehll", "slidinghll", "cms", "tdigest",
                                  "kll", "ddsketch", "kmv", "theta",
-                                 "roaring"])
+                                 "roaring", "req", "dyndist", "gss"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)

@@ -472,3 +472,19 @@ def test_probe_sharded_tdbloom_directory(tmp_path):
     stale = [u for u, s in zip(urls, secs) if hi - s > 20_000]
     assert all(pres[u] for u in fresh)
     assert np.mean([pres[u] for u in stale]) <= 0.05
+
+
+def test_create_session8_kinds(ray_session, tmp_path):
+    """req / dyndist / gss build through the generic create path and
+    round-trip through info."""
+    from archbloom_ray.cli import main
+
+    for kind, col in [("req", "n_chars"), ("dyndist", "text"),
+                      ("gss", "text")]:
+        out = str(tmp_path / f"{kind}.sk")
+        main(["create", "/root/testdata/sf0.001/documents.parquet", out,
+              "--column", col, "--kind", kind])
+        r = run_cli("info", out)
+        info = json.loads(r.stdout.strip().splitlines()[-1])
+        assert info["type"] in ("ReqSketch", "DynamicDistinct",
+                                "GroupSizeSampler")
