@@ -88,13 +88,21 @@ class DynamicDistinct(Sketch):
 
     # -- queries ------------------------------------------------------
     def estimate(self) -> float:
+        # multiresolution form: from the shallowest unsaturated level b,
+        # levels b..L jointly hold a 2^-b sample of the live set (level
+        # ℓ alone is a 2^-(ℓ+1) sample), so D̂ = 2^b · Σ_{ℓ≥b} LC(nz_ℓ).
+        # Summing the deep levels matters at small D — reading ONLY
+        # level b returns 0 whenever b happens to be empty while live
+        # keys sit deeper (hypothesis found exactly that).
         nz = (self.cells != 0).sum(axis=1)
-        for lvl in range(_LEVELS):
-            if nz[lvl] <= 0.7 * self.s:
-                if nz[lvl] == 0:
-                    return 0.0
-                lc = -self.s * math.log(1.0 - nz[lvl] / self.s)
-                return float(2 ** (lvl + 1) * lc)
+        for b in range(_LEVELS):
+            if nz[b] <= 0.7 * self.s:
+                lc = 0.0
+                for lvl in range(b, _LEVELS):
+                    if nz[lvl]:
+                        lc += -self.s * math.log(
+                            1.0 - min(nz[lvl], self.s - 1) / self.s)
+                return float(2 ** b * lc)
         raise SketchError("sketch saturated at every level; raise s")
 
     def relative_error_bound(self) -> float:

@@ -515,3 +515,121 @@ def test_sliding_hll_window_registers_exact(events, cut, nsplits):
         rho = (np.minimum(_clz64(h1 << np.uint64(p)), 64 - p) + 1)
         np.maximum.at(want, idx, rho.astype(np.uint8))
     assert (sk.registers_since(cut) == want).all()
+
+
+@given(st.lists(st.tuples(st.integers(0, 400),        # key id
+                          st.sampled_from([1, 1, 1, -1])),  # op
+                min_size=0, max_size=400),
+       st.integers(min_value=1, max_value=7))
+@settings(max_examples=40, deadline=None)
+def test_dynamic_distinct_linear_property(ops, nsplits):
+    """Strict-turnstile random insert/delete interleavings: the linear
+    sketch's state equals the one-shot build over the SAME multiset
+    (split/merge invariance — it's a sum), a delete is the exact
+    inverse of an insert, and the estimate tracks the live distinct
+    count within the bound."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archbloom_ray.sketches.dyndist import DynamicDistinct
+
+    # enforce strict turnstile: drop deletes that would go negative
+    bal: dict[int, int] = {}
+    keys, signs = [], []
+    for k, sg in ops:
+        if sg < 0 and bal.get(k, 0) == 0:
+            continue
+        bal[k] = bal.get(k, 0) + sg
+        keys.append(f"k{k}")
+        signs.append(sg)
+    live = sum(1 for v in bal.values() if v > 0)
+
+    one = DynamicDistinct(4096)
+    if keys:
+        one.update_arrow(pa.array(keys),
+                         signs=np.array(signs, dtype=np.int64))
+    merged = DynamicDistinct(4096)
+    step = max(1, (len(keys) + nsplits - 1) // nsplits)
+    for i in range(0, len(keys), step):
+        p = DynamicDistinct(4096)
+        p.update_arrow(pa.array(keys[i:i + step]),
+                       signs=np.array(signs[i:i + step], dtype=np.int64))
+        merged.merge(p)
+    assert np.array_equal(merged.cells, one.cells)
+    est = one.estimate()
+    assert abs(est - live) <= one.relative_error_bound() * live + 3
+    # full retraction returns the zero state exactly
+    undo = DynamicDistinct(4096)
+    if keys:
+        undo.update_arrow(pa.array(keys),
+                          signs=-np.array(signs, dtype=np.int64))
+    merged.merge(undo)
+    assert not merged.cells.any()
+
+
+@given(st.lists(st.floats(min_value=-1e9, max_value=1e9,
+                          allow_nan=False, allow_infinity=False),
+                min_size=1, max_size=600),
+       st.integers(min_value=1, max_value=5))
+@settings(max_examples=40, deadline=None)
+def test_req_rank_properties(vals, nsplits):
+    """REQ invariants on arbitrary inputs: n preserved across
+    split+merge, quantiles monotone in q, every estimate is a value
+    the sketch actually retained (no interpolation artifacts), and
+    min/max exact."""
+    import numpy as np
+
+    from archbloom_ray.sketches.req import ReqSketch
+
+    arr = np.array(vals, dtype=np.float64)
+    sk = ReqSketch(32, seed=1)
+    step = max(1, (arr.size + nsplits - 1) // nsplits)
+    parts = []
+    for i in range(0, arr.size, step):
+        p = ReqSketch(32, seed=1)
+        p.update_arrow(arr[i:i + step])
+        parts.append(p)
+    sk = parts[0]
+    for p in parts[1:]:
+        sk = sk.merge(p)
+    assert sk.n == arr.size
+    assert sk.min == arr.min() and sk.max == arr.max()
+    qs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
+    ests = sk.quantiles(qs)
+    assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
+    retained = set()
+    for lvl in sk.levels:
+        retained.update(lvl.buf.tolist())
+    assert all(e in retained for e in ests)
+
+
+@given(st.lists(st.text(max_size=16), min_size=0, max_size=300),
+       st.integers(min_value=1, max_value=6))
+@settings(max_examples=40, deadline=None)
+def test_gss_merged_sample_counts_exact(keys, nsplits):
+    """The bottom-k group sample's counts stay EXACT through any
+    split+merge (the KMV containment argument), and rows totals add."""
+    import numpy as np
+    import pyarrow as pa
+
+    from archbloom_ray.hashing import mmh3_128_batch
+    from archbloom_ray.sketches.gss import GroupSizeSampler
+
+    one = GroupSizeSampler(64, 10)
+    if keys:
+        one.update_arrow(pa.array(keys))
+    merged = GroupSizeSampler(64, 10)
+    step = max(1, (len(keys) + nsplits - 1) // nsplits)
+    for i in range(0, len(keys), step):
+        p = GroupSizeSampler(64, 10)
+        p.update_arrow(pa.array(keys[i:i + step]))
+        merged.merge(p)
+    assert np.array_equal(merged.hashes, one.hashes)
+    assert np.array_equal(merged.counts, one.counts)
+    assert merged.rows == one.rows == len(keys)
+    if keys:
+        uniq, cnt = np.unique(np.array(keys, dtype=object), return_counts=True)
+        h1, _ = mmh3_128_batch(pa.array(list(uniq)))
+        truth = dict(zip(h1.astype(np.uint64).tolist(), cnt.tolist()))
+        for h, c in zip(merged.hashes.tolist(), merged.counts.tolist()):
+            assert truth[h] == c
