@@ -215,6 +215,22 @@ def fmix64_batch(h: np.ndarray) -> np.ndarray:
     return k
 
 
+def trailing_zeros64_batch(h: np.ndarray) -> np.ndarray:
+    """Vectorized count-trailing-zeros over uint64, with tz(0) = 64
+    (the geometric-level convention: an all-zero hash lands at the
+    DEEPEST level, not the most probable one).  Branch-free: isolate
+    the lowest set bit and read its exponent via float64 log2 — exact
+    for single bits up to 2^63 under IEEE 754."""
+    v = h.astype(np.uint64, copy=False)
+    nz = v != 0
+    low = v & (~v + np.uint64(1))
+    tz = np.full(v.shape, 64, dtype=np.int64)
+    if nz.any():
+        tz[nz] = np.round(np.log2(low[nz].astype(np.float64))).astype(
+            np.int64)
+    return tz
+
+
 def mmh3_128_batch(arr, seed: int = 0, chunk: int = 8192) -> tuple[np.ndarray, np.ndarray]:
     """Vectorized MurmurHash3 x64_128 over a string/binary column.
 

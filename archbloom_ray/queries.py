@@ -1375,13 +1375,12 @@ def q_llf_cold_filter(sf_dir: str):
         return pa.table({"state": pa.array([f.to_bytes()],
                                            type=pa.large_binary())})
 
-    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-    states = li.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
+    from .pipelines.build import merge_partials
     from .sketches.base import sketch_from_bytes
-    llf = sketch_from_bytes(states[0]["state"])
-    for r in states[1:]:
-        llf.merge(sketch_from_bytes(r["state"]))
+
+    li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
+    llf = merge_partials(li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
     llf_ref = ray.put(llf.to_bytes())
 
     def key_rows(batch: pa.Table) -> pa.Table:
@@ -1443,13 +1442,11 @@ def q_groupby_size_estimate(sf_dir: str):
         return pa.table({"state": pa.array([g.to_bytes()],
                                            type=pa.large_binary())})
 
+    from .pipelines.build import merge_partials
+
     li = _read(sf_dir, "lineitem", ["l_orderkey", "l_linenumber"])
-    states = li.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    from .sketches.base import sketch_from_bytes
-    gss = sketch_from_bytes(states[0]["state"])
-    for r in states[1:]:
-        gss.merge(sketch_from_bytes(r["state"]))
+    gss = merge_partials(li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
 
     def key_rows(batch: pa.Table) -> pa.Table:
         key, _ = _skew_key_stream(batch)
@@ -1504,14 +1501,12 @@ def q_dynamic_distinct_keys(sf_dir: str):
         return pa.table({"state": pa.array([d.to_bytes()],
                                            type=pa.large_binary())})
 
+    from .pipelines.build import merge_partials
+
     li = _read(sf_dir, "lineitem",
                ["l_orderkey", "l_linenumber", "l_returnflag"])
-    states = li.map_batches(partial, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    from .sketches.base import sketch_from_bytes
-    dd = sketch_from_bytes(states[0]["state"])
-    for r in states[1:]:
-        dd.merge(sketch_from_bytes(r["state"]))
+    dd = merge_partials(li.map_batches(
+        partial, batch_format="pyarrow", zero_copy_batch=True))
 
     def live_rows(batch: pa.Table) -> pa.Table:
         key, _ = _skew_key_stream(batch)
@@ -9488,8 +9483,12 @@ def _pages_sql_path() -> str:
     from .datagen import pages_fixture
 
     tier = os.environ.get("GRAFT_PAGES_ORACLE_TIER", "sf0.01")
-    rows = _PAGES_ROWS.get(tier, _PAGES_ROWS["sf0.01"])
-    return pages_fixture(rows, seed=42) + "/*.parquet"
+    if tier not in _PAGES_ROWS:
+        raise ValueError(
+            f"GRAFT_PAGES_ORACLE_TIER={tier!r} is not a known tier "
+            f"({sorted(_PAGES_ROWS)}) — a silent sf0.01 fallback would "
+            "mis-pair the oracle fixture with the Ray side")
+    return pages_fixture(_PAGES_ROWS[tier], seed=42) + "/*.parquet"
 
 
 def _pages_window_sql(timeout_floor: int) -> str:
@@ -11849,20 +11848,35 @@ def oracle_sql() -> dict[str, str]:
             step AS (
                 SELECT url, regexp_replace(url, '#.*$', '') AS u1
                 FROM raw),
-            pref AS (
+            m AS (
                 SELECT url, u1,
-                       regexp_extract(u1, '^[^:/?#]+://[^/]*') AS pre
+                       regexp_extract(u1,
+                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 0) AS pre,
+                       lower(regexp_extract(u1,
+                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 1)) AS s,
+                       regexp_extract(u1,
+                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 2) AS ui,
+                       lower(regexp_extract(u1,
+                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 3)) AS hp
                 FROM step),
             canon AS (
                 SELECT url,
-                       regexp_replace(regexp_replace(lower(pre),
-                           '^(https://[^:/?]*):443$', '\\1'),
-                           '^(http://[^:/?]*):80$', '\\1')
-                       || substr(u1, length(pre) + 1) AS c0
-                FROM pref),
+                       CASE WHEN pre = '' THEN u1
+                            ELSE s || '://' || ui ||
+                                 CASE WHEN s = 'https'
+                                      THEN regexp_replace(hp,
+                                               '^(.*):443$', '\\1')
+                                      WHEN s = 'http'
+                                      THEN regexp_replace(hp,
+                                               '^(.*):80$', '\\1')
+                                      ELSE hp END ||
+                                 substr(u1, length(pre) + 1)
+                       END AS c0
+                FROM m),
             final AS (
                 SELECT url,
-                       regexp_replace(c0, '\\?utm_[^&#]*$', '') AS curl
+                       regexp_replace(c0, '^([^?#]*)\\?utm_[^&#]*$',
+                                      '\\1') AS curl
                 FROM canon)
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(count(DISTINCT url) AS BIGINT) AS raw_urls,

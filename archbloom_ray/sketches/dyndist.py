@@ -74,14 +74,13 @@ class DynamicDistinct(Sketch):
             sg = np.ones(n, dtype=np.int64)
         else:
             sg = np.asarray(signs, dtype=np.int64)
+        from ..hashing import trailing_zeros64_batch
+
         h1, _ = mmh3_128_batch(arr, seed=self.seed)
         h = h1.astype(np.uint64)
-        # level = trailing zeros (geometric, capped at the last level)
-        low = (h & (~h + np.uint64(1)))
-        tz = np.zeros(n)
-        nzm = h != 0
-        tz[nzm] = np.round(np.log2(low[nzm].astype(np.float64)))
-        lvl = np.minimum(tz.astype(np.int64), _LEVELS - 1)
+        # level = trailing zeros (geometric, capped at the last level;
+        # the shared helper maps h == 0 to the DEEPEST level, not 0)
+        lvl = np.minimum(trailing_zeros64_batch(h), _LEVELS - 1)
         cell = (fmix64_batch(h) % np.uint64(self.s)).astype(np.int64)
         np.add.at(self.cells.reshape(-1), lvl * self.s + cell, sg)
         self.updates += n

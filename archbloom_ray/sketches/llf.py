@@ -74,20 +74,13 @@ class LogLogFilter(Sketch):
         occ = np.asarray(occ, dtype=np.uint64)
         h1, h2 = mmh3_128_batch(arr, seed=self.seed)
         cell = (fmix64_batch(h1) % np.uint64(self.m)).astype(np.int64)
-        # per-arrival draw: mix the item lane with the occurrence id
-        draw = fmix64_batch(h2 ^ fmix64_batch(occ))
+        # per-arrival draw: mix the item lane with the occurrence id;
         # rank = 1 + trailing zeros (geometric, p=1/2), capped at 255
-        tz = np.zeros(n, dtype=np.uint8)
-        v = draw.copy()
-        nz = v != 0
-        # count trailing zeros branch-free: isolate lowest set bit,
-        # log2 via float exponent (exact for single bits < 2^53 — the
-        # cap at 63 keeps us inside; bit 63 handled by the mask)
-        low = (v & (~v + np.uint64(1)))
-        tzf = np.zeros(n)
-        tzf[nz] = np.round(np.log2(low[nz].astype(np.float64)))
-        tz = np.where(nz, tzf, 64).astype(np.int64)
-        rank = np.minimum(tz + 1, 255).astype(np.uint8)
+        from ..hashing import trailing_zeros64_batch
+
+        draw = fmix64_batch(h2 ^ fmix64_batch(occ))
+        rank = np.minimum(trailing_zeros64_batch(draw) + 1,
+                          255).astype(np.uint8)
         np.maximum.at(self.cells, cell, rank)
         self.n += n
 

@@ -198,6 +198,13 @@ class ReqSketch(Sketch):
         v, w = self._weighted_items()
         if v.size == 0:
             return math.nan
+        # the extremes are tracked exactly; under HRA the lowest
+        # RETAINED item can sit far above the true minimum (the low
+        # end is what compaction discards), so answer q<=0 from state
+        if q <= 0.0:
+            return self.min
+        if q >= 1.0:
+            return self.max
         cum = np.cumsum(w)
         target = q * cum[-1]
         i = int(np.searchsorted(cum, target, side="left"))

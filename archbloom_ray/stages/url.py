@@ -58,11 +58,14 @@ def canonical_urls(col) -> pa.Array:
     SAME regexes matches byte-for-byte):
 
     1. drop the fragment (``#.*$``);
-    2. lowercase the ``scheme://hostport`` prefix (hostnames are
-       case-insensitive; paths are NOT touched);
+    2. lowercase the scheme and the hostport — NOT the userinfo
+       (``user:Pass@`` is case-sensitive per RFC 3986 §3.2.1) and NOT
+       the path;
     3. drop a default port (``:443`` under https, ``:80`` under http);
-    4. drop a TRAILING ``?utm_*=...`` tracker (the lone-tracker case;
-       full query-param reordering is deliberately out of scope).
+    4. drop a TRAILING ``?utm_*=...`` tracker only when that ``?`` is
+       the QUERY delimiter (no earlier ``?``/``#`` — a literal ``?``
+       inside a query value must survive; full query-param reordering
+       is deliberately out of scope).
 
     Rows without a ``scheme://`` prefix pass through steps 2-3
     unchanged.  Returns a string array aligned with ``col``.
@@ -71,19 +74,25 @@ def canonical_urls(col) -> pa.Array:
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
     u1 = pc.replace_substring_regex(col, r"#.*$", "")
-    pre = pc.fill_null(pc.struct_field(pc.extract_regex(
-        u1, r"^(?P<p>[^:/?#]+://[^/]*)"), "p"), "")
-    lowered = pc.replace_substring_regex(
-        pc.replace_substring_regex(pc.utf8_lower(pre),
-                                   r"^(https://[^:/?]*):443$", r"\1"),
-        r"^(http://[^:/?]*):80$", r"\1")
-    # tail = u1 with the matched prefix removed (anchored, so only the
-    # leading occurrence can match; count the prefix once)
-    tail = pc.if_else(pc.equal(pre, ""), u1,
-                      pc.replace_substring_regex(
-                          u1, r"^[^:/?#]+://[^/]*", "", max_replacements=1))
-    joined = pc.binary_join_element_wise(lowered, tail, "")
-    return pc.replace_substring_regex(joined, r"\?utm_[^&#]*$", "")
+    _AUTH = r"^(?P<s>[^:/?#]+)://(?P<ui>[^/@]*@)?(?P<hp>[^/]*)"
+    parts = pc.extract_regex(u1, _AUTH)
+    scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "s"), ""))
+    ui = pc.fill_null(pc.struct_field(parts, "ui"), "")
+    hp = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "hp"), ""))
+    hp = pc.if_else(pc.equal(scheme, "https"),
+                    pc.replace_substring_regex(hp, r"^(.*):443$", r"\1"),
+                    hp)
+    hp = pc.if_else(pc.equal(scheme, "http"),
+                    pc.replace_substring_regex(hp, r"^(.*):80$", r"\1"),
+                    hp)
+    tail = pc.replace_substring_regex(u1, _AUTH.replace("(?P<s>", "(?:")
+                                      .replace("(?P<ui>", "(?:")
+                                      .replace("(?P<hp>", "(?:"),
+                                      "", max_replacements=1)
+    rebuilt = pc.binary_join_element_wise(scheme, "://", ui, hp, tail, "")
+    joined = pc.if_else(pc.equal(scheme, ""), u1, rebuilt)
+    return pc.replace_substring_regex(
+        joined, r"^([^?#]*)\?utm_[^&#]*$", r"\1")
 
 
 def add_url_parts(ds: "ray.data.Dataset", url_col: str = "url") -> "ray.data.Dataset":
