@@ -1533,9 +1533,11 @@ def q_req_tail_quantiles(sf_dir: str):
     """REQ sketch (Cormode et al. PODS'21 — RELATIVE rank error, HRA)
     tail quantiles of document length, certified with a distributed
     rank pass: the q-quantile estimate's true rank must sit within
-    5% OF THE DISTANCE TO THE TOP (|rank−q| ≤ 0.05·(1−q) + 2/n — the
-    relative guarantee KLL's additive ±εn cannot make at p999), plus
-    the additive sanity gate KLL itself meets.  Exact values via the
+    the LOOSER of 5%-of-the-distance-to-the-top and the sketch's own
+    ε = 4/k contract (|rank−q| ≤ max(0.05, 4/k)·(1−q) + 2/n — the
+    relative guarantee KLL's additive ±εn cannot make at p999; gating
+    tighter than the contract would rest on luck), plus the additive
+    sanity gate KLL itself meets.  Exact values via the
     engine's quantile_cont-parity pass; oracle checks (q, exact,
     verdicts)."""
     from .pipelines.relational import exact_quantiles, rank_errors
@@ -1543,7 +1545,7 @@ def q_req_tail_quantiles(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["n_chars"])
     out = build_sketches(ds, {
-        "req": ("n_chars", lambda: ReqSketch(32)),
+        "req": ("n_chars", lambda: ReqSketch(128)),
     })
     n = max(1, out["req"].n)
     qs = [0.5, 0.9, 0.99, 0.999]
@@ -1552,7 +1554,11 @@ def q_req_tail_quantiles(sf_dir: str):
     est = out["req"].quantiles(qs)
     err = rank_errors(
         _read(sf_dir, "documents", ["n_chars"]), "n_chars", est, qs)
-    rel_ok = err <= 0.05 * (1.0 - np.array(qs)) + 2.0 / n
+    # gate at the tighter of 5%-of-tail and the sketch's OWN bound
+    # (4/k = 3.1% of tail at k=128) — never tighter than the contract
+    bound = np.array([out["req"].error_bound(q) for q in qs])
+    rel_ok = err <= np.maximum(0.05 * (1.0 - np.array(qs)),
+                               bound) + 2.0 / n
     return pa.table({
         "q": pa.array(qs, type=pa.float64()),
         "exact": pa.array(exact, type=pa.float64()),
@@ -4473,6 +4479,13 @@ def _partsupp_slots(pk: np.ndarray, s_cnt: int):
     avail = (pk[:, None] * (i + 1)) % 9999 + 1
     cost = (pk[:, None] * 7 + sk * 3) % 99900 + 100
     return sk, avail, cost
+
+
+_SKEW_KEY_SQL = """CASE WHEN l_orderkey % 4 = 0
+         THEN 'hot_' || CAST((l_orderkey // 4) % 8 AS VARCHAR)
+         ELSE 'cold_' || CAST(((l_orderkey * 16 + l_linenumber)
+                               * 2654435761) % 1000000 AS VARCHAR)
+    END"""  # SQL twin of _skew_key_stream — ONE definition, three oracles
 
 
 _PARTSUPP_CTE = """
@@ -10579,16 +10592,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT source, count(*) AS exact_count, TRUE AS cbloom_ge_exact
             FROM documents GROUP BY source
         """,
-        "dynamic_distinct_keys": """
+        "dynamic_distinct_keys": f"""
             WITH keys AS (
-                SELECT CASE WHEN l_orderkey % 4 = 0
-                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
-                                               AS VARCHAR)
-                            ELSE 'cold_' || CAST(((l_orderkey * 16
-                                                   + l_linenumber)
-                                                  * 2654435761)
-                                                 % 1000000 AS VARCHAR)
-                       END AS key,
+                SELECT {_SKEW_KEY_SQL} AS key,
                        CASE WHEN l_returnflag = 'R' THEN 0
                             ELSE 1 END AS live
                 FROM lineitem),
@@ -10598,16 +10604,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS dyn_within_bound
             FROM c
         """,
-        "groupby_size_estimate": """
+        "groupby_size_estimate": f"""
             WITH keys AS (
-                SELECT CASE WHEN l_orderkey % 4 = 0
-                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
-                                               AS VARCHAR)
-                            ELSE 'cold_' || CAST(((l_orderkey * 16
-                                                   + l_linenumber)
-                                                  * 2654435761)
-                                                 % 1000000 AS VARCHAR)
-                       END AS key
+                SELECT {_SKEW_KEY_SQL} AS key
                 FROM lineitem),
             c AS (SELECT key, count(*) AS n FROM keys GROUP BY key)
             SELECT CAST(count(*) AS BIGINT) AS n_groups_exact,
@@ -10617,16 +10616,9 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS singleton_est_ok
             FROM c
         """,
-        "llf_cold_filter": """
+        "llf_cold_filter": f"""
             WITH keys AS (
-                SELECT CASE WHEN l_orderkey % 4 = 0
-                            THEN 'hot_' || CAST((l_orderkey // 4) % 8
-                                               AS VARCHAR)
-                            ELSE 'cold_' || CAST(((l_orderkey * 16
-                                                   + l_linenumber)
-                                                  * 2654435761)
-                                                 % 1000000 AS VARCHAR)
-                       END AS key
+                SELECT {_SKEW_KEY_SQL} AS key
                 FROM lineitem),
             c AS (SELECT key, count(*) AS n FROM keys GROUP BY key)
             SELECT CAST(sum(CASE WHEN n >= 64 THEN 1 ELSE 0 END)
@@ -11851,13 +11843,13 @@ def oracle_sql() -> dict[str, str]:
             m AS (
                 SELECT url, u1,
                        regexp_extract(u1,
-                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 0) AS pre,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 0) AS pre,
                        lower(regexp_extract(u1,
-                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 1)) AS s,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 1)) AS s,
                        regexp_extract(u1,
-                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 2) AS ui,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 2) AS ui,
                        lower(regexp_extract(u1,
-                           '^([^:/?#]+)://([^/@]*@)?([^/]*)', 3)) AS hp
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 3)) AS hp
                 FROM step),
             canon AS (
                 SELECT url,

@@ -74,7 +74,10 @@ def canonical_urls(col) -> pa.Array:
         col = col.combine_chunks()
     col = pc.fill_null(col, "")
     u1 = pc.replace_substring_regex(col, r"#.*$", "")
-    _AUTH = r"^(?P<s>[^:/?#]+)://(?P<ui>[^/@]*@)?(?P<hp>[^/]*)"
+    # authority ends at '/', '?' or '#': a query-without-path URL must
+    # NOT fold its query into the hostport (case/port rules would then
+    # corrupt query values) or into the userinfo
+    _AUTH = r"^(?P<s>[^:/?#]+)://(?P<ui>[^/?#@]*@)?(?P<hp>[^/?#]*)"
     parts = pc.extract_regex(u1, _AUTH)
     scheme = pc.utf8_lower(pc.fill_null(pc.struct_field(parts, "s"), ""))
     ui = pc.fill_null(pc.struct_field(parts, "ui"), "")

@@ -597,10 +597,14 @@ def test_req_rank_properties(vals, nsplits):
     qs = [0.0, 0.1, 0.5, 0.9, 0.999, 1.0]
     ests = sk.quantiles(qs)
     assert all(a <= b + 1e-12 for a, b in zip(ests, ests[1:]))
+    # q<=0 / q>=1 answer from the exactly-tracked extremes (HRA
+    # compaction routinely discards the minimum from the buffers);
+    # interior estimates are values the sketch actually retained
+    assert ests[0] == sk.min and ests[-1] == sk.max
     retained = set()
     for lvl in sk.levels:
         retained.update(lvl.buf.tolist())
-    assert all(e in retained for e in ests)
+    assert all(e in retained for e in ests[1:-1])
 
 
 @given(st.lists(st.text(max_size=16), min_size=0, max_size=300),
