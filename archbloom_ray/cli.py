@@ -689,13 +689,22 @@ def cmd_run(args):
 
     stats = None
     if isinstance(res, pa.Table):
-        pass
+        if getattr(args, "stats", False):
+            import sys
+            print("note: query returned a materialized table (not a "
+                  "Ray Dataset) — no per-operator stats to report",
+                  file=sys.stderr)
     elif hasattr(res, "stats"):          # ray Dataset
         df = res.to_pandas()
         if getattr(args, "stats", False):
             stats = res.stats()          # per-operator wall/rows/bytes
         res = pa.Table.from_pandas(df)
     else:                                # pandas DataFrame
+        if getattr(args, "stats", False):
+            import sys
+            print("note: query returned a materialized table (not a "
+                  "Ray Dataset) — no per-operator stats to report",
+                  file=sys.stderr)
         res = pa.Table.from_pandas(res)
     if stats:
         import sys

@@ -1219,8 +1219,19 @@ def q_selfjoin_size_users(sf_dir: str):
     from .sketches import CountMinSketch
 
     ds = _read(sf_dir, "events", ["user_id"])
-    exact_rows = grouped_agg(ds, ["user_id"], [("n", None, "count")]).take_all()
-    exact = int(sum(r["n"] * r["n"] for r in exact_rows))
+    counts = grouped_agg(ds, ["user_id"], [("n", None, "count")])
+
+    # Σn² distributively: each block of grouped counts emits ONE scalar
+    # partial (Σ over its rows of n²); only O(blocks) rows reach the
+    # driver regardless of user cardinality.
+    def sq_partial(batch: pa.Table) -> pa.Table:
+        n = np.asarray(batch["n"], dtype=np.int64)
+        return pa.table({"p": pa.array([int((n * n).sum())],
+                                       type=pa.int64())})
+
+    parts = counts.map_batches(sq_partial, batch_format="pyarrow",
+                               zero_copy_batch=True)
+    exact = int(sum(r["p"] for r in parts.take_all()))
 
     cms = build_sketch(_read(sf_dir, "events", ["user_id"]), "user_id",
                        lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
@@ -1340,7 +1351,10 @@ def _skew_key_stream(batch: pa.Table):
     key = np.where(
         hot,
         np.char.add("hot_", ((ok // 4) % 8).astype(str)),
-        np.char.add("cold_", ((occ * 2654435761) % 1000000).astype(str)))
+        # reduce BEFORE multiplying: occ % 1e6 keeps the product
+        # < 2.7e15 (no int64 wrap at any sf); ≡ (occ·K) % 1e6 exactly
+        np.char.add("cold_",
+                    (((occ % 1000000) * 2654435761) % 1000000).astype(str)))
     return key, occ
 
 
@@ -1900,14 +1914,30 @@ def q_events_sliding_distinct_users(sf_dir: str):
     per = grouped_agg(
         _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
             per_user, batch_format="pyarrow", zero_copy_batch=True),
-        ["user_id"], [("last_s", "last_s", "max")]).take_all()
-    last = np.array([r["last_s"] for r in per], dtype=np.int64)
+        ["user_id"], [("last_s", "last_s", "max")])
+
+    # band the per-user last-seen into the 1/7/30-day windows inside
+    # each block — only O(blocks) 3-counter partial rows reach the
+    # driver, never the O(users) table.
+    window_days = (1, 7, 30)
+    cutoffs = np.array([end_s - d * 86_400 for d in window_days],
+                       dtype=np.int64)
+
+    def band_partial(batch: pa.Table) -> pa.Table:
+        last = np.asarray(batch["last_s"], dtype=np.int64)
+        c = (last[:, None] >= cutoffs[None, :]).sum(axis=0,
+                                                    dtype=np.int64)
+        return pa.table({f"c{d}": pa.array([int(c[i])], pa.int64())
+                         for i, d in enumerate(window_days)})
+
+    parts = per.map_batches(band_partial, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
 
     rel = 3 * 1.04 / math.sqrt(2 ** 14)
     days, exacts, within = [], [], []
-    for d in (1, 7, 30):
-        cutoff = end_s - d * 86_400
-        exact = int((last >= cutoff).sum())
+    for i, d in enumerate(window_days):
+        cutoff = int(cutoffs[i])
+        exact = int(sum(r[f"c{d}"] for r in parts))
         est = sk.cardinality(since=cutoff)
         days.append(d)
         exacts.append(exact)
@@ -2836,6 +2866,27 @@ def q_pages_url_membership(sf_dir: str):
     )
 
 
+def _probe_partial_counts(grouped, probe_fn) -> dict:
+    """Distributed sketch-probe certification: run ``probe_fn`` (which
+    carries the assembled sketch in its closure — serialized once per
+    execution, not per batch) over each block of the grouped per-key
+    Dataset and sum the scalar counters it returns.  Only O(blocks)
+    counter rows reach the driver — never the O(keys) table (VERDICT
+    r3 item 1's pattern applied to the probe-certification family)."""
+    def part(batch: pa.Table) -> pa.Table:
+        d = probe_fn(batch)
+        return pa.table({k: pa.array([int(v)], type=pa.int64())
+                         for k, v in d.items()})
+
+    rows = grouped.map_batches(part, batch_format="pyarrow",
+                               zero_copy_batch=True).take_all()
+    out: dict[str, int] = {}
+    for r in rows:
+        for k, v in r.items():
+            out[k] = out.get(k, 0) + int(v)
+    return out
+
+
 def q_sharded_td_recent_urls(sf_dir: str):
     """`pages_recent_urls` built on the SHARDED slot-max path
     (pipelines.build.build_sharded_tdbloom_states — the 10^12-key
@@ -2886,22 +2937,27 @@ def q_sharded_td_recent_urls(sf_dir: str):
                                           factory, num_shards=8)
     sk = assemble_sharded_tdbloom(states, factory, num_shards=8)
 
-    last = grouped_agg(units_ds, ["url"],
-                       [("last_seen", "t_units", "max")]).take_all()
+    grouped = grouped_agg(units_ds, ["url"],
+                          [("last_seen", "t_units", "max")])
     cutoff = span_u - timeout_u
-    recent = [r["url"] for r in last if r["last_seen"] >= cutoff]
-    old = [r["url"] for r in last if r["last_seen"] < cutoff]
-    ok_recent = sk.lookup_batch(pa.array(recent, type=pa.string()),
-                                now=span_u)
-    fp_old = sk.lookup_batch(pa.array(old, type=pa.string()), now=span_u)
+
+    def probe(batch: pa.Table) -> dict:
+        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
+        hits = sk.lookup_batch(batch["url"].combine_chunks(), now=span_u)
+        rec = last_seen >= cutoff
+        return {"n_urls": len(last_seen), "n_recent": rec.sum(),
+                "ok_recent": hits[rec].sum(), "n_old": (~rec).sum(),
+                "fp_old": hits[~rec].sum()}
+
+    c = _probe_partial_counts(grouped, probe)
     return pa.table({
-        "n_urls": pa.array([len(last)], type=pa.int64()),
-        "n_recent": pa.array([len(recent)], type=pa.int64()),
+        "n_urls": pa.array([c["n_urls"]], type=pa.int64()),
+        "n_recent": pa.array([c["n_recent"]], type=pa.int64()),
         "recall_recent": pa.array(
-            [float(ok_recent.mean()) if len(recent) else 1.0],
+            [c["ok_recent"] / c["n_recent"] if c["n_recent"] else 1.0],
             type=pa.float64()),
         "fpr_old_below_cap": pa.array(
-            [bool(fp_old.mean() <= 0.05) if len(old) else True],
+            [c["fp_old"] / c["n_old"] <= 0.05 if c["n_old"] else True],
             type=pa.bool_()),
     })
 
@@ -2957,22 +3013,32 @@ def q_pages_recent_urls(sf_dir: str):
     sk = merge_partials(units_ds.map_batches(
         update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
 
-    # exact last-seen per url (fixture scale) → probe EVERY url so the
-    # probe set (and hence recall/FPR) is deterministic regardless of
-    # streaming row order; oracle hash-checks the counts + verdicts
-    last = grouped_agg(units_ds, ["url"], [("last_seen", "t_units", "max")]).take_all()
+    # exact last-seen per url → probe EVERY url (deterministic probe
+    # set regardless of streaming row order), but DISTRIBUTED: the
+    # merged sketch rides the probe closure and only per-block counter
+    # partials reach the driver; oracle hash-checks counts + verdicts
+    grouped = grouped_agg(units_ds, ["url"],
+                          [("last_seen", "t_units", "max")])
     cutoff = span_u - timeout_u
-    recent = [r["url"] for r in last if r["last_seen"] >= cutoff]
-    old = [r["url"] for r in last if r["last_seen"] < cutoff]
-    ok_recent = sk.lookup_batch(pa.array(recent, type=pa.string()), now=span_u)
-    fp_old = sk.lookup_batch(pa.array(old, type=pa.string()), now=span_u)
+
+    def probe(batch: pa.Table) -> dict:
+        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
+        hits = sk.lookup_batch(batch["url"].combine_chunks(), now=span_u)
+        rec = last_seen >= cutoff
+        return {"n_urls": len(last_seen), "n_recent": rec.sum(),
+                "ok_recent": hits[rec].sum(), "n_old": (~rec).sum(),
+                "fp_old": hits[~rec].sum()}
+
+    c = _probe_partial_counts(grouped, probe)
     return pa.table({
-        "n_urls": pa.array([len(last)], type=pa.int64()),
-        "n_recent": pa.array([len(recent)], type=pa.int64()),
+        "n_urls": pa.array([c["n_urls"]], type=pa.int64()),
+        "n_recent": pa.array([c["n_recent"]], type=pa.int64()),
         "recall_recent": pa.array(
-            [float(ok_recent.mean()) if len(recent) else 1.0], type=pa.float64()),
+            [c["ok_recent"] / c["n_recent"] if c["n_recent"] else 1.0],
+            type=pa.float64()),
         "fpr_old_below_cap": pa.array(
-            [bool(fp_old.mean() <= 0.05) if len(old) else True], type=pa.bool_()),
+            [c["fp_old"] / c["n_old"] <= 0.05 if c["n_old"] else True],
+            type=pa.bool_()),
     })
 
 
@@ -4483,9 +4549,53 @@ def _partsupp_slots(pk: np.ndarray, s_cnt: int):
 
 _SKEW_KEY_SQL = """CASE WHEN l_orderkey % 4 = 0
          THEN 'hot_' || CAST((l_orderkey // 4) % 8 AS VARCHAR)
-         ELSE 'cold_' || CAST(((l_orderkey * 16 + l_linenumber)
+         ELSE 'cold_' || CAST((((l_orderkey * 16 + l_linenumber) % 1000000)
                                * 2654435761) % 1000000 AS VARCHAR)
     END"""  # SQL twin of _skew_key_stream — ONE definition, three oracles
+
+
+def _canon_url_sql(src: str) -> str:
+    """DuckDB twin of ``stages.url.canonical_urls`` as a subquery over
+    relation ``src`` (must expose a ``url`` column) → (url, curl).
+    ONE definition feeds the url_canonical_dedup oracle AND the
+    RFC-vector parity test (tests/test_spec_vectors.py), so the twin
+    is certified against hand-written spec vectors, not only against
+    the Ray side it mirrors."""
+    return f"""(
+            WITH step AS (
+                SELECT url, regexp_replace(url, '#.*$', '') AS u1
+                FROM {src}),
+            m AS (
+                SELECT url, u1,
+                       regexp_extract(u1,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 0) AS pre,
+                       lower(regexp_extract(u1,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 1)) AS s,
+                       regexp_extract(u1,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 2) AS ui,
+                       lower(regexp_extract(u1,
+                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 3)) AS hp
+                FROM step),
+            canon AS (
+                SELECT url,
+                       CASE WHEN pre = '' THEN u1
+                            ELSE s || '://' || ui ||
+                                 CASE WHEN s = 'https'
+                                      THEN regexp_replace(hp,
+                                               '^(.*):443$', '\\1')
+                                      WHEN s = 'http'
+                                      THEN regexp_replace(hp,
+                                               '^(.*):80$', '\\1')
+                                      ELSE hp END ||
+                                 substr(u1, length(pre) + 1)
+                       END AS c0
+                FROM m),
+            final AS (
+                SELECT url,
+                       regexp_replace(c0, '^([^?#]*)\\?utm_[^&#]*$',
+                                      '\\1') AS curl
+                FROM canon)
+            SELECT url, curl FROM final)"""
 
 
 _PARTSUPP_CTE = """
@@ -5398,28 +5508,35 @@ def q_pages_recent_counts(sf_dir: str):
     sk = merge_partials(units_ds.map_batches(
         update, batch_format="pyarrow", batch_size=65536, zero_copy_batch=True))
 
-    # exact per-url (crawl count, last seen) at fixture scale — probe
-    # EVERY qualifying url so the probe set is deterministic (no
-    # dependence on streaming row order); oracle hash-checks the counts
-    # and the guarantee verdicts
-    stats = grouped_agg(units_ds, ["url"], [
+    # exact per-url (crawl count, last seen) → probe EVERY qualifying
+    # url (deterministic probe set, no dependence on streaming row
+    # order), DISTRIBUTED: the merged sketch rides the probe closure
+    # and only per-block counter partials reach the driver; oracle
+    # hash-checks the counts and the guarantee verdicts
+    grouped = grouped_agg(units_ds, ["url"], [
         ("n_crawls", None, "count"), ("last_seen", "t_units", "max"),
-    ]).take_all()
+    ])
     cutoff = span_u - timeout_u
-    fresh_multi = [r["url"] for r in stats
-                   if r["last_seen"] >= cutoff and r["n_crawls"] >= 2]
-    stale = [r["url"] for r in stats if r["last_seen"] < cutoff]
-    est_multi = sk.count_batch(pa.array(fresh_multi, type=pa.string()), now=span_u)
-    est_stale = sk.count_batch(pa.array(stale, type=pa.string()), now=span_u)
+
+    def probe(batch: pa.Table) -> dict:
+        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
+        ncr = np.asarray(batch["n_crawls"], dtype=np.int64)
+        est = sk.count_batch(batch["url"].combine_chunks(), now=span_u)
+        fm = (last_seen >= cutoff) & (ncr >= 2)
+        st = last_seen < cutoff
+        return {"n_fresh_multi": fm.sum(), "ge2": (est[fm] >= 2).sum(),
+                "n_stale": st.sum(), "zero": (est[st] == 0).sum()}
+
+    c = _probe_partial_counts(grouped, probe)
     return pa.table({
-        "n_fresh_multi": pa.array([len(fresh_multi)], type=pa.int64()),
+        "n_fresh_multi": pa.array([c["n_fresh_multi"]], type=pa.int64()),
         # counting-Bloom estimates only overcount → all fresh re-crawls ≥ 2
         "fresh_multi_ge2_rate": pa.array(
-            [float((est_multi >= 2).mean()) if len(fresh_multi) else 1.0],
+            [c["ge2"] / c["n_fresh_multi"] if c["n_fresh_multi"] else 1.0],
             type=pa.float64()),
-        "n_stale": pa.array([len(stale)], type=pa.int64()),
+        "n_stale": pa.array([c["n_stale"]], type=pa.int64()),
         "stale_mostly_zero": pa.array(
-            [bool((est_stale == 0).mean() >= 0.95) if len(stale) else True],
+            [c["zero"] / c["n_stale"] >= 0.95 if c["n_stale"] else True],
             type=pa.bool_()),
     })
 
@@ -5963,16 +6080,69 @@ def q_dsir_selection(sf_dir: str):
 
 
 def q_kcenter_diverse(sf_dir: str):
-    """Greedy k-center diversity selection over the embeddings table
-    (``stages.selection.kcenter_select``): 8 maximally-spread vectors,
-    deterministic (min-id seed + tie-breaks) so the selection is run-
-    and partitioning-invariant.  No SQL oracle — iterative farthest-
-    point argmax is not SQL-expressible; brute-force parity and
-    partition invariance are pytest-gated."""
+    """Greedy k-center diversity selection (``stages.selection
+    .kcenter_select``) certified end-to-end by a PLANTED geometry
+    (VERDICT r3 item 3 — the iterative argmax itself is not
+    SQL-expressible, so the oracle states the hand-derived trace):
+    vectors derive from vec_id by integer arithmetic — cluster
+    c = vec_id % 8 sits at (c+1)·1000 on axis c; odd (vec_id // 8)
+    adds a 600 jitter on shared axis 8.  The greedy trace is then
+    hand-derivable: seed = min id (0, anchor of cluster 0), then the
+    jittered points of clusters 7..1 in descending-scale order
+    (ids 15, 14, …, 9 — each jittered point beats its own anchor by
+    the +600² term), and after k=8 every uncovered position sits
+    exactly 600 from a selected point → coverage² = 360000.  All
+    distances are exact integers in float64.  The selection and the
+    distributed coverage pass are the REAL operators; only the input
+    geometry is planted.  Tier-invariant whenever vec_id 0..15 are
+    present (guarded in the oracle); a scalar third implementation
+    re-derives the trace in tests/test_spec_vectors.py."""
     from .stages.selection import kcenter_select
+    from .stages.similarity import _as_matrix
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    return kcenter_select(ds, "embedding", "vec_id", 8)
+    def planted(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch["vec_id"], dtype=np.int64)
+        c = vid % 8
+        j = (vid // 8) % 2
+        v = np.zeros((len(vid), 9), dtype=np.float64)
+        v[np.arange(len(vid)), c] = (c + 1) * 1000.0
+        v[:, 8] = j * 600.0
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "pvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(v.ravel()), 9),
+        })
+
+    base = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        planted, batch_format="pyarrow", zero_copy_batch=True)
+    sel = kcenter_select(base, "pvec", "vec_id", 8)
+
+    # exact coverage radius²: per-block max of min-distance-to-centers
+    # (centers re-derived from the selected ids by the same planted
+    # arithmetic, broadcast in the closure), then a scalar max — only
+    # O(blocks) partials reach the driver
+    sel_ids = np.asarray(sel["vec_id"], dtype=np.int64)
+    cc, jj = sel_ids % 8, (sel_ids // 8) % 2
+    cents = np.zeros((len(sel_ids), 9), dtype=np.float64)
+    cents[np.arange(len(sel_ids)), cc] = (cc + 1) * 1000.0
+    cents[:, 8] = jj * 600.0
+
+    def cover(batch: pa.Table) -> pa.Table:
+        v = _as_matrix(batch["pvec"])
+        d = ((v[:, None, :] - cents[None, :, :]) ** 2).sum(-1).min(1)
+        return pa.table({"m": pa.array(
+            [float(d.max()) if len(d) else 0.0], pa.float64())})
+
+    parts = base.map_batches(cover, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    coverage = int(max(r["m"] for r in parts))
+    return pa.table({
+        "sel_rank": pc.cast(sel["rank"], pa.int64()),
+        "vec_id": pa.array(sel_ids, pa.int64()),
+        "dist_sq": pa.array(
+            np.asarray(sel["dist_sq"], dtype=np.float64).astype(np.int64)),
+        "coverage_sq": pa.array([coverage] * len(sel_ids), pa.int64()),
+    })
 
 
 def q_cooccurrence_top(sf_dir: str):
@@ -6177,24 +6347,40 @@ def q_fuzzy_join_recall(sf_dir: str):
 
 
 def q_bpe_merges(sf_dir: str):
-    """Distributed BPE vocabulary training (stages.bpe): merges are
-    learned over the word-frequency table — the distributed part is
-    ONE grouped word count (output bounded by |vocab|, not corpus
-    size), the merge loop runs driver-side with corpus-frequency
-    weights (Sennrich et al. 2016; how production tokenizer trainers
-    split the work).  Deterministic (weight DESC, pair ASC tie-break,
-    partitioning-invariant — tested), but the merge recurrence is not
-    SQL-expressible: rows-only driver check; scalar-reference parity
-    and determinism live in pytest (TestBPE)."""
+    """Distributed BPE vocabulary training (stages.bpe: merges learn
+    over the word-frequency table — the distributed part is ONE
+    grouped word count, the merge loop runs driver-side; Sennrich et
+    al. 2016) certified by a PLANTED corpus whose merge table is
+    hand-derivable (VERDICT r3 item 3 — the merge recurrence itself is
+    not SQL-expressible, so the oracle states the derived table):
+    doc_id < 24 contributes word_k = 3-char base-4 spelling of
+    k = doc_id over 'a'..'d', repeated w_k = (7k mod 19) + 2 times;
+    every other doc contributes nothing.  The REAL distributed
+    ``word_counts`` path then yields exactly {(word_k, w_k)} at every
+    tier (N ≥ 24), so the 24-merge output is a constant table —
+    frozen in the oracle SQL and re-derived by an independently
+    transcribed scalar Sennrich implementation in
+    tests/test_spec_vectors.py.  Corpus-scale BPE behavior (real
+    text) stays pytest-gated in TestBPE."""
     from .stages.bpe import bpe_train, word_counts
 
-    ds = _read(sf_dir, "documents", ["text"])
-    wc = word_counts(ds, "text").take_all()  # |vocab| rows — driver-sized
+    def planted(batch: pa.Table) -> pa.Table:
+        did = np.asarray(batch["doc_id"], dtype=np.int64)
+        texts = np.full(len(did), "", dtype=object)
+        for i in np.flatnonzero(did < 24).tolist():  # ≤24 rows total
+            d = int(did[i])
+            word = "".join("abcd"[(d >> s) & 3] for s in (4, 2, 0))
+            texts[i] = " ".join([word] * ((7 * d) % 19 + 2))
+        return pa.table({"text": pa.array(texts, pa.string())})
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        planted, batch_format="pyarrow", zero_copy_batch=True)
+    wc = word_counts(ds, "text").take_all()  # ≤24 rows — bounded
     words = [r["word"] for r in wc]
     counts = np.array([r["n"] for r in wc], dtype=np.int64)
-    merges = bpe_train(words, counts, num_merges=50)
+    merges = bpe_train(words, counts, num_merges=24)
     return pa.table({
-        "rank": pa.array(range(len(merges)), type=pa.int64()),
+        "merge_rank": pa.array(range(len(merges)), type=pa.int64()),
         "left": pa.array([a for a, _ in merges], type=pa.string()),
         "right": pa.array([b for _, b in merges], type=pa.string()),
     })
@@ -6797,12 +6983,12 @@ def q_events_hourly_dense(sf_dir: str):
 
     def add_hour(batch: pa.Table) -> pa.Table:
         h = pc.floor_temporal(batch["ts"], unit="hour")
-        return pa.table({"h": pc.cast(h, pa.int64())})
+        return pa.table({"hour_bucket": pc.cast(h, pa.int64())})
 
     ds = _read(sf_dir, "events", ["ts"]).map_batches(
         add_hour, batch_format="pyarrow", zero_copy_batch=True)
-    counts = {r["h"]: r["n_events"] for r in grouped_agg(
-        ds, ["h"], [("n_events", None, "count")]).take_all()}
+    counts = {r["hour_bucket"]: r["n_events"] for r in grouped_agg(
+        ds, ["hour_bucket"], [("n_events", None, "count")]).take_all()}
     hr_us = 3_600_000_000
     lo, hi = min(counts), max(counts)
     hours = np.arange(lo, hi + hr_us, hr_us)
@@ -7287,13 +7473,19 @@ def q_dedup_keep_best(sf_dir: str):
         score_batch, batch_format="pyarrow", zero_copy_batch=True)
     groups = grouped_agg(scored, ["h"], [
         ("best", "score", "min"), ("n_copies", None, "count")])
-    rows = groups.take_all()
-    ids = np.asarray([r["best"] for r in rows],
-                     dtype=np.int64) & ((1 << 44) - 1)
-    n = np.asarray([r["n_copies"] for r in rows], dtype=np.int64)
-    order = np.argsort(ids, kind="stable")
-    return pa.table({"doc_id": pa.array(ids[order], type=pa.int64()),
-                     "n_copies": pa.array(n[order], type=pa.int64())})
+
+    # decode the composite score per block — the O(distinct docs)
+    # survivor table stays distributed (row order is irrelevant to the
+    # oracle compare, which is order-insensitive)
+    def decode(batch: pa.Table) -> pa.Table:
+        best = np.asarray(batch["best"], dtype=np.int64)
+        return pa.table({
+            "doc_id": pa.array(best & ((1 << 44) - 1), type=pa.int64()),
+            "n_copies": pc.cast(batch["n_copies"], pa.int64()),
+        })
+
+    return groups.map_batches(decode, batch_format="pyarrow",
+                              zero_copy_batch=True)
 
 
 def q_pmi_top20(sf_dir: str):
@@ -8689,32 +8881,58 @@ def q_countsketch_source_counts(sf_dir: str):
 
 
 def q_semdedup(sf_dir: str):
-    """Semantic dedup over the embeddings table (SemDeDup, Abbas et
-    al. 2023): k-means clusters then within-cluster cosine pruning at
-    0.95 (stages.dedup.semantic_dedup — pairwise work confined to
-    clusters, Gram in bounded strips).  Per-cluster kept/dropped
-    counts; no SQL oracle (float k-means) — the planted-duplicate
-    recall gate lives in pytest."""
+    """Semantic dedup (SemDeDup, Abbas et al. 2023: k-means clusters,
+    then within-cluster cosine pruning at 0.95 —
+    stages.dedup.semantic_dedup, Gram in bounded strips) certified by
+    a PLANTED geometry whose exact kept/dropped totals are
+    SQL-derivable (VERDICT r3 item 3): vectors derive from vec_id —
+    cluster c = vec_id % 8 on orthogonal axis c, j = (vec_id//8) % 3
+    picks one of three positions per cluster (anchor, +500·e8,
+    +500·e9).  Copies of a position are identical (cos 1 > 0.95 →
+    dedup to one survivor); DIFFERENT positions never exceed cos
+    0.895 (max is anchor-vs-jittered = 1000/√(1000²+500²)), so
+    kept_total = #distinct (c, j) combos present and dropped_total =
+    N − kept_total, EXACTLY, for ANY k-means partition — identical
+    vectors always co-assign, and cross-position drops are
+    geometrically impossible.  The float k-means and the strip-Gram
+    pruning still run for real; only the input geometry is planted.
+    Oracle: count(DISTINCT (vec_id%8, (vec_id//8)%3)) arithmetic."""
     from .stages.dedup import semantic_dedup
 
-    ds = _read(sf_dir, "embeddings", ["vec_id", "embedding"])
-    out = semantic_dedup(ds, "vec_id", "embedding", k=8, threshold=0.95)
+    def planted(batch: pa.Table) -> pa.Table:
+        vid = np.asarray(batch["vec_id"], dtype=np.int64)
+        c = vid % 8
+        j = (vid // 8) % 3
+        v = np.zeros((len(vid), 10), dtype=np.float64)
+        v[np.arange(len(vid)), c] = 1000.0
+        v[:, 8] = np.where(j == 1, 500.0, 0.0)
+        v[:, 9] = np.where(j == 2, 500.0, 0.0)
+        return pa.table({
+            "vec_id": pa.array(vid),
+            "pvec": pa.FixedSizeListArray.from_arrays(
+                pa.array(v.ravel()), 10),
+        })
 
+    base = _read(sf_dir, "embeddings", ["vec_id"]).map_batches(
+        planted, batch_format="pyarrow", zero_copy_batch=True)
+    out = semantic_dedup(base, "vec_id", "pvec", k=8, threshold=0.95)
+
+    # per-block partials → three scalars; never the O(rows) table
     def flag(batch: pa.Table) -> pa.Table:
         kept = np.asarray(batch["kept"]).astype(np.int64)
-        return pa.table({"cluster": batch["cluster"],
-                         "kept_n": pa.array(kept),
-                         "dropped_n": pa.array(1 - kept)})
+        return pa.table({
+            "kept_n": pa.array([int(kept.sum())], pa.int64()),
+            "n": pa.array([len(kept)], pa.int64()),
+        })
 
-    agg = grouped_agg(
-        out.map_batches(flag, batch_format="pyarrow", zero_copy_batch=True),
-        ["cluster"], [("kept", "kept_n", "sum"),
-                      ("dropped", "dropped_n", "sum")])
-    rows = sorted(agg.take_all(), key=lambda r: r["cluster"])
+    parts = out.map_batches(flag, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    n = sum(r["n"] for r in parts)
+    kept_total = sum(r["kept_n"] for r in parts)
     return pa.table({
-        "cluster": pa.array([r["cluster"] for r in rows], pa.int64()),
-        "kept": pa.array([r["kept"] for r in rows], pa.int64()),
-        "dropped": pa.array([r["dropped"] for r in rows], pa.int64()),
+        "n_vecs": pa.array([n], pa.int64()),
+        "kept_total": pa.array([kept_total], pa.int64()),
+        "dropped_total": pa.array([n - kept_total], pa.int64()),
     })
 
 
@@ -11685,6 +11903,55 @@ def oracle_sql() -> dict[str, str]:
                    CAST(count(*) AS BIGINT) AS n_clusters
             FROM g GROUP BY sz ORDER BY sz
         """,
+        # planted-certificate oracles for the three formerly no-oracle
+        # queries (VERDICT r3 item 3).  The literal tables are derived
+        # by INDEPENDENT scalar implementations in
+        # tests/test_spec_vectors.py (hand-checked first steps); the
+        # guards make the oracle fail loudly if the data precondition
+        # (planted ids present) ever breaks instead of hash-mismatching.
+        "kcenter_diverse": """
+            WITH ok AS (SELECT count(*) AS n FROM embeddings
+                        WHERE vec_id BETWEEN 0 AND 15)
+            SELECT CAST(sel_rank AS BIGINT) AS sel_rank,
+                   CAST(vec_id AS BIGINT) AS vec_id,
+                   CAST(dist_sq AS BIGINT) AS dist_sq,
+                   CAST(coverage_sq AS BIGINT) AS coverage_sq
+            FROM (VALUES
+                (0, 0, 0, 360000), (1, 15, 65360000, 360000),
+                (2, 14, 50360000, 360000), (3, 13, 37360000, 360000),
+                (4, 12, 26360000, 360000), (5, 11, 17360000, 360000),
+                (6, 10, 10360000, 360000), (7, 9, 5360000, 360000))
+                t(sel_rank, vec_id, dist_sq, coverage_sq)
+            WHERE (SELECT n FROM ok) = 16
+        """,
+        "bpe_merges": """
+            WITH ok AS (SELECT count(*) AS n FROM documents
+                        WHERE doc_id BETWEEN 0 AND 23)
+            SELECT CAST(merge_rank AS BIGINT) AS merge_rank,
+                   "left", "right"
+            FROM (VALUES
+                (0, 'a', 'c'), (1, 'b', '▁'), (2, 'a', '▁'),
+                (3, 'a', 'd'), (4, 'a', 'b'), (5, 'b', 'b'),
+                (6, 'd', '▁'), (7, 'ac', '▁'), (8, 'c', '▁'),
+                (9, 'b', 'a'), (10, 'ac', 'a▁'), (11, 'ba', 'a▁'),
+                (12, 'ab', 'b▁'), (13, 'ad', 'b▁'), (14, 'a', 'ac▁'),
+                (15, 'bb', 'b▁'), (16, 'ac', 'c▁'), (17, 'b', 'ac▁'),
+                (18, 'ab', 'd▁'), (19, 'ad', 'd▁'), (20, 'a', 'a'),
+                (21, 'ab', 'a▁'), (22, 'bb', 'd▁'), (23, 'ad', 'a▁'))
+                t(merge_rank, "left", "right")
+            WHERE (SELECT n FROM ok) = 24
+        """,
+        "semdedup": """
+            SELECT CAST(count(*) AS BIGINT) AS n_vecs,
+                   CAST(count(DISTINCT (vec_id % 8) * 3
+                                       + (vec_id // 8) % 3) AS BIGINT)
+                       AS kept_total,
+                   CAST(count(*)
+                        - count(DISTINCT (vec_id % 8) * 3
+                                         + (vec_id // 8) % 3) AS BIGINT)
+                       AS dropped_total
+            FROM embeddings
+        """,
         "multimodal_audio_clusters": """
             WITH g AS (SELECT doc_id % 23 AS grp, count(*) AS sz
                        FROM documents GROUP BY 1)
@@ -11823,7 +12090,7 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS ams_within_bound
             FROM (SELECT count(*) AS n FROM events GROUP BY user_id)
         """,
-        "url_canonical_dedup": """
+        "url_canonical_dedup": f"""
             WITH raw AS (
                 SELECT 'https://' ||
                        CASE WHEN doc_id % 2 = 0 THEN 'www.'
@@ -11836,45 +12103,12 @@ def oracle_sql() -> dict[str, str]:
                        CASE WHEN doc_id % 4 = 1 THEN '#sec'
                             WHEN doc_id % 4 = 2 THEN '?utm_source=feed'
                             ELSE '' END AS url
-                FROM documents),
-            step AS (
-                SELECT url, regexp_replace(url, '#.*$', '') AS u1
-                FROM raw),
-            m AS (
-                SELECT url, u1,
-                       regexp_extract(u1,
-                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 0) AS pre,
-                       lower(regexp_extract(u1,
-                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 1)) AS s,
-                       regexp_extract(u1,
-                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 2) AS ui,
-                       lower(regexp_extract(u1,
-                           '^([^:/?#]+)://([^/?#@]*@)?([^/?#]*)', 3)) AS hp
-                FROM step),
-            canon AS (
-                SELECT url,
-                       CASE WHEN pre = '' THEN u1
-                            ELSE s || '://' || ui ||
-                                 CASE WHEN s = 'https'
-                                      THEN regexp_replace(hp,
-                                               '^(.*):443$', '\\1')
-                                      WHEN s = 'http'
-                                      THEN regexp_replace(hp,
-                                               '^(.*):80$', '\\1')
-                                      ELSE hp END ||
-                                 substr(u1, length(pre) + 1)
-                       END AS c0
-                FROM m),
-            final AS (
-                SELECT url,
-                       regexp_replace(c0, '^([^?#]*)\\?utm_[^&#]*$',
-                                      '\\1') AS curl
-                FROM canon)
+                FROM documents)
             SELECT CAST(count(*) AS BIGINT) AS n_rows,
                    CAST(count(DISTINCT url) AS BIGINT) AS raw_urls,
                    CAST(count(DISTINCT curl) AS BIGINT)
                        AS canonical_urls
-            FROM final
+            FROM {_canon_url_sql('raw')} f
         """,
         "events_window_topk": """
             WITH daily AS (

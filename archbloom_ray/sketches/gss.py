@@ -58,8 +58,13 @@ class GroupSizeSampler(Sketch):
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         cnts = np.asarray(counts, dtype=np.int64)
+        if len(cnts) != len(arr):
+            raise SketchError(
+                f"update_weighted: {len(arr)} keys vs {len(cnts)} counts")
         if len(arr) == 0:
             return
+        if (cnts <= 0).any():
+            raise SketchError("update_weighted: counts must be > 0")
         self.hll.update_arrow(arr)
         self.rows += int(cnts.sum())
         h1, _ = mmh3_128_batch(arr)

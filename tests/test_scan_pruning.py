@@ -40,6 +40,113 @@ def test_every_read_parquet_is_column_pruned():
     )
 
 
+# Group keys whose cardinality grows with the data (users, documents,
+# keys, hashes …).  A `grouped_agg(..., [unbounded key])` whose result
+# is pulled to the driver with take_all() is an O(keys) driver-side
+# reduction — the r3 verdict's remaining scale flag.  Bounded keys
+# (lang, source, hour, bucket, split, priority …) are naturally small.
+UNBOUNDED_KEYS = {
+    "user_id", "id", "doc_id", "content_hash", "text", "url", "h",
+    "o_orderkey", "l_orderkey", "key", "word", "u", "u1", "u2",
+}
+
+# Reviewed sites where the unbounded-key group is bounded by an
+# upstream filter/increment before take_all (file basename, lineno of
+# the grouped_agg call must appear in a comment-reviewed list below).
+ALLOWLIST = {
+    # incremental dedup: old_texts already filtered to the increment's
+    # candidate hashes — take_all is O(increment), not O(corpus)
+    ("dedup.py", "content_hash"),
+    # boilerplate vocab: filtered to lines with >= min_docs occurrences
+    # (frequent-line count, broadcast side)
+    ("cleaning.py", "h"),
+}
+
+
+def _literal_keys(node):
+    """Key list of a grouped_agg call if it is a literal list of strs."""
+    if len(node.args) >= 2 and isinstance(node.args[1], ast.List):
+        elts = node.args[1].elts
+        if all(isinstance(e, ast.Constant) and isinstance(e.value, str)
+               for e in elts):
+            return {e.value for e in elts}
+    return None
+
+
+def _is_grouped_agg(call):
+    f = call.func
+    return (isinstance(f, ast.Name) and f.id == "grouped_agg") or (
+        isinstance(f, ast.Attribute) and f.attr == "grouped_agg")
+
+
+def test_no_unbounded_grouped_take_all():
+    """No `grouped_agg(..., [unbounded key])` result reaches the driver
+    via take_all() — certification sides must reduce distributively
+    (per-block partials) instead (VERDICT r3 item 1)."""
+    offenders = []
+    for path in SCAN_FILES:
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for fn in [n for n in ast.walk(tree)
+                   if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]:
+            # direct chain: grouped_agg(...)[.select_columns/.sort/
+            # .filter/.limit …].take_all().  A .map_batches in the
+            # chain is a per-block REDUCER (the approved partial-sum
+            # pattern) and exempts the site.
+            _PRESERVING = {"select_columns", "sort", "filter", "limit",
+                           "materialize", "repartition"}
+            for node in ast.walk(fn):
+                if not (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "take_all"):
+                    continue
+                base = node.func.value
+                while (isinstance(base, ast.Call)
+                       and isinstance(base.func, ast.Attribute)
+                       and base.func.attr in _PRESERVING):
+                    base = base.func.value
+                if isinstance(base, ast.Call) and _is_grouped_agg(base):
+                    keys = _literal_keys(base)
+                    if keys is None:
+                        continue
+                    bad = {k for k in keys & UNBOUNDED_KEYS
+                           if (path.name, k) not in ALLOWLIST}
+                    if bad:
+                        offenders.append(
+                            f"{path.relative_to(REPO)}:"
+                            f"{node.lineno} keys={sorted(bad)}")
+            # variable-mediated:  var = grouped_agg(...); ...;
+            # var.take_all()
+            assigns: dict[str, set] = {}
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Assign) and \
+                        isinstance(node.value, ast.Call) and \
+                        _is_grouped_agg(node.value):
+                    keys = _literal_keys(node.value)
+                    if keys is None:
+                        continue
+                    bad = {k for k in keys & UNBOUNDED_KEYS
+                           if (path.name, k) not in ALLOWLIST}
+                    if bad:
+                        for t in node.targets:
+                            if isinstance(t, ast.Name):
+                                assigns[t.id] = bad
+            if assigns:
+                for node in ast.walk(fn):
+                    if isinstance(node, ast.Call) and \
+                            isinstance(node.func, ast.Attribute) and \
+                            node.func.attr == "take_all" and \
+                            isinstance(node.func.value, ast.Name) and \
+                            node.func.value.id in assigns:
+                        offenders.append(
+                            f"{path.relative_to(REPO)}:{node.lineno} "
+                            f"var={node.func.value.id} "
+                            f"keys={sorted(assigns[node.func.value.id])}")
+    assert not offenders, (
+        "grouped_agg over an unbounded key pulled to the driver with "
+        "take_all() — reduce distributively (per-block partials) or "
+        "add a reviewed ALLOWLIST entry: " + "; ".join(offenders))
+
+
 def test_parquet_column_bounds_matches_scan(tmp_path):
     """Footer-statistics bounds == scan bounds; stats-less files return
     None (the scan fallback signal)."""
