@@ -872,10 +872,18 @@ def q_vocab_fuzzy_pairs(sf_dir: str):
 
 def q_bloom_membership(sf_dir: str):
     """Bloom over every document text, probed with the same texts:
-    no-false-negative guarantee ⇒ deterministically all-present."""
+    no-false-negative guarantee ⇒ deterministically all-present.  The
+    build routes through the ``build_filter_auto`` cost planner
+    (VERDICT r3 item 4): the exchange-volume model — not the query
+    author — picks monolithic partials vs the sharded position build
+    (bit-identical either way; planner engagement is pytest-asserted
+    at a synthetic large-m point)."""
+    from .pipelines.build import build_filter_auto
+
     ds = _read(sf_dir, "documents", ["doc_id", "text"])
     n = ds.count()
-    sk = build_sketch(ds, "text", lambda: BloomFilter(max(n, 10), 0.01))
+    sk, _plan = build_filter_auto(
+        ds, "text", lambda: BloomFilter(max(n, 10), 0.01), n_rows=n)
     probed = membership(ds, sk, "text", concurrency=2)
     return probed.select_columns(["doc_id", "present"])
 
@@ -1581,6 +1589,87 @@ def q_req_tail_quantiles(sf_dir: str):
     })
 
 
+def q_req_tail_by_lang(sf_dir: str):
+    """Per-language REQ tail quantiles (VERDICT r3 item 7 — the
+    north-star HRA shape: p99.9 text length PER GROUP): ONE
+    ``build_grouped_value_sketches`` build — the shuffle carries
+    pre-aggregated (lang, n_chars, count) rows, never per-key states
+    per batch — yields a k=128 REQ sketch per lang.  Each (lang, q)
+    estimate is rank-certified in ONE additional scan (broadcast
+    estimate matrix, per-batch (lt, le, n) partials per (lang, q),
+    grouped sum) at the LOOSER of 5 %-of-tail and the sketch's own
+    4/k contract, + 2/n — never tighter than the bound (session-8
+    lesson).  Exact per-lang values use the quantile_cont-parity
+    grouped pass; oracle hash-checks (lang, q, exact, verdict)."""
+    from .pipelines.build import build_grouped_value_sketches, \
+        grouped_to_dict
+    from .pipelines.relational import grouped_quantiles
+    from .sketches.req import ReqSketch
+
+    qs = [0.9, 0.99, 0.999]
+    ds = _read(sf_dir, "documents", ["lang", "n_chars"])
+    sks = grouped_to_dict(build_grouped_value_sketches(
+        ds, "lang", "n_chars", {"req": lambda: ReqSketch(128)}, salt=4))
+
+    exact_rows = sorted(grouped_quantiles(
+        _read(sf_dir, "documents", ["lang", "n_chars"]), ["lang"],
+        "n_chars", qs).take_all(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in exact_rows]
+    est_mat = np.array([sks[g].quantiles(qs) for g in langs],
+                       dtype=np.float64)          # (L, Q)
+    lang_arr = pa.array(langs)
+    L, Q = est_mat.shape
+
+    def rank_partial(batch: pa.Table) -> pa.Table:
+        li = pc.index_in(batch["lang"].combine_chunks(),
+                         value_set=lang_arr).to_numpy(
+            zero_copy_only=False).astype(np.int64)
+        v = np.asarray(batch["n_chars"], dtype=np.float64)
+        n = np.bincount(li, minlength=L).astype(np.int64)
+        rows = {"li": [], "qi": [], "lt": [], "le": [], "n": []}
+        for qi in range(Q):
+            e = est_mat[li, qi]
+            lt = np.bincount(li, weights=(v < e).astype(np.float64),
+                             minlength=L).astype(np.int64)
+            le = np.bincount(li, weights=(v <= e).astype(np.float64),
+                             minlength=L).astype(np.int64)
+            for g in range(L):
+                rows["li"].append(g)
+                rows["qi"].append(qi)
+                rows["lt"].append(int(lt[g]))
+                rows["le"].append(int(le[g]))
+                rows["n"].append(int(n[g]))
+        return pa.table({k: pa.array(vv, pa.int64())
+                         for k, vv in rows.items()})
+
+    summed = grouped_agg(
+        _read(sf_dir, "documents", ["lang", "n_chars"]).map_batches(
+            rank_partial, batch_format="pyarrow", zero_copy_batch=True),
+        ["li", "qi"], [("lt", "lt", "sum"), ("le", "le", "sum"),
+                       ("n", "n", "sum")])
+    acc = {(r["li"], r["qi"]): r for r in summed.take_all()}
+
+    out_lang, out_q, out_exact, out_ok = [], [], [], []
+    for g, lang in enumerate(langs):
+        for qi, q in enumerate(qs):
+            r = acc[(g, qi)]
+            n_g = max(r["n"], 1)
+            lo, hi = r["lt"] / n_g, r["le"] / n_g
+            err = 0.0 if lo <= q <= hi else min(abs(q - lo), abs(q - hi))
+            bound = max(0.05 * (1.0 - q), sks[lang].error_bound(q))
+            out_lang.append(lang)
+            out_q.append(q)
+            name = f"q{str(q).replace('.', '_')}"
+            out_exact.append(exact_rows[g][name])
+            out_ok.append(err <= bound + 2.0 / n_g)
+    return pa.table({
+        "lang": pa.array(out_lang, pa.string()),
+        "q": pa.array(out_q, pa.float64()),
+        "exact": pa.array(out_exact, pa.float64()),
+        "req_rel_within_bound": pa.array(out_ok, pa.bool_()),
+    })
+
+
 def q_cbloom_source_membership(sf_dir: str):
     """Counting-Bloom per-source min-count estimates certified against
     exact grouped counts (one grouped_agg scan supplies candidates +
@@ -1595,7 +1684,13 @@ def q_cbloom_source_membership(sf_dir: str):
 
     ds = _read(sf_dir, "documents", ["source"])
     n = ds.count()
-    sk = build_sketch(ds, "source", lambda: CountingBloomFilter(max(n, 10), 0.01, width=32))
+    # cost-planner-routed build (VERDICT r3 item 4) — bit-identical
+    # monolithic/sharded paths, planner picks on exchange volume
+    from .pipelines.build import build_filter_auto
+    sk, _plan = build_filter_auto(
+        ds, "source",
+        lambda: CountingBloomFilter(max(n, 10), 0.01, width=32),
+        n_rows=n)
     est = sk.count_batch(pa.array(sources, type=pa.string()))
     return pa.table(
         {
@@ -9053,6 +9148,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hll_intersection_users": q_hll_intersection_users,
         "quantile_sketches": q_quantile_sketches,
         "req_tail_quantiles": q_req_tail_quantiles,
+        "req_tail_by_lang": q_req_tail_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
         "dynamic_distinct_keys": q_dynamic_distinct_keys,
@@ -10847,6 +10943,13 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS llf_prune_ok
             FROM c
         """,
+        "req_tail_by_lang": " UNION ALL ".join(
+            f"SELECT lang, CAST({q} AS DOUBLE) AS q,"
+            f" quantile_cont(n_chars, {q}) AS exact,"
+            " TRUE AS req_rel_within_bound"
+            " FROM documents GROUP BY lang"
+            for q in (0.9, 0.99, 0.999)
+        ),
         "req_tail_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q,"
             f" quantile_cont(n_chars, {q}) AS exact,"

@@ -315,15 +315,10 @@ SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "32"))
 SCALING_MINHASH_ROWS = int(os.environ.get("GRAFT_SCALING_MINHASH_ROWS", "400000"))
 
 
-def run_scaling_child(ncpu: int) -> dict:
-    """One scaling leg in this (fresh) process: warm workers, then time
-    the two scaling pipelines — the compute-bound MinHash-LSH dedup (the
-    scaling CRITERION pipeline) and the bandwidth-bound multi-sketch
-    build (reported for completeness; see BASELINE.md on why a shared
-    single-host memory bus caps it regardless of CPU count)."""
+def _child_ray_init(ncpu: int):
+    """Fresh-process Ray session with the sandbox glibc tunables + a
+    warmed worker pool; returns the ray.data module."""
     import numpy as np
-    import pyarrow as pa
-    import pyarrow.compute as pc
     import ray
 
     from archbloom_ray.proc_cache import ray_data_logging_config_path
@@ -345,12 +340,6 @@ def run_scaling_child(ncpu: int) -> dict:
     DataContext.get_current().enable_progress_bars = False
     import ray.data as rd
 
-    from archbloom_ray.datagen import pages_fixture
-    from archbloom_ray.sketches import (BloomFilter, CountMinSketch, HyperLogLog,
-                                        KLLSketch, TDigest)
-    from archbloom_ray.pipelines.build import build_sketches
-    from archbloom_ray.stages import minhash_lsh_pairs
-
     def touch(batch):
         s = np.empty(16_000_000, dtype=np.uint64)
         s.fill(1)
@@ -358,6 +347,47 @@ def run_scaling_child(ncpu: int) -> dict:
 
     rd.range(ncpu * 8, override_num_blocks=ncpu * 8).map_batches(
         touch, batch_format="numpy", batch_size=None).take_all()
+    return rd
+
+
+def _headline_build_once(rd, rows: int) -> float:
+    """The headline one-scan 5-sketch build over the `rows`-sized pages
+    fixture; returns wall seconds."""
+    import pyarrow.compute as pc
+
+    from archbloom_ray.datagen import pages_fixture
+    from archbloom_ray.sketches import (BloomFilter, CountMinSketch, HyperLogLog,
+                                        KLLSketch, TDigest)
+    from archbloom_ray.pipelines.build import build_sketches
+
+    pages = pages_fixture(rows, seed=42)
+    t0 = time.monotonic()
+    build_sketches(
+        rd.read_parquet(pages, columns=["url", "text", "lang"]).map_batches(
+            lambda b: b.append_column("n_chars", pc.utf8_length(b["text"])),
+            batch_format="pyarrow", zero_copy_batch=True),
+        {
+            "bloom_url": ("url", lambda: BloomFilter(rows, 0.01)),
+            "hll_url": ("url", lambda: HyperLogLog(14)),
+            "cms_lang": ("lang", lambda: CountMinSketch(epsilon=0.0005, delta=0.01)),
+            "tdigest_chars": ("n_chars", lambda: TDigest(200)),
+            "kll_chars": ("n_chars", lambda: KLLSketch(200)),
+        }, batch_size=262144)
+    return time.monotonic() - t0
+
+
+def run_scaling_child(ncpu: int) -> dict:
+    """One scaling leg in this (fresh) process: warm workers, then time
+    the two scaling pipelines — the compute-bound MinHash-LSH dedup (the
+    scaling CRITERION pipeline) and the bandwidth-bound multi-sketch
+    build (reported for completeness; see BASELINE.md on why a shared
+    single-host memory bus caps it regardless of CPU count)."""
+    import ray
+
+    rd = _child_ray_init(ncpu)
+
+    from archbloom_ray.datagen import pages_fixture
+    from archbloom_ray.stages import minhash_lsh_pairs
 
     sub = pages_fixture(SCALING_MINHASH_ROWS, seed=9)
     t0 = time.monotonic()
@@ -365,20 +395,7 @@ def run_scaling_child(ncpu: int) -> dict:
                       num_perm=64, bands=16, threshold=0.7).count()
     minhash_sec = time.monotonic() - t0
 
-    pages = pages_fixture(BENCH_PAGES_ROWS, seed=42)
-    t0 = time.monotonic()
-    build_sketches(
-        rd.read_parquet(pages, columns=["url", "text", "lang"]).map_batches(
-            lambda b: b.append_column("n_chars", pc.utf8_length(b["text"])),
-            batch_format="pyarrow", zero_copy_batch=True),
-        {
-            "bloom_url": ("url", lambda: BloomFilter(BENCH_PAGES_ROWS, 0.01)),
-            "hll_url": ("url", lambda: HyperLogLog(14)),
-            "cms_lang": ("lang", lambda: CountMinSketch(epsilon=0.0005, delta=0.01)),
-            "tdigest_chars": ("n_chars", lambda: TDigest(200)),
-            "kll_chars": ("n_chars", lambda: KLLSketch(200)),
-        }, batch_size=262144)
-    build_sec = time.monotonic() - t0
+    build_sec = _headline_build_once(rd, BENCH_PAGES_ROWS)
     ray.shutdown()
     return {
         "cpus": ncpu,
@@ -435,12 +452,80 @@ def run_scaling() -> dict:
     }
 
 
+ROWS_PROBE_FACTOR = int(os.environ.get("GRAFT_ROWS_PROBE_FACTOR", "4"))
+ROWS_PROBE_REPEATS = int(os.environ.get("GRAFT_ROWS_PROBE_REPEATS", "3"))
+
+
+def run_rows_probe_child(rows: int) -> dict:
+    """One rows-scaling leg in this (fresh) process: the headline build
+    at `rows` rows, NUM_CPUS CPUs."""
+    import ray
+
+    rd = _child_ray_init(NUM_CPUS)
+    sec = _headline_build_once(rd, rows)
+    ray.shutdown()
+    return {"rows": rows, "build_sec": round(sec, 2),
+            "build_docs_per_sec": round(rows / sec, 1)}
+
+
+def run_rows_probe() -> dict:
+    """Rows-scaling probe (VERDICT r3 item 6, standing artifact): the
+    headline build at BENCH_PAGES_ROWS and FACTOR× that, fresh process
+    per leg, SAME num_cpus — throughput should be flat (ratio ≈ 1) if
+    per-row cost is constant; a ratio < 0.9 flags super-linear cost
+    (e.g. a stage that materializes or re-scans with corpus size).
+    Median over ROWS_PROBE_REPEATS legs; host probe embedded so the
+    number reads against the bus speed it was measured at."""
+    from archbloom_ray.datagen import pages_fixture
+
+    lo_rows = BENCH_PAGES_ROWS
+    hi_rows = BENCH_PAGES_ROWS * ROWS_PROBE_FACTOR
+    for r in (lo_rows, hi_rows):
+        path = pages_fixture(r, seed=42)
+        for name in sorted(os.listdir(path)):  # warm page cache
+            with open(os.path.join(path, name), "rb") as f:
+                while f.read(1 << 24):
+                    pass
+
+    def leg(rows: int) -> dict:
+        outs = []
+        for _ in range(max(1, ROWS_PROBE_REPEATS)):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--rows-probe-child", str(rows)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        med = {k: sorted(o[k] for o in outs)[len(outs) // 2]
+               for k in ("build_sec", "build_docs_per_sec")}
+        med["rows"] = rows
+        med["repeats"] = len(outs)
+        return med
+
+    lo, hi = leg(lo_rows), leg(hi_rows)
+    ratio = hi["build_docs_per_sec"] / lo["build_docs_per_sec"]
+    return {
+        "metric": f"rows_scaling_{lo_rows}_to_{hi_rows}",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "lo": lo,
+        "hi": hi,
+        "num_cpus": NUM_CPUS,
+        **host_speed_probe(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-child") + 1])
         print(json.dumps(run_scaling_child(n)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--rows-probe-child" in sys.argv:
+        n = int(sys.argv[sys.argv.index("--rows-probe-child") + 1])
+        print(json.dumps(run_rows_probe_child(n)))
+    elif "--rows-probe" in sys.argv:
+        print(json.dumps(run_rows_probe()))
     else:
         import ray
 
