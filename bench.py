@@ -194,8 +194,10 @@ def run_bench() -> dict:
     def quality_fingerprint():
         tc = TASK_CPUS if TASK_CPUS != 1 else None
         ds = rd.read_parquet(pages_path, columns=["url", "text"])
-        ds = add_quality(ds, num_cpus=tc)
-        ds = add_fingerprint(ds, num_cpus=tc)
+        # 16k batches keep the flat-token working set cache-resident
+        # (measured 185 vs 139 krows/s against whole-block batches)
+        ds = add_quality(ds, num_cpus=tc, batch_size=16384)
+        ds = add_fingerprint(ds, num_cpus=tc, batch_size=16384)
         # consume: aggregate quality stats (no driver materialization)
         ds.select_columns(["quality_score"]).map_batches(
             lambda b: pa.table({"s": pa.array([float(pc.sum(b["quality_score"]).as_py() or 0.0)]),

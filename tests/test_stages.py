@@ -456,7 +456,15 @@ class TestVectorizedParity:
             "héllo, wörld! 42", "中文的测试文本在这里继续出现很多",
             "こんにちは かな テスト", "и в не на это как же слово",
             "tab\there\nnewline nbsp　ideosp", "a  b   c",
-            "'s 've don't 1234 ...!!!", None]
+            "'s 've don't 1234 ...!!!", None,
+            # lowercase artifacts: İ lowers to i + combining dot
+            # (len 2, and the combining mark would count as punct if
+            # counting happened AFTER lowering) — word stats must stay
+            # on the raw token (the dictionary-path regression case)
+            "İstanbul İ DİYARBAKIR",
+            "straße MASSE Maße",
+            # zero-width/format chars inside tokens stay inside tokens
+            "a​b c⁠d e﻿f g­h"]
 
     def _texts(self):
         from archbloom_ray.datagen import pages_fixture
