@@ -688,23 +688,19 @@ def cmd_run(args):
     import pyarrow as pa
 
     stats = None
+    if getattr(args, "stats", False) and not hasattr(res, "stats"):
+        import sys
+        print("note: query returned a materialized result (not a "
+              "Ray Dataset) — no per-operator stats to report",
+              file=sys.stderr)
     if isinstance(res, pa.Table):
-        if getattr(args, "stats", False):
-            import sys
-            print("note: query returned a materialized table (not a "
-                  "Ray Dataset) — no per-operator stats to report",
-                  file=sys.stderr)
+        pass
     elif hasattr(res, "stats"):          # ray Dataset
         df = res.to_pandas()
         if getattr(args, "stats", False):
             stats = res.stats()          # per-operator wall/rows/bytes
         res = pa.Table.from_pandas(df)
     else:                                # pandas DataFrame
-        if getattr(args, "stats", False):
-            import sys
-            print("note: query returned a materialized table (not a "
-                  "Ray Dataset) — no per-operator stats to report",
-                  file=sys.stderr)
         res = pa.Table.from_pandas(res)
     if stats:
         import sys

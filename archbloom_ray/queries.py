@@ -2982,6 +2982,32 @@ def _probe_partial_counts(grouped, probe_fn) -> dict:
     return out
 
 
+def _td_recent_urls_result(sk, grouped, cutoff: int, span_u: int) -> pa.Table:
+    """Shared recall/FPR certification tail for the monolithic and
+    sharded tdbloom url queries: distributed probe (the sketch rides
+    the closure), one result-row schema — a single definition so the
+    two variants can never silently diverge."""
+    def probe(batch: pa.Table) -> dict:
+        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
+        hits = sk.lookup_batch(batch["url"].combine_chunks(), now=span_u)
+        rec = last_seen >= cutoff
+        return {"n_urls": len(last_seen), "n_recent": rec.sum(),
+                "ok_recent": hits[rec].sum(), "n_old": (~rec).sum(),
+                "fp_old": hits[~rec].sum()}
+
+    c = _probe_partial_counts(grouped, probe)
+    return pa.table({
+        "n_urls": pa.array([c["n_urls"]], type=pa.int64()),
+        "n_recent": pa.array([c["n_recent"]], type=pa.int64()),
+        "recall_recent": pa.array(
+            [c["ok_recent"] / c["n_recent"] if c["n_recent"] else 1.0],
+            type=pa.float64()),
+        "fpr_old_below_cap": pa.array(
+            [c["fp_old"] / c["n_old"] <= 0.05 if c["n_old"] else True],
+            type=pa.bool_()),
+    })
+
+
 def q_sharded_td_recent_urls(sf_dir: str):
     """`pages_recent_urls` built on the SHARDED slot-max path
     (pipelines.build.build_sharded_tdbloom_states — the 10^12-key
@@ -3034,27 +3060,7 @@ def q_sharded_td_recent_urls(sf_dir: str):
 
     grouped = grouped_agg(units_ds, ["url"],
                           [("last_seen", "t_units", "max")])
-    cutoff = span_u - timeout_u
-
-    def probe(batch: pa.Table) -> dict:
-        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
-        hits = sk.lookup_batch(batch["url"].combine_chunks(), now=span_u)
-        rec = last_seen >= cutoff
-        return {"n_urls": len(last_seen), "n_recent": rec.sum(),
-                "ok_recent": hits[rec].sum(), "n_old": (~rec).sum(),
-                "fp_old": hits[~rec].sum()}
-
-    c = _probe_partial_counts(grouped, probe)
-    return pa.table({
-        "n_urls": pa.array([c["n_urls"]], type=pa.int64()),
-        "n_recent": pa.array([c["n_recent"]], type=pa.int64()),
-        "recall_recent": pa.array(
-            [c["ok_recent"] / c["n_recent"] if c["n_recent"] else 1.0],
-            type=pa.float64()),
-        "fpr_old_below_cap": pa.array(
-            [c["fp_old"] / c["n_old"] <= 0.05 if c["n_old"] else True],
-            type=pa.bool_()),
-    })
+    return _td_recent_urls_result(sk, grouped, span_u - timeout_u, span_u)
 
 
 def q_pages_recent_urls(sf_dir: str):
@@ -3114,27 +3120,7 @@ def q_pages_recent_urls(sf_dir: str):
     # partials reach the driver; oracle hash-checks counts + verdicts
     grouped = grouped_agg(units_ds, ["url"],
                           [("last_seen", "t_units", "max")])
-    cutoff = span_u - timeout_u
-
-    def probe(batch: pa.Table) -> dict:
-        last_seen = np.asarray(batch["last_seen"], dtype=np.int64)
-        hits = sk.lookup_batch(batch["url"].combine_chunks(), now=span_u)
-        rec = last_seen >= cutoff
-        return {"n_urls": len(last_seen), "n_recent": rec.sum(),
-                "ok_recent": hits[rec].sum(), "n_old": (~rec).sum(),
-                "fp_old": hits[~rec].sum()}
-
-    c = _probe_partial_counts(grouped, probe)
-    return pa.table({
-        "n_urls": pa.array([c["n_urls"]], type=pa.int64()),
-        "n_recent": pa.array([c["n_recent"]], type=pa.int64()),
-        "recall_recent": pa.array(
-            [c["ok_recent"] / c["n_recent"] if c["n_recent"] else 1.0],
-            type=pa.float64()),
-        "fpr_old_below_cap": pa.array(
-            [c["fp_old"] / c["n_old"] <= 0.05 if c["n_old"] else True],
-            type=pa.bool_()),
-    })
+    return _td_recent_urls_result(sk, grouped, span_u - timeout_u, span_u)
 
 
 def q_pages_extract_invariant(sf_dir: str):

@@ -498,11 +498,12 @@ def run_rows_probe() -> dict:
                 capture_output=True, text=True, check=True,
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             outs.append(json.loads(out.strip().splitlines()[-1]))
-        med = {k: sorted(o[k] for o in outs)[len(outs) // 2]
-               for k in ("build_sec", "build_docs_per_sec")}
-        med["rows"] = rows
-        med["repeats"] = len(outs)
-        return med
+        # median ONE field and derive the other so the reported
+        # (sec, docs/s) pair always comes from a consistent run
+        med_sec = sorted(o["build_sec"] for o in outs)[len(outs) // 2]
+        return {"build_sec": med_sec,
+                "build_docs_per_sec": round(rows / med_sec, 1),
+                "rows": rows, "repeats": len(outs)}
 
     lo, hi = leg(lo_rows), leg(hi_rows)
     ratio = hi["build_docs_per_sec"] / lo["build_docs_per_sec"]
