@@ -60,7 +60,8 @@ def _make_sketch(kind: str, args) -> "object":
                            TDigest, ThetaSketch,
                            RoaringBitmap, TimeDecayingBloomFilter,
                            TimeDecayingCountingBloomFilter)
-    from .sketches import DynamicDistinct, GroupSizeSampler, ReqSketch
+    from .sketches import (DynamicDistinct, GroupSizeSampler, ReqSketch,
+                           VarOptSampler)
 
     kinds = {
         "bloom": lambda: BloomFilter(args.expected, args.accuracy),
@@ -89,6 +90,9 @@ def _make_sketch(kind: str, args) -> "object":
         "req": lambda: ReqSketch(args.kll_k),
         "dyndist": lambda: DynamicDistinct(),
         "gss": lambda: GroupSizeSampler(args.sketch_k, args.precision),
+        # unweighted CLI ingest (weight 1/row); weighted builds go
+        # through the library API (update_weighted)
+        "varopt": lambda: VarOptSampler(args.sketch_k),
     }
     return kinds[kind]()
 
@@ -835,7 +839,8 @@ def main(argv=None):
                                  "tdbloom", "tdcbloom", "cuckoo", "hll",
                                  "sparsehll", "slidinghll", "cms", "tdigest",
                                  "kll", "ddsketch", "kmv", "theta",
-                                 "roaring", "req", "dyndist", "gss"])
+                                 "roaring", "req", "dyndist", "gss",
+                                 "varopt"])
         sp.add_argument("--expected", type=int, default=100000)
         sp.add_argument("--accuracy", type=float, default=0.01)
         sp.add_argument("--counter-width", type=int, default=8)

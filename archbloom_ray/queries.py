@@ -1589,6 +1589,48 @@ def q_req_tail_quantiles(sf_dir: str):
     })
 
 
+def q_varopt_weighted_sample(sf_dir: str):
+    """Mergeable VarOpt-style weighted document sample
+    (sketches/varopt.py — systematic threshold sampling, the
+    Duffield–Lund–Thorup priority-sampling / Cohen-et-al VarOpt line):
+    k=256 docs ∝ n_chars from ONE scan — per-batch partial samplers
+    (one rebuild per batch) merged by the bounded-fan-in tree
+    (merge_partials).  The oracle certifies the sampler's SIGNATURE
+    invariants, which hold deterministically for EVERY merge tree:
+    exactly min(k, n) survivors, the tracked integer total ==
+    SUM(n_chars), and Σ adjusted weights preserves that total to 1e-9
+    relative (total preservation is the defining VarOpt property, not
+    a statistical outcome); per-item inclusion accuracy and the
+    heavy-item exactness guarantee are pytest-gated
+    (tests/test_varopt.py)."""
+    from .pipelines.build import merge_partials
+    from .sketches import VarOptSampler
+
+    K = 256
+
+    def part(batch: pa.Table) -> pa.Table:
+        keep = pc.greater(batch["n_chars"], 0)
+        t = batch.filter(keep)
+        s = VarOptSampler(K, seed=42)
+        if t.num_rows:
+            s.update_weighted(
+                pc.cast(t["doc_id"].combine_chunks(), pa.string()),
+                np.asarray(t["n_chars"], dtype=np.int64))
+        return pa.table({"state": pa.array([s.to_bytes()],
+                                           type=pa.large_binary())})
+
+    ds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+    sk = merge_partials(ds.map_batches(part, batch_format="pyarrow",
+                                       zero_copy_batch=True))
+    total = sk.total_weight
+    preserved = abs(sk.total_estimate() - total) <= 1e-9 * max(total, 1)
+    return pa.table({
+        "n_kept": pa.array([len(sk.sample())], pa.int64()),
+        "total_weight": pa.array([total], pa.int64()),
+        "total_preserved": pa.array([bool(preserved)], pa.bool_()),
+    })
+
+
 def q_req_tail_by_lang(sf_dir: str):
     """Per-language REQ tail quantiles (VERDICT r3 item 7 — the
     north-star HRA shape: p99.9 text length PER GROUP): ONE
@@ -9135,6 +9177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantile_sketches": q_quantile_sketches,
         "req_tail_quantiles": q_req_tail_quantiles,
         "req_tail_by_lang": q_req_tail_by_lang,
+        "varopt_weighted_sample": q_varopt_weighted_sample,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
         "dynamic_distinct_keys": q_dynamic_distinct_keys,
@@ -10928,6 +10971,12 @@ def oracle_sql() -> dict[str, str]:
                    TRUE AS llf_recall_ok,
                    TRUE AS llf_prune_ok
             FROM c
+        """,
+        "varopt_weighted_sample": """
+            SELECT CAST(LEAST(256, count(*)) AS BIGINT) AS n_kept,
+                   CAST(sum(n_chars) AS BIGINT) AS total_weight,
+                   TRUE AS total_preserved
+            FROM documents WHERE n_chars > 0
         """,
         "req_tail_by_lang": " UNION ALL ".join(
             f"SELECT lang, CAST({q} AS DOUBLE) AS q,"

@@ -17,6 +17,7 @@ from .dyndist import DynamicDistinct
 from .mg import MisraGries
 from .ams import AMSSketch
 from .kmv import KMVSketch
+from .varopt import VarOptSampler
 from .theta import ThetaSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
@@ -49,6 +50,7 @@ __all__ = [
     "MisraGries",
     "AMSSketch",
     "KMVSketch",
+    "VarOptSampler",
     "ThetaSketch",
     "CuckooFilter",
     "GaussianNB",
