@@ -1631,6 +1631,39 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_varopt_sample_by_lang(sf_dir: str):
+    """GROUPED weighted sampling: one VarOpt-style sampler per
+    language over the (source, multiplicity) distribution — "give me
+    k representative sources per language, ∝ document count" — via
+    ``build_grouped_value_sketches`` (the shuffle carries
+    pre-aggregated count rows; VarOpt's ``update_weighted`` consumes
+    them as weights).  Oracle: per-lang survivor count =
+    min(k, distinct sources) and the tracked integer total = the
+    lang's doc count — both exact for every merge tree; plus the
+    deterministic total-preservation verdict."""
+    from .pipelines.build import build_grouped_value_sketches, \
+        grouped_to_dict
+    from .sketches import VarOptSampler
+
+    K = 8
+    ds = _read(sf_dir, "documents", ["lang", "source"])
+    sks = grouped_to_dict(build_grouped_value_sketches(
+        ds, "lang", "source",
+        {"varopt": lambda: VarOptSampler(K, seed=7)}, salt=4))
+    langs = sorted(sks)
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_kept": pa.array([len(sks[g].sample()) for g in langs],
+                           pa.int64()),
+        "total_docs": pa.array([sks[g].total_weight for g in langs],
+                               pa.int64()),
+        "total_preserved": pa.array(
+            [abs(sks[g].total_estimate() - sks[g].total_weight)
+             <= 1e-9 * max(sks[g].total_weight, 1) for g in langs],
+            pa.bool_()),
+    })
+
+
 def q_req_tail_by_lang(sf_dir: str):
     """Per-language REQ tail quantiles (VERDICT r3 item 7 — the
     north-star HRA shape: p99.9 text length PER GROUP): ONE
@@ -9178,6 +9211,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_tail_quantiles": q_req_tail_quantiles,
         "req_tail_by_lang": q_req_tail_by_lang,
         "varopt_weighted_sample": q_varopt_weighted_sample,
+        "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
         "dynamic_distinct_keys": q_dynamic_distinct_keys,
@@ -10977,6 +11011,14 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "varopt_sample_by_lang": """
+            SELECT lang,
+                   CAST(LEAST(8, count(DISTINCT source)) AS BIGINT)
+                       AS n_kept,
+                   CAST(count(*) AS BIGINT) AS total_docs,
+                   TRUE AS total_preserved
+            FROM documents GROUP BY lang ORDER BY lang
         """,
         "req_tail_by_lang": " UNION ALL ".join(
             f"SELECT lang, CAST({q} AS DOUBLE) AS q,"
