@@ -46,6 +46,19 @@ def _fmix64(k: int) -> int:
     return k
 
 
+def splitmix64(x: int) -> int:
+    """Scalar splitmix64 finalizer over plain Python ints — the shared
+    deterministic-coin kernel (no numpy uint64 conversion, so
+    arbitrarily large counter/seed composites cannot overflow).  The
+    vectorized sibling lives in xorf.py (array shapes); req.py keeps
+    its historical inline mix because its coin stream is pinned by
+    recorded outputs."""
+    x = (x + 0x9E3779B97F4A7C15) & _MASK64
+    x = ((x ^ (x >> 30)) * 0xBF58476D1CE4E5B9) & _MASK64
+    x = ((x ^ (x >> 27)) * 0x94D049BB133111EB) & _MASK64
+    return x ^ (x >> 31)
+
+
 def mmh3_128(key: bytes | str, seed: int = 0) -> tuple[int, int]:
     """Scalar MurmurHash3 x64_128. Returns (h1, h2) as Python ints.
 

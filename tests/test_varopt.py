@@ -132,6 +132,44 @@ class TestVarOpt:
         with pytest.raises(SketchError):
             s.update_weighted(_vals(2), np.array([1, 0]))
 
+    def test_periodic_subset_error_bound_holds(self):
+        """Review adversary: equal weights make the systematic draw
+        perfectly periodic in WEIGHT order; the hash-order permutation
+        must decorrelate a periodic subset so the measured SD stays
+        within the advertised √(τ·W_S) bound (x1.2 slack)."""
+        w = np.ones(128, dtype=np.int64)
+        ests = []
+        for seed in range(300):
+            s = VarOptSampler(64, seed=seed)
+            s.update_weighted(_vals(128), w)
+            # subset = even ids (any fixed periodic structure)
+            ests.append(s.subset_estimate(lambda v: int(v[1:]) % 2 == 0))
+            bound = s.subset_error_bound(64.0)
+        sd = float(np.std(ests))
+        assert sd <= 1.2 * bound, (sd, bound)
+        assert abs(np.mean(ests) - 64.0) <= 0.15 * 64.0
+
+    def test_huge_seed_no_overflow(self):
+        s = VarOptSampler(4, seed=2 ** 50)
+        s.update_weighted(_vals(100), np.arange(1, 101))
+        assert len(s.sample()) == 4
+
+    def test_float_weights_rejected_not_truncated(self):
+        s = VarOptSampler(8, seed=1)
+        with pytest.raises(SketchError):
+            s.update_weighted(_vals(2), np.array([1.9, 2.9]))
+        # integral floats are fine
+        s.update_weighted(_vals(2), np.array([2.0, 3.0]))
+        assert s.total_weight == 5
+
+    def test_is_exact_survives_small_merge(self):
+        a, b = VarOptSampler(64, seed=1), VarOptSampler(64, seed=1)
+        a.update_weighted(_vals(3), np.array([1, 2, 3]))
+        b.update_weighted(_vals(2, prefix="w"), np.array([4, 5]))
+        a.merge(b)
+        assert a.is_exact()
+        assert len(a.sample()) == 5 and a.total_estimate() == 15.0
+
     def test_unweighted_update(self):
         s = VarOptSampler(16, seed=4)
         s.update_arrow(_vals(200))
