@@ -147,6 +147,39 @@ def test_no_unbounded_grouped_take_all():
         "add a reviewed ALLOWLIST entry: " + "; ".join(offenders))
 
 
+def test_no_row_level_dataset_ops():
+    """Lock the anti-pattern absences the r3 verdict verified: no
+    per-row Dataset.map / iter_rows in the package (row loops belong
+    inside vectorized map_batches), and Dataset.to_pandas only in the
+    CLI display path (datagen's ThreadPoolExecutor.map is not a
+    Dataset op and is allowlisted)."""
+    ALLOW_MAP = {("datagen.py",)}  # executor.map over writer chunks
+    offenders = []
+    for path in SCAN_FILES:
+        if path.name in ("bench.py",):
+            continue
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for node in ast.walk(tree):
+            if not (isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)):
+                continue
+            attr = node.func.attr
+            if attr == "iter_rows":
+                offenders.append(
+                    f"{path.relative_to(REPO)}:{node.lineno} iter_rows")
+            elif attr == "map" and (path.name,) not in ALLOW_MAP:
+                offenders.append(
+                    f"{path.relative_to(REPO)}:{node.lineno} .map(")
+            elif attr == "to_pandas" and path.name not in (
+                    "cli.py", "__ray_entry__.py"):  # tiny display/contract tables
+                offenders.append(
+                    f"{path.relative_to(REPO)}:{node.lineno} to_pandas")
+    assert not offenders, (
+        "row-level Dataset ops in the package (vectorize via "
+        "map_batches, or extend the reviewed allowlist): "
+        + "; ".join(offenders))
+
+
 def test_parquet_column_bounds_matches_scan(tmp_path):
     """Footer-statistics bounds == scan bounds; stats-less files return
     None (the scan fallback signal)."""
