@@ -1631,6 +1631,49 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_stratified_quota_sample(sf_dir: str):
+    """Stratified sampling under a FIXED total budget: allocate B=300
+    sample slots across languages by the largest-remainder (Hamilton)
+    method on exact doc counts — pure integer arithmetic, identical in
+    numpy and the SQL twin — then DRAW each stratum's quota with the
+    deterministic bottom-k sampler (``stages.url.stratified_sample``
+    with a per-group quota dict: per-batch local bottom-k prune, one
+    grouped top-k; the drawn set is identical across runs/partitions
+    because ranks are mmh3_64(id) — no RNG state).  Oracle certifies
+    (lang, n_docs, quota, n_drawn = min(quota, n_docs)) — the draw's
+    per-stratum cardinality contract end-to-end.  Strata are bounded
+    (languages), so the allocation table is driver-sized by
+    construction."""
+    from .stages.url import stratified_sample
+
+    B = 300
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    rows = sorted(grouped_agg(ds, ["lang"], [("n", None, "count")])
+                  .take_all(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in rows]
+    n_g = np.array([r["n"] for r in rows], dtype=np.int64)
+    n_total = int(n_g.sum())
+    base = (B * n_g) // n_total
+    rem = (B * n_g) % n_total
+    extra = B - int(base.sum())
+    # largest remainder, tie-break lang ASC (same ORDER BY in SQL)
+    order = np.lexsort((np.arange(len(langs)), -rem))
+    quota = base.copy()
+    quota[order[:extra]] += 1
+
+    kmap = {g: int(q) for g, q in zip(langs, quota)}
+    drawn = stratified_sample(ds, "lang", "doc_id", kmap)
+    counts = {r["lang"]: r["n_drawn"] for r in grouped_agg(
+        drawn, ["lang"], [("n_drawn", None, "count")]).take_all()}
+    return pa.table({
+        "lang": pa.array(langs, pa.string()),
+        "n_docs": pa.array(n_g, pa.int64()),
+        "quota": pa.array(quota, pa.int64()),
+        "n_drawn": pa.array([int(counts.get(g, 0)) for g in langs],
+                            pa.int64()),
+    })
+
+
 def q_varopt_sample_by_lang(sf_dir: str):
     """GROUPED weighted sampling: one VarOpt-style sampler per
     language over the (source, multiplicity) distribution — "give me
@@ -9211,6 +9254,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_tail_quantiles": q_req_tail_quantiles,
         "req_tail_by_lang": q_req_tail_by_lang,
         "varopt_weighted_sample": q_varopt_weighted_sample,
+        "stratified_quota_sample": q_stratified_quota_sample,
         "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
@@ -11011,6 +11055,30 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "stratified_quota_sample": """
+            WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                       FROM documents GROUP BY lang),
+            tot AS (SELECT sum(n) AS t FROM c),
+            b AS (SELECT lang, n,
+                         (300 * n) // (SELECT t FROM tot) AS base,
+                         (300 * n) % (SELECT t FROM tot) AS rem
+                  FROM c),
+            e AS (SELECT sum(base) AS sb FROM b),
+            r AS (SELECT lang, n, base,
+                         row_number() OVER (ORDER BY rem DESC, lang ASC)
+                             AS rk
+                  FROM b)
+            SELECT lang,
+                   n AS n_docs,
+                   CAST(base + CASE WHEN rk <= 300 - (SELECT sb FROM e)
+                                    THEN 1 ELSE 0 END AS BIGINT)
+                       AS quota,
+                   CAST(LEAST(base + CASE
+                                  WHEN rk <= 300 - (SELECT sb FROM e)
+                                  THEN 1 ELSE 0 END, n) AS BIGINT)
+                       AS n_drawn
+            FROM r ORDER BY lang
         """,
         "varopt_sample_by_lang": """
             SELECT lang,

@@ -114,7 +114,7 @@ def stratified_sample(
     ds: "ray.data.Dataset",
     group_col: str,
     id_col: str,
-    k: int,
+    k: "int | dict",
     *,
     seed: int = 42,
 ) -> "ray.data.Dataset":
@@ -122,10 +122,30 @@ def stratified_sample(
     with the smallest ``mmh3_64(id, seed)`` — the per-group bottom-k,
     i.e. a uniform-without-replacement sample of each group that is
     IDENTICAL across runs, cluster sizes and resumes (no RNG state).
+    ``k`` may be a dict {group value: quota} for per-stratum budgets
+    (groups absent from the dict get 0); an int applies uniformly.
     Mergeable shape: per-batch local bottom-k per group (cheap — at
     most k rows per (batch, group) survive), then one groupby keeps
     the global bottom-k."""
     from ..hashing import mmh3_64_batch
+
+    kmap = dict(k) if isinstance(k, dict) else None
+    if kmap is not None:
+        k_keys = pa.array(list(kmap.keys()))
+        k_vals = np.fromiter(kmap.values(), dtype=np.int64,
+                             count=len(kmap))
+
+    def k_of(groups: pa.Array) -> np.ndarray:
+        """Per-row quota for a group-value array."""
+        if kmap is None:
+            return np.full(len(groups), int(k), dtype=np.int64)
+        idx = pc.index_in(groups, value_set=k_keys)
+        pos = idx.to_numpy(zero_copy_only=False)
+        out = np.zeros(len(groups), dtype=np.int64)
+        hit = ~np.isnan(pos) if pos.dtype.kind == "f" else \
+            np.asarray(idx.is_valid())
+        out[hit] = k_vals[pos[hit].astype(np.int64)]
+        return out
 
     def local(batch: pa.Table) -> pa.Table:
         ids = batch[id_col]
@@ -146,13 +166,15 @@ def stratified_sample(
             starts = np.concatenate(([0], changes))
             first[g[starts]] = starts
             rank = np.arange(len(t)) - first[g]
-            t = t.filter(pa.array(rank < k))
+            kk = k_of(t[group_col].combine_chunks())
+            t = t.filter(pa.array(rank < kk))
         return t
 
     pruned = ds.map_batches(local, batch_format="pyarrow", zero_copy_batch=True)
 
     def global_topk(group: pa.Table) -> pa.Table:
         idx = pc.sort_indices(group, sort_keys=[("_h", "ascending")])
-        return group.take(idx.slice(0, k)).drop_columns(["_h"])
+        gk = int(k_of(group[group_col].combine_chunks().slice(0, 1))[0])
+        return group.take(idx.slice(0, gk)).drop_columns(["_h"])
 
     return pruned.groupby(group_col).map_groups(global_topk, batch_format="pyarrow")

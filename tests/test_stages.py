@@ -937,6 +937,31 @@ class TestUrlStages:
             rd.from_arrow(tbl).repartition(13), "g", "id", k=7).take_all()
         assert sorted((r["g"], r["id"]) for r in small) == runs[0]
 
+    def test_stratified_sample_per_group_quotas(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.stages import stratified_sample
+
+        tbl = pa.table({
+            "g": pa.array([f"g{i % 4}" for i in range(200)]),
+            "id": pa.array([f"id{i:04d}" for i in range(200)]),
+        })
+        kmap = {"g0": 3, "g1": 10, "g2": 0}  # g3 absent → 0
+        out = stratified_sample(rd.from_arrow(tbl), "g", "id",
+                                kmap).take_all()
+        per_g = {}
+        for r in out:
+            per_g.setdefault(r["g"], []).append(r["id"])
+        assert len(per_g.get("g0", [])) == 3
+        assert len(per_g.get("g1", [])) == 10
+        assert "g2" not in per_g and "g3" not in per_g
+        # dict-k draws the SAME bottom-k members as uniform-k: the g1
+        # quota-10 sample is a superset of the uniform k=7 g1 sample
+        uni = stratified_sample(rd.from_arrow(tbl), "g", "id",
+                                k=7).take_all()
+        g1_uni = {r["id"] for r in uni if r["g"] == "g1"}
+        assert g1_uni <= set(per_g["g1"])
+
 
 class TestContamination:
     def test_token_ngrams_flat(self):
