@@ -130,6 +130,11 @@ def stratified_sample(
     from ..hashing import mmh3_64_batch
 
     kmap = dict(k) if isinstance(k, dict) else None
+    if kmap is not None and (not kmap or max(kmap.values()) <= 0):
+        # zero strata (or all-zero quotas): an empty draw — short-
+        # circuit rather than shipping a null-typed value_set into
+        # pc.index_in inside workers
+        return ds.limit(0)
     if kmap is not None:
         k_keys = pa.array(list(kmap.keys()))
         k_vals = np.fromiter(kmap.values(), dtype=np.int64,

@@ -153,7 +153,7 @@ def test_no_row_level_dataset_ops():
     inside vectorized map_batches), and Dataset.to_pandas only in the
     CLI display path (datagen's ThreadPoolExecutor.map is not a
     Dataset op and is allowlisted)."""
-    ALLOW_MAP = {("datagen.py",)}  # executor.map over writer chunks
+    ALLOW_MAP = {"datagen.py"}  # executor.map over writer chunks
     offenders = []
     for path in SCAN_FILES:
         if path.name in ("bench.py",):
@@ -167,7 +167,7 @@ def test_no_row_level_dataset_ops():
             if attr == "iter_rows":
                 offenders.append(
                     f"{path.relative_to(REPO)}:{node.lineno} iter_rows")
-            elif attr == "map" and (path.name,) not in ALLOW_MAP:
+            elif attr == "map" and path.name not in ALLOW_MAP:
                 offenders.append(
                     f"{path.relative_to(REPO)}:{node.lineno} .map(")
             elif attr == "to_pandas" and path.name not in (

@@ -961,6 +961,17 @@ class TestUrlStages:
                                 k=7).take_all()
         g1_uni = {r["id"] for r in uni if r["g"] == "g1"}
         assert g1_uni <= set(per_g["g1"])
+        # partitioning invariance of the dict path (the local-prune +
+        # global-merge consistency the uniform-k sibling checks)
+        rep = stratified_sample(rd.from_arrow(tbl).repartition(13),
+                                "g", "id", kmap).take_all()
+        assert sorted((r["g"], r["id"]) for r in rep) == \
+            sorted((r["g"], r["id"]) for r in out)
+        # empty / all-zero quota dicts are empty draws, not errors
+        assert stratified_sample(rd.from_arrow(tbl), "g", "id",
+                                 {}).take_all() == []
+        assert stratified_sample(rd.from_arrow(tbl), "g", "id",
+                                 {"g0": 0}).take_all() == []
 
 
 class TestContamination:
