@@ -1631,6 +1631,75 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_events_window_sample(sf_dir: str):
+    """Sliding-window UNIFORM sample of active users: per-DAY KMV
+    bottom-k sketches over user_id (``build_grouped_sketches`` — one
+    (day, state) partial per batch, salted merge), then ANY window's
+    sample = merge of that window's day sketches — KMV's
+    bottom-k-of-union property makes the merged sample EXACTLY the
+    one-shot bottom-k over the window's distinct users, invariant to
+    order/partitioning/merge tree.  Window = final 7 days
+    (footer-statistics bounds; day = epoch_us // 86400e6 in both
+    twins).  Certificates: exact window distinct (grouped pair-dedup
+    reduced to per-block partials), n_sampled = min(k, distinct),
+    every sampled user re-verified ACTIVE in-window by a broadcast
+    membership pass, and the KMV estimate gated at its own
+    3/√(k−2) bound."""
+    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+    from .sketches import KMVSketch
+    from .sources import parquet_column_bounds
+
+    K = 50
+    US_DAY = 86_400_000_000
+    bounds = parquet_column_bounds(
+        os.path.join(sf_dir, "events.parquet"), "ts")
+    end_day = pa.scalar(bounds[1], pa.timestamp("us")) \
+        .cast(pa.int64()).as_py() // US_DAY
+    lo_day = end_day - 6
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(batch["ts"].combine_chunks(), pa.int64()))
+        return pa.table({"day": pa.array(us // US_DAY),
+                         "user_id": batch["user_id"]})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    sks = grouped_to_dict(build_grouped_sketches(
+        ds, "day", "user_id", lambda: KMVSketch(K), salt=4))
+    win = KMVSketch(K)
+    for d, sk in sks.items():
+        if lo_day <= d <= end_day:
+            win.merge(sk)
+    sample = {b.decode() for b in win.sample()}
+    est = win.cardinality()
+
+    # exact window distinct + sampled-membership: grouped pair-dedup,
+    # then per-block partials (never the O(users) table on the driver)
+    win_rows = ds.filter(expr=f"day >= {int(lo_day)}")
+    d1 = grouped_agg(win_rows.select_columns(["user_id"]),
+                     ["user_id"], [("n", None, "count")])
+    samp_arr = pa.array(sorted(sample), pa.string())
+
+    def part(batch: pa.Table) -> pa.Table:
+        u = pc.cast(batch["user_id"].combine_chunks(), pa.string())
+        hit = pc.sum(pc.cast(pc.is_in(u, value_set=samp_arr),
+                             pa.int64())).as_py() or 0
+        return pa.table({"d": pa.array([batch.num_rows], pa.int64()),
+                         "hit": pa.array([int(hit)], pa.int64())})
+
+    parts = d1.map_batches(part, batch_format="pyarrow",
+                           zero_copy_batch=True).take_all()
+    exact = sum(r["d"] for r in parts)
+    hits = sum(r["hit"] for r in parts)
+    within = abs(est - exact) <= max(3 * exact / math.sqrt(K - 2), 1.0)
+    return pa.table({
+        "n_distinct_window": pa.array([exact], pa.int64()),
+        "n_sampled": pa.array([len(sample)], pa.int64()),
+        "all_sampled_active": pa.array([hits == len(sample)], pa.bool_()),
+        "kmv_within_bound": pa.array([bool(within)], pa.bool_()),
+    })
+
+
 def q_stratified_quota_sample(sf_dir: str):
     """Stratified sampling under a FIXED total budget: allocate B=300
     sample slots across languages by the largest-remainder (Hamilton)
@@ -9255,6 +9324,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "req_tail_by_lang": q_req_tail_by_lang,
         "varopt_weighted_sample": q_varopt_weighted_sample,
         "stratified_quota_sample": q_stratified_quota_sample,
+        "events_window_sample": q_events_window_sample,
         "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
@@ -11055,6 +11125,19 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "events_window_sample": """
+            WITH w AS (
+                SELECT user_id FROM events
+                WHERE epoch_us(ts) // 86400000000 >=
+                      (SELECT max(epoch_us(ts)) // 86400000000 - 6
+                       FROM events)),
+            d AS (SELECT count(DISTINCT user_id) AS nd FROM w)
+            SELECT CAST(nd AS BIGINT) AS n_distinct_window,
+                   CAST(LEAST(50, nd) AS BIGINT) AS n_sampled,
+                   TRUE AS all_sampled_active,
+                   TRUE AS kmv_within_bound
+            FROM d
         """,
         "stratified_quota_sample": """
             WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
