@@ -358,6 +358,7 @@ def build_grouped_sketches(
     *,
     batch_size: int = 65536,
     salt: int = 0,
+    via: str = "auto",
 ) -> "ray.data.Dataset":
     """One sketch per value of ``key_column`` (e.g. per-lang sketches).
 
@@ -376,9 +377,21 @@ def build_grouped_sketches(
     extremely hot keys (the ``lang='en'`` case in BASELINE.json's north
     star).
 
+    ``via`` overrides the dispatch: ``"values"`` forces the count-row
+    path, ``"states"`` the partial-state path.  The ``"auto"``
+    heuristic (has update_weighted → values) is right for big-state
+    sketches over repetitive columns; a SMALL-state sketch over a
+    near-unique column (a KMV/VarOpt sampler over user ids) should
+    pass ``via="states"`` — its partial is ~1 KB while its distinct
+    count rows are the whole dataset.
+
     Returns a Dataset of ``{key, state}`` rows.
     """
-    if hasattr(factory(), "update_weighted"):
+    if via not in ("auto", "values", "states"):
+        raise ValueError(f"via={via!r}: expected auto|values|states")
+    use_values = (hasattr(factory(), "update_weighted")
+                  if via == "auto" else via == "values")
+    if use_values:
         grouped = build_grouped_value_sketches(
             ds, key_column, value_column, {"s": factory},
             batch_size=batch_size, salt=salt if salt > 0 else 8,

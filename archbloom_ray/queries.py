@@ -1647,14 +1647,12 @@ def q_events_window_sample(sf_dir: str):
     3/√(k−2) bound."""
     from .pipelines.build import build_grouped_sketches, grouped_to_dict
     from .sketches import KMVSketch
-    from .sources import parquet_column_bounds
+    from .sources import parquet_ts_max_us
 
     K = 50
     US_DAY = 86_400_000_000
-    bounds = parquet_column_bounds(
-        os.path.join(sf_dir, "events.parquet"), "ts")
-    end_day = pa.scalar(bounds[1], pa.timestamp("us")) \
-        .cast(pa.int64()).as_py() // US_DAY
+    end_day = parquet_ts_max_us(
+        os.path.join(sf_dir, "events.parquet"), "ts") // US_DAY
     lo_day = end_day - 6
 
     def prep(batch: pa.Table) -> pa.Table:
@@ -1664,8 +1662,13 @@ def q_events_window_sample(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True)
+    # via="states": a K=50 KMV partial is ~1 KB while its distinct
+    # (day, user) count rows would be nearly the whole table — the
+    # value-row path's tradeoff inverts for small-state samplers over
+    # near-unique columns (review finding)
     sks = grouped_to_dict(build_grouped_sketches(
-        ds, "day", "user_id", lambda: KMVSketch(K), salt=4))
+        ds, "day", "user_id", lambda: KMVSketch(K), salt=4,
+        via="states"))
     win = KMVSketch(K)
     for d, sk in sks.items():
         if lo_day <= d <= end_day:
@@ -2174,13 +2177,11 @@ def q_events_sliding_distinct_users(sf_dir: str):
     statistics (no scan); the cardinality complement of the
     time-decaying Bloom freshness family."""
     from .pipelines.build import build_event_time_sketch
-    from .sources import parquet_column_bounds
+    from .sources import parquet_ts_max_us
     from .sketches import SlidingHyperLogLog
 
-    bounds = parquet_column_bounds(
-        os.path.join(sf_dir, "events.parquet"), "ts")
-    end_s = pa.scalar(bounds[1], pa.timestamp("us")) \
-        .cast(pa.int64()).as_py() // 1_000_000
+    end_s = parquet_ts_max_us(
+        os.path.join(sf_dir, "events.parquet"), "ts") // 1_000_000
 
     ds = _read(sf_dir, "events", ["user_id", "ts"])
     sk = build_event_time_sketch(ds, "user_id", "ts",
@@ -2241,12 +2242,10 @@ def q_events_sliding_dau_by_type(sf_dir: str):
         grouped_to_dict
     from .pipelines.relational import grouped_distinct_count
     from .sketches import SlidingHyperLogLog
-    from .sources import parquet_column_bounds
+    from .sources import parquet_ts_max_us
 
-    bounds = parquet_column_bounds(
-        os.path.join(sf_dir, "events.parquet"), "ts")
-    end_s = pa.scalar(bounds[1], pa.timestamp("us")) \
-        .cast(pa.int64()).as_py() // 1_000_000
+    end_s = parquet_ts_max_us(
+        os.path.join(sf_dir, "events.parquet"), "ts") // 1_000_000
     cutoff = end_s - 7 * 86_400
 
     ds = _read(sf_dir, "events", ["event_type", "user_id", "ts"])

@@ -271,6 +271,29 @@ def union_harmonized(dss: list["ray.data.Dataset"]) -> "ray.data.Dataset":
     return out.union(*fitted[1:]) if len(fitted) > 1 else out
 
 
+def parquet_ts_max_us(path: str, column: str) -> int:
+    """Max of a timestamp[us] column in µs since epoch: parquet FOOTER
+    statistics when present (no data pages read), else ONE pruned
+    distributed scan — the shared end-of-ingest helper for the
+    event-time queries, so no call site needs its own None-guard or
+    its own copy of the scalar-cast idiom."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    b = parquet_column_bounds(path, column)
+    if b is not None:
+        return pa.scalar(b[1], pa.timestamp("us")).cast(pa.int64()).as_py()
+
+    def part(batch: pa.Table) -> pa.Table:
+        m = pc.max(pc.cast(batch[column].combine_chunks(),
+                           pa.int64())).as_py()
+        return pa.table({"m": pa.array([m], pa.int64())})
+
+    rows = ray.data.read_parquet(path, columns=[column]).map_batches(
+        part, batch_format="pyarrow", zero_copy_batch=True).take_all()
+    return max(r["m"] for r in rows)
+
+
 def parquet_column_bounds(path: str, column: str):
     """(min, max) of a column across a parquet file or directory, from
     footer ROW-GROUP STATISTICS only — no data pages are read.  The

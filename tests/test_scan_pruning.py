@@ -205,3 +205,24 @@ def test_parquet_column_bounds_matches_scan(tmp_path):
     nostats = tmp_path / "nostats.parquet"
     pq.write_table(t, nostats, write_statistics=False)
     assert parquet_column_bounds(str(nostats), "ts") is None
+
+
+def test_parquet_ts_max_us_footer_and_scan_fallback(tmp_path, ray_session):
+    """The shared end-of-ingest helper: footer stats when present, ONE
+    pruned scan when absent — callers never see None (review finding:
+    the bare bounds[1] idiom crashed on stats-less files)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from archbloom_ray.sources import parquet_ts_max_us
+
+    rng = np.random.default_rng(4)
+    us = rng.integers(1_700_000_000, 1_800_000_000, 2000) * 1_000_000
+    t = pa.table({"ts": pa.array(us, pa.int64()).cast(pa.timestamp("us"))})
+    with_stats = tmp_path / "s.parquet"
+    pq.write_table(t, with_stats)
+    assert parquet_ts_max_us(str(with_stats), "ts") == int(us.max())
+    nostats = tmp_path / "n.parquet"
+    pq.write_table(t, nostats, write_statistics=False)
+    assert parquet_ts_max_us(str(nostats), "ts") == int(us.max())
