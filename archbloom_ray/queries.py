@@ -1631,6 +1631,83 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_events_user_churn(sf_dir: str):
+    """Day-over-day user CHURN from composable theta set algebra over
+    EVENT TIME: one theta sketch per day over user_id
+    (``build_grouped_sketches`` with ``via="states"`` — ~k-entry
+    partials, never the near-unique user rows), then the final day D
+    vs D−1 answers new = |D \\ D−1|, churned = |D−1 \\ D|, retained =
+    |D ∩ D−1| as DERIVED sketches (the A-not-B KMV cannot express) —
+    zero data revisit for any day pair.  Certified against the exact
+    three-way split (per-user two-day flag pre-agg → per-block
+    partials) at each derived sketch's OWN √((1−θ)/retained) bound,
+    3σ, never tighter."""
+    from .pipelines.build import build_grouped_sketches, grouped_to_dict
+    from .sketches import ThetaSketch
+    from .sources import parquet_ts_max_us
+
+    US_DAY = 86_400_000_000
+    end_day = parquet_ts_max_us(
+        os.path.join(sf_dir, "events.parquet"), "ts") // US_DAY
+
+    def prep(batch: pa.Table) -> pa.Table:
+        us = np.asarray(pc.cast(batch["ts"].combine_chunks(), pa.int64()))
+        return pa.table({"day": pa.array(us // US_DAY),
+                         "user_id": batch["user_id"]})
+
+    ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
+        prep, batch_format="pyarrow", zero_copy_batch=True)
+    two = ds.filter(expr=f"day >= {int(end_day) - 1}")
+    sks = grouped_to_dict(build_grouped_sketches(
+        two, "day", "user_id", lambda: ThetaSketch(4096), salt=4,
+        via="states"))
+    sk_d = sks.get(end_day, ThetaSketch(4096))
+    sk_p = sks.get(end_day - 1, ThetaSketch(4096))
+    derived = {
+        "new": sk_d.a_not_b(sk_p),
+        "churned": sk_p.a_not_b(sk_d),
+        "retained": sk_d.intersect(sk_p),
+    }
+
+    # exact 3-way split: per-user two-day flags (in-batch pre-agg →
+    # grouped max), then per-block counters — O(blocks) to the driver
+    def flags(batch: pa.Table) -> pa.Table:
+        d = np.asarray(batch["day"], dtype=np.int64)
+        t = pa.table({
+            "user_id": batch["user_id"],
+            "a": pa.array((d == end_day).astype(np.int8)),
+            "b": pa.array((d == end_day - 1).astype(np.int8)),
+        }).group_by(["user_id"]).aggregate([("a", "max"), ("b", "max")])
+        return pa.table({"user_id": t["user_id"], "a": t["a_max"],
+                         "b": t["b_max"]})
+
+    per = grouped_agg(
+        two.map_batches(flags, batch_format="pyarrow",
+                        zero_copy_batch=True),
+        ["user_id"], [("a", "a", "max"), ("b", "b", "max")])
+
+    def part(batch: pa.Table) -> pa.Table:
+        a = np.asarray(batch["a"], dtype=np.int8) == 1
+        b = np.asarray(batch["b"], dtype=np.int8) == 1
+        return pa.table({
+            "new": pa.array([int((a & ~b).sum())], pa.int64()),
+            "churned": pa.array([int((~a & b).sum())], pa.int64()),
+            "retained": pa.array([int((a & b).sum())], pa.int64()),
+        })
+
+    parts = per.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    cols = {}
+    for kind in ("new", "churned", "retained"):
+        exact = sum(r[kind] for r in parts)
+        est = derived[kind].cardinality()
+        bound = max(3 * derived[kind].result_relative_error() * exact, 1.0)
+        cols[f"n_{kind}"] = pa.array([exact], pa.int64())
+        cols[f"theta_{kind}_ok"] = pa.array(
+            [abs(est - exact) <= bound], pa.bool_())
+    return pa.table(cols)
+
+
 def q_events_window_sample(sf_dir: str):
     """Sliding-window UNIFORM sample of active users: per-DAY KMV
     bottom-k sketches over user_id (``build_grouped_sketches`` — one
@@ -9324,6 +9401,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "varopt_weighted_sample": q_varopt_weighted_sample,
         "stratified_quota_sample": q_stratified_quota_sample,
         "events_window_sample": q_events_window_sample,
+        "events_user_churn": q_events_user_churn,
         "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
@@ -11124,6 +11202,31 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "events_user_churn": """
+            WITH mx AS (SELECT max(epoch_us(ts)) // 86400000000 AS d
+                        FROM events),
+            u AS (SELECT user_id,
+                         max(CASE WHEN epoch_us(ts) // 86400000000
+                                       = (SELECT d FROM mx)
+                                  THEN 1 ELSE 0 END) AS a,
+                         max(CASE WHEN epoch_us(ts) // 86400000000
+                                       = (SELECT d FROM mx) - 1
+                                  THEN 1 ELSE 0 END) AS b
+                  FROM events
+                  WHERE epoch_us(ts) // 86400000000
+                        >= (SELECT d FROM mx) - 1
+                  GROUP BY user_id)
+            SELECT CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_new,
+                   TRUE AS theta_new_ok,
+                   CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_churned,
+                   TRUE AS theta_churned_ok,
+                   CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_retained,
+                   TRUE AS theta_retained_ok
+            FROM u
         """,
         "events_window_sample": """
             WITH w AS (
