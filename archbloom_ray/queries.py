@@ -1631,6 +1631,53 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_join_key_overlap_theta(sf_dir: str):
+    """The optimizer's pre-join DISTINCT-key statistic: |keys(orders)
+    ∩ keys(lineitem)|, |keys(orders) \\ keys(lineitem)| and the
+    reverse, estimated from TWO INDEPENDENT single-scan theta sketches
+    via derived intersect / A-not-B — no join, no shuffle between the
+    tables, and the two states answer all three questions for ANY
+    future pairing (the cross-TABLE complement of the per-group theta
+    family; CMS inner-product estimates the join SIZE, theta the
+    distinct-key overlap).  Certified against the exact distributed
+    distinct set ops (``key_set_op`` — per-batch dedupe + flag
+    min/max, distinct-mass exchange) at each derived result's own
+    √((1−θ)/retained) 3σ bound."""
+    from .pipelines import key_set_op
+    from .pipelines.build import build_sketch
+    from .sketches import ThetaSketch
+
+    def keyed(table: str, col: str):
+        def fn(batch: pa.Table) -> pa.Table:
+            return pa.table({"k": pc.cast(
+                batch[col].combine_chunks(), pa.string())})
+        return _read(sf_dir, table, [col]).map_batches(
+            fn, batch_format="pyarrow", zero_copy_batch=True)
+
+    o_ds, l_ds = keyed("orders", "o_orderkey"), keyed("lineitem", "l_orderkey")
+    sk_o = build_sketch(o_ds, "k", lambda: ThetaSketch(4096))
+    sk_l = build_sketch(l_ds, "k", lambda: ThetaSketch(4096))
+    derived = {
+        "common": sk_o.intersect(sk_l),
+        "orders_only": sk_o.a_not_b(sk_l),
+        "lineitem_only": sk_l.a_not_b(sk_o),
+    }
+    exact = {
+        "common": key_set_op(o_ds, l_ds, "k", "intersect").count(),
+        "orders_only": key_set_op(o_ds, l_ds, "k", "except").count(),
+        "lineitem_only": key_set_op(l_ds, o_ds, "k", "except").count(),
+    }
+    cols = {}
+    for kind in ("common", "orders_only", "lineitem_only"):
+        ex = int(exact[kind])
+        est = derived[kind].cardinality()
+        bound = max(3 * derived[kind].result_relative_error() * ex, 1.0)
+        cols[f"n_{kind}"] = pa.array([ex], pa.int64())
+        cols[f"theta_{kind}_ok"] = pa.array(
+            [abs(est - ex) <= bound], pa.bool_())
+    return pa.table(cols)
+
+
 def q_events_user_churn(sf_dir: str):
     """Day-over-day user CHURN from composable theta set algebra over
     EVENT TIME: one theta sketch per day over user_id
@@ -9402,6 +9449,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "stratified_quota_sample": q_stratified_quota_sample,
         "events_window_sample": q_events_window_sample,
         "events_user_churn": q_events_user_churn,
+        "join_key_overlap_theta": q_join_key_overlap_theta,
         "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
@@ -11202,6 +11250,24 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "join_key_overlap_theta": """
+            WITH o AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
+                       FROM orders),
+                 l AS (SELECT DISTINCT CAST(l_orderkey AS VARCHAR) AS k
+                       FROM lineitem)
+            SELECT CAST((SELECT count(*) FROM (SELECT k FROM o
+                         INTERSECT SELECT k FROM l)) AS BIGINT)
+                       AS n_common,
+                   TRUE AS theta_common_ok,
+                   CAST((SELECT count(*) FROM (SELECT k FROM o
+                         EXCEPT SELECT k FROM l)) AS BIGINT)
+                       AS n_orders_only,
+                   TRUE AS theta_orders_only_ok,
+                   CAST((SELECT count(*) FROM (SELECT k FROM l
+                         EXCEPT SELECT k FROM o)) AS BIGINT)
+                       AS n_lineitem_only,
+                   TRUE AS theta_lineitem_only_ok
         """,
         "events_user_churn": """
             WITH mx AS (SELECT max(epoch_us(ts)) // 86400000000 AS d
