@@ -1631,6 +1631,69 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def q_curation_funnel(sf_dir: str):
+    """END-TO-END curation funnel — the composed shape a training-data
+    pipeline actually runs, with every stage's count certified by one
+    SQL twin: (1) the integer quality gate (shared rule with
+    quality_by_lang), (2) per-language EXACT dedup of the survivors
+    (min-doc_id per (lang, text) — the Ray side keys on mmh3_64(text),
+    injective w.h.p., same counts), (3) a fixed B=200 sample budget
+    Hamilton-allocated across languages on the deduped counts and
+    drawn with the deterministic per-stratum bottom-k sampler.
+    Narrow intermediates (doc_id, lang, hash) are materialized once so
+    the quality kernel runs a single scan, not once per downstream
+    consumer.  Output: one row of funnel counts."""
+    from .hashing import mmh3_64_batch
+    from .stages.text import quality_features_arrow
+    from .stages.url import stratified_sample
+
+    B = 50           # sample budget < surviving-unique count at every
+    MIN_WORDS = 10   # tier, so the allocation stage is exercised for
+    # real (the 30-word gate passes almost nothing on this short-text
+    # corpus); same constants in the SQL twin
+    ds = _read(sf_dir, "documents", ["doc_id", "lang", "text"])
+    n_input = ds.count()
+
+    def gate(batch: pa.Table) -> pa.Table:
+        f = quality_features_arrow(batch["text"])
+        ok = ((f["n_words"] >= MIN_WORDS)
+              & (f["n_punct"] * 5 <= f["n_chars"])
+              & (f["n_distinct_words"] * 10 >= 7 * f["n_words"]))
+        t = batch.filter(pa.array(ok))
+        h = mmh3_64_batch(t["text"].combine_chunks()).astype(np.int64)
+        return pa.table({"doc_id": t["doc_id"], "lang": t["lang"],
+                         "h": pa.array(h)})
+
+    kept = ds.map_batches(gate, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
+    n_quality = kept.count()
+
+    uniq = grouped_agg(kept, ["lang", "h"],
+                       [("doc_id", "doc_id", "min")]).materialize()
+    n_unique = uniq.count()
+
+    rows = sorted(grouped_agg(uniq, ["lang"], [("n", None, "count")])
+                  .take_all(), key=lambda r: r["lang"])
+    langs = [r["lang"] for r in rows]
+    n_g = np.array([r["n"] for r in rows], dtype=np.int64)
+    base = (B * n_g) // int(n_g.sum())
+    rem = (B * n_g) % int(n_g.sum())
+    order = np.lexsort((np.arange(len(langs)), -rem))
+    quota = base.copy()
+    quota[order[: B - int(base.sum())]] += 1
+
+    drawn = stratified_sample(
+        uniq, "lang", "doc_id",
+        {g: int(q) for g, q in zip(langs, quota)})
+    n_sampled = drawn.count()
+    return pa.table({
+        "n_input": pa.array([n_input], pa.int64()),
+        "n_quality": pa.array([n_quality], pa.int64()),
+        "n_unique": pa.array([n_unique], pa.int64()),
+        "n_sampled": pa.array([n_sampled], pa.int64()),
+    })
+
+
 def q_join_key_overlap_theta(sf_dir: str):
     """The optimizer's pre-join DISTINCT-key statistic: |keys(orders)
     ∩ keys(lineitem)|, |keys(orders) \\ keys(lineitem)| and the
@@ -9450,6 +9513,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window_sample": q_events_window_sample,
         "events_user_churn": q_events_user_churn,
         "join_key_overlap_theta": q_join_key_overlap_theta,
+        "curation_funnel": q_curation_funnel,
         "varopt_sample_by_lang": q_varopt_sample_by_lang,
         "llf_cold_filter": q_llf_cold_filter,
         "groupby_size_estimate": q_groupby_size_estimate,
@@ -10025,25 +10089,24 @@ def _bpe_oracle_sql() -> str:
     """
 
 
-def _quality_oracle_sql() -> str:
-    """Integer quality gate mirror of ``q_quality_by_lang`` — counts
-    generated from the same RE2 char classes; all comparisons stay in
-    integer arithmetic so the hash compare is exact."""
-    from .stages.text import _RE2_PUNCT
-
-    from .stages.text import _RE2_WS, _RE2_WS_CLASS
+def _quality_gate_cte(min_words: int = 30) -> str:
+    """Shared per-doc integer quality-gate CTE chain (raw → f): every
+    doc with (doc_id, lang, txt) feature counts and the boolean
+    ``passes`` — the one definition behind BOTH the quality_by_lang
+    oracle and the curation_funnel oracle (counts generated from the
+    same RE2 char classes; all comparisons integer, hash-exact)."""
+    from .stages.text import _RE2_PUNCT, _RE2_WS, _RE2_WS_CLASS
 
     punct = _sql_pat_expr(_RE2_PUNCT)
     cls = _sql_quote(_RE2_WS_CLASS)
     ws_re = _sql_quote(_RE2_WS)
-    return f"""
-        WITH raw AS (
-            SELECT lang, coalesce(text, '') AS txt,
+    return f"""raw AS (
+            SELECT doc_id, lang, coalesce(text, '') AS txt,
                    regexp_replace(coalesce(text, ''), '^{cls}+|{cls}+$', '', 'g')
                        AS trimmed
             FROM documents
         ), f AS (
-            SELECT lang,
+            SELECT doc_id, lang, txt,
                    length(txt) AS n_chars,
                    len(regexp_extract_all(txt, {punct})) AS n_punct,
                    CASE WHEN trimmed = '' THEN 0
@@ -10053,13 +10116,23 @@ def _quality_oracle_sql() -> str:
                                  string_split_regex(trimmed, '{ws_re}'),
                                  x -> lower(x)))) END AS n_distinct
             FROM raw
-        )
+        ), g AS (
+            SELECT *, (n_words >= {min_words}
+                       AND n_punct * 5 <= n_chars
+                       AND n_distinct * 10 >= 7 * n_words) AS passes
+            FROM f
+        )"""
+
+
+def _quality_oracle_sql() -> str:
+    """Integer quality gate mirror of ``q_quality_by_lang`` — built on
+    the shared :func:`_quality_gate_cte` fragment."""
+    return f"""
+        WITH {_quality_gate_cte()}
         SELECT lang, count(*) AS n_docs,
-               CAST(sum(CASE WHEN n_words >= 30
-                              AND n_punct * 5 <= n_chars
-                              AND n_distinct * 10 >= 7 * n_words
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_gate
-        FROM f GROUP BY lang
+               CAST(sum(CASE WHEN passes THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass_gate
+        FROM g GROUP BY lang
     """
 
 
@@ -11250,6 +11323,36 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(n_chars) AS BIGINT) AS total_weight,
                    TRUE AS total_preserved
             FROM documents WHERE n_chars > 0
+        """,
+        "curation_funnel": f"""
+            WITH {_quality_gate_cte(min_words=10)},
+            kept AS (SELECT doc_id, lang, txt FROM g WHERE passes),
+            uniq AS (SELECT lang, txt, min(doc_id) AS doc_id
+                     FROM kept GROUP BY lang, txt),
+            c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n
+                  FROM uniq GROUP BY lang),
+            tot AS (SELECT sum(n) AS t FROM c),
+            b AS (SELECT lang, n,
+                         (50 * n) // (SELECT t FROM tot) AS base,
+                         (50 * n) % (SELECT t FROM tot) AS rem
+                  FROM c),
+            e AS (SELECT sum(base) AS sb FROM b),
+            r AS (SELECT lang, n, base,
+                         row_number() OVER (ORDER BY rem DESC, lang ASC)
+                             AS rk
+                  FROM b),
+            q AS (SELECT n, base + CASE
+                             WHEN rk <= 50 - (SELECT sb FROM e)
+                             THEN 1 ELSE 0 END AS quota
+                  FROM r)
+            SELECT CAST((SELECT count(*) FROM documents) AS BIGINT)
+                       AS n_input,
+                   CAST((SELECT count(*) FROM kept) AS BIGINT)
+                       AS n_quality,
+                   CAST((SELECT count(*) FROM uniq) AS BIGINT)
+                       AS n_unique,
+                   CAST((SELECT sum(LEAST(quota, n)) FROM q) AS BIGINT)
+                       AS n_sampled
         """,
         "join_key_overlap_theta": """
             WITH o AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
