@@ -1631,14 +1631,31 @@ def q_varopt_weighted_sample(sf_dir: str):
     })
 
 
+def _hamilton_quota(n_g: np.ndarray, budget: int) -> np.ndarray:
+    """Largest-remainder (Hamilton) integer allocation of ``budget``
+    slots ∝ n_g, tie-break by position ASC (callers pass groups in
+    sorted order, so this is the SQL twins' ``ORDER BY rem DESC,
+    lang ASC``).  ONE definition feeds both budgeted-sampling queries
+    — the arithmetic must stay bit-identical to two independent SQL
+    twins."""
+    n_total = int(n_g.sum())
+    base = (budget * n_g) // n_total
+    rem = (budget * n_g) % n_total
+    order = np.lexsort((np.arange(len(n_g)), -rem))
+    quota = base.copy()
+    quota[order[: budget - int(base.sum())]] += 1
+    return quota
+
+
 def q_curation_funnel(sf_dir: str):
     """END-TO-END curation funnel — the composed shape a training-data
     pipeline actually runs, with every stage's count certified by one
     SQL twin: (1) the integer quality gate (shared rule with
     quality_by_lang), (2) per-language EXACT dedup of the survivors
     (min-doc_id per (lang, text) — the Ray side keys on mmh3_64(text),
-    injective w.h.p., same counts), (3) a fixed B=200 sample budget
-    Hamilton-allocated across languages on the deduped counts and
+    injective w.h.p., same counts), (3) a fixed B=50 sample budget
+    Hamilton-allocated across languages on the deduped counts
+    (``_hamilton_quota`` — shared with stratified_quota_sample) and
     drawn with the deterministic per-stratum bottom-k sampler.
     Narrow intermediates (doc_id, lang, hash) are materialized once so
     the quality kernel runs a single scan, not once per downstream
@@ -1674,18 +1691,16 @@ def q_curation_funnel(sf_dir: str):
 
     rows = sorted(grouped_agg(uniq, ["lang"], [("n", None, "count")])
                   .take_all(), key=lambda r: r["lang"])
-    langs = [r["lang"] for r in rows]
-    n_g = np.array([r["n"] for r in rows], dtype=np.int64)
-    base = (B * n_g) // int(n_g.sum())
-    rem = (B * n_g) % int(n_g.sum())
-    order = np.lexsort((np.arange(len(langs)), -rem))
-    quota = base.copy()
-    quota[order[: B - int(base.sum())]] += 1
-
-    drawn = stratified_sample(
-        uniq, "lang", "doc_id",
-        {g: int(q) for g, q in zip(langs, quota)})
-    n_sampled = drawn.count()
+    if not rows:  # nothing passed the gate — graceful zero funnel
+        n_sampled = 0
+    else:
+        langs = [r["lang"] for r in rows]
+        n_g = np.array([r["n"] for r in rows], dtype=np.int64)
+        quota = _hamilton_quota(n_g, B)
+        drawn = stratified_sample(
+            uniq, "lang", "doc_id",
+            {g: int(q) for g, q in zip(langs, quota)})
+        n_sampled = drawn.count()
     return pa.table({
         "n_input": pa.array([n_input], pa.int64()),
         "n_quality": pa.array([n_quality], pa.int64()),
@@ -1703,10 +1718,10 @@ def q_join_key_overlap_theta(sf_dir: str):
     future pairing (the cross-TABLE complement of the per-group theta
     family; CMS inner-product estimates the join SIZE, theta the
     distinct-key overlap).  Certified against the exact distributed
-    distinct set ops (``key_set_op`` — per-batch dedupe + flag
-    min/max, distinct-mass exchange) at each derived result's own
-    √((1−θ)/retained) 3σ bound."""
-    from .pipelines import key_set_op
+    distinct set ops (ONE tagged flags shuffle — per-batch dedupe +
+    side flag, grouped min/max, per-block category partials — answers
+    all three counts) at each derived result's own √((1−θ)/retained)
+    3σ bound."""
     from .pipelines.build import build_sketch
     from .sketches import ThetaSketch
 
@@ -1717,7 +1732,11 @@ def q_join_key_overlap_theta(sf_dir: str):
         return _read(sf_dir, table, [col]).map_batches(
             fn, batch_format="pyarrow", zero_copy_batch=True)
 
-    o_ds, l_ds = keyed("orders", "o_orderkey"), keyed("lineitem", "l_orderkey")
+    # materialize the narrow key sets ONCE (each is consumed by the
+    # sketch build AND the exact pass — count()-then-reuse on computed
+    # datasets re-executes the read, the CLAUDE.md rule)
+    o_ds = keyed("orders", "o_orderkey").materialize()
+    l_ds = keyed("lineitem", "l_orderkey").materialize()
     sk_o = build_sketch(o_ds, "k", lambda: ThetaSketch(4096))
     sk_l = build_sketch(l_ds, "k", lambda: ThetaSketch(4096))
     derived = {
@@ -1725,11 +1744,41 @@ def q_join_key_overlap_theta(sf_dir: str):
         "orders_only": sk_o.a_not_b(sk_l),
         "lineitem_only": sk_l.a_not_b(sk_o),
     }
-    exact = {
-        "common": key_set_op(o_ds, l_ds, "k", "intersect").count(),
-        "orders_only": key_set_op(o_ds, l_ds, "k", "except").count(),
-        "lineitem_only": key_set_op(l_ds, o_ds, "k", "except").count(),
-    }
+
+    # all three exact counts from ONE tagged flags shuffle (review
+    # finding: three key_set_op calls re-deduped and re-shuffled both
+    # key sets each) — per-batch dedupe + side flag, grouped min/max,
+    # per-block category partials
+    def tag(side: int):
+        def fn(batch: pa.Table) -> pa.Table:
+            u = pc.unique(batch["k"].combine_chunks())
+            return pa.table({
+                "k": u,
+                "_side": pa.array(np.full(len(u), side, np.int8)),
+            })
+        return fn
+
+    both = o_ds.map_batches(tag(0), batch_format="pyarrow",
+                            zero_copy_batch=True).union(
+        l_ds.map_batches(tag(1), batch_format="pyarrow",
+                         zero_copy_batch=True))
+    flags = grouped_agg(both, ["k"], [("lo", "_side", "min"),
+                                      ("hi", "_side", "max")])
+
+    def part(batch: pa.Table) -> pa.Table:
+        lo = np.asarray(batch["lo"], dtype=np.int8)
+        hi = np.asarray(batch["hi"], dtype=np.int8)
+        return pa.table({
+            "common": pa.array([int(((lo == 0) & (hi == 1)).sum())],
+                               pa.int64()),
+            "orders_only": pa.array([int((hi == 0).sum())], pa.int64()),
+            "lineitem_only": pa.array([int((lo == 1).sum())], pa.int64()),
+        })
+
+    parts = flags.map_batches(part, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    exact = {kind: sum(r[kind] for r in parts)
+             for kind in ("common", "orders_only", "lineitem_only")}
     cols = {}
     for kind in ("common", "orders_only", "lineitem_only"):
         ex = int(exact[kind])
@@ -1767,7 +1816,10 @@ def q_events_user_churn(sf_dir: str):
 
     ds = _read(sf_dir, "events", ["user_id", "ts"]).map_batches(
         prep, batch_format="pyarrow", zero_copy_batch=True)
-    two = ds.filter(expr=f"day >= {int(end_day) - 1}")
+    # materialize the narrow two-day slice once — both the sketch
+    # build and the exact certifier consume it (re-executing the
+    # computed read+prep would scan the events table twice)
+    two = ds.filter(expr=f"day >= {int(end_day) - 1}").materialize()
     sks = grouped_to_dict(build_grouped_sketches(
         two, "day", "user_id", lambda: ThetaSketch(4096), salt=4,
         via="states"))
@@ -1911,14 +1963,9 @@ def q_stratified_quota_sample(sf_dir: str):
                   .take_all(), key=lambda r: r["lang"])
     langs = [r["lang"] for r in rows]
     n_g = np.array([r["n"] for r in rows], dtype=np.int64)
-    n_total = int(n_g.sum())
-    base = (B * n_g) // n_total
-    rem = (B * n_g) % n_total
-    extra = B - int(base.sum())
-    # largest remainder, tie-break lang ASC (same ORDER BY in SQL)
-    order = np.lexsort((np.arange(len(langs)), -rem))
-    quota = base.copy()
-    quota[order[:extra]] += 1
+    # largest remainder, tie-break lang ASC (same ORDER BY in SQL;
+    # shared arithmetic with curation_funnel)
+    quota = _hamilton_quota(n_g, B)
 
     kmap = {g: int(q) for g, q in zip(langs, quota)}
     drawn = stratified_sample(ds, "lang", "doc_id", kmap)
@@ -11351,8 +11398,8 @@ def oracle_sql() -> dict[str, str]:
                        AS n_quality,
                    CAST((SELECT count(*) FROM uniq) AS BIGINT)
                        AS n_unique,
-                   CAST((SELECT sum(LEAST(quota, n)) FROM q) AS BIGINT)
-                       AS n_sampled
+                   CAST(COALESCE((SELECT sum(LEAST(quota, n)) FROM q),
+                                 0) AS BIGINT) AS n_sampled
         """,
         "join_key_overlap_theta": """
             WITH o AS (SELECT DISTINCT CAST(o_orderkey AS VARCHAR) AS k
