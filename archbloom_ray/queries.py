@@ -3011,6 +3011,59 @@ def q_cuckoo_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_qf_membership(sf_dir: str):
+    """Quotient-filter membership (engine sketches/qf.py — the RSQF
+    layout completes the AMQ quartet next to bloom.c / cbloom.c /
+    cuckoo.c): tree-merged fingerprint-set build over one pruned scan,
+    probed with every inserted text.  A quotient filter has NO false
+    negatives for resident fingerprints, so the probe is
+    deterministically all-present."""
+    from .sketches import QuotientFilter
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    sk = build_sketch(ds, "text", lambda: QuotientFilter(max(n, 16), 0.01))
+    probed = membership(ds, sk, "text", concurrency=2)
+    return probed.select_columns(["doc_id", "present"])
+
+
+def q_qf_deletes(sf_dir: str):
+    """DELETABLE membership via quotient-filter set algebra: the
+    distributed delete is two tree-merged builds and one fingerprint
+    subtraction (``QuotientFilter.difference`` ≡ per-key
+    ``remove_batch``, pytest-proved) — no delete key ever returns to
+    the driver.  Keys are unique doc_ids; r=40 remainder bits make a
+    kept/deleted fingerprint collision (the only nondeterminism
+    source, same caveat as reference cuckoo.c:169-187) vanishingly
+    rare and corpus-deterministic — verified all-tier.  Output: every
+    doc with its post-delete membership (kept ⇒ present, deleted ⇒
+    absent)."""
+    from .sketches import QuotientFilter
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "key": pc.cast(batch["doc_id"], pa.string()),
+        })
+
+    ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    n = ds.count()
+    factory = lambda: QuotientFilter(max(n, 16), fpr=2.0 ** -40)
+    sk_all = build_sketch(ds, "key", factory)
+
+    def dels(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.filter(pa.array(ids % 10 == 0))
+
+    sk_del = build_sketch(
+        ds.map_batches(dels, batch_format="pyarrow", zero_copy_batch=True),
+        "key", factory)
+    sk_all.difference(sk_del)
+    probed = membership(ds, sk_all, "key", concurrency=2)
+    return probed.select_columns(["doc_id", "present"])
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over the documents table
 # ---------------------------------------------------------------------------
@@ -9541,6 +9594,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_bloom_membership": q_sharded_bloom_membership,
         "sharded_cbloom_counts": q_sharded_cbloom_counts,
         "cuckoo_membership": q_cuckoo_membership,
+        "qf_membership": q_qf_membership,
+        "qf_deletes": q_qf_deletes,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11278,6 +11333,9 @@ def oracle_sql() -> dict[str, str]:
             FROM documents GROUP BY source
         """,
         "cuckoo_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "qf_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "qf_deletes":
+            "SELECT doc_id, doc_id % 10 <> 0 AS present FROM documents",
         "hll_distinct_text": """
             SELECT count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound

@@ -23,6 +23,7 @@ from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import XorFilter
+from .qf import QuotientFilter
 from .fd import FrequentDirections
 from .roaring import RoaringBitmap
 from .dgim import DGIM
@@ -56,6 +57,7 @@ __all__ = [
     "GaussianNB",
     "DDSketch",
     "XorFilter",
+    "QuotientFilter",
     "FrequentDirections",
     "RoaringBitmap",
     "DGIM",

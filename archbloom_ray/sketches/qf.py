@@ -1,0 +1,290 @@
+"""Quotient filter (RSQF layout) — deletable, MERGEABLE approximate
+membership, completing the engine's AMQ quartet.
+
+Engine extension rounding out the approximate-membership family the
+reference anchors (Bloom — reference bloom.c; counting Bloom —
+cbloom.c; cuckoo — cuckoo.c; xor — engine xorf.py): the quotient
+filter (Bender et al., "Don't Thrash: How to Cache Your Hash on
+Flash", VLDB'12) stores the top ``p = q + r`` bits of each key's hash
+— a *fingerprint* — split into a q-bit quotient (home slot) and an
+r-bit remainder, resolving collisions by shifting remainders into
+runs.  The rank-and-select variant (RSQF — Pandey, Bender, Johnson &
+Patro, "A General-Purpose Counting Filter: Making Every Bit Count",
+SIGMOD'17 §3) keeps 2 metadata bits per slot: ``occupieds`` (some key
+has this quotient) and ``runends`` (slot ends a run), with the i-th
+set runend pairing with the i-th set occupied — which makes the whole
+physical layout a *deterministic function of the fingerprint set*:
+
+    run j (j-th occupied quotient q_j, c_j remainders) starts at
+        s_j = max(q_j, s_{j-1} + c_{j-1})
+    ⇒ with P_j = Σ_{i<j} c_i,  s_j = P_j + cummax_j(q_j − P_j)
+
+so construction AND decode are closed-form vectorizable — no per-key
+shifting loop.  This implementation therefore keeps the logical state
+as the sorted fingerprint set (what the bit layout encodes) for O(log)
+batched searchsorted lookups, and materializes / parses the canonical
+RSQF bit-packed layout in ``to_layout``/``from_layout`` —
+serialization (`_arrays`) IS the packed layout (two packed bitvectors
++ narrow-dtype remainders), parity-tested both directions.
+
+Properties (all published; tests gate at these bounds, never tighter):
+* no false negatives for resident keys; deletes are exact on
+  fingerprints (a delete removes membership for every key sharing the
+  fingerprint — callers that delete size p so n²·2^{-p} is negligible,
+  mirroring the reference cuckoo caveat, cuckoo.c:169-187).
+* false-positive probability for one absent key ≤ n·2^{-p}
+  = α·2^{-r} with load α = n/2^q (VLDB'12 §3).
+* merge = fingerprint-set union — associative, order-insensitive, and
+  *exactly* equal to a single-pass build (the QF papers' merge-by-
+  merge-sort); capacity 2^q slots, overflow raises (callers size q).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..hashing import mmh3_64_batch
+from .base import Sketch, SketchError, register
+
+
+def _rem_dtype(r: int):
+    if r <= 8:
+        return np.uint8
+    if r <= 16:
+        return np.uint16
+    if r <= 32:
+        return np.uint32
+    return np.uint64
+
+
+@register
+class QuotientFilter(Sketch):
+    MAGIC = b"!rsqfilt"
+
+    def __init__(self, capacity: int = 1024, fpr: float = 0.01,
+                 name: str = "DEFAULT"):
+        if capacity < 1:
+            raise SketchError("capacity must be >= 1")
+        if not (0.0 < fpr < 1.0):
+            raise SketchError("fpr must be in (0, 1)")
+        # slots for `capacity` keys at <= 95% load (QF probe cost and
+        # the shifting analysis degrade past that — VLDB'12 §4)
+        self.q = max(1, int(np.ceil(np.log2(max(capacity, 2) / 0.95))))
+        # fpr ~ alpha * 2^-r <= 2^-r  ⇒  r = ceil(log2(1/fpr))
+        self.r = int(np.ceil(np.log2(1.0 / fpr)))
+        if self.q + self.r > 64:
+            self.r = 64 - self.q
+        if self.r < 1:
+            raise SketchError(f"q={self.q} leaves no remainder bits")
+        self.name = name
+        # sorted unique p-bit fingerprints — the logical content the
+        # RSQF bit layout encodes (see module docstring)
+        self.fps = np.empty(0, dtype=np.uint64)
+
+    # -- derived parameters -------------------------------------------
+    @property
+    def p(self) -> int:
+        return self.q + self.r
+
+    @property
+    def num_slots(self) -> int:
+        return 1 << self.q
+
+    def load_factor(self) -> float:
+        return self.fps.size / self.num_slots
+
+    def false_positive_bound(self) -> float:
+        """P[one absent key reads present] ≤ n·2^{-p} (VLDB'12 §3)."""
+        return min(1.0, self.fps.size * 2.0 ** (-self.p))
+
+    # -- update --------------------------------------------------------
+    def _fingerprints(self, arr) -> np.ndarray:
+        h = mmh3_64_batch(arr).astype(np.uint64)
+        return h >> np.uint64(64 - self.p)
+
+    def update_hashes64(self, h: np.ndarray) -> None:
+        fp = h.astype(np.uint64) >> np.uint64(64 - self.p)
+        self._absorb(fp)
+
+    def update_arrow(self, arr) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return
+        self._absorb(self._fingerprints(arr))
+
+    def update_weighted(self, arr, counts) -> None:
+        """Multiplicity is irrelevant to set membership."""
+        self.update_arrow(arr)
+
+    def _absorb(self, fp: np.ndarray) -> None:
+        merged = np.union1d(self.fps, fp)
+        if merged.size > self.num_slots:
+            raise SketchError(
+                f"quotient filter overflow: {merged.size} fingerprints "
+                f"> 2^q = {self.num_slots} slots — size capacity up")
+        self.fps = merged
+
+    # -- queries -------------------------------------------------------
+    def _member(self, fp: np.ndarray) -> np.ndarray:
+        if self.fps.size == 0:
+            return np.zeros(fp.size, dtype=bool)
+        idx = np.searchsorted(self.fps, fp)
+        hit = idx < self.fps.size
+        out = np.zeros(fp.size, dtype=bool)
+        out[hit] = self.fps[idx[hit]] == fp[hit]
+        return out
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        return self._member(self._fingerprints(arr))
+
+    def lookup_hashes64(self, h: np.ndarray) -> np.ndarray:
+        fp = h.astype(np.uint64) >> np.uint64(64 - self.p)
+        return self._member(fp)
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def remove_batch(self, arr) -> np.ndarray:
+        """Exact fingerprint delete; returns per-input removed flags.
+        Deleting clears membership for every key sharing the
+        fingerprint (size p accordingly — module docstring)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fingerprints(arr)
+        present = self._member(fp)
+        if present.any():
+            self.fps = np.setdiff1d(self.fps, fp, assume_unique=False)
+        return present
+
+    def remove(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.remove_batch(pa.array([element], type=typ))[0])
+
+    # -- algebra -------------------------------------------------------
+    def merge(self, other: "QuotientFilter") -> "QuotientFilter":
+        self._check_compatible(other)
+        self._absorb(other.fps)
+        return self
+
+    def difference(self, other: "QuotientFilter") -> "QuotientFilter":
+        """Batch delete as fingerprint-set subtraction: removing every
+        key of ``other`` equals ``remove_batch`` over them one by one
+        (both clear exactly the shared fingerprints), so a distributed
+        delete is two tree-merged builds and one subtraction — no key
+        ever returns to the driver."""
+        self._check_compatible(other)
+        self.fps = np.setdiff1d(self.fps, other.fps, assume_unique=True)
+        return self
+
+    def _meta_compat(self) -> dict:
+        return {"q": self.q, "r": self.r}
+
+    def finalize(self) -> dict:
+        return {"q": self.q, "r": self.r, "n": int(self.fps.size),
+                "load_factor": self.load_factor(),
+                "fp_bound": self.false_positive_bound()}
+
+    # -- canonical RSQF layout ----------------------------------------
+    def to_layout(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Materialize the canonical RSQF slot layout (SIGMOD'17 §3):
+        ``(occupieds, runends, remainders)`` — two bool vectors over
+        the physical slots plus the dense remainder array (narrow
+        dtype, 0 in unused slots).  Runs may shift past slot 2^q−1
+        into a right overflow region (non-wrapping variant); physical
+        length is max(2^q, last run end + 1)."""
+        rmask = (np.uint64(1) << np.uint64(self.r)) - np.uint64(1)
+        quot = (self.fps >> np.uint64(self.r)).astype(np.int64)
+        rem = (self.fps & rmask).astype(_rem_dtype(self.r))
+        uq, counts = np.unique(quot, return_counts=True)
+        if uq.size == 0:
+            nslots = self.num_slots
+            z = np.zeros(nslots, dtype=bool)
+            return z, z.copy(), np.zeros(nslots, dtype=_rem_dtype(self.r))
+        prefix = np.zeros(uq.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=prefix[1:])
+        # s_j = P_j + cummax(q_j − P_j)  ⇔  s_j = max(q_j, s_{j-1}+c_{j-1})
+        starts = prefix + np.maximum.accumulate(uq - prefix)
+        ends = starts + counts - 1
+        nslots = max(self.num_slots, int(ends[-1]) + 1)
+        occupieds = np.zeros(nslots, dtype=bool)
+        occupieds[uq] = True
+        runends = np.zeros(nslots, dtype=bool)
+        runends[ends] = True
+        # slot of element i (run-major order) — strictly increasing
+        slots = (np.repeat(starts, counts)
+                 + np.arange(self.fps.size, dtype=np.int64)
+                 - np.repeat(prefix, counts))
+        remainders = np.zeros(nslots, dtype=_rem_dtype(self.r))
+        remainders[slots] = rem
+        return occupieds, runends, remainders
+
+    @classmethod
+    def _decode_layout(cls, q: int, r: int, occupieds: np.ndarray,
+                       runends: np.ndarray,
+                       remainders: np.ndarray) -> np.ndarray:
+        """Inverse of ``to_layout``: the i-th set occupied bit pairs
+        with the i-th set runend (the RSQF rank/select invariant), and
+        s_j = max(q_j, e_{j-1}+1) recovers run starts without a scan."""
+        occ_q = np.flatnonzero(occupieds)
+        ends = np.flatnonzero(runends)
+        if occ_q.size != ends.size:
+            raise SketchError("corrupt RSQF layout: |occupieds| != |runends|")
+        if occ_q.size == 0:
+            return np.empty(0, dtype=np.uint64)
+        starts = np.maximum(occ_q, np.concatenate(([0], ends[:-1] + 1)))
+        counts = ends - starts + 1
+        if (counts < 1).any():
+            raise SketchError("corrupt RSQF layout: non-positive run length")
+        prefix = np.zeros(occ_q.size, dtype=np.int64)
+        np.cumsum(counts[:-1], out=prefix[1:])
+        slots = (np.repeat(starts, counts)
+                 + np.arange(int(counts.sum()), dtype=np.int64)
+                 - np.repeat(prefix, counts))
+        quots = np.repeat(occ_q, counts).astype(np.uint64)
+        return (quots << np.uint64(r)) | remainders[slots].astype(np.uint64)
+
+    @classmethod
+    def from_layout(cls, q: int, r: int, occupieds: np.ndarray,
+                    runends: np.ndarray, remainders: np.ndarray,
+                    name: str = "DEFAULT") -> "QuotientFilter":
+        obj = cls.__new__(cls)
+        obj.q, obj.r, obj.name = int(q), int(r), name
+        obj.fps = cls._decode_layout(q, r, occupieds, runends, remainders)
+        if obj.fps.size > (1 << obj.q):
+            raise SketchError("corrupt RSQF layout: more runs than slots")
+        return obj
+
+    # -- serialization: the packed RSQF layout, not the logical set ---
+    def _meta(self) -> dict:
+        return {"q": self.q, "r": self.r, "name": self.name}
+
+    def _arrays(self) -> list[np.ndarray]:
+        occupieds, runends, remainders = self.to_layout()
+        return [np.packbits(occupieds), np.packbits(runends), remainders,
+                np.array([occupieds.size], dtype=np.int64)]
+
+    def _set_arrays(self, arrays) -> None:
+        occ_b, run_b, remainders, nslots_a = arrays
+        nslots = int(nslots_a[0])
+        occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
+        runends = np.unpackbits(run_b, count=nslots).astype(bool)
+        self.fps = self._decode_layout(self.q, self.r, occupieds, runends,
+                                       remainders)
+
+    @classmethod
+    def _from_meta(cls, meta) -> "QuotientFilter":
+        obj = cls.__new__(cls)
+        obj.q = int(meta["q"])
+        obj.r = int(meta["r"])
+        obj.name = meta.get("name", "DEFAULT")
+        obj.fps = np.empty(0, dtype=np.uint64)
+        return obj

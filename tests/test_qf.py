@@ -1,0 +1,154 @@
+"""Quotient filter (RSQF layout, Bender et al. VLDB'12; Pandey et al.
+SIGMOD'17): no false negatives, measured FPR under n·2^-p, exact
+deletes, merge == single-pass build, difference ≡ per-key removal,
+canonical bit-layout round-trip, serde, capacity enforcement."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from archbloom_ray.sketches import QuotientFilter, SketchError
+from archbloom_ray.sketches.base import sketch_from_bytes
+
+
+def _keys(n, prefix="k"):
+    return pa.array([f"{prefix}-{i}" for i in range(n)])
+
+
+class TestQuotientFilter:
+    def test_sizing(self):
+        f = QuotientFilter(6000, 0.001)
+        assert f.num_slots >= 6000 / 0.95
+        assert f.r == 10                      # ceil(log2(1000))
+        assert f.p == f.q + f.r <= 64
+
+    def test_no_false_negatives(self):
+        keys = _keys(20_000)
+        f = QuotientFilter(25_000, 0.01)
+        f.update_arrow(keys)
+        assert f.lookup_batch(keys).all()
+        assert f.load_factor() <= 0.95 + 1e-9
+
+    def test_measured_fpr_under_bound(self):
+        f = QuotientFilter(25_000, 0.001)
+        f.update_arrow(_keys(20_000))
+        fpr = f.lookup_batch(_keys(100_000, "absent")).mean()
+        # bound is the EXPECTED rate (n·2^-p); allow 3 sd of the
+        # binomial fluctuation on 100k probes — never tighter than
+        # the sketch's own contract
+        b = f.false_positive_bound()
+        assert fpr <= b + 3 * np.sqrt(b / 100_000), (fpr, b)
+
+    def test_merge_equals_single_pass(self):
+        keys = [f"k-{i}" for i in range(9000)]
+        whole = QuotientFilter(10_000, 0.01)
+        whole.update_arrow(pa.array(keys))
+        parts = [QuotientFilter(10_000, 0.01) for _ in range(3)]
+        for j, p in enumerate(parts):
+            p.update_arrow(pa.array(keys[j * 3000:(j + 1) * 3000]))
+        merged = parts[0].merge(parts[1]).merge(parts[2])
+        assert np.array_equal(merged.fps, whole.fps)
+
+    def test_merge_order_insensitive(self):
+        a, b = QuotientFilter(1000, 0.01), QuotientFilter(1000, 0.01)
+        a.update_arrow(_keys(400, "a"))
+        b.update_arrow(_keys(400, "b"))
+        ab = a.copy().merge(b)
+        ba = b.copy().merge(a)
+        assert np.array_equal(ab.fps, ba.fps)
+
+    def test_delete_exact_and_membership_after(self):
+        keys = [f"k-{i}" for i in range(5000)]
+        f = QuotientFilter(6000, fpr=2.0 ** -40)   # p large: no collisions
+        f.update_arrow(pa.array(keys))
+        removed = f.remove_batch(pa.array(keys[::3]))
+        assert removed.all()
+        assert not f.lookup_batch(pa.array(keys[::3])).any()
+        kept = pa.array([k for i, k in enumerate(keys) if i % 3])
+        assert f.lookup_batch(kept).all()
+        # removing an absent key reports False and is a no-op
+        before = f.fps.copy()
+        assert not f.remove_batch(pa.array(["nope"]))[0]
+        assert np.array_equal(f.fps, before)
+
+    def test_difference_equals_per_key_removal(self):
+        keys = [f"k-{i}" for i in range(3000)]
+        dels = keys[::7]
+        a = QuotientFilter(4000, fpr=2.0 ** -40)
+        a.update_arrow(pa.array(keys))
+        b = a.copy()
+        # path 1: per-key removal
+        a.remove_batch(pa.array(dels))
+        # path 2: set-algebra difference of a built delete filter
+        dsk = QuotientFilter(4000, fpr=2.0 ** -40)
+        dsk.update_arrow(pa.array(dels))
+        b.difference(dsk)
+        assert np.array_equal(a.fps, b.fps)
+
+    def test_layout_round_trip_and_packed_serde(self):
+        f = QuotientFilter(2000, 0.01)
+        f.update_arrow(_keys(1800))
+        occ, rend, rem = f.to_layout()
+        assert occ.sum() == rend.sum()         # RSQF pairing invariant
+        dec = QuotientFilter.from_layout(f.q, f.r, occ, rend, rem)
+        assert np.array_equal(dec.fps, f.fps)
+        g = sketch_from_bytes(f.to_bytes())     # serde IS the layout
+        assert isinstance(g, QuotientFilter)
+        assert np.array_equal(g.fps, f.fps)
+        assert g.lookup_batch(_keys(1800)).all()
+
+    def test_layout_dense_high_load(self):
+        # 95% load forces long shifted clusters — the closed-form
+        # s_j = P_j + cummax(q_j − P_j) must still round-trip
+        f = QuotientFilter(970, 0.01)
+        assert f.num_slots == 1024
+        f.update_arrow(_keys(970))
+        occ, rend, rem = f.to_layout()
+        dec = QuotientFilter.from_layout(f.q, f.r, occ, rend, rem)
+        assert np.array_equal(dec.fps, f.fps)
+
+    def test_empty_serde_and_lookup(self):
+        f = QuotientFilter(100, 0.01)
+        assert not f.lookup_batch(_keys(10)).any()
+        g = sketch_from_bytes(f.to_bytes())
+        assert g.fps.size == 0
+        assert g.finalize()["n"] == 0
+
+    def test_overflow_raises(self):
+        f = QuotientFilter(4, 0.01)
+        with pytest.raises(SketchError, match="overflow"):
+            f.update_arrow(_keys(200))
+
+    def test_incompatible_merge_raises(self):
+        a = QuotientFilter(1000, 0.01)
+        b = QuotientFilter(1000, 0.0001)
+        with pytest.raises(SketchError, match="incompatible"):
+            a.merge(b)
+
+    def test_multiplicity_blind(self):
+        a = QuotientFilter(100, 0.01)
+        a.update_arrow(pa.array(["x", "x", "y", "x"]))
+        b = QuotientFilter(100, 0.01)
+        b.update_arrow(pa.array(["y", "x"]))
+        assert np.array_equal(a.fps, b.fps)
+        b.update_weighted(pa.array(["x"]), np.array([17]))
+        assert np.array_equal(a.fps, b.fps)
+
+    @settings(max_examples=40, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=12), max_size=300),
+           st.lists(st.text(min_size=0, max_size=12), max_size=100))
+    def test_property_membership_and_delete(self, keys, dels):
+        f = QuotientFilter(1024, fpr=2.0 ** -40)
+        if keys:
+            f.update_arrow(pa.array(keys, type=pa.string()))
+            assert f.lookup_batch(pa.array(keys, type=pa.string())).all()
+        if dels:
+            f.remove_batch(pa.array(dels, type=pa.string()))
+            gone = [d for d in dels]
+            assert not f.lookup_batch(pa.array(gone, type=pa.string())).any()
+        # survivors (p=50+: string equality ⇔ fingerprint equality here)
+        kept = [k for k in keys if k not in set(dels)]
+        if kept:
+            assert f.lookup_batch(pa.array(kept, type=pa.string())).all()
