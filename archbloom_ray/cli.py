@@ -74,10 +74,13 @@ def _make_sketch(kind: str, args) -> "object":
         "tdcbloom": lambda: TimeDecayingCountingBloomFilter(
             args.expected, args.accuracy, args.timeout),
         "cuckoo": lambda: CuckooFilter(max(16, args.expected // 4), 4),
-        # deletable AND mergeable AMQ (RSQF layout)
+        # deletable AND mergeable AMQ (RSQF layout) + counting variant
         "qf": lambda: __import__(
             "archbloom_ray.sketches", fromlist=["QuotientFilter"]
         ).QuotientFilter(args.expected, args.accuracy),
+        "cqf": lambda: __import__(
+            "archbloom_ray.sketches", fromlist=["CountingQuotientFilter"]
+        ).CountingQuotientFilter(args.expected, args.accuracy),
         "hll": lambda: HyperLogLog(args.precision),
         "sparsehll": lambda: SparseHLL(args.precision),
         "slidinghll": lambda: SlidingHyperLogLog(args.precision),
@@ -840,7 +843,8 @@ def main(argv=None):
     def common_sketch_args(sp):
         sp.add_argument("--kind", default="bloom",
                         choices=["bloom", "blockedbloom", "sbloom", "cbloom",
-                                 "tdbloom", "tdcbloom", "cuckoo", "qf", "hll",
+                                 "tdbloom", "tdcbloom", "cuckoo", "qf",
+                                 "cqf", "hll",
                                  "sparsehll", "slidinghll", "cms", "tdigest",
                                  "kll", "ddsketch", "kmv", "theta",
                                  "roaring", "req", "dyndist", "gss",

@@ -3064,6 +3064,39 @@ def q_qf_deletes(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_cqf_order_line_counts(sf_dir: str):
+    """Counting quotient filter (SIGMOD'17's headline structure,
+    engine sketches/qf.py CountingQuotientFilter): per-orderkey
+    lineitem multiplicities from a tree-merged CQF build — the count
+    is EXACT per fingerprint (unlike counting Bloom's min-over-k
+    upper bound), so with r=40 remainder bits the emitted counts
+    hash-match the exact groupby STRICTLY (collision prob ≤ n²·2^-p-1
+    ≈ 4e-8 at sf0.1; corpus-deterministic, verified all-tier).  The
+    probe side is the distinct-key dataset; CQF counts ride a
+    broadcast state — no second shuffle."""
+    from .sketches import CountingQuotientFilter
+    from .pipelines.query import sketch_probe
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "key": pc.cast(batch["l_orderkey"], pa.string()),
+        })
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    n = ds.count()  # row count ≥ distinct keys — ample slot headroom
+    sk = build_sketch(ds, "key",
+                      lambda: CountingQuotientFilter(max(n, 16),
+                                                     fpr=2.0 ** -40))
+    distinct = grouped_agg(ds, ["l_orderkey"],
+                           [("n_dummy", None, "count")]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    probed = sketch_probe(distinct, sk, "key", method="count_batch",
+                          out_column="n_lines")
+    return probed.select_columns(["l_orderkey", "n_lines"])
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over the documents table
 # ---------------------------------------------------------------------------
@@ -9596,6 +9629,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cuckoo_membership": q_cuckoo_membership,
         "qf_membership": q_qf_membership,
         "qf_deletes": q_qf_deletes,
+        "cqf_order_line_counts": q_cqf_order_line_counts,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11336,6 +11370,10 @@ def oracle_sql() -> dict[str, str]:
         "qf_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "qf_deletes":
             "SELECT doc_id, doc_id % 10 <> 0 AS present FROM documents",
+        "cqf_order_line_counts": """
+            SELECT l_orderkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
         "hll_distinct_text": """
             SELECT count(DISTINCT text) AS distinct_text_exact,
                    TRUE AS hll_within_bound

@@ -23,7 +23,7 @@ from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import XorFilter
-from .qf import QuotientFilter
+from .qf import QuotientFilter, CountingQuotientFilter
 from .fd import FrequentDirections
 from .roaring import RoaringBitmap
 from .dgim import DGIM
@@ -58,6 +58,7 @@ __all__ = [
     "DDSketch",
     "XorFilter",
     "QuotientFilter",
+    "CountingQuotientFilter",
     "FrequentDirections",
     "RoaringBitmap",
     "DGIM",

@@ -288,3 +288,185 @@ class QuotientFilter(Sketch):
         obj.name = meta.get("name", "DEFAULT")
         obj.fps = np.empty(0, dtype=np.uint64)
         return obj
+
+
+@register
+class CountingQuotientFilter(QuotientFilter):
+    """Counting quotient filter — the RSQF paper's headline structure
+    (Pandey et al. SIGMOD'17 §3.2: "A General-Purpose COUNTING
+    Filter").  Each resident fingerprint carries an exact integer
+    count; unlike the counting Bloom's min-over-k reading (an upper
+    bound, reference cbloom.c:88-99) the CQF count is EXACT per
+    fingerprint — the only error source is a fingerprint collision
+    between distinct keys (prob ≤ n²·2^{-p-1}), so callers that need
+    key-exact counts size p up and get a strict-equality contract.
+
+    * update pre-aggregates each batch (Arrow ``value_counts``) then
+      merges two sorted (fingerprint, count) runs — counts ADD, so
+      merge is associative/commutative and the distributed tree merge
+      is identical to a single-pass build.
+    * ``remove_batch`` decrements (guarded: absent keys are no-ops,
+      counts clamp at 0 and the fingerprint leaves the filter — the
+      cbloom guarded-remove semantics, cbloom.c:134-158).
+    * serialization rides the parent's packed RSQF layout plus a
+      slot-aligned exact counter array — the engine's portable stand-in
+      for the paper's in-slot escape-sequence count encoding (which
+      trades portability for bits; documented deviation, not a stub).
+    """
+
+    MAGIC = b"!rscqflt"
+
+    def __init__(self, capacity: int = 1024, fpr: float = 0.01,
+                 name: str = "DEFAULT"):
+        super().__init__(capacity, fpr, name)
+        self.counts = np.empty(0, dtype=np.int64)
+
+    # -- update --------------------------------------------------------
+    def _absorb(self, fp: np.ndarray, cnt: np.ndarray | None = None) -> None:
+        if cnt is None:
+            # raw fingerprint stream: multiplicities within the batch
+            fp, cnt = np.unique(fp, return_counts=True)
+        merged, inverse = np.unique(np.concatenate([self.fps, fp]),
+                                    return_inverse=True)
+        if merged.size > self.num_slots:
+            raise SketchError(
+                f"quotient filter overflow: {merged.size} fingerprints "
+                f"> 2^q = {self.num_slots} slots — size capacity up")
+        acc = np.bincount(inverse,
+                          weights=np.concatenate([self.counts, cnt]),
+                          minlength=merged.size)
+        self.fps = merged
+        self.counts = acc.astype(np.int64)
+
+    def update_arrow(self, arr) -> None:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return
+        # batch pre-aggregation: one hash per DISTINCT value
+        vc = arr.value_counts()
+        fp = self._fingerprints(vc.field("values"))
+        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+        # two values may share a fingerprint: re-aggregate on fp
+        order = np.argsort(fp, kind="stable")
+        self._absorb_sorted_pairs(fp[order], cnt[order])
+
+    def _absorb_sorted_pairs(self, fp: np.ndarray, cnt: np.ndarray) -> None:
+        ufp, start = np.unique(fp, return_index=True)
+        csum = np.zeros(ufp.size, dtype=np.int64)
+        np.add.at(csum, np.searchsorted(ufp, fp), cnt)
+        self._absorb(ufp, csum)
+
+    def update_weighted(self, arr, counts) -> None:
+        """(key, count) bulk update — the grouped count-row build path."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        cnt = np.asarray(counts, dtype=np.int64)
+        if len(cnt) != len(arr):
+            raise SketchError(
+                f"update_weighted: {len(arr)} keys vs {len(cnt)} counts")
+        if len(arr) == 0:
+            return
+        if (cnt <= 0).any():
+            raise SketchError("update_weighted: counts must be > 0")
+        fp = self._fingerprints(arr)
+        order = np.argsort(fp, kind="stable")
+        self._absorb_sorted_pairs(fp[order], cnt[order])
+
+    # -- queries -------------------------------------------------------
+    def count_batch(self, arr) -> np.ndarray:
+        """Exact-per-fingerprint counts (0 for absent keys)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=np.int64)
+        fp = self._fingerprints(arr)
+        out = np.zeros(fp.size, dtype=np.int64)
+        if self.fps.size:
+            idx = np.searchsorted(self.fps, fp)
+            hit = idx < self.fps.size
+            hit[hit] &= self.fps[idx[hit]] == fp[hit]
+            out[hit] = self.counts[idx[hit]]
+        return out
+
+    def count(self, element: bytes | str) -> int:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return int(self.count_batch(pa.array([element], type=typ))[0])
+
+    def total(self) -> int:
+        return int(self.counts.sum())
+
+    def remove_batch(self, arr) -> np.ndarray:
+        """Guarded decrement-by-multiplicity: each input occurrence
+        subtracts 1 where the fingerprint is resident; fingerprints
+        reaching 0 leave the filter.  Returns per-input present flags
+        (pre-decrement)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=bool)
+        fp = self._fingerprints(arr)
+        present = self._member(fp)
+        if present.any():
+            hfp, dec = np.unique(fp[present], return_counts=True)
+            idx = np.searchsorted(self.fps, hfp)
+            self.counts[idx] = np.maximum(self.counts[idx] - dec, 0)
+            keep = self.counts > 0
+            if not keep.all():
+                self.fps = self.fps[keep]
+                self.counts = self.counts[keep]
+        return present
+
+    # -- algebra -------------------------------------------------------
+    def merge(self, other: "CountingQuotientFilter") -> "CountingQuotientFilter":
+        self._check_compatible(other)
+        self._absorb(other.fps, other.counts.copy())
+        return self
+
+    def difference(self, other):
+        raise SketchError("counting QF: use remove_batch (guarded "
+                          "decrement), not set difference")
+
+    def finalize(self) -> dict:
+        out = super().finalize()
+        out["total"] = self.total()
+        return out
+
+    # -- serialization -------------------------------------------------
+    def _arrays(self) -> list[np.ndarray]:
+        occupieds, runends, remainders = self.to_layout()
+        # slot-aligned counters (0 in unused slots) — decode gathers
+        # them with the same slot order the fingerprint decode uses
+        dense = np.zeros(occupieds.size, dtype=np.int64)
+        dense[self._slots_of_layout()] = self.counts
+        return [np.packbits(occupieds), np.packbits(runends), remainders,
+                dense, np.array([occupieds.size], dtype=np.int64)]
+
+    def _slots_of_layout(self) -> np.ndarray:
+        """Physical slot of element i in run-major (== fps) order."""
+        quot = (self.fps >> np.uint64(self.r)).astype(np.int64)
+        uq, cnts = np.unique(quot, return_counts=True)
+        if uq.size == 0:
+            return np.empty(0, dtype=np.int64)
+        prefix = np.zeros(uq.size, dtype=np.int64)
+        np.cumsum(cnts[:-1], out=prefix[1:])
+        starts = prefix + np.maximum.accumulate(uq - prefix)
+        return (np.repeat(starts, cnts)
+                + np.arange(self.fps.size, dtype=np.int64)
+                - np.repeat(prefix, cnts))
+
+    def _set_arrays(self, arrays) -> None:
+        occ_b, run_b, remainders, dense, nslots_a = arrays
+        nslots = int(nslots_a[0])
+        occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
+        runends = np.unpackbits(run_b, count=nslots).astype(bool)
+        self.fps = self._decode_layout(self.q, self.r, occupieds, runends,
+                                       remainders)
+        self.counts = dense[self._slots_of_layout()].astype(np.int64,
+                                                            copy=True)
+
+    @classmethod
+    def _from_meta(cls, meta) -> "CountingQuotientFilter":
+        obj = super()._from_meta(meta)
+        obj.counts = np.empty(0, dtype=np.int64)
+        return obj

@@ -9,7 +9,8 @@ import pytest
 from hypothesis import given, settings
 from hypothesis import strategies as st
 
-from archbloom_ray.sketches import QuotientFilter, SketchError
+from archbloom_ray.sketches import (CountingQuotientFilter, QuotientFilter,
+                                    SketchError)
 from archbloom_ray.sketches.base import sketch_from_bytes
 
 
@@ -136,6 +137,12 @@ class TestQuotientFilter:
         b.update_weighted(pa.array(["x"]), np.array([17]))
         assert np.array_equal(a.fps, b.fps)
 
+    def test_qf_cqf_cross_merge_raises(self):
+        a = QuotientFilter(1000, 0.01)
+        b = CountingQuotientFilter(1000, 0.01)
+        with pytest.raises(SketchError):
+            a.merge(b)
+
     @settings(max_examples=40, deadline=None)
     @given(st.lists(st.text(min_size=0, max_size=12), max_size=300),
            st.lists(st.text(min_size=0, max_size=12), max_size=100))
@@ -152,3 +159,108 @@ class TestQuotientFilter:
         kept = [k for k in keys if k not in set(dels)]
         if kept:
             assert f.lookup_batch(pa.array(kept, type=pa.string())).all()
+
+
+def _multiset(n=2000, seed=3):
+    keys = np.repeat([f"k-{i}" for i in range(n)], np.arange(n) % 7 + 1)
+    rng = np.random.default_rng(seed)
+    rng.shuffle(keys)
+    return keys
+
+
+class TestCountingQuotientFilter:
+    def test_counts_exact_at_high_p(self):
+        keys = _multiset()
+        f = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        for lo in range(0, len(keys), 1337):   # ragged batches
+            f.update_arrow(pa.array(list(keys[lo:lo + 1337])))
+        got = f.count_batch(pa.array([f"k-{i}" for i in range(2000)]))
+        want = np.arange(2000) % 7 + 1
+        assert np.array_equal(got, want)
+        assert f.total() == len(keys)
+        assert f.count("absent") == 0
+
+    def test_merge_equals_single_pass(self):
+        keys = _multiset()
+        whole = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        whole.update_arrow(pa.array(list(keys)))
+        a = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        b = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        a.update_arrow(pa.array(list(keys[:4000])))
+        b.update_arrow(pa.array(list(keys[4000:])))
+        a.merge(b)
+        assert np.array_equal(a.fps, whole.fps)
+        assert np.array_equal(a.counts, whole.counts)
+
+    def test_weighted_equals_raw(self):
+        keys = _multiset()
+        raw = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        raw.update_arrow(pa.array(list(keys)))
+        ks, cs = np.unique(keys, return_counts=True)
+        w = CountingQuotientFilter(3000, fpr=2.0 ** -40)
+        w.update_weighted(pa.array(list(ks)), cs)
+        assert np.array_equal(w.fps, raw.fps)
+        assert np.array_equal(w.counts, raw.counts)
+
+    def test_weighted_validates(self):
+        f = CountingQuotientFilter(100, 0.01)
+        with pytest.raises(SketchError, match="counts"):
+            f.update_weighted(pa.array(["a", "b"]), np.array([1]))
+        with pytest.raises(SketchError, match="> 0"):
+            f.update_weighted(pa.array(["a"]), np.array([0]))
+
+    def test_guarded_decrement(self):
+        f = CountingQuotientFilter(100, fpr=2.0 ** -40)
+        f.update_arrow(pa.array(["x"] * 5 + ["y"]))
+        f.remove_batch(pa.array(["x", "x"]))
+        assert f.count("x") == 3
+        # over-decrement clamps at 0 and evicts the fingerprint
+        f.remove_batch(pa.array(["x"] * 10))
+        assert f.count("x") == 0 and not f.lookup("x")
+        assert f.count("y") == 1
+        # absent key: no-op, reports False
+        before = (f.fps.copy(), f.counts.copy())
+        assert not f.remove_batch(pa.array(["z"]))[0]
+        assert np.array_equal(f.fps, before[0])
+        assert np.array_equal(f.counts, before[1])
+
+    def test_serde_round_trip_with_counts(self):
+        keys = _multiset(500)
+        f = CountingQuotientFilter(700, fpr=2.0 ** -40)
+        f.update_arrow(pa.array(list(keys)))
+        g = sketch_from_bytes(f.to_bytes())
+        assert isinstance(g, CountingQuotientFilter)
+        assert np.array_equal(g.fps, f.fps)
+        assert np.array_equal(g.counts, f.counts)
+        assert g.total() == f.total()
+
+    def test_empty_serde(self):
+        f = CountingQuotientFilter(64, 0.01)
+        g = sketch_from_bytes(f.to_bytes())
+        assert g.fps.size == 0 and g.counts.size == 0
+        assert g.finalize()["total"] == 0
+
+    def test_overflow_raises(self):
+        f = CountingQuotientFilter(4, 0.01)
+        with pytest.raises(SketchError, match="overflow"):
+            f.update_arrow(_keys(200))
+
+    def test_difference_disallowed(self):
+        a = CountingQuotientFilter(100, 0.01)
+        b = CountingQuotientFilter(100, 0.01)
+        with pytest.raises(SketchError, match="remove_batch"):
+            a.difference(b)
+
+    @settings(max_examples=30, deadline=None)
+    @given(st.lists(st.text(min_size=0, max_size=8), max_size=400))
+    def test_property_counts_match_counter(self, keys):
+        import collections
+        f = CountingQuotientFilter(512, fpr=2.0 ** -40)
+        if keys:
+            f.update_arrow(pa.array(keys, type=pa.string()))
+        exact = collections.Counter(keys)
+        uniq = sorted(exact)
+        if uniq:
+            got = f.count_batch(pa.array(uniq, type=pa.string()))
+            assert list(got) == [exact[k] for k in uniq]
+        assert f.total() == len(keys)
