@@ -53,9 +53,10 @@ def _ray_init(num_cpus: int | None):
 
 def _make_sketch(kind: str, args) -> "object":
     from .sketches import (BlockedBloomFilter, BloomFilter,
-                           CountingBloomFilter, CountMinSketch,
+                           CountingBloomFilter, CountingQuotientFilter,
+                           CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
-                           KMVSketch, ScalableBloomFilter,
+                           KMVSketch, QuotientFilter, ScalableBloomFilter,
                            SlidingHyperLogLog, SparseHLL,
                            TDigest, ThetaSketch,
                            RoaringBitmap, TimeDecayingBloomFilter,
@@ -75,12 +76,8 @@ def _make_sketch(kind: str, args) -> "object":
             args.expected, args.accuracy, args.timeout),
         "cuckoo": lambda: CuckooFilter(max(16, args.expected // 4), 4),
         # deletable AND mergeable AMQ (RSQF layout) + counting variant
-        "qf": lambda: __import__(
-            "archbloom_ray.sketches", fromlist=["QuotientFilter"]
-        ).QuotientFilter(args.expected, args.accuracy),
-        "cqf": lambda: __import__(
-            "archbloom_ray.sketches", fromlist=["CountingQuotientFilter"]
-        ).CountingQuotientFilter(args.expected, args.accuracy),
+        "qf": lambda: QuotientFilter(args.expected, args.accuracy),
+        "cqf": lambda: CountingQuotientFilter(args.expected, args.accuracy),
         "hll": lambda: HyperLogLog(args.precision),
         "sparsehll": lambda: SparseHLL(args.precision),
         "slidinghll": lambda: SlidingHyperLogLog(args.precision),

@@ -3046,8 +3046,10 @@ def q_qf_deletes(sf_dir: str):
             "key": pc.cast(batch["doc_id"], pa.string()),
         })
 
+    # narrow (doc_id, key) table is consumed four times (count, two
+    # builds, probe) — materialize once instead of re-scanning
     ds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        keyed, batch_format="pyarrow", zero_copy_batch=True)
+        keyed, batch_format="pyarrow", zero_copy_batch=True).materialize()
     n = ds.count()
     factory = lambda: QuotientFilter(max(n, 16), fpr=2.0 ** -40)
     sk_all = build_sketch(ds, "key", factory)
@@ -3083,8 +3085,9 @@ def q_cqf_order_line_counts(sf_dir: str):
             "key": pc.cast(batch["l_orderkey"], pa.string()),
         })
 
+    # narrow keyed table feeds count + build + groupby — materialize
     ds = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
-        keyed, batch_format="pyarrow", zero_copy_batch=True)
+        keyed, batch_format="pyarrow", zero_copy_batch=True).materialize()
     n = ds.count()  # row count ≥ distinct keys — ample slot headroom
     sk = build_sketch(ds, "key",
                       lambda: CountingQuotientFilter(max(n, 16),

@@ -20,12 +20,17 @@ physical layout a *deterministic function of the fingerprint set*:
     ⇒ with P_j = Σ_{i<j} c_i,  s_j = P_j + cummax_j(q_j − P_j)
 
 so construction AND decode are closed-form vectorizable — no per-key
-shifting loop.  This implementation therefore keeps the logical state
-as the sorted fingerprint set (what the bit layout encodes) for O(log)
-batched searchsorted lookups, and materializes / parses the canonical
-RSQF bit-packed layout in ``to_layout``/``from_layout`` —
-serialization (`_arrays`) IS the packed layout (two packed bitvectors
-+ narrow-dtype remainders), parity-tested both directions.
+shifting loop.  This implementation keeps the logical state as the
+sorted fingerprint set (what the bit layout encodes) for O(log)
+batched searchsorted lookups; ``to_layout``/``from_layout``
+materialize / parse the canonical RSQF bit-packed layout.
+
+Serialization picks the SMALLER of two encodings per state (the
+HLL++ sparse/dense precedent, hll.py SparseHLL): a sparse form (the
+raw sorted fingerprints, 8 B/key — what a 64k-row build partial
+ships) and the dense packed layout ((r+2)/8 B/slot — what a
+capacity-loaded small-r filter saves to disk); both round-trip and
+the choice is recorded in the header metadata.
 
 Properties (all published; tests gate at these bounds, never tighter):
 * no false negatives for resident keys; deletes are exact on
@@ -44,7 +49,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..hashing import mmh3_64_batch
+from ..hashing import mmh3_128_batch
 from .base import Sketch, SketchError, register
 
 
@@ -100,11 +105,15 @@ class QuotientFilter(Sketch):
 
     # -- update --------------------------------------------------------
     def _fingerprints(self, arr) -> np.ndarray:
-        h = mmh3_64_batch(arr).astype(np.uint64)
-        return h >> np.uint64(64 - self.p)
+        h1, h2 = mmh3_128_batch(arr)
+        return (h1 ^ h2).astype(np.uint64) >> np.uint64(64 - self.p)
 
-    def update_hashes64(self, h: np.ndarray) -> None:
-        fp = h.astype(np.uint64) >> np.uint64(64 - self.p)
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        """Hash-once build path (pipelines/build.py dispatches here so
+        a multi-sketch scan hashes each column once); fingerprint =
+        top p bits of mmh3_64 = h1^h2 — identical to update_arrow."""
+        fp = (h1.astype(np.uint64) ^ h2.astype(np.uint64)) \
+            >> np.uint64(64 - self.p)
         self._absorb(fp)
 
     def update_arrow(self, arr) -> None:
@@ -142,10 +151,6 @@ class QuotientFilter(Sketch):
         if len(arr) == 0:
             return np.zeros(0, dtype=bool)
         return self._member(self._fingerprints(arr))
-
-    def lookup_hashes64(self, h: np.ndarray) -> np.ndarray:
-        fp = h.astype(np.uint64) >> np.uint64(64 - self.p)
-        return self._member(fp)
 
     def lookup(self, element: bytes | str) -> bool:
         typ = pa.string() if isinstance(element, str) else pa.binary()
@@ -194,13 +199,11 @@ class QuotientFilter(Sketch):
                 "fp_bound": self.false_positive_bound()}
 
     # -- canonical RSQF layout ----------------------------------------
-    def to_layout(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Materialize the canonical RSQF slot layout (SIGMOD'17 §3):
-        ``(occupieds, runends, remainders)`` — two bool vectors over
-        the physical slots plus the dense remainder array (narrow
-        dtype, 0 in unused slots).  Runs may shift past slot 2^q−1
-        into a right overflow region (non-wrapping variant); physical
-        length is max(2^q, last run end + 1)."""
+    def _layout_full(self):
+        """(occupieds, runends, remainders, slots): the canonical RSQF
+        slot layout plus the physical slot of element i in fingerprint
+        order — computed ONCE (serde reuses slots for aligned payloads
+        such as the counting variant's counters)."""
         rmask = (np.uint64(1) << np.uint64(self.r)) - np.uint64(1)
         quot = (self.fps >> np.uint64(self.r)).astype(np.int64)
         rem = (self.fps & rmask).astype(_rem_dtype(self.r))
@@ -208,7 +211,8 @@ class QuotientFilter(Sketch):
         if uq.size == 0:
             nslots = self.num_slots
             z = np.zeros(nslots, dtype=bool)
-            return z, z.copy(), np.zeros(nslots, dtype=_rem_dtype(self.r))
+            return (z, z.copy(), np.zeros(nslots, dtype=_rem_dtype(self.r)),
+                    np.empty(0, dtype=np.int64))
         prefix = np.zeros(uq.size, dtype=np.int64)
         np.cumsum(counts[:-1], out=prefix[1:])
         # s_j = P_j + cummax(q_j − P_j)  ⇔  s_j = max(q_j, s_{j-1}+c_{j-1})
@@ -225,6 +229,16 @@ class QuotientFilter(Sketch):
                  - np.repeat(prefix, counts))
         remainders = np.zeros(nslots, dtype=_rem_dtype(self.r))
         remainders[slots] = rem
+        return occupieds, runends, remainders, slots
+
+    def to_layout(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """Materialize the canonical RSQF slot layout (SIGMOD'17 §3):
+        ``(occupieds, runends, remainders)`` — two bool vectors over
+        the physical slots plus the dense remainder array (narrow
+        dtype, 0 in unused slots).  Runs may shift past slot 2^q−1
+        into a right overflow region (non-wrapping variant); physical
+        length is max(2^q, last run end + 1)."""
+        occupieds, runends, remainders, _ = self._layout_full()
         return occupieds, runends, remainders
 
     @classmethod
@@ -263,16 +277,33 @@ class QuotientFilter(Sketch):
             raise SketchError("corrupt RSQF layout: more runs than slots")
         return obj
 
-    # -- serialization: the packed RSQF layout, not the logical set ---
+    # -- serialization: smaller of sparse fps / packed layout ---------
+    def _wire_format(self) -> str:
+        """'fps' (8 B/key — sparse partials) vs 'layout'
+        ((r+2)/8 B/slot — capacity-loaded small-r filters); the
+        estimate uses 2^q slots (the overflow extent adds at most a
+        cluster), deterministic from state so ``_meta``/``_arrays``
+        agree."""
+        fps_bytes = 8 * self.fps.size
+        layout_bytes = (self.num_slots * np.dtype(_rem_dtype(self.r)).itemsize
+                        + 2 * ((self.num_slots + 7) // 8))
+        return "fps" if fps_bytes <= layout_bytes else "layout"
+
     def _meta(self) -> dict:
-        return {"q": self.q, "r": self.r, "name": self.name}
+        return {"q": self.q, "r": self.r, "name": self.name,
+                "fmt": self._wire_format()}
 
     def _arrays(self) -> list[np.ndarray]:
-        occupieds, runends, remainders = self.to_layout()
+        if self._wire_format() == "fps":
+            return [self.fps]
+        occupieds, runends, remainders, _ = self._layout_full()
         return [np.packbits(occupieds), np.packbits(runends), remainders,
                 np.array([occupieds.size], dtype=np.int64)]
 
     def _set_arrays(self, arrays) -> None:
+        if self._fmt == "fps":
+            self.fps = arrays[0].astype(np.uint64, copy=True)
+            return
         occ_b, run_b, remainders, nslots_a = arrays
         nslots = int(nslots_a[0])
         occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
@@ -286,6 +317,7 @@ class QuotientFilter(Sketch):
         obj.q = int(meta["q"])
         obj.r = int(meta["r"])
         obj.name = meta.get("name", "DEFAULT")
+        obj._fmt = meta.get("fmt", "fps")
         obj.fps = np.empty(0, dtype=np.uint64)
         return obj
 
@@ -302,16 +334,17 @@ class CountingQuotientFilter(QuotientFilter):
     key-exact counts size p up and get a strict-equality contract.
 
     * update pre-aggregates each batch (Arrow ``value_counts``) then
-      merges two sorted (fingerprint, count) runs — counts ADD, so
+      accumulates (fingerprint, count) pairs in pure int64 (no float
+      path — the exactness contract holds past 2^53); counts ADD, so
       merge is associative/commutative and the distributed tree merge
       is identical to a single-pass build.
     * ``remove_batch`` decrements (guarded: absent keys are no-ops,
       counts clamp at 0 and the fingerprint leaves the filter — the
       cbloom guarded-remove semantics, cbloom.c:134-158).
-    * serialization rides the parent's packed RSQF layout plus a
-      slot-aligned exact counter array — the engine's portable stand-in
-      for the paper's in-slot escape-sequence count encoding (which
-      trades portability for bits; documented deviation, not a stub).
+    * serialization: sparse form [fps, counts] or packed RSQF layout
+      + counters aligned to fingerprint order — the engine's portable
+      stand-in for the paper's in-slot escape-sequence count encoding
+      (which trades portability for bits; documented deviation).
     """
 
     MAGIC = b"!rscqflt"
@@ -332,30 +365,29 @@ class CountingQuotientFilter(QuotientFilter):
             raise SketchError(
                 f"quotient filter overflow: {merged.size} fingerprints "
                 f"> 2^q = {self.num_slots} slots — size capacity up")
-        acc = np.bincount(inverse,
-                          weights=np.concatenate([self.counts, cnt]),
-                          minlength=merged.size)
+        # integer accumulation end-to-end (bincount's float64 weights
+        # would round counts past 2^53)
+        acc = np.zeros(merged.size, dtype=np.int64)
+        np.add.at(acc, inverse, np.concatenate([self.counts,
+                                                cnt.astype(np.int64)]))
         self.fps = merged
-        self.counts = acc.astype(np.int64)
+        self.counts = acc
+
+    def update_hashes(self, h1: np.ndarray, h2: np.ndarray) -> None:
+        fp = (h1.astype(np.uint64) ^ h2.astype(np.uint64)) \
+            >> np.uint64(64 - self.p)
+        self._absorb(fp)
 
     def update_arrow(self, arr) -> None:
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if len(arr) == 0:
             return
-        # batch pre-aggregation: one hash per DISTINCT value
+        # batch pre-aggregation: one hash per DISTINCT value; _absorb
+        # re-aggregates the rare two-values-one-fingerprint case
         vc = arr.value_counts()
-        fp = self._fingerprints(vc.field("values"))
-        cnt = np.asarray(vc.field("counts"), dtype=np.int64)
-        # two values may share a fingerprint: re-aggregate on fp
-        order = np.argsort(fp, kind="stable")
-        self._absorb_sorted_pairs(fp[order], cnt[order])
-
-    def _absorb_sorted_pairs(self, fp: np.ndarray, cnt: np.ndarray) -> None:
-        ufp, start = np.unique(fp, return_index=True)
-        csum = np.zeros(ufp.size, dtype=np.int64)
-        np.add.at(csum, np.searchsorted(ufp, fp), cnt)
-        self._absorb(ufp, csum)
+        self._absorb(self._fingerprints(vc.field("values")),
+                     np.asarray(vc.field("counts"), dtype=np.int64))
 
     def update_weighted(self, arr, counts) -> None:
         """(key, count) bulk update — the grouped count-row build path."""
@@ -369,9 +401,7 @@ class CountingQuotientFilter(QuotientFilter):
             return
         if (cnt <= 0).any():
             raise SketchError("update_weighted: counts must be > 0")
-        fp = self._fingerprints(arr)
-        order = np.argsort(fp, kind="stable")
-        self._absorb_sorted_pairs(fp[order], cnt[order])
+        self._absorb(self._fingerprints(arr), cnt)
 
     # -- queries -------------------------------------------------------
     def count_batch(self, arr) -> np.ndarray:
@@ -420,7 +450,7 @@ class CountingQuotientFilter(QuotientFilter):
     # -- algebra -------------------------------------------------------
     def merge(self, other: "CountingQuotientFilter") -> "CountingQuotientFilter":
         self._check_compatible(other)
-        self._absorb(other.fps, other.counts.copy())
+        self._absorb(other.fps, other.counts)
         return self
 
     def difference(self, other):
@@ -432,38 +462,49 @@ class CountingQuotientFilter(QuotientFilter):
         out["total"] = self.total()
         return out
 
+    # -- canonical layout (counts ride in fingerprint order) ----------
+    @classmethod
+    def from_layout(cls, q: int, r: int, occupieds: np.ndarray,
+                    runends: np.ndarray, remainders: np.ndarray,
+                    counts: np.ndarray | None = None,
+                    name: str = "DEFAULT") -> "CountingQuotientFilter":
+        """``counts`` aligns with the decoded fingerprint order (the
+        run-major slot order); a membership-only layout cannot
+        reconstruct them, so omitting it raises."""
+        if counts is None:
+            raise SketchError("counting QF from_layout needs the aligned "
+                              "counts array (layout alone has no counts)")
+        obj = super().from_layout(q, r, occupieds, runends, remainders,
+                                  name=name)
+        cnt = np.asarray(counts, dtype=np.int64)
+        if cnt.size != obj.fps.size:
+            raise SketchError(
+                f"counts misaligned: {cnt.size} != {obj.fps.size} fingerprints")
+        if (cnt <= 0).any():
+            raise SketchError("counts must be > 0")
+        obj.counts = cnt.copy()
+        return obj
+
     # -- serialization -------------------------------------------------
     def _arrays(self) -> list[np.ndarray]:
-        occupieds, runends, remainders = self.to_layout()
-        # slot-aligned counters (0 in unused slots) — decode gathers
-        # them with the same slot order the fingerprint decode uses
-        dense = np.zeros(occupieds.size, dtype=np.int64)
-        dense[self._slots_of_layout()] = self.counts
+        if self._wire_format() == "fps":
+            return [self.fps, self.counts]
+        occupieds, runends, remainders, _ = self._layout_full()
         return [np.packbits(occupieds), np.packbits(runends), remainders,
-                dense, np.array([occupieds.size], dtype=np.int64)]
-
-    def _slots_of_layout(self) -> np.ndarray:
-        """Physical slot of element i in run-major (== fps) order."""
-        quot = (self.fps >> np.uint64(self.r)).astype(np.int64)
-        uq, cnts = np.unique(quot, return_counts=True)
-        if uq.size == 0:
-            return np.empty(0, dtype=np.int64)
-        prefix = np.zeros(uq.size, dtype=np.int64)
-        np.cumsum(cnts[:-1], out=prefix[1:])
-        starts = prefix + np.maximum.accumulate(uq - prefix)
-        return (np.repeat(starts, cnts)
-                + np.arange(self.fps.size, dtype=np.int64)
-                - np.repeat(prefix, cnts))
+                self.counts, np.array([occupieds.size], dtype=np.int64)]
 
     def _set_arrays(self, arrays) -> None:
-        occ_b, run_b, remainders, dense, nslots_a = arrays
+        if self._fmt == "fps":
+            self.fps = arrays[0].astype(np.uint64, copy=True)
+            self.counts = arrays[1].astype(np.int64, copy=True)
+            return
+        occ_b, run_b, remainders, counts, nslots_a = arrays
         nslots = int(nslots_a[0])
         occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
         runends = np.unpackbits(run_b, count=nslots).astype(bool)
         self.fps = self._decode_layout(self.q, self.r, occupieds, runends,
                                        remainders)
-        self.counts = dense[self._slots_of_layout()].astype(np.int64,
-                                                            copy=True)
+        self.counts = counts.astype(np.int64, copy=True)
 
     @classmethod
     def _from_meta(cls, meta) -> "CountingQuotientFilter":

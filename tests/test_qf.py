@@ -88,17 +88,39 @@ class TestQuotientFilter:
         b.difference(dsk)
         assert np.array_equal(a.fps, b.fps)
 
-    def test_layout_round_trip_and_packed_serde(self):
+    def test_layout_round_trip_and_serde(self):
         f = QuotientFilter(2000, 0.01)
         f.update_arrow(_keys(1800))
         occ, rend, rem = f.to_layout()
         assert occ.sum() == rend.sum()         # RSQF pairing invariant
         dec = QuotientFilter.from_layout(f.q, f.r, occ, rend, rem)
         assert np.array_equal(dec.fps, f.fps)
-        g = sketch_from_bytes(f.to_bytes())     # serde IS the layout
+        g = sketch_from_bytes(f.to_bytes())
         assert isinstance(g, QuotientFilter)
         assert np.array_equal(g.fps, f.fps)
         assert g.lookup_batch(_keys(1800)).all()
+
+    def test_wire_format_picks_smaller_encoding(self):
+        # dense small-r filter: packed layout beats 8 B/key
+        dense = QuotientFilter(2000, 0.01)      # r = 7 -> uint8 rems
+        dense.update_arrow(_keys(1800))
+        assert dense._wire_format() == "layout"
+        # sparse partial at the same parameters: raw fps win
+        sparse = QuotientFilter(2000, 0.01)
+        sparse.update_arrow(_keys(40))
+        assert sparse._wire_format() == "fps"
+        assert len(sparse.to_bytes()) < len(dense.to_bytes())
+        # both formats round-trip
+        for f in (dense, sparse):
+            g = sketch_from_bytes(f.to_bytes())
+            assert np.array_equal(g.fps, f.fps)
+
+    def test_partial_serialization_is_sparse_sized(self):
+        # a 64k-row build partial against a 8M-key capacity must ship
+        # O(n) bytes, not O(2^q) — the distributed-build traffic rule
+        f = QuotientFilter(8_000_000, 0.01)
+        f.update_arrow(_keys(1000))
+        assert len(f.to_bytes()) < 20_000      # ~8 KB payload + header
 
     def test_layout_dense_high_load(self):
         # 95% load forces long shifted clusters — the closed-form
@@ -233,6 +255,46 @@ class TestCountingQuotientFilter:
         assert np.array_equal(g.fps, f.fps)
         assert np.array_equal(g.counts, f.counts)
         assert g.total() == f.total()
+
+    def test_serde_layout_format_with_counts(self):
+        # small r forces the packed-layout wire format; counts must
+        # realign with the decoded fingerprint order
+        f = CountingQuotientFilter(2000, 0.01)
+        f.update_arrow(pa.array(list(_multiset(1500))))
+        assert f._wire_format() == "layout"
+        g = sketch_from_bytes(f.to_bytes())
+        assert np.array_equal(g.fps, f.fps)
+        assert np.array_equal(g.counts, f.counts)
+
+    def test_from_layout_requires_counts(self):
+        f = CountingQuotientFilter(100, 0.01)
+        f.update_arrow(pa.array(["a", "a", "b"]))
+        occ, rend, rem = f.to_layout()
+        with pytest.raises(SketchError, match="counts"):
+            CountingQuotientFilter.from_layout(f.q, f.r, occ, rend, rem)
+        g = CountingQuotientFilter.from_layout(f.q, f.r, occ, rend, rem,
+                                               counts=f.counts)
+        assert np.array_equal(g.fps, f.fps)
+        assert np.array_equal(g.counts, f.counts)
+        assert g.count("a") == 2 and g.total() == 3
+        with pytest.raises(SketchError, match="misaligned"):
+            CountingQuotientFilter.from_layout(f.q, f.r, occ, rend, rem,
+                                               counts=np.array([1]))
+
+    def test_update_hashes_matches_update_arrow(self):
+        from archbloom_ray.hashing import mmh3_128_batch
+        keys = pa.array([f"k-{i}" for i in range(500)] * 2)
+        a = CountingQuotientFilter(1000, fpr=2.0 ** -40)
+        a.update_arrow(keys)
+        b = CountingQuotientFilter(1000, fpr=2.0 ** -40)
+        b.update_hashes(*mmh3_128_batch(keys))
+        assert np.array_equal(a.fps, b.fps)
+        assert np.array_equal(a.counts, b.counts)
+        qa = QuotientFilter(1000, fpr=2.0 ** -40)
+        qa.update_arrow(keys)
+        qb = QuotientFilter(1000, fpr=2.0 ** -40)
+        qb.update_hashes(*mmh3_128_batch(keys))
+        assert np.array_equal(qa.fps, qb.fps)
 
     def test_empty_serde(self):
         f = CountingQuotientFilter(64, 0.01)
