@@ -1650,3 +1650,169 @@ def sharded_bloom_probe_routed(
 
     return summed.map_batches(finish, batch_format="pyarrow",
                               zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# Sharded quotient-filter builds — fingerprint-RANGE partitioning
+# ---------------------------------------------------------------------------
+
+def _qf_shard_width(p: int, num_shards: int) -> np.uint64:
+    """Width of one shard's fingerprint range: ceil(2^p / S).  Range
+    (not key-hash) sharding — a QF's fingerprints are sorted, so shard
+    s owns a contiguous range and each shard state is itself a plain
+    QuotientFilter over a key subspace (union of shards ≡ monolithic
+    build, no special merge)."""
+    return np.uint64(((1 << int(p)) + int(num_shards) - 1) // int(num_shards))
+
+
+def build_sharded_qf_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded quotient-filter build → ``{shard: QF state bytes}``.
+
+    The scan ships ONE deduped uint64 fingerprint per key (8 B,
+    independent of capacity — the sharded-traffic rule every other
+    filter family here follows); reducers own disjoint fingerprint
+    ranges, so a shard state is a plain ``QuotientFilter`` holding its
+    range's sorted fingerprints and the union over shards is
+    bit-identical to the monolithic :func:`build_sketch` result
+    (pytest-proved).  Counting variant: ``counting=True`` pre-aggregates
+    (fingerprint, count) per batch and the reducer sums counts."""
+    return _build_sharded_qf(ds, column, factory, counting=False,
+                             num_shards=num_shards, batch_size=batch_size)
+
+
+def build_sharded_cqf_states(
+    ds: "ray.data.Dataset",
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    batch_size: int = 65536,
+) -> dict[int, bytes]:
+    """Sharded COUNTING quotient-filter build: the scan pre-aggregates
+    each batch (value_counts → one (fingerprint, count) pair per
+    distinct value) and reducers sum counts per fingerprint — the
+    merged multiset is identical to a single-pass
+    ``CountingQuotientFilter`` build."""
+    return _build_sharded_qf(ds, column, factory, counting=True,
+                             num_shards=num_shards, batch_size=batch_size)
+
+
+def _build_sharded_qf(ds, column, factory, *, counting, num_shards,
+                      batch_size) -> dict[int, bytes]:
+    from ..hashing import mmh3_128_batch
+
+    tpl = factory()
+    q, r, p = tpl.q, tpl.r, tpl.p
+    W = _qf_shard_width(p, num_shards)
+    shift = np.uint64(64 - p)
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        col = batch[column]
+        if counting:
+            if isinstance(col, pa.ChunkedArray):
+                col = col.combine_chunks()
+            vc = col.value_counts()
+            h1, h2 = mmh3_128_batch(vc.field("values"))
+            fp = (h1 ^ h2).astype(np.uint64) >> shift
+            cnt = np.asarray(vc.field("counts"), dtype=np.int64)
+            order = np.argsort(fp, kind="stable")
+            fp, cnt = fp[order], cnt[order]
+            shard = (fp // W).astype(np.int32)
+            return _pack_lists(shard, {"fp": fp, "cnt": cnt})
+        h1, h2 = mmh3_128_batch(col)
+        fp = np.unique((h1 ^ h2).astype(np.uint64) >> shift)
+        shard = (fp // W).astype(np.int32)
+        return _pack_lists(shard, {"fp": fp})
+
+    parts = ds.map_batches(hash_batch, batch_format="pyarrow",
+                           batch_size=batch_size, zero_copy_batch=True)
+
+    def build_shard(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        fp = _unpack_uint64_list(g["fp"])
+        sk = factory()
+        if counting:
+            sk._absorb(fp, _unpack_list(g["cnt"]))
+        else:
+            sk._absorb(fp)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int32()),
+            "n": pa.array([int(sk.fps.size)], type=pa.int64()),
+            "state": pa.array([sk.to_bytes()], type=pa.large_binary()),
+        })
+
+    rows = parts.groupby("shard").map_groups(
+        build_shard, batch_format="pyarrow").take_all()
+    total = sum(r["n"] for r in rows)
+    if total > (1 << q):
+        from ..sketches.base import SketchError
+        raise SketchError(
+            f"sharded QF overflow: {total} fingerprints > 2^q = {1 << q}")
+    return {r["shard"]: r["state"] for r in rows}
+
+
+def assemble_sharded_qf(states: dict[int, bytes],
+                        factory: Callable[[], "Sketch"]) -> "Sketch":
+    """Union shard states into ONE filter — identical to the monolithic
+    build (disjoint sorted ranges concatenate).  Driver-side, O(n);
+    tests/export only."""
+    sk = factory()
+    for s in sorted(states):
+        sk.merge(sketch_from_bytes(states[s]))
+    return sk
+
+
+def sharded_qf_probe(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    method: str = "lookup_batch",
+    out_column: str = "present",
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Probe the sharded filter WITHOUT assembling it: the shard map is
+    broadcast once, each batch recomputes the pure fingerprint→shard
+    routing and runs ``method`` (``lookup_batch`` / ``count_batch``)
+    against only the touched shard states.  An absent shard holds no
+    fingerprints (absent ⇒ not present / count 0)."""
+    from ..hashing import mmh3_128_batch
+    from ..proc_cache import cached_instance
+
+    tpl = factory()
+    p = tpl.p
+    W = _qf_shard_width(p, num_shards)
+    shift = np.uint64(64 - p)
+    is_count = method == "count_batch"
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        shards = cached_instance(
+            ("sharded_qf_probe", ref.hex()),
+            lambda: {s: sketch_from_bytes(b)
+                     for s, b in ray.get(ref).items()},
+        )
+        h1, h2 = mmh3_128_batch(batch[column])
+        fp = (h1 ^ h2).astype(np.uint64) >> shift
+        shard = (fp // W).astype(np.int64)
+        out = np.zeros(fp.size, dtype=np.int64 if is_count else bool)
+        for s in np.unique(shard):
+            sk = shards.get(int(s))
+            if sk is None:
+                continue
+            msk = shard == s
+            out[msk] = (sk._count_fp(fp[msk]) if is_count
+                        else sk._member(fp[msk]))
+        return batch.append_column(out_column, pa.array(out))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)

@@ -3100,6 +3100,57 @@ def q_cqf_order_line_counts(sf_dir: str):
     return probed.select_columns(["l_orderkey", "n_lines"])
 
 
+def q_sharded_qf_membership(sf_dir: str):
+    """Membership via the SHARDED quotient-filter build+probe (the
+    10^12-key scale path, pipelines/build.py fingerprint-RANGE
+    section): the scan ships one deduped uint64 fingerprint per key
+    (8 B, independent of capacity), reducers own disjoint fingerprint
+    ranges (each shard state is a plain QF over a key subspace; union
+    ≡ monolithic build, pytest TestShardedQF), the probe routes
+    fingerprints to broadcast shard states with no assembly.  Same
+    no-false-negative all-present oracle as the monolithic query."""
+    from .sketches import QuotientFilter
+    from .pipelines import build_sharded_qf_states, sharded_qf_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    n = ds.count()
+    factory = lambda: QuotientFilter(max(n, 16), 0.01)
+    states = build_sharded_qf_states(ds, "text", factory, num_shards=8)
+    probed = sharded_qf_probe(ds, states, "text", factory, num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
+def q_sharded_cqf_counts(sf_dir: str):
+    """Per-orderkey lineitem multiplicities via the SHARDED counting
+    quotient filter: the scan pre-aggregates each batch (one
+    (fingerprint, count) pair per distinct key), reducers sum counts
+    per fingerprint — merged multiset identical to the single-pass
+    build (pytest TestShardedQF) — and the count probe routes to the
+    owning shard's broadcast state.  Strict-equality oracle vs the
+    exact groupby at r=40 (same contract as cqf_order_line_counts)."""
+    from .sketches import CountingQuotientFilter
+    from .pipelines import build_sharded_cqf_states, sharded_qf_probe
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": batch["l_orderkey"],
+            "key": pc.cast(batch["l_orderkey"], pa.string()),
+        })
+
+    ds = _read(sf_dir, "lineitem", ["l_orderkey"]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True).materialize()
+    n = ds.count()
+    factory = lambda: CountingQuotientFilter(max(n, 16), fpr=2.0 ** -40)
+    states = build_sharded_cqf_states(ds, "key", factory, num_shards=8)
+    distinct = grouped_agg(ds, ["l_orderkey"],
+                           [("n_dummy", None, "count")]).map_batches(
+        keyed, batch_format="pyarrow", zero_copy_batch=True)
+    probed = sharded_qf_probe(distinct, states, "key", factory,
+                              num_shards=8, method="count_batch",
+                              out_column="n_lines")
+    return probed.select_columns(["l_orderkey", "n_lines"])
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over the documents table
 # ---------------------------------------------------------------------------
@@ -9633,6 +9684,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "qf_membership": q_qf_membership,
         "qf_deletes": q_qf_deletes,
         "cqf_order_line_counts": q_cqf_order_line_counts,
+        "sharded_qf_membership": q_sharded_qf_membership,
+        "sharded_cqf_counts": q_sharded_cqf_counts,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11374,6 +11427,12 @@ def oracle_sql() -> dict[str, str]:
         "qf_deletes":
             "SELECT doc_id, doc_id % 10 <> 0 AS present FROM documents",
         "cqf_order_line_counts": """
+            SELECT l_orderkey, count(*) AS n_lines
+            FROM lineitem GROUP BY l_orderkey
+        """,
+        "sharded_qf_membership":
+            "SELECT doc_id, TRUE AS present FROM documents",
+        "sharded_cqf_counts": """
             SELECT l_orderkey, count(*) AS n_lines
             FROM lineitem GROUP BY l_orderkey
         """,

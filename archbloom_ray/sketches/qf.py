@@ -404,13 +404,7 @@ class CountingQuotientFilter(QuotientFilter):
         self._absorb(self._fingerprints(arr), cnt)
 
     # -- queries -------------------------------------------------------
-    def count_batch(self, arr) -> np.ndarray:
-        """Exact-per-fingerprint counts (0 for absent keys)."""
-        if isinstance(arr, pa.ChunkedArray):
-            arr = arr.combine_chunks()
-        if len(arr) == 0:
-            return np.zeros(0, dtype=np.int64)
-        fp = self._fingerprints(arr)
+    def _count_fp(self, fp: np.ndarray) -> np.ndarray:
         out = np.zeros(fp.size, dtype=np.int64)
         if self.fps.size:
             idx = np.searchsorted(self.fps, fp)
@@ -418,6 +412,14 @@ class CountingQuotientFilter(QuotientFilter):
             hit[hit] &= self.fps[idx[hit]] == fp[hit]
             out[hit] = self.counts[idx[hit]]
         return out
+
+    def count_batch(self, arr) -> np.ndarray:
+        """Exact-per-fingerprint counts (0 for absent keys)."""
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.zeros(0, dtype=np.int64)
+        return self._count_fp(self._fingerprints(arr))
 
     def count(self, element: bytes | str) -> int:
         typ = pa.string() if isinstance(element, str) else pa.binary()

@@ -2509,3 +2509,97 @@ def test_routed_xor_probe_equals_broadcast(ray_session, docs_ds):
     got = {r["text"]: r["present"] for r in sharded_keyhash_probe_routed(
         mixed, states, "text", kind="xor", num_shards=4).take_all()}
     assert got == want
+
+
+class TestShardedQF:
+    """Sharded quotient-filter build: fingerprint-RANGE partitioning,
+    union of shard states ≡ monolithic build (exact fps equality),
+    routed probe ≡ broadcast probe, counting variant sums exactly."""
+
+    def test_qf_union_equals_monolithic(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import (
+            assemble_sharded_qf,
+            build_sharded_qf_states,
+            build_sketch,
+        )
+        from archbloom_ray.sketches import QuotientFilter
+
+        factory = lambda: QuotientFilter(600, 0.001, name="shardtest")
+        mono = build_sketch(docs_ds, "text", factory)
+        states = build_sharded_qf_states(
+            docs_ds, "text", factory, num_shards=7, batch_size=128)
+        sharded = assemble_sharded_qf(states, factory)
+        assert np.array_equal(sharded.fps, mono.fps)
+        # disjoint ranges: every shard state's fps stay in its window
+        from archbloom_ray.pipelines.build import _qf_shard_width
+        from archbloom_ray.sketches.base import sketch_from_bytes
+        W = _qf_shard_width(factory().p, 7)
+        for s, b in states.items():
+            fps = sketch_from_bytes(b).fps
+            assert ((fps // W) == s).all()
+
+    def test_qf_probe_without_assembly(self, ray_session, docs_ds):
+        from archbloom_ray.pipelines import (
+            build_sharded_qf_states,
+            sharded_qf_probe,
+        )
+        from archbloom_ray.sketches import QuotientFilter
+        import ray.data as rd
+
+        factory = lambda: QuotientFilter(600, 0.001, name="shardtest")
+        states = build_sharded_qf_states(
+            docs_ds, "text", factory, num_shards=7, batch_size=128)
+        probed = sharded_qf_probe(docs_ds, states, "text", factory,
+                                  num_shards=7)
+        vals = [r["present"] for r in probed.take_all()]
+        assert len(vals) == docs_ds.count() and all(vals)
+        absent = rd.from_arrow(pa.table(
+            {"text": pa.array([f"absent-{i}" for i in range(2000)])}))
+        fp = sum(r["present"] for r in sharded_qf_probe(
+            absent, states, "text", factory, num_shards=7).take_all())
+        assert fp / 2000 < 0.05
+
+    def test_cqf_counts_exact(self, ray_session):
+        from archbloom_ray.pipelines import (
+            build_sharded_cqf_states,
+            build_sketch,
+            sharded_qf_probe,
+        )
+        from archbloom_ray.sketches import CountingQuotientFilter
+        import ray.data as rd
+
+        keys = np.repeat([f"k-{i}" for i in range(300)],
+                         np.arange(300) % 5 + 1)
+        rng = np.random.default_rng(11)
+        rng.shuffle(keys)
+        ds = rd.from_arrow(pa.table({"key": pa.array(list(keys))}))
+        factory = lambda: CountingQuotientFilter(400, fpr=2.0 ** -40,
+                                                 name="shardtest")
+        mono = build_sketch(ds, "key", factory)
+        states = build_sharded_cqf_states(
+            ds, "key", factory, num_shards=5, batch_size=64)
+        from archbloom_ray.pipelines import assemble_sharded_qf
+        merged = assemble_sharded_qf(states, factory)
+        assert np.array_equal(merged.fps, mono.fps)
+        assert np.array_equal(merged.counts, mono.counts)
+        probe = rd.from_arrow(pa.table(
+            {"key": pa.array([f"k-{i}" for i in range(300)] + ["absent"])}))
+        rows = sharded_qf_probe(probe, states, "key", factory,
+                                num_shards=5, method="count_batch",
+                                out_column="n").take_all()
+        got = {r["key"]: r["n"] for r in rows}
+        for i in range(300):
+            assert got[f"k-{i}"] == i % 5 + 1
+        assert got["absent"] == 0
+
+    def test_qf_overflow_detected_across_shards(self, ray_session):
+        from archbloom_ray.pipelines import build_sharded_qf_states
+        from archbloom_ray.sketches import QuotientFilter, SketchError
+        import ray.data as rd
+
+        ds = rd.from_arrow(pa.table(
+            {"key": pa.array([f"k-{i}" for i in range(600)])}))
+        factory = lambda: QuotientFilter(16, 0.01)  # 2^q far below 600
+        with pytest.raises(SketchError, match="overflow"):
+            build_sharded_qf_states(ds, "key", factory, num_shards=4,
+                                    batch_size=64)
