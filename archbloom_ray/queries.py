@@ -3151,6 +3151,40 @@ def q_sharded_cqf_counts(sf_dir: str):
     return probed.select_columns(["l_orderkey", "n_lines"])
 
 
+def q_xormap_lang_lookup(sf_dir: str):
+    """Static RETRIEVAL map (sketches/xorf.py XorMap, Dietzfelbinger &
+    Pagh ICALP'08): a frozen doc→lang-code function at ~1.23 B/key —
+    the broadcast-assignment-table primitive (doc → lang / cluster /
+    shard) a curation pipeline pins between stages.  Key-hash-sharded
+    build (8-byte hash + value shuffle, never the keys), routed get;
+    retrieval is EXACT for every built key, so probing the build keys
+    reproduces the codes deterministically.  Codes are the 0-based
+    rank of the lang among sorted distinct langs — the SQL twin is
+    dense_rank()-1."""
+    from .pipelines import build_sharded_xormap, sharded_xormap_get
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    lang_rows = grouped_agg(ds, ["lang"], [("n", None, "count")]).take_all()
+    langs = pa.array(sorted(r["lang"] for r in lang_rows), type=pa.string())
+    if len(langs) >= 256:
+        raise ValueError("lang vocabulary exceeds 8-bit code space")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "doc_id": batch["doc_id"],
+            "key": pc.cast(batch["doc_id"], pa.string()),
+            "code": pc.cast(pc.index_in(batch["lang"], value_set=langs),
+                            pa.int64()),
+        })
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    states = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
+    out = sharded_xormap_get(kds, states, "key", num_shards=8,
+                             out_column="lang_code")
+    return out.select_columns(["doc_id", "lang_code"])
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over the documents table
 # ---------------------------------------------------------------------------
@@ -9686,6 +9720,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "cqf_order_line_counts": q_cqf_order_line_counts,
         "sharded_qf_membership": q_sharded_qf_membership,
         "sharded_cqf_counts": q_sharded_cqf_counts,
+        "xormap_lang_lookup": q_xormap_lang_lookup,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11432,6 +11467,11 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sharded_qf_membership":
             "SELECT doc_id, TRUE AS present FROM documents",
+        "xormap_lang_lookup": """
+            SELECT doc_id,
+                   dense_rank() OVER (ORDER BY lang) - 1 AS lang_code
+            FROM documents
+        """,
         "sharded_cqf_counts": """
             SELECT l_orderkey, count(*) AS n_lines
             FROM lineitem GROUP BY l_orderkey

@@ -22,7 +22,7 @@ from .theta import ThetaSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
-from .xorf import XorFilter
+from .xorf import XorFilter, XorMap
 from .qf import QuotientFilter, CountingQuotientFilter
 from .fd import FrequentDirections
 from .roaring import RoaringBitmap
@@ -57,6 +57,7 @@ __all__ = [
     "GaussianNB",
     "DDSketch",
     "XorFilter",
+    "XorMap",
     "QuotientFilter",
     "CountingQuotientFilter",
     "FrequentDirections",

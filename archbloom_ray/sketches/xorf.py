@@ -150,8 +150,16 @@ class XorFilter(Sketch):
 
     def _assign(self, h: np.ndarray, m: int, order: np.ndarray,
                 slot_of: np.ndarray) -> None:
-        p0, p1, p2, fp = self._positions(h)
-        B = np.zeros(m, dtype=np.uint8 if self.bits == 8 else np.uint16)
+        _, _, _, fp = self._positions(h)
+        self._assign_payload(h, m, order, slot_of, fp)
+
+    def _assign_payload(self, h: np.ndarray, m: int, order: np.ndarray,
+                        slot_of: np.ndarray, payload: np.ndarray) -> None:
+        """Reverse round-batched assignment so that payload(x) ==
+        B[p0]^B[p1]^B[p2] for every built key; ``payload`` is the
+        fingerprint (filter) or the user value (retrieval map)."""
+        p0, p1, p2, _ = self._positions(h)
+        B = np.zeros(m, dtype=payload.dtype)
         rounds = self._rounds
         # reverse round order; within a round all writes are independent
         # (a peeled slot's other occupants were already gone, and a
@@ -160,8 +168,8 @@ class XorFilter(Sketch):
             sl = slice(rounds[r], rounds[r + 1])
             keys = order[sl]
             slots = slot_of[sl]
-            B[slots] = (fp[keys] ^ B[p0[keys]] ^ B[p1[keys]] ^ B[p2[keys]]
-                        ^ B[slots])  # B[slots] is 0 here; kept for clarity
+            B[slots] = (payload[keys] ^ B[p0[keys]] ^ B[p1[keys]]
+                        ^ B[p2[keys]] ^ B[slots])  # B[slots] is 0 here
         self.slots = B
         del self._rounds
 
@@ -220,3 +228,124 @@ class XorFilter(Sketch):
         obj.seg = int(meta["seg"])
         obj.n = int(meta["n"])
         return obj
+
+
+@register
+class XorMap(XorFilter):
+    """Static RETRIEVAL structure — an exact key→w-bit-value function
+    at ~1.23·w bits/key.
+
+    Engine extension past the filter: Dietzfelbinger & Pagh, "Succinct
+    data structures for retrieval and approximate membership"
+    (ICALP'08) — the same 3-partite peeling as the xor filter, but the
+    slots store the USER VALUE instead of a fingerprint, so
+
+        value(x) == B[h0(x)] ^ B[h1(x)] ^ B[h2(x)]
+
+    is EXACT for every built key.  An absent key returns an arbitrary
+    w-bit word (retrieval structures answer only resident keys — pair
+    with an XorFilter over the same keys when absence must be
+    detected).  The corpus-scale use: frozen routing/assignment tables
+    (doc → lang code, url → dedup cluster id, key → shard) broadcast
+    at ~w bits/key instead of a hash map's ~100+ B/key.
+
+    Static like the parent: build once (duplicate keys must carry the
+    same value; conflicting duplicates raise), shard by key hash for
+    distributed builds (pipelines/staticfilter.py)."""
+
+    MAGIC = b"!xormap!"
+    _DTYPES = {8: np.uint8, 16: np.uint16, 32: np.uint32, 64: np.uint64}
+
+    def __init__(self, bits: int = 8, name: str = "DEFAULT"):
+        if bits not in self._DTYPES:
+            raise SketchError("bits must be 8, 16, 32 or 64")
+        self.bits = int(bits)
+        self.name = name
+        self.seed = 0
+        self.seg = 0
+        self.n = 0
+        self.slots = np.empty(0, dtype=self._DTYPES[bits])
+
+    # -- construction --------------------------------------------------
+    @classmethod
+    def build_hashes_values(cls, keyhashes: np.ndarray, values: np.ndarray,
+                            bits: int = 8, name: str = "DEFAULT",
+                            max_attempts: int = 64) -> "XorMap":
+        """Build from pre-hashed 64-bit keys + aligned values.
+        Duplicate keys are deduped; duplicates with DIFFERENT values
+        raise (a function must be single-valued)."""
+        self = cls(bits=bits, name=name)
+        h = np.asarray(keyhashes, dtype=_U64)
+        v = np.asarray(values)
+        if h.size != v.size:
+            raise SketchError(f"{h.size} keys vs {v.size} values")
+        if v.size and (np.asarray(v, dtype=np.int64) < 0).any():
+            raise SketchError("values must be non-negative")
+        if bits < 64 and v.size and \
+                (np.asarray(v, dtype=np.int64) >= (1 << bits)).any():
+            raise SketchError(f"values must fit {bits} bits")
+        v = v.astype(cls._DTYPES[bits])
+        order = np.argsort(h, kind="stable")
+        hs, vs = h[order], v[order]
+        first = np.ones(hs.size, dtype=bool)
+        if hs.size > 1:
+            np.not_equal(hs[1:], hs[:-1], out=first[1:])
+            dup = np.flatnonzero(~first)
+            if dup.size and (vs[dup] != vs[dup - 1]).any():
+                raise SketchError(
+                    "conflicting values for duplicate key(s)")
+        h, v = hs[first], vs[first]
+        n = int(h.size)
+        self.n = n
+        if n == 0:
+            self.seg = 1
+            self.slots = np.zeros(3, dtype=self._DTYPES[bits])
+            return self
+        self.seg = max(1, int(np.ceil(1.23 * n / 3.0)) + 1)
+        m = 3 * self.seg
+        for attempt in range(max_attempts):
+            self.seed = attempt
+            order2, slots_of = self._peel(h, m)
+            if order2 is not None:
+                self._assign_payload(h, m, order2, slots_of, v)
+                return self
+        raise SketchError(
+            f"xor map peeling failed after {max_attempts} seeds (n={n})")
+
+    @classmethod
+    def build_arrow_values(cls, arr, values, bits: int = 8,
+                           name: str = "DEFAULT") -> "XorMap":
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return cls.build_hashes_values(
+            mmh3_64_batch(arr).astype(_U64), np.asarray(values),
+            bits=bits, name=name)
+
+    # -- queries -------------------------------------------------------
+    def get_hashes(self, keyhashes: np.ndarray) -> np.ndarray:
+        """Exact values for built keys; arbitrary words for absent."""
+        h = np.asarray(keyhashes, dtype=_U64)
+        if self.n == 0:
+            return np.zeros(h.size, dtype=self._DTYPES[self.bits])
+        p0, p1, p2, _ = self._positions(h)
+        B = self.slots
+        return B[p0] ^ B[p1] ^ B[p2]
+
+    def get_batch(self, arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        return self.get_hashes(mmh3_64_batch(arr).astype(_U64))
+
+    def get(self, element: bytes | str) -> int:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return int(self.get_batch(pa.array([element], type=typ))[0])
+
+    # a map's slots hold values, not fingerprints — membership is
+    # undefined (pair with an XorFilter over the same keys)
+    def contains_hashes(self, keyhashes: np.ndarray) -> np.ndarray:
+        raise SketchError("xor map stores values, not fingerprints — "
+                          "pair with an XorFilter for membership")
+
+    def lookup_batch(self, arr):
+        raise SketchError("xor map stores values, not fingerprints — "
+                          "pair with an XorFilter for membership")

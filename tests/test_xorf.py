@@ -95,3 +95,118 @@ class TestShardedXor:
         miss = sharded_xor_probe(absent, states, "text", num_shards=4)
         fp = sum(r["present"] for r in miss.take_all())
         assert fp <= 40
+
+
+class TestXorMap:
+    """Static retrieval map (Dietzfelbinger-Pagh): exact values for
+    built keys, conflict/range validation, serde, sharded build."""
+
+    def test_exact_retrieval(self):
+        from archbloom_ray.sketches import XorMap
+
+        keys = pa.array([f"url-{i}" for i in range(20_000)])
+        vals = np.arange(20_000) % 37
+        m = XorMap.build_arrow_values(keys, vals, bits=8)
+        assert (m.get_batch(keys) == vals).all()
+        assert m.bits_per_key < 12          # ~1.23 * 8 + slack
+        assert m.get("url-123") == 123 % 37
+
+    @pytest.mark.parametrize("bits", [16, 32, 64])
+    def test_wide_values(self, bits):
+        from archbloom_ray.sketches import XorMap
+
+        keys = pa.array([f"k{i}" for i in range(5000)])
+        vals = (np.arange(5000, dtype=np.int64) * 2654435761) \
+            % ((1 << min(bits, 62)) - 1)
+        m = XorMap.build_arrow_values(keys, vals, bits=bits)
+        assert (m.get_batch(keys).astype(np.int64) == vals).all()
+
+    def test_duplicate_handling(self):
+        from archbloom_ray.sketches import XorMap
+
+        m = XorMap.build_arrow_values(
+            pa.array(["a", "b", "a"]), np.array([3, 5, 3]), bits=8)
+        assert m.get("a") == 3 and m.get("b") == 5
+        with pytest.raises(SketchError, match="conflicting"):
+            XorMap.build_arrow_values(
+                pa.array(["a", "b", "a"]), np.array([3, 5, 4]), bits=8)
+
+    def test_value_validation(self):
+        from archbloom_ray.sketches import XorMap
+
+        with pytest.raises(SketchError, match="fit"):
+            XorMap.build_arrow_values(pa.array(["a"]), np.array([256]),
+                                      bits=8)
+        with pytest.raises(SketchError, match="non-negative"):
+            XorMap.build_arrow_values(pa.array(["a"]), np.array([-1]),
+                                      bits=8)
+        with pytest.raises(SketchError, match="keys vs"):
+            XorMap.build_arrow_values(pa.array(["a", "b"]), np.array([1]),
+                                      bits=8)
+
+    def test_membership_disallowed(self):
+        from archbloom_ray.sketches import XorMap
+
+        m = XorMap.build_arrow_values(pa.array(["a"]), np.array([1]), bits=8)
+        with pytest.raises(SketchError, match="membership"):
+            m.lookup_batch(pa.array(["a"]))
+
+    def test_serde(self):
+        from archbloom_ray.sketches import XorMap
+
+        keys = pa.array([f"k{i}" for i in range(3000)])
+        vals = np.arange(3000) % 200
+        m = XorMap.build_arrow_values(keys, vals, bits=8)
+        r = sketch_from_bytes(m.to_bytes())
+        assert isinstance(r, XorMap)
+        assert (r.get_batch(keys) == vals).all()
+
+    def test_empty(self):
+        from archbloom_ray.sketches import XorMap
+
+        m = XorMap.build_arrow_values(pa.array([], type=pa.string()),
+                                      np.array([], dtype=np.int64), bits=8)
+        assert (m.get_batch(pa.array(["x"])) == 0).all()
+        r = sketch_from_bytes(m.to_bytes())
+        assert r.n == 0
+
+
+class TestShardedXorMap:
+    def test_build_get_sf(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (build_sharded_xormap,
+                                             sharded_xormap_get)
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["doc_id", "n_chars"])
+
+        def keyed(batch: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            return pa.table({
+                "key": pc.cast(batch["doc_id"], pa.string()),
+                "val": pc.bit_wise_and(batch["n_chars"], 255),
+            })
+
+        kds = ds.map_batches(keyed, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+        states = build_sharded_xormap(kds, "key", "val", num_shards=4,
+                                      bits=8)
+        got = sharded_xormap_get(kds, states, "key", num_shards=4,
+                                 out_column="got")
+        rows = got.take_all()
+        assert len(rows) == 500
+        assert all(r["got"] == r["val"] for r in rows)
+
+    def test_conflicting_duplicates_raise_in_reducer(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import build_sharded_xormap
+        from archbloom_ray.sketches import SketchError
+
+        ds = rd.from_arrow(pa.table({
+            "key": pa.array(["dup", "dup", "x"]),
+            "val": pa.array([1, 2, 3], type=pa.int64()),
+        }))
+        with pytest.raises(Exception, match="conflicting"):
+            build_sharded_xormap(ds, "key", "val", num_shards=2, bits=8)
