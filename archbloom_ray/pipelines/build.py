@@ -1788,6 +1788,9 @@ def sharded_qf_probe(
     from ..hashing import mmh3_128_batch
     from ..proc_cache import cached_instance
 
+    if method not in ("lookup_batch", "count_batch"):
+        raise ValueError(f"unknown probe method {method!r} — "
+                         "use 'lookup_batch' or 'count_batch'")
     tpl = factory()
     p = tpl.p
     W = _qf_shard_width(p, num_shards)

@@ -1,24 +1,30 @@
-"""Sharded static-filter build + probe (xor filters at corpus scale).
+"""Sharded static-structure build + probe (xor filters / retrieval
+maps at corpus scale).
 
-An xor filter is immutable and needs all its keys at construction
-(sketches/xorf.py), so the distributed shape is NOT update→merge (the
-Bloom path, pipelines/build.py) but shard→build→route:
+An xor filter (and its retrieval-map sibling) is immutable and needs
+all its keys at construction (sketches/xorf.py), so the distributed
+shape is NOT update→merge (the Bloom path, pipelines/build.py) but
+shard→build→route:
 
   build:  one scan hashes the key column (mmh3_64), routes each 8-byte
           hash to a shard by its top hash bits, and a per-shard reducer
-          peels one XorFilter over its hashes.  The shuffle moves ONLY
-          the 8-byte hashes — never the keys/texts — and each reducer's
-          working set is n/num_shards keys, so shard count scales the
-          build to any corpus (10^12 keys = 4096 shards × 244M hashes).
-  probe:  the shard→filter map is broadcast once (ray.put); each probe
-          batch hashes its keys, recomputes the shard routing locally
-          and answers from the matching filter — no shuffle at all.
+          peels one structure over its hashes.  The shuffle moves ONLY
+          the 8-byte hashes (+ the w-bit value for maps) — never the
+          keys/texts — and each reducer's working set is n/num_shards
+          keys, so shard count scales the build to any corpus (10^12
+          keys = 4096 shards × 244M hashes).
+  probe:  the shard→structure map is broadcast once (ray.put); each
+          probe batch hashes its keys, recomputes the shard routing
+          locally and answers from the matching structure — no shuffle.
 
 The shard function is a pure function of the key hash, so build and
-probe can never disagree on routing.
+probe can never disagree on routing.  Filter and map share the
+build/route plumbing below — one copy to keep correct.
 """
 
 from __future__ import annotations
+
+from typing import Callable
 
 import numpy as np
 import pyarrow as pa
@@ -37,6 +43,76 @@ def _shard_of(h: np.ndarray, num_shards: int) -> np.ndarray:
     return (h >> _TOP) % np.uint64(num_shards)
 
 
+# -- shared shard→build→route plumbing --------------------------------
+
+def _sharded_build(ds: "ray.data.Dataset", key_column: str,
+                   num_shards: int,
+                   extra_cols: Callable[[pa.Table], dict] | None,
+                   build_group: Callable[[int, np.ndarray, pa.Table], bytes],
+                   ) -> dict[int, bytes]:
+    """Hash + route + per-shard build.  ``extra_cols(batch)`` may add
+    payload columns riding the shuffle (e.g. a map's values);
+    ``build_group(shard, hashes, group)`` returns the shard's state."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h = mmh3_64_batch(batch[key_column]).astype(np.uint64)
+        cols = {
+            "shard": pa.array(_shard_of(h, num_shards).astype(np.int64)),
+            "h": pa.array(h.view(np.int64)),
+        }
+        if extra_cols is not None:
+            cols.update(extra_cols(batch))
+        return pa.table(cols)
+
+    def build(g: pa.Table) -> pa.Table:
+        shard = g["shard"][0].as_py()
+        h = np.asarray(g["h"], dtype=np.int64).view(np.uint64)
+        return pa.table({
+            "shard": pa.array([shard], type=pa.int64()),
+            "state": pa.array([build_group(shard, h, g)], type=pa.binary()),
+        })
+
+    states = (
+        ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
+        .groupby("shard")
+        .map_groups(build, batch_format="pyarrow")
+    )
+    return {r["shard"]: r["state"] for r in states.take_all()}
+
+
+def _routed_apply(ds: "ray.data.Dataset", states: dict[int, bytes],
+                  column: str, num_shards: int, cache_tag: str,
+                  apply_fn: Callable[[object, np.ndarray], np.ndarray],
+                  out_column: str, out_dtype, batch_size: int,
+                  ) -> "ray.data.Dataset":
+    """Broadcast the shard map once and answer per batch from the
+    locally recomputed routing; absent shards keep the zero default."""
+    from ..proc_cache import cached_instance
+
+    ref = ray.put(dict(states))
+
+    def fn(batch: pa.Table) -> pa.Table:
+        structs = cached_instance(
+            (cache_tag, ref.hex()),
+            lambda: {s: sketch_from_bytes(b)
+                     for s, b in ray.get(ref).items()},
+        )
+        h = mmh3_64_batch(batch[column]).astype(np.uint64)
+        shard = _shard_of(h, num_shards)
+        out = np.zeros(h.size, dtype=out_dtype)
+        for s in np.unique(shard):
+            msk = shard == s
+            st = structs.get(int(s))
+            if st is not None:
+                out[msk] = apply_fn(st, h[msk])
+        return batch.append_column(out_column, pa.array(out))
+
+    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
+                          zero_copy_batch=True)
+
+
+# -- xor FILTER (membership) ------------------------------------------
+
 def build_sharded_xor(
     ds: "ray.data.Dataset",
     column: str,
@@ -52,28 +128,11 @@ def build_sharded_xor(
     states in the object store per shard)."""
     num_shards = int(num_shards)
 
-    def hash_batch(batch: pa.Table) -> pa.Table:
-        h = mmh3_64_batch(batch[column]).astype(np.uint64)
-        return pa.table({
-            "shard": pa.array(_shard_of(h, num_shards).astype(np.int64)),
-            "h": pa.array(h.view(np.int64)),
-        })
+    def build_group(shard: int, h: np.ndarray, g: pa.Table) -> bytes:
+        return XorFilter.build_hashes(h, bits=bits,
+                                      name=f"shard{shard}").to_bytes()
 
-    def build_group(g: pa.Table) -> pa.Table:
-        shard = g["shard"][0].as_py()
-        h = np.asarray(g["h"], dtype=np.int64).view(np.uint64)
-        f = XorFilter.build_hashes(h, bits=bits, name=f"shard{shard}")
-        return pa.table({
-            "shard": pa.array([shard], type=pa.int64()),
-            "state": pa.array([f.to_bytes()], type=pa.binary()),
-        })
-
-    states = (
-        ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("shard")
-        .map_groups(build_group, batch_format="pyarrow")
-    )
-    return {r["shard"]: r["state"] for r in states.take_all()}
+    return _sharded_build(ds, column, num_shards, None, build_group)
 
 
 def sharded_xor_probe(
@@ -86,31 +145,14 @@ def sharded_xor_probe(
     batch_size: int = 65536,
 ) -> "ray.data.Dataset":
     """Append a bool membership column answered by the sharded filters
-    (broadcast once, deserialized once per worker process)."""
-    from ..proc_cache import cached_instance
+    (broadcast once, deserialized once per worker process).  An absent
+    shard holds no keys (absent ⇒ not present)."""
+    return _routed_apply(
+        ds, states, column, int(num_shards), "sharded_xor",
+        lambda f, h: f.contains_hashes(h), out_column, bool, batch_size)
 
-    num_shards = int(num_shards)
-    ref = ray.put(dict(states))
 
-    def fn(batch: pa.Table) -> pa.Table:
-        filters = cached_instance(
-            ("sharded_xor", ref.hex()),
-            lambda: {s: sketch_from_bytes(b)
-                     for s, b in ray.get(ref).items()},
-        )
-        h = mmh3_64_batch(batch[column]).astype(np.uint64)
-        shard = _shard_of(h, num_shards)
-        out = np.zeros(h.size, dtype=bool)
-        for s in np.unique(shard):
-            m = shard == s
-            f = filters.get(int(s))
-            if f is not None:
-                out[m] = f.contains_hashes(h[m])
-        return batch.append_column(out_column, pa.array(out))
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
-                          zero_copy_batch=True)
-
+# -- xor MAP (static key→value retrieval) -----------------------------
 
 def build_sharded_xormap(
     ds: "ray.data.Dataset",
@@ -122,38 +164,24 @@ def build_sharded_xormap(
 ) -> dict[int, bytes]:
     """One retrieval map per hash shard; returns {shard: state bytes}.
 
-    Same shard→build→route shape as :func:`build_sharded_xor` (a map
-    is static too), shuffling (8-byte hash, value) pairs — never the
-    keys.  Conflicting duplicate keys raise inside the owning reducer
-    (a function must be single-valued)."""
+    Same shard→build→route shape as :func:`build_sharded_xor`,
+    shuffling (8-byte hash, value) pairs — never the keys.
+    Conflicting duplicate keys raise inside the owning reducer (a
+    function must be single-valued)."""
     from ..sketches.xorf import XorMap
 
     num_shards = int(num_shards)
 
-    def hash_batch(batch: pa.Table) -> pa.Table:
-        h = mmh3_64_batch(batch[key_column]).astype(np.uint64)
-        return pa.table({
-            "shard": pa.array(_shard_of(h, num_shards).astype(np.int64)),
-            "h": pa.array(h.view(np.int64)),
-            "v": pa.array(np.asarray(batch[value_column], dtype=np.int64)),
-        })
+    def extra(batch: pa.Table) -> dict:
+        return {"v": pa.array(np.asarray(batch[value_column],
+                                         dtype=np.int64))}
 
-    def build_group(g: pa.Table) -> pa.Table:
-        shard = g["shard"][0].as_py()
-        h = np.asarray(g["h"], dtype=np.int64).view(np.uint64)
+    def build_group(shard: int, h: np.ndarray, g: pa.Table) -> bytes:
         v = np.asarray(g["v"], dtype=np.int64)
-        m = XorMap.build_hashes_values(h, v, bits=bits, name=f"shard{shard}")
-        return pa.table({
-            "shard": pa.array([shard], type=pa.int64()),
-            "state": pa.array([m.to_bytes()], type=pa.binary()),
-        })
+        return XorMap.build_hashes_values(
+            h, v, bits=bits, name=f"shard{shard}").to_bytes()
 
-    states = (
-        ds.map_batches(hash_batch, batch_format="pyarrow", zero_copy_batch=True)
-        .groupby("shard")
-        .map_groups(build_group, batch_format="pyarrow")
-    )
-    return {r["shard"]: r["state"] for r in states.take_all()}
+    return _sharded_build(ds, key_column, num_shards, extra, build_group)
 
 
 def sharded_xormap_get(
@@ -168,26 +196,7 @@ def sharded_xormap_get(
     """Append the retrieved value column (exact for built keys,
     arbitrary for absent ones — pair with a sharded xor filter when
     absence must be detected; an absent SHARD returns 0)."""
-    from ..proc_cache import cached_instance
-
-    num_shards = int(num_shards)
-    ref = ray.put(dict(states))
-
-    def fn(batch: pa.Table) -> pa.Table:
-        maps = cached_instance(
-            ("sharded_xormap", ref.hex()),
-            lambda: {s: sketch_from_bytes(b)
-                     for s, b in ray.get(ref).items()},
-        )
-        h = mmh3_64_batch(batch[column]).astype(np.uint64)
-        shard = _shard_of(h, num_shards)
-        out = np.zeros(h.size, dtype=np.int64)
-        for s in np.unique(shard):
-            msk = shard == s
-            mp = maps.get(int(s))
-            if mp is not None:
-                out[msk] = mp.get_hashes(h[msk]).astype(np.int64)
-        return batch.append_column(out_column, pa.array(out))
-
-    return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
-                          zero_copy_batch=True)
+    return _routed_apply(
+        ds, states, column, int(num_shards), "sharded_xormap",
+        lambda m, h: m.get_hashes(h).astype(np.int64),
+        out_column, np.int64, batch_size)

@@ -3166,7 +3166,7 @@ def q_xormap_lang_lookup(sf_dir: str):
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     lang_rows = grouped_agg(ds, ["lang"], [("n", None, "count")]).take_all()
     langs = pa.array(sorted(r["lang"] for r in lang_rows), type=pa.string())
-    if len(langs) >= 256:
+    if len(langs) > 256:   # codes 0..255 fit 8 bits exactly
         raise ValueError("lang vocabulary exceeds 8-bit code space")
 
     def keyed(batch: pa.Table) -> pa.Table:

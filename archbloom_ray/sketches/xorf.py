@@ -150,15 +150,17 @@ class XorFilter(Sketch):
 
     def _assign(self, h: np.ndarray, m: int, order: np.ndarray,
                 slot_of: np.ndarray) -> None:
-        _, _, _, fp = self._positions(h)
-        self._assign_payload(h, m, order, slot_of, fp)
+        p0, p1, p2, fp = self._positions(h)
+        self._assign_payload(m, order, slot_of, fp, p0, p1, p2)
 
-    def _assign_payload(self, h: np.ndarray, m: int, order: np.ndarray,
-                        slot_of: np.ndarray, payload: np.ndarray) -> None:
+    def _assign_payload(self, m: int, order: np.ndarray,
+                        slot_of: np.ndarray, payload: np.ndarray,
+                        p0: np.ndarray, p1: np.ndarray,
+                        p2: np.ndarray) -> None:
         """Reverse round-batched assignment so that payload(x) ==
         B[p0]^B[p1]^B[p2] for every built key; ``payload`` is the
-        fingerprint (filter) or the user value (retrieval map)."""
-        p0, p1, p2, _ = self._positions(h)
+        fingerprint (filter) or the user value (retrieval map).
+        Positions are passed in — computed once per build."""
         B = np.zeros(m, dtype=payload.dtype)
         rounds = self._rounds
         # reverse round order; within a round all writes are independent
@@ -279,12 +281,17 @@ class XorMap(XorFilter):
         v = np.asarray(values)
         if h.size != v.size:
             raise SketchError(f"{h.size} keys vs {v.size} values")
-        if v.size and (np.asarray(v, dtype=np.int64) < 0).any():
-            raise SketchError("values must be non-negative")
-        if bits < 64 and v.size and \
-                (np.asarray(v, dtype=np.int64) >= (1 << bits)).any():
-            raise SketchError(f"values must fit {bits} bits")
-        v = v.astype(cls._DTYPES[bits])
+        if v.size:
+            # signed dtypes: reject negatives BEFORE the uint64 view
+            # (unsigned input keeps the full 64-bit value range)
+            if np.issubdtype(v.dtype, np.signedinteger) and (v < 0).any():
+                raise SketchError("values must be non-negative")
+            vu = v.astype(_U64)
+            if bits < 64 and (vu >= _U64(1 << bits)).any():
+                raise SketchError(f"values must fit {bits} bits")
+            v = vu.astype(cls._DTYPES[bits])
+        else:
+            v = v.astype(cls._DTYPES[bits])
         order = np.argsort(h, kind="stable")
         hs, vs = h[order], v[order]
         first = np.ones(hs.size, dtype=bool)
@@ -307,7 +314,8 @@ class XorMap(XorFilter):
             self.seed = attempt
             order2, slots_of = self._peel(h, m)
             if order2 is not None:
-                self._assign_payload(h, m, order2, slots_of, v)
+                p0, p1, p2, _ = self._positions(h)
+                self._assign_payload(m, order2, slots_of, v, p0, p1, p2)
                 return self
         raise SketchError(
             f"xor map peeling failed after {max_attempts} seeds (n={n})")

@@ -210,3 +210,31 @@ class TestShardedXorMap:
         }))
         with pytest.raises(Exception, match="conflicting"):
             build_sharded_xormap(ds, "key", "val", num_shards=2, bits=8)
+
+
+class TestXorMapReviewEdges:
+    def test_full_64bit_value_range(self):
+        # uint64 values >= 2^63 are legitimate for bits=64 (the review
+        # caught an int64 view rejecting them as negative)
+        from archbloom_ray.sketches import XorMap
+
+        m = XorMap.build_hashes_values(
+            np.array([11, 22], dtype=np.uint64),
+            np.array([2**63 + 5, 7], dtype=np.uint64), bits=64)
+        got = m.get_hashes(np.array([11, 22], dtype=np.uint64))
+        assert got[0] == np.uint64(2**63 + 5) and got[1] == 7
+
+    def test_signed_negative_still_rejected(self):
+        from archbloom_ray.sketches import XorMap
+
+        with pytest.raises(SketchError, match="non-negative"):
+            XorMap.build_hashes_values(np.array([1], dtype=np.uint64),
+                                       np.array([-1]), bits=64)
+
+    def test_qf_probe_method_validated(self):
+        from archbloom_ray.pipelines.build import sharded_qf_probe
+        from archbloom_ray.sketches import QuotientFilter
+
+        with pytest.raises(ValueError, match="unknown probe method"):
+            sharded_qf_probe(None, {}, "k", lambda: QuotientFilter(16),
+                             method="count")
