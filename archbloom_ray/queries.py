@@ -3185,6 +3185,53 @@ def q_xormap_lang_lookup(sf_dir: str):
     return out.select_columns(["doc_id", "lang_code"])
 
 
+def q_superspreader_suppliers(sf_dir: str):
+    """SUPERSPREADER detection (the network-monitoring north-star
+    shape: which keys touch the most DISTINCT values — here suppliers
+    by distinct orders): per-key HLLs from ONE count-row scan
+    (build_grouped_value_sketches) rank candidates, the exact
+    distributed COUNT(DISTINCT) side certifies.  Output: exact top-10
+    (n DESC, key ASC tie-break — deterministic), with booleans that
+    (a) each winner's HLL estimate lands within 3·1.04/√m of exact
+    and (b) the bound-adjusted candidate set — keys whose estimate
+    clears (1−bound)·(10th exact count) − slack — contains every true
+    winner.  (b) at that threshold is IMPLIED by (a), so the gate is
+    never tighter than the sketch's own bound (a fixed top-20-by-
+    estimate cut was measured to fail here: TPC-H's uniform supplier
+    distribution packs distinct counts within ~5%, inside HLL noise ×
+    1000 keys — candidate-set size is distribution-dependent and this
+    column certifies the pruning is SOUND, not that it is small).
+    Supplier cardinality is a bounded dimension (the per-type /
+    bounded-top-k driver-reduction exemption)."""
+    from .pipelines.build import build_grouped_value_sketches
+    from .pipelines.relational import grouped_distinct_count, topk_rows
+    from .sketches.base import sketch_from_bytes as _sfb
+
+    ds = _read(sf_dir, "lineitem", ["l_suppkey", "l_orderkey"]).materialize()
+    states = build_grouped_value_sketches(
+        ds, "l_suppkey", "l_orderkey",
+        {"hll": lambda: HyperLogLog(14)}, salt=4)
+    est = {int(r["key"]): _sfb(r["state"]).cardinality()
+           for r in states.take_all()}
+    top = topk_rows(grouped_distinct_count(ds, ["l_suppkey"], "l_orderkey"),
+                    [("n_distinct", "descending"), ("l_suppkey", "ascending")],
+                    10)
+    bound = 3 * 1.04 / math.sqrt(2 ** 14)
+    keys = top["l_suppkey"].to_pylist()
+    exact = top["n_distinct"].to_pylist()
+    bar = (1.0 - bound) * (exact[-1] if exact else 0) - 4.0
+    cand = {k for k, v in est.items() if v >= bar}
+    return pa.table({
+        "l_suppkey": pa.array(keys, type=pa.int64()),
+        "n_orders": pa.array(exact, type=pa.int64()),
+        "hll_within_bound": pa.array(
+            [abs(est.get(k, 0.0) - e) <= bound * e + 4.0
+             for k, e in zip(keys, exact)], type=pa.bool_()),
+        "hll_top_candidate": pa.array(
+            [k in cand for k in keys], type=pa.bool_()),
+    })
+
+
 # ---------------------------------------------------------------------------
 # Training-data operators over the documents table
 # ---------------------------------------------------------------------------
@@ -9721,6 +9768,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_qf_membership": q_sharded_qf_membership,
         "sharded_cqf_counts": q_sharded_cqf_counts,
         "xormap_lang_lookup": q_xormap_lang_lookup,
+        "superspreader_suppliers": q_superspreader_suppliers,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11471,6 +11519,15 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id,
                    dense_rank() OVER (ORDER BY lang) - 1 AS lang_code
             FROM documents
+        """,
+        "superspreader_suppliers": """
+            SELECT l_suppkey,
+                   count(DISTINCT l_orderkey) AS n_orders,
+                   TRUE AS hll_within_bound,
+                   TRUE AS hll_top_candidate
+            FROM lineitem GROUP BY l_suppkey
+            ORDER BY n_orders DESC, l_suppkey
+            LIMIT 10
         """,
         "sharded_cqf_counts": """
             SELECT l_orderkey, count(*) AS n_lines
