@@ -119,18 +119,27 @@ def build_sharded_xor(
     *,
     num_shards: int = 16,
     bits: int = 8,
+    kind: str = "xor",
 ) -> dict[int, bytes]:
     """One filter per hash shard; returns {shard: serialized filter}.
 
-    Output size is ~1.23·bits/8 bytes per distinct key total — small
-    enough to broadcast (a 10^9-key set at 8 bits is ~1.2 GB; shard the
-    PROBE side too before that point, or raise num_shards and keep the
-    states in the object store per shard)."""
+    ``kind='xor'`` (1.23·bits/8 B/key) or ``'bfuse'`` (binary fuse —
+    ~1.125 factor for corpus-scale shards; JEA'22).  Output size is
+    small enough to broadcast (a 10^9-key set at 8 bits is ~1.2 GB;
+    shard the PROBE side too before that point, or raise num_shards
+    and keep the states in the object store per shard).  The probe
+    (:func:`sharded_xor_probe`) is kind-agnostic — states deserialize
+    by magic."""
+    from ..sketches.xorf import BinaryFuseFilter
+
+    if kind not in ("xor", "bfuse"):
+        raise ValueError(f"unknown static filter kind {kind!r}")
+    cls = XorFilter if kind == "xor" else BinaryFuseFilter
     num_shards = int(num_shards)
 
     def build_group(shard: int, h: np.ndarray, g: pa.Table) -> bytes:
-        return XorFilter.build_hashes(h, bits=bits,
-                                      name=f"shard{shard}").to_bytes()
+        return cls.build_hashes(h, bits=bits,
+                                name=f"shard{shard}").to_bytes()
 
     return _sharded_build(ds, column, num_shards, None, build_group)
 

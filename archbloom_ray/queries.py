@@ -3185,6 +3185,22 @@ def q_xormap_lang_lookup(sf_dir: str):
     return out.select_columns(["doc_id", "lang_code"])
 
 
+def q_bfuse_membership(sf_dir: str):
+    """Binary fuse filter membership (sketches/xorf.py
+    BinaryFuseFilter, Graf & Lemire JEA'22 — the xor filter's ~1.125×
+    successor; the gain is asymptotic, so the bench-scale shards are
+    where it pays): key-hash-sharded build (kind='bfuse' rides the
+    shared shard→build→route plumbing), kind-agnostic routed probe.
+    Static filters have no false negatives — all-present oracle."""
+    from .pipelines import build_sharded_xor, sharded_xor_probe
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    states = build_sharded_xor(ds, "text", num_shards=8, bits=8,
+                               kind="bfuse")
+    probed = sharded_xor_probe(ds, states, "text", num_shards=8)
+    return probed.select_columns(["doc_id", "present"])
+
+
 def q_superspreader_suppliers(sf_dir: str):
     """SUPERSPREADER detection (the network-monitoring north-star
     shape: which keys touch the most DISTINCT values — here suppliers
@@ -9769,6 +9785,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sharded_cqf_counts": q_sharded_cqf_counts,
         "xormap_lang_lookup": q_xormap_lang_lookup,
         "superspreader_suppliers": q_superspreader_suppliers,
+        "bfuse_membership": q_bfuse_membership,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11520,6 +11537,7 @@ def oracle_sql() -> dict[str, str]:
                    dense_rank() OVER (ORDER BY lang) - 1 AS lang_code
             FROM documents
         """,
+        "bfuse_membership": "SELECT doc_id, TRUE AS present FROM documents",
         "superspreader_suppliers": """
             SELECT l_suppkey,
                    count(DISTINCT l_orderkey) AS n_orders,

@@ -22,7 +22,7 @@ from .theta import ThetaSketch
 from .cuckoo import CuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
-from .xorf import XorFilter, XorMap
+from .xorf import BinaryFuseFilter, XorFilter, XorMap
 from .qf import QuotientFilter, CountingQuotientFilter
 from .fd import FrequentDirections
 from .roaring import RoaringBitmap
@@ -58,6 +58,7 @@ __all__ = [
     "DDSketch",
     "XorFilter",
     "XorMap",
+    "BinaryFuseFilter",
     "QuotientFilter",
     "CountingQuotientFilter",
     "FrequentDirections",

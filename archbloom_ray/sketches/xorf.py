@@ -357,3 +357,113 @@ class XorMap(XorFilter):
     def lookup_batch(self, arr):
         raise SketchError("xor map stores values, not fingerprints — "
                           "pair with an XorFilter for membership")
+
+
+@register
+class BinaryFuseFilter(XorFilter):
+    """Binary fuse filter — the xor filter's smaller successor (Graf &
+    Lemire, "Binary Fuse Filters: Fast and Smaller Than Xor Filters",
+    JEA 2022): same fp == B[p0]^B[p1]^B[p2] contract and the same
+    round-parallel peeling, but the three slots live in three
+    CONSECUTIVE power-of-two segments chosen by a fair multiply-shift
+    over the key hash (§3) — the "fuse" topology peels at ~1.125·n
+    slots for large n (vs the xor construction's 1.23·n), i.e. ~9.0
+    bits/key at 8-bit fingerprints for corpus-scale builds (the gain
+    is asymptotic: below ~10^5 keys the paper's size factor matches
+    the xor filter's).
+
+    Sizing follows the paper's published parameters (§4): 3-wise
+    arity, segment_length = min(2^18, 2^⌊log(n)/log(3.33) + 2.25⌋),
+    size factor max(1.125, 0.875 + 0.25·ln(10^6)/ln(n)).
+
+    Static like the parent; distributed builds shard by key hash
+    (`pipelines/staticfilter.py` — the shared shard→build→route
+    plumbing works unchanged: pass ``kind='bfuse'`` to
+    ``build_sharded_xor``)."""
+
+    MAGIC = b"!binfuse"
+
+    def __init__(self, bits: int = 8, name: str = "DEFAULT"):
+        super().__init__(bits=bits, name=name)
+        self.seg_len = 1          # power-of-two segment length
+        self.n_segments = 3       # total segments incl. the 2 fused tails
+
+    # -- fuse sizing (paper §4, 3-wise) --------------------------------
+    def _size(self, n: int) -> None:
+        import math as _m
+        if n <= 1:
+            self.seg_len = 4
+        else:
+            self.seg_len = 1 << int(_m.floor(_m.log(n) / _m.log(3.33) + 2.25))
+            self.seg_len = min(self.seg_len, 1 << 18)
+        factor = 1.125 if n <= 1 else max(
+            1.125, 0.875 + 0.25 * _m.log(1_000_000) / _m.log(n))
+        capacity = int(round(n * factor))
+        n_seg = (capacity + self.seg_len - 1) // self.seg_len
+        self.n_segments = max(n_seg, 3)
+        # slots = n_segments * seg_len; a key's window starts in
+        # segments [0, n_segments - 3] (window = 3 consecutive)
+        self.seg = 0   # parent field unused; slots sized below
+
+    @property
+    def _m_slots(self) -> int:
+        return self.n_segments * self.seg_len
+
+    def _positions(self, h: np.ndarray):
+        """Window start by fair multiply-shift over the usable
+        segment range, then one slot per consecutive segment from
+        independent hash bits (paper §3.2)."""
+        hh = _splitmix(h.astype(_U64) ^ _U64(self.seed))
+        n_windows = _U64(max(1, (self.n_segments - 2))) * _U64(self.seg_len)
+        # fair map of the top 32 bits onto [0, n_windows) — multiply-
+        # shift (Lemire's fast range reduction); window start is
+        # aligned DOWN to a segment boundary after offsetting
+        start = ((hh >> _U64(32)) * n_windows >> _U64(32)).astype(np.int64)
+        start -= start % self.seg_len
+        mask = _U64(self.seg_len - 1)
+        p0 = start + (hh & mask).astype(np.int64)
+        p1 = start + self.seg_len + ((hh >> _U64(18)) & mask).astype(np.int64)
+        p2 = start + 2 * self.seg_len + ((hh >> _U64(36)) & mask).astype(np.int64)
+        fp = (_splitmix(hh) & _U64((1 << self.bits) - 1))
+        fp = fp.astype(np.uint8 if self.bits == 8 else np.uint16)
+        return p0, p1, p2, fp
+
+    @classmethod
+    def build_hashes(cls, keyhashes: np.ndarray, bits: int = 8,
+                     name: str = "DEFAULT",
+                     max_attempts: int = 128) -> "BinaryFuseFilter":
+        self = cls(bits=bits, name=name)
+        h = np.unique(np.asarray(keyhashes, dtype=_U64))
+        n = int(h.size)
+        self.n = n
+        if n == 0:
+            self._size(1)
+            self.slots = np.zeros(self._m_slots, dtype=self.slots.dtype)
+            return self
+        self._size(n)
+        for attempt in range(max_attempts):
+            self.seed = attempt
+            order, slots_of = self._peel(h, self._m_slots)
+            if order is not None:
+                self._assign(h, self._m_slots, order, slots_of)
+                return self
+            # the paper grows the array when peeling stalls repeatedly
+            if attempt % 8 == 7:
+                self.n_segments += 1
+        raise SketchError(
+            f"binary fuse peeling failed after {max_attempts} seeds (n={n})")
+
+    # -- serialization --------------------------------------------------
+    def _meta(self) -> dict:
+        return {"bits": self.bits, "name": self.name, "seed": self.seed,
+                "seg_len": self.seg_len, "n_segments": self.n_segments,
+                "n": self.n}
+
+    @classmethod
+    def _from_meta(cls, meta: dict) -> "BinaryFuseFilter":
+        obj = cls(bits=meta["bits"], name=meta.get("name", "DEFAULT"))
+        obj.seed = int(meta["seed"])
+        obj.seg_len = int(meta["seg_len"])
+        obj.n_segments = int(meta["n_segments"])
+        obj.n = int(meta["n"])
+        return obj

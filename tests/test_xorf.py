@@ -238,3 +238,67 @@ class TestXorMapReviewEdges:
         with pytest.raises(ValueError, match="unknown probe method"):
             sharded_qf_probe(None, {}, "k", lambda: QuotientFilter(16),
                              method="count")
+
+
+class TestBinaryFuse:
+    """Binary fuse filter (JEA'22): no false negatives, FPR ~ 2^-bits,
+    smaller than xor at scale, serde, static semantics, sharded kind."""
+
+    def test_no_false_negatives_and_fpr(self):
+        from archbloom_ray.sketches import BinaryFuseFilter
+
+        h = np.random.default_rng(1).integers(
+            0, 2**63, 50_000).astype(np.uint64)
+        f = BinaryFuseFilter.build_hashes(h, bits=8)
+        assert f.contains_hashes(h).all()
+        absent = np.random.default_rng(2).integers(
+            0, 2**63, 100_000).astype(np.uint64)
+        fpr = f.contains_hashes(absent).mean()
+        # contract 2^-8; 3 sd binomial slack on 100k probes
+        assert fpr <= 2**-8 + 3 * np.sqrt(2**-8 / 100_000), fpr
+
+    def test_smaller_than_xor_at_scale(self):
+        from archbloom_ray.sketches import BinaryFuseFilter, XorFilter
+
+        h = np.random.default_rng(3).integers(
+            0, 2**63, 200_000).astype(np.uint64)
+        bf = BinaryFuseFilter.build_hashes(h, bits=8)
+        xf = XorFilter.build_hashes(h, bits=8)
+        assert bf.bits_per_key < xf.bits_per_key
+        assert bf.bits_per_key < 9.6         # paper: -> 9.0 asymptotic
+
+    def test_serde_and_static(self):
+        from archbloom_ray.sketches import BinaryFuseFilter
+
+        keys = pa.array([f"k{i}" for i in range(5000)])
+        f = BinaryFuseFilter.build_arrow(keys, bits=16)
+        r = sketch_from_bytes(f.to_bytes())
+        assert isinstance(r, BinaryFuseFilter)
+        assert r.lookup_batch(keys).all()
+        with pytest.raises(SketchError, match="static"):
+            f.update_arrow(keys)
+        with pytest.raises(SketchError, match="static"):
+            f.merge(f)
+
+    def test_empty(self):
+        from archbloom_ray.sketches import BinaryFuseFilter
+
+        f = BinaryFuseFilter.build_hashes(np.empty(0, dtype=np.uint64))
+        assert not f.contains_hashes(
+            np.array([123], dtype=np.uint64)).any()
+        assert sketch_from_bytes(f.to_bytes()).n == 0
+
+    def test_sharded_kind(self, ray_session):
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (build_sharded_xor,
+                                             sharded_xor_probe)
+
+        ds = rd.read_parquet("/root/testdata/sf0.001/documents.parquet",
+                             columns=["text"])
+        states = build_sharded_xor(ds, "text", num_shards=4, bits=8,
+                                   kind="bfuse")
+        probed = sharded_xor_probe(ds, states, "text", num_shards=4)
+        assert all(r["present"] for r in probed.take_all())
+        with pytest.raises(ValueError, match="kind"):
+            build_sharded_xor(ds, "text", kind="nope")
