@@ -1672,6 +1672,7 @@ def build_sharded_qf_states(
     *,
     num_shards: int = 32,
     batch_size: int = 65536,
+    num_cpus=None,
 ) -> dict[int, bytes]:
     """Sharded quotient-filter build → ``{shard: QF state bytes}``.
 
@@ -1684,7 +1685,8 @@ def build_sharded_qf_states(
     (pytest-proved).  Counting variant: ``counting=True`` pre-aggregates
     (fingerprint, count) per batch and the reducer sums counts."""
     return _build_sharded_qf(ds, column, factory, counting=False,
-                             num_shards=num_shards, batch_size=batch_size)
+                             num_shards=num_shards, batch_size=batch_size,
+                             num_cpus=num_cpus)
 
 
 def build_sharded_cqf_states(
@@ -1705,7 +1707,7 @@ def build_sharded_cqf_states(
 
 
 def _build_sharded_qf(ds, column, factory, *, counting, num_shards,
-                      batch_size) -> dict[int, bytes]:
+                      batch_size, num_cpus=None) -> dict[int, bytes]:
     from ..hashing import mmh3_128_batch
 
     tpl = factory()
@@ -1731,8 +1733,10 @@ def _build_sharded_qf(ds, column, factory, *, counting, num_shards,
         shard = (fp // W).astype(np.int32)
         return _pack_lists(shard, {"fp": fp})
 
+    extra = {"num_cpus": num_cpus} if num_cpus else {}
     parts = ds.map_batches(hash_batch, batch_format="pyarrow",
-                           batch_size=batch_size, zero_copy_batch=True)
+                           batch_size=batch_size, zero_copy_batch=True,
+                           **extra)
 
     def build_shard(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()

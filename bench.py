@@ -257,6 +257,22 @@ def run_bench() -> dict:
 
     timings["pages_tdbloom_event_time"] = _timed(tdbloom_event_time)
 
+    def sharded_qf():
+        """Deletable-AMQ family at bench scale: fingerprint-range
+        sharded quotient-filter build over the url column — the scan
+        ships one deduped uint64 fingerprint per key (8 B, independent
+        of capacity), reducers union disjoint sorted ranges."""
+        from archbloom_ray.pipelines import build_sharded_qf_states
+        from archbloom_ray.sketches import QuotientFilter
+
+        ds = rd.read_parquet(pages_path, columns=["url"])
+        build_sharded_qf_states(
+            ds, "url", lambda: QuotientFilter(n_pages, 0.01),
+            num_shards=max(16, NUM_CPUS), batch_size=262144,
+            num_cpus=TASK_CPUS if TASK_CPUS != 1 else None)
+
+    timings["pages_sharded_qf"] = _timed(sharded_qf)
+
     def minhash_dedup():
         rows = min(100_000, BENCH_PAGES_ROWS)
         sub = pages_fixture(rows, seed=9)
