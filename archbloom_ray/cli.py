@@ -488,10 +488,53 @@ def _fresh_like(sk):
     return fresh
 
 
+def cmd_create_static(args):
+    """Static structures (xor / binary fuse / retrieval map) need every
+    key at construction — one pruned parquet read, single-machine
+    build (CLI-scale inputs; corpus-scale builds go through the
+    sharded library API, pipelines/staticfilter.py)."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    from .sketches import BinaryFuseFilter, XorFilter, XorMap
+
+    if not args.input.endswith(".parquet"):
+        print(json.dumps({"error": "create-static reads parquet input"}))
+        sys.exit(2)
+    if args.kind == "xormap":
+        if not args.value_column:
+            print(json.dumps({"error": "--value-column required for "
+                              "--kind xormap"}))
+            sys.exit(2)
+        t = pq.read_table(args.input,
+                          columns=[args.column, args.value_column])
+        sk = XorMap.build_arrow_values(
+            t[args.column], np.asarray(t[args.value_column]),
+            bits=args.bits, name=args.name)
+    else:
+        cls = XorFilter if args.kind == "xor" else BinaryFuseFilter
+        t = pq.read_table(args.input, columns=[args.column])
+        sk = cls.build_arrow(t[args.column], bits=args.bits, name=args.name)
+    _save(sk, args.output)
+    out = {"saved": args.output, "type": type(sk).__name__,
+           "n": sk.n, "bits_per_key": round(sk.bits_per_key, 3)}
+    print(json.dumps(out))
+
+
 def cmd_query(args):
+    from .sketches import CountingQuotientFilter, XorMap
+
     sk = _load(args.sketch)
+    if isinstance(sk, XorMap):
+        # retrieval map: the answer is the value (exact for built keys)
+        print(json.dumps({"element": args.element,
+                          "value": sk.get(args.element)}))
+        sys.exit(0)
     present = sk.lookup(args.element)
-    print(json.dumps({"element": args.element, "present": bool(present)}))
+    out = {"element": args.element, "present": bool(present)}
+    if isinstance(sk, CountingQuotientFilter):
+        out["count"] = sk.count(args.element)
+    print(json.dumps(out))
     sys.exit(0 if present else 1)
 
 
@@ -868,6 +911,18 @@ def main(argv=None):
                     help="event-time column (required for slidinghll)")
     common_sketch_args(sp)
     sp.set_defaults(fn=cmd_create)
+
+    sp = sub.add_parser("create-static")
+    sp.add_argument("input", help="parquet file")
+    sp.add_argument("output")
+    sp.add_argument("--kind", default="xor",
+                    choices=["xor", "bfuse", "xormap"])
+    sp.add_argument("--column", default="url")
+    sp.add_argument("--value-column", default=None,
+                    help="int value column (required for xormap)")
+    sp.add_argument("--bits", type=int, default=8)
+    sp.add_argument("--name", default="DEFAULT")
+    sp.set_defaults(fn=cmd_create_static)
 
     sp = sub.add_parser("create-sharded")
     sp.add_argument("input")

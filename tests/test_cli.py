@@ -488,3 +488,41 @@ def test_create_session8_kinds(ray_session, tmp_path):
         info = json.loads(r.stdout.strip().splitlines()[-1])
         assert info["type"] in ("ReqSketch", "DynamicDistinct",
                                 "GroupSizeSampler")
+
+
+def test_create_static_kinds(tmp_path):
+    """create-static builds xor / bfuse / xormap from parquet; query
+    answers membership (filters) or the exact value (retrieval map);
+    cqf query reports the count."""
+    p = str(tmp_path / "kv.parquet")
+    pq.write_table(pa.table({
+        "url": [f"https://k{i}.example/x" for i in range(400)],
+        "code": pa.array([i % 100 for i in range(400)], type=pa.int64()),
+    }), p)
+    for kind in ("xor", "bfuse"):
+        sk = str(tmp_path / f"{kind}.sk")
+        out = run_cli("create-static", p, sk, "--kind", kind,
+                      "--column", "url")
+        meta = json.loads(out.stdout.strip().splitlines()[-1])
+        assert meta["n"] == 400
+        q = run_cli("query", sk, "https://k7.example/x")
+        assert json.loads(q.stdout.strip().splitlines()[-1])["present"]
+    sk = str(tmp_path / "map.sk")
+    out = run_cli("create-static", p, sk, "--kind", "xormap",
+                  "--column", "url", "--value-column", "code")
+    assert json.loads(out.stdout.strip().splitlines()[-1])["type"] == "XorMap"
+    q = run_cli("query", sk, "https://k123.example/x")
+    assert json.loads(q.stdout.strip().splitlines()[-1])["value"] == 23
+
+
+def test_query_counting_qf_reports_count(tmp_path):
+    from archbloom_ray.sketches import CountingQuotientFilter
+
+    sk = CountingQuotientFilter(100, fpr=2.0 ** -40)
+    sk.update_arrow(pa.array(["a", "a", "a", "b"]))
+    path = str(tmp_path / "c.sk")
+    with open(path, "wb") as f:
+        f.write(sk.to_bytes())
+    q = run_cli("query", path, "a")
+    r = json.loads(q.stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 3
