@@ -51,22 +51,28 @@ def _sharded_build(ds: "ray.data.Dataset", key_column: str,
                    build_group: Callable[[int, np.ndarray, pa.Table], bytes],
                    ) -> dict[int, bytes]:
     """Hash + route + per-shard build.  ``extra_cols(batch)`` may add
-    payload columns riding the shuffle (e.g. a map's values);
-    ``build_group(shard, hashes, group)`` returns the shard's state."""
+    numpy payload columns riding the shuffle (e.g. a map's values);
+    ``build_group(shard, hashes, group)`` returns the shard's state.
+
+    Per-batch rows are packed into one LIST row per (batch, shard)
+    (the `_pack_lists` discipline every sharded build here follows) —
+    shuffle bytes unchanged, row count shrunk by the keys-per-shard
+    factor, so the exchange's sort cost never sees per-key rows."""
+    from .build import _pack_lists, _unpack_list
 
     def hash_batch(batch: pa.Table) -> pa.Table:
         h = mmh3_64_batch(batch[key_column]).astype(np.uint64)
-        cols = {
-            "shard": pa.array(_shard_of(h, num_shards).astype(np.int64)),
-            "h": pa.array(h.view(np.int64)),
-        }
+        shard = _shard_of(h, num_shards).astype(np.int32)
+        order = np.argsort(shard, kind="stable")
+        cols = {"h": h.view(np.int64)[order]}
         if extra_cols is not None:
-            cols.update(extra_cols(batch))
-        return pa.table(cols)
+            for name, arr in extra_cols(batch).items():
+                cols[name] = np.asarray(arr)[order]
+        return _pack_lists(shard[order], cols)
 
     def build(g: pa.Table) -> pa.Table:
         shard = g["shard"][0].as_py()
-        h = np.asarray(g["h"], dtype=np.int64).view(np.uint64)
+        h = _unpack_list(g["h"]).view(np.uint64)
         return pa.table({
             "shard": pa.array([shard], type=pa.int64()),
             "state": pa.array([build_group(shard, h, g)], type=pa.binary()),
@@ -182,11 +188,12 @@ def build_sharded_xormap(
     num_shards = int(num_shards)
 
     def extra(batch: pa.Table) -> dict:
-        return {"v": pa.array(np.asarray(batch[value_column],
-                                         dtype=np.int64))}
+        return {"v": np.asarray(batch[value_column], dtype=np.int64)}
 
     def build_group(shard: int, h: np.ndarray, g: pa.Table) -> bytes:
-        v = np.asarray(g["v"], dtype=np.int64)
+        from .build import _unpack_list
+
+        v = _unpack_list(g["v"])
         return XorMap.build_hashes_values(
             h, v, bits=bits, name=f"shard{shard}").to_bytes()
 

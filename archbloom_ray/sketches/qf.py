@@ -264,6 +264,10 @@ class QuotientFilter(Sketch):
                  + np.arange(int(counts.sum()), dtype=np.int64)
                  - np.repeat(prefix, counts))
         quots = np.repeat(occ_q, counts).astype(np.uint64)
+        # run-major SLOT order — our encoder emits within-run
+        # remainders sorted, but a foreign RSQF layout need not;
+        # callers (from_layout/_set_arrays) restore the sorted-unique
+        # invariant searchsorted depends on
         return (quots << np.uint64(r)) | remainders[slots].astype(np.uint64)
 
     @classmethod
@@ -272,7 +276,12 @@ class QuotientFilter(Sketch):
                     name: str = "DEFAULT") -> "QuotientFilter":
         obj = cls.__new__(cls)
         obj.q, obj.r, obj.name = int(q), int(r), name
-        obj.fps = cls._decode_layout(q, r, occupieds, runends, remainders)
+        # sorted-unique restore: a foreign layout may order a run's
+        # remainders arbitrarily (and may store duplicates — set
+        # semantics unions them); without this, searchsorted lookups
+        # silently lose residents
+        obj.fps = np.unique(
+            cls._decode_layout(q, r, occupieds, runends, remainders))
         if obj.fps.size > (1 << obj.q):
             raise SketchError("corrupt RSQF layout: more runs than slots")
         return obj
@@ -308,8 +317,8 @@ class QuotientFilter(Sketch):
         nslots = int(nslots_a[0])
         occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
         runends = np.unpackbits(run_b, count=nslots).astype(bool)
-        self.fps = self._decode_layout(self.q, self.r, occupieds, runends,
-                                       remainders)
+        self.fps = np.unique(self._decode_layout(
+            self.q, self.r, occupieds, runends, remainders))
 
     @classmethod
     def _from_meta(cls, meta) -> "QuotientFilter":
@@ -476,16 +485,30 @@ class CountingQuotientFilter(QuotientFilter):
         if counts is None:
             raise SketchError("counting QF from_layout needs the aligned "
                               "counts array (layout alone has no counts)")
-        obj = super().from_layout(q, r, occupieds, runends, remainders,
-                                  name=name)
+        decoded = cls._decode_layout(q, r, occupieds, runends, remainders)
         cnt = np.asarray(counts, dtype=np.int64)
-        if cnt.size != obj.fps.size:
+        if cnt.size != decoded.size:
             raise SketchError(
-                f"counts misaligned: {cnt.size} != {obj.fps.size} fingerprints")
+                f"counts misaligned: {cnt.size} != {decoded.size} fingerprints")
         if (cnt <= 0).any():
             raise SketchError("counts must be > 0")
-        obj.counts = cnt.copy()
+        obj = cls.__new__(cls)
+        obj.q, obj.r, obj.name = int(q), int(r), name
+        # restore sorted-unique with counts following the permutation
+        # (foreign layouts may order runs arbitrarily / hold duplicate
+        # fingerprints — counts of duplicates merge-ADD)
+        obj.fps, obj.counts = cls._sorted_aligned(decoded, cnt)
+        if obj.fps.size > (1 << obj.q):
+            raise SketchError("corrupt RSQF layout: more runs than slots")
         return obj
+
+    @staticmethod
+    def _sorted_aligned(fps_raw: np.ndarray,
+                        cnt: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+        ufp, inverse = np.unique(fps_raw, return_inverse=True)
+        acc = np.zeros(ufp.size, dtype=np.int64)
+        np.add.at(acc, inverse, cnt)
+        return ufp, acc
 
     # -- serialization -------------------------------------------------
     def _arrays(self) -> list[np.ndarray]:
@@ -504,9 +527,10 @@ class CountingQuotientFilter(QuotientFilter):
         nslots = int(nslots_a[0])
         occupieds = np.unpackbits(occ_b, count=nslots).astype(bool)
         runends = np.unpackbits(run_b, count=nslots).astype(bool)
-        self.fps = self._decode_layout(self.q, self.r, occupieds, runends,
-                                       remainders)
-        self.counts = counts.astype(np.int64, copy=True)
+        decoded = self._decode_layout(self.q, self.r, occupieds, runends,
+                                      remainders)
+        self.fps, self.counts = self._sorted_aligned(
+            decoded, counts.astype(np.int64))
 
     @classmethod
     def _from_meta(cls, meta) -> "CountingQuotientFilter":

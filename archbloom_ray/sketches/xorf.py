@@ -282,6 +282,12 @@ class XorMap(XorFilter):
         if h.size != v.size:
             raise SketchError(f"{h.size} keys vs {v.size} values")
         if v.size:
+            # retrieval is EXACT by contract: only integer arrays may
+            # enter (a float would truncate silently — and a negative
+            # float bypasses the signed check below entirely)
+            if not np.issubdtype(v.dtype, np.integer):
+                raise SketchError(
+                    f"values must be an integer array, got {v.dtype}")
             # signed dtypes: reject negatives BEFORE the uint64 view
             # (unsigned input keeps the full 64-bit value range)
             if np.issubdtype(v.dtype, np.signedinteger) and (v < 0).any():

@@ -326,3 +326,36 @@ class TestCountingQuotientFilter:
             got = f.count_batch(pa.array(uniq, type=pa.string()))
             assert list(got) == [exact[k] for k in uniq]
         assert f.total() == len(keys)
+
+
+class TestForeignLayoutDecode:
+    """Review finding: a foreign RSQF layout may order a run's
+    remainders arbitrarily (or hold duplicate fingerprints) — decode
+    must restore the sorted-unique invariant searchsorted needs."""
+
+    def test_shuffled_run_decodes_sorted(self):
+        f = QuotientFilter(64, 0.01)
+        f.update_arrow(_keys(50))
+        occ, rend, rem = f.to_layout()
+        ends = np.flatnonzero(rend)
+        occq = np.flatnonzero(occ)
+        starts = np.maximum(occq, np.concatenate(([0], ends[:-1] + 1)))
+        swapped = False
+        for s, e in zip(starts, ends):
+            if e > s:
+                rem[s], rem[e] = rem[e].copy(), rem[s].copy()
+                swapped = True
+                break
+        assert swapped, "fixture produced no multi-key run"
+        g = QuotientFilter.from_layout(f.q, f.r, occ, rend, rem)
+        assert (np.diff(g.fps.astype(np.int64)) > 0).all()
+        assert g._member(g.fps).all()      # no resident lost
+
+    def test_cqf_counts_follow_decode_permutation(self):
+        c = CountingQuotientFilter(64, 0.01)
+        c.update_arrow(pa.array(["a", "a", "b", "c"]))
+        occ, rend, rem = c.to_layout()
+        g = CountingQuotientFilter.from_layout(c.q, c.r, occ, rend, rem,
+                                               counts=c.counts)
+        assert np.array_equal(g.fps, c.fps)
+        assert np.array_equal(g.counts, c.counts)

@@ -302,3 +302,14 @@ class TestBinaryFuse:
         assert all(r["present"] for r in probed.take_all())
         with pytest.raises(ValueError, match="kind"):
             build_sharded_xor(ds, "text", kind="nope")
+
+
+def test_xormap_rejects_float_values():
+    from archbloom_ray.sketches import XorMap
+
+    with pytest.raises(SketchError, match="integer array"):
+        XorMap.build_hashes_values(np.array([1], dtype=np.uint64),
+                                   np.array([1.9]), bits=8)
+    with pytest.raises(SketchError, match="integer array"):
+        XorMap.build_hashes_values(np.array([1], dtype=np.uint64),
+                                   np.array([-2.0]), bits=64)
