@@ -3201,6 +3201,64 @@ def q_bfuse_membership(sf_dir: str):
     return probed.select_columns(["doc_id", "present"])
 
 
+def q_xormap_guarded_lookup(sf_dir: str):
+    """GUARDED retrieval — the documented XorFilter+XorMap pairing: a
+    retrieval map answers only resident keys (absent keys return an
+    arbitrary word), so a frozen assignment table ships as filter+map
+    and a probe reads the value only where the filter says present.
+    The probe set interleaves every built key with a derived ABSENT
+    key (doc_id + 10^9 — outside every tier's id space), exercising
+    the absent path the plain map query can't.  Filter at 16-bit
+    fingerprints: expected false positives over ≤5k absent probes
+    ≈ 5000·2^-16 = 0.08 — zero on this corpus, deterministic,
+    verified all-tier (the r=40 QF determinism class).  Output:
+    (probe_id, present, lang_code; −1 where absent)."""
+    from .pipelines import (build_sharded_xor, build_sharded_xormap,
+                            sharded_xor_probe, sharded_xormap_get)
+
+    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
+    lang_rows = grouped_agg(ds, ["lang"], [("n", None, "count")]).take_all()
+    langs = pa.array(sorted(r["lang"] for r in lang_rows), type=pa.string())
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        return pa.table({
+            "key": pc.cast(batch["doc_id"], pa.string()),
+            "code": pc.cast(pc.index_in(batch["lang"], value_set=langs),
+                            pa.int64()),
+        })
+
+    kds = ds.map_batches(keyed, batch_format="pyarrow",
+                         zero_copy_batch=True).materialize()
+    fstates = build_sharded_xor(kds, "key", num_shards=8, bits=16)
+    mstates = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
+
+    def probes(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        both = np.concatenate([ids, ids + 1_000_000_000])
+        return pa.table({
+            "probe_id": pa.array(both),
+            "key": pc.cast(pa.array(both), pa.string()),
+        })
+
+    pds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
+        probes, batch_format="pyarrow", zero_copy_batch=True)
+    out = sharded_xor_probe(pds, fstates, "key", num_shards=8)
+    out = sharded_xormap_get(out, mstates, "key", num_shards=8,
+                             out_column="raw_code")
+
+    def guard(batch: pa.Table) -> pa.Table:
+        present = np.asarray(batch["present"])
+        raw = np.asarray(batch["raw_code"], dtype=np.int64)
+        return pa.table({
+            "probe_id": batch["probe_id"],
+            "present": batch["present"],
+            "lang_code": pa.array(np.where(present, raw, -1)),
+        })
+
+    return out.map_batches(guard, batch_format="pyarrow",
+                           zero_copy_batch=True)
+
+
 def q_superspreader_suppliers(sf_dir: str):
     """SUPERSPREADER detection (the network-monitoring north-star
     shape: which keys touch the most DISTINCT values — here suppliers
@@ -9786,6 +9844,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "xormap_lang_lookup": q_xormap_lang_lookup,
         "superspreader_suppliers": q_superspreader_suppliers,
         "bfuse_membership": q_bfuse_membership,
+        "xormap_guarded_lookup": q_xormap_guarded_lookup,
         "knn_cosine": q_knn_cosine,
         # sketch queries — estimate certified against an exact distributed
         # side + the algorithm's published bound; oracle checks the exact
@@ -11538,6 +11597,19 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
         """,
         "bfuse_membership": "SELECT doc_id, TRUE AS present FROM documents",
+        "xormap_guarded_lookup": """
+            WITH codes AS (
+                SELECT doc_id,
+                       dense_rank() OVER (ORDER BY lang) - 1 AS code
+                FROM documents)
+            SELECT doc_id AS probe_id, TRUE AS present,
+                   code AS lang_code
+            FROM codes
+            UNION ALL
+            SELECT doc_id + 1000000000 AS probe_id, FALSE AS present,
+                   -1 AS lang_code
+            FROM documents
+        """,
         "superspreader_suppliers": """
             SELECT l_suppkey,
                    count(DISTINCT l_orderkey) AS n_orders,
