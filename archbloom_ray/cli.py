@@ -296,6 +296,22 @@ def cmd_create_sharded(args):
         params = {"expected": exp, "accuracy": acc, "timeout": to_,
                   "timeout_units": timeout_u, "unit": unit,
                   "start_time": lo, "max_secs": hi}
+    elif args.kind in ("qf", "cqf"):
+        from .pipelines import (build_sharded_cqf_states,
+                                build_sharded_qf_states)
+        from .sketches import CountingQuotientFilter, QuotientFilter
+
+        exp, acc = args.expected, args.accuracy
+        if args.kind == "qf":
+            states = build_sharded_qf_states(
+                ds, col, lambda: QuotientFilter(exp, acc),
+                num_shards=S, batch_size=args.batch_size)
+        else:
+            states = build_sharded_cqf_states(
+                ds, col, lambda: CountingQuotientFilter(exp, acc),
+                num_shards=S, batch_size=args.batch_size)
+        _persist_sharded(outdir, states, args.kind)
+        params = {"expected": exp, "accuracy": acc}
     else:  # cuckoo
         from .pipelines import build_sharded_cuckoo_states
 
@@ -442,6 +458,28 @@ def cmd_query_sharded(args):
         at = args.at if args.at is not None else params["max_secs"]
         now_u = (at - params["start_time"]) // params["unit"]
         present = bool(sk.lookup(args.element, now=now_u))
+    elif kind in ("qf", "cqf"):
+        # fingerprint-RANGE routing: shard = fp // ceil(2^p / S), the
+        # same pure function the build used (pipelines/build.py)
+        from .hashing import mmh3_128_batch
+        from .pipelines.build import _qf_shard_width
+        from .sketches import CountingQuotientFilter, QuotientFilter
+        from .sketches.base import sketch_from_bytes
+
+        cls = QuotientFilter if kind == "qf" else CountingQuotientFilter
+        tpl = cls(params["expected"], params["accuracy"])
+        h1, h2 = mmh3_128_batch(elem)
+        fp = (h1.astype(np.uint64) ^ h2.astype(np.uint64)) \
+            >> np.uint64(64 - tpl.p)
+        s = int(fp[0] // _qf_shard_width(tpl.p, S))
+        blob = shard_bytes(s)
+        sk = sketch_from_bytes(blob) if blob is not None else None
+        present = bool(sk is not None and sk._member(fp)[0])
+        if kind == "cqf":
+            cnt = int(sk._count_fp(fp)[0]) if sk is not None else 0
+            print(json.dumps({"element": args.element, "present": present,
+                              "count": cnt, "kind": kind}))
+            sys.exit(0 if present else 1)
     else:
         from .hashing import fmix64_batch, mmh3_128_batch, mmh3_32_batch
         from .sketches.base import sketch_from_bytes
@@ -930,7 +968,8 @@ def main(argv=None):
                                    "manifest + shardmap.json)")
     sp.add_argument("--column", default="url")
     sp.add_argument("--kind", default="bloom",
-                    choices=["bloom", "sbloom", "cuckoo", "tdbloom"])
+                    choices=["bloom", "sbloom", "cuckoo", "tdbloom",
+                             "qf", "cqf"])
     sp.add_argument("--num-shards", type=int, default=32)
     sp.add_argument("--secs-column", default=None,
                     help="tdbloom: int64-seconds or timestamp column "

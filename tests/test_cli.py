@@ -526,3 +526,34 @@ def test_query_counting_qf_reports_count(tmp_path):
     q = run_cli("query", path, "a")
     r = json.loads(q.stdout.strip().splitlines()[-1])
     assert r["present"] and r["count"] == 3
+
+
+def test_create_query_merge_sharded_qf(tmp_path):
+    """Sharded quotient-filter directory flow: fingerprint-range
+    build, Ray-free single-key probe (counting variant reports the
+    count), generic per-shard merge folds increments."""
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"text": ["alpha", "alpha", "beta", "alpha"]}),
+                   p1)
+    pq.write_table(pa.table({"text": ["beta", "gamma"]}), p2)
+    d1, d2, dm = (str(tmp_path / n) for n in ("d1", "d2", "dm"))
+    run_cli("create-sharded", p1, d1, "--kind", "cqf", "--column", "text",
+            "--expected", "100", "--accuracy", "1e-12", "--num-shards", "3")
+    q = run_cli("query-sharded", d1, "alpha")
+    r = json.loads(q.stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 3
+    assert run_cli("query-sharded", d1, "absent").returncode == 1
+    run_cli("create-sharded", p2, d2, "--kind", "cqf", "--column", "text",
+            "--expected", "100", "--accuracy", "1e-12", "--num-shards", "3")
+    run_cli("merge-sharded", d1, d2, dm)
+    r = json.loads(run_cli("query-sharded", dm, "beta")
+                   .stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 2
+    # plain qf: membership only
+    dq = str(tmp_path / "dq")
+    run_cli("create-sharded", p1, dq, "--kind", "qf", "--column", "text",
+            "--expected", "100", "--accuracy", "0.001", "--num-shards", "3")
+    r = json.loads(run_cli("query-sharded", dq, "beta")
+                   .stdout.strip().splitlines()[-1])
+    assert r["present"] and "count" not in r
