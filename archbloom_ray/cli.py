@@ -703,6 +703,18 @@ def cmd_probe(args):
 
             out = ds.map_batches(td_probe, batch_format="pyarrow",
                                  zero_copy_batch=True)
+        elif kind in ("qf", "cqf"):
+            from .pipelines import sharded_qf_probe
+            from .sketches import CountingQuotientFilter, QuotientFilter
+
+            p_ = meta["params"]
+            cls = QuotientFilter if kind == "qf" else CountingQuotientFilter
+            out = sharded_qf_probe(
+                ds, states, args.column,
+                lambda: cls(p_["expected"], p_["accuracy"]),
+                num_shards=S,
+                method="count_batch" if kind == "cqf" else "lookup_batch",
+                out_column="count" if kind == "cqf" else "present")
         else:
             from .pipelines import sharded_cuckoo_probe
 

@@ -557,3 +557,9 @@ def test_create_query_merge_sharded_qf(tmp_path):
     r = json.loads(run_cli("query-sharded", dq, "beta")
                    .stdout.strip().splitlines()[-1])
     assert r["present"] and "count" not in r
+    # bulk probe of the MERGED counting directory: exact summed counts
+    outp = str(tmp_path / "probe_out")
+    run_cli("probe", dm, p1, outp, "--column", "text")
+    t = pq.read_table(outp)
+    got = dict(zip(t["text"].to_pylist(), t["count"].to_pylist()))
+    assert got == {"alpha": 3, "beta": 2}
