@@ -359,3 +359,49 @@ class TestForeignLayoutDecode:
                                                counts=c.counts)
         assert np.array_equal(g.fps, c.fps)
         assert np.array_equal(g.counts, c.counts)
+
+
+class TestQFAlgebraProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(max_size=8), max_size=150),
+           st.lists(st.text(max_size=8), max_size=150),
+           st.lists(st.text(max_size=8), max_size=150))
+    def test_merge_associative_and_commutative(self, xs, ys, zs):
+        def built(keys):
+            f = QuotientFilter(512, 0.01)
+            if keys:
+                f.update_arrow(pa.array(keys, type=pa.string()))
+            return f
+
+        a, b, c = built(xs), built(ys), built(zs)
+        left = a.copy().merge(b.copy()).merge(c.copy())
+        right = a.copy().merge(b.copy().merge(c.copy()))
+        swapped = c.copy().merge(a.copy()).merge(b.copy())
+        assert np.array_equal(left.fps, right.fps)
+        assert np.array_equal(left.fps, swapped.fps)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(max_size=8), max_size=200),
+           st.integers(min_value=1, max_value=5))
+    def test_cqf_merge_tree_equals_single_pass(self, keys, parts):
+        whole = CountingQuotientFilter(512, fpr=2.0 ** -40)
+        if keys:
+            whole.update_arrow(pa.array(keys, type=pa.string()))
+        acc = CountingQuotientFilter(512, fpr=2.0 ** -40)
+        for i in range(parts):
+            chunk = keys[i::parts]
+            p = CountingQuotientFilter(512, fpr=2.0 ** -40)
+            if chunk:
+                p.update_arrow(pa.array(chunk, type=pa.string()))
+            acc.merge(p)
+        assert np.array_equal(acc.fps, whole.fps)
+        assert np.array_equal(acc.counts, whole.counts)
+
+    @settings(max_examples=25, deadline=None)
+    @given(st.lists(st.text(max_size=8), min_size=0, max_size=300))
+    def test_serde_identity_both_formats(self, keys):
+        f = QuotientFilter(512, 0.01)
+        if keys:
+            f.update_arrow(pa.array(keys, type=pa.string()))
+        g = sketch_from_bytes(f.to_bytes())
+        assert np.array_equal(g.fps, f.fps)

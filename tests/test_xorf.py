@@ -4,6 +4,8 @@ no-false-negative guarantee, serde, static semantics, sharded build."""
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from archbloom_ray.sketches import SketchError, XorFilter
 from archbloom_ray.sketches.base import sketch_from_bytes
@@ -313,3 +315,24 @@ def test_xormap_rejects_float_values():
     with pytest.raises(SketchError, match="integer array"):
         XorMap.build_hashes_values(np.array([1], dtype=np.uint64),
                                    np.array([-2.0]), bits=64)
+
+
+class TestXorMapProperties:
+    @settings(max_examples=25, deadline=None)
+    @given(st.dictionaries(st.text(min_size=1, max_size=10),
+                           st.integers(min_value=0, max_value=255),
+                           max_size=200))
+    def test_retrieval_exact_for_any_mapping(self, mapping):
+        from archbloom_ray.sketches import XorMap
+
+        keys = sorted(mapping)
+        if not keys:
+            return
+        m = XorMap.build_arrow_values(
+            pa.array(keys, type=pa.string()),
+            np.array([mapping[k] for k in keys], dtype=np.int64), bits=8)
+        got = m.get_batch(pa.array(keys, type=pa.string()))
+        assert list(got) == [mapping[k] for k in keys]
+        g = sketch_from_bytes(m.to_bytes())
+        assert list(g.get_batch(pa.array(keys, type=pa.string()))) \
+            == [mapping[k] for k in keys]
