@@ -183,3 +183,32 @@ def test_new_sketches_drop_into_sketchagg(ray_session):
                   finalize=lambda sk: sk.estimate(),
                   alias_name="d"))["d"]
     assert abs(est - 737) / 737 <= 0.10
+
+
+def test_counting_qf_as_native_aggregation(docs):
+    """The factory-generic SketchAgg carries the counting quotient
+    filter through Ray's native aggregation path: per-group states
+    merge by counter-add and the finalized counts are EXACT."""
+    import collections
+
+    from archbloom_ray.sketches import CountingQuotientFilter
+    from archbloom_ray.sketches.base import sketch_from_bytes
+
+    ds, table = docs
+    rows = ds.groupby("lang").aggregate(
+        SketchAgg("text", lambda: CountingQuotientFilter(4096,
+                                                         fpr=2.0 ** -40),
+                  alias_name="cqf_state")).take_all()
+    exact = collections.defaultdict(collections.Counter)
+    for lang, text in zip(table["lang"].to_pylist(),
+                          table["text"].to_pylist()):
+        exact[lang][text] += 1
+    assert {r["lang"] for r in rows} == set(exact)
+    for r in rows:
+        sk = sketch_from_bytes(r["cqf_state"])
+        cnt = exact[r["lang"]]
+        assert sk.total() == sum(cnt.values())
+        import pyarrow as pa
+        keys = sorted(cnt)
+        got = sk.count_batch(pa.array(keys, type=pa.string()))
+        assert list(got) == [cnt[k] for k in keys]
