@@ -391,6 +391,22 @@ def cmd_merge_sharded(args):
                 x = sketch_from_bytes(sa[s])
                 x.merge(sketch_from_bytes(sb[s]))
                 merged[s] = x.to_bytes()
+        if kind in ("qf", "cqf"):
+            # per-shard merges only see their own range: re-check the
+            # GLOBAL 2^q capacity the build enforces (union ==
+            # monolithic contract) so an over-full merged directory
+            # fails here, not at a later assemble
+            from .sketches.base import sketch_from_bytes as _sfb
+
+            total = sum(_sfb(b).fps.size for b in merged.values())
+            slots = _sfb(next(iter(merged.values()))).num_slots \
+                if merged else 0
+            if merged and total > slots:
+                print(json.dumps({"error": f"merged quotient filter "
+                                  f"overflows capacity: {total} "
+                                  f"fingerprints > 2^q = {slots} — "
+                                  f"rebuild with a larger --expected"}))
+                sys.exit(2)
     os.makedirs(args.output, exist_ok=True)
     n = _persist_sharded(args.output, merged, kind)
     tmp = os.path.join(args.output, "shardmap.json.tmp")

@@ -3163,6 +3163,19 @@ def q_xormap_lang_lookup(sf_dir: str):
     dense_rank()-1."""
     from .pipelines import build_sharded_xormap, sharded_xormap_get
 
+    kds = _lang_coded_docs(sf_dir)
+    states = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
+    out = sharded_xormap_get(kds, states, "key", num_shards=8,
+                             out_column="lang_code")
+    return out.select_columns(["doc_id", "lang_code"])
+
+
+def _lang_coded_docs(sf_dir: str):
+    """SHARED derivation for the xormap queries (one copy to keep in
+    lockstep with the dense_rank()-1 SQL twins): materialized narrow
+    (doc_id, key, code) table where code = 0-based rank of the lang
+    among sorted distinct langs; fails fast past the 8-bit code
+    space."""
     ds = _read(sf_dir, "documents", ["doc_id", "lang"])
     lang_rows = grouped_agg(ds, ["lang"], [("n", None, "count")]).take_all()
     langs = pa.array(sorted(r["lang"] for r in lang_rows), type=pa.string())
@@ -3177,12 +3190,8 @@ def q_xormap_lang_lookup(sf_dir: str):
                             pa.int64()),
         })
 
-    kds = ds.map_batches(keyed, batch_format="pyarrow",
-                         zero_copy_batch=True).materialize()
-    states = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
-    out = sharded_xormap_get(kds, states, "key", num_shards=8,
-                             out_column="lang_code")
-    return out.select_columns(["doc_id", "lang_code"])
+    return ds.map_batches(keyed, batch_format="pyarrow",
+                          zero_copy_batch=True).materialize()
 
 
 def q_bfuse_membership(sf_dir: str):
@@ -3216,19 +3225,7 @@ def q_xormap_guarded_lookup(sf_dir: str):
     from .pipelines import (build_sharded_xor, build_sharded_xormap,
                             sharded_xor_probe, sharded_xormap_get)
 
-    ds = _read(sf_dir, "documents", ["doc_id", "lang"])
-    lang_rows = grouped_agg(ds, ["lang"], [("n", None, "count")]).take_all()
-    langs = pa.array(sorted(r["lang"] for r in lang_rows), type=pa.string())
-
-    def keyed(batch: pa.Table) -> pa.Table:
-        return pa.table({
-            "key": pc.cast(batch["doc_id"], pa.string()),
-            "code": pc.cast(pc.index_in(batch["lang"], value_set=langs),
-                            pa.int64()),
-        })
-
-    kds = ds.map_batches(keyed, batch_format="pyarrow",
-                         zero_copy_batch=True).materialize()
+    kds = _lang_coded_docs(sf_dir)
     fstates = build_sharded_xor(kds, "key", num_shards=8, bits=16)
     mstates = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
 
@@ -3240,8 +3237,10 @@ def q_xormap_guarded_lookup(sf_dir: str):
             "key": pc.cast(pa.array(both), pa.string()),
         })
 
-    pds = _read(sf_dir, "documents", ["doc_id"]).map_batches(
-        probes, batch_format="pyarrow", zero_copy_batch=True)
+    # probe side derives from the already-materialized kds — no second
+    # parquet scan of documents
+    pds = kds.map_batches(probes, batch_format="pyarrow",
+                          zero_copy_batch=True)
     out = sharded_xor_probe(pds, fstates, "key", num_shards=8)
     out = sharded_xormap_get(out, mstates, "key", num_shards=8,
                              out_column="raw_code")

@@ -563,3 +563,19 @@ def test_create_query_merge_sharded_qf(tmp_path):
     t = pq.read_table(outp)
     got = dict(zip(t["text"].to_pylist(), t["count"].to_pylist()))
     assert got == {"alpha": 3, "beta": 2}
+
+
+def test_merge_sharded_qf_capacity_guard(tmp_path):
+    """Per-shard merges only see their own range — merge-sharded must
+    re-check the GLOBAL 2^q capacity and fail closed."""
+    p1, p2 = str(tmp_path / "a.parquet"), str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"text": [f"a{i}" for i in range(50)]}), p1)
+    pq.write_table(pa.table({"text": [f"b{i}" for i in range(50)]}), p2)
+    d1, d2, dm = (str(tmp_path / n) for n in ("d1", "d2", "dm"))
+    for src, d in ((p1, d1), (p2, d2)):
+        run_cli("create-sharded", src, d, "--kind", "qf", "--column",
+                "text", "--expected", "55", "--accuracy", "0.01",
+                "--num-shards", "2")
+    r = run_cli("merge-sharded", d1, d2, dm, check=False)
+    assert r.returncode == 2
+    assert "overflows capacity" in r.stdout
