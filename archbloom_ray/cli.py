@@ -490,9 +490,9 @@ def cmd_query_sharded(args):
         s = int(fp[0] // _qf_shard_width(tpl.p, S))
         blob = shard_bytes(s)
         sk = sketch_from_bytes(blob) if blob is not None else None
-        present = bool(sk is not None and sk._member(fp)[0])
+        present = bool(sk is not None and sk.member_fps(fp)[0])
         if kind == "cqf":
-            cnt = int(sk._count_fp(fp)[0]) if sk is not None else 0
+            cnt = int(sk.count_fps(fp)[0]) if sk is not None else 0
             print(json.dumps({"element": args.element, "present": present,
                               "count": cnt, "kind": kind}))
             sys.exit(0 if present else 1)

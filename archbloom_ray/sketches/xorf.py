@@ -417,9 +417,16 @@ class BinaryFuseFilter(XorFilter):
 
     def _positions(self, h: np.ndarray):
         """Window start by fair multiply-shift over the usable
-        segment range, then one slot per consecutive segment from
-        independent hash bits (paper §3.2)."""
+        segment range, then one slot per consecutive segment (paper
+        §3.2).  The three in-segment offsets come from a SECOND
+        splitmix round so they are independent of the window-start
+        bits (the paper draws window and offsets independently;
+        reusing hh's bits 36-53 for p2 correlated it with the
+        bits-32-63 window choice and eroded the peel/FPR margins),
+        and the fingerprint from a third round so it is independent
+        of both — lookups only need the rounds to be deterministic."""
         hh = _splitmix(h.astype(_U64) ^ _U64(self.seed))
+        oh = _splitmix(hh)
         n_windows = _U64(max(1, (self.n_segments - 2))) * _U64(self.seg_len)
         # fair map of the top 32 bits onto [0, n_windows) — multiply-
         # shift (Lemire's fast range reduction); window start is
@@ -427,10 +434,11 @@ class BinaryFuseFilter(XorFilter):
         start = ((hh >> _U64(32)) * n_windows >> _U64(32)).astype(np.int64)
         start -= start % self.seg_len
         mask = _U64(self.seg_len - 1)
-        p0 = start + (hh & mask).astype(np.int64)
-        p1 = start + self.seg_len + ((hh >> _U64(18)) & mask).astype(np.int64)
-        p2 = start + 2 * self.seg_len + ((hh >> _U64(36)) & mask).astype(np.int64)
-        fp = (_splitmix(hh) & _U64((1 << self.bits) - 1))
+        # seg_len ≤ 2^18, so shifts 0/21/42 carve disjoint bit ranges
+        p0 = start + (oh & mask).astype(np.int64)
+        p1 = start + self.seg_len + ((oh >> _U64(21)) & mask).astype(np.int64)
+        p2 = start + 2 * self.seg_len + ((oh >> _U64(42)) & mask).astype(np.int64)
+        fp = (_splitmix(oh) & _U64((1 << self.bits) - 1))
         fp = fp.astype(np.uint8 if self.bits == 8 else np.uint16)
         return p0, p1, p2, fp
 

@@ -200,6 +200,40 @@ class TestShardedXorMap:
         assert len(rows) == 500
         assert all(r["got"] == r["val"] for r in rows)
 
+    def test_truncated_states_raise_for_map_not_filter(self, ray_session):
+        """Retrieval must REFUSE a probe routing to a missing shard
+        (0 is in the value domain — a truncated states dict would
+        silently return plausible wrong values); the filter probe
+        keeps the sound absent⇒not-present default."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (build_sharded_xor,
+                                             build_sharded_xormap,
+                                             sharded_xor_probe,
+                                             sharded_xormap_get)
+
+        ds = rd.from_arrow(pa.table({
+            "key": pa.array([f"k{i}" for i in range(200)]),
+            "val": pa.array(list(range(200)), type=pa.int64()),
+        })).materialize()
+        mstates = build_sharded_xormap(ds, "key", "val", num_shards=4,
+                                       bits=16)
+        assert set(mstates) == {0, 1, 2, 3}
+        truncated = {s: b for s, b in mstates.items() if s != 0}
+        with pytest.raises(Exception, match="missing from the states"):
+            sharded_xormap_get(ds, truncated, "key", num_shards=4,
+                               out_column="got").take_all()
+        # full map still exact
+        rows = sharded_xormap_get(ds, mstates, "key", num_shards=4,
+                                  out_column="got").take_all()
+        assert all(r["got"] == r["val"] for r in rows)
+        # filter path: absent shard ⇒ not-present, no raise
+        fstates = build_sharded_xor(ds, "key", num_shards=4, bits=8)
+        ftrunc = {s: b for s, b in fstates.items() if s != 0}
+        probed = sharded_xor_probe(ds, ftrunc, "key",
+                                   num_shards=4).take_all()
+        assert len(probed) == 200          # ran through, zero-default
+
     def test_conflicting_duplicates_raise_in_reducer(self, ray_session):
         import ray.data as rd
 
