@@ -3391,6 +3391,21 @@ def q_tfidf_top_terms(sf_dir: str):
     return tfidf_top_terms(corpus, subset, "text", "doc_id", k=3)
 
 
+def q_tfidf_top_terms_sharded(sf_dir: str):
+    """The SAME computation as ``tfidf_top_terms`` on the term-hash-
+    sharded path (stages.tfidf.tfidf_top_terms_sharded — VERDICT r4
+    item 2): no driver-side vocabulary, no broadcast — per-shard df
+    reduction joins onto the scoring rows inside the term-shard
+    reducers, then a per-document groupby ranks top-k.  Output-
+    identical to the broadcast path, so it shares the oracle."""
+    from .stages import tfidf_top_terms_sharded
+
+    corpus = _read(sf_dir, "documents", ["doc_id", "text"])
+    subset = _read(sf_dir, "documents", ["doc_id", "text"]).filter(
+        expr="doc_id < 20")
+    return tfidf_top_terms_sharded(corpus, subset, "text", "doc_id", k=3)
+
+
 def q_minhash_near_dups(sf_dir: str):
     """MinHash-LSH near-dup pipeline at its PRODUCTION threshold (0.7)
     over the planted-duplicate corpus, exact-certified: candidates are
@@ -9883,6 +9898,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "fingerprint_distinct": q_fingerprint_distinct,
         "token_counts_bpe": q_token_counts_bpe,
         "tfidf_top_terms": q_tfidf_top_terms,
+        "tfidf_top_terms_sharded": q_tfidf_top_terms_sharded,
         "minhash_near_dups": q_minhash_near_dups,
         "ngram_jaccard_pairs": q_ngram_jaccard_pairs,
         "kmv_set_ops": q_kmv_set_ops,
@@ -12035,6 +12051,7 @@ def oracle_sql() -> dict[str, str]:
         "langid_counts": _langid_oracle_sql(),
         "token_counts_bpe": _bpe_oracle_sql(),
         "tfidf_top_terms": _tfidf_oracle_sql(),
+        "tfidf_top_terms_sharded": _tfidf_oracle_sql(),
         "quality_by_lang": _quality_oracle_sql(),
         # north-star pages corpus (deterministic fixture; _pages_sql_path
         # creates it so the oracle side is self-sufficient)

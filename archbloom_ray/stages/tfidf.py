@@ -44,7 +44,7 @@ except ImportError:  # pragma: no cover
 
 from .text import token_ngrams_flat
 
-__all__ = ["doc_frequencies", "tfidf_top_terms"]
+__all__ = ["doc_frequencies", "tfidf_top_terms", "tfidf_top_terms_sharded"]
 
 
 def _unigrams(col) -> tuple[np.ndarray, np.ndarray]:
@@ -200,6 +200,203 @@ def tfidf_top_terms(
     # stream — consume with write_parquet / take_all as appropriate
     return docs_again.map_batches(
         score, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def tfidf_top_terms_sharded(
+    ds: "ray.data.Dataset",
+    docs_again: "ray.data.Dataset",
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    *,
+    k: int = 3,
+    n_docs: int | None = None,
+    min_df: int = 1,
+    num_partitions: int = 64,
+) -> "ray.data.Dataset":
+    """Term-hash-sharded TF-IDF scoring — the UNBOUNDED-vocabulary path
+    (VERDICT r4 item 2): no driver-side vocabulary and no broadcast.
+
+    Shape: one union shuffle routes BOTH the corpus's per-batch
+    (term, partial_df) rows and the scored documents' distinct
+    (term, id, tf) rows by term hash; each term-shard reducer sums its
+    own terms' document frequencies and joins them onto the scoring
+    rows in place (the vocabulary exists only as disjoint per-shard
+    slices inside reducers — nothing O(vocab) ever sits on the driver
+    or in a broadcast object); a second groupby re-keys by document
+    and ranks top-``k`` with the same kernel, float expression
+    (``tf * ln(N/df)``) and (score desc, term asc) tie-break as
+    :func:`tfidf_top_terms`, so the two paths are output-identical.
+
+    Traffic: shuffle 1 ships one partial-df row per distinct term per
+    corpus batch + one row per distinct (scored-doc, term); shuffle 2
+    ships only the scored rows again.  Prefer :func:`tfidf_top_terms`
+    (broadcast vocab) while the pruned vocabulary is ~10⁷ terms or
+    less; this path has no vocabulary ceiling.
+    """
+    from ..hashing import mmh3_64_batch
+
+    if n_docs is None:
+        n_docs = ds.count()
+    n_total = int(n_docs)
+    P = int(num_partitions)
+
+    sch = docs_again.schema()
+    id_type = getattr(sch, "base_schema", sch).field(id_col).type
+
+    def _term_pk(terms: np.ndarray) -> np.ndarray:
+        h = mmh3_64_batch(pa.array(terms)).astype(np.uint64)
+        return (h % np.uint64(P)).astype(np.int32)
+
+    def df_rows(batch: pa.Table) -> pa.Table:
+        terms, doc_idx = _unigrams(batch[text_col])
+        if terms.size == 0:
+            m = 0
+            u_terms = np.empty(0, dtype="U1")
+            counts = np.empty(0, dtype=np.int64)
+        else:
+            order = np.lexsort((terms, doc_idx))
+            t_s, d_s = terms[order], doc_idx[order]
+            first = np.ones(len(order), dtype=bool)
+            first[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+            uniq = np.sort(t_s[first], kind="stable")
+            t_first = np.ones(len(uniq), dtype=bool)
+            if len(uniq) > 1:
+                t_first[1:] = uniq[1:] != uniq[:-1]
+            starts = np.flatnonzero(t_first)
+            counts = np.diff(np.append(starts, len(uniq))).astype(np.int64)
+            u_terms = uniq[t_first]
+            m = len(u_terms)
+        return pa.table({
+            "term": pa.array(u_terms),
+            "side": pa.array(np.full(m, -1, dtype=np.int8)),
+            id_col: pa.nulls(m, type=id_type),
+            "tf": pa.array(np.zeros(m, dtype=np.int64)),
+            "pdf": pa.array(counts),
+            "pk": pa.array(_term_pk(u_terms)),
+        })
+
+    def score_rows(batch: pa.Table) -> pa.Table:
+        ids = batch[id_col].combine_chunks() if isinstance(
+            batch[id_col], pa.ChunkedArray) else batch[id_col]
+        terms, doc_idx = _unigrams(batch[text_col])
+        if terms.size == 0:
+            return pa.table({
+                "term": pa.array([], type=pa.string()),
+                "side": pa.array([], type=pa.int8()),
+                id_col: pa.array([], type=id_type),
+                "tf": pa.array([], type=pa.int64()),
+                "pdf": pa.array([], type=pa.int64()),
+                "pk": pa.array([], type=pa.int32()),
+            })
+        o = np.lexsort((terms, doc_idx))
+        t_s, d_s = terms[o], doc_idx[o]
+        first = np.ones(len(o), dtype=bool)
+        first[1:] = (t_s[1:] != t_s[:-1]) | (d_s[1:] != d_s[:-1])
+        starts = np.flatnonzero(first)
+        tf = np.diff(np.append(starts, len(o))).astype(np.int64)
+        u_terms, u_docs = t_s[first], d_s[first]
+        m = len(u_terms)
+        return pa.table({
+            "term": pa.array(u_terms),
+            "side": pa.array(np.zeros(m, dtype=np.int8)),
+            id_col: ids.take(pa.array(u_docs)),
+            "tf": pa.array(tf),
+            "pdf": pa.array(np.zeros(m, dtype=np.int64)),
+            "pk": pa.array(_term_pk(u_terms)),
+        })
+
+    dfr = ds.map_batches(df_rows, batch_format="pyarrow", zero_copy_batch=True)
+    scr = docs_again.map_batches(score_rows, batch_format="pyarrow",
+                                 zero_copy_batch=True)
+
+    def join_df(group: pa.Table) -> pa.Table:
+        side = np.asarray(group["side"])
+        is_df = side == -1
+        d_terms = np.asarray(group["term"].filter(pa.array(is_df)))
+        if d_terms.dtype == object:
+            d_terms = d_terms.astype("U")
+        pdf = np.asarray(group["pdf"].filter(pa.array(is_df)), dtype=np.int64)
+        prows = group.filter(pa.array(~is_df))
+        empty = pa.table({
+            id_col: pa.array([], type=id_type),
+            "term": pa.array([], type=pa.string()),
+            "tf": pa.array([], type=pa.int64()),
+            "df": pa.array([], type=pa.int64()),
+            "pk2": pa.array([], type=pa.int32()),
+        })
+        if len(prows) == 0 or len(d_terms) == 0:
+            return empty
+        # per-term df: sort + reduceat over the partials
+        order = np.argsort(d_terms, kind="stable")
+        t_sorted = d_terms[order]
+        t_first = np.ones(len(t_sorted), dtype=bool)
+        if len(t_sorted) > 1:
+            t_first[1:] = t_sorted[1:] != t_sorted[:-1]
+        starts = np.flatnonzero(t_first)
+        dfs = np.add.reduceat(pdf[order], starts).astype(np.int64)
+        u_terms = t_sorted[t_first]
+        s_terms = np.asarray(prows["term"])
+        if s_terms.dtype == object:
+            s_terms = s_terms.astype("U")
+        pos = np.clip(np.searchsorted(u_terms, s_terms), 0, len(u_terms) - 1)
+        hit = u_terms[pos] == s_terms
+        df_v = np.where(hit, dfs[pos], 0)
+        keep = hit & (df_v >= min_df)
+        if not keep.any():
+            return empty
+        kt = prows.filter(pa.array(keep))
+        ids = (kt[id_col].combine_chunks()
+               if isinstance(kt[id_col], pa.ChunkedArray) else kt[id_col])
+        idh = mmh3_64_batch(_id_strs(ids)).astype(np.uint64)
+        return pa.table({
+            id_col: ids,
+            "term": kt["term"],
+            "tf": kt["tf"],
+            "df": pa.array(df_v[keep]),
+            "pk2": pa.array((idh % np.uint64(P)).astype(np.int32)),
+        })
+
+    def top_k(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group[id_col])
+        if ids.dtype == object:
+            ids = ids.astype("U")
+        terms = np.asarray(group["term"])
+        if terms.dtype == object:
+            terms = terms.astype("U")
+        tf = np.asarray(group["tf"], dtype=np.int64)
+        df_v = np.asarray(group["df"], dtype=np.int64)
+        s = tf * np.log(np.float64(n_total) / df_v)
+        o2 = np.lexsort((terms, -s, ids))
+        d2 = ids[o2]
+        run_first = np.ones(len(o2), dtype=bool)
+        run_first[1:] = d2[1:] != d2[:-1]
+        rank = np.arange(len(o2), dtype=np.int64) - np.maximum.accumulate(
+            np.where(run_first, np.arange(len(o2), dtype=np.int64), 0)) + 1
+        keep = rank <= k
+        sel = pa.array(o2[keep])
+        return pa.table({
+            id_col: group[id_col].take(sel),
+            "rank": pa.array(rank[keep]),
+            "term": group["term"].take(sel),
+            "tf": group["tf"].take(sel),
+            "df": group["df"].take(sel),
+        })
+
+    scored = (
+        dfr.union(scr)
+        .groupby("pk")
+        .map_groups(join_df, batch_format="pyarrow")
+    )
+    return scored.groupby("pk2").map_groups(top_k, batch_format="pyarrow")
+
+
+def _id_strs(arr) -> pa.Array:
+    """String key form of an id column for hash routing."""
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    return pc.cast(arr, pa.string())
 
 
 # ---------------------------------------------------------------------------

@@ -212,6 +212,53 @@ class TestTfIdf:
         top2 = {t for t, _ in sorted(dfm.items(), key=lambda kv: (-kv[1], kv[0]))[:2]}
         assert out2 and {r["term"] for r in out2} <= top2
 
+    def test_sharded_path_matches_broadcast(self, ray_session):
+        """tfidf_top_terms_sharded == tfidf_top_terms row-for-row on the
+        small corpus (incl. min_df pruning)."""
+        from archbloom_ray.stages import tfidf_top_terms, tfidf_top_terms_sharded
+
+        def key(rows):
+            return sorted((r["doc_id"], r["rank"], r["term"], r["tf"], r["df"])
+                          for r in rows)
+
+        for min_df in (1, 2):
+            a = tfidf_top_terms(self._mk(ray_session), self._mk(ray_session),
+                                "text", "doc_id", k=3, min_df=min_df).take_all()
+            b = tfidf_top_terms_sharded(
+                self._mk(ray_session), self._mk(ray_session),
+                "text", "doc_id", k=3, min_df=min_df).take_all()
+            assert key(a) == key(b) and a
+
+    def test_sharded_path_vocab_cardinality_stress(self, ray_session):
+        """Vocabulary ≫ any single shard: 6k docs × unique-heavy vocab
+        (~24k distinct terms over 64 shards) — the sharded path must
+        agree with the broadcast path exactly, proving the per-shard df
+        reduction + per-doc merge is the same function with no
+        vocabulary ceiling."""
+        import ray.data as rd
+
+        from archbloom_ray.stages import tfidf_top_terms, tfidf_top_terms_sharded
+
+        rng = np.random.default_rng(7)
+        docs = []
+        for d in range(6000):
+            # 3 rare (near-unique) terms + 2 common terms per doc
+            rare = [f"w{rng.integers(0, 30000)}" for _ in range(3)]
+            common = [f"c{rng.integers(0, 20)}" for _ in range(2)]
+            docs.append(" ".join(rare + common))
+        t = pa.table({"doc_id": list(range(len(docs))), "text": docs})
+        mk = lambda: rd.from_arrow(t).repartition(8)
+
+        a = tfidf_top_terms(mk(), mk(), "text", "doc_id", k=2,
+                            min_df=1).take_all()
+        b = tfidf_top_terms_sharded(mk(), mk(), "text", "doc_id", k=2,
+                                    min_df=1).take_all()
+        key = lambda rows: sorted(
+            (r["doc_id"], r["rank"], r["term"], r["tf"], r["df"])
+            for r in rows)
+        assert len(a) == 2 * 6000
+        assert key(a) == key(b)
+
 
 class TestVerifyPairsNgram:
     def test_duplicate_pair_rows_score_correctly(self, ray_session):
