@@ -225,15 +225,26 @@ def cmd_create_sharded(args):
             num_shards=S, batch_size=args.batch_size)
         _persist_sharded(outdir, states, "sbloom")
         params = {"initial_capacity": cap, "accuracy": acc}
-    elif args.kind == "tdbloom":
+    elif args.kind == "cbloom":
+        from .pipelines import build_sharded_cbloom_states
+        from .sketches import CountingBloomFilter
+
+        exp, acc, cw = args.expected, args.accuracy, args.counter_width
+        states = build_sharded_cbloom_states(
+            ds, col, lambda: CountingBloomFilter(exp, acc, width=cw),
+            num_shards=S, batch_size=args.batch_size)
+        _persist_sharded(outdir, states, "cbloom")
+        params = {"expected": exp, "accuracy": acc, "width": cw}
+    elif args.kind in ("tdbloom", "tdcbloom"):
         import pyarrow as pa
         import pyarrow.compute as pc
 
-        from .pipelines import build_sharded_tdbloom_states
+        from .pipelines import (build_sharded_tdbloom_states,
+                                build_sharded_tdcbloom_states)
 
         if not args.secs_column:
             print(json.dumps({"error": "--secs-column is required for "
-                                       "--kind tdbloom"}))
+                                       f"--kind {args.kind}"}))
             sys.exit(2)
         import ray.data as rd
 
@@ -267,16 +278,25 @@ def cmd_create_sharded(args):
         # slot width's max_time (tdbloom.c:92-102 wrap) — otherwise the
         # global guard / tick wrap corrupts freshness.  Quantization
         # error of the user's timeout is ≤ one unit (reported below).
-        from .sketches.tdbloom import _pick_width
-
         span = max(hi - lo, 1)
         unit = max(1, span // 4000)
-        for _ in range(4):
+        if args.kind == "tdbloom":
+            from .sketches.tdbloom import _pick_width
+
+            for _ in range(4):
+                timeout_u = max(1, to_ // unit)
+                _, max_time = _pick_width(timeout_u)
+                if span // unit < max_time:
+                    break
+                unit = span // (max_time - 1) + 1
+        else:
+            # tdcbloom picks its timer width explicitly: smallest of
+            # 8/16/32/64 BITS whose max_time exceeds both the ingest
+            # span and the timeout (in units) — no wrap, no iteration
             timeout_u = max(1, to_ // unit)
-            _, max_time = _pick_width(timeout_u)
-            if span // unit < max_time:
-                break
-            unit = span // (max_time - 1) + 1
+            need = max(span // unit, timeout_u)
+            timer_width = next(w for w in (8, 16, 32, 64)
+                               if (1 << w) - 1 > need)
 
         def to_units(batch: pa.Table) -> pa.Table:
             u = pc.divide(pc.subtract(batch["__secs"],
@@ -286,16 +306,29 @@ def cmd_create_sharded(args):
 
         units_ds = keyed.map_batches(to_units, batch_format="pyarrow",
                                      zero_copy_batch=True)
-        states = build_sharded_tdbloom_states(
-            units_ds, col, "__units", lambda: __import__(
-                "archbloom_ray.sketches",
-                fromlist=["TimeDecayingBloomFilter"]
-            ).TimeDecayingBloomFilter(exp, acc, timeout_u, start_time=0),
-            num_shards=S, batch_size=args.batch_size)
-        _persist_sharded(outdir, states, "tdbloom")
         params = {"expected": exp, "accuracy": acc, "timeout": to_,
                   "timeout_units": timeout_u, "unit": unit,
                   "start_time": lo, "max_secs": hi}
+        if args.kind == "tdbloom":
+            states = build_sharded_tdbloom_states(
+                units_ds, col, "__units", lambda: __import__(
+                    "archbloom_ray.sketches",
+                    fromlist=["TimeDecayingBloomFilter"]
+                ).TimeDecayingBloomFilter(exp, acc, timeout_u, start_time=0),
+                num_shards=S, batch_size=args.batch_size)
+        else:
+            from .sketches import TimeDecayingCountingBloomFilter
+
+            cw = args.counter_width
+            states = build_sharded_tdcbloom_states(
+                units_ds, col, "__units",
+                lambda: TimeDecayingCountingBloomFilter(
+                    exp, acc, timeout_u, counter_width=cw,
+                    timer_width=timer_width, start_time=0),
+                num_shards=S, batch_size=args.batch_size)
+            params.update({"counter_width": cw,
+                           "timer_width": timer_width})
+        _persist_sharded(outdir, states, args.kind)
     elif args.kind in ("qf", "cqf"):
         from .pipelines import (build_sharded_cqf_states,
                                 build_sharded_qf_states)
@@ -359,15 +392,15 @@ def cmd_merge_sharded(args):
         print(json.dumps({"error": f"shardmap mismatch: {ma} != {mb}"}))
         sys.exit(2)
     kind, S, p_ = ma["kind"], ma["num_shards"], ma["params"]
-    if kind == "tdbloom":
+    if kind in ("tdbloom", "tdcbloom"):
         # td shard states are raw slot slices on a per-directory unit
         # clock (start_time/unit derive from each ingest's own span) —
         # two directories share a shardmap only when the clocks agree,
         # and even then slot-max merging belongs to the library path
         # with ONE pinned clock.  Re-ingest increments with
-        # build_sharded_tdbloom_states / merge_sharded_states instead.
-        print(json.dumps({"error": "merge-sharded does not support "
-                                   "tdbloom directories; rebuild with a "
+        # build_sharded_td{,c}bloom_states / merge_sharded_states instead.
+        print(json.dumps({"error": f"merge-sharded does not support "
+                                   f"{kind} directories; rebuild with a "
                                    "shared pinned clock via the library "
                                    "(merge_sharded_states)"}))
         sys.exit(2)
@@ -377,6 +410,16 @@ def cmd_merge_sharded(args):
 
         merged = merge_sharded_states(
             sa, sb, lambda: BloomFilter(p_["expected"], p_["accuracy"]),
+            num_shards=S)
+    elif kind == "cbloom":
+        # counter slices saturating-add position-wise (= any sequential
+        # ingest order; pipelines.merge_sharded_states)
+        from .pipelines import merge_sharded_states
+        from .sketches import CountingBloomFilter
+
+        merged = merge_sharded_states(
+            sa, sb, lambda: CountingBloomFilter(
+                p_["expected"], p_["accuracy"], width=p_["width"]),
             num_shards=S)
     else:
         from .sketches.base import sketch_from_bytes
@@ -453,6 +496,59 @@ def cmd_query_sharded(args):
             if not (byte >> (int(p) & 7)) & 1:
                 present = False
                 break
+    elif kind == "cbloom":
+        # position-routed like bloom, over the logical counter dtype:
+        # count = min over the k owning slots, present = count > 0
+        from .hashing import make_hashes_batch, mmh3_128_batch
+        from .sketches import CountingBloomFilter
+
+        tpl = CountingBloomFilter(params["expected"], params["accuracy"],
+                                  width=params["width"])
+        C = max(1, -(-tpl.size // S))
+        it = tpl.counters.dtype.itemsize
+        h1, h2 = mmh3_128_batch(elem)
+        pos = (make_hashes_batch(h1, h2, tpl.hashcount)
+               % np.uint64(tpl.size)).astype(np.int64).ravel()
+        cnt = None
+        for p in pos:
+            s = int(p // C)
+            blob = shard_bytes(s)
+            if blob is None:
+                cnt = 0
+                break
+            off = (int(p) - s * C) * it
+            v = int(np.frombuffer(blob, dtype=tpl.counters.dtype,
+                                  count=1, offset=off)[0])
+            cnt = v if cnt is None else min(cnt, v)
+        present = bool(cnt)
+        print(json.dumps({"element": args.element, "present": present,
+                          "count": int(cnt), "kind": kind}))
+        sys.exit(0 if present else 1)
+    elif kind == "tdcbloom":
+        # freshness needs the shared clock, so assemble locally like
+        # tdbloom; counts answer with the staleness rule applied
+        import glob as _glob
+
+        from .pipelines import assemble_sharded_tdcbloom
+        from .sketches import TimeDecayingCountingBloomFilter
+
+        factory = lambda: TimeDecayingCountingBloomFilter(
+            params["expected"], params["accuracy"],
+            params["timeout_units"], counter_width=params["counter_width"],
+            timer_width=params["timer_width"], start_time=0)
+        states = {}
+        for p in _glob.glob(os.path.join(args.dir, "part-*.state")):
+            s = int(os.path.basename(p)[len("part-"):-len(".state")])
+            with open(p, "rb") as f:
+                states[s] = f.read()
+        sk = assemble_sharded_tdcbloom(states, factory, num_shards=S)
+        at = args.at if args.at is not None else params["max_secs"]
+        now_u = (at - params["start_time"]) // params["unit"]
+        present = bool(sk.lookup(args.element, now=now_u))
+        cnt = sk.count(args.element, now=now_u)
+        print(json.dumps({"element": args.element, "present": present,
+                          "count": int(cnt), "kind": kind}))
+        sys.exit(0 if present else 1)
     elif kind == "tdbloom":
         # freshness needs the global max-time guard, so the slot map
         # assembles locally (still Ray-free; states live on one disk
@@ -681,6 +777,49 @@ def cmd_probe(args):
                 ds, states, args.column,
                 lambda: BloomFilter(p_["expected"], p_["accuracy"]),
                 num_shards=S)
+        elif kind == "cbloom":
+            from .pipelines import sharded_cbloom_probe
+            from .sketches import CountingBloomFilter
+
+            p_ = meta["params"]
+            out = sharded_cbloom_probe(
+                ds, states, args.column,
+                lambda: CountingBloomFilter(p_["expected"], p_["accuracy"],
+                                            width=p_["width"]),
+                num_shards=S, method="count")
+        elif kind == "tdcbloom":
+            import ray as _ray
+            import pyarrow as pa
+
+            from .pipelines import assemble_sharded_tdcbloom
+            from .proc_cache import cached_instance
+            from .sketches import TimeDecayingCountingBloomFilter
+
+            p_ = meta["params"]
+            sk = assemble_sharded_tdcbloom(
+                states, lambda: TimeDecayingCountingBloomFilter(
+                    p_["expected"], p_["accuracy"], p_["timeout_units"],
+                    counter_width=p_["counter_width"],
+                    timer_width=p_["timer_width"], start_time=0),
+                num_shards=S)
+            at = args.at if getattr(args, "at", None) is not None \
+                else p_["max_secs"]
+            now_u = (at - p_["start_time"]) // p_["unit"]
+            blob_ref = _ray.put(sk.to_bytes())
+
+            def tdc_probe(batch: pa.Table) -> pa.Table:
+                from .sketches.base import sketch_from_bytes
+
+                f = cached_instance(("cli_tdc_probe", blob_ref.hex()),
+                                    lambda: sketch_from_bytes(
+                                        _ray.get(blob_ref)))
+                return batch.append_column(
+                    "count",
+                    pa.array(f.count_batch(batch[args.column],
+                                           now=now_u)))
+
+            out = ds.map_batches(tdc_probe, batch_format="pyarrow",
+                                 zero_copy_batch=True)
         elif kind == "sbloom":
             from .pipelines import sharded_sbf_probe
 
@@ -996,15 +1135,18 @@ def main(argv=None):
                                    "manifest + shardmap.json)")
     sp.add_argument("--column", default="url")
     sp.add_argument("--kind", default="bloom",
-                    choices=["bloom", "sbloom", "cuckoo", "tdbloom",
-                             "qf", "cqf"])
+                    choices=["bloom", "cbloom", "sbloom", "cuckoo",
+                             "tdbloom", "tdcbloom", "qf", "cqf"])
     sp.add_argument("--num-shards", type=int, default=32)
     sp.add_argument("--secs-column", default=None,
-                    help="tdbloom: int64-seconds or timestamp column "
-                         "carrying each key's event time")
+                    help="tdbloom/tdcbloom: int64-seconds or timestamp "
+                         "column carrying each key's event time")
     sp.add_argument("--timeout", type=int, default=3600,
-                    help="tdbloom: freshness window in the secs "
-                         "column's units")
+                    help="tdbloom/tdcbloom: freshness window in the "
+                         "secs column's units")
+    sp.add_argument("--counter-width", type=int, default=8,
+                    help="cbloom/tdcbloom: counter bits (4/8/16/32/64; "
+                         "tdcbloom excludes 4)")
     sp.add_argument("--expected", type=int, default=100000,
                     help="total expected keys (per-shard sizing is "
                          "derived; sbloom uses it only as a seed)")

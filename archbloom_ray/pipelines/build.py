@@ -779,6 +779,62 @@ def build_sharded_cbloom_states(
     return {r["shard"]: r["state"] for r in states.take_all()}
 
 
+def sharded_cbloom_probe(
+    ds: "ray.data.Dataset",
+    states: dict[int, bytes],
+    column: str,
+    factory: Callable[[], "Sketch"],
+    *,
+    num_shards: int = 32,
+    method: str = "count",
+    out_column: str | None = None,
+    batch_size: int = 65536,
+) -> "ray.data.Dataset":
+    """Probe the sharded COUNTING-Bloom counter slices WITHOUT
+    assembling them (the cbloom sibling of :func:`sharded_bloom_probe`):
+    the shard map broadcasts once, each batch recomputes the pure
+    position→shard routing and gathers counters per touched shard —
+    min-over-k is the cbloom count, count > 0 the membership.  An
+    absent shard is all-zero (absent ⇒ count 0).  ``method``:
+    ``"count"`` appends the int64 min-count, ``"lookup"`` the bool."""
+    from ..hashing import make_hashes_batch, mmh3_128_batch
+    from ..proc_cache import cached_instance
+
+    if method not in ("count", "lookup"):
+        raise ValueError(f"unknown probe method {method!r} — "
+                         "use 'count' or 'lookup'")
+    tpl = factory()
+    m, k = tpl.size, tpl.hashcount
+    dtype = tpl.counters.dtype
+    C = max(1, math.ceil(m / int(num_shards)))
+    if out_column is None:
+        out_column = "count" if method == "count" else "present"
+    is_count = method == "count"
+    ref = ray.put({int(s): b for s, b in states.items()})
+
+    def probe(batch: pa.Table) -> pa.Table:
+        shards = cached_instance(
+            ("sharded_cbloom_probe", ref.hex()),
+            lambda: {s: np.frombuffer(b, dtype=dtype)
+                     for s, b in ray.get(ref).items()},
+        )
+        h1, h2 = mmh3_128_batch(batch[column])
+        pos = (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+        shard = pos // C
+        cnts = np.zeros(pos.shape, dtype=np.int64)
+        for s in np.unique(shard):
+            msk = shard == s
+            arr = shards.get(int(s))
+            if arr is not None:
+                cnts[msk] = arr[pos[msk] - int(s) * C].astype(np.int64)
+        mn = cnts.min(axis=0)
+        out = mn if is_count else mn > 0
+        return batch.append_column(out_column, pa.array(out))
+
+    return ds.map_batches(probe, batch_format="pyarrow",
+                          batch_size=batch_size, zero_copy_batch=True)
+
+
 def plan_filter_build(
     n_rows: int,
     template: "Sketch",

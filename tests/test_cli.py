@@ -565,6 +565,92 @@ def test_create_query_merge_sharded_qf(tmp_path):
     assert got == {"alpha": 3, "beta": 2}
 
 
+def test_create_query_merge_sharded_cbloom(tmp_path):
+    """Sharded counting-Bloom directory flow (VERDICT r4 item 3):
+    position-sliced counter build, Ray-free single-key count probe,
+    merge-sharded saturating-adds counter slices, bulk probe writes
+    exact counts."""
+    p1 = str(tmp_path / "a.parquet")
+    p2 = str(tmp_path / "b.parquet")
+    pq.write_table(pa.table({"text": ["alpha", "alpha", "beta", "alpha"]}),
+                   p1)
+    pq.write_table(pa.table({"text": ["beta", "gamma"]}), p2)
+    d1, d2, dm = (str(tmp_path / n) for n in ("d1", "d2", "dm"))
+    run_cli("create-sharded", p1, d1, "--kind", "cbloom", "--column",
+            "text", "--expected", "1000", "--accuracy", "1e-9",
+            "--counter-width", "16", "--num-shards", "4")
+    q = run_cli("query-sharded", d1, "alpha")
+    r = json.loads(q.stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 3
+    q = run_cli("query-sharded", d1, "absent")
+    assert q.returncode == 1
+    assert json.loads(q.stdout.strip().splitlines()[-1])["count"] == 0
+    run_cli("create-sharded", p2, d2, "--kind", "cbloom", "--column",
+            "text", "--expected", "1000", "--accuracy", "1e-9",
+            "--counter-width", "16", "--num-shards", "4")
+    run_cli("merge-sharded", d1, d2, dm)
+    r = json.loads(run_cli("query-sharded", dm, "beta")
+                   .stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 2
+    # bulk probe of the MERGED directory: counts summed across dirs
+    outp = str(tmp_path / "probe_out")
+    run_cli("probe", dm, p1, outp, "--column", "text")
+    t = pq.read_table(outp)
+    got = dict(zip(t["text"].to_pylist(), t["count"].to_pylist()))
+    assert got == {"alpha": 3, "beta": 2}
+
+
+def test_create_query_sharded_tdcbloom(tmp_path):
+    """Event-time sharded tdcbloom at the CLI: counter-sum + timer-max
+    decomposition behind the same unit-coarsened clock as tdbloom;
+    fresh keys answer their multiplicity, stale keys count 0."""
+    import numpy as np
+
+    n = 1000
+    rng = np.random.default_rng(31)
+    secs = (1_700_000_000 + rng.integers(0, 100_000, n)).astype(np.int64)
+    urls = [f"https://tdc{i}.example/x" for i in range(n)]
+    # duplicate the freshest url (same timestamp) → count 2
+    fresh_i = int(np.argmax(secs))
+    urls2 = urls + [urls[fresh_i]]
+    secs2 = np.append(secs, secs[fresh_i])
+    src = str(tmp_path / "tdc.parquet")
+    pq.write_table(pa.table({"url": urls2, "secs": secs2}), src)
+    d = str(tmp_path / "shtdc")
+    out = run_cli("create-sharded", src, d, "--kind", "tdcbloom",
+                  "--column", "url", "--secs-column", "secs",
+                  "--timeout", "20000", "--num-shards", "4",
+                  "--expected", "4000", "--accuracy", "1e-9")
+    info = json.loads(out.stdout.strip().splitlines()[-1])
+    assert info["kind"] == "tdcbloom"
+    assert info["params"]["timer_width"] in (8, 16, 32, 64)
+    fresh = urls[fresh_i]
+    stale = urls[int(np.argmin(secs))]          # ~100k s old >> 20k
+    r = json.loads(run_cli("query-sharded", d, fresh)
+                   .stdout.strip().splitlines()[-1])
+    assert r["present"] and r["count"] == 2
+    q = run_cli("query-sharded", d, stale)
+    assert q.returncode == 1
+    assert json.loads(q.stdout.strip().splitlines()[-1])["count"] == 0
+    assert run_cli("query-sharded", d,
+                   "https://never.example/x").returncode == 1
+    # bulk probe: count column with the staleness rule applied
+    outp = str(tmp_path / "probe_tdc")
+    run_cli("probe", d, src, outp, "--column", "url")
+    t = pq.read_table(outp)
+    cnt = dict(zip(t["url"].to_pylist(), t["count"].to_pylist()))
+    assert cnt[fresh] == 2 and cnt[stale] == 0
+    # merge-sharded refuses td directories (per-directory clocks)
+    d2 = str(tmp_path / "shtdc2")
+    run_cli("create-sharded", src, d2, "--kind", "tdcbloom",
+            "--column", "url", "--secs-column", "secs",
+            "--timeout", "20000", "--num-shards", "4",
+            "--expected", "4000", "--accuracy", "1e-9")
+    m = run_cli("merge-sharded", d, d2, str(tmp_path / "mm"), check=False)
+    assert m.returncode == 2
+    assert "tdcbloom" in json.loads(m.stdout.strip().splitlines()[-1])["error"]
+
+
 def test_merge_sharded_qf_capacity_guard(tmp_path):
     """Per-shard merges only see their own range — merge-sharded must
     re-check the GLOBAL 2^q capacity and fail closed."""

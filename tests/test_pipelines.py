@@ -1942,6 +1942,43 @@ class TestShardedBloomBuild:
         sharded = assemble_sharded_cbloom(states, factory, num_shards=5)
         assert sharded.to_bytes() == mono.to_bytes()
 
+    @pytest.mark.parametrize("width", [4, 16])
+    def test_cbloom_probe_matches_assembled(self, ray_session, docs_ds,
+                                            width):
+        """sharded_cbloom_probe (no assembly) == the assembled filter's
+        count_batch / lookup_batch, incl. the width-4 logical dtype and
+        absent-shard ⇒ 0."""
+        import ray.data as rd
+
+        from archbloom_ray.pipelines import (
+            assemble_sharded_cbloom,
+            build_sharded_cbloom_states,
+            sharded_cbloom_probe,
+        )
+        from archbloom_ray.sketches import CountingBloomFilter
+
+        factory = lambda: CountingBloomFilter(600, 0.01, width=width)
+        states = build_sharded_cbloom_states(
+            docs_ds, "text", factory, num_shards=5, batch_size=128)
+        sk = assemble_sharded_cbloom(states, factory, num_shards=5)
+        rows = sharded_cbloom_probe(
+            docs_ds, states, "text", factory, num_shards=5).take_all()
+        texts = pa.array([r["text"] for r in rows])
+        assert [r["count"] for r in rows] == list(sk.count_batch(texts))
+        rows = sharded_cbloom_probe(
+            docs_ds, states, "text", factory, num_shards=5,
+            method="lookup").take_all()
+        assert [r["present"] for r in rows] == list(sk.lookup_batch(texts))
+        # dropping a shard zeroes its positions (min ⇒ count 0 for keys
+        # touching it) — never raises
+        part = {s: b for s, b in states.items() if s != 0}
+        rows = sharded_cbloom_probe(
+            docs_ds, part, "text", factory, num_shards=5).take_all()
+        assert min(r["count"] for r in rows) == 0
+        with pytest.raises(ValueError, match="probe method"):
+            sharded_cbloom_probe(docs_ds, states, "text", factory,
+                                 method="nope")
+
     def test_cbloom_saturation_clamps_like_sequential(self, ray_session):
         """Width-4 counters cap at 15: a hot key driven >15 times per
         shard-sum must clamp exactly like sequential adds."""
