@@ -98,6 +98,25 @@ def test_all_oracle_queries_match(entry_module, ddb):
     assert not failures, failures
 
 
+def test_registry_names_frozen_additions_only(entry_module):
+    """The driver samples queries BY NAME across rounds — a rename
+    silently shrinks cross-round comparability (VERDICT r4 item 8).
+    Every name in the frozen snapshot must stay registered; new names
+    append to the snapshot (regenerate it, never prune it)."""
+    snap = os.path.join(os.path.dirname(__file__), "data",
+                        "query_registry_names.txt")
+    frozen = {ln.strip() for ln in open(snap) if ln.strip()}
+    qs = entry_module.queries()
+    missing = frozen - set(qs)
+    assert not missing, (
+        f"registered query names disappeared (rename/removal breaks "
+        f"driver continuity): {sorted(missing)}")
+    new = set(qs) - frozen
+    assert not new, (
+        f"new queries {sorted(new)} — append them to "
+        f"tests/data/query_registry_names.txt (additions-only snapshot)")
+
+
 def test_rows_only_queries_run(entry_module):
     qs, sqls = _oracle_pairs(entry_module)
     for name in set(qs) - set(sqls):
