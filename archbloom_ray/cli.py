@@ -1038,18 +1038,23 @@ def cmd_index_search(args):
 def _ref_classes():
     from .sketches.bloom import BloomFilter
     from .sketches.cbloom import CountingBloomFilter
+    from .sketches.cuckoo import ReferenceCuckooFilter
     from .sketches.tdbloom import TimeDecayingBloomFilter
 
     return {"bloom": BloomFilter, "cbloom": CountingBloomFilter,
-            "tdbloom": TimeDecayingBloomFilter}
+            "tdbloom": TimeDecayingBloomFilter,
+            "cuckoo": ReferenceCuckooFilter}
 
 
 def cmd_import_ref(args):
     """Import a reference-engine save file into the engine's portable
     format — ``--kind bloom`` (.bf, bloom.c:525-633), ``cbloom``
-    (!cbloom!, cbloom.c:854-1000), or ``tdbloom`` (!tdbloo!,
+    (!cbloom!, cbloom.c:854-1000), ``tdbloom`` (!tdbloo!,
     tdbloom.c:528-713 intended semantics; pass ``--timeout`` since the
-    reference format does not persist it)."""
+    reference format does not persist it), or ``cuckoo`` (raw-struct
+    dump, cuckoo.c:205-233 — SAME-ARCH only by the reference's own
+    TODO; imports as a read view answering the reference's lookup
+    arithmetic)."""
     cls = _ref_classes()[args.kind]
     with open(args.input, "rb") as f:
         data = f.read()
@@ -1071,7 +1076,8 @@ def cmd_export_ref(args):
     cls = classes.get(args.kind)
     if cls is None or not isinstance(sk, cls):
         print(json.dumps({"error": f"sketch is not a {args.kind}; "
-                          "reference formats exist for bloom/cbloom/tdbloom"}))
+                          "reference formats exist for "
+                          "bloom/cbloom/tdbloom/cuckoo"}))
         sys.exit(2)
     tmp = args.output + ".tmp"
     with open(tmp, "wb") as f:
@@ -1219,7 +1225,7 @@ def main(argv=None):
     sp.add_argument("input", help="reference-engine save file")
     sp.add_argument("output", help="engine sketch file")
     sp.add_argument("--kind", default="bloom",
-                    choices=["bloom", "cbloom", "tdbloom"])
+                    choices=["bloom", "cbloom", "tdbloom", "cuckoo"])
     sp.add_argument("--timeout", type=int, default=None,
                     help="tdbloom timeout (not persisted by the "
                          "reference format; default max_time-1)")
@@ -1229,7 +1235,7 @@ def main(argv=None):
     sp.add_argument("sketch", help="engine sketch file")
     sp.add_argument("output", help="reference-engine save file")
     sp.add_argument("--kind", default="bloom",
-                    choices=["bloom", "cbloom", "tdbloom"])
+                    choices=["bloom", "cbloom", "tdbloom", "cuckoo"])
     sp.set_defaults(fn=cmd_export_ref)
 
     sp = sub.add_parser("index-build")

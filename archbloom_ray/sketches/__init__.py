@@ -19,7 +19,7 @@ from .ams import AMSSketch
 from .kmv import KMVSketch
 from .varopt import VarOptSampler
 from .theta import ThetaSketch
-from .cuckoo import CuckooFilter
+from .cuckoo import CuckooFilter, ReferenceCuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import BinaryFuseFilter, XorFilter, XorMap
@@ -54,6 +54,7 @@ __all__ = [
     "VarOptSampler",
     "ThetaSketch",
     "CuckooFilter",
+    "ReferenceCuckooFilter",
     "GaussianNB",
     "DDSketch",
     "XorFilter",

@@ -266,3 +266,155 @@ class CuckooFilter(Sketch):
         obj.evictions = meta.get("evictions", 0)
         obj._prng_state = np.uint32(meta.get("prng_state", obj.seed))
         return obj
+
+
+@register
+class ReferenceCuckooFilter(Sketch):
+    """Same-arch reader for the reference's raw-struct cuckoo dump
+    (cuckoo.c:205-233 ``cuckoo_save``): 64-byte LP64 struct header
+    (two raw heap POINTERS included — the file is non-portable by the
+    reference's own TODO at cuckoo.c:214-218) + ``nb·bs`` uint32
+    fingerprint slots + ``nb`` uint64 per-bucket insertion counters.
+
+    The reference's PLACEMENT differs from the engine's
+    :class:`CuckooFilter` (modulo buckets vs power-of-two, partner
+    ``(i1 ^ (fp>>1)) % nb`` vs involutive xor, fp 0 not remapped), so a
+    loaded file answers lookups with the REFERENCE's exact arithmetic
+    over the loaded arrays — it is a read view for migration, not a
+    convertible engine filter (positions depend on the full 32-bit key
+    hash, which the file does not retain).  Kept reference quirks:
+    a key whose 16-bit fingerprint is 0 matches empty slots (the
+    sentinel collision at cuckoo.c:78), and the saved header's
+    ``total_insertions``/``evictions``/``prng_state`` reflect the
+    by-value mutation loss (cuckoo.c:89-131) — all preserved verbatim
+    for byte-identical re-export.
+
+    Engine serde (``to_bytes``) wraps the same state in the portable
+    versioned format so imported filters live in the engine store;
+    ``to_reference_bytes`` reproduces the original file byte-for-byte
+    (same arch)."""
+
+    MAGIC = b"!refcuck"
+    _HDR = "<QQQQQQQI4x"          # LP64 x86-64, no inner padding
+
+    def __init__(self, name: str = "DEFAULT"):
+        self.name = name
+        self.header = b"\x00" * 64
+        self.num_buckets = 0
+        self.bucket_size = 0
+        self.max_kicks = 0
+        self.total_insertions = 0
+        self.evictions = 0
+        self.prng_state = 0
+        self.buckets = np.zeros((0, 0), dtype=np.uint32)
+        self.bucket_insertions = np.zeros(0, dtype=np.uint64)
+
+    # -- reference-file interop ----------------------------------------
+    @classmethod
+    def from_reference_bytes(cls, data: bytes,
+                             name: str = "DEFAULT") -> "ReferenceCuckooFilter":
+        import struct as _struct
+
+        if len(data) < 64:
+            raise SketchError("reference cuckoo file: truncated header")
+        (_, nb, bs, kicks, ins, _, evict, prng) = _struct.unpack(
+            cls._HDR, data[:64])
+        expected = 64 + nb * bs * 4 + nb * 8
+        if nb == 0 or bs not in (2, 4, 8) or len(data) != expected:
+            raise SketchError(
+                f"reference cuckoo file: geometry/size mismatch "
+                f"(nb={nb}, bs={bs}, {len(data)} bytes != {expected})")
+        obj = cls(name=name)
+        obj.header = data[:64]
+        obj.num_buckets, obj.bucket_size = int(nb), int(bs)
+        obj.max_kicks = int(kicks)
+        obj.total_insertions, obj.evictions = int(ins), int(evict)
+        obj.prng_state = int(prng)
+        obj.buckets = np.frombuffer(
+            data, dtype="<u4", count=nb * bs, offset=64
+        ).reshape(nb, bs).copy()
+        obj.bucket_insertions = np.frombuffer(
+            data, dtype="<u8", count=nb, offset=64 + nb * bs * 4).copy()
+        return obj
+
+    def to_reference_bytes(self) -> bytes:
+        return (self.header
+                + self.buckets.astype("<u4").tobytes()
+                + self.bucket_insertions.astype("<u8").tobytes())
+
+    # -- queries (reference arithmetic, vectorized) --------------------
+    def lookup_hashes32(self, h: np.ndarray) -> np.ndarray:
+        h = h.astype(np.uint32)
+        fp = (h & np.uint32(0xFFFF)).astype(np.uint32)   # NOT remapped
+        i1 = (h % np.uint32(self.num_buckets)).astype(np.int64)
+        i2 = ((i1 ^ (fp >> np.uint32(1)).astype(np.int64))
+              % self.num_buckets)
+        in1 = (self.buckets[i1] == fp[:, None]).any(axis=1)
+        in2 = (self.buckets[i2] == fp[:, None]).any(axis=1)
+        return in1 | in2
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        if isinstance(arr, pa.ChunkedArray):
+            arr = arr.combine_chunks()
+        if len(arr) == 0:
+            return np.empty(0, dtype=bool)
+        return self.lookup_hashes32(mmh3_32_batch(arr))
+
+    def lookup(self, element: bytes | str) -> bool:
+        typ = pa.string() if isinstance(element, str) else pa.binary()
+        return bool(self.lookup_batch(pa.array([element], type=typ))[0])
+
+    def load_factor(self) -> float:
+        return (self.total_insertions
+                / (self.num_buckets * self.bucket_size) * 100.0)
+
+    def finalize(self) -> dict:
+        return {
+            "num_buckets": self.num_buckets,
+            "bucket_size": self.bucket_size,
+            "total_insertions": self.total_insertions,
+            "occupied_slots": int((self.buckets != 0).sum()),
+        }
+
+    # a migration READ VIEW: the file does not retain key hashes, so
+    # inserts/merges cannot preserve reference placement — refuse
+    def update_arrow(self, arr) -> None:
+        raise SketchError(
+            "ReferenceCuckooFilter is a read view of a reference dump — "
+            "build new filters with CuckooFilter")
+
+    def merge(self, other) -> "ReferenceCuckooFilter":
+        raise SketchError(
+            "ReferenceCuckooFilter is a read view — reference dumps "
+            "cannot be merged (placement depends on lost key hashes)")
+
+    # -- engine serde ---------------------------------------------------
+    def _meta(self) -> dict:
+        return {
+            "name": self.name,
+            "header_hex": self.header.hex(),
+            "num_buckets": self.num_buckets,
+            "bucket_size": self.bucket_size,
+            "max_kicks": self.max_kicks,
+            "total_insertions": self.total_insertions,
+            "evictions": self.evictions,
+            "prng_state": self.prng_state,
+        }
+
+    def _arrays(self):
+        return [self.buckets, self.bucket_insertions]
+
+    def _set_arrays(self, arrays):
+        self.buckets, self.bucket_insertions = arrays
+
+    @classmethod
+    def _from_meta(cls, meta):
+        obj = cls(name=meta.get("name", "DEFAULT"))
+        obj.header = bytes.fromhex(meta["header_hex"])
+        obj.num_buckets = meta["num_buckets"]
+        obj.bucket_size = meta["bucket_size"]
+        obj.max_kicks = meta["max_kicks"]
+        obj.total_insertions = meta["total_insertions"]
+        obj.evictions = meta["evictions"]
+        obj.prng_state = meta["prng_state"]
+        return obj
