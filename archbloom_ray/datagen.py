@@ -208,9 +208,18 @@ def _write_pages_chunk(args: tuple) -> None:
 
 
 def pages_fixture(n_rows: int, seed: int = 42,
-                  cache_dir: str = "/tmp/archbloom_fixtures") -> str:
+                  cache_dir: str | None = None) -> str:
     """Cached corpus path (a Parquet directory) for tests/bench —
-    generated once per (n, seed)."""
+    generated once per (n, seed).
+
+    Multi-node note: the default cache lives under local ``/tmp``,
+    which only works when driver and workers share a filesystem (the
+    single-node sandbox).  On a real cluster set ``GRAFT_FIXTURE_DIR``
+    to a shared mount so every node's read tasks can open the files —
+    the fixture is generated driver-side but READ by workers."""
+    if cache_dir is None:
+        cache_dir = os.environ.get("GRAFT_FIXTURE_DIR",
+                                   "/tmp/archbloom_fixtures")
     # v3: multi-file directory + 8k row groups so Ray Data reads split
     # into enough read tasks AND blocks to keep a whole pool busy
     path = os.path.join(cache_dir, f"pages_v3_n{n_rows}_s{seed}")

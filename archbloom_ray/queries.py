@@ -2626,11 +2626,42 @@ def q_bound_pass_rate(sf_dir: str):
     rate over every (sketch, group) cell this corpus produces.
     Composes the certified builders: grouped HLL per lang (3σ /
     linear-range-floored verdicts, `q_hll_distinct_by_lang`), CMS per
-    source (ε·N contract, `q_cms_source_counts`), and one Bloom cell —
+    source (ε·N contract, `q_cms_source_counts`), one Bloom cell —
     measured FPR on 20k deterministic absent probes vs the
     reference-formula estimate (bloom.c:201-218, which intentionally
-    overestimates via n := popcount).  All verdicts are deterministic
-    (fixed hash seed), so the oracle pins pass = cells per family."""
+    overestimates via n := popcount) — and (r5) the AMQ quartet +
+    VarOpt:
+
+    * ``qf`` — measured absent-probe FPR ≤ the RSQF's published
+      n·2⁻ᵖ bound + 3σ binomial sampling slack (the gate sits AT the
+      sketch's bound, never tighter — the r4 gotcha);
+    * ``cqf`` — exact-counting contract: count ≥ true multiplicity
+      for every source (collisions only overcount) AND the same FPR
+      bound on absent probes;
+    * ``xor`` / ``bfuse`` — sharded construction succeeds, ZERO false
+      negatives over every built key (the static filters' exact
+      contract), measured absent FPR ≤ 2⁻ᵇⁱᵗˢ + 3σ.  (bits/key vs
+      the published 1.23/1.125 factors is meaningful only at ≥10⁵
+      keys and stays pytest-gated at 200k —
+      tests/test_xorf.py::test_smaller_than_xor_at_scale);
+    * ``xormap`` — retrieval exactness: get == built value for every
+      built key;
+    * ``varopt`` — the √(τ·W_S) SD bound over 32 independent seeds
+      (mergeable per-block partials, ONE scan builds all 32): SD of
+      the even-doc_id subset-weight estimator ≤ 1.6× the advertised
+      1σ (χ²₃₂ 3σ headroom) and the mean within 4σ/√32 of exact.
+
+    All verdicts are deterministic (fixed hash seeds), verified at
+    sf0.001/0.01/0.1 (the LLF lesson: gate probabilities change with
+    scale), so the oracle pins pass = cells per family."""
+    from .pipelines.staticfilter import (build_sharded_xor,
+                                         build_sharded_xormap,
+                                         sharded_xor_probe,
+                                         sharded_xormap_get)
+    from .sketches import (CountingQuotientFilter, QuotientFilter,
+                           VarOptSampler)
+    from .sketches.base import sketch_from_bytes as _sfb
+
     hll_t = q_hll_distinct_by_lang(sf_dir)
     cms_t = q_cms_source_counts(sf_dir)
     qnt_t = q_quantile_sketches(sf_dir)   # t-digest/KLL rank error
@@ -2642,16 +2673,113 @@ def q_bound_pass_rate(sf_dir: str):
     fpr = float(bf.lookup_batch(absent).mean())
     bloom_ok = int(fpr <= bf.estimate_false_positive_rate())
 
+    def _slack(bound: float, probes: int = 20_000) -> float:
+        return 3.0 * math.sqrt(max(bound, 1e-12) / probes)
+
+    # qf: published FPR bound (VLDB'12 §3) on absent probes
+    qf = build_sketch(ds, "text",
+                      lambda: QuotientFilter(max(2 * n, 16), 0.001))
+    qb = qf.false_positive_bound()
+    qf_ok = int(float(qf.lookup_batch(absent).mean()) <= qb + _slack(qb))
+
+    # cqf: count ≥ exact per source + FPR bound
+    src_t = grouped_agg(_read(sf_dir, "documents", ["source"]), ["source"],
+                        [("exact_count", None, "count")]).take_all()
+    src_t.sort(key=lambda r: r["source"])
+    cqf = build_sketch(_read(sf_dir, "documents", ["source"]), "source",
+                       lambda: CountingQuotientFilter(1024, 0.001))
+    cnts = cqf.count_batch(pa.array([r["source"] for r in src_t],
+                                    type=pa.string()))
+    cb = cqf.false_positive_bound()
+    cqf_ok = int(
+        all(int(c) >= int(r["exact_count"]) for c, r in zip(cnts, src_t))
+        and float(cqf.lookup_batch(absent).mean()) <= cb + _slack(cb))
+
+    def _static_cell(kind: str) -> int:
+        states = build_sharded_xor(ds, "text", num_shards=8, bits=8,
+                                   kind=kind)       # construction success
+        def miss_count(d):
+            probed = sharded_xor_probe(d, states, "text", num_shards=8)
+            def part(b: pa.Table) -> pa.Table:
+                miss = int(len(b) - pc.sum(
+                    pc.cast(b["present"], pa.int64())).as_py())
+                return pa.table({"miss": pa.array([miss], pa.int64())})
+            return sum(r["miss"] for r in probed.map_batches(
+                part, batch_format="pyarrow",
+                zero_copy_batch=True).take_all())
+        no_fn = miss_count(ds) == 0
+        absent_ds = rd.from_arrow(pa.table({"text": absent}))
+        meas = 1.0 - miss_count(absent_ds) / len(absent)
+        return int(no_fn and meas <= 2.0 ** -8 + _slack(2.0 ** -8))
+
+    xor_ok = _static_cell("xor")
+    bfuse_ok = _static_cell("bfuse")
+
+    # xormap: exact retrieval for every built key
+    kds = _lang_coded_docs(sf_dir)
+    mstates = build_sharded_xormap(kds, "key", "code", num_shards=8, bits=8)
+    got = sharded_xormap_get(kds, mstates, "key", num_shards=8,
+                             out_column="got")
+    def neq(b: pa.Table) -> pa.Table:
+        bad = int(pc.sum(pc.cast(pc.not_equal(b["got"], b["code"]),
+                                 pa.int64())).as_py())
+        return pa.table({"bad": pa.array([bad], pa.int64())})
+    xormap_ok = int(sum(r["bad"] for r in got.map_batches(
+        neq, batch_format="pyarrow", zero_copy_batch=True).take_all()) == 0)
+
+    # varopt: 32 seeds in ONE scan via mergeable per-block partials
+    SEEDS = 32
+    nds = _read(sf_dir, "documents", ["doc_id", "n_chars"])
+
+    def vo_partial(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        w = np.asarray(batch["n_chars"], dtype=np.int64)
+        vals = pa.array(ids.astype("U"))
+        states, evens = [], int(w[ids % 2 == 0].sum())
+        for sd in range(SEEDS):
+            s = VarOptSampler(64, seed=sd)
+            s.update_weighted(vals, w)
+            states.append(s.to_bytes())
+        return pa.table({
+            "seed": pa.array(np.arange(SEEDS, dtype=np.int64)),
+            "state": pa.array(states, type=pa.large_binary()),
+            "even_w": pa.array(np.full(SEEDS, evens, dtype=np.int64)),
+        })
+
+    vo_rows = nds.map_batches(vo_partial, batch_format="pyarrow",
+                              zero_copy_batch=True).take_all()
+    exact_even = sum(r["even_w"] for r in vo_rows) // SEEDS
+    by_seed: dict[int, object] = {}
+    for r in vo_rows:
+        sk = _sfb(r["state"])
+        if r["seed"] in by_seed:
+            by_seed[r["seed"]].merge(sk)
+        else:
+            by_seed[r["seed"]] = sk
+    ests, bounds = [], []
+    for sd in sorted(by_seed):
+        s = by_seed[sd]
+        ests.append(s.subset_estimate(lambda v: int(v) % 2 == 0))
+        bounds.append(s.subset_error_bound(float(exact_even)))
+    sd_meas = float(np.std(ests))
+    b1 = max(bounds)
+    varopt_ok = int(sd_meas <= 1.6 * b1 and
+                    abs(float(np.mean(ests)) - exact_even)
+                    <= 4.0 * b1 / math.sqrt(SEEDS))
+
     def _nsum(col):
         return int(pc.sum(pc.cast(col, pa.int64())).as_py())
 
-    fam = ["bloom", "cms", "hll", "kll", "tdigest"]
-    cells = [1, len(cms_t), len(hll_t), len(qnt_t), len(qnt_t)]
+    fam = ["bloom", "cms", "hll", "kll", "tdigest",
+           "qf", "cqf", "xor", "bfuse", "xormap", "varopt"]
+    cells = [1, len(cms_t), len(hll_t), len(qnt_t), len(qnt_t),
+             1, 1, 1, 1, 1, 1]
     within = [bloom_ok,
               _nsum(cms_t["cms_within_bound"]),
               _nsum(hll_t["hll_within_bound"]),
               _nsum(qnt_t["kll_within_bound"]),
-              _nsum(qnt_t["tdigest_within_bound"])]
+              _nsum(qnt_t["tdigest_within_bound"]),
+              qf_ok, cqf_ok, xor_ok, bfuse_ok, xormap_ok, varopt_ok]
     total_c, total_w = sum(cells), sum(within)
     rate = (total_w * 1_000_000) // total_c if total_c else 0
     return pa.table({
@@ -11939,7 +12067,19 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL
                 SELECT 'kll', CAST(5 AS BIGINT)
                 UNION ALL
-                SELECT 'tdigest', CAST(5 AS BIGINT)),
+                SELECT 'tdigest', CAST(5 AS BIGINT)
+                UNION ALL
+                SELECT 'qf', CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT 'cqf', CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT 'xor', CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT 'bfuse', CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT 'xormap', CAST(1 AS BIGINT)
+                UNION ALL
+                SELECT 'varopt', CAST(1 AS BIGINT)),
             t AS (
                 SELECT family, n_cells FROM c
                 UNION ALL

@@ -306,6 +306,11 @@ def parquet_column_bounds(path: str, column: str):
 
     import pyarrow.parquet as pq
 
+    if "://" in path:
+        # remote scheme: footers aren't glob-able locally — None sends
+        # the caller to the Ray-side pruned-scan fallback, which DOES
+        # handle remote URIs (multi-node audit, README inventory)
+        return None
     files = (sorted(glob.glob(os.path.join(path, "*.parquet")))
              if os.path.isdir(path) else [path])
     if not files:

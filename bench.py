@@ -170,9 +170,12 @@ def run_bench() -> dict:
             "cms_lang": ("lang", lambda: CountMinSketch(epsilon=0.0005, delta=0.01)),
             "tdigest_chars": ("n_chars", lambda: TDigest(200)),
             "kll_chars": ("n_chars", lambda: KLLSketch(200)),
-            # batch sized so Bloom partial-state traffic stays ~30 states
-            # (O(m) each) while tasks still cover every CPU
-        }, batch_size=262144, num_cpus=TASK_CPUS if TASK_CPUS != 1 else None)
+            # batch scales with rows so Bloom partial-state traffic
+            # stays ~30 states (O(m) each) while tasks still cover
+            # every CPU — a FIXED batch makes the combine traffic
+            # quadratic in rows (see _headline_build_once)
+        }, batch_size=max(262144, n_pages // 32),
+           num_cpus=TASK_CPUS if TASK_CPUS != 1 else None)
 
     timings["pages_sketch_build"] = _timed(headline_build)
 
@@ -333,9 +336,11 @@ SCALING_HI = int(os.environ.get("GRAFT_SCALING_HI", "32"))
 SCALING_MINHASH_ROWS = int(os.environ.get("GRAFT_SCALING_MINHASH_ROWS", "400000"))
 
 
-def _child_ray_init(ncpu: int):
+def _child_ray_init(ncpu: int, object_store_memory: int | None = None):
     """Fresh-process Ray session with the sandbox glibc tunables + a
-    warmed worker pool; returns the ray.data module."""
+    warmed worker pool; returns the ray.data module.
+    ``object_store_memory`` caps the plasma store (bytes) — the
+    capped-store certification leg."""
     import numpy as np
     import ray
 
@@ -350,9 +355,11 @@ def _child_ray_init(ncpu: int):
     if log_cfg:
         os.environ.setdefault("RAY_DATA_LOGGING_CONFIG", log_cfg)
         env_vars["RAY_DATA_LOGGING_CONFIG"] = log_cfg
+    extra = ({"object_store_memory": int(object_store_memory)}
+             if object_store_memory else {})
     ray.init(address="local", num_cpus=ncpu, include_dashboard=False,
              logging_level="ERROR",
-             runtime_env={"env_vars": env_vars})
+             runtime_env={"env_vars": env_vars}, **extra)
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False
@@ -370,7 +377,16 @@ def _child_ray_init(ncpu: int):
 
 def _headline_build_once(rd, rows: int) -> float:
     """The headline one-scan 5-sketch build over the `rows`-sized pages
-    fixture; returns wall seconds."""
+    fixture; returns wall seconds.
+
+    batch_size scales with rows (≤ ~32 partials): the monolithic
+    path's groupby-combine traffic is n_batches × state_bytes, and the
+    Bloom state is O(rows) — a FIXED batch size makes that traffic
+    quadratic in rows (measured: 123 × 38 MB of Bloom partials at 32 M
+    rows flooded 13-17 GB through the two Sort stages and an 8 GiB
+    object store spilled; 31 partials → zero spill).  Beyond what one
+    machine's store absorbs, `plan_filter_build` routes the Bloom to
+    the sharded builder whose traffic is independent of m."""
     import pyarrow.compute as pc
 
     from archbloom_ray.datagen import pages_fixture
@@ -379,6 +395,7 @@ def _headline_build_once(rd, rows: int) -> float:
     from archbloom_ray.pipelines.build import build_sketches
 
     pages = pages_fixture(rows, seed=42)
+    batch = max(262144, rows // 32)
     t0 = time.monotonic()
     build_sketches(
         rd.read_parquet(pages, columns=["url", "text", "lang"]).map_batches(
@@ -390,7 +407,7 @@ def _headline_build_once(rd, rows: int) -> float:
             "cms_lang": ("lang", lambda: CountMinSketch(epsilon=0.0005, delta=0.01)),
             "tdigest_chars": ("n_chars", lambda: TDigest(200)),
             "kll_chars": ("n_chars", lambda: KLLSketch(200)),
-        }, batch_size=262144)
+        }, batch_size=batch)
     return time.monotonic() - t0
 
 
@@ -534,12 +551,106 @@ def run_rows_probe() -> dict:
     }
 
 
+CAPPED_STORE_BYTES = int(os.environ.get("GRAFT_CAPPED_STORE_BYTES",
+                                        str(8 << 30)))
+CAPPED_STORE_REPEATS = int(os.environ.get("GRAFT_CAPPED_STORE_REPEATS", "3"))
+
+
+def run_capped_child(rows: int, store_bytes: int) -> dict:
+    """One capped-store leg: headline build at `rows` rows with the
+    object store capped to `store_bytes` (0 = uncapped); reports the
+    session's spill volume so the artifact shows whether streaming
+    execution needed the disk at all."""
+    import ray
+
+    rd = _child_ray_init(NUM_CPUS, object_store_memory=store_bytes or None)
+    sec = _headline_build_once(rd, rows)
+    spilled_mb = None
+    try:
+        # no gRPC in this sandbox, so read the raylet's own spill
+        # report (cumulative "Spilled N MiB" info lines) instead of
+        # the state API
+        import glob
+        import re
+
+        sess = ray._private.worker.global_worker.node.get_session_dir_path()
+        spilled_mb = 0.0
+        for f in glob.glob(os.path.join(sess, "logs", "raylet.out")):
+            for line in open(f, errors="ignore"):
+                m = re.search(r"Spilled\s+(\d+)\s*MiB", line)
+                if m:
+                    spilled_mb = max(spilled_mb, float(m.group(1)))
+    except Exception as e:
+        spilled_mb = f"probe_failed:{type(e).__name__}"
+    ray.shutdown()
+    return {"rows": rows, "store_bytes": store_bytes,
+            "build_sec": round(sec, 2),
+            "build_docs_per_sec": round(rows / sec, 1),
+            "spilled_mb": spilled_mb}
+
+
+def run_capped_store() -> dict:
+    """Memory-bounded scale certification (VERDICT r4 item 4): the
+    headline build at ROWS_PROBE_FACTOR× the bench rows, once with the
+    default object store and once capped to CAPPED_STORE_BYTES
+    (default 8 GiB).  Streaming execution with backpressure should
+    never need the whole dataset resident, so throughput under the cap
+    must hold (ratio ≥ 0.8) — the single-node proxy for 'no stage
+    materializes the corpus' that rows-probe can't see (a plentiful
+    store hides accidental materialization; a capped one stalls or
+    spills on it).  Median over CAPPED_STORE_REPEATS fresh processes
+    per leg; host probe embedded."""
+    from archbloom_ray.datagen import pages_fixture
+
+    rows = BENCH_PAGES_ROWS * ROWS_PROBE_FACTOR
+    path = pages_fixture(rows, seed=42)
+    for name in sorted(os.listdir(path)):      # warm page cache
+        with open(os.path.join(path, name), "rb") as f:
+            while f.read(1 << 24):
+                pass
+
+    def leg(store_bytes: int) -> dict:
+        outs = []
+        for _ in range(max(1, CAPPED_STORE_REPEATS)):
+            out = subprocess.run(
+                [sys.executable, os.path.abspath(__file__),
+                 "--capped-child", str(rows), str(store_bytes)],
+                capture_output=True, text=True, check=True,
+                cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+            outs.append(json.loads(out.strip().splitlines()[-1]))
+        med_sec = sorted(o["build_sec"] for o in outs)[len(outs) // 2]
+        spills = [o["spilled_mb"] for o in outs if o["spilled_mb"] is not None]
+        return {"build_sec": med_sec,
+                "build_docs_per_sec": round(rows / med_sec, 1),
+                "store_bytes": store_bytes, "repeats": len(outs),
+                "max_spilled_mb": max(spills) if spills else None}
+
+    uncapped, capped = leg(0), leg(CAPPED_STORE_BYTES)
+    ratio = capped["build_docs_per_sec"] / uncapped["build_docs_per_sec"]
+    return {
+        "metric": f"capped_store_throughput_ratio_{CAPPED_STORE_BYTES >> 30}gib",
+        "value": round(ratio, 3),
+        "unit": "ratio",
+        "rows": rows,
+        "uncapped": uncapped,
+        "capped": capped,
+        "num_cpus": NUM_CPUS,
+        **host_speed_probe(),
+    }
+
+
 if __name__ == "__main__":
     if "--scaling-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--scaling-child") + 1])
         print(json.dumps(run_scaling_child(n)))
     elif "--scaling" in sys.argv:
         print(json.dumps(run_scaling()))
+    elif "--capped-child" in sys.argv:
+        i = sys.argv.index("--capped-child")
+        print(json.dumps(run_capped_child(int(sys.argv[i + 1]),
+                                          int(sys.argv[i + 2]))))
+    elif "--capped-store" in sys.argv:
+        print(json.dumps(run_capped_store()))
     elif "--rows-probe-child" in sys.argv:
         n = int(sys.argv[sys.argv.index("--rows-probe-child") + 1])
         print(json.dumps(run_rows_probe_child(n)))
