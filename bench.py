@@ -305,6 +305,57 @@ def run_bench() -> dict:
 
     timings["pages_dup_span_200k"] = _timed(dup_span)
 
+    def curation_funnel():
+        """Streaming curation funnel (VERDICT r4 item 9): quality gate
+        → exact dedup → deterministic 1% survivor sample as ONE lazy
+        chain with a single consume — no .materialize()/take_all
+        between stages, so backpressure pipelines the whole funnel.
+        The gate-only leg is timed separately (funnel_parts below) to
+        show composition adds pipeline stages, not materializations."""
+        from archbloom_ray.hashing import fmix64_batch, mmh3_64_batch
+        from archbloom_ray.pipelines import grouped_agg
+        from archbloom_ray.stages.text import quality_features_arrow
+
+        rows = min(2_000_000, BENCH_PAGES_ROWS)
+        sub = pages_fixture(rows, seed=9)
+        extra = {"num_cpus": TASK_CPUS} if TASK_CPUS != 1 else {}
+
+        def gate(b: pa.Table) -> pa.Table:
+            f = quality_features_arrow(b["text"])
+            ok = ((f["n_words"] >= 10)
+                  & (f["n_punct"] * 5 <= f["n_chars"]))
+            t = b.filter(pa.array(ok))
+            h = mmh3_64_batch(t["text"].combine_chunks()).view(np.int64)
+            return pa.table({"lang": t["lang"], "h": pa.array(h),
+                             "url": t["url"]})
+
+        def gated():
+            return rd.read_parquet(
+                sub, columns=["url", "text", "lang"]).map_batches(
+                gate, batch_format="pyarrow", zero_copy_batch=True,
+                batch_size=16384, **extra)
+
+        t0 = time.monotonic()
+        gated().count()
+        gate_sec = time.monotonic() - t0
+
+        def sample(b: pa.Table) -> pa.Table:
+            keep = (fmix64_batch(np.asarray(b["h"]).view(np.uint64))
+                    % np.uint64(100)) == 0
+            return b.filter(pa.array(keep))
+
+        t0 = time.monotonic()
+        uniq = grouped_agg(gated(), ["lang", "h"], [("url", "url", "min")])
+        n = uniq.map_batches(sample, batch_format="pyarrow",
+                             zero_copy_batch=True).count()
+        funnel_sec = time.monotonic() - t0
+        return {"funnel_sec": round(funnel_sec, 2),
+                "gate_only_sec": round(gate_sec, 2),
+                "rows": rows, "sampled": int(n)}
+
+    funnel_parts = curation_funnel()
+    timings["pages_curation_funnel_2m"] = funnel_parts["funnel_sec"]
+
     def sfdir_suite():
         from archbloom_ray import queries as Q
 
@@ -327,6 +378,7 @@ def run_bench() -> dict:
         "num_cpus": NUM_CPUS,
         "pages_rows": n_pages,
         "sketch_build_docs_per_sec": docs_per_sec,
+        "funnel_parts": funnel_parts,
         **host_speed_probe(),
     }
 
