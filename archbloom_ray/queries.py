@@ -6673,6 +6673,41 @@ def q_cdc_dedup(sf_dir: str):
     })
 
 
+def q_dedup_keep_trusted(sf_dir: str):
+    """Canonical-SELECTION dedup (stages.dedup.keep_best_dedup): keep
+    the highest-scoring copy per exact content group, tie → min id —
+    the curation policy that keeps the most trusted / freshest copy
+    rather than an arbitrary one.  The per-copy trust score is the
+    derived-table pattern (identical integer arithmetic in numpy and
+    the SQL twin): trust = (doc_id · 2654435761) mod 1000 — a
+    deterministic stand-in for the crawl-recency / source-reputation
+    signal a real pipeline joins in, which (unlike text-derived
+    scores) DIFFERS between planted copies so the argmax is genuinely
+    exercised.  Shuffle ships only (id, 64-bit content hash, score)
+    rows; SQL groups by text (hash is injective w.h.p.)."""
+    from .stages import keep_best_dedup
+
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+
+    def trust(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["doc_id"], dtype=np.int64)
+        return batch.append_column(
+            "trust", pa.array((ids * 2654435761) % 1000))
+
+    scored = aug.map_batches(trust, batch_format="pyarrow",
+                             zero_copy_batch=True)
+    kept = keep_best_dedup(scored, "text", "doc_id", "trust")
+
+    def out(batch: pa.Table) -> pa.Table:
+        return pa.table({"doc_id": batch["doc_id"],
+                         "trust": batch["score"],
+                         "n_copies": batch["n_copies"]})
+
+    return kept.map_batches(out, batch_format="pyarrow",
+                            zero_copy_batch=True)
+
+
 def q_minhash_dedup_recall(sf_dir: str):
     """MinHash-LSH candidates over documents with planted exact
     duplicates, exact-verified by content hash (the fixture also plants
@@ -9942,6 +9977,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "docs_schema_union": q_docs_schema_union,
         "token_totals": q_token_totals,
         "dedup_exact": q_dedup_exact,
+        "dedup_keep_trusted": q_dedup_keep_trusted,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
         "user_sessions": q_user_sessions,
@@ -12647,6 +12683,22 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _AUG_DOCS_SQL + """
             SELECT CAST(count(*) AS BIGINT) AS n_pairs
             FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "dedup_keep_trusted": _AUG_DOCS_SQL + """
+            , s AS (
+                SELECT doc_id, text,
+                       (doc_id * 2654435761) % 1000 AS trust
+                FROM aug),
+            r AS (
+                SELECT doc_id, trust,
+                       row_number() OVER (
+                           PARTITION BY text
+                           ORDER BY trust DESC, doc_id ASC) AS rn,
+                       count(*) OVER (PARTITION BY text) AS n_copies
+                FROM s)
+            SELECT doc_id, CAST(trust AS BIGINT) AS trust,
+                   CAST(n_copies AS BIGINT) AS n_copies
+            FROM r WHERE rn = 1
         """,
         "simhash_near_dups": _AUG_DOCS_SQL + """
             SELECT CAST(count(*) AS BIGINT) AS n_pairs

@@ -86,6 +86,63 @@ def exact_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str) -> "ray.data
             .map_groups(keep_first, batch_format="pyarrow"))
 
 
+def keep_best_dedup(ds: "ray.data.Dataset", text_col: str, id_col: str,
+                    score_col: str) -> "ray.data.Dataset":
+    """Canonical SELECTION dedup: keep the highest-``score_col`` row
+    per exact content match (tie → min id) — the curation policy that
+    keeps the most trusted / freshest copy instead of
+    :func:`exact_dedup`'s arbitrary min-id canonical.
+
+    Same shuffle shape as exact_dedup: only (id, 64-bit content hash,
+    int64 score) rows cross the wire, coarse hash partitions resolve
+    every content group with one lexsort + segment heads — no per-group
+    Python, no text movement.  Output: (id, score, n_copies) per kept
+    canonical."""
+
+    def hash_batch(batch: pa.Table) -> pa.Table:
+        h1, _ = mmh3_128_batch(batch[text_col])
+        return pa.table({
+            id_col: batch[id_col],
+            "content_hash": pa.array(h1.astype(np.int64)),
+            "score": pc.cast(batch[score_col], pa.int64()),
+        })
+
+    hashed = ds.map_batches(hash_batch, batch_format="pyarrow",
+                            zero_copy_batch=True)
+    num_partitions = 64
+
+    def add_pkey(batch: pa.Table) -> pa.Table:
+        h = np.asarray(batch["content_hash"], dtype=np.int64).astype(np.uint64)
+        with np.errstate(over="ignore"):
+            pk = (h * np.uint64(0x9E3779B97F4A7C15)) % np.uint64(num_partitions)
+        return batch.append_column("pkey", pa.array(pk.astype(np.int32)))
+
+    def keep_best(group: pa.Table) -> pa.Table:
+        h = np.asarray(group["content_hash"], dtype=np.int64)
+        s = np.asarray(group["score"], dtype=np.int64)
+        ids = np.asarray(group[id_col])
+        sort_ids = ids.astype("U") if ids.dtype == object else ids
+        # within each content run: score desc, id asc; run head wins
+        order = np.lexsort((sort_ids, -s, h))
+        hs = h[order]
+        head = np.ones(hs.size, dtype=bool)
+        if hs.size > 1:
+            head[1:] = hs[1:] != hs[:-1]
+        seg = np.cumsum(head) - 1
+        n_copies = np.bincount(seg).astype(np.int64)
+        sel = pa.array(order[head])
+        return pa.table({
+            id_col: group[id_col].combine_chunks().take(sel),
+            "score": group["score"].combine_chunks().take(sel),
+            "n_copies": pa.array(n_copies),
+        })
+
+    return (hashed.map_batches(add_pkey, batch_format="pyarrow",
+                               zero_copy_batch=True)
+            .groupby("pkey")
+            .map_groups(keep_best, batch_format="pyarrow"))
+
+
 # ---------------------------------------------------------------------------
 # MinHash
 # ---------------------------------------------------------------------------

@@ -298,6 +298,32 @@ class TestVerifyPairsNgram:
         assert bands == [0, 1, 2]
 
 
+class TestKeepBestDedup:
+    def test_argmax_score_tie_breaks_min_id(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import keep_best_dedup
+
+        docs = rd.from_arrow(pa.table({
+            "id": [1, 2, 3, 4, 5, 6],
+            "text": ["a", "a", "a", "b", "b", "c"],
+            "score": [5, 9, 9, 1, 1, 7],
+        }))
+        rows = sorted(keep_best_dedup(docs, "text", "id", "score")
+                      .take_all(), key=lambda r: r["id"])
+        # 'a': max score 9 shared by ids 2,3 → min id 2; 'b': tie → 4
+        assert [(r["id"], r["score"], r["n_copies"]) for r in rows] == [
+            (2, 9, 3), (4, 1, 2), (6, 7, 1)]
+
+    def test_string_ids(self, ray_session):
+        import ray.data as rd
+        from archbloom_ray.stages import keep_best_dedup
+
+        docs = rd.from_arrow(pa.table({
+            "id": ["x", "y"], "text": ["t", "t"], "score": [1, 2]}))
+        rows = keep_best_dedup(docs, "text", "id", "score").take_all()
+        assert len(rows) == 1 and rows[0]["id"] == "y"
+
+
 class TestVerifyPairsEqual:
     def test_exact_filter_and_string_ids(self, ray_session):
         """Only content-equal pairs survive; near-identical texts (which
