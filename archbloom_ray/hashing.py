@@ -414,3 +414,17 @@ def positions_batch(arr, k: int, m: int, seed: int = 0) -> np.ndarray:
     """
     h1, h2 = mmh3_128_batch(arr, seed)
     return (make_hashes_batch(h1, h2, k) % np.uint64(m)).astype(np.int64)
+
+
+def key_str_array(arr) -> "pa.Array":
+    """Canonical STRING form of a key/id column for hash routing —
+    the one shared canonicalization (combine chunks, pass strings
+    through, cast everything else), so build and probe sides of every
+    sharded structure agree on the key space by construction."""
+    import pyarrow.compute as pc
+
+    if isinstance(arr, pa.ChunkedArray):
+        arr = arr.combine_chunks()
+    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
+        return arr
+    return pc.cast(arr, pa.string())

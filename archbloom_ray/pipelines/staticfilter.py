@@ -244,7 +244,18 @@ def build_sharded_xormap(
         return XorMap.build_hashes_values(
             h, v, bits=bits, name=f"shard{shard}").to_bytes()
 
-    return _sharded_build(ds, key_column, num_shards, extra, build_group)
+    states = _sharded_build(ds, key_column, num_shards, extra, build_group)
+    # a retrieval probe treats a MISSING shard as truncation and raises
+    # (sharded_xormap_get) — so legitimately-empty shards (no key routed
+    # there; likely on small corpora) must still ship a state: emit an
+    # empty map for them, making absence unambiguous
+    empty = np.empty(0, dtype=np.uint64)
+    for s in range(num_shards):
+        if s not in states:
+            states[s] = XorMap.build_hashes_values(
+                empty, np.empty(0, dtype=np.int64), bits=bits,
+                name=f"shard{s}").to_bytes()
+    return states
 
 
 def sharded_xormap_get(

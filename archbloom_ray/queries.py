@@ -2749,16 +2749,19 @@ def q_bound_pass_rate(sf_dir: str):
     vo_rows = nds.map_batches(vo_partial, batch_format="pyarrow",
                               zero_copy_batch=True).take_all()
     exact_even = sum(r["even_w"] for r in vo_rows) // SEEDS
-    by_seed: dict[int, object] = {}
+    # VarOpt merge is path-dependent and take_all() block order is NOT
+    # guaranteed — pin the merge order by sorting each seed's partial
+    # states canonically (by serialized bytes) so the verdict is the
+    # same draw on every run
+    by_seed: dict[int, list] = {}
     for r in vo_rows:
-        sk = _sfb(r["state"])
-        if r["seed"] in by_seed:
-            by_seed[r["seed"]].merge(sk)
-        else:
-            by_seed[r["seed"]] = sk
+        by_seed.setdefault(r["seed"], []).append(r["state"])
     ests, bounds = [], []
     for sd in sorted(by_seed):
-        s = by_seed[sd]
+        blobs = sorted(by_seed[sd])
+        s = _sfb(blobs[0])
+        for b in blobs[1:]:
+            s.merge(_sfb(b))
         ests.append(s.subset_estimate(lambda v: int(v) % 2 == 0))
         bounds.append(s.subset_error_bound(float(exact_even)))
     sd_meas = float(np.std(ests))

@@ -388,6 +388,11 @@ class BinaryFuseFilter(XorFilter):
     ``build_sharded_xor``)."""
 
     MAGIC = b"!binfuse"
+    # v2: _positions switched to an independent second splitmix round
+    # (r5 advice fix) — v1 state would deserialize cleanly but answer
+    # false NEGATIVES for its own members under the new derivation, so
+    # old state must fail loudly instead
+    VERSION = 2
 
     def __init__(self, bits: int = 8, name: str = "DEFAULT"):
         super().__init__(bits=bits, name=name)

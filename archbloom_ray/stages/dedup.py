@@ -1732,12 +1732,10 @@ def dedup_clusters(
 
 def _key_str(arr) -> pa.Array:
     """Canonical string form of an id column (the candidate-filter key
-    space both verifiers share)."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        return arr
-    return pc.cast(arr, pa.string())
+    space both verifiers share) — the shared helper in hashing.py."""
+    from ..hashing import key_str_array
+
+    return key_str_array(arr)
 
 
 def _cand_id_prober(pairs: "ray.data.Dataset", *, num_shards: int = 8,

@@ -391,12 +391,11 @@ def tfidf_top_terms_sharded(
 
 
 def _id_strs(arr) -> pa.Array:
-    """String key form of an id column for hash routing."""
-    if isinstance(arr, pa.ChunkedArray):
-        arr = arr.combine_chunks()
-    if pa.types.is_string(arr.type) or pa.types.is_large_string(arr.type):
-        return arr
-    return pc.cast(arr, pa.string())
+    """String key form of an id column for hash routing — the shared
+    helper in hashing.py."""
+    from ..hashing import key_str_array
+
+    return key_str_array(arr)
 
 
 # ---------------------------------------------------------------------------

@@ -671,7 +671,8 @@ def run_capped_store() -> dict:
                 cwd=os.path.dirname(os.path.abspath(__file__))).stdout
             outs.append(json.loads(out.strip().splitlines()[-1]))
         med_sec = sorted(o["build_sec"] for o in outs)[len(outs) // 2]
-        spills = [o["spilled_mb"] for o in outs if o["spilled_mb"] is not None]
+        spills = [o["spilled_mb"] for o in outs
+                  if isinstance(o["spilled_mb"], (int, float))]
         return {"build_sec": med_sec,
                 "build_docs_per_sec": round(rows / med_sec, 1),
                 "store_bytes": store_bytes, "repeats": len(outs),

@@ -1961,6 +1961,8 @@ class TestShardedBloomBuild:
         states = build_sharded_cbloom_states(
             docs_ds, "text", factory, num_shards=5, batch_size=128)
         sk = assemble_sharded_cbloom(states, factory, num_shards=5)
+        # take_all() row order is not guaranteed — pair each result row
+        # with the assembled filter's answer for ITS OWN text
         rows = sharded_cbloom_probe(
             docs_ds, states, "text", factory, num_shards=5).take_all()
         texts = pa.array([r["text"] for r in rows])
@@ -1968,7 +1970,8 @@ class TestShardedBloomBuild:
         rows = sharded_cbloom_probe(
             docs_ds, states, "text", factory, num_shards=5,
             method="lookup").take_all()
-        assert [r["present"] for r in rows] == list(sk.lookup_batch(texts))
+        texts2 = pa.array([r["text"] for r in rows])
+        assert [r["present"] for r in rows] == list(sk.lookup_batch(texts2))
         # dropping a shard zeroes its positions (min ⇒ count 0 for keys
         # touching it) — never raises
         part = {s: b for s, b in states.items() if s != 0}
