@@ -144,6 +144,17 @@ def build_sketches(
     pre-merge inside blocks, so the input is scanned once however many
     sketches are requested — at 100 TB the scan dominates, so this is
     the economical shape.
+
+    SIZING RULE (measured, r5): combine traffic is n_batches ×
+    Σ state_bytes, and capacity-proportional states (Bloom: O(rows))
+    make that QUADRATIC in rows at a fixed ``batch_size`` — at 32 M
+    rows the default flooded 13–17 GB of Bloom partials through the
+    merge shuffle and spilled an 8 GiB object store.  Scale
+    ``batch_size`` with the corpus (e.g. ``max(65536, rows // 32)`` —
+    ~32 partials at any size), and beyond what one machine's store
+    absorbs route capacity-proportional filters to the sharded builds
+    (``build_sharded_*`` — traffic independent of state size;
+    :func:`plan_filter_build` is the cost-model chooser).
     """
     ids = list(specs)
 
