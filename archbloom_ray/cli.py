@@ -53,6 +53,7 @@ def _ray_init(num_cpus: int | None):
 
 def _make_sketch(kind: str, args) -> "object":
     from .sketches import (BlockedBloomFilter, BloomFilter,
+                           ConservativeCountMinSketch,
                            CountingBloomFilter, CountingQuotientFilter,
                            CountMinSketch,
                            CuckooFilter, DDSketch, HyperLogLog, KLLSketch,
@@ -82,6 +83,9 @@ def _make_sketch(kind: str, args) -> "object":
         "sparsehll": lambda: SparseHLL(args.precision),
         "slidinghll": lambda: SlidingHyperLogLog(args.precision),
         "cms": lambda: CountMinSketch(epsilon=args.epsilon, delta=args.delta),
+        # conservative update: tighter point estimates, same bound
+        "cucms": lambda: ConservativeCountMinSketch(
+            epsilon=args.epsilon, delta=args.delta),
         "tdigest": lambda: TDigest(args.compression),
         "kll": lambda: KLLSketch(args.kll_k),
         "ddsketch": lambda: DDSketch(alpha=args.dd_alpha),
@@ -1096,7 +1100,8 @@ def main(argv=None):
                         choices=["bloom", "blockedbloom", "sbloom", "cbloom",
                                  "tdbloom", "tdcbloom", "cuckoo", "qf",
                                  "cqf", "hll",
-                                 "sparsehll", "slidinghll", "cms", "tdigest",
+                                 "sparsehll", "slidinghll", "cms", "cucms",
+                                 "tdigest",
                                  "kll", "ddsketch", "kmv", "theta",
                                  "roaring", "req", "dyndist", "gss",
                                  "varopt"])

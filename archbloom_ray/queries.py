@@ -1175,6 +1175,44 @@ def q_cms_source_counts(sf_dir: str):
     )
 
 
+def q_cucms_source_counts(sf_dir: str):
+    """Per-source CONSERVATIVE-UPDATE CMS estimates (sketches.cms.
+    ConservativeCountMinSketch — Estan & Varghese 2002; batched
+    one-round CU, scatter-max of est+c) certified against BOTH the
+    exact grouped counts AND a plain CMS built from the same scan:
+    exact ≤ cu_est ≤ cms_est ≤ exact + εN — CU must be sound AND
+    pointwise at least as tight, under the partial-merge build (the
+    docstring's soundness argument, checked on real data).  Estimates
+    are partition-dependent, so only the deterministic verdicts reach
+    the oracle."""
+    from .sketches import ConservativeCountMinSketch
+
+    exact_rows = grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"],
+        [("exact_count", None, "count")]).take_all()
+    exact_rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in exact_rows]
+    exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
+
+    ds = _read(sf_dir, "documents", ["source"])
+    cu = build_sketch(ds, "source",
+                      lambda: ConservativeCountMinSketch(epsilon=0.0001,
+                                                         delta=0.001))
+    cms = build_sketch(_read(sf_dir, "documents", ["source"]), "source",
+                       lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
+    qarr = pa.array(sources, type=pa.string())
+    cu_est = cu.count_batch(qarr)
+    cms_est = cms.count_batch(qarr)
+    return pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "exact_count": pa.array(exact, type=pa.int64()),
+        "cu_sound": pa.array(cu_est >= exact, type=pa.bool_()),
+        "cu_le_cms": pa.array(cu_est <= cms_est, type=pa.bool_()),
+        "cu_within_bound": pa.array(
+            cu_est <= exact + cu.error_bound(), type=pa.bool_()),
+    })
+
+
 def q_hll_intersection_users(sf_dir: str):
     """HLL set-intersection estimate (inclusion–exclusion over two
     distributed sketch builds): users active in BOTH halves of the
@@ -10042,6 +10080,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kmv_distinct_text": q_kmv_distinct_text,
         "train_test_split": q_train_test_split,
         "cms_source_counts": q_cms_source_counts,
+        "cucms_source_counts": q_cucms_source_counts,
         "selfjoin_size_users": q_selfjoin_size_users,
         "joinsize_orders_lineitem": q_joinsize_orders_lineitem,
         "hll_intersection_users": q_hll_intersection_users,
@@ -11820,6 +11859,12 @@ def oracle_sql() -> dict[str, str]:
         """,
         "cms_source_counts": """
             SELECT source, count(*) AS exact_count, TRUE AS cms_within_bound
+            FROM documents GROUP BY source
+        """,
+        "cucms_source_counts": """
+            SELECT source, count(*) AS exact_count,
+                   TRUE AS cu_sound, TRUE AS cu_le_cms,
+                   TRUE AS cu_within_bound
             FROM documents GROUP BY source
         """,
         "joinsize_orders_lineitem": """

@@ -7,7 +7,7 @@ from .tdbloom import TimeDecayingBloomFilter
 from .tdcbloom import TimeDecayingCountingBloomFilter
 from .hll import HyperLogLog, SparseHLL
 from .slidinghll import SlidingHyperLogLog
-from .cms import CountMinSketch
+from .cms import ConservativeCountMinSketch, CountMinSketch
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .req import ReqSketch
@@ -42,6 +42,7 @@ __all__ = [
     "SparseHLL",
     "SlidingHyperLogLog",
     "CountMinSketch",
+    "ConservativeCountMinSketch",
     "TDigest",
     "KLLSketch",
     "ReqSketch",

@@ -149,3 +149,76 @@ class CountMinSketch(Sketch):
         obj = cls(meta["width"], meta["depth"], name=meta.get("name", "DEFAULT"))
         obj.total = meta.get("total", 0)
         return obj
+
+
+@register
+class ConservativeCountMinSketch(CountMinSketch):
+    """Count-min with CONSERVATIVE UPDATE (Estan & Varghese 2002):
+    adding c to key x raises x's d cells only to ``min(x's cells) + c``
+    instead of adding c to every cell — strictly tighter point
+    estimates than plain CMS at identical memory (engine extension;
+    the reference has no frequency sketches, README.md:80-104).
+
+    Batched distributed semantics (why it stays SOUND):
+
+    * one-round batch update — pre-aggregate the batch to distinct
+      keys, read ``est_x = min over x's cells`` from the PRE-update
+      table, then scatter-MAX ``est_x + c_x`` into x's cells.  The
+      invariant "every cell of x ≥ total count of x" is preserved:
+      each of x's cells becomes ≥ est_x + c_x ≥ prior(x) + c_x, and
+      other keys' cells only grow.  Hence point queries OVERESTIMATE
+      only, for any batch partitioning.
+    * merge = element-wise ADD (inherited): at x's argmin cell
+      a_p + b_p ≥ count_A(x) + count_B(x), so the union bound holds
+      (element-wise max would NOT be sound).  Partitioned/merged
+      builds lose some of sequential CU's tightness but never the
+      bound, and stay pointwise ≤ the plain-CMS table built from the
+      same batches (est_x ≤ cell implies est_x + c_x ≤ cell + c_x,
+      by induction) — so every CMS guarantee (εN at 1−δ) transfers.
+
+    Estimates are partition-dependent (tighter with fewer partials),
+    so oracle-checked queries emit only the deterministic verdicts
+    (≥ exact, ≤ plain CMS, within εN), never the raw estimate.
+
+    Not linear: ``inner_product`` raises — join-size estimation needs
+    the linear :class:`CountMinSketch`.
+    """
+
+    MAGIC = b"!cucmsk!"
+
+    def update_hashes(self, h1, h2, weights=None) -> None:
+        if len(h1) == 0:
+            return
+        h1 = np.asarray(h1, dtype=np.uint64)
+        h2 = np.asarray(h2, dtype=np.uint64)
+        if weights is None:
+            w = np.ones(h1.size, dtype=np.int64)
+        else:
+            w = np.asarray(weights, dtype=np.int64)
+        # distinct (h1, h2) pairs with summed weights — one composite
+        # sort + reduceat (values ↔ hash pairs injectively w.h.p.)
+        order = np.lexsort((h2, h1))
+        h1s, h2s, ws = h1[order], h2[order], w[order]
+        first = np.ones(h1s.size, dtype=bool)
+        first[1:] = (h1s[1:] != h1s[:-1]) | (h2s[1:] != h2s[:-1])
+        starts = np.flatnonzero(first)
+        c = np.add.reduceat(ws, starts)
+        pos = self._positions_from_hashes(h1s[first], h2s[first])  # (d, m)
+        rows = np.arange(self.depth)[:, None]
+        est = self.table[rows, pos].min(axis=0)
+        target = est + c
+        row_off = (np.arange(self.depth, dtype=np.int64) * self.width)[:, None]
+        flat_idx = (pos + row_off).ravel()
+        np.maximum.at(self.table.ravel(), flat_idx,
+                      np.broadcast_to(target, pos.shape).ravel())
+        self.total += int(w.sum())
+
+    def inner_product(self, other) -> int:
+        raise SketchError(
+            "conservative-update tables are not linear — inner products "
+            "need the plain CountMinSketch")
+
+    def inner_product_bound(self, other) -> float:
+        raise SketchError(
+            "conservative-update tables are not linear — inner products "
+            "need the plain CountMinSketch")

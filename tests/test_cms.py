@@ -6,6 +6,8 @@ import duckdb
 import numpy as np
 import pyarrow as pa
 import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
 
 from archbloom_ray.sketches import CountMinSketch, SketchError
 
@@ -108,3 +110,92 @@ class TestInnerProduct:
         assert f2 <= est2 <= f2 + a.inner_product_bound(a)
         with pytest.raises(Exception):
             a.inner_product(CountMinSketch(width=64, depth=4))
+
+
+class TestConservativeUpdate:
+    """ConservativeCountMinSketch (Estan & Varghese 2002): batched
+    one-round CU must stay a sound upper bound under ANY batch
+    partitioning and partial merges, pointwise ≤ plain CMS."""
+
+    def _zipf_keys(self, n=20000, seed=0):
+        rng = np.random.default_rng(seed)
+        return [f"k{int(i) % 500}" for i in rng.zipf(1.3, n)]
+
+    def test_sound_tighter_and_serde(self):
+        import collections
+
+        from archbloom_ray.sketches import (ConservativeCountMinSketch,
+                                            CountMinSketch)
+        from archbloom_ray.sketches.base import sketch_from_bytes
+
+        keys = self._zipf_keys()
+        exact_c = collections.Counter(keys)
+        cu = ConservativeCountMinSketch(epsilon=0.01, delta=0.01)
+        cms = CountMinSketch(epsilon=0.01, delta=0.01)
+        for i in range(0, len(keys), 1000):
+            chunk = pa.array(keys[i:i + 1000])
+            cu.update_arrow(chunk)
+            cms.update_arrow(chunk)
+        qs = pa.array(sorted(exact_c))
+        exact = np.array([exact_c[k] for k in sorted(exact_c)])
+        cu_est = cu.count_batch(qs)
+        cms_est = cms.count_batch(qs)
+        assert (cu_est >= exact).all()          # sound upper bound
+        assert (cu_est <= cms_est).all()        # never worse than CMS
+        assert (cu_est - exact).mean() < (cms_est - exact).mean()
+        assert (cu_est <= exact + cu.error_bound()).all()
+        r = sketch_from_bytes(cu.to_bytes())
+        assert (r.count_batch(qs) == cu_est).all() and r.total == cu.total
+
+    def test_merge_add_stays_sound(self):
+        import collections
+
+        from archbloom_ray.sketches import ConservativeCountMinSketch
+
+        keys = self._zipf_keys(seed=3)
+        exact_c = collections.Counter(keys)
+        a = ConservativeCountMinSketch(128, 4)
+        b = ConservativeCountMinSketch(128, 4)
+        a.update_arrow(pa.array(keys[:9000]))
+        b.update_arrow(pa.array(keys[9000:]))
+        a.merge(b)
+        qs = pa.array(sorted(exact_c))
+        exact = np.array([exact_c[k] for k in sorted(exact_c)])
+        assert (a.count_batch(qs) >= exact).all()
+        assert a.total == len(keys)
+
+    def test_weighted_and_duplicate_keys_in_batch(self):
+        from archbloom_ray.sketches import ConservativeCountMinSketch
+
+        cu = ConservativeCountMinSketch(64, 3)
+        cu.update_weighted(pa.array(["x", "y", "x"]),
+                           np.array([5, 2, 4], dtype=np.int64))
+        assert cu.count("x") >= 9 and cu.count("y") >= 2
+        assert cu.total == 11
+
+    def test_inner_product_refused(self):
+        from archbloom_ray.sketches import ConservativeCountMinSketch
+        from archbloom_ray.sketches.base import SketchError
+
+        a = ConservativeCountMinSketch(64, 3)
+        with pytest.raises(SketchError, match="not linear"):
+            a.inner_product(a)
+        with pytest.raises(SketchError, match="not linear"):
+            a.inner_product_bound(a)
+
+    @given(st.integers(1, 9))
+    @settings(max_examples=12, deadline=None)
+    def test_soundness_for_any_batch_split(self, step):
+        """The batched-CU invariant proof, empirically: every batch
+        partitioning of the same stream yields est ≥ exact."""
+        import collections
+
+        from archbloom_ray.sketches import ConservativeCountMinSketch
+
+        keys = [f"w{i % 23}" for i in range(200)]
+        exact_c = collections.Counter(keys)
+        cu = ConservativeCountMinSketch(16, 2)   # tiny: force collisions
+        for i in range(0, len(keys), step * 13):
+            cu.update_arrow(pa.array(keys[i:i + step * 13]))
+        for k, c in exact_c.items():
+            assert cu.count(k) >= c
