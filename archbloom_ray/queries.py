@@ -6749,6 +6749,113 @@ def q_dedup_keep_trusted(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_stable_bloom_streaming_dedup(sf_dir: str):
+    """STREAMING first-occurrence dedup with a key-hash-sharded Stable
+    Bloom filter (sketches/stablebloom.py — Deng & Rafiei SIGMOD'06:
+    bounded memory over an unbounded stream, old entries decay).  Each
+    shard's reducer replays ITS keys in stream order and, per
+    sub-chunk, (1) probes the SBF, (2) resolves within-chunk
+    duplicates exactly, (3) inserts — the production batched-deduper
+    shape (exact inside the batch, probabilistic across batches).
+
+    Certification: (a) every PLANTED copy flags as seen,
+    DETERMINISTICALLY — stream order is (doc_id mod 10⁷, doc_id), so a
+    copy immediately follows its original: same sub-chunk ⇒ the exact
+    rule catches it; adjacent chunks ⇒ the original's cells were set
+    at the end of the previous chunk and decrements only happen after
+    the probe, so the SBF read is certain.  (b) false-seen among exact
+    first occurrences stays within the paper's stationary bound FPS
+    (which the rate approaches FROM BELOW, so the gate is sound at any
+    stream length): count ≤ FPS·n + 3·√(FPS·n) + 2 — at the sketch's
+    own bound, never tighter.  Both verdicts are deterministic for the
+    fixed seed; only SQL-pinnable counts and verdicts reach the
+    oracle."""
+    from .hashing import fmix64_batch, mmh3_128_batch
+    from .sketches import StableBloomFilter
+
+    S = 4
+    ds = _read(sf_dir, "documents", ["doc_id", "text"])
+    aug = _augment_with_copies(ds, "doc_id")
+
+    def keyed(batch: pa.Table) -> pa.Table:
+        h1, h2 = mmh3_128_batch(batch["text"])
+        shard = (fmix64_batch(h1) % np.uint64(S)).astype(np.int32)
+        return pa.table({
+            "shard": pa.array(shard),
+            "h1": pa.array(h1.view(np.int64)),
+            "h2": pa.array(h2.view(np.int64)),
+            "doc_id": batch["doc_id"],
+        })
+
+    rows_ds = aug.map_batches(keyed, batch_format="pyarrow",
+                              zero_copy_batch=True)
+
+    def process(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["doc_id"], dtype=np.int64)
+        h1 = np.asarray(group["h1"], dtype=np.int64).view(np.uint64)
+        h2 = np.asarray(group["h2"], dtype=np.int64).view(np.uint64)
+        order = np.lexsort((ids, ids % 10_000_000))
+        ids, h1, h2 = ids[order], h1[order], h2[order]
+        n = ids.size
+        # exact global-first-occurrence within the shard (text is
+        # co-sharded, so shard-local first == global first)
+        o2 = np.lexsort((np.arange(n), h2, h1))
+        s1, s2 = h1[o2], h2[o2]
+        dup_sorted = np.zeros(n, dtype=bool)
+        if n > 1:
+            dup_sorted[1:] = (s1[1:] == s1[:-1]) & (s2[1:] == s2[:-1])
+        true_dup = np.zeros(n, dtype=bool)
+        true_dup[o2] = dup_sorted
+        sbf = StableBloomFilter(num_cells=8192, k=3, p=8, max_val=1,
+                                seed=9)
+        step = max(1, sbf.m // (16 * sbf.k))
+        flagged = np.zeros(n, dtype=bool)
+        for i in range(0, n, step):
+            sl = slice(i, min(i + step, n))
+            c1, c2 = h1[sl], h2[sl]
+            nn = len(c1)
+            pre = sbf.lookup_hashes(c1, c2)
+            oc = np.lexsort((np.arange(nn), c2, c1))
+            cs1, cs2 = c1[oc], c2[oc]
+            in_chunk_sorted = np.zeros(nn, dtype=bool)
+            if nn > 1:
+                in_chunk_sorted[1:] = ((cs1[1:] == cs1[:-1])
+                                       & (cs2[1:] == cs2[:-1]))
+            in_chunk = np.zeros(nn, dtype=bool)
+            in_chunk[oc] = in_chunk_sorted
+            flagged[sl] = pre | in_chunk
+            sbf.update_hashes(c1, c2)
+        planted = ids >= 10_000_000
+        nondup = ~true_dup
+        return pa.table({
+            "n": pa.array([n], pa.int64()),
+            "n_planted": pa.array([int(planted.sum())], pa.int64()),
+            "n_planted_flagged": pa.array(
+                [int(flagged[planted].sum())], pa.int64()),
+            "n_nondup": pa.array([int(nondup.sum())], pa.int64()),
+            "n_nondup_flagged": pa.array(
+                [int(flagged[nondup].sum())], pa.int64()),
+            "fps": pa.array([sbf.stable_fp_rate()], pa.float64()),
+        })
+
+    parts = rows_ds.groupby("shard").map_groups(
+        process, batch_format="pyarrow").take_all()
+    n_stream = sum(r["n"] for r in parts)
+    n_planted = sum(r["n_planted"] for r in parts)
+    planted_flagged = sum(r["n_planted_flagged"] for r in parts)
+    n_nondup = sum(r["n_nondup"] for r in parts)
+    fp = sum(r["n_nondup_flagged"] for r in parts)
+    fps = max(r["fps"] for r in parts) if parts else 0.0
+    fp_ok = fp <= fps * n_nondup + 3.0 * math.sqrt(fps * n_nondup) + 2.0
+    return pa.table({
+        "n_stream": pa.array([n_stream], pa.int64()),
+        "n_planted": pa.array([n_planted], pa.int64()),
+        "planted_all_flagged": pa.array(
+            [planted_flagged == n_planted], pa.bool_()),
+        "distinct_fp_within_bound": pa.array([bool(fp_ok)], pa.bool_()),
+    })
+
+
 def q_minhash_dedup_recall(sf_dir: str):
     """MinHash-LSH candidates over documents with planted exact
     duplicates, exact-verified by content hash (the fixture also plants
@@ -10019,6 +10126,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_totals": q_token_totals,
         "dedup_exact": q_dedup_exact,
         "dedup_keep_trusted": q_dedup_keep_trusted,
+        "stable_bloom_streaming_dedup": q_stable_bloom_streaming_dedup,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
         "user_sessions": q_user_sessions,
@@ -12731,6 +12839,13 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _AUG_DOCS_SQL + """
             SELECT CAST(count(*) AS BIGINT) AS n_pairs
             FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "stable_bloom_streaming_dedup": _AUG_DOCS_SQL + """
+            SELECT CAST((SELECT count(*) FROM aug) AS BIGINT) AS n_stream,
+                   CAST((SELECT count(*) FROM aug
+                         WHERE doc_id >= 10000000) AS BIGINT) AS n_planted,
+                   TRUE AS planted_all_flagged,
+                   TRUE AS distinct_fp_within_bound
         """,
         "dedup_keep_trusted": _AUG_DOCS_SQL + """
             , s AS (

@@ -8,6 +8,7 @@ from .tdcbloom import TimeDecayingCountingBloomFilter
 from .hll import HyperLogLog, SparseHLL
 from .slidinghll import SlidingHyperLogLog
 from .cms import ConservativeCountMinSketch, CountMinSketch
+from .stablebloom import StableBloomFilter
 from .tdigest import TDigest
 from .kll import KLLSketch
 from .req import ReqSketch
@@ -43,6 +44,7 @@ __all__ = [
     "SlidingHyperLogLog",
     "CountMinSketch",
     "ConservativeCountMinSketch",
+    "StableBloomFilter",
     "TDigest",
     "KLLSketch",
     "ReqSketch",
