@@ -6749,6 +6749,157 @@ def q_dedup_keep_trusted(sf_dir: str):
                             zero_copy_batch=True)
 
 
+def q_counting_cuckoo_source_counts(sf_dir: str):
+    """Per-source counts from a COUNTING CUCKOO filter
+    (sketches/cuckoovariants.py — the reference's own declared-only
+    TODO at cuckoo.c:3, engine semantics: one (fingerprint, count)
+    entry per bucket pair, evictions relocate the pair, deletions
+    decrement and free at zero).  Built from per-block partial filters
+    tree-merged (merge re-inserts (fp, count) entries — exact), then
+    one DISTRIBUTED delete certifies the decrement path: counts equal
+    the exact grouped counts before, and exactly one less after
+    removing one occurrence of every source."""
+    from .sketches import CountingCuckooFilter
+
+    exact_rows = grouped_agg(
+        _read(sf_dir, "documents", ["source"]), ["source"],
+        [("exact_count", None, "count")]).take_all()
+    exact_rows.sort(key=lambda r: r["source"])
+    sources = [r["source"] for r in exact_rows]
+    exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
+
+    ds = _read(sf_dir, "documents", ["source"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        f = CountingCuckooFilter(1024, 4)
+        f.update_arrow(batch["source"])
+        return pa.table({"state": pa.array([f.to_bytes()],
+                                           type=pa.large_binary())})
+
+    from .sketches.base import sketch_from_bytes as _sfb
+
+    states = sorted(
+        r["state"] for r in ds.map_batches(
+            part, batch_format="pyarrow", zero_copy_batch=True).take_all())
+    sk = _sfb(states[0])
+    for b in states[1:]:
+        sk.merge(_sfb(b))
+    qarr = pa.array(sources, type=pa.string())
+    before = sk.count_batch(qarr)
+    for s in sources:
+        sk.remove(s)
+    after = sk.count_batch(qarr)
+    return pa.table({
+        "source": pa.array(sources, type=pa.string()),
+        "exact_count": pa.array(exact, type=pa.int64()),
+        "count_exact_match": pa.array(before == exact, type=pa.bool_()),
+        "remove_decrements": pa.array(after == exact - 1, type=pa.bool_()),
+    })
+
+
+def q_tdcuckoo_active_users(sf_dir: str):
+    """Active-user freshness from a TIME-DECAYING CUCKOO filter
+    (cuckoovariants.py — the reference's declared-only TODO at
+    cuckoo.c:4; refresh-on-add slot-max timers, stale slots reclaimed
+    lazily): a user is 'active' iff their LAST event is within 30 days
+    of end-of-ingest.  Build: per-block (user, max-secs) partials
+    ingest into per-block filters, tree-merged (merge re-inserts at
+    each entry's own tick, refresh keeps the max — ingest-order
+    invariant, pytest-proved); the filter's answer must match the
+    exact last-seen rule for EVERY user (deterministic for this
+    corpus: a wrong answer needs a 16-bit fingerprint + bucket-pair
+    collision between two of the ~hundreds of user keys)."""
+    from .sketches import TimeDecayingCuckooFilter
+    from .sketches.base import sketch_from_bytes as _sfb
+
+    WINDOW = 30 * 86400
+    base = _read(sf_dir, "events", ["user_id", "ts"])
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["user_id"], dtype=np.int64)
+        secs = (np.asarray(pc.cast(batch["ts"].combine_chunks(),
+                                   pa.int64()), dtype=np.int64)
+                // 1_000_000)
+        order = np.lexsort((secs, ids))
+        i_s, s_s = ids[order], secs[order]
+        first = np.ones(i_s.size, dtype=bool)
+        first[1:] = i_s[1:] != i_s[:-1]
+        starts = np.flatnonzero(first)
+        last = np.maximum.reduceat(s_s, starts)
+        users = i_s[first]
+        f = TimeDecayingCuckooFilter(4096, 4, timeout=WINDOW)
+        f.update_with_times(pa.array(users.astype("U")), last)
+        return pa.table({
+            "state": pa.array([f.to_bytes()], type=pa.large_binary()),
+            "end_secs": pa.array([int(secs.max()) if secs.size else 0],
+                                 pa.int64()),
+        })
+
+    rows = base.map_batches(part, batch_format="pyarrow",
+                            zero_copy_batch=True).take_all()
+    end = max(r["end_secs"] for r in rows)
+    blobs = sorted(r["state"] for r in rows)
+    sk = _sfb(blobs[0])
+    for b in blobs[1:]:
+        sk.merge(_sfb(b))
+
+    # exact side: distributed per-user last-seen (bounded user
+    # dimension — the per-type driver-reduction exemption)
+    def exact_part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["user_id"], dtype=np.int64)
+        secs = (np.asarray(pc.cast(batch["ts"].combine_chunks(),
+                                   pa.int64()), dtype=np.int64)
+                // 1_000_000)
+        order = np.lexsort((secs, ids))
+        i_s, s_s = ids[order], secs[order]
+        first = np.ones(i_s.size, dtype=bool)
+        first[1:] = i_s[1:] != i_s[:-1]
+        starts = np.flatnonzero(first)
+        return pa.table({
+            "user_id": pa.array(i_s[first]),
+            "last_secs": pa.array(np.maximum.reduceat(s_s, starts)),
+        })
+
+    agg = grouped_agg(
+        base.map_batches(exact_part, batch_format="pyarrow",
+                         zero_copy_batch=True),
+        ["user_id"], [("last_secs", "last_secs", "max")])
+
+    # verify DISTRIBUTED: broadcast the merged filter once, each block
+    # of per-user rows checks its own users, only count partials reach
+    # the driver (the per-block-partials discipline)
+    import ray as _ray
+
+    from .proc_cache import cached_instance
+
+    ref = _ray.put(sk.to_bytes())
+    cutoff = end - WINDOW
+
+    def verify(batch: pa.Table) -> pa.Table:
+        f = cached_instance(("tdcuckoo_verify", ref.hex()),
+                            lambda: _sfb(_ray.get(ref)))
+        ids = np.asarray(batch["user_id"], dtype=np.int64)
+        lastv = np.asarray(batch["last_secs"], dtype=np.int64)
+        ae = lastv >= cutoff
+        got = f.lookup_batch(pa.array(ids.astype("U")), now=end)
+        return pa.table({
+            "n": pa.array([len(ids)], pa.int64()),
+            "n_active": pa.array([int(ae.sum())], pa.int64()),
+            "n_match": pa.array([int((got == ae).sum())], pa.int64()),
+        })
+
+    parts2 = agg.map_batches(verify, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    n_users = sum(r["n"] for r in parts2)
+    n_active = sum(r["n_active"] for r in parts2)
+    n_match = sum(r["n_match"] for r in parts2)
+    return pa.table({
+        "n_users": pa.array([n_users], pa.int64()),
+        "n_active": pa.array([n_active], pa.int64()),
+        "all_match_exact": pa.array([n_match == n_users], pa.bool_()),
+    })
+
+
 def q_stable_bloom_streaming_dedup(sf_dir: str):
     """STREAMING first-occurrence dedup with a key-hash-sharded Stable
     Bloom filter (sketches/stablebloom.py — Deng & Rafiei SIGMOD'06:
@@ -10127,6 +10278,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": q_dedup_exact,
         "dedup_keep_trusted": q_dedup_keep_trusted,
         "stable_bloom_streaming_dedup": q_stable_bloom_streaming_dedup,
+        "counting_cuckoo_source_counts": q_counting_cuckoo_source_counts,
+        "tdcuckoo_active_users": q_tdcuckoo_active_users,
         "events_hourly": q_events_hourly,
         "top_users": q_top_users,
         "user_sessions": q_user_sessions,
@@ -12839,6 +12992,25 @@ def oracle_sql() -> dict[str, str]:
         "minhash_near_dups": _AUG_DOCS_SQL + """
             SELECT CAST(count(*) AS BIGINT) AS n_pairs
             FROM aug a JOIN aug b ON a.text = b.text AND a.doc_id < b.doc_id
+        """,
+        "counting_cuckoo_source_counts": """
+            SELECT source, count(*) AS exact_count,
+                   TRUE AS count_exact_match,
+                   TRUE AS remove_decrements
+            FROM documents GROUP BY source
+        """,
+        "tdcuckoo_active_users": """
+            WITH s AS (
+                SELECT user_id,
+                       max(epoch_us(ts) // 1000000) AS last_secs
+                FROM events GROUP BY user_id),
+            e AS (SELECT max(last_secs) AS end_s FROM s)
+            SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(CASE WHEN last_secs >=
+                                 (SELECT end_s FROM e) - 2592000
+                            THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+                   TRUE AS all_match_exact
+            FROM s
         """,
         "stable_bloom_streaming_dedup": _AUG_DOCS_SQL + """
             SELECT CAST((SELECT count(*) FROM aug) AS BIGINT) AS n_stream,

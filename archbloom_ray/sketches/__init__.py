@@ -21,6 +21,7 @@ from .kmv import KMVSketch
 from .varopt import VarOptSampler
 from .theta import ThetaSketch
 from .cuckoo import CuckooFilter, ReferenceCuckooFilter
+from .cuckoovariants import CountingCuckooFilter, TimeDecayingCuckooFilter
 from .gaussiannb import GaussianNB
 from .dd import DDSketch
 from .xorf import BinaryFuseFilter, XorFilter, XorMap
@@ -58,6 +59,8 @@ __all__ = [
     "ThetaSketch",
     "CuckooFilter",
     "ReferenceCuckooFilter",
+    "CountingCuckooFilter",
+    "TimeDecayingCuckooFilter",
     "GaussianNB",
     "DDSketch",
     "XorFilter",

@@ -1,0 +1,146 @@
+"""Counting / time-decaying cuckoo filters (the reference's own
+declared-only TODOs, cuckoo.c:3-4 — engine-designed semantics)."""
+
+import collections
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from archbloom_ray.sketches import (CountingCuckooFilter, SketchError,
+                                    TimeDecayingCuckooFilter)
+from archbloom_ray.sketches.base import sketch_from_bytes
+
+
+class TestCountingCuckoo:
+    def _build(self, n=5000, mod=50, seed=0):
+        keys = [f"k{i}" for i in
+                np.random.default_rng(seed).integers(0, mod, n)]
+        c = CountingCuckooFilter(256, 4)
+        for i in range(0, n, 500):
+            c.update_arrow(pa.array(keys[i:i + 500]))
+        return c, collections.Counter(keys)
+
+    def test_exact_counts_and_total(self):
+        c, exact = self._build()
+        qs = pa.array(sorted(exact))
+        e = np.array([exact[k] for k in sorted(exact)])
+        assert (c.count_batch(qs) == e).all()
+        assert c.total_insertions == sum(exact.values())
+        assert c.count("absent") == 0 and not c.lookup("absent")
+
+    def test_remove_decrements_and_frees(self):
+        c = CountingCuckooFilter(64, 4)
+        c.update_weighted(pa.array(["x"]), np.array([3]))
+        assert c.count("x") == 3
+        assert c.remove("x") and c.count("x") == 2
+        c.remove("x")
+        assert c.remove("x") and c.count("x") == 0
+        assert not c.lookup("x")          # slot freed at zero
+        assert not c.remove("x")
+
+    def test_merge_equals_single_build(self):
+        keys = [f"k{i}" for i in
+                np.random.default_rng(3).integers(0, 40, 4000)]
+        exact = collections.Counter(keys)
+        a = CountingCuckooFilter(256, 4)
+        b = CountingCuckooFilter(256, 4)
+        a.update_arrow(pa.array(keys[:2000]))
+        b.update_arrow(pa.array(keys[2000:]))
+        a.merge(b)
+        qs = pa.array(sorted(exact))
+        e = np.array([exact[k] for k in sorted(exact)])
+        assert (a.count_batch(qs) == e).all()
+
+    def test_self_partner_fingerprint_not_double_counted(self):
+        """A fingerprint with (fp>>1)&mask == 0 has i2 == i1 — the
+        count must not sum its single bucket twice."""
+        c = CountingCuckooFilter(64, 4)
+        # force: place fp=1 (partner offset 0) manually via internals
+        c._add_count(1, 5, 5, 7)
+        # craft a probe through the private path the public count uses
+        fp = np.array([1], dtype=np.uint16)
+        i1 = np.array([5], dtype=np.int64)
+        m1 = c.buckets[i1] == fp[:, None]
+        assert (c.counts[i1] * m1).sum() == 7
+        # and the invariant on the public batch path for real keys
+        c2, exact = self._build(seed=9)
+        qs = pa.array(sorted(exact))
+        e = np.array([exact[k] for k in sorted(exact)])
+        assert (c2.count_batch(qs) == e).all()
+
+    def test_serde_and_weighted_validation(self):
+        c, exact = self._build(n=1000)
+        r = sketch_from_bytes(c.to_bytes())
+        qs = pa.array(sorted(exact))
+        assert (r.count_batch(qs) == c.count_batch(qs)).all()
+        with pytest.raises(SketchError):
+            c.update_weighted(pa.array(["a"]), np.array([0]))
+        with pytest.raises(SketchError):
+            c.update_weighted(pa.array(["a", "b"]), np.array([1]))
+
+
+class TestTimeDecayingCuckoo:
+    def test_freshness_refresh_and_reclaim(self):
+        t = TimeDecayingCuckooFilter(256, 4, timeout=10)
+        t.update_with_times(pa.array(["a", "b"]), np.array([0, 5]))
+        assert t.lookup("a", now=8) and t.lookup("b", now=8)
+        assert not t.lookup("a", now=20) and t.lookup("b", now=14)
+        t.add("a", now=30)
+        assert t.lookup("a", now=35)
+        # refresh keeps slot-max: re-adding at an older tick never
+        # un-freshens
+        t.add("a", now=2)
+        assert t.lookup("a", now=35)
+
+    def test_bulk_ingest_order_invariant(self):
+        """Pre-aggregated (key, max-tick) rows give the same freshness
+        answers in any ingest order (refresh-on-add = slot max)."""
+        keys = pa.array([f"u{i}" for i in range(100)])
+        ticks = np.arange(100, dtype=np.int64) * 3
+        a = TimeDecayingCuckooFilter(512, 4, timeout=50)
+        b = TimeDecayingCuckooFilter(512, 4, timeout=50)
+        a.update_with_times(keys, ticks)
+        perm = np.random.default_rng(1).permutation(100)
+        b.update_with_times(keys.take(pa.array(perm)), ticks[perm])
+        now = int(ticks.max())
+        assert (a.lookup_batch(keys, now=now)
+                == b.lookup_batch(keys, now=now)).all()
+
+    def test_stale_slot_reclaimed_by_new_insert(self):
+        t = TimeDecayingCuckooFilter(16, 2, timeout=5)  # small: force reuse
+        t.update_with_times(pa.array([f"x{i}" for i in range(8)]),
+                            np.zeros(8, dtype=np.int64))
+        # everything stale at now=100; new inserts must find room
+        ok = [t.add(f"y{i}", now=100) for i in range(8)]
+        assert all(ok)
+        assert all(t.lookup(f"y{i}", now=101) for i in range(8))
+
+    def test_sweep_and_counters(self):
+        t = TimeDecayingCuckooFilter(256, 4, timeout=10)
+        t.update_with_times(pa.array(["a", "b", "c"]),
+                            np.array([0, 5, 20]))
+        assert t.count_expired(12) == 1           # a(0) stale at 12
+        assert t.count_expired(35) == 3           # all stale by 35
+        assert t.clear_expired(12) == 1
+        assert t.count_expired(12) == 0
+        assert t.lookup("c", now=25) and not t.lookup("a", now=25)
+
+    def test_merge_shared_clock_and_serde(self):
+        a = TimeDecayingCuckooFilter(256, 4, timeout=10)
+        b = TimeDecayingCuckooFilter(256, 4, timeout=10)
+        a.update_with_times(pa.array(["x"]), np.array([3]))
+        b.update_with_times(pa.array(["x", "y"]), np.array([9, 1]))
+        a.merge(b)
+        assert a.lookup("x", now=15)              # max(3, 9) = 9 fresh
+        assert not a.lookup("y", now=15)
+        r = sketch_from_bytes(a.to_bytes())
+        assert r.timeout == 10
+        assert r.lookup("x", now=15) and not r.lookup("y", now=15)
+
+    def test_validation(self):
+        with pytest.raises(SketchError):
+            TimeDecayingCuckooFilter(256, 4, timeout=0)
+        t = TimeDecayingCuckooFilter(256, 4, timeout=5)
+        with pytest.raises(SketchError):
+            t.update_with_times(pa.array(["a"]), np.array([1, 2]))
