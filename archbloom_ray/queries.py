@@ -1194,12 +1194,17 @@ def q_cucms_source_counts(sf_dir: str):
     sources = [r["source"] for r in exact_rows]
     exact = np.array([r["exact_count"] for r in exact_rows], dtype=np.int64)
 
-    ds = _read(sf_dir, "documents", ["source"])
-    cu = build_sketch(ds, "source",
-                      lambda: ConservativeCountMinSketch(epsilon=0.0001,
-                                                         delta=0.001))
-    cms = build_sketch(_read(sf_dir, "documents", ["source"]), "source",
-                       lambda: CountMinSketch(epsilon=0.0001, delta=0.001))
+    # ONE scan builds both sketches (build_sketches multi-spec — the
+    # economical shape; review finding: three scans before)
+    from .pipelines.build import build_sketches as _bsk
+
+    built = _bsk(_read(sf_dir, "documents", ["source"]), {
+        "cu": ("source", lambda: ConservativeCountMinSketch(
+            epsilon=0.0001, delta=0.001)),
+        "cms": ("source", lambda: CountMinSketch(epsilon=0.0001,
+                                                 delta=0.001)),
+    })
+    cu, cms = built["cu"], built["cms"]
     qarr = pa.array(sources, type=pa.string())
     cu_est = cu.count_batch(qarr)
     cms_est = cms.count_batch(qarr)
@@ -6815,37 +6820,10 @@ def q_tdcuckoo_active_users(sf_dir: str):
     WINDOW = 30 * 86400
     base = _read(sf_dir, "events", ["user_id", "ts"])
 
-    def part(batch: pa.Table) -> pa.Table:
-        ids = np.asarray(batch["user_id"], dtype=np.int64)
-        secs = (np.asarray(pc.cast(batch["ts"].combine_chunks(),
-                                   pa.int64()), dtype=np.int64)
-                // 1_000_000)
-        order = np.lexsort((secs, ids))
-        i_s, s_s = ids[order], secs[order]
-        first = np.ones(i_s.size, dtype=bool)
-        first[1:] = i_s[1:] != i_s[:-1]
-        starts = np.flatnonzero(first)
-        last = np.maximum.reduceat(s_s, starts)
-        users = i_s[first]
-        f = TimeDecayingCuckooFilter(4096, 4, timeout=WINDOW)
-        f.update_with_times(pa.array(users.astype("U")), last)
-        return pa.table({
-            "state": pa.array([f.to_bytes()], type=pa.large_binary()),
-            "end_secs": pa.array([int(secs.max()) if secs.size else 0],
-                                 pa.int64()),
-        })
-
-    rows = base.map_batches(part, batch_format="pyarrow",
-                            zero_copy_batch=True).take_all()
-    end = max(r["end_secs"] for r in rows)
-    blobs = sorted(r["state"] for r in rows)
-    sk = _sfb(blobs[0])
-    for b in blobs[1:]:
-        sk.merge(_sfb(b))
-
-    # exact side: distributed per-user last-seen (bounded user
-    # dimension — the per-type driver-reduction exemption)
-    def exact_part(batch: pa.Table) -> pa.Table:
+    # ONE events scan: per-block (user, last_secs) partial reduction
+    # feeds BOTH the filter build and the exact side (review finding:
+    # the first version duplicated this kernel and scanned twice)
+    def last_seen_part(batch: pa.Table) -> pa.Table:
         ids = np.asarray(batch["user_id"], dtype=np.int64)
         secs = (np.asarray(pc.cast(batch["ts"].combine_chunks(),
                                    pa.int64()), dtype=np.int64)
@@ -6860,10 +6838,30 @@ def q_tdcuckoo_active_users(sf_dir: str):
             "last_secs": pa.array(np.maximum.reduceat(s_s, starts)),
         })
 
-    agg = grouped_agg(
-        base.map_batches(exact_part, batch_format="pyarrow",
-                         zero_copy_batch=True),
-        ["user_id"], [("last_secs", "last_secs", "max")])
+    lastv = base.map_batches(last_seen_part, batch_format="pyarrow",
+                             zero_copy_batch=True).materialize()
+
+    def part(batch: pa.Table) -> pa.Table:
+        ids = np.asarray(batch["user_id"], dtype=np.int64)
+        last = np.asarray(batch["last_secs"], dtype=np.int64)
+        f = TimeDecayingCuckooFilter(4096, 4, timeout=WINDOW)
+        f.update_with_times(pa.array(ids.astype("U")), last)
+        return pa.table({
+            "state": pa.array([f.to_bytes()], type=pa.large_binary()),
+            "end_secs": pa.array([int(last.max()) if last.size else 0],
+                                 pa.int64()),
+        })
+
+    rows = lastv.map_batches(part, batch_format="pyarrow",
+                             zero_copy_batch=True).take_all()
+    end = max(r["end_secs"] for r in rows)
+    blobs = sorted(r["state"] for r in rows)
+    sk = _sfb(blobs[0])
+    for b in blobs[1:]:
+        sk.merge(_sfb(b))
+
+    agg = grouped_agg(lastv, ["user_id"],
+                      [("last_secs", "last_secs", "max")])
 
     # verify DISTRIBUTED: broadcast the merged filter once, each block
     # of per-user rows checks its own users, only count partials reach

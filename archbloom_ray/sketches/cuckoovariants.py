@@ -40,20 +40,32 @@ from .cuckoo import CuckooFilter
 class CountingCuckooFilter(CuckooFilter):
     MAGIC = b"!ccuckoo"
 
+    STASH_CAP = 32
+
     def __init__(self, num_buckets: int = 1024, bucket_size: int = 4,
                  max_kicks: int = 500, seed: int = 42,
                  name: str = "DEFAULT"):
         super().__init__(num_buckets, bucket_size, max_kicks, seed, name)
         self.counts = np.zeros((self.num_buckets, self.bucket_size),
                                dtype=np.int64)
+        # victim stash: a kick-exhausted chain's final evictee belongs
+        # to a PREVIOUSLY-ACCEPTED key — dropping it would silently
+        # break the exact-counts contract, so it parks here (classic
+        # cuckoo stash); only a FULL stash raises
+        self.stash_fps = np.empty(0, dtype=np.uint16)
+        self.stash_counts = np.empty(0, dtype=np.int64)
 
     # -- update --------------------------------------------------------
+    # accounting invariant: total_insertions == counts.sum() and
+    # bucket_insertions[b] == counts[b].sum() at all times; the inner
+    # helpers adjust only the per-bucket sums and _add_count applies
+    # the net total ONCE (the r5 review found the eviction path
+    # crediting the last-evicted entry's count instead of the new one)
     def _bump_if_present(self, fp: int, i1: int, i2: int, c: int) -> bool:
         for bucket in (i1, i2):
             hit = np.flatnonzero(self.buckets[bucket] == fp)
             if hit.size:
                 self.counts[bucket, hit[0]] += c
-                self.total_insertions += c
                 self.bucket_insertions[bucket] += c
                 return True
         return False
@@ -65,14 +77,22 @@ class CountingCuckooFilter(CuckooFilter):
             row[empty[0]] = fp
             self.counts[bucket, empty[0]] = c
             self.bucket_insertions[bucket] += c
-            self.total_insertions += c
+            return True
+        return False
+
+    def _stash_bump(self, fp: int, c: int) -> bool:
+        hit = np.flatnonzero(self.stash_fps == fp)
+        if hit.size:
+            self.stash_counts[hit[0]] += c
             return True
         return False
 
     def _add_count(self, fp: int, i1: int, i2: int, c: int) -> bool:
-        if self._bump_if_present(fp, i1, i2, c):
-            return True
-        if self._place(i1, fp, c) or self._place(i2, fp, c):
+        c0 = c
+        if (self._stash_bump(fp, c)
+                or self._bump_if_present(fp, i1, i2, c)
+                or self._place(i1, fp, c) or self._place(i2, fp, c)):
+            self.total_insertions += c0
             return True
         index = i1 if (self._xorshift32() % 2) else i2
         for _ in range(self.max_kicks):
@@ -81,13 +101,23 @@ class CountingCuckooFilter(CuckooFilter):
             ec = int(self.counts[index, b])
             self.buckets[index, b] = fp
             self.counts[index, b] = c
-            self.bucket_insertions[index] = max(
-                0, self.bucket_insertions[index] - ec + c)
+            self.bucket_insertions[index] += c - ec
             fp, c = efp, ec
             index = int(self._partner(np.int64(index), np.uint16(fp)))
             if self._place(index, fp, c):
+                self.total_insertions += c0
                 return True
         self.evictions += 1
+        if len(self.stash_fps) < self.STASH_CAP:
+            # park the in-hand evictee: nothing is lost, insert stands
+            self.stash_fps = np.append(self.stash_fps,
+                                       np.uint16(fp))
+            self.stash_counts = np.append(self.stash_counts,
+                                          np.int64(c))
+            self.total_insertions += c0
+            return True
+        # stash full: the in-hand evicted entry is dropped
+        self.total_insertions += c0 - c
         return False
 
     def _add_one(self, fp: int, i1: int, i2: int) -> bool:
@@ -95,7 +125,10 @@ class CountingCuckooFilter(CuckooFilter):
 
     def update_arrow(self, arr) -> None:
         """Batch insert with per-batch (fingerprint, buckets)
-        pre-aggregation — multiplicities collapse to one placement."""
+        pre-aggregation — multiplicities collapse to one placement.
+        Raises on kick exhaustion: unlike the membership cuckoo, this
+        class claims EXACT counts, so a silently dropped (fp, count)
+        entry would be a lie — size capacity up instead."""
         if isinstance(arr, pa.ChunkedArray):
             arr = arr.combine_chunks()
         if len(arr) == 0:
@@ -105,7 +138,11 @@ class CountingCuckooFilter(CuckooFilter):
         uniq, idx, cnt = np.unique(comp, return_index=True,
                                    return_counts=True)
         for j, c in zip(idx, cnt):
-            self._add_count(int(fp[j]), int(i1[j]), int(i2[j]), int(c))
+            if not self._add_count(int(fp[j]), int(i1[j]), int(i2[j]),
+                                   int(c)):
+                raise SketchError(
+                    "counting cuckoo insert failed (max kicks): counts "
+                    "are exact-by-contract — increase num_buckets")
 
     def update_weighted(self, arr, counts) -> None:
         if isinstance(arr, pa.ChunkedArray):
@@ -118,7 +155,11 @@ class CountingCuckooFilter(CuckooFilter):
             raise SketchError("update_weighted: counts must be > 0")
         fp, i1, i2 = self._fp_and_buckets(arr)
         for j in range(len(fp)):
-            self._add_count(int(fp[j]), int(i1[j]), int(i2[j]), int(w[j]))
+            if not self._add_count(int(fp[j]), int(i1[j]), int(i2[j]),
+                                   int(w[j])):
+                raise SketchError(
+                    "counting cuckoo insert failed (max kicks): counts "
+                    "are exact-by-contract — increase num_buckets")
 
     # -- queries -------------------------------------------------------
     def count_batch(self, arr) -> np.ndarray:
@@ -134,18 +175,43 @@ class CountingCuckooFilter(CuckooFilter):
         # self-partner fingerprints ((fp>>1) & mask == 0 ⇒ i2 == i1)
         # must not count their single bucket twice
         c2 = (self.counts[i2] * m2).sum(axis=1)
-        return ((self.counts[i1] * m1).sum(axis=1)
-                + np.where(i1 != i2, c2, 0))
+        out = ((self.counts[i1] * m1).sum(axis=1)
+               + np.where(i1 != i2, c2, 0))
+        if self.stash_fps.size:
+            out = out + ((fp[:, None] == self.stash_fps[None, :])
+                         * self.stash_counts[None, :]).sum(axis=1)
+        return out
 
     def count(self, element: bytes | str) -> int:
         typ = pa.string() if isinstance(element, str) else pa.binary()
         return int(self.count_batch(pa.array([element], type=typ))[0])
+
+    def lookup_batch(self, arr) -> np.ndarray:
+        present = super().lookup_batch(arr)
+        if self.stash_fps.size:
+            fp, _, _ = self._fp_and_buckets(
+                arr.combine_chunks() if isinstance(arr, pa.ChunkedArray)
+                else arr)
+            present = present | (fp[:, None]
+                                 == self.stash_fps[None, :]).any(axis=1)
+        return present
 
     def remove(self, element: bytes | str) -> bool:
         """Decrement one occurrence; the slot frees at zero."""
         typ = pa.string() if isinstance(element, str) else pa.binary()
         fp, i1, i2 = self._fp_and_buckets(pa.array([element], type=typ))
         f = int(fp[0])
+        hit = np.flatnonzero(self.stash_fps == f)
+        if hit.size:
+            self.stash_counts[hit[0]] -= 1
+            if self.total_insertions > 0:
+                self.total_insertions -= 1
+            if self.stash_counts[hit[0]] <= 0:
+                keep = np.ones(self.stash_fps.size, dtype=bool)
+                keep[hit[0]] = False
+                self.stash_fps = self.stash_fps[keep]
+                self.stash_counts = self.stash_counts[keep]
+            return True
         for bucket in (int(i1[0]), int(i2[0])):
             hit = np.flatnonzero(self.buckets[bucket] == f)
             if hit.size:
@@ -172,18 +238,33 @@ class CountingCuckooFilter(CuckooFilter):
             if not self._add_count(fp, int(bucket), partner, c):
                 raise SketchError(
                     "counting cuckoo merge failed: capacity exceeded")
+        # foreign stash entries lost their home bucket pair (the file
+        # retains only the fingerprint), so they go into OUR stash
+        for fp, c in zip(other.stash_fps, other.stash_counts):
+            if not self._stash_bump(int(fp), int(c)):
+                if len(self.stash_fps) >= self.STASH_CAP:
+                    raise SketchError(
+                        "counting cuckoo merge failed: stash full")
+                self.stash_fps = np.append(self.stash_fps, np.uint16(fp))
+                self.stash_counts = np.append(self.stash_counts,
+                                              np.int64(c))
+            self.total_insertions += int(c)
         return self
 
     def finalize(self) -> dict:
         out = super().finalize()
-        out["total_count"] = int(self.counts.sum())
+        out["total_count"] = int(self.counts.sum()
+                                 + self.stash_counts.sum())
+        out["stash_entries"] = int(self.stash_fps.size)
         return out
 
     def _arrays(self):
-        return [self.buckets, self.counts, self.bucket_insertions]
+        return [self.buckets, self.counts, self.bucket_insertions,
+                self.stash_fps, self.stash_counts]
 
     def _set_arrays(self, arrays):
-        self.buckets, self.counts, self.bucket_insertions = arrays
+        (self.buckets, self.counts, self.bucket_insertions,
+         self.stash_fps, self.stash_counts) = arrays
 
 
 @register
@@ -336,6 +417,13 @@ class TimeDecayingCuckooFilter(CuckooFilter):
 
     def _meta(self) -> dict:
         out = super()._meta()
+        out["timeout"] = self.timeout
+        return out
+
+    def _meta_compat(self) -> dict:
+        # merging across DIFFERENT staleness windows silently re-judges
+        # the other side's entries by this side's rule — refuse
+        out = super()._meta_compat()
         out["timeout"] = self.timeout
         return out
 

@@ -69,6 +69,39 @@ class TestCountingCuckoo:
         e = np.array([exact[k] for k in sorted(exact)])
         assert (c2.count_batch(qs) == e).all()
 
+    def test_eviction_accounting_under_kicks(self):
+        """High load forces kick chains: total_insertions must stay ==
+        counts.sum() (the r5 review found the eviction path crediting
+        the last-evicted entry's count instead of the inserted one),
+        and counts stay exact for every key that was accepted."""
+        c = CountingCuckooFilter(16, 2, max_kicks=50)
+        exact = collections.Counter()
+        rng = np.random.default_rng(5)
+        accepted = []
+        for i in range(40):
+            key, w = f"k{i}", int(rng.integers(1, 6))
+            try:
+                c.update_weighted(pa.array([key]), np.array([w]))
+                exact[key] += w
+                accepted.append(key)
+            except SketchError:
+                break                           # capacity reached: fine
+        assert c.total_insertions == int(c.counts.sum()
+                                         + c.stash_counts.sum())
+        qs = pa.array(accepted)
+        e = np.array([exact[k] for k in accepted])
+        # the victim stash preserves exactness for every ACCEPTED key
+        # even when kick chains exhausted along the way
+        assert (c.count_batch(qs) == e).all()
+        assert c.lookup_batch(qs).all()
+
+    def test_bulk_insert_raises_on_capacity(self):
+        c = CountingCuckooFilter(4, 1, max_kicks=8)
+        with pytest.raises(SketchError, match="max kicks"):
+            c.update_arrow(pa.array([f"x{i}" for i in range(64)]))
+        assert c.total_insertions == int(c.counts.sum()
+                                         + c.stash_counts.sum())
+
     def test_serde_and_weighted_validation(self):
         c, exact = self._build(n=1000)
         r = sketch_from_bytes(c.to_bytes())
@@ -144,3 +177,11 @@ class TestTimeDecayingCuckoo:
         t = TimeDecayingCuckooFilter(256, 4, timeout=5)
         with pytest.raises(SketchError):
             t.update_with_times(pa.array(["a"]), np.array([1, 2]))
+
+    def test_merge_refuses_different_timeout(self):
+        """Merging across staleness windows would silently re-judge
+        the other side's entries by this side's rule."""
+        a = TimeDecayingCuckooFilter(256, 4, timeout=10)
+        b = TimeDecayingCuckooFilter(256, 4, timeout=9999)
+        with pytest.raises(SketchError):
+            a.merge(b)

@@ -30,7 +30,6 @@ class TestStationaryBound:
         bound = s.stable_fp_rate()
         assert fpr <= 1.5 * bound, (fpr, bound)
         assert fpr >= 0.2 * bound            # sanity: in the regime
-        p_nonzero = 1.0 - (1.0 - bound ** (1.0 / k))  # = bound^(1/k)
         assert abs(s.fill_fraction() - bound ** (1.0 / k)) < 0.08
 
     def test_fp_rate_below_stationary_during_convergence(self):
