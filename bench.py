@@ -641,6 +641,45 @@ def run_capped_child(rows: int, store_bytes: int) -> dict:
             "spilled_mb": spilled_mb}
 
 
+def run_capped_sharded_child(rows: int, store_bytes: int) -> dict:
+    """One capped-store leg of the SHARDED bloom build — the
+    cost-model escape whose exchange is independent of m: expected
+    ~full throughput and zero spill at any cap the position rows fit."""
+    import ray
+
+    from archbloom_ray.datagen import pages_fixture
+    from archbloom_ray.pipelines.build import build_sharded_bloom_states
+    from archbloom_ray.sketches import BloomFilter
+
+    rd = _child_ray_init(NUM_CPUS, object_store_memory=store_bytes or None)
+    pages = pages_fixture(rows, seed=42)
+    t0 = time.monotonic()
+    build_sharded_bloom_states(
+        rd.read_parquet(pages, columns=["url"]),
+        "url", lambda: BloomFilter(rows, 0.01),
+        num_shards=64, batch_size=262144)
+    sec = time.monotonic() - t0
+    spilled = None
+    try:
+        import glob
+        import re
+
+        sess = ray._private.worker.global_worker.node.get_session_dir_path()
+        spilled = 0.0
+        for f in glob.glob(os.path.join(sess, "logs", "raylet.out")):
+            for line in open(f, errors="ignore"):
+                m = re.search(r"Spilled\s+(\d+)\s*MiB", line)
+                if m:
+                    spilled = max(spilled, float(m.group(1)))
+    except Exception as e:
+        spilled = f"probe_failed:{type(e).__name__}"
+    ray.shutdown()
+    return {"rows": rows, "store_bytes": store_bytes,
+            "build_sec": round(sec, 2),
+            "build_docs_per_sec": round(rows / sec, 1),
+            "spilled_mb": spilled}
+
+
 def run_capped_store() -> dict:
     """Memory-bounded scale certification (VERDICT r4 item 4): the
     headline build at ROWS_PROBE_FACTOR× the bench rows, once with the
@@ -680,6 +719,18 @@ def run_capped_store() -> dict:
 
     uncapped, capped = leg(0), leg(CAPPED_STORE_BYTES)
     ratio = capped["build_docs_per_sec"] / uncapped["build_docs_per_sec"]
+
+    # the sharded-path leg (one run per cap; exchange independent of m
+    # — zero spill expected at any cap the position rows fit)
+    def sharded_leg(store_bytes: int) -> dict:
+        out = subprocess.run(
+            [sys.executable, os.path.abspath(__file__),
+             "--capped-sharded-child", str(rows), str(store_bytes)],
+            capture_output=True, text=True, check=True,
+            cwd=os.path.dirname(os.path.abspath(__file__))).stdout
+        return json.loads(out.strip().splitlines()[-1])
+
+    sh_un, sh_cap = sharded_leg(0), sharded_leg(CAPPED_STORE_BYTES)
     return {
         "metric": f"capped_store_throughput_ratio_{CAPPED_STORE_BYTES >> 30}gib",
         "value": round(ratio, 3),
@@ -687,6 +738,10 @@ def run_capped_store() -> dict:
         "rows": rows,
         "uncapped": uncapped,
         "capped": capped,
+        "sharded_uncapped": sh_un,
+        "sharded_capped": sh_cap,
+        "sharded_ratio": round(sh_cap["build_docs_per_sec"]
+                               / sh_un["build_docs_per_sec"], 3),
         "num_cpus": NUM_CPUS,
         **host_speed_probe(),
     }
@@ -702,6 +757,10 @@ if __name__ == "__main__":
         i = sys.argv.index("--capped-child")
         print(json.dumps(run_capped_child(int(sys.argv[i + 1]),
                                           int(sys.argv[i + 2]))))
+    elif "--capped-sharded-child" in sys.argv:
+        i = sys.argv.index("--capped-sharded-child")
+        print(json.dumps(run_capped_sharded_child(int(sys.argv[i + 1]),
+                                                  int(sys.argv[i + 2]))))
     elif "--capped-store" in sys.argv:
         print(json.dumps(run_capped_store()))
     elif "--rows-probe-child" in sys.argv:
