@@ -684,6 +684,17 @@ def cmd_query(args):
         print(json.dumps({"element": args.element,
                           "value": sk.get(args.element)}))
         sys.exit(0)
+    if not hasattr(sk, "lookup"):
+        if hasattr(sk, "count"):
+            # frequency sketches (cms/cucms): the answer is the
+            # estimate — no membership semantics, exit 0 always
+            print(json.dumps({"element": args.element,
+                              "count": int(sk.count(args.element)),
+                              "type": type(sk).__name__}))
+            sys.exit(0)
+        print(json.dumps({"error": f"{type(sk).__name__} has no "
+                          "element query (use info / profile)"}))
+        sys.exit(2)
     present = sk.lookup(args.element)
     out = {"element": args.element, "present": bool(present)}
     if isinstance(sk, CountingQuotientFilter):
